@@ -1,0 +1,194 @@
+"""Scalar function coverage: string / date / math / array / json /
+conditional — declared from `F.*` built-ins so every expression stays
+inside whole-stage codegen (no Python in the hot path).
+
+The reference is type-blind below the engine (ShuffleClientImpl.java:1373
+moves opaque byte[]); scalar semantics live engine-side, so our surface
+is the Catalyst function library (SURVEY.md §2B last row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.registry import query
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_upper,
+           lower(p_type)                                    AS type_lower,
+           length(p_name)                                   AS name_len,
+           substr(p_name, 1, 8)                             AS name_prefix,
+           concat(p_brand, ':', p_type)                     AS brand_type,
+           replace(p_name, ' ', '_')                        AS name_snake,
+           len(string_split(p_name, ' '))                   AS n_words,
+           trim(p_name)                                     AS name_trim,
+           contains(p_type, 'BRASS')                        AS is_brass
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.trim("p_name").alias("name_trim"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS order_year,
+           month(o_orderdate)                                  AS order_month,
+           day(o_orderdate)                                    AS order_day,
+           quarter(o_orderdate)                                AS order_quarter,
+           strftime(o_orderdate, '%Y-%m')                      AS order_ym,
+           CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6)            AS qty_sqrt,
+           round(ln(l_extendedprice), 6)         AS price_ln,
+           round(pow(l_discount, 2), 8)          AS disc_sq,
+           abs(l_quantity - 25)                  AS qty_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
+           CAST(floor(l_quantity / 10) AS BIGINT)        AS qty_decile,
+           l_orderkey % 7                        AS key_mod
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 8).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.floor(F.col("l_quantity") / 10).alias("qty_decile"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    prop_k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_id", prop_k.alias("prop_k"), "event_type")
+        .filter(F.col("prop_k") > 50)
+    )
+
+
+@query(
+    "q_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           count(*)                                      AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> array_sort -> join: deterministic array agg."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_conditional_nulls",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                                                    AS n,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)       AS n_null_price,
+           round(sum(coalesce(o_totalprice, 0)), 2)                    AS total,
+           sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL
+                    THEN 1 ELSE 0 END)                                 AS n_low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_conditional_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias(
+            "n_null_price"
+        ),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias("total"),
+        F.sum(
+            F.when(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).isNull(), 1).otherwise(0)
+        ).alias("n_low"),
+    )
+
+
+@query(
+    "q_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+'))      AS n_tokens,
+           regexp_extract(text, '^([a-z]+)', 1)         AS first_word,
+           regexp_matches(text, 'spark')                AS mentions_spark
+    FROM documents
+    """,
+)
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_tokens"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+    )

@@ -1,0 +1,63 @@
+"""DuckDB oracle harness — mirrors the driver's compare: column-sorted,
+order-insensitive, value-level. Differential testing against a golden
+engine is the reference's own strategy (SparkTestBase.scala:111-150).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from celeborn_spark.catalog import TABLES, table_path
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "") -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ga = pd.to_numeric(g, errors="coerce")
+            wa = pd.to_numeric(w, errors="coerce")
+            both_nan = ga.isna() & wa.isna()
+            close = pd.Series(
+                [
+                    bn or (not (pd.isna(a) or pd.isna(b)) and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-8))
+                    for a, b, bn in zip(ga, wa, both_nan)
+                ]
+            )
+            assert close.all(), (
+                f"{name}: column {c!r} differs; first diffs:\n"
+                f"{pd.DataFrame({'spark': ga[~close], 'oracle': wa[~close]}).head(10)}"
+            )
+        else:
+            eq = (g == w) | (g.isna() & w.isna())
+            assert eq.all(), (
+                f"{name}: column {c!r} differs; first diffs:\n"
+                f"{pd.DataFrame({'spark': g[~eq], 'oracle': w[~eq]}).head(10)}"
+            )
