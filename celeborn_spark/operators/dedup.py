@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(SURVEY.md §2C).
+
+Scale design (100 TB): every operator is a bounded number of wide
+stages with map-side pre-aggregation — no driver-side loops, no
+collect. The only shuffles are (a) the content-hash exchange for exact
+dedup and (b) the band-bucket exchange for LSH; both key on
+high-cardinality hashes, so AQE's coalescing/skew handling (the
+engine-side analogue of Celeborn's partition split + skew split,
+CelebornPartitionUtil.java:60) keeps partitions balanced.
+
+The exactly-once contract itself — drop replayed batches / losing
+attempts — is what the reference implements at the byte level
+(CelebornInputStream.java:864-904); relationally it is dropDuplicates
+on a content identity, which is what exact_dedup exposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from celeborn_spark.operators.textops import tokens
+
+
+def content_hash(text: Column | str) -> Column:
+    """Deterministic content identity (md5 — available in both Spark
+    and the DuckDB oracle; swap for xxhash64 when oracle parity is not
+    needed and speed matters)."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact content hash.
+
+    groupBy(hash) -> min(id): one exchange on the hash, partial agg
+    map-side (reference A3 analogue) so duplicate-heavy partitions
+    shrink before the shuffle.
+    """
+    return (
+        df.withColumn("content_hash", content_hash(text_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column | str, n: int) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text."""
+    toks = tokens(text)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(toks) - n), shingle_at)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs, distinct — the posting-list layout."""
+    return (
+        df.select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs.
+
+    shingle explode -> self-join on shingle -> count common -> filter by
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The self-join shuffles on the
+    shingle key; at 100 TB you first drop ultra-frequent shingles (they
+    produce quadratic candidates and carry no signal) — see
+    max_shingle_freq.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature: for seed s, min over shingles
+    of xxhash64(shingle, s). Pure JVM expressions — one map stage."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda t, s=s: F.xxhash64(t, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidate pairs: signature -> `bands` bands of rows
+    (num_hashes/bands each) -> hash each band -> exchange on
+    (band_idx, band_hash) -> pairs within a bucket.
+
+    One shuffle total (the band-bucket exchange). Docs agreeing on any
+    band collide; with 32 hashes / 8 bands the ~0.5-Jaccard cutoff
+    suits near-dup mining. Candidates must be verified (jaccard_pairs
+    or verified_lsh_dedup) — LSH alone admits false positives.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(word_shingles(text_col, n), num_hashes).alias("sig"),
+    ).filter(F.size("sig") > 0)
+
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verified_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — the scale path for
+    near-dup mining: LSH prunes the O(N^2) pair space to bucket
+    collisions, the exact check removes false positives."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(
+        F.col(id_col).alias("id_b2"), F.col("shingle").alias("shingle_b")
+    )
+    common = (
+        cand.join(a, "id_a")
+        .join(
+            b,
+            (F.col("id_b") == F.col("id_b2")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: explode tokens, hash each with xxhash64, then per
+    bit sum +1/-1 across tokens and take the sign. The per-doc bit
+    aggregation is `bits` SUM aggregates in ONE groupBy — a single
+    exchange on the doc id, all JVM-side."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+
+    bit_sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        [F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+         for i in range(bits - 1)],  # skip the sign bit to stay in signed 64
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select(F.col("doc").alias(id_col), fingerprint.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (SURVEY.md §2C).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query side,
+crossJoin, JVM-side dot product via zip_with/aggregate, window top-k.
+Scale path: IVF-style partition pruning — assign vectors to centroid
+cells (one map stage vs a broadcast centroid table), search only the
+query's cell. At 100 TB the cell assignment is the partition key, so a
+query touches 1/n_cells of the data; the brute-force path stays as the
+exact fallback and the recall oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double_array(c: Column | str) -> Column:
+    return (F.col(c) if isinstance(c, str) else c).cast("array<double>")
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    broadcast(queries) x vectors -> cosine -> row_number window per
+    query. The fact side streams once; no shuffle of the vector table
+    (the window partitions by query_id, exchanging only the slim
+    (query, id, score) projection).
+    """
+    v = vectors.select(
+        F.col(id_col), as_double_array(vec_col).alias("v"),
+    ).withColumn("v_norm", l2_norm(F.col("v")))
+    q = queries.select(
+        F.col(query_id_col), as_double_array(query_vec_col).alias("q"),
+    ).withColumn("q_norm", l2_norm(F.col("q")))
+
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")), 6),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine", "rnk")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (ties -> lowest
+    centroid id). Centroids are broadcast; one map-side stage plus the
+    slim argmax window exchange."""
+    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    c = centroids.select(
+        F.col(centroid_id_col), as_double_array(centroid_vec_col).alias("c")
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "sim", F.round(cosine(F.col("v"), F.col("c")), 6)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(centroid_id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, centroid_id_col)
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: search only the query's centroid cell
+    (nprobe=1). Recall < 1 by design; tests check recall against
+    brute_force_topk. The cell id is the join key, so at scale the
+    vector table is bucketed by cell and the probe is a pruned scan."""
+    assign_v = ivf_assign(vectors, centroids, id_col, vec_col)
+    assign_q = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias(id_col),
+            F.col(query_vec_col).alias(vec_col),
+        ),
+        centroids,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias(query_id_col), F.col("centroid_id"))
+
+    v = vectors.join(assign_v, id_col).select(
+        id_col, "centroid_id", as_double_array(vec_col).alias("v")
+    )
+    q = queries.join(F.broadcast(assign_q), query_id_col).select(
+        query_id_col, "centroid_id", as_double_array(query_vec_col).alias("q")
+    )
+    scored = (
+        v.join(F.broadcast(q), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine(F.col("v"), F.col("q")), 6))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "cosine", "rnk")
+    )

@@ -1,1 +1,108 @@
-"""Placeholder — filled in a later phase."""
+"""Data-plane parity operators (SURVEY.md §2A, phase 2): explicit
+exchange, exactly-once dedup, salted (skew-proof) aggregation, sorted
+scans. Results equal their un-tuned forms — the oracle proves the
+physical strategy changes nothing semantically, which is precisely the
+reference's contract (Celeborn reproduces vanilla Spark's results,
+tests/spark-it/.../SparkTestBase.scala:111-150).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.registry import query
+
+
+@query(
+    "q_exchange_repartition",
+    oracle="""
+    SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_exchange_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit hash exchange (df.repartition on the key) before the
+    agg — the engine surface of the reference's partition-by-key push
+    (HashBasedShuffleWriter.java:162-276). AQE may still coalesce tiny
+    output partitions, the analogue of PushMergedData coalescing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(32, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_exactly_once_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM (
+        SELECT DISTINCT * FROM (
+            SELECT * FROM events UNION ALL SELECT * FROM events
+        )
+    ) GROUP BY event_type
+    """,
+)
+def q_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a source twice, deduplicate, count — the relational form
+    of the reference's exactly-once batch dedup (drop replayed batchIds
+    and losing attempts, CelebornInputStream.java:864-904)."""
+    e = load_table(spark, sf_dir, "events")
+    replayed = e.unionByName(e)  # simulated at-least-once delivery
+    return (
+        replayed.dropDuplicates()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for extreme key skew: stage 1
+    groups on (key, salt16) spreading one hot key over 16 reducers,
+    stage 2 merges partials. The manual form of the reference's skew
+    partition split (CelebornPartitionUtil.java:60-130) for when AQE's
+    skew handling isn't enough. Oracle = plain groupBy: salting must
+    not change results."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+    )
+
+
+@query(
+    "q_sorted_range_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def q_sorted_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate over a sort-friendly column. With the catalog's
+    parquet layout the filter is answered by row-group min/max pruning —
+    the declarative analogue of the reference's sort-on-first-range-read
+    + per-range index (PartitionFilesSorter.java:208-376) and mapId
+    bitmap skipping (CelebornInputStream.skipLocation:364-380)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sortWithinPartitions("l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -68,7 +68,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_extendedprice,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+           l_extendedprice * (1 - l_discount) AS net_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
       AND l_shipdate <  TIMESTAMP '1996-01-01'
@@ -89,7 +89,9 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        # no rounding: the identical per-row double expression is
+        # bit-equal across engines, while round() half-way rules differ
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
     )
 
 

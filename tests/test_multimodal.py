@@ -1,0 +1,36 @@
+"""Multimodal plumbing: binary payload column + Arrow mapInPandas fake
+decode — schema, determinism, and the stubbed real codec."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import multimodal as M
+
+
+def test_fake_decode_schema_and_determinism(spark, sf_dir):
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents").limit(50))
+    out = M.fake_decode_meta(d)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_bytes", "format", "fake_width", "fake_height",
+    ]
+    rows1 = {r.doc_id: (r.n_bytes, r.format) for r in out.collect()}
+    rows2 = {r.doc_id: (r.n_bytes, r.format) for r in M.fake_decode_meta(d).collect()}
+    assert rows1 == rows2
+    src = {r.doc_id: r.n_chars for r in
+           load_table(spark, sf_dir, "documents").limit(50).collect()}
+    for doc_id, (n_bytes, fmt) in rows1.items():
+        assert n_bytes >= src[doc_id] > 0  # utf-8 length >= char count
+        assert fmt in ("textish", "binary")
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x89PNG...")
+
+
+def test_payload_is_binary_type(spark, sf_dir):
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    assert dict(d.dtypes)["payload"] == "binary"

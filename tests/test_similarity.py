@@ -1,0 +1,52 @@
+"""IVF ANN recall vs the exact brute-force result, and plan checks for
+the broadcast-query design."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import similarity as S
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    exact = S.brute_force_topk(emb, q, k=10).collect()
+    centroids = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    approx = S.ivf_topk(emb, q, centroids, k=10).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r.vec_id in exact_sets.get(r.query_id, set()):
+            hit += 1
+    assert total > 0
+    # nprobe=1 IVF on random embeddings: expect moderate recall, not zero
+    assert hit / total >= 0.2, f"IVF recall suspiciously low: {hit}/{total}"
+
+
+def test_brute_force_is_broadcast(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = S.brute_force_topk(emb, _queries(emb), k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(10)
+    df = emb.select(
+        S.cosine(S.as_double_array("embedding"), S.as_double_array("embedding")).alias("c")
+    )
+    for r in df.collect():
+        assert abs(r.c - 1.0) < 1e-9
