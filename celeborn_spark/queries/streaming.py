@@ -1,1 +1,137 @@
-"""Placeholder — filled in a later phase."""
+"""Streaming query surface: tumbling/sliding windows, session windows,
+watermarked dedup — each driven to completion over the finite events
+parquet and oracle-checked against the equivalent batch SQL (streaming
+and batch must agree on a bounded input; the streaming twin of the
+reference's differential tests, SparkTestBase.scala:111).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.registry import query
+from celeborn_spark.streaming.events import read_events_stream, run_stream_to_table
+
+
+@query(
+    "q_stream_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregation, complete mode."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    return run_stream_to_table(agg, "stream_tumbling_counts", "complete")
+
+
+@query(
+    "q_stream_sliding_counts",
+    oracle="""
+    -- each event belongs to two 2h/1h-slide windows: the one starting
+    -- at its floor-hour and the one starting an hour earlier
+    SELECT strftime(date_trunc('hour', ts) - (o * INTERVAL 1 HOUR),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o)
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour window sliding every hour."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+        )
+    )
+    return run_stream_to_table(agg, "stream_sliding_counts", "complete")
+
+
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) — F.session_window merges
+    events closer than the gap; the oracle is the batch lag/cumsum
+    sessionization, which defines identical sessions on bounded input."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return run_stream_to_table(agg, "stream_session_window", "complete")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM (SELECT DISTINCT * FROM (SELECT * FROM events
+                                  UNION ALL SELECT * FROM events))
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once over an at-least-once stream: replay the source
+    twice (union of two readers), watermark + dropDuplicates on the
+    event id — the streaming twin of the reference's replayed-batch
+    filter (CelebornInputStream.java:894-904)."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_stream_to_table(deduped, "stream_dedup", "complete")

@@ -1,0 +1,70 @@
+"""Streaming source + sink helpers for the events table.
+
+The reference's streaming analogues (SURVEY.md §2A): credit-based
+streamed reads (CreditStreamManager.java:42-193) map to micro-batch
+flow control (maxFilesPerTrigger / maxOffsetsPerTrigger); exactly-once
+attempt/batch dedup (CelebornInputStream.java:864-904) maps to
+watermark + dropDuplicates; graceful-restart state (worker shuffledb)
+maps to checkpointLocation.
+
+For tests/oracle runs, a finite parquet directory drives the stream to
+completion synchronously (memory sink + processAllAvailable) — the
+same operators attach unchanged to kafka/socket sources in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from celeborn_spark.catalog import table_path
+
+# Parquet column order of events.parquet; ts read as nanos-long
+# (TIMESTAMP(NANOS) — see catalog.load_table) and converted below.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events as an unbounded stream (file source; schema pinned —
+    streaming sources never infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        # micro-batch flow control — the engine-side analogue of the
+        # reference's credit-based read (CreditStreamManager.java:80)
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # file streaming source needs a directory or glob, not a bare file
+    raw = reader.parquet(table_path(sf_dir, "events").replace("events.parquet", "events.*"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(
+    stream_df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Drive a finite stream to completion into an in-memory sink and
+    return the result table (test/oracle harness only)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)
