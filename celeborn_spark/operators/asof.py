@@ -1,0 +1,112 @@
+"""As-of join and bucketed range join — operators Spark lacks natively
+(SURVEY.md §7 "what's hard" #4), composed from built-ins so they scale.
+
+as-of: the union+window trick — tag both sides, union, one window over
+(keys, ts) carrying the last right-side payload forward, keep left
+rows. ONE exchange on the join keys, no row explosion, no per-group
+pandas; this is the 100 TB-safe form (merge_asof via applyInPandas
+would materialize each group in python memory).
+
+range join: bucketize the range key to width = window, explode the
+left side into its two candidate buckets, equi-join on (key, bucket),
+filter the exact predicate. Turns an O(N^2) theta join into an
+equi-join Catalyst can hash-partition — the same trick the reference's
+sorted range read plays with chunk-offset ranges
+(PartitionFilesSorter.java:208: coarse index first, exact scan after).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with right.ts <= left.ts (per key group). Right payload columns are
+    null when no prior right row exists.
+
+    Both inputs must share `keys` + `ts_col`; right rows should be
+    unique per (keys, ts) — pre-aggregate if not.
+    """
+    l_tagged = left.withColumn("_side", F.lit(1))
+    for c in right_payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+
+    r_tagged = right.select(
+        *keys, ts_col, F.lit(0).alias("_side"), *right_payload
+    )
+    left_only = [c for c in l_tagged.columns if c not in r_tagged.columns]
+    for c in left_only:
+        r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(l_tagged.dtypes)[c]))
+
+    unioned = l_tagged.select(*l_tagged.columns).unionByName(
+        r_tagged.select(*l_tagged.columns)
+    )
+    # right rows sort before left rows at equal ts => ties match (>=)
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if c not in right_payload],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def bucketed_range_self_join(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window_sec: int,
+    id_col: str,
+) -> DataFrame:
+    """Pairs (a, b) with same key, a.ts < b.ts <= a.ts + window.
+
+    Output: key, id_a, id_b, delta_us. The left side explodes into its
+    bucket and the next one (bucket width = window), so each qualifying
+    pair matches exactly once on the (key, bucket) equi-join.
+    """
+    window_us = window_sec * 1_000_000
+    with_us = df.select(
+        F.col(key), F.col(id_col), F.unix_micros(F.col(ts_col)).alias("_us")
+    )
+    a = with_us.select(
+        F.col(key),
+        F.col(id_col).alias("id_a"),
+        F.col("_us").alias("us_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_us") / window_us),
+                F.floor(F.col("_us") / window_us) + 1,
+            )
+        ).alias("_bucket"),
+    )
+    b = with_us.select(
+        F.col(key).alias("_key_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("_us").alias("us_b"),
+        F.floor(F.col("_us") / window_us).alias("_bucket"),
+    )
+    return (
+        a.join(b, (a[key] == b["_key_b"]) & (a["_bucket"] == b["_bucket"]))
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") - F.col("us_a") <= window_us)
+        )
+        .select(
+            F.col(key),
+            "id_a",
+            "id_b",
+            (F.col("us_b") - F.col("us_a")).alias("delta_us"),
+        )
+    )

@@ -44,6 +44,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-exchange a (possibly single-partition) input across all
+    cores before a CPU-heavy map stage. Small files arrive as one
+    split; at 100 TB inputs are already wide and this is a no-op cost
+    relative to the work it parallelizes."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def word_shingles(text: Column | str, n: int) -> Column:
     """Distinct n-word shingles of a whitespace-tokenized text."""
     toks = tokens(text)
@@ -59,7 +67,8 @@ def word_shingles(text: Column | str, n: int) -> Column:
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs, distinct — the posting-list layout."""
     return (
-        df.select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
+        _spread(df, id_col)
+        .select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
         .distinct()
     )
 
@@ -107,8 +116,13 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """num_hashes-wide MinHash signature: for seed s, min over shingles
-    of xxhash64(shingle, s). Pure JVM expressions — one map stage."""
+    """num_hashes-wide MinHash signature as a single array expression:
+    for seed s, min over shingles of xxhash64(shingle, s).
+
+    Convenience form for ad-hoc column use. The LSH pipeline uses the
+    exploded formulation in minhash_lsh_candidates instead — this
+    expression re-hashes every shingle string once per lane, which is
+    num_hashes x more string hashing than necessary."""
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda t, s=s: F.xxhash64(t, F.lit(s))))
@@ -135,17 +149,27 @@ def minhash_lsh_candidates(
     or verified_lsh_dedup) — LSH alone admits false positives.
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(word_shingles(text_col, n), num_hashes).alias("sig"),
-    ).filter(F.size("sig") > 0)
-
+    # Exploded MinHash: hash each shingle STRING once (the expensive
+    # part), then derive every lane by re-mixing the 64-bit base hash
+    # with the lane seed — 12 bytes per xxhash64 call instead of a
+    # full string. The per-doc min over each lane is num_hashes MIN
+    # aggregates in ONE groupBy exchange (map-side partial mins shrink
+    # the shuffle, reference A3 analogue).
+    base = shingle_table(df, id_col, text_col, n).select(
+        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("h")
+    )
+    sig = base.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    )
     banded = sig.select(
         "doc",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
+                    F.hash(*[F.col(f"m{b * rows + r}") for r in range(rows)])
                     for b in range(bands)
                 ]
             )
@@ -215,9 +239,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     bit sum +1/-1 across tokens and take the sign. The per-doc bit
     aggregation is `bits` SUM aggregates in ONE groupBy — a single
     exchange on the doc id, all JVM-side."""
-    tok = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    tok = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
 
     bit_sums = tok.groupBy("doc").agg(
         *[

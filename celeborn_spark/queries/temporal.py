@@ -1,0 +1,80 @@
+"""Temporal join surface: as-of join and range self-join over events —
+operators Spark lacks natively, composed scale-first
+(operators/asof.py). DuckDB's native ASOF JOIN and theta join are the
+oracles, so the compositions are checked against a first-class
+implementation of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.asof import asof_join, bucketed_range_self_join
+from celeborn_spark.registry import query
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts,
+               max(event_id)           AS view_event_id,
+               arg_max(value, event_id) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           v.view_event_id, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the latest view at-or-before it per user."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    joined = asof_join(
+        clicks, views, keys=["user_id"], ts_col="ts",
+        right_payload=["view_event_id", "view_value"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "view_event_id",
+        "view_value",
+    )
+
+
+@query(
+    "q_range_join_pairs",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    GROUP BY a.user_id
+    """,
+)
+def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs within 5 minutes per user, counted per user. The
+    Spark side is the bucketed equi-join; the oracle is the naive theta
+    join — same result, quadratic only inside a bucket."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = bucketed_range_self_join(e, "user_id", "ts", 300, "event_id")
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -60,6 +60,7 @@ def _load_all() -> None:
         similarity,
         multimodal,
         streaming,
+        temporal,
     )
 
 

@@ -1,0 +1,75 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §4).
+
+Correctness says the operator returns the right rows; these tests pin
+the plan SHAPE that survives a 100x scale-up: filters reach the scan,
+scans prune columns, dim joins broadcast (no fact shuffle), top-k never
+globally sorts, partial aggregation runs map-side.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from celeborn_spark.plans import (
+    count_exchanges,
+    explain_formatted,
+    has_broadcast_join,
+    has_pushed_filters,
+    has_whole_stage_codegen,
+    physical_plan,
+    read_schema_columns,
+)
+from celeborn_spark.queries import joins, relational, dataplane
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = relational.q_filter_project(spark, sf_dir)
+    assert has_pushed_filters(df, "l_quantity", "l_shipdate", "l_discount"), (
+        explain_formatted(df)[:1500]
+    )
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    df = relational.q_filter_project(spark, sf_dir)
+    (cols,) = read_schema_columns(df)
+    # 6 needed columns, not all 11 of lineitem
+    assert set(cols) == {
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_discount", "l_quantity", "l_shipdate",
+    }, cols
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = joins.q_join_broadcast(spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)[:1500]
+    # fact side must NOT shuffle before the join: the only exchange is
+    # the post-join aggregation
+    assert count_exchanges(df) <= 1, physical_plan(df)[:2000]
+
+
+def test_q5_join_chain_has_no_cartesian(spark, sf_dir):
+    plan = physical_plan(joins.q5_local_supplier_volume(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = physical_plan(relational.q_orderby_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    """Map-side combine (reference A3, HashBasedShuffleWriter.java:182):
+    two HashAggregate nodes around one exchange."""
+    plan = explain_formatted(relational.q1_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+    assert "partial_sum" in plan, plan[:1500]
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    assert has_whole_stage_codegen(relational.q1_pricing_summary(spark, sf_dir))
+
+
+def test_salted_agg_single_extra_exchange(spark, sf_dir):
+    """Salting costs exactly one extra (narrow) exchange vs plain agg."""
+    df = dataplane.q_salted_agg(spark, sf_dir)
+    assert count_exchanges(df) <= 2, physical_plan(df)[:2000]
