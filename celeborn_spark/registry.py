@@ -61,6 +61,7 @@ def _load_all() -> None:
         multimodal,
         streaming,
         temporal,
+        advanced,
     )
 
 

@@ -1,0 +1,86 @@
+"""Sources & sinks: format round-trips, compression codecs, partitioned
+and sorted-bucketed layouts.
+
+Reference mapping (SURVEY.md §2A): per-batch LZ4/ZSTD compression
+(client/compress/Compressor.java:23, codec enum
+common/protocol/CompressionCodec.java:21) -> file codec choice here and
+shuffle codec in session.py; local/DFS readers
+(LocalPartitionReader.java:53, DfsPartitionReader.java:56) -> the same
+spark.read call against any filesystem URI; sorted range read + index
+(PartitionFilesSorter.java:208) -> bucketBy().sortBy() table layout, so
+later equi-joins/range scans on the key co-locate without a shuffle.
+
+Delta/Iceberg/Hudi connectors need jars not present in this image —
+gated behind import-try in read_any.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+PARQUET_CODECS = ("zstd", "snappy", "gzip", "lz4", "none")
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode: str = "overwrite") -> None:
+    writer = df.write.mode(mode)
+    if fmt == "parquet":
+        writer = writer.option("compression", codec or "zstd")
+        writer.parquet(path)
+    elif fmt == "orc":
+        writer = writer.option("compression", codec or "zstd")
+        writer.orc(path)
+    elif fmt == "json":
+        writer = writer.option("compression", codec or "gzip") if codec != "none" else writer
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
+
+
+def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "json":
+        r = spark.read
+        return (r.schema(schema) if schema else r).json(path)
+    if fmt == "csv":
+        r = spark.read.option("header", "true")
+        return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
+    if fmt in ("delta", "iceberg", "hudi"):
+        try:  # connector jars not shipped in this image
+            return spark.read.format(fmt).load(path)
+        except Exception as exc:  # pragma: no cover
+            raise NotImplementedError(
+                f"{fmt} requires its connector jars on the classpath"
+            ) from exc
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet") -> None:
+    """Hive-style partitioned layout: later filters on the partition
+    columns prune whole directories before any IO (partition pruning —
+    the coarsest-granularity analogue of the reference's mapId bitmap
+    skip, CelebornInputStream.skipLocation:364)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_sorted_buckets(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int, path: str | None = None
+) -> None:
+    """Bucketed + sorted table: joins/aggs on bucket_col co-locate
+    without an exchange, and range scans on the sort key prune — the
+    declarative analogue of the reference's sort-on-first-range-read
+    with cached per-map index (PartitionFilesSorter.java:208-935)."""
+    writer = (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -1,0 +1,79 @@
+"""Format/codec round-trips, partitioned writes with pruning, bucketed
+tables joining without an exchange."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.plans import count_exchanges, explain_formatted
+from celeborn_spark.sources import (
+    read_any,
+    write_any,
+    write_partitioned,
+    write_sorted_buckets,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="celeborn_spark_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_round_trip(spark, sf_dir, tmpdir, fmt):
+    src = load_table(spark, sf_dir, "nation")
+    write_any(src, f"{tmpdir}/t", fmt)
+    back = read_any(spark, f"{tmpdir}/t", fmt)
+    got = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in
+           back.select("n_nationkey", "n_name", "n_regionkey")
+               .withColumn("n_nationkey", F.col("n_nationkey").cast("int"))
+               .withColumn("n_regionkey", F.col("n_regionkey").cast("int")).collect()}
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in src.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("codec", ["zstd", "snappy", "lz4", "none"])
+def test_parquet_codecs(spark, sf_dir, tmpdir, codec):
+    """Reference A8: per-batch LZ4/ZSTD/NONE compression — here the
+    parquet file codec; results must be identical under every codec."""
+    src = load_table(spark, sf_dir, "supplier")
+    write_any(src, f"{tmpdir}/c", "parquet", codec=codec)
+    back = read_any(spark, f"{tmpdir}/c", "parquet")
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmpdir):
+    src = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(src, f"{tmpdir}/p", ["order_year"])
+    back = read_any(spark, f"{tmpdir}/p", "parquet").filter(F.col("order_year") == 1996)
+    plan = explain_formatted(back)
+    assert "PartitionFilters" in plan and "order_year" in plan, plan[:1500]
+    want = src.filter(F.col("order_year") == 1996).count()
+    assert back.count() == want
+
+
+def test_bucketed_join_has_no_exchange_on_bucketed_sides(spark, sf_dir, tmpdir):
+    """Reference A14 analogue: pre-sorted co-located layout removes the
+    join exchange entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_sorted_buckets(orders.withColumnRenamed("o_custkey", "custkey"),
+                         "orders_b", "custkey", 8, f"{tmpdir}/ob")
+    write_sorted_buckets(customer.withColumnRenamed("c_custkey", "custkey"),
+                         "customer_b", "custkey", 8, f"{tmpdir}/cb")
+    a = spark.table("orders_b")
+    b = spark.table("customer_b")
+    joined = a.join(b, "custkey")
+    assert count_exchanges(joined) == 0, explain_formatted(joined)[:2000]
+    want = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+    assert joined.count() == want
