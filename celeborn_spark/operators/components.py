@@ -1,0 +1,75 @@
+"""Bounded-iteration connected components (hash-min label propagation)
+— turns near-dup PAIRS into dedup GROUPS (SURVEY.md §7 "what's hard"
+#2: iterative, bound iterations, checkpoint between, no collect).
+
+Each iteration: every vertex takes the min label among itself and its
+neighbors — one join + one groupBy (two exchanges) per round; labels
+converge in O(diameter) rounds, and near-dup graphs are unions of
+small cliques, so a handful of rounds suffices. localCheckpoint()
+truncates lineage each round (the driver-side plan would otherwise grow
+exponentially); convergence is detected with a count of changed labels
+(one scalar action per round, never a data collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(vertex, component) for every vertex appearing in `pairs`;
+    component = min vertex id in its connected component."""
+    # Materialize the edge list once: it is re-joined every round, and
+    # without a checkpoint each iteration would re-run the (possibly
+    # expensive — LSH!) pair-producing pipeline from scratch.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("vertex", F.col("label").alias("component"))
+
+
+def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Near-dup groups: component id + member count per group
+    (keep-one-per-group = filter vertex == component downstream)."""
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    return cc.join(sizes, "component").select("vertex", "component", "group_size")

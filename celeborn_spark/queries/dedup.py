@@ -69,3 +69,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.simhash(d, "doc_id", "text")
+
+
+@query("q_dedup_groups")  # rows-only: iterative label propagation
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> dedup groups (the
+    full LLM-corpus dedup pipeline end to end)."""
+    from celeborn_spark.operators.components import dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.verified_lsh_dedup(d, "doc_id", "text", n=3, threshold=0.8)
+    return dedup_groups(pairs)
