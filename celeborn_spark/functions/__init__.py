@@ -1,0 +1,48 @@
+"""Column-function facade: the engine's scalar/array vocabulary in one
+namespace (SURVEY.md §7 package layout).
+
+    from celeborn_spark import functions as CF
+    df.select(CF.token_count("text"), CF.content_hash("text"))
+"""
+
+from celeborn_spark.operators.textops import (
+    tokens,
+    token_count,
+    stopword_count,
+    stopword_ratio,
+    avg_token_len,
+    quality_score,
+    lang_id,
+    doc_fingerprint,
+)
+from celeborn_spark.operators.dedup import (
+    content_hash,
+    word_shingles,
+    minhash_signature,
+    hamming64,
+)
+from celeborn_spark.operators.similarity import (
+    dot,
+    l2_norm,
+    cosine,
+    as_double_array,
+)
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "stopword_count",
+    "stopword_ratio",
+    "avg_token_len",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "content_hash",
+    "word_shingles",
+    "minhash_signature",
+    "hamming64",
+    "dot",
+    "l2_norm",
+    "cosine",
+    "as_double_array",
+]

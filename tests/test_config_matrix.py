@@ -1,0 +1,56 @@
+"""Config-matrix differential tests — the reference's pattern of
+looping one workload through config combinations and asserting
+identical results (SkewJoinSuite.scala:50-54 loops CompressionCodec x
+skew x integrityChecks). Here: AQE off, forced sort-merge join, tiny
+shuffle partitioning — physical strategy must never change results.
+Also: the salted join equals the plain join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.skew import salted_join
+from celeborn_spark.queries.relational import q1_pricing_summary
+from celeborn_spark.queries.joins import q_join_inner
+
+CONF_VARIANTS = [
+    {"spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},  # force shuffle joins
+    {"spark.sql.shuffle.partitions": "7"},
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("conf", CONF_VARIANTS, ids=[str(c) for c in CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", [q1_pricing_summary, q_join_inner])
+def test_results_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(lineitem, orders, "l_orderkey", "o_orderkey", n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert _rows(plain) == _rows(salted)
