@@ -77,6 +77,72 @@ def brute_force_topk(
     )
 
 
+def embedding_bit_signature(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+) -> DataFrame:
+    """Random-hyperplane bit signature (SimHash for vectors): bit b =
+    sign(v . r_b) with pseudo-random hyperplane r_b derived
+    deterministically from xxhash64(dim, b). Cosine-similar vectors
+    agree on most bits, so equal signatures bucket near-duplicates.
+
+    Plan shape: posexplode the vector once, then ONE groupBy with
+    `bits` weighted-sum aggregates (map-side partials) — a single
+    exchange regardless of dimensionality.
+    """
+    dims = vectors.select(
+        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "x")
+    )
+    # weight in [-1, 1): (hash(pos, b) mod 2001 - 1000) / 1000
+    def w(b: int) -> Column:
+        return (
+            F.pmod(F.xxhash64(F.col("pos"), F.lit(b)), F.lit(2001)) - 1000
+        ) / 1000.0
+
+    sums = dims.groupBy(id_col).agg(
+        *[F.sum(F.col("x") * w(b)).alias(f"s{b}") for b in range(bits)]
+    )
+    signature = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), signature.alias("signature"))
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by bit signature
+    (one exchange), verify candidates with exact cosine. O(N^2) only
+    within a bucket — 2^bits buckets spread a uniform corpus."""
+    sig = embedding_bit_signature(vectors, id_col, vec_col, bits)
+    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")).join(
+        sig, id_col
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "signature"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "signature"
+    )
+    return (
+        a.join(b, "signature")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

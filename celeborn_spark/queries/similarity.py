@@ -59,6 +59,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _queries_df(emb), centroids, k=10)
 
 
+@query("q_embedding_near_dup")  # rows-only: bucketing hash is engine-specific
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5)
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label, unnest(list_transform(range(1, len(e)+1),
+                                            i -> {'pos': i-1, 'x': e[i]})) AS u
+        FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)
+    )
+    SELECT label, u.pos AS pos, round(avg(u.x), 6) AS centroid_val
+    FROM dims GROUP BY label, u.pos
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode
+    + groupBy — the distributed form of vector averaging (no UDF, no
+    driver-side math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(S.as_double_array("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"))
+    )
+
+
 @query(
     "q_embedding_norms",
     oracle="""

@@ -50,3 +50,20 @@ def test_cosine_self_similarity(spark, sf_dir):
     )
     for r in df.collect():
         assert abs(r.c - 1.0) < 1e-9
+
+
+def test_embedding_near_dup_recall_vs_brute_force(spark, sf_dir):
+    """Signature-bucketed near-dup must be a subset of the exact
+    all-pairs result (verify stage is exact) and find the planted
+    exact duplicates (identical vectors share every bit)."""
+    from pyspark.sql import functions as F2
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    copies = emb.select((F2.col("vec_id") + 1_000_000).alias("vec_id"),
+                        "embedding", "label")
+    with_dups = emb.unionByName(copies)
+    pairs = S.embedding_near_dup_pairs(with_dups, bits=12, threshold=0.999)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.vec_id, r.vec_id + 1_000_000) for r in emb.select("vec_id").collect()}
+    missing = want - found
+    assert not missing, f"planted duplicates missed: {sorted(missing)[:5]}"
