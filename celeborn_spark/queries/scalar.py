@@ -175,6 +175,52 @@ def q_conditional_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_array_funcs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ')[1:8]  AS a,
+               string_split(text, ' ')[5:12] AS b
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 12
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_set,
+           array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',') AS intersect_set,
+           coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(a, x -> NOT list_contains(b, x)))), ','), '')     AS except_set,
+           list_has_any(a, b)                                                AS overlaps,
+           len(list_filter(a, x -> len(x) > 4)) > 0                          AS has_long,
+           len(list_filter(a, x -> len(x) <= 20)) = len(a)                   AS all_short
+    FROM t
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set ops + higher-order exists/forall, canonicalized by
+    sorting so both engines' set semantics compare equal."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # engines disagree on out-of-range slices of short arrays — keep
+    # docs long enough that both slices are fully in range
+    t = d.filter(F.size(toks) >= 12).select(
+        "doc_id",
+        F.slice(toks, 1, 8).alias("a"),
+        F.slice(toks, 5, 8).alias("b"),
+    )
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("union_set"),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias(
+            "intersect_set"
+        ),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("except_set"),
+        F.arrays_overlap("a", "b").alias("overlaps"),
+        F.exists("a", lambda x: F.length(x) > 4).alias("has_long"),
+        F.forall("a", lambda x: F.length(x) <= 20).alias("all_short"),
+    )
+
+
+@query(
     "q_regexp_funcs",
     oracle="""
     SELECT doc_id,
