@@ -62,6 +62,7 @@ def _load_all() -> None:
         streaming,
         temporal,
         advanced,
+        pandas_surface,
     )
 
 

@@ -58,3 +58,54 @@ def test_foreach_batch_sink_sees_all_rows(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     assert sum(seen.values()) == total
     assert all(n >= 0 for n in seen.values())
+
+
+def test_watermark_drops_late_events(spark, tmp_path_factory):
+    """Late-data semantics (reference analogue: stale-attempt batch
+    drop, CelebornInputStream.java:864): an event arriving in a later
+    micro-batch, older than watermark - delay, must not re-open its
+    window in append mode."""
+    import time
+    from pyspark.sql import functions as F2
+
+    d = str(tmp_path_factory.mktemp("late_events"))
+    cols = ["event_id", "ts", "user_id", "value"]
+    batch1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 12:00:00", 1, 1.0)],
+        cols,
+    ).withColumn("ts", F2.to_timestamp("ts"))
+    batch1.write.parquet(d + "/b1")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d + "/b*/*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F2.window("ts", "1 hour"))
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .select(F2.col("window.start").cast("string").alias("w"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event: far older than max(ts) - 10 min watermark
+        late = spark.createDataFrame(
+            [(3, "2024-01-01 10:01:00", 1, 9.9)], cols
+        ).withColumn("ts", F2.to_timestamp("ts"))
+        late.write.parquet(d + "/b2")
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = {r.w: r.n for r in spark.table("late_drop").collect()}
+    # the 10:00 window closed with exactly the on-time event; the late
+    # arrival neither re-opened it nor created a duplicate emission
+    assert rows.get("2024-01-01 10:00:00") == 1, rows
