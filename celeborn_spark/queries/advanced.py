@@ -174,8 +174,8 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- sidestepping sum-of-doubles rounding at .005 boundaries
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            year(l.l_shipdate) AS ship_year,
-           sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
-               AS volume_cents
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS volume_cents
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey

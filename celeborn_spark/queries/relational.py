@@ -300,8 +300,8 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_case_when",
     oracle="""
     SELECT o_orderstatus,
-           sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS n_big,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS n_urgent,
+           CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
            count(*) AS n
     FROM orders
     GROUP BY o_orderstatus

@@ -152,10 +152,10 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*)                                                    AS n,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)       AS n_null_price,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
            round(sum(coalesce(o_totalprice, 0)), 2)                    AS total,
-           sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL
-                    THEN 1 ELSE 0 END)                                 AS n_low
+           CAST(sum(CASE WHEN nullif(o_orderpriority, '5-LOW') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)                      AS n_low
     FROM orders
     GROUP BY o_orderstatus
     """,

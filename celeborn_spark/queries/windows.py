@@ -164,8 +164,9 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sess AS (
         SELECT user_id, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events

@@ -41,7 +41,17 @@ def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, na
     assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+        g_f, w_f = pd.api.types.is_float_dtype(g), pd.api.types.is_float_dtype(w)
+        g_i, w_i = pd.api.types.is_integer_dtype(g), pd.api.types.is_integer_dtype(w)
+        # int-on-one-side / float-on-the-other means the ENGINES returned
+        # different type classes (e.g. DuckDB HUGEINT sum -> float64 vs
+        # Spark bigint) — a driver value-hash hazard even when values
+        # numerically agree. Nullable ints legitimately arrive as float64
+        # on BOTH sides, so only flag asymmetric classes.
+        assert not (g_i and w_f) and not (g_f and w_i), (
+            f"{name}: column {c!r} type-class mismatch: spark={g.dtype} oracle={w.dtype}"
+        )
+        if g_f or w_f:
             ga = pd.to_numeric(g, errors="coerce")
             wa = pd.to_numeric(w, errors="coerce")
             both_nan = ga.isna() & wa.isna()
