@@ -112,6 +112,52 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT count(*) AS n_pairs FROM (
+        SELECT 1
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND epoch_us(p.ts) >  epoch_us(c.ts)
+         AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+    )
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-bound condition (click ->
+    purchase within 1h per user). Both sides watermarked so Spark can
+    evict join state — unbounded state is the stream-join trap at
+    scale. Batch SQL over the bounded input is the oracle; the count is
+    aggregated in a second (batch) step because a streaming aggregation
+    over a stream-stream join needs multiple stateful operators."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("user_id", "c_user")
+        .withWatermark("c_ts", "2 hours")
+        .select("c_user", "c_ts", F.col("event_id").alias("c_id"))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("user_id", "p_user")
+        .withWatermark("p_ts", "2 hours")
+        .select("p_user", "p_ts", F.col("event_id").alias("p_id"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    pairs = run_stream_to_table(joined, "stream_stream_join", "append")
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_type, count(*) AS n

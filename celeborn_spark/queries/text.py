@@ -123,6 +123,41 @@ def q_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_clean_pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS n_sw
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, text,
+               0.5 * least(n / 100.0, 1.0) + 0.5 * least((n_sw / n) / 0.1, 1.0) AS q
+        FROM scored
+        WHERE n > 0 AND n_sw / n >= 0.02
+    ), deduped AS (
+        SELECT md5(text) AS h, min(doc_id) AS doc_id
+        FROM kept WHERE round(q, 6) >= 0.3
+        GROUP BY md5(text)
+    )
+    SELECT doc_id FROM deduped
+    """,
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus cleaning pipeline end to end: language filter ->
+    quality filter -> exact dedup keeping the smallest doc id. Three
+    composed operators, one exchange (the dedup groupBy) — filters are
+    map-side and fused by codegen."""
+    from celeborn_spark.operators.dedup import exact_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(
+        (T.lang_id("text") == "en") & (T.quality_score("text") >= 0.3)
+    )
+    return exact_dedup(kept, "text", "doc_id").select("doc_id")
+
+
+@query(
     "q_text_stats_by_lang",
     oracle=f"""
     WITH s AS (
