@@ -83,6 +83,37 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    kept AS (
+        SELECT * FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    )
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM updates)
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation (operators/merge.py): +100 balance update
+    for every 10th customer upserted over the dimension."""
+    from celeborn_spark.operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100, 2)
+    )
+    merged = merge_upsert(c, updates, "c_custkey")
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@query(
     "q_sorted_range_scan",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity
