@@ -36,6 +36,10 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Oracle parity must hold under ANY caller-provided session (the
+    # driver does not use our tuned factory): timestamps render in the
+    # session TZ, DuckDB's are naive — pin UTC at runtime.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
         # Set the legacy conf here (runtime-settable SQL conf) so this
