@@ -175,6 +175,63 @@ def q_conditional_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_datetime_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')   AS due_date,
+           strftime(o_orderdate - INTERVAL 3 MONTH, '%Y-%m-%d')  AS quarter_back,
+           CAST(date_diff('month', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS months_since,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           dayofweek(o_orderdate)                                 AS dow_sun0
+    FROM orders
+    """,
+)
+def q_datetime_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + calendar functions. DuckDB dayofweek is
+    0=Sunday, Spark dayofweek is 1=Sunday — normalized to Sunday=0."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(F.col("o_orderdate").cast("date"), -3), "yyyy-MM-dd").alias("quarter_back"),
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+        ).cast("int").alias("months_since"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+    )
+
+
+@query(
+    "q_string_pad_case",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*')     AS brand_lpad,
+           rpad(p_brand, 12, '.')     AS brand_rpad,
+           reverse(p_name)            AS name_rev,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_trans,
+           left(p_name, 5)            AS name_left,
+           right(p_name, 5)           AS name_right,
+           repeat(p_brand, 2)         AS brand_twice
+    FROM part
+    """,
+)
+def q_string_pad_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_trans"),
+        F.substring("p_name", 1, 5).alias("name_left"),
+        F.expr("right(p_name, 5)").alias("name_right"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+    )
+
+
+@query(
     "q_array_funcs",
     oracle="""
     WITH t AS (
