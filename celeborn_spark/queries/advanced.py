@@ -259,6 +259,29 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_arg_minmax",
+    oracle="""
+    SELECT c_nationkey,
+           arg_max(c_custkey, c_acctbal * 1000000 + c_custkey) AS richest_cust,
+           arg_min(c_custkey, c_acctbal * 1000000 + c_custkey) AS poorest_cust,
+           count(*) AS n
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def q_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin) per group; the ordering value
+    folds in the unique key so ties are deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    order_val = F.col("c_acctbal") * 1000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_custkey", order_val).alias("richest_cust"),
+        F.min_by("c_custkey", order_val).alias("poorest_cust"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "q18_large_orders",
     oracle="""
     WITH big AS (

@@ -123,6 +123,29 @@ def q_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_shard_packing",
+    oracle="""
+    SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(coalesce(
+               sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) / 2000.0) AS BIGINT) AS shard_id
+    FROM documents
+    """,
+)
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard assignment per source stream
+    (operators/packing.py) — the pre-write layout step of a training
+    data pipeline."""
+    from celeborn_spark.operators.packing import greedy_token_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    return greedy_token_shards(d, "source", "doc_id", "text", budget=2000)
+
+
+@query(
     "q_corpus_clean_pipeline",
     oracle=f"""
     WITH scored AS (
