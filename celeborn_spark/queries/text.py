@@ -123,6 +123,29 @@ def q_word_count_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+           len(string_split(text, ' '))                                AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (letter runs / digit runs / single punctuation) — the cheap
+    pre-tokenizer estimate a data pipeline uses before real BPE."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_tokens"),
+        T.token_count("text").alias("n_ws_tokens"),
+    )
+
+
+@query(
     "q_shard_packing",
     oracle="""
     SELECT source, doc_id,
