@@ -14,6 +14,8 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.skew import salted_join
 from celeborn_spark.queries.relational import q1_pricing_summary
 from celeborn_spark.queries.joins import q_join_inner
+from celeborn_spark.queries.dedup import q_dedup_jaccard_pairs
+from celeborn_spark.queries.similarity import q_cosine_topk
 
 CONF_VARIANTS = [
     {"spark.sql.adaptive.enabled": "false"},
@@ -27,7 +29,9 @@ def _rows(df):
 
 
 @pytest.mark.parametrize("conf", CONF_VARIANTS, ids=[str(c) for c in CONF_VARIANTS])
-@pytest.mark.parametrize("qfn", [q1_pricing_summary, q_join_inner])
+@pytest.mark.parametrize(
+    "qfn", [q1_pricing_summary, q_join_inner, q_dedup_jaccard_pairs, q_cosine_topk]
+)
 def test_results_invariant_under_conf(spark, sf_dir, conf, qfn):
     baseline = _rows(qfn(spark, sf_dir))
     saved = {k: spark.conf.get(k) for k in conf}
