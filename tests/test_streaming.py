@@ -74,7 +74,10 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
         [(1, "2024-01-01 10:00:00", 1, 1.0), (2, "2024-01-01 12:00:00", 1, 1.0)],
         cols,
     ).withColumn("ts", F2.to_timestamp("ts"))
-    batch1.write.parquet(d + "/b1")
+    # ONE file: with maxFilesPerTrigger=1, two part-files could process
+    # in either order, and the 12:00 event first would make the 10:00
+    # on-time event late — flaky without coalesce.
+    batch1.coalesce(1).write.parquet(d + "/b1")
 
     stream = (
         spark.readStream.schema(batch1.schema)
@@ -99,7 +102,7 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
         late = spark.createDataFrame(
             [(3, "2024-01-01 10:01:00", 1, 9.9)], cols
         ).withColumn("ts", F2.to_timestamp("ts"))
-        late.write.parquet(d + "/b2")
+        late.coalesce(1).write.parquet(d + "/b2")
         time.sleep(0.2)
         q.processAllAvailable()
     finally:
