@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    uniform_sample,
+)
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s1 = hash_sample(li, "l_orderkey", 0.2)
+    s2 = hash_sample(li, "l_orderkey", 0.2)
+    assert s1.count() == s2.count()
+    # all lineitems of a sampled order are kept together (key-based)
+    orders_in = {r.l_orderkey for r in s1.select("l_orderkey").distinct().collect()}
+    full_counts = {
+        r.l_orderkey: r.n
+        for r in li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_counts = {
+        r.l_orderkey: r.n
+        for r in s1.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(got_counts[k] == full_counts[k] for k in orders_in)
+    # fraction roughly holds at the ORDER level (keys are sampled, and
+    # rows-per-order varies, so row-level fraction is noisier)
+    frac = len(orders_in) / len(full_counts)
+    assert 0.1 < frac < 0.3, frac
+
+
+def test_uniform_sample_fraction(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    s = uniform_sample(li, 0.25).count()
+    assert 0.15 * n < s < 0.35 * n
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    fr = {"O": 0.5, "F": 0.1, "P": 1.0}
+    s = stratified_sample(o, "o_orderstatus", fr)
+    full = {r.o_orderstatus: r.n for r in
+            o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r.o_orderstatus: r.n for r in
+           s.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for k, f in fr.items():
+        if k in full and full[k] >= 20:
+            ratio = got.get(k, 0) / full[k]
+            assert abs(ratio - f) < 0.25, (k, ratio, f)
