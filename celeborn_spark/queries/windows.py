@@ -108,9 +108,14 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_moving_avg",
     oracle="""
+    -- l_quantity joins the ORDER BY: (orderkey, linenumber) is NOT
+    -- unique in the synthetic data, and a tied ordering makes frame
+    -- contents engine-dependent; ties including the averaged value are
+    -- interchangeable for the result
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(avg(l_quantity) OVER (
-               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS qty_ma4
     FROM lineitem
     """,
@@ -119,7 +124,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-3, W.currentRow)
     )
     return li.select(
