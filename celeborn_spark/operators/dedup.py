@@ -73,28 +73,27 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
-def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
-) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs.
-
-    shingle explode -> self-join on shingle -> count common -> filter by
-    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The self-join shuffles on the
-    shingle key; at 100 TB you first drop ultra-frequent shingles (they
-    produce quadratic candidates and carry no signal) — see
-    max_shingle_freq.
-    """
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+def drop_hot_shingles(sh: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds the cap BEFORE any
+    shingle self-join. One cheap aggregate on the shingle key; without
+    it, one boilerplate sentence shared by 10^6 docs makes the self-join
+    emit 10^12 candidate rows. Hot shingles carry no near-dup signal
+    (they match everything), so the Jaccard DENOMINATOR keeps counting
+    them — only candidate generation skips them."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_freq)
+        .select("shingle")
     )
+    # broadcast anti-join: the hot set is tiny by construction
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _pairs_with_jaccard(
+    common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, n_common) + per-doc sizes -> jaccard-filtered pairs."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -109,6 +108,40 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs.
+
+    shingle explode -> self-join on shingle -> count common -> filter by
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The self-join shuffles on the
+    shingle key; at 100 TB set `max_shingle_freq` to drop ultra-frequent
+    shingles first (drop_hot_shingles) — they produce quadratic
+    candidates and carry no signal. Pairs whose overlap is ONLY hot
+    shingles are then missed by construction; sizes still count every
+    shingle, so reported jaccard values are exact for surviving pairs
+    minus the hot overlap (a strict lower bound).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    joinable = sh if max_shingle_freq is None else drop_hot_shingles(sh, max_shingle_freq)
+
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return _pairs_with_jaccard(common, sizes, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -138,47 +171,68 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    hash_kind: str = "xxhash64",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature -> `bands` bands of rows
     (num_hashes/bands each) -> hash each band -> exchange on
-    (band_idx, band_hash) -> pairs within a bucket.
+    (band_idx, band_key) -> pairs within a bucket.
 
     One shuffle total (the band-bucket exchange). Docs agreeing on any
     band collide; with 32 hashes / 8 bands the ~0.5-Jaccard cutoff
     suits near-dup mining. Candidates must be verified (jaccard_pairs
     or verified_lsh_dedup) — LSH alone admits false positives.
+
+    hash_kind:
+      - "xxhash64" (default, fastest): hash each shingle STRING once,
+        derive every lane by re-mixing the 64-bit base hash with the
+        lane seed — 12 bytes per xxhash64 call instead of a full
+        string. Engine-specific values.
+      - "md5": lane value = md5 hex digest of "<lane>:<shingle>"; the
+        min of fixed-width hex strings is a valid min-hash, and DuckDB
+        computes the identical digests, so the whole LSH pipeline is
+        oracle-checkable bit-for-bit. ~num_hashes string hashes per
+        shingle — the portability tax.
     """
     rows = num_hashes // bands
-    # Exploded MinHash: hash each shingle STRING once (the expensive
-    # part), then derive every lane by re-mixing the 64-bit base hash
-    # with the lane seed — 12 bytes per xxhash64 call instead of a
-    # full string. The per-doc min over each lane is num_hashes MIN
-    # aggregates in ONE groupBy exchange (map-side partial mins shrink
-    # the shuffle, reference A3 analogue).
-    base = shingle_table(df, id_col, text_col, n).select(
-        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("h")
-    )
-    sig = base.groupBy("doc").agg(
-        *[
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        sh = drop_hot_shingles(sh, max_shingle_freq)
+    # The per-doc min over each lane is num_hashes MIN aggregates in ONE
+    # groupBy exchange (map-side partial mins shrink the shuffle,
+    # reference A3 analogue).
+    if hash_kind == "xxhash64":
+        base = sh.select(F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("h"))
+        lanes = [
             F.min(F.xxhash64(F.col("h"), F.lit(s))).alias(f"m{s}")
             for s in range(num_hashes)
         ]
-    )
+    elif hash_kind == "md5":
+        base = sh.select(F.col(id_col).alias("doc"), "shingle")
+        lanes = [
+            F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_kind must be 'xxhash64' or 'md5', got {hash_kind!r}")
+    sig = base.groupBy("doc").agg(*lanes)
     banded = sig.select(
         "doc",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[F.col(f"m{b * rows + r}") for r in range(rows)])
+                    F.concat_ws(
+                        "|", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+                    )
                     for b in range(bands)
                 ]
             )
-        ).alias("band_idx", "band_hash"),
+        ).alias("band_idx", "band_key"),
     )
-    left = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
-    right = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_hash")
+    left = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+    right = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
     return (
-        left.join(right, ["band_idx", "band_hash"])
+        left.join(right, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -193,16 +247,23 @@ def verified_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_kind: str = "xxhash64",
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the scale path for
     near-dup mining: LSH prunes the O(N^2) pair space to bucket
-    collisions, the exact check removes false positives."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    collisions, the exact check removes false positives.
+    `max_shingle_freq` caps hot shingles in BOTH the candidate
+    generation and the verification join (drop_hot_shingles)."""
+    cand = minhash_lsh_candidates(
+        df, id_col, text_col, n, num_hashes, bands, hash_kind, max_shingle_freq
+    )
     sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    joinable = sh if max_shingle_freq is None else drop_hot_shingles(sh, max_shingle_freq)
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(
         F.col(id_col).alias("id_b2"), F.col("shingle").alias("shingle_b")
     )
     common = (
@@ -214,20 +275,7 @@ def verified_lsh_dedup(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _pairs_with_jaccard(common, sizes, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------

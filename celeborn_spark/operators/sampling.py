@@ -1,36 +1,86 @@
-"""Sampling operators for corpus curation: uniform and stratified
-(per-stratum fraction) sampling, and deterministic hash-based
-sampling.
+"""Sampling operators for corpus curation: deterministic hash-based
+uniform and stratified sampling, plus the rand()-based statistical
+forms.
 
-Hash-based sampling is the 100 TB workhorse: membership depends only
-on the row's key (xxhash64 mod), so it is reproducible across runs,
-engines, and re-partitioning — unlike rand()-based sampling, which is
-seed + partition-layout dependent. The rand()-based forms are kept for
-statistical sampling where key-correlation must be avoided.
+Hash-based sampling is the 100 TB workhorse: membership depends only on
+the row's key (md5 of key+salt compared against a hex threshold), so it
+is reproducible across runs, engines, and re-partitioning — unlike
+rand()-based sampling, which is seed + partition-layout dependent. md5
+rather than xxhash64 because both Spark and DuckDB produce the identical
+hex digest, which makes every sampler below oracle-checkable bit-for-bit
+(same reason operators/dedup.py uses md5 for content identity). The
+rand()-based forms are kept for statistical sampling where
+key-correlation must be avoided; their accuracy is tolerance-tested in
+tests/test_sampling.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Compare the first 8 hex chars of the digest (32 bits of uniformity —
+# plenty for sampling) against floor(fraction * 16^8) rendered as a
+# fixed-width hex literal; fixed width makes the string compare the
+# numeric compare.
+_HEX_DIGITS = 8
+_SPACE = 16**_HEX_DIGITS
 
-def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: int = 0) -> DataFrame:
-    """Deterministic sample: keep rows where hash(key, salt) falls in
-    the lowest `fraction` of the 64-bit space. Reproducible anywhere."""
-    buckets = 1_000_000
-    return df.filter(
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(buckets))
-        < int(fraction * buckets)
+
+def fraction_threshold_hex(fraction: float) -> str:
+    """floor(fraction * 16^8) as an 8-char lowercase hex literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), f"0{_HEX_DIGITS}x")
+
+
+def hash_bucket(key: Column | str, salt: int = 0) -> Column:
+    """First 8 hex chars of md5(key ':' salt) — the row's deterministic
+    position in [0, 1) as a hex string, identical in any engine."""
+    key_c = F.col(key) if isinstance(key, str) else key
+    return F.substring(
+        F.md5(F.concat_ws(":", key_c.cast("string"), F.lit(str(salt)))),
+        1,
+        _HEX_DIGITS,
     )
 
 
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: int = 0) -> DataFrame:
+    """Deterministic sample: keep rows whose hash bucket falls in the
+    lowest `fraction` of the space. Reproducible anywhere."""
+    return df.filter(hash_bucket(key_col, salt) < fraction_threshold_hex(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum gets its own
+    keep-fraction (e.g. downsample dominant languages, keep all of rare
+    ones). One codegen'd filter, zero shuffle, reproducible — the
+    corpus-rebalancing primitive for LLM data mixes."""
+    threshold = F.lit(fraction_threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        threshold = (
+            F.when(F.col(stratum_col) == value, F.lit(fraction_threshold_hex(frac)))
+            .otherwise(threshold)
+        )
+    return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
 def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Statistical (rand-based) sample — NOT reproducible across
+    partitionings; prefer hash_sample for pipeline determinism."""
     return df.sample(fraction=fraction, seed=seed)
 
 
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:
-    """Per-stratum sampling fractions (df.sampleBy)."""
+    """Statistical per-stratum sampling (df.sampleBy); see
+    stratified_hash_sample for the deterministic form."""
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)

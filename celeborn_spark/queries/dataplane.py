@@ -82,17 +82,6 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_hash_sample")  # rows-only: xxhash64 not reproducible in DuckDB
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based 10% sample of documents by doc id —
-    reproducible across runs/engines/partitionings (operators/sampling
-    .py); fraction accuracy is pinned in tests/test_sampling.py."""
-    from celeborn_spark.operators.sampling import hash_sample
-
-    d = load_table(spark, sf_dir, "documents")
-    return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang", "source")
-
-
 @query(
     "q_merge_upsert",
     oracle="""

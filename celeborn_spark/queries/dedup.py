@@ -59,10 +59,64 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
-@query("q_dedup_minhash_lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+@query(
+    "q_dedup_minhash_lsh",
+    # Full MinHash+LSH pipeline replicated in SQL: md5-hex lane minima
+    # (the min of fixed-width hex digests is a valid min-hash, and both
+    # engines produce identical digests), banded bucket self-join, then
+    # exact-Jaccard verification of the candidates. Candidate sets are
+    # bit-identical across engines, so even the LSH recall behavior is
+    # driver-verified — not just the final pairs.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    lanes AS (
+        SELECT doc_id, l, min(md5(CAST(l AS VARCHAR) || ':' || shingle)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS l)
+        GROUP BY doc_id, l
+    ),
+    bands AS (
+        SELECT doc_id, l // 4 AS band_idx,
+               string_agg(mh, '|' ORDER BY l) AS band_key
+        FROM lanes GROUP BY doc_id, l // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+    """,
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash+LSH near-dup pairs in portable (md5) hash mode.
+    Production runs hash_kind='xxhash64' (same plan, cheaper hashing —
+    recall pinned in tests/test_dedup.py); md5 mode exists so the whole
+    pipeline is oracle-checkable."""
     d = load_table(spark, sf_dir, "documents")
-    return D.verified_lsh_dedup(d, "doc_id", "text", n=3, threshold=0.8)
+    return D.verified_lsh_dedup(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.8,
+        hash_kind="md5",
+    )
 
 
 @query("q_simhash_fingerprints")  # rows-only: xxhash64 not reproducible in DuckDB
@@ -71,12 +125,57 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(d, "doc_id", "text")
 
 
-@query("q_dedup_groups")  # rows-only: iterative label propagation
+@query(
+    "q_dedup_groups",
+    # Connected components as a recursive CTE: propagate any smaller
+    # reachable label along edges until fixpoint (the r.lab < e.dst
+    # guard prunes the closure: only labels smaller than the target can
+    # ever become its component id), then min per vertex.
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
+        WHERE r.lab < e.dst
+    ),
+    cc AS (SELECT v AS vertex, min(lab) AS component FROM reach GROUP BY v)
+    SELECT vertex, component, group_size
+    FROM cc JOIN (SELECT component, count(*) AS group_size
+                  FROM cc GROUP BY component) USING (component)
+    """,
+)
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs -> connected components -> dedup groups (the
-    full LLM-corpus dedup pipeline end to end)."""
+    """Near-dup pairs -> connected components -> dedup groups (the full
+    LLM-corpus dedup pipeline end to end). Built on exact Jaccard pairs
+    so the iterative label propagation (operators/components.py) is
+    driver-checkable against the recursive-CTE oracle; the LSH-pruned
+    form swaps in verified_lsh_dedup for the pair stage at scale."""
     from celeborn_spark.operators.components import dedup_groups
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.verified_lsh_dedup(d, "doc_id", "text", n=3, threshold=0.8)
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
     return dedup_groups(pairs)

@@ -34,7 +34,27 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode")  # rows-only: fake codec exercises Arrow plumbing
+@query(
+    "q_multimodal_decode",
+    # The deterministic fake decoder computes pure byte arithmetic —
+    # length, first-byte class, modular fake dimensions — so the Arrow
+    # mapInPandas path is checkable against plain SQL: ascii(text) and
+    # payload[0] agree for ASCII first chars, and both fall outside
+    # [97, 122] for multi-byte/empty cases.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN ascii(text) BETWEEN 97 AND 122
+                THEN 'textish' ELSE 'binary' END      AS format,
+           CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 1080 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing (mapInPandas over BinaryType) with
+    a deterministic fake codec — real codecs are stubbed
+    (operators/multimodal.py decode_media), the Spark-side schema/batch
+    path is real and driver-verified."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.fake_decode_meta(d)

@@ -1,0 +1,68 @@
+"""Sampling surface (SURVEY.md §2C extras): deterministic hash-based
+uniform and stratified sampling over the corpus tables.
+
+All three queries are exact-oracle-checked: membership is a pure
+function of md5(key), which DuckDB reproduces bit-for-bit (the same
+portability trick operators/dedup.py uses for content identity). The
+rand()-based statistical samplers keep tolerance tests in
+tests/test_sampling.py instead — seeded PRNG streams are engine- and
+partition-layout-specific, so they can never hash-match an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.sampling import hash_sample, stratified_hash_sample
+from celeborn_spark.registry import query
+
+
+@query(
+    "q_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8) < '19999999'
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of documents by doc id — reproducible
+    across runs/engines/partitionings; fraction accuracy is pinned in
+    tests/test_sampling.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.1).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_uniform_sample",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR) || ':7'), 1, 8) < '0ccccccc'
+    """,
+)
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% uniform sample of the event stream (salt 7 —
+    independent of any other sample drawn from the same keys)."""
+    e = load_table(spark, sf_dir, "events")
+    return hash_sample(e, "event_id", 0.05, salt=7).select("event_id", "event_type")
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+          < CASE lang WHEN 'en' THEN '19999999'
+                      WHEN 'zh' THEN '80000000'
+                      ELSE 'ffffffff' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep 10% of dominant English, 50% of Chinese,
+    all of the remaining languages — one deterministic codegen'd filter,
+    zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        d, "lang", "doc_id", {"en": 0.1, "zh": 0.5}, default_fraction=1.0
+    )
+    return sampled.select("doc_id", "lang")
