@@ -36,12 +36,23 @@ def asof_join(
     Both inputs must share `keys` + `ts_col`; right rows should be
     unique per (keys, ts) — pre-aggregate if not.
     """
-    l_tagged = left.withColumn("_side", F.lit(1))
-    for c in right_payload:
-        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-
+    # The payload travels as ONE struct so every output column comes
+    # from the SAME matched right row, NULL field values included —
+    # carrying columns independently with last(ignorenulls) would fall
+    # back to older rows per column whenever the matched row holds a
+    # NULL (diverging from ASOF JOIN semantics, which returns the
+    # matched row verbatim).
+    payload_type = right.select(
+        F.struct(*[F.col(c) for c in right_payload]).alias("_p")
+    ).schema[0].dataType
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(payload_type)
+    )
     r_tagged = right.select(
-        *keys, ts_col, F.lit(0).alias("_side"), *right_payload
+        *keys,
+        ts_col,
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("_payload"),
     )
     left_only = [c for c in l_tagged.columns if c not in r_tagged.columns]
     for c in left_only:
@@ -56,11 +67,16 @@ def asof_join(
         .orderBy(ts_col, "_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if c not in right_payload],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    carried = unioned.withColumn(
+        "_payload", F.last("_payload", ignorenulls=True).over(w)
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return (
+        carried.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in carried.columns if c not in ("_side", "_payload")],
+            *[F.col(f"_payload.{c}").alias(c) for c in right_payload],
+        )
+    )
 
 
 def bucketed_range_self_join(

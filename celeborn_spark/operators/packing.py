@@ -25,9 +25,16 @@ def greedy_token_shards(
     text_col: str,
     budget: int,
 ) -> DataFrame:
-    """(stream, id, n_tokens, shard_id): docs packed in id order until
-    each shard's running token total would exceed `budget` (docs larger
-    than the budget get their own shard)."""
+    """(stream, id, n_tokens, shard_id): docs in id order, shard_id =
+    floor(prefix_token_sum_before_doc / budget).
+
+    This is deterministic BINNING, not true greedy bin-closing: a shard
+    may overflow the budget by up to one doc (the doc straddling a
+    boundary lands in the earlier shard), an oversized doc can share
+    its shard with preceding docs, and shard ids may skip when a doc
+    spans multiple budget multiples. The tradeoff is scale: one window
+    per stream key and no sequential state, where true greedy closing
+    needs a running remainder that doesn't parallelize."""
     w = (
         W.partitionBy(stream_col)
         .orderBy(id_col)

@@ -29,7 +29,19 @@ def salted_join(
     so it hashes the probe key with a row-position-free spread column.
     Result == probe.join(build, probe_key == build_key, how); columns:
     probe's then build's (both key columns retained).
+
+    Only probe-preserving join types are supported: the build side is
+    replicated n_salts times, so build-preserving types ('right',
+    'full'/'outer') would emit each unmatched build row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports probe-preserving join types {sorted(allowed)}; "
+            f"got {how!r} (the replicated build side would duplicate "
+            f"unmatched build rows)"
+        )
     probe_s = probe.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(probe_key), F.monotonically_increasing_id()), F.lit(n_salts))
     )

@@ -184,8 +184,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming twin is F.session_window in queries/streaming.py)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond-exact gap: cast('long') floor-truncates to whole
+    # seconds while the oracle compares at micros — a gap in
+    # (1800s, 1801s) would then classify differently across engines
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         e.withColumn("new_session", new_session)

@@ -67,3 +67,52 @@ def test_exact_dedup_counts(spark, sf_dir):
     n_unique_texts = docs.select("text").distinct().count()
     assert deduped.count() == n_unique_texts
     assert deduped.filter(F.col("n_copies") < 2).count() == 0
+
+
+def test_hot_shingle_cap_keeps_candidates_linear(spark):
+    """One boilerplate sentence shared by every doc must not make the
+    shingle self-join quadratic: with max_shingle_freq set, the hot
+    shingles are dropped before the join, so candidate pairs collapse
+    from O(N^2) boilerplate collisions to just the true duplicates."""
+    n_docs = 400
+    boiler = "terms of service apply to all content here"
+    rows = [(i, f"unique document number {i} body text alpha{i} beta{i} gamma{i} {boiler}")
+            for i in range(n_docs)]
+    # plant 5 exact duplicates
+    rows += [(10_000 + i, rows[i][1]) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = D.shingle_table(docs, "doc_id", "text", 3)
+    capped = D.drop_hot_shingles(sh, max_shingle_freq=50)
+    hot_left = (
+        capped.groupBy("shingle").count().filter(F.col("count") > 50).count()
+    )
+    assert hot_left == 0, "hot shingles survived the cap"
+
+    pairs = D.jaccard_pairs(
+        # capped jaccard is a lower bound (hot overlap excluded from the
+        # numerator only): dup pairs score 8/22 here, so threshold 0.3
+        docs, "doc_id", "text", n=3, threshold=0.3, max_shingle_freq=50
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    want = {(i, 10_000 + i) for i in range(5)}
+    assert want <= found, f"planted dups lost under the cap: {want - found}"
+    # boilerplate-only overlaps must NOT become candidates
+    assert len(found) == len(want), f"quadratic boilerplate pairs leaked: {len(found)}"
+
+
+def test_lsh_md5_mode_matches_xxhash_semantics(spark, sf_dir):
+    """Portable (md5) hashing is a different hash family, same
+    semantics: verified pairs are still a subset of exact jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.verified_lsh_dedup(
+            docs, "doc_id", "text", 3, 16, 4, 0.8, hash_kind="md5"
+        ).collect()
+    }
+    assert md5_pairs <= exact

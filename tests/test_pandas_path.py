@@ -1,0 +1,48 @@
+"""Differential test of the Arrow grouped-map path (applyInPandas):
+the pandas z-score must agree with the registered pure-JVM window form
+(q_grouped_zscore). This pins the Arrow batch path itself — the
+operator users run is the window form (see queries/pandas_surface.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.pandas_ops import grouped_zscore
+from celeborn_spark.queries.pandas_surface import q_grouped_zscore
+
+
+def _pandas_form(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    z = grouped_zscore(e, "user_id", "value", "event_id")
+    # pandas yields NaN (not NULL) for 1-row groups (ddof=1 -> std NaN)
+    # and constant groups (0/0); NaN is not NULL in Spark, so both
+    # filters are required to mirror the window form's n>=2 AND sd>0
+    return z.filter(F.col("zscore").isNotNull() & ~F.isnan("zscore")).select(
+        "user_id", "event_id", F.round("zscore", 6).alias("zscore")
+    )
+
+
+def test_arrow_grouped_map_matches_window_form(spark, sf_dir):
+    got = {
+        (r.user_id, r.event_id): r.zscore
+        for r in _pandas_form(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_id): r.zscore
+        for r in q_grouped_zscore(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-5 for k in want)
+
+
+def test_constant_value_group_excluded_on_both_paths(spark):
+    """A user whose events all share one value has sd == 0: the window
+    form drops the group via sd > 0 and the pandas form must drop its
+    NaN (0/0) rows too — NaN survives isNotNull()."""
+    rows = [(1, i, 5.0) for i in range(4)] + [(2, 10, 1.0), (2, 11, 3.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+    z = grouped_zscore(df, "user_id", "value", "event_id")
+    kept = z.filter(F.col("zscore").isNotNull() & ~F.isnan("zscore")).collect()
+    assert {r.user_id for r in kept} == {2}
