@@ -65,11 +65,12 @@ def word_shingles(text: Column | str, n: int) -> Column:
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs, distinct — the posting-list layout."""
-    return (
-        _spread(df, id_col)
-        .select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    """(id, shingle) pairs, unique per doc — the posting-list layout.
+    word_shingles applies array_distinct BEFORE the explode, so rows are
+    already unique and no distinct-exchange is spent here (a full
+    shuffle of the widest intermediate in the pipeline)."""
+    return _spread(df, id_col).select(
+        id_col, F.explode(word_shingles(text_col, n)).alias("shingle")
     )
 
 
@@ -93,7 +94,10 @@ def drop_hot_shingles(sh: DataFrame, max_shingle_freq: int) -> DataFrame:
 def _pairs_with_jaccard(
     common: DataFrame, sizes: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """(id_a, id_b, n_common) + per-doc sizes -> jaccard-filtered pairs."""
+    """(id_a, id_b, n_common) + per-doc sizes -> jaccard-filtered pairs.
+    sizes is one slim row per doc: small enough for AQE to convert these
+    to broadcast joins at test SFs, correctly shuffled at corpus scale —
+    no hint, the runtime stats decide."""
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -129,7 +133,10 @@ def jaccard_pairs(
     shingle, so reported jaccard values are exact for surviving pairs
     minus the hot overlap (a strict lower bound).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # the posting list feeds sizes AND both join sides — materialize it
+    # once (localCheckpoint = executor-local materialization, the same
+    # reuse pattern as components.py) instead of re-exploding 3x
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     joinable = sh if max_shingle_freq is None else drop_hot_shingles(sh, max_shingle_freq)
 
@@ -173,6 +180,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     hash_kind: str = "xxhash64",
     max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: signature -> `bands` bands of rows
     (num_hashes/bands each) -> hash each band -> exchange on
@@ -195,7 +203,7 @@ def minhash_lsh_candidates(
         shingle — the portability tax.
     """
     rows = num_hashes // bands
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         sh = drop_hot_shingles(sh, max_shingle_freq)
     # The per-doc min over each lane is num_hashes MIN aggregates in ONE
@@ -208,11 +216,17 @@ def minhash_lsh_candidates(
             for s in range(num_hashes)
         ]
     elif hash_kind == "md5":
+        # one md5 digest yields FOUR independent 32-bit lanes (8 hex
+        # chars each; fixed width makes lexicographic min numeric min),
+        # so num_hashes lanes cost ceil(num_hashes/4) digests per
+        # shingle — the portability tax divided by 4.
         base = sh.select(F.col(id_col).alias("doc"), "shingle")
-        lanes = [
-            F.min(F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"m{s}")
-            for s in range(num_hashes)
-        ]
+
+        def md5_lane(lane: int):
+            digest = F.md5(F.concat_ws(":", F.lit(str(lane // 4)), F.col("shingle")))
+            return F.substring(digest, 1 + 8 * (lane % 4), 8)
+
+        lanes = [F.min(md5_lane(s)).alias(f"m{s}") for s in range(num_hashes)]
     else:
         raise ValueError(f"hash_kind must be 'xxhash64' or 'md5', got {hash_kind!r}")
     sig = base.groupBy("doc").agg(*lanes)
@@ -255,10 +269,13 @@ def verified_lsh_dedup(
     collisions, the exact check removes false positives.
     `max_shingle_freq` caps hot shingles in BOTH the candidate
     generation and the verification join (drop_hot_shingles)."""
+    # one materialized posting list feeds signature lanes, sizes and
+    # both verification join sides (otherwise re-exploded 4x)
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
     cand = minhash_lsh_candidates(
-        df, id_col, text_col, n, num_hashes, bands, hash_kind, max_shingle_freq
+        df, id_col, text_col, n, num_hashes, bands, hash_kind, max_shingle_freq,
+        shingles=sh,
     )
-    sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     joinable = sh if max_shingle_freq is None else drop_hot_shingles(sh, max_shingle_freq)
 
@@ -311,3 +328,64 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Portable SimHash: token hash = first bits/4 hex chars of
+    md5(token), identical in any engine (same portability trick as the
+    md5 MinHash mode), so the fingerprint is oracle-checkable. Same
+    plan shape as simhash(): one exchange, `bits` SUM aggregates.
+
+    Bit j reads hex digit j//4 (value v via base-16 conv) at position
+    j%4: (v >> (j%4)) & 1."""
+    if bits % 4 or bits > 64:
+        raise ValueError("bits must be a multiple of 4, at most 64")
+    tok = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+        .select("doc", F.substring(F.md5("tok"), 1, bits // 4).alias("h"))
+    )
+
+    def bit(j: int) -> Column:
+        v = F.conv(F.substring(F.col("h"), 1 + j // 4, 1), 16, 10).cast("int")
+        return F.shiftright(v, j % 4).bitwiseAND(F.lit(1))
+
+    bit_sums = tok.groupBy("doc").agg(
+        *[F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}") for j in range(bits)]
+    )
+    fingerprint = sum(
+        [
+            F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select(F.col("doc").alias(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_md5_oracle_sql(table: str, id_col: str, text_col: str, bits: int = 32) -> str:
+    """The DuckDB mirror of simhash_md5, generated for `bits` lanes."""
+    hexcase = (
+        "CASE {c} "
+        + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+        + " END"
+    )
+    bit_exprs = []
+    for j in range(bits):
+        digit = f"substr(h, {1 + j // 4}, 1)"
+        v = hexcase.format(c=digit)
+        bit_exprs.append(
+            f"sum(CASE WHEN (({v}) // {1 << (j % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok FROM {table}
+    ),
+    h AS (SELECT {id_col}, substr(md5(tok), 1, {bits // 4}) AS h FROM toks),
+    sums AS (SELECT {id_col}, {", ".join(bit_exprs)} FROM h GROUP BY {id_col})
+    SELECT {id_col}, {fp} AS simhash FROM sums
+    """

@@ -76,7 +76,11 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks WHERE len(t) >= 3
     ),
     lanes AS (
-        SELECT doc_id, l, min(md5(CAST(l AS VARCHAR) || ':' || shingle)) AS mh
+        -- 4 independent 32-bit lanes per digest: lane l reads 8 hex
+        -- chars at offset 8*(l%4) of md5('<l//4>:<shingle>')
+        SELECT doc_id, l,
+               min(substr(md5(CAST(l // 4 AS VARCHAR) || ':' || shingle),
+                          1 + 8 * (l % 4), 8)) AS mh
         FROM sh CROSS JOIN (SELECT unnest(range(16)) AS l)
         GROUP BY doc_id, l
     ),
@@ -119,10 +123,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash_fingerprints")  # rows-only: xxhash64 not reproducible in DuckDB
+@query(
+    "q_simhash_fingerprints",
+    # generated mirror of the md5 bit arithmetic (32 lanes)
+    oracle=D.simhash_md5_oracle_sql("documents", "doc_id", "text", bits=32),
+)
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable (md5) 32-bit SimHash fingerprints — oracle-checkable
+    bit-for-bit; the 64-bit xxhash64 form (D.simhash) stays the fast
+    production default with determinism/collision tests."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash(d, "doc_id", "text")
+    return D.simhash_md5(d, "doc_id", "text", bits=32)
 
 
 @query(

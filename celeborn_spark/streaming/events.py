@@ -51,20 +51,32 @@ def read_events_stream(
 
 
 def run_stream_to_table(
-    stream_df: DataFrame, name: str, output_mode: str
+    stream_df: DataFrame, name: str, output_mode: str, state_partitions: int = 4
 ) -> DataFrame:
     """Drive a finite stream to completion into an in-memory sink and
-    return the result table (test/oracle harness only)."""
+    return the result table (test/oracle harness only).
+
+    Stateful operators create one state store per shuffle partition per
+    operator, and each store pays fixed open/commit cost every
+    micro-batch — for these bounded test streams that fixed cost
+    dominates, so the partition count is sized to the stream volume
+    (state stores are config-partitioned, not data-partitioned; a
+    production deployment sets 2-3x cores for real volumes)."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)

@@ -73,3 +73,20 @@ def test_salted_agg_single_extra_exchange(spark, sf_dir):
     """Salting costs exactly one extra (narrow) exchange vs plain agg."""
     df = dataplane.q_salted_agg(spark, sf_dir)
     assert count_exchanges(df) <= 2, physical_plan(df)[:2000]
+
+
+def test_no_nested_loop_join_in_equi_extractable_joins(spark, sf_dir):
+    """q_theta_join and q_range_join_pairs both carry an equi component
+    (nationkey; (key, bucket)) that Catalyst must extract into a hash or
+    sort-merge join — BroadcastNestedLoopJoin here means the non-equi
+    part swallowed the join condition, which is quadratic at scale (AQE
+    can flip strategies when stats change, so pin it)."""
+    from celeborn_spark.queries import temporal
+
+    for name, df in (
+        ("q_theta_join", joins.q_theta_join(spark, sf_dir)),
+        ("q_range_join_pairs", temporal.q_range_join_pairs(spark, sf_dir)),
+    ):
+        plan = physical_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:2000])
+        assert "CartesianProduct" not in plan, (name, plan[:2000])

@@ -67,3 +67,48 @@ def test_embedding_near_dup_recall_vs_brute_force(spark, sf_dir):
     want = {(r.vec_id, r.vec_id + 1_000_000) for r in emb.select("vec_id").collect()}
     missing = want - found
     assert not missing, f"planted duplicates missed: {sorted(missing)[:5]}"
+
+
+def test_ivf_multiprobe_recall_with_bounded_scan(spark):
+    """nprobe=3 must recover >=0.9 of the exact top-k while touching
+    <20% of the vectors (20 cells, 3 probed). Clustered synthetic data:
+    the honest regime for IVF — real embedding corpora are clustered,
+    and the centroid table is built from the true centers."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 20, 40, 16
+    centers = rng.normal(size=(n_clusters, dim))
+    rows, centroid_rows = [], []
+    for c in range(n_clusters):
+        centroid_rows.append((c, [float(x) for x in centers[c]]))
+        for i in range(per_cluster):
+            v = centers[c] + 0.15 * rng.normal(size=dim)
+            rows.append((c * per_cluster + i + 100, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        centroid_rows, "centroid_id long, centroid_vec array<double>"
+    )
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    exact = S.brute_force_topk(emb, q, k=10).collect()
+    approx = S.ivf_topk(emb, q, cents, k=10, n_probe=3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hit = sum(1 for r in approx if r.vec_id in exact_sets.get(r.query_id, set()))
+    total = sum(len(s) for s in exact_sets.values())
+    assert hit / total >= 0.9, f"multi-probe recall {hit}/{total}"
+
+    # scan-fraction bound: probed cells cover < 20% of the vector table
+    v_cells = S.ivf_assign(emb, cents)
+    q_cells = S.ivf_assign(
+        q.select(F.col("query_id").alias("vec_id"),
+                 F.col("query_vec").alias("embedding")),
+        cents, n_probe=3,
+    ).select(F.col("vec_id").alias("query_id"), "centroid_id")
+    touched = v_cells.join(q_cells, "centroid_id").count()
+    n_vec, n_q = emb.count(), q.count()
+    assert touched / (n_vec * n_q) < 0.2, f"scanned {touched}/{n_vec * n_q}"
