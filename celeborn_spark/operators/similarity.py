@@ -224,3 +224,74 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select(query_id_col, id_col, "cosine", "rnk")
     )
+
+
+def embedding_bit_signature_md5(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+) -> DataFrame:
+    """Portable random-hyperplane signature: weight w(pos, b) is
+    derived from the first 4 hex chars of md5('<pos>:<b>') — integer
+    arithmetic identical in any engine (the same md5 trick as
+    dedup.simhash_md5), so the signature is oracle-checkable
+    bit-for-bit. Same single-exchange plan as embedding_bit_signature;
+    xxhash64 stays the fast production default."""
+    dims = vectors.select(
+        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "x")
+    )
+
+    def w(b: int) -> Column:
+        digest = F.md5(F.concat_ws(":", F.col("pos").cast("string"), F.lit(str(b))))
+        val = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long")
+        return (val % 2001 - 1000) / F.lit(1000.0)
+
+    sums = dims.groupBy(id_col).agg(
+        *[F.sum(F.col("x") * w(b)).alias(f"s{b}") for b in range(bits)]
+    )
+    signature = sum(
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(bits)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), signature.alias("signature"))
+
+
+def embedding_signature_oracle_sql(
+    table: str, id_col: str, vec_col: str, bits: int = 12
+) -> str:
+    """DuckDB mirror of embedding_bit_signature_md5, generated for
+    `bits` hyperplanes (hex -> int via digit CASE, as DuckDB lacks a
+    conv())."""
+    hv = (
+        "(CASE {c} "
+        + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+        + " END)"
+    )
+
+    def val4(h: str) -> str:
+        parts = [hv.format(c=f"substr({h}, {i}, 1)") for i in range(1, 5)]
+        return f"((({parts[0]} * 16 + {parts[1]}) * 16 + {parts[2]}) * 16 + {parts[3]})"
+
+    sums = []
+    for b in range(bits):
+        digest = f"md5(CAST(u.pos AS VARCHAR) || ':' || '{b}')"
+        w = f"(({val4(digest)} % 2001 - 1000) / 1000.0)"
+        sums.append(f"sum(u.x * {w}) AS s{b}")
+    sig = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH dims AS (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(e) + 1),
+                                     i -> {{'pos': i - 1, 'x': e[i]}})) AS u
+        FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS e FROM {table})
+    ),
+    sums AS (SELECT {id_col}, {", ".join(sums)} FROM dims GROUP BY {id_col})
+    SELECT {id_col}, {sig} AS signature FROM sums
+    """

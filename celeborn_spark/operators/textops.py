@@ -4,12 +4,18 @@ All column expressions — tokenization, quality scoring, language ID,
 fingerprinting — are built from `F.*` functions so they run inside
 whole-stage codegen on the JVM. No Python touches the hot path; at
 100 TB these are embarrassingly parallel map stages with zero shuffle.
+
+DataFrame-level operators (repetition_stats, tfidf_topk, bigram_topk)
+use explode -> groupBy rather than per-row array scans: linear work
+plus one keyed exchange, where the per-row form is O(doc_len²) — the
+difference between fine-at-40-tokens and dead-at-4k-tokens.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # Tiny deterministic stopword lists for the n-gram language heuristic.
 # Real pipelines would plug fasttext/cld3 in via a pandas_udf; the
@@ -62,6 +68,36 @@ def lang_id(text: Column | str) -> Column:
     return F.when(stopword_ratio(text) >= 0.02, F.lit("en")).otherwise(F.lit("other"))
 
 
+def bigrams(text: Column | str) -> Column:
+    """Adjacent-token bigrams as 'tok_i tok_i+1' strings, via
+    zip_with over two shifted slices. NOT transform(sequence,
+    element_at): an element_at(toks, i) inside a lambda embeds the
+    whole split() subtree per element — O(len²) re-tokenization that
+    made this 30x slower than it should be. zip_with references the
+    token array a constant number of times. slice() with length 0 is
+    an error, hence the <2-token guard."""
+    toks = tokens(text)
+    n = F.size(toks)
+    make = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, make).otherwise(F.array().cast("array<string>"))
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """|vocab(doc)| / |tokens(doc)| — the Gopher-style repetition
+    signal (low ratio = highly repetitive doc). Raw double division,
+    NOT rounded: with token counts this small the ratio is a tiny
+    rational and 6-dp rounding can land on exact half-way digits where
+    engines' rounding rules differ; the raw IEEE quotient is
+    bit-identical in both engines."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(F.lit(None))
+
+
 def doc_fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
     """Order-sensitive polynomial rolling hash over token lengths:
     fold(acc*31 + len(tok) mod p). A cheap structural fingerprint —
@@ -72,4 +108,83 @@ def doc_fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
         F.transform(tokens(text), lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % mod,
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc repetition signals (Gopher-style quality rules): token
+    count, distinct-token ratio, and the fraction of bigram mass taken
+    by the single most frequent bigram. Highly repetitive machine text
+    scores low ratio / high top-bigram fraction and gets filtered
+    before training.
+
+    Shape: explode bigrams -> count per (doc, bigram) -> per-doc
+    max/sum. Docs with <2 tokens drop out (no bigram mass to measure).
+    Fractions are RAW double quotients (see distinct_token_ratio)."""
+    from celeborn_spark.operators.dedup import _spread
+
+    df = _spread(df, id_col)
+    b = df.select(F.col(id_col), F.explode(bigrams(text_col)).alias("bg"))
+    per_bg = b.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = per_bg.groupBy(id_col).agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total_bg")
+    )
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        distinct_token_ratio(text_col).alias("distinct_ratio"),
+    )
+    return base.join(per_doc, id_col).select(
+        id_col,
+        "n_tokens",
+        "distinct_ratio",
+        (F.col("top_n") / F.col("total_bg")).alias("top_bigram_frac"),
+    )
+
+
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k terms per doc by tf-idf (idf = ln(N/df), no smoothing —
+    every term present in the corpus has df >= 1). The tf table is the
+    big side (one row per distinct (doc, term)); df is vocabulary-sized
+    and joins on term — AQE broadcasts it when small, shuffles on the
+    term key when the vocabulary is corpus-scale. Scores are rounded to
+    6 dp and ranked with a term tiebreaker so ranking is total and
+    engine-independent (ln differs only past the rounding point)."""
+    from celeborn_spark.operators.dedup import _spread
+
+    toks = _spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "tok", "tfidf", "rnk")
+    )
+
+
+def bigram_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
+    """Global top-k bigrams: the n-gram generalization of word-count
+    top-k (one exchange on the bigram key, map-side partial counts,
+    TakeOrderedAndProject for the limit)."""
+    from celeborn_spark.operators.dedup import _spread
+
+    return (
+        _spread(df, text_col).select(F.explode(bigrams(text_col)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(k)
     )

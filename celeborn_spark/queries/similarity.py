@@ -50,8 +50,52 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, _queries_df(emb), k=10)
 
 
-@query("q_ann_ivf_topk")  # rows-only: approximate by design, recall-tested
+@query(
+    "q_ann_ivf_topk",
+    # The IVF pipeline is fully deterministic (centroids = every
+    # CENTROID_STEP-th vector; cell assignment = argmax cosine rounded
+    # 6dp, ties -> lowest centroid id), so "approximate" ANN is still
+    # exactly reproducible in SQL: same assignment, same pruned search.
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
+          WHERE vec_id % {CENTROID_STEP} = 0),
+    sims AS (
+        SELECT v.vec_id, c.centroid_id,
+               round(list_cosine_similarity(v.vec, c.cvec), 6) AS sim
+        FROM v CROSS JOIN c
+    ),
+    cell AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+          WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               round(list_cosine_similarity(v.vec, q.qvec), 6) AS cosine
+        FROM v
+        JOIN cell vc ON vc.vec_id = v.vec_id
+        JOIN cell qc ON qc.centroid_id = vc.centroid_id
+        JOIN q ON q.query_id = qc.vec_id
+        WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic centroids — oracle-checkable because
+    every step (assignment, pruning, scoring, ranking) is exact; the
+    'approximation' is WHICH vectors get scored, not how."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
@@ -108,3 +152,17 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 6).alias("avg_norm"))
     )
+
+
+@query(
+    "q_embedding_signature",
+    # generated mirror of the md5 hyperplane arithmetic (12 planes)
+    oracle=S.embedding_signature_oracle_sql("embeddings", "vec_id", "embedding", bits=12),
+)
+def q_embedding_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable (md5-hyperplane) near-dup bucket signature per vector —
+    the oracle-checkable core of embedding near-dup detection; the
+    xxhash64 form (q_embedding_near_dup) stays the production bucketing
+    with planted-duplicate recall tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_bit_signature_md5(emb, "vec_id", "embedding", bits=12)

@@ -78,3 +78,41 @@ def q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     pairs = bucketed_range_self_join(e, "user_id", "ts", 300, "event_id")
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "q_resample_gapfill",
+    # buckets are epoch-second longs (integer floor of epoch_us/width):
+    # exact in both engines, no timestamp rendering in the result
+    oracle="""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 300000000.0) AS BIGINT) AS bucket,
+               value
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id, bucket, round(avg(value), 6) AS bucket_avg
+        FROM b GROUP BY user_id, bucket
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+        FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+              FROM b GROUP BY user_id)
+    )
+    SELECT g.user_id, g.bucket, a.bucket_avg,
+           last_value(a.bucket_avg IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g LEFT JOIN agg a
+      ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
+)
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute per-user rollup with gap-filled buckets and forward
+    fill (operators/resample.py) — the hypertable/continuous-aggregate
+    operator of a time-series engine."""
+    from celeborn_spark.operators.resample import resample_gapfill
+
+    e = load_table(spark, sf_dir, "events")
+    return resample_gapfill(e, "user_id", "ts", "value", width_sec=300)

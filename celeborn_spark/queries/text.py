@@ -234,3 +234,107 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("n_sw") / F.col("n")), 6).alias("avg_sw_ratio"),
         )
     )
+
+
+@query(
+    "q_text_repetition",
+    # fractions are raw IEEE quotients on BOTH sides (no round):
+    # small-rational ratios can land exactly on half-way digits where
+    # engines' rounding rules differ (see operators/textops.py)
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    per_bg AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg),
+    per_doc AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total_bg
+                FROM per_bg GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(toks)                                AS n_tokens,
+           len(list_distinct(toks)) / len(toks)     AS distinct_ratio,
+           top_n / total_bg                         AS top_bigram_frac
+    FROM t JOIN per_doc USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: distinct-token ratio
+    and top-bigram mass fraction per doc (repetitive machine text gets
+    filtered before training)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.repetition_stats(d, "doc_id", "text")
+
+
+@query(
+    "q_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf — the classic
+    corpus-statistics operator (keyword extraction / doc signatures)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.tfidf_topk(d, "doc_id", "text", k=3)
+
+
+@query(
+    "q_bigram_topk",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t WHERE len(toks) >= 2
+    )
+    SELECT bg, count(*) AS n FROM b GROUP BY bg ORDER BY n DESC, bg LIMIT 20
+    """,
+)
+def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 bigrams — n-gram word count (vocabulary-building
+    pass of a tokenizer pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.bigram_topk(d, "text", k=20)
+
+
+@query(
+    "q_length_histogram",
+    oracle="""
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+           count(*)     AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY bucket
+    """,
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (corpus profiling):
+    pure map-side bucketing + one aggregate exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.floor(F.col("n_chars") / 50).alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -60,50 +60,52 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_dedup_exact",
     "q_dedup_jaccard_pairs",
     "q_dedup_minhash_lsh",
+    "q_simhash_fingerprints",
     "q_dedup_groups",
     "q_hash_sample",
-    "q_uniform_sample",
     "q_stratified_sample",
     # §2C text analysis
     "q_text_token_stats",
     "q_text_quality",
     "q_text_lang_id",
     "q_text_fingerprint",
+    "q_text_repetition",
+    "q_tfidf_topk",
     "q_bpe_token_count",
-    "q_text_stats_by_lang",
     "q_corpus_clean_pipeline",
     "q_shard_packing",
     # §2C similarity / multimodal
     "q_cosine_topk",
+    "q_ann_ivf_topk",
     "q_label_centroids",
     "q_embedding_norms",
+    "q_embedding_signature",
     "q_multimodal_meta",
     "q_multimodal_decode",
     # streaming
     "q_word_count_topk",
     "q_stream_tumbling_counts",
-    "q_stream_sliding_counts",
-    "q_stream_session_window",
     "q_stream_stream_join",
     "q_stream_dedup",
     # temporal
     "q_asof_join",
     "q_range_join_pairs",
     "q_sessionize",
+    "q_resample_gapfill",
     # TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q7_volume_shipping",
-    "q10_returned_items",
     "q18_large_orders",
     # advanced relational
     "q_correlated_exists",
     "q_stats_agg",
     "q_arg_minmax",
     "q_sorted_range_scan",
-    # data-plane parity (§2A)
-    "q_exchange_repartition",
+    # data-plane parity (§2A); A1 repartition-exchange is represented
+    # by q_global_sort/q_salted_agg (q_exchange_repartition stays
+    # registered + oracle-backed past the window)
     "q_exactly_once_dedup",
     "q_salted_agg",
     "q_merge_upsert",

@@ -1,0 +1,101 @@
+"""Semantic tests for the corpus-statistics operators added on top of
+the basic text surface: repetition signals, tf-idf ranking, bigram
+generation edge cases, and time-series resample/gap-fill."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from celeborn_spark.operators import textops as T
+from celeborn_spark.operators.resample import resample_gapfill
+
+
+def test_repetition_flags_repetitive_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "eight different words appear exactly once here friend"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].distinct_ratio == 1 / 8
+    assert rows[1].top_bigram_frac == 1.0  # every bigram is 'spam spam'
+    assert rows[2].distinct_ratio == 1.0
+    assert rows[2].top_bigram_frac == 1 / 7  # 7 distinct bigrams
+
+
+def test_bigrams_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two words"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.bg
+        for r in df.select("doc_id", T.bigrams("text").alias("bg")).collect()
+    }
+    assert got[1] == []  # <2 tokens: no descending-sequence footgun
+    assert got[2] == ["two words"]
+    assert got[3] == ["a b", "b c"]
+
+
+def test_tfidf_ranks_rare_term_first(spark):
+    # 'rare' appears in 1/4 docs, 'common' in all 4: within doc 1
+    # (equal tf) the rare term must outrank the common one.
+    df = spark.createDataFrame(
+        [
+            (1, "rare common"),
+            (2, "common common filler"),
+            (3, "common other filler"),
+            (4, "common words filler"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        (r.doc_id, r.rnk): r.tok
+        for r in T.tfidf_topk(df, "doc_id", "text", k=2).collect()
+    }
+    assert top[(1, 1)] == "rare"
+    # idf of an everywhere-term is ln(1) = 0 exactly
+    scores = {
+        (r.doc_id, r.tok): r.tfidf
+        for r in T.tfidf_topk(df, "doc_id", "text", k=2).collect()
+    }
+    assert scores[(1, "common")] == 0.0
+
+
+def test_resample_gapfill_fills_gaps_forward(spark):
+    # user 7: events in buckets 0 and 2 (width 10s) -> grid 0,1,2 with
+    # bucket 1 a gap carrying bucket 0's average forward.
+    df = spark.createDataFrame(
+        [
+            (7, "2024-01-01 00:00:01", 10.0),
+            (7, "2024-01-01 00:00:05", 20.0),
+            (7, "2024-01-01 00:00:25", 40.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.bucket: r
+        for r in resample_gapfill(df, "user_id", "ts", "value", width_sec=10)
+        .withColumn("bucket", F.col("bucket") - F.lit(1704067200 // 10))
+        .collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    assert out[0].bucket_avg == 15.0 and out[0].filled == 15.0
+    assert out[1].bucket_avg is None and out[1].filled == 15.0  # gap, ffilled
+    assert out[2].bucket_avg == 40.0 and out[2].filled == 40.0
+
+
+def test_resample_grid_is_dense_per_user(spark, sf_dir):
+    from celeborn_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    out = resample_gapfill(e, "user_id", "ts", "value", width_sec=300)
+    span = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("bucket") - F.min("bucket") + 1).alias("expect"),
+    )
+    holes = span.filter(F.col("n") != F.col("expect")).count()
+    assert holes == 0
+    # first bucket of every user is non-empty => filled never NULL
+    assert out.filter(F.col("filled").isNull()).count() == 0
