@@ -60,6 +60,7 @@ HEAVY_EXTRAS = (
     "q_regexp_funcs",
     "q_window_rank_dense",
     "q_json_funcs",
+    "q21_waiting_supplier",
 )
 
 

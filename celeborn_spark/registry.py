@@ -143,6 +143,7 @@ def _load_all() -> None:
         advanced,
         pandas_surface,
         sampling,
+        tpch,
     )
 
 
