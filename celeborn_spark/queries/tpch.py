@@ -605,32 +605,43 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair — suppliers who
-    were the SOLE late shipper on a finished multi-supplier order.
-    Plans as semi-join + anti-join on the same derived relation."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH lo AS (
-            SELECT l.l_orderkey, l.l_suppkey,
-                   (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
-            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-            WHERE o.o_orderstatus = 'F'
-        )
-        SELECT s.s_name, count(*) AS numwait
-        FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-        WHERE l1.late
-          AND EXISTS (
-              SELECT 1 FROM lo l2
-              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-              SELECT 1 FROM lo l3
-              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-                AND l3.late
-          )
-        GROUP BY s.s_name
-        """
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order. The oracle keeps the canonical
+    EXISTS / NOT-EXISTS pair; here both existentials collapse into ONE
+    window pass over l_orderkey — "some other supplier exists" is
+    |supplier set| >= 2 and "no other supplier is late" is |late
+    supplier set| == 1 on a row that is itself late. One fact shuffle
+    instead of the three CTE re-scans (8 exchanges -> 3) the
+    subquery form costs at 100 TB."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY")).alias("late"),
+    )
+    per_order = W.partitionBy("l_orderkey")
+    lo = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(per_order)).alias("n_supps"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(per_order)
+        ).alias("n_late_supps"),
+    )
+    return (
+        lo.filter(F.col("late") & (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
