@@ -61,6 +61,7 @@ HEAVY_EXTRAS = (
     "q_window_rank_dense",
     "q_json_funcs",
     "q21_waiting_supplier",
+    "q_anonymize",
 )
 
 

@@ -52,9 +52,13 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
 
 
-def word_shingles(text: Column | str, n: int) -> Column:
-    """Distinct n-word shingles of a whitespace-tokenized text."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Distinct n-word shingles from an ALREADY-MATERIALIZED token
+    array column. `toks` MUST be a plain column reference (projected in
+    a prior select), not an inline split(): element_at inside the
+    transform lambda embeds its argument subtree per element, so an
+    inline tokenization is re-run len(toks)*n times per row — the same
+    O(len^2) trap textops.bigrams documents."""
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
     )
@@ -64,13 +68,25 @@ def word_shingles(text: Column | str, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_shingles(text: Column | str, n: int) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text.
+
+    NOTE: evaluates tokens(text) inside every element_at — fine for
+    tests and one-off expressions; hot paths should project the token
+    array first and use shingles_from_tokens (see shingle_table)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs, unique per doc — the posting-list layout.
-    word_shingles applies array_distinct BEFORE the explode, so rows are
-    already unique and no distinct-exchange is spent here (a full
-    shuffle of the widest intermediate in the pipeline)."""
-    return _spread(df, id_col).select(
-        id_col, F.explode(word_shingles(text_col, n)).alias("shingle")
+    Tokenization is materialized in its own projection so the shingle
+    transform references the token attribute (split runs once per row,
+    not once per element_at). array_distinct runs BEFORE the explode,
+    so rows are already unique and no distinct-exchange is spent here
+    (a full shuffle of the widest intermediate in the pipeline)."""
+    toked = _spread(df, id_col).select(id_col, tokens(text_col).alias("_toks"))
+    return toked.select(
+        id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
 
 
@@ -389,3 +405,41 @@ def simhash_md5_oracle_sql(table: str, id_col: str, text_col: str, bits: int = 3
     sums AS (SELECT {id_col}, {", ".join(bit_exprs)} FROM h GROUP BY {id_col})
     SELECT {id_col}, {fp} AS simhash FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Training-corpus decontamination: flag training docs that share
+    any n-gram with an evaluation set (the standard guard against
+    benchmark leakage into training data — the same shingle machinery
+    as near-dup mining, but joined against a SMALL reference corpus).
+
+    Returns (id, n_shared) — one row per CONTAMINATED training doc with
+    the count of distinct shared n-grams. The eval shingle set is tiny
+    relative to the corpus (benchmarks are MBs, corpora are TBs), so it
+    broadcasts: the training side streams through a broadcast-hash
+    semi-aggregate with NO shuffle of the corpus. If the eval side ever
+    outgrows the broadcast threshold, drop the hint and Spark falls
+    back to a shuffle join keyed on the shingle.
+    """
+    train_sh = shingle_table(train, id_col, text_col, n)
+    eval_sh = (
+        eval_set.select(tokens(text_col).alias("_toks"))
+        .select(F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -125,6 +125,17 @@ def embedding_near_dup_pairs(
     (one exchange), verify candidates with exact cosine. O(N^2) only
     within a bucket — 2^bits buckets spread a uniform corpus."""
     sig = embedding_bit_signature(vectors, id_col, vec_col, bits)
+    return _verify_bucket_pairs(vectors, sig, id_col, vec_col, threshold)
+
+
+def _verify_bucket_pairs(
+    vectors: DataFrame,
+    sig: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Same-signature candidate pairs verified by exact cosine."""
     v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")).join(
         sig, id_col
     )
@@ -141,6 +152,20 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_near_dup_pairs_md5(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """embedding_near_dup_pairs with the portable md5 hyperplanes —
+    same bucket-then-verify plan, oracle-checkable end to end (the
+    xxhash64 form stays the fast production default)."""
+    sig = embedding_bit_signature_md5(vectors, id_col, vec_col, bits)
+    return _verify_bucket_pairs(vectors, sig, id_col, vec_col, threshold)
 
 
 def ivf_assign(
@@ -294,4 +319,28 @@ def embedding_signature_oracle_sql(
     ),
     sums AS (SELECT {id_col}, {", ".join(sums)} FROM dims GROUP BY {id_col})
     SELECT {id_col}, {sig} AS signature FROM sums
+    """
+
+
+def embedding_near_dup_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    bits: int = 12,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB mirror of embedding_near_dup_pairs_md5: the generated
+    md5-hyperplane signature as a CTE, self-joined on equal signatures,
+    verified with list_cosine_similarity."""
+    sig_sql = embedding_signature_oracle_sql(table, id_col, vec_col, bits)
+    return f"""
+    WITH sig AS ({sig_sql}),
+    v AS (SELECT {id_col} AS vid, {vec_col}::DOUBLE[] AS e FROM {table})
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+    FROM sig a
+    JOIN sig b ON a.signature = b.signature AND a.{id_col} < b.{id_col}
+    JOIN v va ON va.vid = a.{id_col}
+    JOIN v vb ON vb.vid = b.{id_col}
+    WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= {threshold}
     """

@@ -190,3 +190,41 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
     return dedup_groups(pairs)
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    train_sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+        FROM t WHERE source <> 'src0' AND len(toks) >= 5
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+                   range(1, len(toks) - 3),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS shingle
+        FROM t WHERE source = 'src0' AND len(toks) >= 5
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM train_sh JOIN eval_sh USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (sources != src0)
+    sharing any 5-gram with the held-out eval set (source src0), with
+    the count of distinct shared 5-grams. The eval shingle set
+    broadcasts — the corpus side never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=5,
+    )

@@ -295,3 +295,28 @@ def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
         F.col("text").rlike("spark").alias("mentions_spark"),
     )
+
+
+@query(
+    "q_anonymize",
+    oracle="""
+    SELECT event_id,
+           md5(CAST(user_id AS VARCHAR) || ':anon')      AS user_pseudonym,
+           regexp_replace(props, '[0-9]+', '#', 'g')     AS props_redacted
+    FROM events
+    """,
+)
+def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: salted-hash pseudonymization of
+    the user key (referential integrity survives, identity doesn't) and
+    regex redaction of numeric literals in the payload. Pure JVM
+    expressions — a zero-shuffle map stage at any scale. Spark
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.md5(F.concat_ws(":", F.col("user_id").cast("string"), F.lit("anon"))).alias(
+            "user_pseudonym"
+        ),
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
+    )

@@ -166,3 +166,20 @@ def q_embedding_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted-duplicate recall tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_bit_signature_md5(emb, "vec_id", "embedding", bits=12)
+
+
+@query(
+    "q_embedding_near_dup_verified",
+    oracle=S.embedding_near_dup_oracle_sql(
+        "embeddings", "vec_id", "embedding", bits=12, threshold=0.9
+    ),
+)
+def q_embedding_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-then-verify embedding near-dup with the portable md5
+    hyperplanes: the full pipeline (signature buckets -> candidate
+    pairs -> exact-cosine filter) is replicated in SQL, so unlike the
+    xxhash64 q_embedding_near_dup this one is driver-verifiable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs_md5(
+        emb, "vec_id", "embedding", bits=12, threshold=0.9
+    )

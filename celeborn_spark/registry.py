@@ -68,7 +68,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_text_token_stats",
     "q_text_quality",
     "q_text_lang_id",
-    "q_text_fingerprint",
+    # q_text_fingerprint stays registered+oracle past the window; its
+    # class (content fingerprints) is represented by q_simhash_fingerprints
+    "q_decontaminate",
     "q_text_repetition",
     "q_tfidf_topk",
     "q_bpe_token_count",
@@ -79,7 +81,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_ann_ivf_topk",
     "q_label_centroids",
     "q_embedding_norms",
-    "q_embedding_signature",
+    # q_embedding_signature stays registered+oracle past the window;
+    # the verified pipeline below exercises it as its bucketing stage
+    "q_embedding_near_dup_verified",
     "q_multimodal_meta",
     "q_multimodal_decode",
     # streaming
