@@ -62,6 +62,7 @@ HEAVY_EXTRAS = (
     "q_json_funcs",
     "q21_waiting_supplier",
     "q_anonymize",
+    "q_window_range_frame",
 )
 
 

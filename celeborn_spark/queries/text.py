@@ -338,3 +338,28 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok)
+    SELECT tok, n FROM counts
+    WHERE n > (SELECT 0.001 * sum(n) FROM counts)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: tokens above a relative-frequency floor
+    (vocabulary pruning / stopword discovery). Explode -> count ->
+    scalar-subquery threshold; the token count aggregate is map-side
+    partial so the exchange carries one row per distinct token."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return counts.join(F.broadcast(total)).filter(
+        F.col("n") > 0.001 * F.col("t")
+    ).select("tok", "n")

@@ -196,3 +196,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "q_window_range_frame",
+    # count and cents-sum are exact integers, so the frame aggregate
+    # can't drift with accumulation order (a RANGE frame's segment-tree
+    # vs running-sum evaluation differs between engines on doubles)
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_5min,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS sum_cents_5min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per-user trailing-5-minute
+    event count and value sum, ordered by event time. Unlike a ROWS
+    frame the bound is a time distance — the time-series sliding
+    aggregate in its batch form (streaming form: q_stream_sliding_counts)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-300_000_000, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_5min"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).over(w).alias("sum_cents_5min"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 PARQUET_CODECS = ("zstd", "snappy", "gzip", "lz4", "none")
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 
 def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode: str = "overwrite") -> None:
@@ -35,6 +35,10 @@ def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode
         writer.json(path)
     elif fmt == "csv":
         writer.option("header", "true").csv(path)
+    elif fmt == "text":
+        # one string column per row — the raw-corpus interchange format
+        writer = writer.option("compression", codec) if codec and codec != "none" else writer
+        writer.text(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
 
@@ -50,6 +54,15 @@ def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame
     if fmt == "csv":
         r = spark.read.option("header", "true")
         return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
+    if fmt == "text":
+        return spark.read.text(path)
+    if fmt == "binaryFile":
+        # whole-file binary ingestion (path, modificationTime, length,
+        # content) — the entry point for raw image/audio/video blobs
+        # feeding operators/multimodal.py; pathGlobFilter/recursive
+        # lookup push file pruning into the listing, and each file is
+        # one row so partitioning follows the file layout.
+        return spark.read.format("binaryFile").load(path)
     if fmt in ("delta", "iceberg", "hudi"):
         try:  # connector jars not shipped in this image
             return spark.read.format(fmt).load(path)

@@ -90,3 +90,33 @@ def test_no_nested_loop_join_in_equi_extractable_joins(spark, sf_dir):
         plan = physical_plan(df)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:2000])
         assert "CartesianProduct" not in plan, (name, plan[:2000])
+
+
+def test_tpch_suite_plan_shapes(spark, sf_dir):
+    """The 16 schema-adapted TPC-H shapes must keep their scale
+    contracts: no nested-loop/cartesian fallback anywhere, dims
+    broadcast in the big multi-join shapes, and Q6's predicate set
+    reaches the parquet scan."""
+    from celeborn_spark.queries import tpch
+
+    every = {
+        "q2": tpch.q2_min_cost_supplier, "q4": tpch.q4_order_priority,
+        "q6": tpch.q6_revenue_forecast, "q8": tpch.q8_market_share,
+        "q9": tpch.q9_product_profit, "q11": tpch.q11_important_stock,
+        "q12": tpch.q12_priority_shipping, "q13": tpch.q13_customer_distribution,
+        "q14": tpch.q14_promo_revenue, "q15": tpch.q15_top_supplier,
+        "q16": tpch.q16_supplier_count, "q17": tpch.q17_small_quantity_revenue,
+        "q19": tpch.q19_disjunctive_revenue, "q20": tpch.q20_promotion_suppliers,
+        "q21": tpch.q21_waiting_supplier, "q22": tpch.q22_global_sales_opportunity,
+    }
+    for name, fn in every.items():
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:2000])
+
+    for name, fn in (("q8", tpch.q8_market_share), ("q9", tpch.q9_product_profit)):
+        df = fn(spark, sf_dir)
+        assert has_broadcast_join(df), (name, physical_plan(df)[:2000])
+
+    q6 = tpch.q6_revenue_forecast(spark, sf_dir)
+    assert has_pushed_filters(q6, "l_shipdate"), physical_plan(q6)[:2000]

@@ -77,3 +77,30 @@ def test_bucketed_join_has_no_exchange_on_bucketed_sides(spark, sf_dir, tmpdir):
     assert count_exchanges(joined) == 0, explain_formatted(joined)[:2000]
     want = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
     assert joined.count() == want
+
+
+def test_text_round_trip(spark, sf_dir, tmpdir):
+    """Raw-corpus interchange: one string column per row."""
+    src = load_table(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    write_any(src, f"{tmpdir}/txt", "text")
+    back = read_any(spark, f"{tmpdir}/txt", "text")
+    assert back.schema.fieldNames() == ["value"]
+    got = {r.value for r in back.collect()}
+    want = {r.value for r in src.collect()}
+    assert got == want
+
+
+def test_binary_file_source_reads_blobs(spark, tmpdir):
+    """Multimodal ingestion path: whole files arrive as binary content
+    plus typed metadata — the schema operators/multimodal.py consumes."""
+    blobs = {"a.bin": b"\x89PNG-fake", "b.bin": b"RIFF-fake-wav"}
+    import pathlib
+
+    for name, payload in blobs.items():
+        pathlib.Path(tmpdir, name).write_bytes(payload)
+    df = read_any(spark, tmpdir, "binaryFile")
+    assert {"path", "modificationTime", "length", "content"} <= set(df.schema.fieldNames())
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == blobs
+    lengths = {r.path.rsplit("/", 1)[-1]: r.length for r in df.collect()}
+    assert lengths == {n: len(p) for n, p in blobs.items()}
