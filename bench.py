@@ -63,6 +63,7 @@ HEAVY_EXTRAS = (
     "q21_waiting_supplier",
     "q_anonymize",
     "q_window_range_frame",
+    "q2_min_cost_supplier",
 )
 
 

@@ -120,3 +120,19 @@ def test_tpch_suite_plan_shapes(spark, sf_dir):
 
     q6 = tpch.q6_revenue_forecast(spark, sf_dir)
     assert has_pushed_filters(q6, "l_shipdate"), physical_plan(q6)[:2000]
+
+
+def test_text_analysis_stays_in_codegen(spark, sf_dir):
+    """The text operators claim zero Python in the hot path — pin that
+    the whole pipeline compiles into whole-stage codegen (a Python UDF
+    would break the span with BatchEvalPython/ArrowEvalPython)."""
+    from celeborn_spark.queries import text
+
+    for name, fn in (
+        ("q_text_quality", text.q_text_quality),
+        ("q_text_token_stats", text.q_text_token_stats),
+    ):
+        df = fn(spark, sf_dir)
+        plan = physical_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert has_whole_stage_codegen(df), (name, plan[:1500])

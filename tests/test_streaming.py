@@ -112,3 +112,31 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
     # the 10:00 window closed with exactly the on-time event; the late
     # arrival neither re-opened it nor created a duplicate emission
     assert rows.get("2024-01-01 10:00:00") == 1, rows
+
+
+def test_available_now_trigger_drains_and_stops(spark, sf_dir):
+    """Trigger.AvailableNow: batch-catchup semantics — process
+    everything that exists (respecting maxFilesPerTrigger batch
+    slicing), then stop on its own. The bounded-backfill mode a
+    100 TB pipeline uses to replay a day of files with streaming
+    fault-tolerance instead of an unbounded run."""
+    ev = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("avail_now_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive  # drained and self-terminated
+    got = {r.event_type: r.n for r in spark.table("avail_now_counts").collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
