@@ -116,3 +116,24 @@ def test_lsh_md5_mode_matches_xxhash_semantics(spark, sf_dir):
         ).collect()
     }
     assert md5_pairs <= exact
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """A training doc that quotes an eval doc's text must be flagged
+    with the exact distinct-5-gram overlap; disjoint docs must not."""
+    from celeborn_spark.operators.dedup import ngram_decontaminate
+
+    eval_doc = "alpha beta gamma delta epsilon zeta eta"
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then " + eval_doc),       # contains all eval 5-grams
+            (2, "alpha beta gamma delta epsilon"),     # exactly one shared 5-gram
+            (3, "totally unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(eval_doc,)], "text string")
+    got = {r.doc_id: r.n_shared for r in
+           ngram_decontaminate(train, ev, "doc_id", "text", n=5).collect()}
+    # eval doc has 3 distinct 5-grams; doc1 contains all 3, doc2 one
+    assert got == {1: 3, 2: 1}

@@ -34,3 +34,29 @@ def test_real_decode_is_stubbed():
 def test_payload_is_binary_type(spark, sf_dir):
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     assert dict(d.dtypes)["payload"] == "binary"
+
+
+def test_binary_file_to_decode_pipeline(spark, tmp_path):
+    """End-to-end multimodal ingestion: raw blobs on disk -> binaryFile
+    source -> Arrow mapInPandas decode. Pins that the source's
+    (path, content) schema feeds the decoder unchanged."""
+    import pathlib
+
+    from celeborn_spark.operators.multimodal import fake_decode_meta
+    from celeborn_spark.sources import read_any
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    payloads = {0: b"abc-textish-payload", 1: b"\x89PNG\r\n-binary"}
+    for i, p in payloads.items():
+        pathlib.Path(d, f"{i}.bin").write_bytes(p)
+    blobs = (
+        read_any(spark, str(d), "binaryFile")
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    meta = {r.doc_id: (r.n_bytes, r.format) for r in fake_decode_meta(blobs).collect()}
+    assert meta == {0: (len(payloads[0]), "textish"), 1: (len(payloads[1]), "binary")}
