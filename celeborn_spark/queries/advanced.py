@@ -345,3 +345,34 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'cust_key', cast(o_custkey as double)) AS (metric, val)"
         ),
     ).select("o_orderkey", "metric", "val")
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey AS top_orderkey, o.o_totalprice AS top_price
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+    ) o
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's single most
+    expensive order. Catalyst rewrites the per-row subquery into a
+    window/aggregate over the joined relation — the same plan the
+    max_by form produces, but through the LATERAL SQL surface."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey AS top_orderkey, o.o_totalprice AS top_price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) o
+        """
+    )
