@@ -376,3 +376,53 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+@query(
+    "q_regression_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avg_x,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_regression_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares aggregates (regr_* family) —
+    single-pass moment accumulation, map-side partials. skewness/
+    kurtosis are deliberately absent: Spark uses population estimators
+    where DuckDB bias-corrects, so they can never hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+        F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 6).alias("avg_x"),
+        F.expr("regr_count(l_extendedprice, l_quantity)").cast("long").alias("n"),
+    )
+
+
+@query(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT user_id,
+           bit_and(event_id) AS ids_and,
+           bit_or(event_id)  AS ids_or,
+           bit_xor(event_id) AS ids_xor
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates per key — set-membership/bitmap building
+    blocks (commutative+associative, so fully map-side combinable)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.expr("bit_and(event_id)").alias("ids_and"),
+        F.expr("bit_or(event_id)").alias("ids_or"),
+        F.expr("bit_xor(event_id)").alias("ids_xor"),
+    )
