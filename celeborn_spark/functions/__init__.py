@@ -14,10 +14,13 @@ from celeborn_spark.operators.textops import (
     quality_score,
     lang_id,
     doc_fingerprint,
+    bigrams,
+    distinct_token_ratio,
 )
 from celeborn_spark.operators.dedup import (
     content_hash,
     word_shingles,
+    shingles_from_tokens,
     minhash_signature,
     hamming64,
 )
@@ -37,8 +40,11 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "bigrams",
+    "distinct_token_ratio",
     "content_hash",
     "word_shingles",
+    "shingles_from_tokens",
     "minhash_signature",
     "hamming64",
     "dot",

@@ -181,3 +181,27 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_stream_to_table(deduped, "stream_dedup", "complete")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static dim
+    (customer) per micro-batch — the dim is re-resolvable each batch,
+    needs no state store (unlike stream-stream), and broadcasts. The
+    standard shape for enriching a clickstream with account metadata."""
+    from celeborn_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_stream_to_table(agg, "stream_static_join", "complete")
