@@ -64,6 +64,7 @@ HEAVY_EXTRAS = (
     "q_anonymize",
     "q_window_range_frame",
     "q2_min_cost_supplier",
+    "q7_volume_shipping",
 )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import kmeans as K
 from celeborn_spark.operators import similarity as S
 from celeborn_spark.registry import query
 
@@ -166,6 +167,23 @@ def q_embedding_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     with planted-duplicate recall tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_bit_signature_md5(emb, "vec_id", "embedding", bits=12)
+
+
+@query(
+    "q_kmeans_clusters",
+    # Deterministic fit (lowest-id seeds, 6dp-rounded distances and
+    # centroid components, id tie-breaks) makes the full iterative
+    # algorithm SQL-replicable — the generated CTE chain mirrors every
+    # Lloyd round exactly.
+    oracle=K.kmeans_oracle_sql("embeddings", "vec_id", "embedding", k=4, iters=2),
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (2 Lloyd rounds, k=4) over the embeddings table: the
+    iterative-algorithm class beyond connected components — broadcast
+    centroids, one vector-table pass per round, localCheckpoint'ed
+    lineage (operators/kmeans.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return K.lloyd_iterations(emb, k=4, iters=2)
 
 
 @query(

@@ -79,6 +79,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # §2C similarity / multimodal
     "q_cosine_topk",
     "q_ann_ivf_topk",
+    "q_kmeans_clusters",
     "q_label_centroids",
     "q_embedding_norms",
     # q_embedding_signature stays registered+oracle past the window;
@@ -100,7 +101,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q7_volume_shipping",
+    # q7_volume_shipping moved to bench.HEAVY_EXTRAS: its join-shape
+    # class stays represented by q3/q5/q18; slot freed for the k-means
+    # iterative-clustering class
     "q18_large_orders",
     # advanced relational
     "q_correlated_exists",
