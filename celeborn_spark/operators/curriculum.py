@@ -1,0 +1,111 @@
+"""Curriculum / data-mixture curation operators (SURVEY.md §2C).
+
+Two primitives a training-data pipeline needs between "score documents"
+and "write shards":
+
+- `quantile_bins`: exact quantile (e.g. decile) binning of a score
+  column WITHOUT a global row sort. `ntile()` needs one total ordering
+  of all rows — a single-partition window that dies at 100 TB. Instead
+  bin via the value histogram: groupBy(score) (one map-combined
+  exchange over distinct values), a window over the DISTINCT-value
+  relation only (bounded by score cardinality, not row count), then a
+  broadcast join back. Ties share one bin, so the result is
+  deterministic and engine-independent.
+
+- `mixture_sample`: deterministic sampling to a target mixture. Given
+  per-stratum target shares of a token budget (e.g. rebalance languages
+  to 30/30/20/10/10), derive each stratum's keep-rate from the data
+  (rate = target_share x budget / stratum_tokens, capped at 1), then
+  keep rows whose md5-uniform variate falls under the rate — the
+  stratified_hash_sample discipline (operators/sampling.py) with rates
+  computed in-engine from aggregates instead of hard-coded. Reproducible
+  across runs/engines/partitionings; both the rate arithmetic and the
+  md5 variate are oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from celeborn_spark.operators.sampling import _HEX_DIGITS, _SPACE, hash_bucket
+
+
+def u01(key: Column | str, salt: int = 0) -> Column:
+    """Deterministic uniform variate in [0, 1): the row's md5 hash
+    bucket as a double. Portable — DuckDB mirror is
+    CAST('0x' || substr(md5(key || ':' || salt), 1, 8) AS UBIGINT)
+    / 16^8."""
+    return F.conv(hash_bucket(key, salt), 16, 10).cast("double") / F.lit(float(_SPACE))
+
+
+def u01_oracle_expr(key_sql: str, salt: int = 0) -> str:
+    """The DuckDB expression matching u01(key, salt) bit for bit."""
+    return (
+        f"CAST(concat('0x', substr(md5({key_sql} || ':{salt}'), 1, {_HEX_DIGITS}))"
+        f" AS UBIGINT) / {float(_SPACE)}"
+    )
+
+
+def quantile_bins(
+    df: DataFrame, score_col: str, n_bins: int = 10, bin_col: str = "bin"
+) -> DataFrame:
+    """Append `bin_col` in [0, n_bins): the row's exact quantile bin of
+    `score_col`, computed from the value histogram (no global row
+    sort). bin = floor(n_bins * rows_before_this_value / total); all
+    rows sharing a value share a bin."""
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # window over DISTINCT score values only — cardinality-bounded, not
+    # row-bounded, so the single-partition sort is safe at scale
+    edges = hist.withColumn(
+        "cum_before", F.sum("cnt").over(W.orderBy(score_col)) - F.col("cnt")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("total"))))
+    bins = edges.select(
+        score_col,
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor(F.lit(n_bins) * F.col("cum_before") / F.col("total")),
+        ).alias(bin_col),
+    )
+    return df.join(F.broadcast(bins), score_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+    budget_frac: float,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic mixture sampling: stratum s keeps rows at rate
+    min(1, targets[s] x budget_frac x total_weight / stratum_weight),
+    approximating a sampled corpus whose per-stratum weight shares
+    follow `targets` within a budget_frac-of-total budget. Strata
+    absent from `targets` are dropped. Two cheap aggregates + one
+    broadcast join + one codegen'd filter; the data never shuffles."""
+    totals = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("stratum_w"))
+    grand = totals.agg(F.sum("stratum_w").alias("grand_w"))
+    target = F.lit(None).cast("double")
+    for value, share in targets.items():
+        target = F.when(F.col(stratum_col) == value, F.lit(share)).otherwise(target)
+    # filter the untargeted strata BEFORE least(): both Spark and DuckDB
+    # define least() to skip NULLs, so least(1.0, NULL) is 1.0 — a NULL
+    # target would otherwise keep its whole stratum
+    rates = (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn("t", target)
+        .filter(F.col("t").isNotNull())
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.col("t") * F.lit(budget_frac) * F.col("grand_w") / F.col("stratum_w"),
+            ).alias("rate"),
+        )
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        u01(key_col, salt) < F.col("rate")
+    )

@@ -1,0 +1,116 @@
+"""Curriculum / data-mixture surface over the documents table
+(SURVEY.md §2C): exact quantile binning of a quality score and
+deterministic sampling to a target language mixture — the step between
+document scoring (queries/text.py) and shard packing
+(operators/packing.py) in an LLM data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import curriculum as C
+from celeborn_spark.operators import textops as T
+from celeborn_spark.queries.text import _SW
+from celeborn_spark.registry import query
+
+N_BINS = 10
+
+MIX_TARGETS = {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.2, "zh": 0.3}
+MIX_BUDGET = 0.8
+MIX_SALT = 7
+
+_QUALITY_SQL = f"""
+    SELECT doc_id, lang, n_chars,
+           round(0.5 * least(n / 100.0, 1.0)
+               + 0.5 * least((n_sw / n) / 0.1, 1.0), 6) AS q
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS n_sw
+        FROM documents
+    ) WHERE n > 0
+"""
+
+
+@query(
+    "q_quality_curriculum",
+    oracle=f"""
+    WITH s AS ({_QUALITY_SQL}),
+    hist AS (SELECT q, count(*) AS cnt FROM s GROUP BY q),
+    edges AS (
+        SELECT q, cnt,
+               sum(cnt) OVER (ORDER BY q) - cnt AS cum_before,
+               sum(cnt) OVER ()                 AS total
+        FROM hist
+    ),
+    b AS (
+        SELECT q,
+               least({N_BINS - 1},
+                     CAST(floor({N_BINS} * cum_before / total) AS BIGINT)) AS bin
+        FROM edges
+    )
+    SELECT b.bin                  AS bin,
+           count(*)               AS n_docs,
+           CAST(sum(s.n_chars) AS BIGINT) AS sum_chars,
+           round(min(s.q), 6)     AS min_q,
+           round(max(s.q), 6)     AS max_q
+    FROM s JOIN b ON s.q = b.q
+    GROUP BY b.bin
+    """,
+)
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile curriculum over the quality score: exact quantile bins via
+    the value-histogram method (operators/curriculum.py — no global row
+    sort, unlike ntile), then per-bin corpus stats."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "n_chars", T.quality_score("text").alias("q")
+    ).filter(F.col("q").isNotNull())
+    binned = C.quantile_bins(scored, "q", n_bins=N_BINS)
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.min("q"), 6).alias("min_q"),
+        F.round(F.max("q"), 6).alias("max_q"),
+    )
+
+
+def _mix_rate_sql() -> str:
+    target = "CAST(NULL AS DOUBLE)"
+    for value, share in MIX_TARGETS.items():
+        target = f"CASE WHEN lang = '{value}' THEN {share} ELSE {target} END"
+    return target
+
+
+@query(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH totals AS (
+        SELECT lang, sum(n_chars) AS stratum_w FROM documents GROUP BY lang
+    ),
+    grand AS (SELECT sum(stratum_w) AS grand_w FROM totals),
+    rates AS (
+        -- targeted strata only, BEFORE least(): least(1.0, NULL) = 1.0
+        -- in both engines (least skips NULLs)
+        SELECT lang, least(1.0, t * {MIX_BUDGET} * grand_w / stratum_w) AS rate
+        FROM (SELECT lang, stratum_w, {_mix_rate_sql()} AS t FROM totals)
+        CROSS JOIN grand
+        WHERE t IS NOT NULL
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {C.u01_oracle_expr("CAST(d.doc_id AS VARCHAR)", MIX_SALT)} < r.rate
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a target language mixture inside an 80%
+    token budget: per-stratum keep-rates derived in-engine from the
+    aggregate weights, membership by portable md5 variate
+    (operators/curriculum.py mixture_sample)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.mixture_sample(
+        d, "lang", "doc_id", "n_chars", MIX_TARGETS, MIX_BUDGET, salt=MIX_SALT
+    ).select("doc_id", "lang", "n_chars")

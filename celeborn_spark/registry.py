@@ -63,7 +63,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_simhash_fingerprints",
     "q_dedup_groups",
     "q_hash_sample",
-    "q_stratified_sample",
+    # q_stratified_sample's class (per-stratum hash rates) is
+    # represented by the richer q_mixture_sample (rates derived
+    # in-engine from target shares); it stays registered + oracle
+    "q_mixture_sample",
     # §2C text analysis
     "q_text_token_stats",
     "q_text_quality",
@@ -81,7 +84,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_ann_ivf_topk",
     "q_kmeans_clusters",
     "q_label_centroids",
-    "q_embedding_norms",
+    # q_embedding_norms (same vector-agg class as q_label_centroids)
+    # stays registered + oracle past the window; slot freed for the
+    # curriculum-binning class
+    "q_quality_curriculum",
     # q_embedding_signature stays registered+oracle past the window;
     # the verified pipeline below exercises it as its bucketing stage
     "q_embedding_near_dup_verified",
@@ -150,6 +156,7 @@ def _load_all() -> None:
         advanced,
         pandas_surface,
         sampling,
+        curriculum,
         tpch,
     )
 
