@@ -62,10 +62,14 @@ HEAVY_EXTRAS = (
     "q_json_funcs",
     "q21_waiting_supplier",
     "q_anonymize",
-    "q_window_range_frame",
+    "q_lateral_topk",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
 )
+# Near-threshold exclusions (re-measured 2026-08-13): q_window_range_frame
+# 84 ms, q9_product_profit 106 ms — both within host noise of the 100 ms
+# rule and of already-represented classes; the 1.9 KB line budget forces
+# a cut somewhere (test_bench_contract pins the worst case).
 
 
 def headline_names() -> list[str]:

@@ -44,6 +44,37 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_hash_col: str = "content_hash",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus, the incremental
+    form of exact_dedup for rolling ingestion (a new crawl arrives; the
+    historical corpus is already hashed): keep one min-id representative
+    per content hash within the batch, then left-anti join against the
+    corpus hash index.
+
+    At 100 TB the index is a hash-bucketed table of digests only (a few
+    % of corpus bytes); the anti-join shuffles slim (hash, id) rows on
+    the same key the index is bucketed by, so the corpus itself is
+    never re-read — the point of keeping an index instead of re-running
+    exact_dedup over old+new. Within-batch dedup happens FIRST so the
+    join input is already duplicate-free."""
+    batch = (
+        new_docs.withColumn(index_hash_col, content_hash(text_col))
+        .groupBy(index_hash_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return batch.join(
+        corpus_index.select(index_hash_col).distinct(),
+        index_hash_col,
+        "left_anti",
+    )
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-exchange a (possibly single-partition) input across all
     cores before a CPU-heavy map stage. Small files arrive as one

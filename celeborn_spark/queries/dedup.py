@@ -31,6 +31,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS content_hash
+        FROM documents WHERE doc_id % 5 != 0
+    ),
+    batch AS (
+        SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+               count(*) AS n_copies
+        FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+    )
+    SELECT b.content_hash, b.doc_id, b.n_copies
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                      WHERE c.content_hash = b.content_hash)
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-ingestion dedup: every 5th doc plays the incoming crawl
+    batch, the rest the already-indexed corpus — batch dedups within
+    itself then anti-joins the corpus hash index
+    (operators/dedup.py incremental_dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    index = d.filter(F.col("doc_id") % 5 != 0).select(
+        D.content_hash("text").alias("content_hash")
+    )
+    return D.incremental_dedup(batch, index, "text", "doc_id")
+
+
+@query(
     "q_dedup_jaccard_pairs",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

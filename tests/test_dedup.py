@@ -137,3 +137,25 @@ def test_decontaminate_flags_planted_leak(spark):
            ngram_decontaminate(train, ev, "doc_id", "text", n=5).collect()}
     # eval doc has 3 distinct 5-grams; doc1 contains all 3, doc2 one
     assert got == {1: 3, 2: 1}
+
+
+def test_incremental_dedup_drops_corpus_and_batch_dupes(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"existing doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    index = corpus.select(D.content_hash("text").alias("content_hash"))
+    batch = spark.createDataFrame(
+        # 200/201: genuinely new; 202+203: within-batch dup pair;
+        # 204: duplicates an existing corpus doc
+        [
+            (200, "fresh doc A"),
+            (201, "fresh doc B"),
+            (202, "fresh doc C"),
+            (203, "fresh doc C"),
+            (204, "existing doc 7"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = D.incremental_dedup(batch, index, "text", "doc_id")
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    assert rows == {200: 1, 201: 1, 202: 2}, rows
