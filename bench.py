@@ -12,10 +12,13 @@ correctness surface — including the slowest operators: connected
 components, LSH, streaming state) PLUS every other registered query
 whose DuckDB-oracle runtime at sf0.1 exceeds ~100 ms (measured offline
 with scripts/judge_replica.py) — i.e. queries where the baseline engine
-does real work. Excluded entries are only sub-100ms-on-both-engines
+does real work. Excluded entries are (a) sub-100ms-on-both-engines
 variants of already-represented classes (their timing is the fixed
-per-query scheduling floor, not operator throughput); all remain
-registered, driver-checked and runnable. The line is kept under ~1.9 KB
+per-query scheduling floor, not operator throughput) and (b)
+q_embedding_signature, which is stage 1 of the already-headlined
+q_embedding_near_dup_verified pipeline — timing it separately would
+double-count the same signature computation. All remain registered,
+driver-checked and runnable. The line is kept under ~1.9 KB
 because the driver's log tail truncates longer lines (round 1 recorded
 "parsed": null).
 
