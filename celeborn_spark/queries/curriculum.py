@@ -66,9 +66,14 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value-histogram method (operators/curriculum.py — no global row
     sort, unlike ntile), then per-bin corpus stats."""
     d = load_table(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id", "n_chars", T.quality_score("text").alias("q")
-    ).filter(F.col("q").isNotNull())
+    scored = (
+        d.select("doc_id", "n_chars", T.quality_score("text").alias("q"))
+        .filter(F.col("q").isNotNull())
+        # quantile_bins consumes the scored relation twice (histogram +
+        # join-back); materialize the slim (id, chars, q) projection so
+        # the tokenization-heavy scoring runs once, not per branch
+        .localCheckpoint()
+    )
     binned = C.quantile_bins(scored, "q", n_bins=N_BINS)
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
