@@ -65,3 +65,82 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
             )
 
     return df.select(id_c, pay_c).mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, out_chars int, resized_md5 string"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_chars int, frame_md5 string"
+
+
+def fake_resize_media(
+    df: DataFrame,
+    out_chars: int = 100,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize stand-in: cyclically tile the decoded payload to exactly
+    `out_chars` characters and fingerprint the result — the plumbing
+    (binary in, Arrow batches, per-row kernel, deterministic output) of
+    a real `PIL.Image.resize`, which would slot into the same loop.
+    Rows with empty payloads are dropped (nothing to resize)."""
+    import hashlib
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[payload_col].map(lambda b: bytes(b).decode("utf-8"))
+            keep = texts.map(len) > 0
+            texts = texts[keep]
+            resized = texts.map(lambda s: (s * (out_chars // len(s) + 1))[:out_chars])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col][keep],
+                    "out_chars": resized.map(len).astype("int32"),
+                    "resized_md5": resized.map(
+                        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_chars: int = 64,
+    every_n: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling stand-in: treat the decoded payload as a sequence
+    of fixed-size frames and emit every `every_n`-th one — the 1->N
+    row fan-out shape of real video frame extraction, driven through
+    Arrow record batches (output rows are not 1:1 with input rows,
+    which is exactly what mapInPandas allows and mapped UDFs don't)."""
+    import hashlib
+    import math
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = bytes(payload).decode("utf-8")
+                n_frames = math.ceil(len(s) / frame_chars)
+                for k in range(0, n_frames, every_n):
+                    frame = s[k * frame_chars : (k + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(frame))
+                    digests.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_chars": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        frame_batches, schema=FRAMES_SCHEMA
+    )

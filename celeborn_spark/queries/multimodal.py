@@ -58,3 +58,49 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is real and driver-verified."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.fake_decode_meta(d)
+
+
+@query(
+    "q_multimodal_resize",
+    # character-space tiling: python (s * (100 // len(s) + 1))[:100] and
+    # SQL substr(repeat(s, ceil), 1, 100) produce the same string for
+    # any non-empty s (both tile at least ceil(100/len) copies, then
+    # truncate); md5 hashes its UTF-8 bytes in both engines
+    oracle="""
+    SELECT doc_id,
+           CAST(100 AS INTEGER) AS out_chars,
+           md5(substr(repeat(text, CAST(ceil(100.0 / len(text)) AS INTEGER)),
+                      1, 100)) AS resized_md5
+    FROM documents WHERE len(text) > 0
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: binary payload -> Arrow batches -> per-row
+    resample kernel -> fingerprint (operators/multimodal.py
+    fake_resize_media; a real PIL resize slots into the same loop)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.fake_resize_media(d, out_chars=100)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS k
+        FROM documents WHERE len(text) > 0
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER)                          AS frame_idx,
+           CAST(len(substr(text, CAST(k * 64 + 1 AS BIGINT), 64))
+                AS INTEGER)                            AS frame_chars,
+           md5(substr(text, CAST(k * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM f WHERE k % 4 = 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every 4th 64-char frame per payload —
+    the 1->N Arrow row fan-out of real video frame extraction
+    (operators/multimodal.py sample_frames)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.sample_frames(d, frame_chars=64, every_n=4)

@@ -2,12 +2,21 @@
 """Empirical scale probe: replicate documents Kx (salted so copies are
 near- but not exact dups) and time the dedup/text family at 1x vs Kx.
 
-Last run (K=8, sf0.1 base = 5k docs -> 40k, local[32]):
+Last run (K=8, sf0.1 base = 5k docs -> 40k, 2k vecs -> 16k, local[32]):
 
-    minhash_lsh          2.31 s ->  3.73 s   (1.6x: sublinear — band
+    minhash_lsh          2.73 s ->  4.16 s   (1.5x: sublinear — band
                                               collisions bound candidates)
-    repetition_stats     0.51 s ->  0.72 s   (1.4x: linear map+agg)
-    jaccard_pairs(cap)   2.66 s -> 26.66 s   (10x: the exact all-pairs
+    repetition_stats     0.48 s ->  0.95 s   (2.0x: linear map+agg)
+    quality_curriculum   0.77 s ->  1.02 s   (1.3x: histogram quantiles
+                                              keyed by distinct values,
+                                              not rows)
+    mixture_sample       0.55 s ->  0.60 s   (1.1x: two aggregates +
+                                              codegen'd filter)
+    kmeans k=4 iters=2   3.33 s ->  3.04 s   (flat: per-iteration fixed
+                                              overhead dominates at this
+                                              size; vector passes are
+                                              embarrassingly parallel)
+    jaccard_pairs(cap)   2.62 s -> 51.24 s   (20x: the exact all-pairs
                                               join is QUADRATIC in
                                               docs-per-shingle; 8 salted
                                               copies -> 64x pair volume)
@@ -28,7 +37,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import curriculum as C
 from celeborn_spark.operators import dedup as D
+from celeborn_spark.operators import kmeans as KM
 from celeborn_spark.operators import textops as T
 from celeborn_spark.session import get_spark
 
@@ -84,6 +95,48 @@ def main() -> None:
             f"repetition {label}",
             lambda df=df: T.repetition_stats(df, "doc_id", "text").count(),
         )
+        timeit(
+            f"quality_curriculum {label}",
+            lambda df=df: _curriculum(df).count(),
+        )
+        timeit(
+            f"mixture_sample {label}",
+            lambda df=df: C.mixture_sample(
+                df, "lang", "doc_id", "n_chars",
+                {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.2, "zh": 0.3}, 0.8,
+            ).count(),
+        )
+
+    e1 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    ereps = [
+        e1.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(i * 1e-3)
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(K)
+    ]
+    ek = ereps[0]
+    for r in ereps[1:]:
+        ek = ek.unionByName(r)
+    ek.write.mode("overwrite").parquet("/tmp/scale_probe_vecs.parquet")
+    ek = spark.read.parquet("/tmp/scale_probe_vecs.parquet")
+    for label, df in (("1x", e1), (f"{K}x", ek)):
+        timeit(
+            f"kmeans(k=4,iters=2) {label}",
+            lambda df=df: KM.lloyd_iterations(df, k=4, iters=2).count(),
+        )
+
+
+def _curriculum(df):
+    scored = (
+        df.select("doc_id", "n_chars", T.quality_score("text").alias("q"))
+        .filter(F.col("q").isNotNull())
+        .localCheckpoint()
+    )
+    return C.quantile_bins(scored, "q", n_bins=10)
 
 
 if __name__ == "__main__":

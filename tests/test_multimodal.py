@@ -60,3 +60,32 @@ def test_binary_file_to_decode_pipeline(spark, tmp_path):
     )
     meta = {r.doc_id: (r.n_bytes, r.format) for r in fake_decode_meta(blobs).collect()}
     assert meta == {0: (len(payloads[0]), "textish"), 1: (len(payloads[1]), "binary")}
+
+
+def test_fake_resize_tiles_to_exact_length(spark):
+    from celeborn_spark.operators.multimodal import attach_binary_payload, fake_resize_media
+
+    df = attach_binary_payload(
+        spark.createDataFrame([(1, "ab"), (2, "x" * 500), (3, "")], ["doc_id", "text"])
+    )
+    rows = {r.doc_id: r.out_chars for r in fake_resize_media(df, out_chars=100).collect()}
+    assert rows == {1: 100, 2: 100}  # empty payload dropped
+
+
+def test_sample_frames_fan_out_counts(spark):
+    import math
+
+    from celeborn_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    texts = {1: "a" * 300, 2: "b" * 64, 3: "c" * 65}
+    df = attach_binary_payload(
+        spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    )
+    out = sample_frames(df, frame_chars=64, every_n=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_chars))
+    for doc_id, text in texts.items():
+        n_frames = math.ceil(len(text) / 64)
+        expect = [(k, min(64, len(text) - k * 64)) for k in range(0, n_frames, 4)]
+        assert sorted(got[doc_id]) == expect, (doc_id, got[doc_id], expect)
