@@ -30,6 +30,8 @@ from celeborn_spark.operators.similarity import (
     cosine,
     as_double_array,
 )
+from celeborn_spark.operators.kmeans import l2_dist
+from celeborn_spark.operators.curriculum import u01
 
 __all__ = [
     "tokens",
@@ -51,4 +53,6 @@ __all__ = [
     "l2_norm",
     "cosine",
     "as_double_array",
+    "l2_dist",
+    "u01",
 ]
