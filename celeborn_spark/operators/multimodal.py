@@ -67,8 +67,38 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     return df.select(id_c, pay_c).mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+FEATURES_SCHEMA = "doc_id long, n_chars long, n_vowels long, n_digits long, n_spaces long"
 RESIZE_SCHEMA = "doc_id long, out_chars int, resized_md5 string"
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_chars int, frame_md5 string"
+
+
+def fake_extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature-extraction stand-in: per-payload character-class counts
+    (integer features — engine-exact, no float rounding) through the
+    same Arrow mapInPandas loop a real image/audio featurizer (CLIP
+    embedding, mel spectrogram) would use. Counts are computed in
+    vectorized pandas str ops, not per-row Python."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[payload_col].map(lambda b: bytes(b).decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_chars": texts.str.len().astype("int64"),
+                    "n_vowels": texts.str.count(r"[aeiou]").astype("int64"),
+                    "n_digits": texts.str.count(r"[0-9]").astype("int64"),
+                    "n_spaces": texts.str.count(r" ").astype("int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feature_batches, schema=FEATURES_SCHEMA
+    )
 
 
 def fake_resize_media(

@@ -104,3 +104,29 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py sample_frames)."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.sample_frames(d, frame_chars=64, every_n=4)
+
+
+@query(
+    "q_multimodal_features",
+    # integer character-class counts — engine-exact, no float rounding;
+    # length() counts characters in both engines, regexp counts via
+    # delete-and-diff in SQL vs vectorized str.count in pandas
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(text) - len(regexp_replace(text, '[aeiou]', '', 'g'))
+                AS BIGINT)           AS n_vowels,
+           CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT)           AS n_digits,
+           CAST(len(text) - len(regexp_replace(text, ' ', '', 'g'))
+                AS BIGINT)           AS n_spaces
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: payload -> Arrow batches ->
+    vectorized character-class features (operators/multimodal.py
+    fake_extract_features; a CLIP/mel featurizer slots into the same
+    loop)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.fake_extract_features(d)
