@@ -54,7 +54,6 @@ HEAVY_EXTRAS = (
     "q_date_funcs",
     "q_window_first_last",
     "q_window_running_sum",
-    "q_window_lag_lead",
     "q_count_distinct",
     "q_array_funcs",
     "q_cube",
@@ -68,11 +67,13 @@ HEAVY_EXTRAS = (
     "q_lateral_topk",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
+    "q_dedup_edit_distance",
 )
 # Near-threshold exclusions (re-measured 2026-08-13): q_window_range_frame
-# 84 ms, q9_product_profit 106 ms — both within host noise of the 100 ms
-# rule and of already-represented classes; the 1.9 KB line budget forces
-# a cut somewhere (test_bench_contract pins the worst case).
+# 84 ms, q9_product_profit 106 ms, q_window_lag_lead 118 ms — all within
+# host noise of the 100 ms rule and of already-represented classes (four
+# window-function variants stay headlined); the 1.9 KB line budget forces
+# cuts somewhere (test_bench_contract pins the worst case).
 
 
 def headline_names() -> list[str]:

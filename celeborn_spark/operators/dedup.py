@@ -75,6 +75,45 @@ def incremental_dedup(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 20,
+    block_chars: int = 32,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance with length blocking:
+    docs whose lengths fall in the same `block_chars`-wide band are
+    candidate pairs (two docs within `max_dist` edits differ by at most
+    `max_dist` chars of length, so a wide-enough band catches them
+    unless they straddle a boundary — the standard blocking trade-off),
+    verified with JVM-side levenshtein. The threshold argument makes
+    Spark bail out of the O(len^2) DP early once distance exceeds
+    `max_dist` — the scale lever DuckDB's plain levenshtein lacks.
+
+    The band is the join key, so the self-join is one exchange and
+    O(N^2) only within a band — same discipline as the signature
+    buckets in embedding near-dup (operators/similarity.py)."""
+    t = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.floor(F.length(text_col) / block_chars).alias("_blk"),
+    )
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col("_txt").alias("_ta"), "_blk"
+    )
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col("_txt").alias("_tb"), "_blk"
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_ta", "_tb", max_dist))
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 past max_dist
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-exchange a (possibly single-partition) input across all
     cores before a CPU-heavy map stage. Small files arrive as one

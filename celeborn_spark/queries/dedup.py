@@ -62,6 +62,35 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_edit_distance",
+    # the oracle runs every candidate pair through a FULL O(len^2)
+    # levenshtein DP (DuckDB has no thresholded form), so the registered
+    # query works a deterministic 1-in-10 corpus slice to keep the
+    # baseline tractable; the operator itself is corpus-general and the
+    # full-corpus form is pytest-covered
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(floor(len(text) / 32) AS BIGINT) AS blk
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT id_a, id_b, dist FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.text, b.text) AS dist
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ) WHERE dist <= 20
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: same-length-band candidates verified by
+    levenshtein <= 20 (operators/dedup.py edit_distance_pairs; Spark's
+    thresholded levenshtein bails out of the DP early — DuckDB computes
+    it in full, same value for surviving pairs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return D.edit_distance_pairs(d, "doc_id", "text", max_dist=20, block_chars=32)
+
+
+@query(
     "q_dedup_jaccard_pairs",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -159,3 +159,19 @@ def test_incremental_dedup_drops_corpus_and_batch_dupes(spark):
     out = D.incremental_dedup(batch, index, "text", "doc_id")
     rows = {r.doc_id: r.n_copies for r in out.collect()}
     assert rows == {200: 1, 201: 1, 202: 2}, rows
+
+
+def test_edit_distance_pairs_blocked(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # dist 3
+            (3, "a completely different document about spark and data"),
+            (4, "x" * 400),  # far-away block
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r.dist for r in
+           D.edit_distance_pairs(docs, "doc_id", "text", max_dist=10).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 3
+    assert all(p == (1, 2) for p in out), out
