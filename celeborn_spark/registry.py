@@ -58,9 +58,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # §2C dedup / sampling
     "q_dedup_exact",
+    "q_incremental_dedup",
     "q_dedup_jaccard_pairs",
     "q_dedup_minhash_lsh",
     "q_simhash_fingerprints",
+    "q_dedup_edit_distance",
     "q_dedup_groups",
     "q_hash_sample",
     # q_stratified_sample's class (per-stratum hash rates) is
@@ -91,7 +93,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # q_embedding_signature stays registered+oracle past the window;
     # the verified pipeline below exercises it as its bucketing stage
     "q_embedding_near_dup_verified",
-    "q_multimodal_meta",
+    # q_multimodal_meta (JVM byte ops) stays registered + oracle past
+    # the window; the multimodal component's window slot is the Arrow
+    # decode path, the harder claim
     "q_multimodal_decode",
     # streaming
     "q_word_count_topk",
@@ -114,7 +118,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # advanced relational
     "q_correlated_exists",
     "q_stats_agg",
-    "q_arg_minmax",
+    # q_arg_minmax (covered by q_stats_agg/window first-last classes)
+    # stays registered + oracle past the window
     "q_sorted_range_scan",
     # data-plane parity (§2A); A1 repartition-exchange is represented
     # by q_global_sort/q_salted_agg (q_exchange_repartition stays
