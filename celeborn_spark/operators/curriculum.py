@@ -55,6 +55,8 @@ def quantile_bins(
     `score_col`, computed from the value histogram (no global row
     sort). bin = floor(n_bins * rows_before_this_value / total); all
     rows sharing a value share a bin."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
     # window over DISTINCT score values only — cardinality-bounded, not
     # row-bounded, so the single-partition sort is safe at scale
@@ -86,6 +88,12 @@ def mixture_sample(
     follow `targets` within a budget_frac-of-total budget. Strata
     absent from `targets` are dropped. Two cheap aggregates + one
     broadcast join + one codegen'd filter; the data never shuffles."""
+    if not targets:
+        raise ValueError("targets must name at least one stratum")
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    if any(share < 0 for share in targets.values()):
+        raise ValueError(f"target shares must be >= 0: {targets}")
     totals = df.groupBy(stratum_col).agg(F.sum(weight_col).alias("stratum_w"))
     grand = totals.agg(F.sum("stratum_w").alias("grand_w"))
     target = F.lit(None).cast("double")

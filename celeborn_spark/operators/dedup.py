@@ -94,6 +94,10 @@ def edit_distance_pairs(
     The band is the join key, so the self-join is one exchange and
     O(N^2) only within a band — same discipline as the signature
     buckets in embedding near-dup (operators/similarity.py)."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if block_chars < 1:
+        raise ValueError(f"block_chars must be >= 1, got {block_chars}")
     t = df.select(
         F.col(id_col),
         F.col(text_col).alias("_txt"),

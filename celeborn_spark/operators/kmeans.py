@@ -102,6 +102,10 @@ def lloyd_iterations(
     """Fit k-means for `iters` Lloyd rounds from deterministic seeds
     (the k lowest-id vectors; cluster id = seed id) and return the final
     assignment (id, cluster, dist)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     seeds = vectors.orderBy(id_col).limit(k)
     centroids = seeds.select(
         F.col(id_col).alias("cluster"), as_double_array(vec_col).alias("c")

@@ -136,3 +136,16 @@ def test_text_analysis_stays_in_codegen(spark, sf_dir):
         plan = physical_plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert has_whole_stage_codegen(df), (name, plan[:1500])
+
+
+def test_new_dedup_joins_stay_equality_keyed(spark, sf_dir):
+    """Blocked edit-distance and incremental dedup must join on their
+    bucket/hash keys — a BroadcastNestedLoopJoin or CartesianProduct
+    here means the blocking key was lost and the pair space is O(N^2)."""
+    from celeborn_spark import registry
+
+    qs = registry.queries()
+    for name in ("q_incremental_dedup", "q_dedup_edit_distance"):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1500])
+        assert "CartesianProduct" not in plan, (name, plan[:1500])
