@@ -1,0 +1,71 @@
+"""Funnel analysis: ordered event-sequence conversion over an event
+stream — the product-analytics operator family (view -> click ->
+purchase) on top of the events table.
+
+Semantics: step k converts for a user when an event of step k's type
+occurs STRICTLY AFTER the user's step-(k-1) conversion time; each
+step's conversion time is the EARLIEST such event. This is the
+standard "first touch" funnel; reordering-resistant (a purchase before
+the first view does not count).
+
+Spark-first plan: one filtered min-aggregate per step, chained by an
+equi-join on the user key. Every join is keyed on user_id, so at 100 TB
+all steps co-partition after the first exchange (AQE reuses the
+exchange); no windows over the raw event stream, no per-user state in
+Python. Timestamps compare as unix micros — the engine-exact form for
+the nanos-truncated events table (same discipline as
+queries/temporal.py sessionize).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-step funnel conversion: (step, ord, n_users,
+    avg_step_delay_sec) for each step in order. `avg_step_delay_sec`
+    is the mean seconds between converting the previous step and this
+    one (NULL for the first step)."""
+    if len(steps) < 1:
+        raise ValueError("steps must name at least one event type")
+    t = F.unix_micros(F.col(ts_col))
+    base = events.select(F.col(user_col).alias("u"), F.col(type_col).alias("et"), t.alias("t"))
+
+    out_rows: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        e = base.filter(F.col("et") == step)
+        if prev is None:
+            cur = e.groupBy("u").agg(F.min("t").alias("t"))
+            delay = F.lit(None).cast("double")
+        else:
+            cur = (
+                e.join(prev.select("u", F.col("t").alias("t_prev")), "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u")
+                # t_prev is constant per user; min() just carries it
+                .agg(F.min("t").alias("t"), F.min("t_prev").alias("t_prev"))
+            )
+            delay = F.round(F.avg((F.col("t") - F.col("t_prev")) / 1e6), 2)
+        out_rows.append(
+            cur.agg(
+                F.lit(step).alias("step"),
+                F.lit(i + 1).alias("ord"),
+                F.count(F.lit(1)).alias("n_users"),
+                delay.alias("avg_step_delay_sec"),
+            )
+        )
+        prev = cur
+
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionByName(r)
+    return result

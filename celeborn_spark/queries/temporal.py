@@ -116,3 +116,38 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return resample_gapfill(e, "user_id", "ts", "value", width_sec=300)
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH e AS (
+        SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events
+    ),
+    s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY u),
+    s2 AS (
+        SELECT e.u, min(e.t) AS t, min(s1.t) AS t_prev
+        FROM e JOIN s1 ON e.u = s1.u AND e.et = 'click' AND e.t > s1.t
+        GROUP BY e.u
+    ),
+    s3 AS (
+        SELECT e.u, min(e.t) AS t, min(s2.t) AS t_prev
+        FROM e JOIN s2 ON e.u = s2.u AND e.et = 'purchase' AND e.t > s2.t
+        GROUP BY e.u
+    )
+    SELECT 'view' AS step, 1 AS ord, count(*) AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_step_delay_sec FROM s1
+    UNION ALL
+    SELECT 'click', 2, count(*), round(avg((t - t_prev) / 1e6), 2) FROM s2
+    UNION ALL
+    SELECT 'purchase', 3, count(*), round(avg((t - t_prev) / 1e6), 2) FROM s3
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel view -> click -> purchase: per-step converted
+    users and mean inter-step delay (operators/funnel.py — chained
+    user-keyed min-aggregates, no event-stream windows)."""
+    from celeborn_spark.operators.funnel import funnel_steps
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_steps(e, ["view", "click", "purchase"])
