@@ -119,3 +119,62 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mixture_sample(
         d, "lang", "doc_id", "n_chars", MIX_TARGETS, MIX_BUDGET, salt=MIX_SALT
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_pipeline_full",
+    # the CorpusPipeline facade end to end in one oracle: quality
+    # filter -> exact dedup -> mixture sample (token weights, md5
+    # variate, salt 0) -> per-lang shard packing. Every stage reuses an
+    # already-verified formula (q_text_quality, q_dedup_exact,
+    # q_mixture_sample, q_shard_packing).
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n,
+               len(list_filter(string_split(text, ' '), t -> t IN {_SW})) AS n_sw
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, lang, text, n FROM scored
+        WHERE n > 0
+          AND round(0.5 * least(n / 100.0, 1.0)
+                  + 0.5 * least((n_sw / n) / 0.1, 1.0), 6) >= 0.3
+    ),
+    dedup AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    dk AS (SELECT k.* FROM kept k JOIN dedup d ON k.doc_id = d.doc_id),
+    totals AS (SELECT lang, sum(n) AS stratum_w FROM dk GROUP BY lang),
+    grand AS (SELECT sum(stratum_w) AS grand_w FROM totals),
+    rates AS (
+        SELECT lang, least(1.0, t * {MIX_BUDGET} * grand_w / stratum_w) AS rate
+        FROM (SELECT lang, stratum_w, {_mix_rate_sql()} AS t FROM totals)
+        CROSS JOIN grand
+        WHERE t IS NOT NULL
+    ),
+    sampled AS (
+        SELECT dk.* FROM dk JOIN rates r ON dk.lang = r.lang
+        WHERE {C.u01_oracle_expr("CAST(dk.doc_id AS VARCHAR)", 0)} < r.rate
+    )
+    SELECT lang, doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(floor(CAST(coalesce(
+               sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) / 512.0) AS BIGINT) AS shard_id
+    FROM sampled
+    """,
+)
+def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CorpusPipeline facade, driver-verified end to end: quality
+    filter -> exact dedup -> mixture rebalance -> token-budget shard
+    layout (celeborn_spark/pipeline.py)."""
+    from celeborn_spark.pipeline import CorpusPipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    p = (
+        CorpusPipeline(d)
+        .filter_quality(0.3)
+        .dedup_exact()
+        .sample_mixture(MIX_TARGETS, MIX_BUDGET)
+    )
+    return p.pack_shards(budget=512, stream_col="lang")

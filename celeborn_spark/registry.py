@@ -79,7 +79,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_text_repetition",
     "q_tfidf_topk",
     "q_bpe_token_count",
-    "q_corpus_clean_pipeline",
+    # q_corpus_clean_pipeline stays registered + oracle past the
+    # window; q_pipeline_full subsumes it (adds mixture + packing and
+    # drives the CorpusPipeline facade itself)
+    "q_pipeline_full",
     "q_shard_packing",
     # §2C similarity / multimodal
     "q_cosine_topk",
