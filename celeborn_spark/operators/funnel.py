@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 
 def funnel_steps(
@@ -69,3 +70,58 @@ def funnel_steps(
     for r in out_rows[1:]:
         result = result.unionByName(r)
     return result
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-activity week
+    (the cohort), counted once per subsequent week they appear in.
+    Returns (cohort_week, week_offset, n_active_users).
+
+    Two keyed aggregations (first-week per user, then distinct
+    user-week activity) and one broadcast-size rollup — the activity
+    relation shrinks to |users| x |weeks| before the final count, so
+    the raw event volume only streams once. Weeks are Monday-truncated
+    in both engines; offsets are exact multiples of 7 days."""
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first = events.groupBy(user_col).agg(F.min(wk).alias("cohort_week"))
+    active = events.select(F.col(user_col), wk.alias("act_week")).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition counts (the Markov-chain edge
+    list of user behavior): lag over a TOTAL per-user ordering
+    (timestamp micros, event id tie-break — ties are real in synthetic
+    and production streams), then one (prev, next) count aggregation.
+    The window partitions by user, so state never crosses users and
+    the exchange is user-keyed."""
+    t = F.unix_micros(F.col(ts_col))
+    w = W.partitionBy(user_col).orderBy(t, F.col(id_col))
+    seq = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("next_type"),
+        F.lag(type_col).over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -151,3 +151,52 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return funnel_steps(e, ["view", "click", "purchase"])
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INTEGER)
+               AS week_offset,
+           count(*) AS n_active_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over the events table
+    (operators/funnel.py retention_cohorts)."""
+    from celeborn_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS next_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts of per-user event sequences
+    (operators/funnel.py event_transitions)."""
+    from celeborn_spark.operators.funnel import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))

@@ -38,3 +38,45 @@ def test_funnel_requires_steps(spark):
     e = spark.createDataFrame([(1, _ts(0), "view")], ["user_id", "ts", "event_type"])
     with pytest.raises(ValueError, match="at least one"):
         funnel_steps(e, [])
+
+
+def test_retention_cohorts_counts(spark):
+    from celeborn_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        # user 1 first active week of Jan 1 (Mon), returns week of Jan 8
+        (1, dt.datetime(2024, 1, 2, 10), "view"),
+        (1, dt.datetime(2024, 1, 9, 10), "click"),
+        # user 2 same cohort, never returns
+        (2, dt.datetime(2024, 1, 3, 10), "view"),
+        # user 3 cohort of Jan 8
+        (3, dt.datetime(2024, 1, 10, 10), "view"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active_users
+        for r in retention_cohorts(e).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }, got
+
+
+def test_event_transitions_orders_by_time(spark):
+    from celeborn_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, _ts(0), 10, "view"), (1, _ts(5), 11, "click"), (1, _ts(9), 12, "click"),
+        (2, _ts(0), 20, "view"), (2, _ts(1), 21, "purchase"),
+        # same-timestamp tie broken by event_id: 31 then 32
+        (3, _ts(0), 31, "view"), (3, _ts(0), 32, "click"),
+    ]
+    e = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {(r.prev_type, r.next_type): r.n for r in event_transitions(e).collect()}
+    assert got == {
+        ("view", "click"): 2,
+        ("click", "click"): 1,
+        ("view", "purchase"): 1,
+    }, got
