@@ -68,11 +68,14 @@ HEAVY_EXTRAS = (
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q_dedup_edit_distance",
+    "q_multimodal_frames",
 )
 # Near-threshold exclusions (re-measured 2026-08-13): q_window_range_frame
-# 84 ms, q9_product_profit 106 ms, q_window_lag_lead 118 ms — all within
-# host noise of the 100 ms rule and of already-represented classes (four
-# window-function variants stay headlined); the 1.9 KB line budget forces
+# 84 ms, q9_product_profit 106 ms, q_window_lag_lead 118 ms,
+# q_stream_session_window 106 ms, q_multimodal_features 136 ms — all
+# within host noise of the 100 ms rule and of already-represented classes
+# (four window-function variants, three streaming-state queries and two
+# Arrow-kernel queries stay headlined); the 1.9 KB line budget forces
 # cuts somewhere (test_bench_contract pins the worst case).
 
 
