@@ -41,10 +41,12 @@ def u01(key: Column | str, salt: int = 0) -> Column:
 
 
 def u01_oracle_expr(key_sql: str, salt: int = 0) -> str:
-    """The DuckDB expression matching u01(key, salt) bit for bit."""
+    """The DuckDB expression matching u01(key, salt) bit for bit —
+    concat_ws skips NULLs in both engines, so even a NULL key hashes
+    identically (as the salt alone) instead of NULL-propagating."""
     return (
-        f"CAST(concat('0x', substr(md5({key_sql} || ':{salt}'), 1, {_HEX_DIGITS}))"
-        f" AS UBIGINT) / {float(_SPACE)}"
+        f"CAST(concat('0x', substr(md5(concat_ws(':', {key_sql}, '{salt}')),"
+        f" 1, {_HEX_DIGITS})) AS UBIGINT) / {float(_SPACE)}"
     )
 
 
@@ -57,6 +59,12 @@ def quantile_bins(
     rows sharing a value share a bin."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    # NULL scores are excluded EXPLICITLY: left in, the NULL group would
+    # enter the histogram (Spark windows sort NULLS FIRST) and shift
+    # every real value's cum_before, while the equi-join back would
+    # silently drop the NULL rows anyway — mis-binned survivors plus
+    # invisible losses. Callers wanting NULLs must bin them themselves.
+    df = df.filter(F.col(score_col).isNotNull())
     hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
     # window over DISTINCT score values only — cardinality-bounded, not
     # row-bounded, so the single-partition sort is safe at scale

@@ -7,18 +7,20 @@ Celeborn has no ML operators — this extends the §2C similarity surface
 real centroid training (queries/similarity.py uses fixed every-Nth-row
 centroids; `lloyd_iterations` is how those become data-driven).
 
-Spark-first plan, per iteration:
-  assign  — crossJoin(broadcast(centroids)) + min-distance window: one
-            map-side stage over the vector table plus a slim
-            (id, cluster) window exchange. The vector table itself is
-            never shuffled.
-  update  — posexplode(vec) -> groupBy(cluster, pos).avg (map-side
-            partial aggs) -> rebuild array. One exchange of
-            k x dim rows.
-At 100 TB: the vector table streams once per iteration, centroids stay
-broadcast-sized (k x dim doubles), and each iteration's centroid DF is
-localCheckpoint'ed so lineage (and thus re-execution of every prior
-iteration) does not grow with iters — the same discipline as
+Spark-first plan: lloyd_iterations hash-partitions the projected
+(id, vec) relation by id ONCE and localCheckpoints it; from then on
+  assign  — crossJoin(broadcast(centroids)) + min-distance window:
+            the window's partitionBy(id) is satisfied by the existing
+            id-partitioning, so no exchange;
+  update  — join assignment (window output, also id-partitioned) back
+            to the vectors — again no exchange — then posexplode ->
+            groupBy(cluster, pos).avg (map-side partials): the ONLY
+            per-iteration shuffle is k x dim mean rows.
+So the vector table crosses the wire exactly once for the whole fit
+(tests/test_kmeans.py pins the per-iteration exchange count), centroids
+stay broadcast-sized (k x dim doubles), and each iteration's centroid
+DF is localCheckpoint'ed so lineage (and thus re-execution of every
+prior iteration) does not grow with iters — the same discipline as
 operators/components.py label propagation.
 
 Determinism: seeds are the k lowest-id vectors (cluster id = seed's
@@ -92,6 +94,23 @@ def update_centroids(
     )
 
 
+def prepared_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Partition the slim (id, vec) projection by id ONCE and cache it:
+    every iteration's window (partitionBy id) and assignment join reuse
+    the partitioning, so the vectors shuffle exactly once for the whole
+    fit instead of once per round. persist(), NOT localCheckpoint():
+    a checkpoint scans back as an opaque RDD with UNKNOWN partitioning
+    and Catalyst re-exchanges anyway; a cached plan keeps the
+    hashpartitioning(id) metadata (test_kmeans pins this)."""
+    return (
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias(vec_col))
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism, id_col)
+        .persist()
+    )
+
+
 def lloyd_iterations(
     vectors: DataFrame,
     k: int = 4,
@@ -110,12 +129,13 @@ def lloyd_iterations(
     centroids = seeds.select(
         F.col(id_col).alias("cluster"), as_double_array(vec_col).alias("c")
     ).localCheckpoint()
+    v = prepared_vectors(vectors, id_col, vec_col)
     for _ in range(iters):
-        assignment = assign_clusters(vectors, centroids, id_col, vec_col)
+        assignment = assign_clusters(v, centroids, id_col, vec_col)
         centroids = update_centroids(
-            vectors, assignment, id_col, vec_col
+            v, assignment, id_col, vec_col
         ).localCheckpoint()  # cut lineage: next round must not re-run this one
-    return assign_clusters(vectors, centroids, id_col, vec_col)
+    return assign_clusters(v, centroids, id_col, vec_col)
 
 
 def kmeans_oracle_sql(

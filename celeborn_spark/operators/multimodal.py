@@ -26,6 +26,14 @@ DECODE_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-exchange a (possibly single-split) input across all cores
+    before a CPU-heavy Arrow kernel — small parquet arrives as one
+    split, which would serialize the whole mapInPandas stage onto one
+    task (same rule as operators/dedup.py _spread)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Demo payload: utf-8 bytes of the text column. Real pipelines read
     image/audio bytes from parquet BinaryType or object-store URIs."""
@@ -64,7 +72,9 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
                 }
             )
 
-    return df.select(id_c, pay_c).mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+    return _spread(df.select(id_c, pay_c), id_c).mapInPandas(
+        decode_batches, schema=DECODE_SCHEMA
+    )
 
 
 FEATURES_SCHEMA = "doc_id long, n_chars long, n_vowels long, n_digits long, n_spaces long"
@@ -96,7 +106,7 @@ def fake_extract_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         feature_batches, schema=FEATURES_SCHEMA
     )
 
@@ -130,7 +140,7 @@ def fake_resize_media(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         resize_batches, schema=RESIZE_SCHEMA
     )
 
@@ -171,6 +181,6 @@ def sample_frames(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         frame_batches, schema=FRAMES_SCHEMA
     )

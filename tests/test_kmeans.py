@@ -51,3 +51,27 @@ def test_assign_broadcasts_centroids(spark, sf_dir):
     plan = K.assign_clusters(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan, "centroid join must not shuffle the vectors"
+
+
+def test_iteration_reuses_vector_partitioning(spark, sf_dir):
+    """After the one-time id-partitioning, an iteration's assign window
+    and update join must NOT re-exchange the vector relation — the only
+    per-iteration exchange is the (cluster, pos) mean aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = K.prepared_vectors(emb)
+    cents = v.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("c")
+    ).localCheckpoint()
+    assignment = K.assign_clusters(v, cents)
+    updated = K.update_centroids(v, assignment)
+    plan = updated._jdf.queryExecution().executedPlan().toString()
+    # the cached plan's one-time REPARTITION_BY_NUM fill shows up inside
+    # the InMemoryRelation display; what must NOT exist is a runtime
+    # ENSURE_REQUIREMENTS re-exchange of the vectors by id
+    import re
+
+    runtime_vec_exchanges = re.findall(
+        r"Exchange hashpartitioning\(vec_id[^\n]*ENSURE_REQUIREMENTS", plan
+    )
+    assert not runtime_vec_exchanges, plan[:2500]
+    v.unpersist()
