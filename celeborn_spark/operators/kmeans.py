@@ -21,7 +21,10 @@ So the vector table crosses the wire exactly once for the whole fit
 stay broadcast-sized (k x dim doubles), and each iteration's centroid
 DF is localCheckpoint'ed so lineage (and thus re-execution of every
 prior iteration) does not grow with iters — the same discipline as
-operators/components.py label propagation.
+operators/components.py label propagation. (At toy scale the cache
+machinery costs more than it saves — ~1 s at sf0.1 — but it is the
+100 TB-correct default, the same input-caching choice Spark MLlib's
+KMeans makes; the cache is released when the fit returns.)
 
 Determinism: seeds are the k lowest-id vectors (cluster id = seed's
 vec_id), distances are rounded to 6 dp with cluster-id tie-break, and
@@ -135,7 +138,12 @@ def lloyd_iterations(
         centroids = update_centroids(
             v, assignment, id_col, vec_col
         ).localCheckpoint()  # cut lineage: next round must not re-run this one
-    return assign_clusters(v, centroids, id_col, vec_col)
+    # materialize the slim final assignment, then release the vector
+    # cache — without this every fit leaks one InMemoryRelation into
+    # the executor cache for the life of the session
+    final = assign_clusters(v, centroids, id_col, vec_col).localCheckpoint()
+    v.unpersist()
+    return final
 
 
 def kmeans_oracle_sql(
