@@ -72,6 +72,34 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(key_col, salt) < threshold)
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (sequential
+    Poisson / Ohlsson priority sampling): each row gets priority
+    weight / u, u the row's md5 uniform variate, and the k highest
+    priorities win — heavier rows win proportionally more often.
+
+    Chosen over the Efraimidis-Spirakis u^(1/w) form deliberately:
+    division is IEEE-exact and bit-identical across engines, while
+    pow() may differ in the last ulp between libm and the JVM —
+    priorities here are oracle-comparable WITHOUT rounding. One
+    codegen'd map + one TakeOrderedAndProject; no shuffle of the
+    losers."""
+    from celeborn_spark.operators.curriculum import u01
+
+    pri = (F.col(weight_col) / u01(key_col, salt)).alias("priority")
+    return (
+        df.select(F.col(key_col), F.col(weight_col), pri)
+        .orderBy(F.col("priority").desc(), F.col(key_col))
+        .limit(k)
+    )
+
+
 def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Statistical (rand-based) sample — NOT reproducible across
     partitionings; prefer hash_sample for pipeline determinism."""

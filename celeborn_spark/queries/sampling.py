@@ -17,6 +17,11 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.sampling import hash_sample, stratified_hash_sample
 from celeborn_spark.registry import query
 
+from celeborn_spark.operators.curriculum import u01_oracle_expr
+
+# md5-uniform variate of doc_id at salt 3 (matches weighted_sample_topk)
+_U01_DOC = u01_oracle_expr("CAST(doc_id AS VARCHAR)", 3)
+
 
 @query(
     "q_hash_sample",
@@ -66,3 +71,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", "doc_id", {"en": 0.1, "zh": 0.5}, default_fraction=1.0
     )
     return sampled.select("doc_id", "lang")
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars, priority FROM (
+        SELECT doc_id, n_chars,
+               n_chars / ({_U01_DOC}) AS priority
+        FROM documents
+    )
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 100 docs by sequential-Poisson
+    priority (weight / md5-uniform — division is bit-identical across
+    engines, unlike pow; operators/sampling.py weighted_sample_topk)."""
+    from celeborn_spark.operators.sampling import weighted_sample_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(d, "doc_id", "n_chars", k=100, salt=3)

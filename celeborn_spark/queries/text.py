@@ -363,3 +363,49 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(total)).filter(
         F.col("n") > 0.001 * F.col("t")
     ).select("tok", "n")
+
+
+@query(
+    "q_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    ranked AS (
+        SELECT token, cnt,
+               sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum
+        FROM counts
+    )
+    SELECT token, cnt, round(cum / total, 6) AS cum_share
+    FROM ranked CROSS JOIN tot
+    ORDER BY cnt DESC, token LIMIT 200
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve: the 200 most frequent tokens with the
+    cumulative share of all token occurrences they cover — the
+    vocabulary-sizing artifact for tokenizer design. The running-sum
+    window orders DISTINCT tokens only (vocabulary-bounded, not
+    corpus-bounded — the same cardinality argument as
+    operators/curriculum.py quantile_bins)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w = W.orderBy(F.col("cnt").desc(), "token").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        counts.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token", "cnt", F.round(F.col("cum") / F.col("total"), 6).alias("cum_share")
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(200)
+    )

@@ -51,3 +51,21 @@ def test_stratified_sample_respects_fractions(spark, sf_dir):
         if k in full and full[k] >= 20:
             ratio = got.get(k, 0) / full[k]
             assert abs(ratio - f) < 0.25, (k, ratio, f)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from celeborn_spark.operators.sampling import weighted_sample_topk
+    from pyspark.sql import functions as F
+
+    # 500 light rows (w=1) + 500 heavy rows (w=100): heavy rows should
+    # dominate the top-k overwhelmingly
+    df = spark.range(1000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 500, F.lit(1)).otherwise(F.lit(100)).alias("w"),
+    )
+    top = weighted_sample_topk(df, "key", "w", k=100).collect()
+    n_heavy = sum(1 for r in top if r.key >= 500)
+    assert n_heavy >= 90, f"heavy rows underrepresented: {n_heavy}/100"
+    # deterministic across calls
+    again = weighted_sample_topk(df, "key", "w", k=100).collect()
+    assert [r.key for r in top] == [r.key for r in again]
