@@ -29,6 +29,16 @@ def tokens(text: Column | str) -> Column:
     return F.split(text, r"\s+")
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text form for normalized dedup / matching: lowercase,
+    strip non-alphanumeric-space chars, collapse whitespace runs, trim.
+    Pure JVM regexps, byte-identical to the SQL mirror (lower +
+    regexp_replace are ASCII-stable in both engines for this corpus)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 

@@ -409,3 +409,95 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(200)
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS norm_hash,
+           len(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS norm_chars
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprints: lowercase + punctuation strip +
+    whitespace collapse, the normalize-before-dedup preprocessing step
+    (operators/textops.py normalize_text)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = T.normalize_text("text")
+    return d.select(
+        "doc_id",
+        F.md5(n).alias("norm_hash"),
+        F.length(n).alias("norm_chars"),
+    )
+
+
+@query(
+    "q_dedup_normalized",
+    oracle="""
+    SELECT norm_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                   '\\s+', ' ', 'g'))) AS norm_hash
+        FROM documents
+    )
+    GROUP BY norm_hash
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the NORMALIZED form — catches case/punctuation/
+    whitespace variants plain exact dedup misses (how production dedup
+    actually runs: normalize, then hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(T.normalize_text("text")).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    # avg(-ln p) per doc: the sums of ~200 logs differ only in final
+    # ulps across libm implementations, so the per-doc aggregate is
+    # rounded 6dp on both sides (the repo's aggregate-rounding rule)
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT t.doc_id,
+           round(avg(-ln(v.cnt / tot.total)), 6) AS avg_neg_logprob,
+           count(*) AS n_tokens
+    FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM surprisal per doc — the fluency /
+    outlier proxy (docs of rare tokens score high): one vocab
+    aggregate, one broadcast-able count join, one per-doc mean. The
+    cheapest 'perplexity filter' an LLM pipeline runs before a real
+    LM scorer."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(T.tokens("text")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6)
+            .alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

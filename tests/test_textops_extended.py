@@ -99,3 +99,18 @@ def test_resample_grid_is_dense_per_user(spark, sf_dir):
     assert holes == 0
     # first bucket of every user is non-empty => filled never NULL
     assert out.filter(F.col("filled").isNull()).count() == 0
+
+
+def test_normalize_collapses_variants(spark):
+    from celeborn_spark.operators.textops import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD."),
+         (4, "different text")],
+        ["doc_id", "text"],
+    )
+    hashes = {r.doc_id: r.h for r in
+              df.select("doc_id", F.md5(normalize_text("text")).alias("h")).collect()}
+    assert hashes[1] == hashes[2] == hashes[3]
+    assert hashes[4] != hashes[1]
