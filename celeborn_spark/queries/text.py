@@ -501,3 +501,61 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+CHUNK_STRIDE = 64
+CHUNK_SIZE = 96  # 32-token overlap between consecutive chunks
+
+
+@query(
+    "q_text_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_idx,
+           CAST(len(toks[(k * {CHUNK_STRIDE} + 1):(k * {CHUNK_STRIDE} + {CHUNK_SIZE})])
+                AS INTEGER)   AS n_chunk_tokens,
+           md5(array_to_string(
+               toks[(k * {CHUNK_STRIDE} + 1):(k * {CHUNK_STRIDE} + {CHUNK_SIZE})],
+               ' '))          AS chunk_hash
+    FROM (
+        SELECT doc_id, toks, n,
+               unnest(range(0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT))) AS k
+        FROM t WHERE n > 0
+    )
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (stride 64, size 96) — the
+    RAG / context-window layout step, as a pure-JVM 1->N fan-out:
+    tokenize ONCE into a materialized array column, explode a chunk
+    index sequence, slice per chunk (no per-element re-tokenization —
+    the O(len^2) trap operators/textops.py bigrams documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", T.tokens("text").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    stride, size = CHUNK_STRIDE, CHUNK_SIZE
+    ks = t.filter(F.col("n") > 0).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.col("n") / stride).cast("int") - 1, F.lit(0)
+                ),
+            )
+        ).alias("k"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("k") * stride + 1, size)
+    return ks.select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

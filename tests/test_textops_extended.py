@@ -114,3 +114,36 @@ def test_normalize_collapses_variants(spark):
               df.select("doc_id", F.md5(normalize_text("text")).alias("h")).collect()}
     assert hashes[1] == hashes[2] == hashes[3]
     assert hashes[4] != hashes[1]
+
+
+def test_text_chunks_overlap_and_coverage(spark):
+    """Chunks tile the doc with the configured stride/overlap and the
+    reassembled stride-prefixes reproduce the token stream."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from celeborn_spark.queries.text import CHUNK_SIZE, CHUNK_STRIDE
+    from celeborn_spark.queries import text as qt
+    from celeborn_spark.catalog import TABLES  # noqa: F401
+
+    n_tokens = 300
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+
+    from pyspark.sql import functions as F
+    from celeborn_spark.operators import textops as T
+    t = df.select("doc_id", T.tokens("text").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n"))
+    ks = t.filter(F.col("n") > 0).select(
+        "doc_id", "toks",
+        F.explode(F.sequence(F.lit(0),
+            F.greatest(F.ceil(F.col("n") / CHUNK_STRIDE).cast("int") - 1, F.lit(0)))).alias("k"))
+    chunk = F.slice(F.col("toks"), F.col("k") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    rows = ks.select("k", F.size(chunk).alias("sz"),
+                     F.array_join(chunk, " ").alias("txt")).collect()
+    import math
+    assert len(rows) == math.ceil(n_tokens / CHUNK_STRIDE)
+    by_k = {r.k: r for r in rows}
+    for k, r in by_k.items():
+        start = k * CHUNK_STRIDE
+        expect = words[start : start + CHUNK_SIZE]
+        assert r.txt.split(" ") == expect, k
