@@ -78,7 +78,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_decontaminate",
     "q_text_repetition",
     "q_tfidf_topk",
-    "q_bpe_token_count",
+    # q_bpe_token_count (a second token-counting variant next to
+    # q_text_token_stats) stays registered + oracle past the window;
+    # slot freed for the chunk-fan-out class
+    "q_text_chunks",
     # q_corpus_clean_pipeline stays registered + oracle past the
     # window; q_pipeline_full subsumes it (adds mixture + packing and
     # drives the CorpusPipeline facade itself)
