@@ -559,3 +559,49 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH post AS (
+        SELECT DISTINCT token, doc_id FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+    ),
+    idx AS (
+        SELECT token,
+               count(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM post GROUP BY token
+    )
+    SELECT token, df, postings FROM idx
+    ORDER BY df DESC, token LIMIT 100
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index layout: per-token document-frequency + sorted
+    posting list (joined to a string for cross-engine comparability) —
+    the search/retrieval-side artifact of a corpus. One distinct + one
+    grouped collect, both keyed on the token."""
+    d = load_table(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(T.tokens("text")).alias("token")).distinct()
+    )
+    return (
+        post.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(100)
+    )
