@@ -73,7 +73,8 @@ HEAVY_EXTRAS = (
 # Near-threshold exclusions (re-measured 2026-08-13): q_window_range_frame
 # 84 ms, q9_product_profit 106 ms, q_window_lag_lead 118 ms,
 # q_window_running_sum 138 ms, q_stream_session_window 106 ms,
-# q_multimodal_features 136 ms, q_unigram_logprob 98 ms — all within host
+# q_multimodal_features 136 ms, q_unigram_logprob 98 ms,
+# q_per_source_cap 106 ms — all within host
 # noise of the 100 ms rule and of already-represented classes (three
 # window-function variants, three streaming-state queries and two
 # Arrow-kernel queries stay headlined); the 1.9 KB line budget forces

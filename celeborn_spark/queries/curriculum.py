@@ -178,3 +178,29 @@ def q_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample_mixture(MIX_TARGETS, MIX_BUDGET)
     )
     return p.pack_shards(budget=512, stream_col="lang")
+
+
+@query(
+    "q_per_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (keep at most 10 docs per source) —
+    the standard crawl-cleaning guard against a single domain
+    dominating the mix. One source-keyed window; Spark's
+    WindowGroupLimit prunes past the cap before the full sort."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )

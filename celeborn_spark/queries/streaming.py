@@ -205,3 +205,47 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     return run_stream_to_table(agg, "stream_static_join", "complete")
+
+
+@query(
+    "q_stream_corpus_ingest",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT lang, n_chars, md5(text) AS h,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion: documents arrive as a file stream,
+    are exact-deduped on content hash IN-STREAM (dropDuplicates state
+    store — the streaming form of exact_dedup), and roll up per
+    language. The ingestion half of the pipeline: CorpusPipeline runs
+    batch curation, this runs the continuous front door. The oracle is
+    the batch equivalent (first doc per content hash wins; a finite
+    drained stream must agree)."""
+    from pyspark.sql import types as T
+
+    from celeborn_spark.catalog import table_path
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(
+        table_path(sf_dir, "documents").replace("documents.parquet", "documents.*")
+    )
+    deduped = raw.withColumn("h", F.md5("text")).dropDuplicates(["h"])
+    agg = deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    return run_stream_to_table(agg, "stream_corpus_ingest", "complete")
