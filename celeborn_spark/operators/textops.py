@@ -32,11 +32,13 @@ def tokens(text: Column | str) -> Column:
 def normalize_text(text: Column | str) -> Column:
     """Canonical text form for normalized dedup / matching: lowercase,
     strip non-alphanumeric-space chars, collapse whitespace runs, trim.
-    Pure JVM regexps, byte-identical to the SQL mirror (lower +
-    regexp_replace are ASCII-stable in both engines for this corpus)."""
+    Pure JVM regexps. The whitespace class is spelled out as
+    [ \\t\\n\\f\\r] instead of \\s — Java's \\s includes vertical tab
+    (\\x0B) while RE2's (DuckDB's) does not, so \\s would hash
+    differently across engines on a VT-bearing document."""
     c = F.col(text) if isinstance(text, str) else text
-    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
-    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 \t\n\f\r]", "")
+    return F.trim(F.regexp_replace(cleaned, "[ \t\n\f\r]+", " "))
 
 
 def token_count(text: Column | str) -> Column:
@@ -118,6 +120,41 @@ def doc_fingerprint(text: Column | str, mod: int = FINGERPRINT_MOD) -> Column:
         F.transform(tokens(text), lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % mod,
+    )
+
+
+def token_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stride: int = 64,
+    size: int = 96,
+) -> DataFrame:
+    """Overlapping token-window chunks (RAG / context-window layout):
+    (id, chunk_idx, n_chunk_tokens, chunk_hash), chunk k covering
+    tokens [k*stride, k*stride+size). Tokenizes ONCE into a
+    materialized array column, explodes a chunk-index sequence, slices
+    per chunk — never re-tokenizes per element (the O(len^2) trap
+    `bigrams` documents)."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("n")
+    )
+    ks = t.filter(F.col("n") > 0).select(
+        id_col,
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.ceil(F.col("n") / stride).cast("int") - 1, F.lit(0)),
+            )
+        ).alias("k"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("k") * stride + 1, size)
+    return ks.select(
+        F.col(id_col),
+        F.col("k").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
 
 

@@ -212,8 +212,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM (
-        SELECT lang, n_chars, md5(text) AS h,
-               row_number() OVER (PARTITION BY md5(text)
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang, md5(text)
                                   ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn = 1
@@ -222,12 +222,14 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus ingestion: documents arrive as a file stream,
-    are exact-deduped on content hash IN-STREAM (dropDuplicates state
-    store — the streaming form of exact_dedup), and roll up per
-    language. The ingestion half of the pipeline: CorpusPipeline runs
-    batch curation, this runs the continuous front door. The oracle is
-    the batch equivalent (first doc per content hash wins; a finite
-    drained stream must agree)."""
+    are exact-deduped IN-STREAM (dropDuplicates state store — the
+    streaming form of exact_dedup), and roll up per language. The
+    dedup key is (lang, content hash), NOT the hash alone: streaming
+    dropDuplicates keeps an ARRIVAL-ORDER winner, and the sf0.1 corpus
+    has identical texts under different langs — keying by (lang, hash)
+    makes every aggregate winner-invariant (all copies in a group share
+    lang and n_chars), so the batch oracle agrees under any split
+    planning or parallelism."""
     from pyspark.sql import types as T
 
     from celeborn_spark.catalog import table_path
@@ -244,7 +246,7 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(schema).parquet(
         table_path(sf_dir, "documents").replace("documents.parquet", "documents.*")
     )
-    deduped = raw.withColumn("h", F.md5("text")).dropDuplicates(["h"])
+    deduped = raw.withColumn("h", F.md5("text")).dropDuplicates(["lang", "h"])
     agg = deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )

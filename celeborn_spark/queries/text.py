@@ -416,11 +416,11 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            md5(trim(regexp_replace(
-               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-               '\\s+', ' ', 'g'))) AS norm_hash,
+               regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\f\\r]', '', 'g'),
+               '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS norm_hash,
            len(trim(regexp_replace(
-               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-               '\\s+', ' ', 'g'))) AS norm_chars
+               regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\f\\r]', '', 'g'),
+               '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS norm_chars
     FROM documents
     """,
 )
@@ -444,8 +444,8 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT doc_id,
                md5(trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                   '\\s+', ' ', 'g'))) AS norm_hash
+                   regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\f\\r]', '', 'g'),
+                   '[ \\t\\n\\f\\r]+', ' ', 'g'))) AS norm_hash
         FROM documents
     )
     GROUP BY norm_hash
@@ -536,28 +536,8 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     index sequence, slice per chunk (no per-element re-tokenization —
     the O(len^2) trap operators/textops.py bigrams documents)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", T.tokens("text").alias("toks")).select(
-        "doc_id", "toks", F.size("toks").alias("n")
-    )
-    stride, size = CHUNK_STRIDE, CHUNK_SIZE
-    ks = t.filter(F.col("n") > 0).select(
-        "doc_id",
-        "toks",
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.greatest(
-                    F.ceil(F.col("n") / stride).cast("int") - 1, F.lit(0)
-                ),
-            )
-        ).alias("k"),
-    )
-    chunk = F.slice(F.col("toks"), F.col("k") * stride + 1, size)
-    return ks.select(
-        "doc_id",
-        F.col("k").cast("int").alias("chunk_idx"),
-        F.size(chunk).alias("n_chunk_tokens"),
-        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    return T.token_chunks(
+        d, "doc_id", "text", stride=CHUNK_STRIDE, size=CHUNK_SIZE
     )
 
 
