@@ -235,3 +235,194 @@ def bigram_topk(df: DataFrame, text_col: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), "bg")
         .limit(k)
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 25,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents for a fixed query-term set by BM25 (the
+    retrieval scorer behind Lucene/Elasticsearch; the ranked sibling of
+    `tfidf_topk`). idf uses the Robertson-Sparck-Jones smoothed form
+    ln((N - df + 0.5)/(df + 0.5) + 1), so it is positive for any df.
+
+    Scale shape: tf is filtered to the query terms BEFORE its
+    aggregate, so the exchange carries |terms| rows per doc at most;
+    df/N/avgdl are scalar-or-vocabulary sized and broadcast. Every
+    input to the score is an exact integer (tf, df, N, sum dl) — the
+    one double expression is mirrored token-for-token in the DuckDB
+    oracle and rounded to 6 dp after the per-doc sum, so accumulation
+    order cannot flip the hash."""
+    from celeborn_spark.operators.dedup import _spread
+
+    t = _spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("toks"))
+    dl = t.select(id_col, F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).select("n_docs", (F.col("sum_dl") * 1.0 / F.col("n_docs")).alias("avgdl"))
+    tf = (
+        t.select(F.col(id_col), F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
+    )
+    w = W.orderBy(F.col("bm25").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "bm25", "rnk")
+    )
+
+
+def bm25_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k: int = 25,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB mirror of `bm25_topk` — identical expression tree so the
+    doubles agree to well past the 6 dp rounding point."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH t AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}
+    ),
+    dl AS (SELECT {id_col}, len(toks) AS dl FROM t),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT {id_col}, tok, count(*) AS tf
+        FROM (SELECT {id_col}, unnest(toks) AS tok FROM t)
+        WHERE tok IN ({in_list})
+        GROUP BY {id_col}, tok
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT {id_col}) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.{id_col},
+               round(sum(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                   * ((tf.tf * ({k1} + 1))
+                      / (tf.tf + {k1} * (1 - {b} + {b} * (dl.dl / stats.avgdl))))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING ({id_col}) CROSS JOIN stats
+        GROUP BY tf.{id_col}
+    )
+    SELECT {id_col}, bm25, rnk FROM (
+        SELECT {id_col}, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS rnk
+        FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    pmi(w1,w2) = ln(p(w1,w2) / (p(w1) p(w2))) with p(w1,w2) over the
+    bigram total and p(w) over the unigram total — the phrase-mining /
+    tokenizer-merge-rule statistic (SURVEY.md §2C text analysis).
+
+    Two count aggregates (unigrams, bigrams) and two broadcast scalar
+    totals; the unigram table joins the bigram table twice on the word
+    key. All counts are exact integers; the single ln() expression is
+    mirrored in the oracle and rounded to 6 dp (`tfidf_topk`'s ln
+    discipline). min_count drops the long noise tail BEFORE the joins —
+    at 100 TB this is also the hot-key guard (rare-bigram mass never
+    reaches the exchange)."""
+    from celeborn_spark.operators.dedup import _spread
+
+    spread = _spread(df, text_col)
+    uni = (
+        spread.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_uni = uni.agg(F.sum("c").alias("tot_uni"))
+    bg = (
+        spread.select(F.explode(bigrams(text_col)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot_bg = bg.agg(F.sum("c12").alias("tot_bg"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    pmi = F.log(
+        (F.col("c12") * 1.0 * F.col("tot_uni") * F.col("tot_uni"))
+        / (F.col("tot_bg") * 1.0 * F.col("c1") * F.col("c2"))
+    )
+    scored = (
+        bg.filter(F.col("c12") >= min_count)
+        .select(w1.alias("w1"), w2.alias("w2"), "c12")
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(tot_uni))
+        .crossJoin(F.broadcast(tot_bg))
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+    )
+
+
+def pmi_oracle_sql(
+    table: str, text_col: str, min_count: int = 5, k: int = 50
+) -> str:
+    """DuckDB mirror of `pmi_bigrams` (same expression association)."""
+    return f"""
+    WITH t AS (SELECT string_split({text_col}, ' ') AS toks FROM {table}),
+    uni AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+    ),
+    tot_uni AS (SELECT sum(c) AS tot_uni FROM uni),
+    bg AS (
+        SELECT bg, count(*) AS c12 FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM t WHERE len(toks) >= 2
+        ) GROUP BY bg
+    ),
+    tot_bg AS (SELECT sum(c12) AS tot_bg FROM bg),
+    scored AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2,
+               c12,
+               round(ln((c12 * 1.0 * tot_uni.tot_uni * tot_uni.tot_uni)
+                        / (tot_bg.tot_bg * 1.0 * u1.c * u2.c)), 6) AS pmi
+        FROM bg CROSS JOIN tot_uni CROSS JOIN tot_bg
+        JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+        JOIN uni u2 ON u2.w = string_split(bg, ' ')[2]
+        WHERE c12 >= {min_count}
+    )
+    SELECT w1, w2, c12, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT {k}
+    """

@@ -585,3 +585,30 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "token")
         .limit(100)
     )
+
+
+BM25_TERMS = ("hash", "sort", "merge")
+
+
+@query(
+    "q_bm25_topk",
+    oracle=T.bm25_oracle_sql("documents", "doc_id", "text", BM25_TERMS, k=25),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents for a fixed query by BM25 — the ranked
+    retrieval scorer over the corpus (tf-idf's production sibling;
+    pairs with q_inverted_index as the retrieval surface)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(d, "doc_id", "text", BM25_TERMS, k=25)
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle=T.pmi_oracle_sql("documents", "text", min_count=5, k=50),
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by PMI — phrase mining / tokenizer merge
+    rules from corpus statistics (two count aggregates + broadcast
+    totals; see operators/textops.pmi_bigrams)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.pmi_bigrams(d, "text", min_count=5, k=50)
