@@ -1,0 +1,131 @@
+"""Iterative graph analytics: PageRank over an edge relation.
+
+The graph-centrality primitive of a curation pipeline (authority
+weighting of link/citation graphs, domain-trust scoring for crawl
+corpora). Reference analogue: Celeborn has no graph operators — this
+extends the §2C surface with the second iterative algorithm next to
+operators/kmeans.py, reusing its engine-parity discipline.
+
+Spark-first plan: the EDGE relation (the 100 TB side) is hash-
+partitioned by src ONCE and persist()ed — persist, not
+localCheckpoint, so Catalyst keeps the hashpartitioning(src) metadata
+and every iteration's join reuses it (the lesson pinned by
+tests/test_kmeans.py). Per iteration only the node-count-sized rank
+relation crosses the wire: join on src (ranks exchange to meet the
+edges), groupBy(dst).sum with map-side partials (power-law in-degree
+hubs combine locally before the exchange), then localCheckpoint to cut
+lineage so round t+1 never re-executes round t.
+
+Determinism: ranks are scaled to sum to N (r0 = 1.0, the "rank mass"
+form) so they stay O(1), and each iteration rounds to 6 dp AFTER the
+affine step — the only order-sensitive float op is the in-neighbor
+sum, whose accumulation noise (~1e-13 on O(1) addends) vanishes at
+6 dp. `pagerank_oracle_sql` unrolls the same arithmetic as chained
+DuckDB CTEs (the operators/kmeans.kmeans_oracle_sql pattern).
+
+Callers must hand in a graph where EVERY node has at least one
+out-edge (undirected graphs trivially qualify); dangling-node mass
+redistribution is out of scope and documented as such.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, pr) after `iters` rounds of scaled PageRank
+    (sum of pr over nodes == node count; no dangling handling — every
+    src must also appear as a dst and vice versa, e.g. via an
+    undirected edge list)."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0).alias("pr")
+    ).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("w"))
+        )
+        ranks = (
+            contribs.groupBy("dst")
+            .agg(
+                F.round(
+                    (1 - damping) + damping * F.sum("w"), 6
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint()  # cut lineage: next round must not re-run this one
+        )
+    e.unpersist()
+    return ranks
+
+
+def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer<->supplier edge list from the order graph:
+    node id = custkey*2 for customers, suppkey*2+1 for suppliers (the
+    disjoint-id encoding both engines compute identically). One
+    distinct over the join output, then a union of both directions —
+    every node has an out-edge, satisfying `pagerank`'s contract."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.union(pairs.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+
+
+EDGES_ORACLE = """
+    eraw AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+"""
+
+
+def pagerank_oracle_sql(
+    edges_cte: str = EDGES_ORACLE, iters: int = 3, damping: float = DAMPING
+) -> str:
+    """DuckDB mirror of `pagerank` over `edges_cte` (which must define
+    a CTE named `e(src, dst)`): the same init/contribute/sum arithmetic
+    unrolled one CTE per iteration."""
+    ctes = [
+        edges_cte.strip(),
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT src AS node, 1.0 AS pr FROM deg)",
+    ]
+    prev = "r0"
+    for i in range(iters):
+        cur = f"r{i + 1}"
+        ctes.append(f"""{cur} AS (
+        SELECT e.dst AS node,
+               round((1 - {damping}) + {damping} * sum({prev}.pr / deg.outdeg), 6) AS pr
+        FROM {prev} JOIN e ON {prev}.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    )""")
+        prev = cur
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, pr FROM {prev}"
