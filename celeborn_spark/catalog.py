@@ -50,8 +50,9 @@ def _pin_session_confs(spark: SparkSession) -> None:
     # Oracle parity must hold under ANY caller-provided session (the
     # driver does not use our tuned factory): timestamps render in the
     # session TZ, DuckDB's are naive — pin UTC at runtime. The legacy
-    # nanos conf makes events.parquet (TIMESTAMP(NANOS), which Spark's
-    # reader rejects) readable as long.
+    # nanos conf only affects TIMESTAMP(NANOS) columns (Spark's reader
+    # rejects them otherwise); it is a no-op for MICROS/MILLIS data, so
+    # pinning it keeps the loader tolerant of either parquet flavor.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _CONF_PINNED.add(app_id)
@@ -62,12 +63,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _pin_session_confs(spark)
     if name == "events":
-        # nanos read as long, truncated to micros — the same truncation
-        # DuckDB applies, so oracles agree.
+        # A real user's parquet timestamps come in several physical
+        # flavors; dispatch on what the scan actually produced so the
+        # engine reads any of them:
+        #   TIMESTAMP(NANOS) + nanosAsLong -> LongType: truncate to
+        #     micros (the same truncation DuckDB applies);
+        #   TIMESTAMP(MICROS, isAdjustedToUTC=false) -> TIMESTAMP_NTZ:
+        #     cast to session-TZ timestamp (identity under pinned UTC);
+        #   TIMESTAMP(MICROS, UTC) -> TimestampType: pass through.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -77,6 +77,29 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     )
 
 
+def decode_meta_jvm(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """JVM-side form of fake_decode_meta: the fake codec is pure byte
+    arithmetic (length, first-byte class, modular dims), which built-in
+    functions express inside whole-stage codegen — no Python worker, no
+    Arrow transfer. This is the production query path; fake_decode_meta
+    stays as the Arrow-plumbing demo for codecs that genuinely need
+    Python, and tests pin that the two agree row-for-row."""
+    n_bytes = F.octet_length(payload_col)
+    # first utf-8 char code: agrees with the kernel's first-BYTE class
+    # test because [97, 122] only contains single-byte (ASCII) chars —
+    # multi-byte leads and empty payloads fall outside in both forms.
+    first = F.ascii(F.col(payload_col).cast("string"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_bytes.cast("long").alias("n_bytes"),
+        F.when(first.between(97, 122), "textish").otherwise("binary").alias("format"),
+        F.pmod(n_bytes, F.lit(1920)).cast("int").alias("fake_width"),
+        F.pmod(n_bytes, F.lit(1080)).cast("int").alias("fake_height"),
+    )
+
+
 FEATURES_SCHEMA = "doc_id long, n_chars long, n_vowels long, n_digits long, n_spaces long"
 RESIZE_SCHEMA = "doc_id long, out_chars int, resized_md5 string"
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_chars int, frame_md5 string"

@@ -52,12 +52,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing (mapInPandas over BinaryType) with
-    a deterministic fake codec — real codecs are stubbed
-    (operators/multimodal.py decode_media), the Spark-side schema/batch
-    path is real and driver-verified."""
+    """Binary-payload metadata decode, all JVM-side (whole-stage
+    codegen) — the fake codec is byte arithmetic, so built-ins express
+    it with no Python worker. The Arrow mapInPandas plumbing for real
+    codecs (operators/multimodal.py fake_decode_meta, decode_media stub)
+    is pinned equal to this form in tests/test_multimodal.py."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return M.fake_decode_meta(d)
+    return M.decode_meta_jvm(d)
 
 
 @query(

@@ -64,7 +64,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_simhash_fingerprints",
     "q_dedup_edit_distance",
     "q_dedup_groups",
-    "q_hash_sample",
+    # q_hash_sample (r4 rotation: deterministic hash-threshold sampling
+    # is exercised inside q_mixture_sample's per-stratum rates; it stays
+    # registered + oracle past the window)
     # q_stratified_sample's class (per-stratum hash rates) is
     # represented by the richer q_mixture_sample (rates derived
     # in-engine from target shares); it stays registered + oracle
@@ -76,8 +78,15 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # q_text_fingerprint stays registered+oracle past the window; its
     # class (content fingerprints) is represented by q_simhash_fingerprints
     "q_decontaminate",
-    "q_text_repetition",
+    # q_text_repetition (r4 rotation: per-doc text-scoring class repped
+    # by q_text_quality; stays registered + oracle past the window)
     "q_tfidf_topk",
+    # r4 rotation in: the round-2 text/retrieval additions, previously
+    # outside the driver's 50-row window
+    "q_bm25_topk",
+    "q_pmi_bigrams",
+    "q_inverted_index",
+    "q_per_source_cap",
     # q_bpe_token_count (a second token-counting variant next to
     # q_text_token_stats) stays registered + oracle past the window;
     # slot freed for the chunk-fan-out class
@@ -91,7 +100,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_cosine_topk",
     "q_ann_ivf_topk",
     "q_kmeans_clusters",
-    "q_label_centroids",
+    # q_label_centroids (r4 rotation: vector-agg class repped by
+    # q_kmeans_clusters; stays registered + oracle past the window) —
+    # slot goes to the second iterative algorithm, PageRank
+    "q_pagerank",
     # q_embedding_norms (same vector-agg class as q_label_centroids)
     # stays registered + oracle past the window; slot freed for the
     # curriculum-binning class
@@ -107,7 +119,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_word_count_topk",
     "q_stream_tumbling_counts",
     "q_stream_stream_join",
-    "q_stream_dedup",
+    # q_stream_dedup (r4 rotation: exactly-once dedup class repped by
+    # q_exactly_once_dedup; stays registered past the window)
     # temporal / event analytics
     "q_asof_join",
     "q_range_join_pairs",
@@ -139,7 +152,8 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_grouping_sets",
     "q_join_broadcast",
     "q_join_semi",
-    "q_join_full_outer",
+    # q_join_full_outer (r4 rotation: outer-join class adjacent to the
+    # semi/broadcast reps; stays registered + oracle past the window)
     "q_theta_join",
     "q_window_topk_per_group",
 )
@@ -170,6 +184,7 @@ def _load_all() -> None:
         sampling,
         curriculum,
         tpch,
+        graph,
     )
 
 

@@ -60,8 +60,9 @@ def get_spark(
         .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as long and convert in catalog.load_table.
+        # TIMESTAMP(NANOS) columns are rejected by Spark's reader unless
+        # read as long; a no-op for MICROS/MILLIS data. catalog.load_table
+        # dispatches on the resulting dtype, so either flavor works.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

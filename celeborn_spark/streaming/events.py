@@ -20,18 +20,28 @@ from pyspark.sql import types as T
 
 from celeborn_spark.catalog import table_path
 
-# Parquet column order of events.parquet; ts read as nanos-long
-# (TIMESTAMP(NANOS) — see catalog.load_table) and converted below.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str):
+    """Streaming sources never infer, so the pinned schema must match the
+    parquet's actual physical ts flavor — derived from a footer read (no
+    Spark job). TIMESTAMP(NANOS) arrives as long under nanosAsLong and
+    needs div-1000 truncation; TIMESTAMP(MICROS, naive) arrives as NTZ
+    and needs only a session-TZ cast (identity under pinned UTC)."""
+    import pyarrow.parquet as pq
+
+    arrow_ts = pq.ParquetFile(table_path(sf_dir, "events")).schema_arrow.field("ts").type
+    nanos = getattr(arrow_ts, "unit", None) == "ns"
+    ts_field = T.StructField("ts", T.LongType() if nanos else T.TimestampNTZType())
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            ts_field,
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, nanos
 
 
 def read_events_stream(
@@ -39,15 +49,19 @@ def read_events_stream(
 ) -> DataFrame:
     """events as an unbounded stream (file source; schema pinned —
     streaming sources never infer)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    schema, nanos = _events_raw_schema(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         # micro-batch flow control — the engine-side analogue of the
         # reference's credit-based read (CreditStreamManager.java:80)
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # file streaming source needs a directory or glob, not a bare file
     raw = reader.parquet(table_path(sf_dir, "events").replace("events.parquet", "events.*"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def run_stream_to_table(

@@ -26,6 +26,22 @@ def test_fake_decode_schema_and_determinism(spark, sf_dir):
         assert fmt in ("textish", "binary")
 
 
+def test_arrow_decode_matches_jvm_form(spark, sf_dir):
+    """Differential: the Arrow mapInPandas kernel and the registered
+    JVM-side projection (decode_meta_jvm) agree row-for-row — including
+    the first-byte vs first-codepoint 'format' class on non-ASCII and
+    empty payloads."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    edge = spark.createDataFrame(
+        [(100001, "é-leading multibyte"), (100002, ""), (100003, "Zed"), (100004, "zed")],
+        ["doc_id", "text"],
+    )
+    d = M.attach_binary_payload(docs.select("doc_id", "text").unionByName(edge))
+    arrow = {r.doc_id: tuple(r)[1:] for r in M.fake_decode_meta(d).collect()}
+    jvm = {r.doc_id: tuple(r)[1:] for r in M.decode_meta_jvm(d).collect()}
+    assert arrow == jvm
+
+
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         M.decode_media(b"\x89PNG...")
