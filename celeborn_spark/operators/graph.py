@@ -49,20 +49,25 @@ def pagerank(
     undirected edge list)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Fold outdeg into the edge relation ONCE (it never changes), so
+    # each iteration is a single join + single exchange instead of a
+    # second per-round join against deg. Partitioned by src and
+    # persisted: every round's rank join reuses the same layout. The
+    # per-term pr/outdeg stays a DIVISION — the oracle divides too, and
+    # pr*(1/outdeg) rounds differently in the last ulp.
     e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        raw.join(deg, "src")
         .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
         .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0).alias("pr")
     ).localCheckpoint()
     for _ in range(iters):
-        contribs = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .join(deg, "src")
-            .select("dst", (F.col("pr") / F.col("outdeg")).alias("w"))
+        contribs = ranks.join(e, ranks["node"] == e["src"]).select(
+            "dst", (F.col("pr") / F.col("outdeg")).alias("w")
         )
         ranks = (
             contribs.groupBy("dst")

@@ -114,6 +114,59 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_dimension",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, round(c_acctbal + 50, 2) AS c_acctbal,
+               DATE '2024-06-01' AS eff
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    closed AS (
+        SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+               DATE '2024-01-01' AS eff, ch.eff AS end_date
+        FROM customer c LEFT JOIN changes ch USING (c_custkey)
+    ),
+    versions AS (
+        SELECT * FROM closed
+        UNION ALL
+        SELECT c_custkey, c_acctbal, eff, NULL AS end_date FROM changes
+    )
+    SELECT c_custkey, c_acctbal,
+           CAST(eff AS VARCHAR)      AS eff,
+           CAST(end_date AS VARCHAR) AS end_date
+    FROM versions
+    """,
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 over the customer dimension (operators/merge.py
+    scd2_close_and_append): a +50-balance change batch closes the open
+    version for every 10th customer and appends the new open version.
+    The lake-format sink for this surface is capability-dispatched
+    (operators/merge.py merge_into_path: transactional MERGE INTO with
+    jars, relational emulation without)."""
+    from celeborn_spark.operators.merge import scd2_close_and_append
+
+    c = load_table(spark, sf_dir, "customer")
+    current = (
+        c.select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .withColumn("eff", F.lit("2024-01-01").cast("date"))
+        .withColumn("end_date", F.lit(None).cast("date"))
+    )
+    changes = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.round(F.col("c_acctbal") + 50, 2).alias("c_acctbal"))
+        .withColumn("eff", F.lit("2024-06-01").cast("date"))
+    )
+    out = scd2_close_and_append(current, changes, "c_custkey", "eff", "end_date")
+    return out.select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("eff").cast("string").alias("eff"),
+        F.col("end_date").cast("string").alias("end_date"),
+    )
+
+
+@query(
     "q_sorted_range_scan",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from celeborn_spark.registry import query
-from celeborn_spark.streaming.events import read_events_stream, run_stream_to_table
+from celeborn_spark.streaming.events import (
+    read_events_stream,
+    read_offset_stream,
+    run_stream_to_table,
+    run_stream_until,
+)
 
 
 @query(
@@ -181,6 +186,44 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return run_stream_to_table(deduped, "stream_dedup", "complete")
+
+
+_OFFSET_BOUND = 5000
+
+
+@query(
+    "q_stream_offset_replay",
+    oracle="""
+    SELECT value % 10                  AS bucket,
+           count(*)                    AS n,
+           CAST(sum(value) AS BIGINT)  AS total
+    FROM (SELECT unnest(range(0, 5000)) AS value)
+    GROUP BY 1
+    """,
+)
+def q_stream_offset_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-bounded micro-batch ingestion: a rate-micro-batch source
+    admits exactly 1000 offsets per trigger (Kafka maxOffsetsPerTrigger
+    shape; reference analogue: credit-based read,
+    CreditStreamManager.java:80-202), aggregated over the first 5000
+    offsets. The offset-bound filter makes the complete-mode result a
+    fixed point once all bounded offsets have arrived, so the unbounded
+    source still yields a deterministic, batch-oracle-checkable answer."""
+    src = read_offset_stream(spark, rows_per_batch=1000, num_partitions=4)
+    agg = (
+        src.filter(F.col("value") < _OFFSET_BOUND)
+        .groupBy((F.col("value") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").cast("long").alias("total"),
+        )
+    )
+
+    def done(t: DataFrame) -> bool:
+        got = t.agg(F.sum("n")).collect()[0][0]
+        return got is not None and got >= _OFFSET_BOUND
+
+    return run_stream_until(agg, "stream_offset_replay", "complete", done)
 
 
 @query(

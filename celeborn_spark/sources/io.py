@@ -73,6 +73,30 @@ def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame
     raise ValueError(f"unsupported format {fmt!r}")
 
 
+_LAKE_SOURCE_CLASSES = {
+    "delta": "org.apache.spark.sql.delta.sources.DeltaDataSource",
+    "iceberg": "org.apache.iceberg.spark.source.IcebergSource",
+    "hudi": "org.apache.hudi.DefaultSource",
+}
+
+
+def lake_format_available(spark: SparkSession, fmt: str) -> bool:
+    """Runtime capability check: is the lake-format connector actually
+    on the JVM classpath? Callers branch on this instead of try/excepting
+    a whole write — the transactional MERGE path is taken when the jar
+    is present, the relational emulation (operators/merge.py) otherwise.
+    Reference analogue: tiered DFS/S3/OSS writers are selected by
+    deployment capability, worker/.../storage/TierWriter.scala:381-517."""
+    cls = _LAKE_SOURCE_CLASSES.get(fmt)
+    if cls is None:
+        raise ValueError(f"unknown lake format {fmt!r}; known: {sorted(_LAKE_SOURCE_CLASSES)}")
+    try:
+        spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet") -> None:
     """Hive-style partitioned layout: later filters on the partition
     columns prune whole directories before any IO (partition pruning —

@@ -64,6 +64,69 @@ def read_events_stream(
     return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
+def read_offset_stream(
+    spark: SparkSession, rows_per_batch: int, num_partitions: int = 4
+) -> DataFrame:
+    """Offset-based source with per-trigger admission control: each
+    micro-batch admits exactly `rows_per_batch` monotonically increasing
+    offsets (the `value` column) — the rate-micro-batch twin of Kafka's
+    maxOffsetsPerTrigger, and the engine-side analogue of the
+    reference's credit-based streamed read, where the client grants the
+    worker a bounded number of in-flight chunks per round
+    (CreditStreamManager.java:80-202)."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(num_partitions))
+        .option("startTimestamp", "0")
+        .load()
+    )
+
+
+def run_stream_until(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    done,
+    timeout_sec: float = 120.0,
+    poll_sec: float = 0.2,
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Drive an UNBOUNDED stream (rate source — never exhausts, so
+    processAllAvailable never returns) until `done(sink_table)` is
+    truthy, then stop (test/oracle harness only). State-partition
+    sizing as in run_stream_to_table.
+
+    Caller contract for determinism: the transformation must make the
+    sink a fixed point once `done` holds (e.g. an offset-bound filter
+    under which later batches contribute nothing) — batches committing
+    between the done-check and stop() then cannot change the result."""
+    import time
+
+    spark = stream_df.sparkSession
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_sec
+            while not done(spark.table(name)):
+                if time.time() > deadline:
+                    raise TimeoutError(f"stream {name!r} not done after {timeout_sec}s")
+                time.sleep(poll_sec)
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
 def run_stream_to_table(
     stream_df: DataFrame, name: str, output_mode: str, state_partitions: int = 4
 ) -> DataFrame:

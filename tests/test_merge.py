@@ -19,6 +19,36 @@ def test_upsert_updates_and_inserts(spark, sf_dir):
     assert all(r.c_acctbal == 0.0 for r in zeroed.collect())
 
 
+def test_lake_format_capability_detection(spark):
+    """No lake connector jars ship in this image — the capability check
+    must say so (and must not throw); unknown formats are rejected."""
+    import pytest
+
+    from celeborn_spark.sources.io import lake_format_available
+
+    for fmt in ("delta", "iceberg", "hudi"):
+        assert lake_format_available(spark, fmt) is False
+    with pytest.raises(ValueError):
+        lake_format_available(spark, "parquet")
+
+
+def test_merge_into_path_parquet_fallback(spark, tmp_path):
+    """Without connector jars merge_into_path takes the relational
+    fallback: read target, upsert, atomically overwrite in place."""
+    from celeborn_spark.operators.merge import merge_into_path
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (3, "c", 30.0)], "k long, name string, bal double"
+    )
+    merge_into_path(spark, path, updates, "k")
+    rows = {r.k: (r.name, r.bal) for r in spark.read.parquet(path).collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0)}
+
+
 def test_scd2_closes_open_rows(spark):
     schema = "k long, v string, eff string, end string"
     cur = spark.createDataFrame(
