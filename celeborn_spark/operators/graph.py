@@ -42,30 +42,34 @@ def pagerank(
     damping: float = DAMPING,
     src_col: str = "src",
     dst_col: str = "dst",
+    partition_edges: bool = False,
 ) -> DataFrame:
     """(node, pr) after `iters` rounds of scaled PageRank
     (sum of pr over nodes == node count; no dangling handling — every
     src must also appear as a dst and vice versa, e.g. via an
-    undirected edge list)."""
+    undirected edge list).
+
+    Join strategy is DECLARED, not forced: the rank/deg relations are
+    node-sized, so AQE broadcasts them and each round costs exactly one
+    exchange (the groupBy(dst) combine of edge contributions, with
+    map-side partials absorbing power-law in-degree hubs). For graphs
+    whose node set outgrows broadcast, pass ``partition_edges=True`` to
+    hash-partition+persist the edge relation by src once, so every
+    round's (then sort-merge) rank join reuses that layout and only the
+    node-sized rank relation crosses the wire. The per-term pr/outdeg
+    stays a DIVISION — the oracle divides too, and pr*(1/outdeg) rounds
+    differently in the last ulp."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
     raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if partition_edges:
+        raw = raw.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        ).persist()
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Fold outdeg into the edge relation ONCE (it never changes), so
-    # each iteration is a single join + single exchange instead of a
-    # second per-round join against deg. Partitioned by src and
-    # persisted: every round's rank join reuses the same layout. The
-    # per-term pr/outdeg stays a DIVISION — the oracle divides too, and
-    # pr*(1/outdeg) rounds differently in the last ulp.
-    e = (
-        raw.join(deg, "src")
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1.0).alias("pr")
-    ).localCheckpoint()
-    for _ in range(iters):
+    e = raw.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    for i in range(iters):
         contribs = ranks.join(e, ranks["node"] == e["src"]).select(
             "dst", (F.col("pr") / F.col("outdeg")).alias("w")
         )
@@ -77,9 +81,20 @@ def pagerank(
                 ).alias("pr")
             )
             .select(F.col("dst").alias("node"), "pr")
-            .localCheckpoint()  # cut lineage: next round must not re-run this one
         )
-    e.unpersist()
+        # Lineage control, not per-round materialization: each round
+        # feeds exactly one consumer, so the lazy DAG evaluates once at
+        # the end and shuffle boundaries already persist intermediate
+        # state — an eager localCheckpoint per round would re-pay a
+        # full job per iteration. Checkpoint every 5th round only, to
+        # bound plan depth/analysis cost on long runs.
+        if (i + 1) % 5 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
+    # materialize BEFORE dropping the edge cache — the plan is lazy,
+    # and unpersisting first would force a full edge rebuild per round
+    ranks = ranks.localCheckpoint()
+    if partition_edges:
+        raw.unpersist()
     return ranks
 
 
@@ -98,6 +113,10 @@ def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        # both union branches (and pagerank's degree branch) reference
+        # pairs — materialize the join+distinct ONCE instead of letting
+        # each subtree recompute it (observed 4x in the physical plan)
+        .localCheckpoint()
     )
     return pairs.union(pairs.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
