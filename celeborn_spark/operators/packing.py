@@ -47,3 +47,53 @@ def greedy_token_shards(
         "shard_id",
         (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).cast("long"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    stream_col: str,
+    id_col: str,
+    text_col: str,
+    ctx: int,
+) -> DataFrame:
+    """Fixed-context sequence packing: concatenate each stream's docs in
+    id order and cut the token stream into exact `ctx`-token training
+    sequences, docs splitting across boundaries — the standard packed
+    pretraining layout (vs greedy_token_shards, which bins whole docs).
+
+    Output: (stream, id, seq_id, doc_offset, piece_tokens) — one row
+    per (doc, sequence) span; a doc straddling k boundaries fans out to
+    k+1 rows. doc_offset is the span's token start within the doc.
+
+    Scale shape: one window exchange per stream key for the prefix sum,
+    then a narrow sequence/explode fan-out (bounded by n_tokens/ctx + 1
+    rows per doc) — no global sort, no driver state; all-integer
+    arithmetic, so engine-exact."""
+    w = (
+        W.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    span = (
+        df.select(
+            stream_col, id_col, token_count(text_col).cast("long").alias("n_tokens")
+        )
+        .withColumn(
+            "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("tok_end", (F.col("tok_start") + F.col("n_tokens")).cast("long"))
+    )
+    first = F.expr(f"tok_start div {ctx}")
+    last = F.expr(f"(tok_end - 1) div {ctx}")
+    piece_start = F.greatest("tok_start", (F.col("seq_id") * ctx).cast("long"))
+    piece_end = F.least("tok_end", ((F.col("seq_id") + 1) * ctx).cast("long"))
+    return (
+        span.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .select(
+            stream_col,
+            id_col,
+            F.col("seq_id").cast("long").alias("seq_id"),
+            (piece_start - F.col("tok_start")).cast("long").alias("doc_offset"),
+            (piece_end - piece_start).cast("long").alias("piece_tokens"),
+        )
+    )

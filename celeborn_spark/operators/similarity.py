@@ -38,6 +38,45 @@ def as_double_array(c: Column | str) -> Column:
     return (F.col(c) if isinstance(c, str) else c).cast("array<double>")
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension min-max scalar quantization to `bits` levels — the
+    4x compression step before serving/ANN over a float32 corpus.
+
+    Output is the exploded (id, pos, q) form: integer codes are
+    engine-exact (scaling is IEEE double arithmetic identical in both
+    engines; floor(x + 0.5) is explicit half-up, immune to round()'s
+    engine-varying half-way rule), so the whole operator hash-compares.
+
+    Scale shape: one explode (N x dim rows), one partial-agg exchange
+    producing the dim-sized stats relation, broadcast back — the
+    quantize map stage never shuffles the vector mass. Constant
+    dimensions (maxv == minv) code to 0."""
+    levels = (1 << bits) - 1
+    v = vectors.select(
+        id_col, F.posexplode(as_double_array(vec_col)).alias("pos", "val")
+    )
+    stats = v.groupBy("pos").agg(F.min("val").alias("minv"), F.max("val").alias("maxv"))
+    return v.join(F.broadcast(stats), "pos").select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.when(F.col("maxv") == F.col("minv"), F.lit(0))
+        .otherwise(
+            F.floor(
+                levels * (F.col("val") - F.col("minv"))
+                / (F.col("maxv") - F.col("minv"))
+                + F.lit(0.5)
+            )
+        )
+        .cast("int")
+        .alias("q"),
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -52,6 +52,35 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH raw AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS valf
+        FROM embeddings
+    ),
+    v AS (SELECT vec_id, pos, CAST(valf AS DOUBLE) AS val FROM raw),
+    stats AS (
+        SELECT pos, min(val) AS minv, max(val) AS maxv FROM v GROUP BY pos
+    )
+    SELECT v.vec_id,
+           CAST(v.pos AS INTEGER) AS pos,
+           CAST(CASE WHEN maxv = minv THEN 0
+                     ELSE floor(255 * (val - minv) / (maxv - minv) + 0.5)
+                END AS INTEGER) AS q
+    FROM v JOIN stats USING (pos)
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 min-max scalar quantization of the embedding corpus
+    (operators/similarity.py quantize_embeddings): per-dim stats in one
+    partial-agg exchange, broadcast back, quantize map-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_embeddings(emb)
+
+
+@query(
     "q_ann_ivf_topk",
     # The IVF pipeline is fully deterministic (centroids = every
     # CENTROID_STEP-th vector; cell assignment = argmax cosine rounded

@@ -169,6 +169,48 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sequence_pack",
+    oracle="""
+    WITH counted AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    span AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_start
+        FROM counted
+    ),
+    fan AS (
+        SELECT source, doc_id, tok_start, tok_start + n_tokens AS tok_end,
+               unnest(range(tok_start // 512,
+                            (tok_start + n_tokens - 1) // 512 + 1)) AS seq_id
+        FROM span
+    )
+    SELECT source, doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(tok_start, seq_id * 512) - tok_start AS BIGINT)
+               AS doc_offset,
+           CAST(least(tok_end, (seq_id + 1) * 512)
+                - greatest(tok_start, seq_id * 512) AS BIGINT) AS piece_tokens
+    FROM fan
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context (512-token) sequence packing per source stream
+    (operators/packing.py pack_sequences): the packed-pretraining
+    layout, docs splitting across sequence boundaries via an integer
+    span fan-out."""
+    from celeborn_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "source", "doc_id", "text", ctx=512)
+
+
+@query(
     "q_corpus_clean_pipeline",
     oracle=f"""
     WITH scored AS (

@@ -112,3 +112,16 @@ def test_ivf_multiprobe_recall_with_bounded_scan(spark):
     touched = v_cells.join(q_cells, "centroid_id").count()
     n_vec, n_q = emb.count(), q.count()
     assert touched / (n_vec * n_q) < 0.2, f"scanned {touched}/{n_vec * n_q}"
+
+
+def test_quantize_embeddings_codes_and_constant_dim(spark):
+    """Min lands on code 0, max on 255, midpoint half-up; a constant
+    dimension codes to 0 instead of dividing by zero."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 7.0]), (2, [2.0, 7.0]), (3, [4.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.vec_id, r.pos): r.q for r in S.quantize_embeddings(df).collect()}
+    assert out[(1, 0)] == 0 and out[(3, 0)] == 255
+    assert out[(2, 0)] == 128  # floor(255*0.5 + 0.5)
+    assert out[(1, 1)] == out[(2, 1)] == out[(3, 1)] == 0
