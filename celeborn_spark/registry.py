@@ -95,7 +95,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # window; q_pipeline_full subsumes it (adds mixture + packing and
     # drives the CorpusPipeline facade itself)
     "q_pipeline_full",
-    "q_shard_packing",
+    # q_shard_packing (r4 rotation: whole-doc token-budget binning is
+    # the simpler half of the packing class; the boundary-splitting
+    # sequence layout is the harder claim. Stays registered + oracle.)
+    "q_sequence_pack",
     # §2C similarity / multimodal
     "q_cosine_topk",
     "q_ann_ivf_topk",
@@ -146,7 +149,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     # registered + oracle-backed past the window)
     "q_exactly_once_dedup",
     "q_salted_agg",
-    "q_merge_upsert",
+    # q_merge_upsert (r4 rotation: plain upsert is subsumed by the SCD2
+    # close-and-append composition, which exercises the same merge
+    # machinery plus versioning. Stays registered + oracle.)
+    "q_scd2_dimension",
     # core relational reps
     "q_filter_project",
     "q_grouping_sets",
