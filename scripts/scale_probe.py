@@ -2,24 +2,33 @@
 """Empirical scale probe: replicate documents Kx (salted so copies are
 near- but not exact dups) and time the dedup/text family at 1x vs Kx.
 
-Last run (K=8, sf0.1 base = 5k docs -> 40k, 2k vecs -> 16k, local[32]):
+Last run (K=8, sf0.1 base = 5k docs -> 40k, 2k vecs -> 16k, local[32],
+round 4 / pyspark 4.1.2):
 
-    minhash_lsh          2.73 s ->  4.16 s   (1.5x: sublinear — band
+    minhash_lsh          1.99 s ->  3.73 s   (1.9x: sublinear — band
                                               collisions bound candidates)
-    repetition_stats     0.48 s ->  0.95 s   (2.0x: linear map+agg)
-    quality_curriculum   0.77 s ->  1.02 s   (1.3x: histogram quantiles
+    repetition_stats     0.38 s ->  0.65 s   (1.7x: linear map+agg)
+    quality_curriculum   0.55 s ->  0.70 s   (1.3x: histogram quantiles
                                               keyed by distinct values,
                                               not rows)
-    mixture_sample       0.55 s ->  0.60 s   (1.1x: two aggregates +
+    mixture_sample       0.37 s ->  0.39 s   (1.1x: two aggregates +
                                               codegen'd filter)
-    kmeans k=4 iters=2   3.33 s ->  3.04 s   (flat: per-iteration fixed
+    sequence_pack        0.30 s ->  0.37 s   (1.2x: one window exchange
+                                              + narrow span fan-out)
+    kmeans k=4 iters=2   1.93 s ->  2.05 s   (flat: per-iteration fixed
                                               overhead dominates at this
                                               size; vector passes are
                                               embarrassingly parallel)
-    jaccard_pairs(cap)   2.62 s -> 51.24 s   (20x: the exact all-pairs
+    embedding_quantize   0.23 s ->  0.25 s   (1.1x: dim-sized stats agg
+                                              + map-side codes)
+    pagerank iters=3     1.56 s ->  3.07 s   (2.0x for 8x edges: linear
+                                              in edge mass, per-round
+                                              fixed cost amortizes)
+    jaccard_pairs(cap)   2.20 s -> 18.12 s   (8x: the exact all-pairs
                                               join is QUADRATIC in
                                               docs-per-shingle; 8 salted
-                                              copies -> 64x pair volume)
+                                              copies -> 64x pair volume,
+                                              hot-shingle cap contains it)
 
 Interpretation: exact Jaccard is the correctness/oracle path; at scale
 the candidate generation must go through verified_lsh_dedup (LSH
@@ -40,7 +49,10 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators import curriculum as C
 from celeborn_spark.operators import dedup as D
 from celeborn_spark.operators import kmeans as KM
+from celeborn_spark.operators import similarity as S
 from celeborn_spark.operators import textops as T
+from celeborn_spark.operators.graph import pagerank
+from celeborn_spark.operators.packing import pack_sequences
 from celeborn_spark.session import get_spark
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -106,6 +118,12 @@ def main() -> None:
                 {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.2, "zh": 0.3}, 0.8,
             ).count(),
         )
+        timeit(
+            f"sequence_pack {label}",
+            lambda df=df: pack_sequences(
+                df, "source", "doc_id", "text", ctx=512
+            ).count(),
+        )
 
     e1 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     ereps = [
@@ -127,6 +145,35 @@ def main() -> None:
         timeit(
             f"kmeans(k=4,iters=2) {label}",
             lambda df=df: KM.lloyd_iterations(df, k=4, iters=2).count(),
+        )
+        timeit(
+            f"embedding_quantize {label}",
+            lambda df=df: S.quantize_embeddings(df).count(),
+        )
+
+    # pagerank scale: replicate edges with shifted node ids (K disjoint
+    # copies of the graph — rank mass per copy is independent, so the
+    # work is exactly K graphs)
+    o1 = load_table(spark, "/root/testdata/sf0.1", "orders")
+    l1 = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    from celeborn_spark.operators.graph import bipartite_order_edges
+
+    g1 = bipartite_order_edges(o1, l1)
+    gk_parts = [
+        g1.select(
+            (F.col("src") + F.lit(i * 100_000_000)).alias("src"),
+            (F.col("dst") + F.lit(i * 100_000_000)).alias("dst"),
+        )
+        for i in range(K)
+    ]
+    gk = gk_parts[0]
+    for r in gk_parts[1:]:
+        gk = gk.unionByName(r)
+    gk = gk.localCheckpoint()
+    for label, df in (("1x", g1), (f"{K}x", gk)):
+        timeit(
+            f"pagerank(iters=3) {label}",
+            lambda df=df: pagerank(df, iters=3).count(),
         )
 
 

@@ -149,3 +149,34 @@ def test_new_dedup_joins_stay_equality_keyed(spark, sf_dir):
         plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:1500])
         assert "CartesianProduct" not in plan, (name, plan[:1500])
+
+
+def test_sequence_pack_single_window_exchange(spark, sf_dir):
+    """Packing = one per-stream window exchange; the span fan-out is a
+    narrow explode, never a second shuffle or a global sort."""
+    from celeborn_spark.queries import text as qt
+
+    df = qt.q_sequence_pack(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) <= 1, plan[:2000]
+    # the window's sort must be partition-local (printed `false`), not
+    # a global sort (`true` = range-partitioned whole-table order)
+    assert "ASC NULLS FIRST], true" not in plan, plan[:2000]
+
+
+def test_embedding_quantize_broadcasts_stats(spark, sf_dir):
+    """The dim-sized stats relation broadcasts back; the exploded
+    vector mass shuffles at most once (the stats partial agg)."""
+    from celeborn_spark.queries import similarity as qs
+
+    df = qs.q_embedding_quantize(spark, sf_dir)
+    assert has_broadcast_join(df), physical_plan(df)[:2000]
+    assert count_exchanges(df) <= 1, physical_plan(df)[:2000]
+
+
+def test_pagerank_no_cartesian_no_nested_loop(spark, sf_dir):
+    from celeborn_spark.queries import graph as qg
+
+    plan = physical_plan(qg.q_pagerank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
