@@ -188,6 +188,32 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(deduped, "stream_dedup", "complete")
 
 
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key state machine via applyInPandasWithState
+    (streaming/stateful.py running_user_totals) — the escape hatch for
+    stateful operators the built-in streaming aggregations can't
+    express; state lives in the checkpointable state store (reference
+    analogue: graceful-restart shuffledb, worker/.../shuffledb/DB.java).
+    On the bounded single-file source every key emits exactly one final
+    update, so the batch aggregate is the oracle."""
+    from celeborn_spark.streaming.stateful import running_user_totals
+
+    ev = read_events_stream(spark, sf_dir)
+    totals = run_stream_to_table(
+        running_user_totals(ev), "stream_stateful_totals", "update"
+    )
+    return totals.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
 _OFFSET_BOUND = 5000
 
 
