@@ -140,6 +140,40 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sketch_accuracy",
+    # Sketch internals are engine-specific (Spark HLL++ vs DuckDB HLL
+    # produce different estimates), so the oracle-checkable claim is the
+    # estimator's ERROR BOUND, not its value: the Spark side computes
+    # both the sketch and the exact answer and emits whether the
+    # relative error is inside the configured rsd; DuckDB independently
+    # derives the same groups from the exact answer. A broken sketch
+    # (or a broken bound) flips the boolean and fails the hash compare.
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+           true AS hll_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count sketch with a driver-verified accuracy bound:
+    per group, |approx - exact| / exact <= 5% (rsd=0.02 gives ~3 sigma
+    headroom). At 100 TB the sketch replaces the exact count's full
+    shuffle of distinct keys with fixed-size mergeable registers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.02)
+                - F.count_distinct("l_orderkey")
+            )
+            / F.count_distinct("l_orderkey")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )
+
+
+@query(
     "q_window_first_last",
     oracle="""
     SELECT o_custkey, o_orderkey,
