@@ -140,6 +140,56 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winsorize",
+    # Aggregate outputs only (counts + 4dp-rounded mean): the clamp
+    # boundaries are interpolated doubles, so per-row clamped values
+    # would need forbidden per-row rounding; the winsorized MEAN rounds
+    # as an aggregate. Both engines interpolate (1-d)*lo + d*hi with
+    # identical IEEE arithmetic, so the boundary comparisons agree.
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) FILTER (WHERE value < p05) AS BIGINT) AS n_low,
+           CAST(count(*) FILTER (WHERE value > p95) AS BIGINT) AS n_high,
+           round(avg(least(greatest(value, p05), p95)), 4) AS avg_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clamp to [p05, p95] per group) — the standard
+    outlier treatment for score/reward columns before training. Exact
+    percentiles per group (one partial-agg exchange over the groups),
+    broadcast back to a map-side clamp, aggregate summary out."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        F.round(F.avg("w"), 4).alias("avg_winsorized"),
+    )
+
+
+@query(
     "q_sketch_accuracy",
     # Sketch internals are engine-specific (Spark HLL++ vs DuckDB HLL
     # produce different estimates), so the oracle-checkable claim is the
