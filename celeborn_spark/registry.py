@@ -140,7 +140,10 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q18_large_orders",
     # advanced relational
     "q_correlated_exists",
-    "q_stats_agg",
+    # q_stats_agg (r4 rotation: plain variance/stddev scalar aggs are
+    # the simpler half of the statistical class; the percentile-clamp
+    # winsorization is the harder claim. Stays registered + oracle.)
+    "q_winsorize",
     # q_arg_minmax (covered by q_stats_agg/window first-last classes)
     # stays registered + oracle past the window
     "q_sorted_range_scan",
