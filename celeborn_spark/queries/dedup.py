@@ -16,6 +16,44 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators import dedup as D
 from celeborn_spark.registry import query
 
+# Shared DuckDB CTE chain: exact 2-gram Jaccard (>= 0.8) near-dup pairs
+# over documents -> undirected edges -> recursive min-label closure ->
+# cc(vertex, component). Used by q_dedup_groups and
+# q_leakage_safe_split (the Spark twins compose the same two operators,
+# dedup.jaccard_pairs + components.connected_components).
+_CC_ORACLE_CTES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
+        WHERE r.lab < e.dst
+    ),
+    cc AS (SELECT v AS vertex, min(lab) AS component FROM reach GROUP BY v)
+"""
+
 
 @query(
     "q_dedup_exact",
@@ -202,38 +240,8 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reachable label along edges until fixpoint (the r.lab < e.dst
     # guard prunes the closure: only labels smaller than the target can
     # ever become its component id), then min per vertex.
-    oracle="""
-    WITH RECURSIVE
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               unnest(list_transform(range(1, len(t) - 1),
-                                     i -> array_to_string(t[i:i+2], ' '))) AS shingle
-        FROM toks WHERE len(t) >= 3
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT id_a, id_b FROM common
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
-    ),
-    edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    reach(v, lab) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
-        WHERE r.lab < e.dst
-    ),
-    cc AS (SELECT v AS vertex, min(lab) AS component FROM reach GROUP BY v)
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_CTES}
     SELECT vertex, component, group_size
     FROM cc JOIN (SELECT component, count(*) AS group_size
                   FROM cc GROUP BY component) USING (component)
@@ -250,6 +258,49 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
     return dedup_groups(pairs)
+
+
+def _split_oracle() -> str:
+    from celeborn_spark.operators.curriculum import u01_oracle_expr
+
+    u = u01_oracle_expr("CAST(coalesce(cc.component, d.doc_id) AS VARCHAR)", 7)
+    return f"""
+    WITH RECURSIVE {_CC_ORACLE_CTES}
+    SELECT d.doc_id,
+           CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS group_key,
+           CASE WHEN {u} < 0.9 THEN 'train' ELSE 'eval' END AS split
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.vertex
+    """
+
+
+@query("q_leakage_safe_split", oracle=_split_oracle())
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split: the split variate hashes the
+    near-dup GROUP key (component id; singletons key on their own id),
+    so duplicates and near-duplicates can never straddle the split —
+    the group-level form of eval decontamination. Deterministic md5
+    variate (operators/curriculum.u01), 90/10 split."""
+    from celeborn_spark.operators.components import connected_components
+    from celeborn_spark.operators.curriculum import u01
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    cc = connected_components(pairs)
+    grouped = (
+        d.select("doc_id")
+        .join(cc, d["doc_id"] == cc["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("group_key"),
+        )
+    )
+    return grouped.select(
+        "doc_id",
+        "group_key",
+        F.when(u01(F.col("group_key").cast("string"), salt=7) < 0.9, "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
 
 
 @query(

@@ -56,3 +56,26 @@ def test_dedup_groups_over_lsh_pairs(spark, sf_dir):
         want = _union_find([(r.id_a, r.id_b) for r in pairs.collect()])
         got = {r.vertex: r.component for r in rows}
         assert got == want
+
+
+def test_leakage_safe_split_never_splits_a_group(spark, sf_dir):
+    """The whole point of group-keyed splitting: no near-dup pair may
+    straddle train/eval."""
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators import dedup as D
+    from celeborn_spark.queries.dedup import q_leakage_safe_split
+
+    split = q_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    pairs = D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+    a = split.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa")
+    b = split.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb")
+    leaks = pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb"))
+    assert leaks.count() == 0
+    # and the split covers every document exactly once
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert split.count() == n_docs
+    assert split.select("doc_id").distinct().count() == n_docs
