@@ -43,9 +43,20 @@ def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode
         raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
 
 
-def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+def read_any(
+    spark: SparkSession, path: str, fmt: str, schema=None, merge_schema: bool = False
+) -> DataFrame:
+    """merge_schema=True reconciles parquet files written under evolved
+    schemas (added columns arrive as nulls on old files) — footer-level
+    union, so it costs one extra footer pass at planning, not a data
+    rewrite. The default stays off: at 100 TB the union over every
+    file's footer is a planning-time tax you only pay when the lake
+    actually evolved."""
     if fmt == "parquet":
-        return spark.read.parquet(path)
+        r = spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(path)
     if fmt == "orc":
         return spark.read.orc(path)
     if fmt == "json":

@@ -104,3 +104,20 @@ def test_binary_file_source_reads_blobs(spark, tmpdir):
     assert rows == blobs
     lengths = {r.path.rsplit("/", 1)[-1]: r.length for r in df.collect()}
     assert lengths == {n: len(p) for n, p in blobs.items()}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A lake dir whose later files carry an added column: mergeSchema
+    reconciles (old rows null-fill); the default read plans on one
+    footer and may miss the new column."""
+    from celeborn_spark.sources.io import read_any
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(base + "/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(base + "/p=2")
+    merged = read_any(spark, base, "parquet", merge_schema=True)
+    assert set(merged.columns) >= {"id", "v", "score"}
+    rows = {r.id: r.score for r in merged.select("id", "score").collect()}
+    assert rows[2] == 9.5 and rows[1] is None
