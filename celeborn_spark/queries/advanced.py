@@ -140,6 +140,56 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_table_profile",
+    # min/max pass raw column values through (no arithmetic, no
+    # rounding needed); counts are exact integers — the whole profile
+    # is engine-exact.
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           count(*)                         AS n_rows,
+           count(l_quantity)                AS n_nonnull,
+           count(DISTINCT l_quantity)       AS n_distinct,
+           min(l_quantity)                  AS min_val,
+           max(l_quantity)                  AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+           count(DISTINCT l_extendedprice), min(l_extendedprice),
+           max(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(l_discount),
+           count(DISTINCT l_discount), min(l_discount), max(l_discount)
+    FROM lineitem
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile (row/null/distinct counts +
+    value range per column) — the monitoring pass a training-data
+    platform runs on every ingest. ONE scan: all per-column aggregates
+    compute together, then unpivot via stack; at 100 TB this reads each
+    column once where naive per-column queries scan the table k times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}_nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}_nd"),
+            F.min(c).alias(f"{c}_mn"),
+            F.max(c).alias(f"{c}_mx"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nn, {c}_nd, {c}_mn, {c}_mx" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nonnull, n_distinct, min_val, max_val)",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+@query(
     "q_winsorize",
     # Aggregate outputs only (counts + 4dp-rounded mean): the clamp
     # boundaries are interpolated doubles, so per-row clamped values

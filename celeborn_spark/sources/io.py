@@ -108,6 +108,42 @@ def lake_format_available(spark: SparkSession, fmt: str) -> bool:
         return False
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files (optionally sorted so
+    row-group min/max pruning works on `sort_col` afterwards). Returns
+    the output file count.
+
+    The operational fix for streaming/micro-batch sinks that accrete
+    thousands of tiny files — at 100 TB, listing and footer overhead on
+    an uncompacted directory dominates scan time. Staged via
+    localCheckpoint before the overwrite (rewriting one's own input is
+    otherwise a read-write race on the same files)."""
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(dp, f))
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staged = (
+        df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+        if sort_col
+        else df.repartition(n_files)
+    ).localCheckpoint()
+    staged.write.mode("overwrite").parquet(path)
+    return n_files
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet") -> None:
     """Hive-style partitioned layout: later filters on the partition
     columns prune whole directories before any IO (partition pruning —

@@ -121,3 +121,23 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v", "score"}
     rows = {r.id: r.score for r in merged.select("id", "score").collect()}
     assert rows[2] == 9.5 and rows[1] is None
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """200 tiny files -> a handful sized to the byte target; data
+    identical; sorted variant leaves row-group-prunable layout."""
+    import glob
+
+    from celeborn_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "tiny")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(200).write.parquet(path)
+    n_before = len(glob.glob(path + "/*.parquet"))
+    assert n_before >= 100
+    compact_parquet(spark, path, target_file_bytes=1 << 20, sort_col="k")
+    n_after = len(glob.glob(path + "/*.parquet"))
+    assert n_after < n_before / 10
+    out = spark.read.parquet(path)
+    assert out.count() == 10_000
+    assert out.agg({"k": "sum"}).first()[0] == sum(range(10_000))
