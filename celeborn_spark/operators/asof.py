@@ -28,14 +28,20 @@ def asof_join(
     keys: list[str],
     ts_col: str,
     right_payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row
-    with right.ts <= left.ts (per key group). Right payload columns are
-    null when no prior right row exists.
+    """For each left row, attach the payload of the matched right row
+    per key group: direction="backward" matches the LATEST right row
+    with right.ts <= left.ts (the default, pandas merge_asof parity);
+    direction="forward" matches the EARLIEST right row with
+    right.ts >= left.ts. Right payload columns are null when no
+    matching right row exists. Both ties are inclusive.
 
     Both inputs must share `keys` + `ts_col`; right rows should be
     unique per (keys, ts) — pre-aggregate if not.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # The payload travels as ONE struct so every output column comes
     # from the SAME matched right row, NULL field values included —
     # carrying columns independently with last(ignorenulls) would fall
@@ -61,15 +67,29 @@ def asof_join(
     unioned = l_tagged.select(*l_tagged.columns).unionByName(
         r_tagged.select(*l_tagged.columns)
     )
-    # right rows sort before left rows at equal ts => ties match (>=)
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(ts_col, "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = unioned.withColumn(
-        "_payload", F.last("_payload", ignorenulls=True).over(w)
-    )
+    if direction == "backward":
+        # right rows (_side=0) sort before left rows at equal ts =>
+        # ties match (>=); carry the last payload seen so far forward
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(ts_col, "_side")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        carried = unioned.withColumn(
+            "_payload", F.last("_payload", ignorenulls=True).over(w)
+        )
+    else:
+        # mirror image: left rows sort before right rows at equal ts so
+        # the tied right row stays inside the forward frame; take the
+        # first payload at-or-after
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        carried = unioned.withColumn(
+            "_payload", F.first("_payload", ignorenulls=True).over(w)
+        )
     return (
         carried.filter(F.col("_side") == 1)
         .select(

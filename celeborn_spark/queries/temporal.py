@@ -61,6 +61,59 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_join_forward",
+    # DuckDB's native ASOF is backward-only; the forward oracle is the
+    # first-at-or-after LATERAL (per-key ordered LIMIT 1).
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts,
+               max(event_id)           AS view_event_id,
+               arg_max(value, event_id) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           v.view_event_id, v.view_value
+    FROM clicks c LEFT JOIN LATERAL (
+        SELECT view_event_id, view_value
+        FROM views v WHERE v.user_id = c.user_id AND v.ts >= c.ts
+        ORDER BY v.ts LIMIT 1
+    ) v ON true
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the earliest view at-or-after it per user
+    (merge_asof direction='forward' parity) — same single-exchange
+    union+window composition, mirrored frame."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    joined = asof_join(
+        clicks, views, keys=["user_id"], ts_col="ts",
+        right_payload=["view_event_id", "view_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "view_event_id",
+        "view_value",
+    )
+
+
+@query(
     "q_range_join_pairs",
     oracle="""
     SELECT a.user_id, count(*) AS n_pairs
