@@ -358,6 +358,64 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_distribution_drift",
+    # PSI (population stability index) between the src0 reference slice
+    # and the rest of the corpus over width-100 length bins (capped at
+    # bin 20). Laplace smoothing over the FIXED 21-bin space keeps both
+    # engines' probabilities identical; per-bin contributions are group
+    # aggregates, rounded 6dp (ln on identical doubles — same discipline
+    # as the tf-idf/surprisal oracles).
+    oracle="""
+    WITH binned AS (
+        SELECT least(n_chars // 100, 20) AS bin,
+               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_ref
+        FROM documents
+    ),
+    counts AS (
+        SELECT bin,
+               sum(is_ref)     AS c_ref,
+               sum(1 - is_ref) AS c_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM counts)
+    SELECT bin,
+           CAST(c_ref AS BIGINT) AS c_ref,
+           CAST(c_cur AS BIGINT) AS c_cur,
+           round(((c_ref + 1.0) / (n_ref + 21) - (c_cur + 1.0) / (n_cur + 21))
+                 * ln(((c_ref + 1.0) / (n_ref + 21))
+                      / ((c_cur + 1.0) / (n_cur + 21))), 6) AS psi_contrib
+    FROM counts CROSS JOIN tot
+    """,
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (PSI) of document length between a reference
+    corpus slice and the current one — the monitoring op that catches a
+    data pipeline silently changing its output distribution. Bin counts
+    in one exchange; totals broadcast back; contributions map-side.
+    Total PSI = sum(psi_contrib); > 0.25 conventionally means drifted."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(20)).cast("long").alias("bin"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).alias("c_cur"),
+    )
+    tot = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    p = (F.col("c_ref") + 1.0) / (F.col("n_ref") + 21)
+    q = (F.col("c_cur") + 1.0) / (F.col("n_cur") + 21)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("c_ref").cast("long").alias("c_ref"),
+        F.col("c_cur").cast("long").alias("c_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+@query(
     "q_length_histogram",
     oracle="""
     SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
