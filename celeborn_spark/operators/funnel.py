@@ -30,11 +30,15 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    window_sec: int | None = None,
 ) -> DataFrame:
     """Per-step funnel conversion: (step, ord, n_users,
     avg_step_delay_sec) for each step in order. `avg_step_delay_sec`
     is the mean seconds between converting the previous step and this
-    one (NULL for the first step)."""
+    one (NULL for the first step). With `window_sec`, a step only
+    converts if it happens within that many seconds of the previous
+    step's conversion (the time-bound funnel of product analytics);
+    unbounded otherwise."""
     if len(steps) < 1:
         raise ValueError("steps must name at least one event type")
     t = F.unix_micros(F.col(ts_col))
@@ -48,9 +52,14 @@ def funnel_steps(
             cur = e.groupBy("u").agg(F.min("t").alias("t"))
             delay = F.lit(None).cast("double")
         else:
+            after_prev = F.col("t") > F.col("t_prev")
+            if window_sec is not None:
+                after_prev = after_prev & (
+                    F.col("t") <= F.col("t_prev") + window_sec * 1_000_000
+                )
             cur = (
                 e.join(prev.select("u", F.col("t").alias("t_prev")), "u")
-                .filter(F.col("t") > F.col("t_prev"))
+                .filter(after_prev)
                 .groupBy("u")
                 # t_prev is constant per user; min() just carries it
                 .agg(F.min("t").alias("t"), F.min("t_prev").alias("t_prev"))

@@ -260,6 +260,54 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(pairs)
 
 
+@query(
+    "q_dedup_keep_best",
+    # keeper = the longest copy per near-dup group, smaller doc_id on
+    # ties — all-integer arg_max key (n_chars * 1e7 - doc_id), so the
+    # selection is engine-exact with no float comparisons.
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_CTES},
+    grouped AS (
+        SELECT d.doc_id,
+               CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS component,
+               d.n_chars
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.vertex
+    )
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS group_size,
+           arg_max(doc_id, n_chars * 10000000 - doc_id) AS keeper_doc_id,
+           CAST(max(n_chars) AS BIGINT) AS keeper_n_chars
+    FROM grouped GROUP BY component
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per near-dup group: keep the most
+    complete (longest) copy instead of the arbitrary min-id — the
+    curation policy a real pipeline wants when duplicates differ by
+    truncation. Singletons form their own group and keep themselves."""
+    from celeborn_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    cc = connected_components(pairs)
+    grouped = (
+        d.select("doc_id", "n_chars")
+        .join(cc, d["doc_id"] == cc["vertex"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("component"),
+            "n_chars",
+        )
+    )
+    return grouped.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.max_by(
+            "doc_id", F.col("n_chars") * 10_000_000 - F.col("doc_id")
+        ).alias("keeper_doc_id"),
+        F.max("n_chars").cast("long").alias("keeper_n_chars"),
+    )
+
+
 def _split_oracle() -> str:
     from celeborn_spark.operators.curriculum import u01_oracle_expr
 

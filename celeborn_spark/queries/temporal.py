@@ -207,6 +207,46 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_funnel_windowed",
+    # Same chained min-aggregates as q_funnel_steps with the per-step
+    # conversion window bound (1 hour): a step converts only within
+    # 3600s of the previous step's conversion.
+    oracle="""
+    WITH e AS (
+        SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events
+    ),
+    s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY u),
+    s2 AS (
+        SELECT e.u, min(e.t) AS t, min(s1.t) AS t_prev
+        FROM e JOIN s1 ON e.u = s1.u AND e.et = 'click'
+         AND e.t > s1.t AND e.t <= s1.t + 3600000000
+        GROUP BY e.u
+    ),
+    s3 AS (
+        SELECT e.u, min(e.t) AS t, min(s2.t) AS t_prev
+        FROM e JOIN s2 ON e.u = s2.u AND e.et = 'purchase'
+         AND e.t > s2.t AND e.t <= s2.t + 3600000000
+        GROUP BY e.u
+    )
+    SELECT 'view' AS step, 1 AS ord, count(*) AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_step_delay_sec FROM s1
+    UNION ALL
+    SELECT 'click', 2, count(*), round(avg((t - t_prev) / 1e6), 2) FROM s2
+    UNION ALL
+    SELECT 'purchase', 3, count(*), round(avg((t - t_prev) / 1e6), 2) FROM s3
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound funnel: view -> click -> purchase where each step
+    must convert within 1 hour of the previous one — the conversion-
+    window form of product analytics (unbounded form: q_funnel_steps)."""
+    from celeborn_spark.operators.funnel import funnel_steps
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_steps(e, ["view", "click", "purchase"], window_sec=3600)
+
+
+@query(
     "q_retention_cohorts",
     oracle="""
     WITH first AS (
