@@ -358,6 +358,56 @@ def q_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_facet_mutual_information",
+    # MI(lang; source) from the contingency table: per-cell
+    # contributions (c/N) * ln(cN / (row_marginal * col_marginal)),
+    # rounded 6dp as group aggregates. Positive cells = over-represented
+    # facet pairs (confounded sampling); sum of mi_contrib = total MI.
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT sum(c) AS n FROM cells),
+    m AS (
+        SELECT lang, source, c,
+               sum(c) OVER (PARTITION BY lang)   AS rl,
+               sum(c) OVER (PARTITION BY source) AS cs
+        FROM cells
+    )
+    SELECT lang, source,
+           CAST(c AS BIGINT) AS n_docs,
+           round((1.0 * c / n) * ln((1.0 * c * n) / (1.0 * rl * cs)), 6)
+               AS mi_contrib
+    FROM m CROSS JOIN tot
+    """,
+)
+def q_facet_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between corpus facets (lang x source) — the
+    diagnostic that catches confounded sampling (a language arriving
+    mostly from one source). One contingency aggregation; marginals via
+    windows over the facet-sized cell relation, never over rows."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("c"))
+    m = (
+        cells.withColumn("rl", F.sum("c").over(W.partitionBy("lang")))
+        .withColumn("cs", F.sum("c").over(W.partitionBy("source")))
+        .withColumn("n", F.sum("c").over(W.partitionBy()))
+    )
+    return m.select(
+        "lang",
+        "source",
+        F.col("c").cast("long").alias("n_docs"),
+        F.round(
+            (F.col("c") / F.col("n"))
+            * F.log((F.col("c") * F.col("n")) / (F.col("rl") * F.col("cs"))),
+            6,
+        ).alias("mi_contrib"),
+    )
+
+
+@query(
     "q_distribution_drift",
     # PSI (population stability index) between the src0 reference slice
     # and the rest of the corpus over width-100 length bins (capped at
