@@ -201,15 +201,22 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operators the built-in streaming aggregations can't
     express; state lives in the checkpointable state store (reference
     analogue: graceful-restart shuffledb, worker/.../shuffledb/DB.java).
-    On the bounded single-file source every key emits exactly one final
-    update, so the batch aggregate is the oracle."""
+    Update mode emits one row per key per micro-batch it changed in;
+    the final state is recovered batching-invariantly by keeping each
+    key's highest-count emission (the running count is strictly
+    increasing), so the batch aggregate stays the oracle even if the
+    source ever splits into multiple files/batches."""
     from celeborn_spark.streaming.stateful import running_user_totals
 
     ev = read_events_stream(spark, sf_dir)
     totals = run_stream_to_table(
         running_user_totals(ev), "stream_stateful_totals", "update"
     )
-    return totals.select(
+    final = totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+    return final.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
 

@@ -140,3 +140,41 @@ def test_available_now_trigger_drains_and_stops(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_totals_batching_invariant(spark, sf_dir, tmp_path):
+    """q_stream_stateful_totals must not depend on the source arriving
+    as one micro-batch: split events into 3 files, stream one file per
+    trigger (multiple update emissions per user), and recover the same
+    final state the batch aggregate defines."""
+    from celeborn_spark.streaming.events import run_stream_to_table
+    from celeborn_spark.streaming.stateful import running_user_totals
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev")
+    (
+        e.withColumn("b", F.pmod("event_id", F.lit(3)))
+        .repartition(3, "b")
+        .drop("b")
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    totals = run_stream_to_table(
+        running_user_totals(stream), "stateful_multibatch", "update"
+    )
+    assert totals.count() > totals.select("user_id").distinct().count()  # >1 emission/user
+    final = totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n"),
+        F.max_by("total_value", "n_events").alias("tv"),
+    )
+    got = {r.user_id: (r.n, round(r.tv, 4)) for r in final.collect()}
+    want = {
+        r.user_id: (r.n, round(r.t, 4))
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
