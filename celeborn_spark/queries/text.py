@@ -309,6 +309,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_stats(d, "doc_id", "text")
 
 
+@query("q_compression_quality")  # rows-only: no SQL engine exposes zlib
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per doc (the CCNet /
+    RefinedWeb-style filter: templated text compresses far below prose,
+    near-random noise barely compresses) — the honest Arrow pandas_udf
+    slow path for a genuinely Python-only kernel; differential-tested
+    against direct zlib in tests/test_textops_extended.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.compression_ratio(d, "doc_id", "text")
+
+
 @query(
     "q_tfidf_topk",
     oracle="""

@@ -147,3 +147,31 @@ def test_text_chunks_overlap_and_coverage(spark):
         start = k * CHUNK_STRIDE
         expect = words[start : start + CHUNK_SIZE]
         assert r.txt.split(" ") == expect, k
+
+
+def test_compression_ratio_matches_zlib_and_orders_quality(spark, sf_dir):
+    """Differential vs direct zlib, plus the semantic the filter relies
+    on: templated/repetitive text compresses below prose."""
+    import zlib
+
+    from celeborn_spark.operators.textops import compression_ratio
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog near the river bank today",
+        2: "spam spam spam spam " * 20,
+        3: "a",
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bytes, r.zlib_ratio) for r in
+           compression_ratio(df, "doc_id", "text").collect()}
+    for i, t in docs.items():
+        raw = t.encode("utf-8")
+        assert got[i][0] == len(raw)
+        assert got[i][1] == len(zlib.compress(raw, 6)) / len(raw)
+    assert got[2][1] < got[1][1]  # repetitive << prose
+    # corpus run produces a ratio for every doc
+    from celeborn_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    out = compression_ratio(d, "doc_id", "text")
+    assert out.count() == d.count()
