@@ -140,6 +140,40 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dataset_manifest",
+    oracle="""
+    SELECT 'region' AS tbl, count(*) AS n_rows FROM region
+    UNION ALL SELECT 'nation', count(*) FROM nation
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'supplier', count(*) FROM supplier
+    UNION ALL SELECT 'part', count(*) FROM part
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    """,
+)
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: row count per catalog table in one
+    result — the reproducibility record a training run stamps next to
+    its outputs, and a whole-catalog canary (ANY table failing to load
+    turns this row red). Parquet count() answers from footer metadata,
+    no data scan."""
+    from functools import reduce
+
+    from celeborn_spark.catalog import TABLES, load_table
+
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(t).alias("tbl"), "n_rows")
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query(
     "q_table_profile",
     # min/max pass raw column values through (no arithmetic, no
     # rounding needed); counts are exact integers — the whole profile
