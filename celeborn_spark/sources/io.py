@@ -44,7 +44,12 @@ def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode
 
 
 def read_any(
-    spark: SparkSession, path: str, fmt: str, schema=None, merge_schema: bool = False
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema=None,
+    merge_schema: bool = False,
+    mode: str | None = None,
 ) -> DataFrame:
     """merge_schema=True reconciles parquet files written under evolved
     schemas (added columns arrive as nulls on old files) — footer-level
@@ -60,10 +65,16 @@ def read_any(
     if fmt == "orc":
         return spark.read.orc(path)
     if fmt == "json":
-        r = spark.read
+        # mode: PERMISSIVE (default; corrupt rows null-fill, raw text
+        # lands in _corrupt_record when the schema declares it),
+        # DROPMALFORMED, or FAILFAST — the dirty-data contract a real
+        # ingest needs (crawl dumps and log shippers emit bad lines).
+        r = spark.read.option("mode", mode) if mode else spark.read
         return (r.schema(schema) if schema else r).json(path)
     if fmt == "csv":
         r = spark.read.option("header", "true")
+        if mode:
+            r = r.option("mode", mode)
         return (r.schema(schema) if schema else r.option("inferSchema", "true")).csv(path)
     if fmt == "text":
         return spark.read.text(path)

@@ -141,3 +141,51 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 10_000
     assert out.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_dirty_json_malformed_row_modes(spark, tmp_path):
+    """Crawl dumps emit bad lines; the three contracts: PERMISSIVE
+    null-fills and captures raw text, DROPMALFORMED silently drops,
+    FAILFAST raises."""
+    import pathlib
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from celeborn_spark.sources.io import read_any
+
+    p = tmp_path / "dirty.json"
+    pathlib.Path(p).write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "also ok"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    perm = read_any(spark, str(p), "json", schema=schema, mode="PERMISSIVE")
+    rows = perm.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and corrupt[0].id is None
+
+    dropped = read_any(
+        spark,
+        str(p),
+        "json",
+        schema=T.StructType(schema.fields[:2]),
+        mode="DROPMALFORMED",
+    )
+    assert {r.id for r in dropped.collect()} == {1, 2}
+
+    # runtime task failures surface as Py4J-wrapped SparkException, not
+    # a pyspark CapturedException — match on the message instead
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        read_any(
+            spark, str(p), "json",
+            schema=T.StructType(schema.fields[:2]), mode="FAILFAST",
+        ).collect()
