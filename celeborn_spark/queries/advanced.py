@@ -140,6 +140,37 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decimal_money",
+    # Exact decimal arithmetic — the money path. Unlike the double
+    # queries (which round aggregates to absorb accumulation-order
+    # noise), DECIMAL sums are EXACT in both engines; results render as
+    # strings so the compare is digit-for-digit with no float anywhere.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS VARCHAR)
+               AS discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal revenue aggregation: cast money to DECIMAL(18,2)
+    at the scan and sum without any rounding workaround — the
+    order-independent exact arithmetic a financial pipeline requires
+    (and the reason the engine's double-based oracles need rounding
+    discipline at all)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("string").alias("revenue"),
+        F.sum(price * disc).cast("string").alias("discounted"),
+    )
+
+
+@query(
     "q_dataset_manifest",
     oracle="""
     SELECT 'region' AS tbl, count(*) AS n_rows FROM region
