@@ -23,9 +23,12 @@ sum, whose accumulation noise (~1e-13 on O(1) addends) vanishes at
 6 dp. `pagerank_oracle_sql` unrolls the same arithmetic as chained
 DuckDB CTEs (the operators/kmeans.kmeans_oracle_sql pattern).
 
-Callers must hand in a graph where EVERY node has at least one
-out-edge (undirected graphs trivially qualify); dangling-node mass
-redistribution is out of scope and documented as such.
+The default path requires a graph where EVERY node has at least one
+out-edge (undirected graphs trivially qualify). For directed graphs
+with danglers (real crawl/link graphs), ``handle_dangling=True``
+redistributes dangling rank mass uniformly each round (the standard
+teleport-sum correction), at the cost of one extra node-sized
+aggregate per round.
 """
 
 from __future__ import annotations
@@ -43,11 +46,17 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     partition_edges: bool = False,
+    handle_dangling: bool = False,
 ) -> DataFrame:
     """(node, pr) after `iters` rounds of scaled PageRank
-    (sum of pr over nodes == node count; no dangling handling — every
-    src must also appear as a dst and vice versa, e.g. via an
-    undirected edge list).
+    (sum of pr over nodes == node count). By default no dangling
+    handling — every src must also appear as a dst and vice versa,
+    e.g. via an undirected edge list; rank mass silently leaks on
+    danglers. Pass ``handle_dangling=True`` for directed graphs with
+    sink nodes: the node universe becomes src ∪ dst and each round the
+    summed rank of out-edge-less nodes is redistributed uniformly
+    (pr' = (1-d) + d*(in_contribs + dangling_mass/N)), conserving
+    total mass at N exactly (up to 6-dp rounding).
 
     Join strategy is DECLARED, not forced: the rank/deg relations are
     node-sized, so AQE broadcasts them and each round costs exactly one
@@ -66,6 +75,8 @@ def pagerank(
         raw = raw.repartition(
             edges.sparkSession.sparkContext.defaultParallelism, "src"
         ).persist()
+    if handle_dangling:
+        return _pagerank_dangling(raw, iters, damping, unpersist_edges=partition_edges)
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = raw.join(deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
@@ -98,6 +109,73 @@ def pagerank(
     return ranks
 
 
+def _pagerank_dangling(
+    raw: DataFrame, iters: int, damping: float, unpersist_edges: bool = False
+) -> DataFrame:
+    """Dangling-aware rounds: node universe = src ∪ dst; each round adds
+    the summed dangler rank, split uniformly, into every node's affine
+    step. All scalars (dangling mass, node count) stay JVM-side as
+    broadcast 1-row relations — no per-iteration driver action.
+
+    Per-round cost: the in-contribution groupBy(dst) exchange (same as
+    the default path) + a tiny dangler-sum aggregate. Each round's rank
+    relation is referenced twice (contribs + dangler sum), so it is
+    persist()ed — lazily: the final single action materializes each
+    round once and the second branch reads the cache, instead of the
+    multi-reference recompute blowup pinned in CLAUDE.md."""
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # (node, outdeg-null-iff-dangling): node-sized; materialized once —
+    # every round's contribs/danglers/affine all reference it
+    base = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", "outdeg")
+        .localCheckpoint()
+    )
+    n_nodes = base.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = base.select("node", F.lit(1.0).alias("pr"))
+    cached = []
+    for _ in range(iters):
+        r = ranks.join(base, "node").persist()
+        cached.append(r)
+        dangling = r.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling_mass")
+        )
+        contribs = (
+            r.where(F.col("outdeg").isNotNull())
+            .join(raw, r["node"] == raw["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("cs"))
+        )
+        ranks = (
+            base.join(contribs, base["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    (1 - damping)
+                    + damping
+                    * (
+                        F.coalesce(F.col("cs"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.col("n_nodes")
+                    ),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    ranks = ranks.localCheckpoint()
+    for r in cached:
+        r.unpersist()
+    if unpersist_edges:
+        raw.unpersist()
+    return ranks
+
+
 def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Undirected customer<->supplier edge list from the order graph:
     node id = custkey*2 for customers, suppkey*2+1 for suppliers (the
@@ -122,6 +200,26 @@ def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
                                     F.col("src").alias("dst")))
 
 
+def directed_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """DIRECTED customer->supplier edge list (no reverse union): every
+    supplier node is a dangler (no out-edges) — the planted-dangler
+    graph for `pagerank(handle_dangling=True)`. Same disjoint-id
+    encoding as `bipartite_order_edges`."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+
 EDGES_ORACLE = """
     eraw AS (
         SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
@@ -129,6 +227,57 @@ EDGES_ORACLE = """
     ),
     e AS (SELECT src, dst FROM eraw UNION ALL SELECT dst AS src, src AS dst FROM eraw)
 """
+
+DIRECTED_EDGES_ORACLE = """
+    e AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+"""
+
+
+def pagerank_dangling_oracle_sql(
+    edges_cte: str = DIRECTED_EDGES_ORACLE, iters: int = 3, damping: float = DAMPING
+) -> str:
+    """DuckDB mirror of `pagerank(handle_dangling=True)` over `edges_cte`
+    (must define a CTE `e(src, dst)`): node universe = src ∪ dst, one
+    (dangler-sum, contribs, affine) CTE triple per iteration. All
+    arithmetic forced to DOUBLE so DuckDB's DECIMAL inference can't
+    diverge from Spark's double path."""
+    ctes = [
+        edges_cte.strip(),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(iters):
+        cur = f"r{i + 1}"
+        ctes.append(
+            f"""d{i} AS (
+        SELECT coalesce(sum(r.pr), CAST(0 AS DOUBLE)) AS dm
+        FROM {prev} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL
+    )"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, sum(r.pr / deg.outdeg) AS cs
+        FROM {prev} r JOIN e ON r.node = e.src JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+        SELECT nodes.node,
+               round((1 - {damping}) + {damping} *
+                     (coalesce(c.cs, CAST(0 AS DOUBLE)) + d{i}.dm / nn.n), 6) AS pr
+        FROM nodes CROSS JOIN d{i} CROSS JOIN nn
+        LEFT JOIN c{i} c ON nodes.node = c.node
+    )"""
+        )
+        prev = cur
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, pr FROM {prev}"
 
 
 def pagerank_oracle_sql(

@@ -11,7 +11,20 @@ bucketed by the key so the anti-join co-locates.
 
 from __future__ import annotations
 
+import re
+import uuid
+
 from pyspark.sql import DataFrame
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_identifiers(updates: DataFrame, key: str) -> None:
+    """MERGE SQL interpolates column/key names — reject anything that
+    isn't a plain identifier so a hostile column name can't smuggle SQL."""
+    bad = [c for c in [key, *updates.columns] if not _IDENT.match(c)]
+    if bad:
+        raise ValueError(f"non-identifier column names not mergeable: {bad}")
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
@@ -19,6 +32,42 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     unmatched update rows are inserted. Schemas must match."""
     kept = target.join(updates.select(key), key, "left_anti")
     return kept.unionByName(updates)
+
+
+def build_merge_sql(
+    target_path: str, updates: DataFrame, key: str, fmt: str = "delta"
+) -> dict:
+    """Build the transactional MERGE INTO statement (pure, unit-testable
+    without lake jars). Returns {"view": <unique temp view name>, "sql": ...}.
+
+    - per-call unique view name: the fixed `_merge_updates` of the first
+      cut collided across concurrent callers sharing one session;
+    - no-payload updates (key column only) omit WHEN MATCHED entirely —
+      an empty SET clause is malformed SQL and a matched row needs no
+      change when the key is the whole record;
+    - identifiers validated, path backtick-escaped."""
+    _check_identifiers(updates, key)
+    if key not in updates.columns:
+        raise ValueError(f"key {key!r} not in updates columns {updates.columns}")
+    if not _IDENT.match(fmt):
+        raise ValueError(f"bad format name {fmt!r}")
+    view = f"_merge_updates_{uuid.uuid4().hex}"
+    payload = [c for c in updates.columns if c != key]
+    matched = (
+        "WHEN MATCHED THEN UPDATE SET "
+        + ", ".join(f"t.{c} = s.{c}" for c in payload)
+        + " "
+        if payload
+        else ""
+    )
+    path = target_path.replace("`", "``")
+    sql = (
+        f"MERGE INTO {fmt}.`{path}` t USING {view} s "
+        f"ON t.{key} = s.{key} "
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+    return {"view": view, "sql": sql}
 
 
 def merge_into_path(
@@ -34,14 +83,13 @@ def merge_into_path(
     from celeborn_spark.sources.io import lake_format_available
 
     if lake_format_available(spark, fmt):  # pragma: no cover - jars absent here
-        updates.createOrReplaceTempView("_merge_updates")
-        cols = ", ".join(f"{c} = s.{c}" for c in updates.columns if c != key)
-        spark.sql(
-            f"MERGE INTO {fmt}.`{target_path}` t USING _merge_updates s "
-            f"ON t.{key} = s.{key} "
-            f"WHEN MATCHED THEN UPDATE SET {cols} "
-            f"WHEN NOT MATCHED THEN INSERT *"
-        )
+        sql = build_merge_sql(target_path, updates, key, fmt=fmt)
+        view = sql["view"]
+        updates.createOrReplaceTempView(view)
+        try:
+            spark.sql(sql["sql"])
+        finally:
+            spark.catalog.dropTempView(view)
         return
     target = spark.read.parquet(target_path)
     merged = merge_upsert(target, updates, key)

@@ -41,7 +41,11 @@ def greedy_token_shards(
         .rowsBetween(W.unboundedPreceding, -1)
     )
     counted = df.select(
-        stream_col, id_col, token_count(text_col).cast("long").alias("n_tokens")
+        stream_col,
+        id_col,
+        # NULL text makes size(split(...)) = -1; clamp so a bad row
+        # contributes 0 tokens instead of corrupting the prefix sums.
+        F.greatest(F.lit(0), token_count(text_col)).cast("long").alias("n_tokens"),
     )
     return counted.withColumn(
         "shard_id",
@@ -76,7 +80,12 @@ def pack_sequences(
     )
     span = (
         df.select(
-            stream_col, id_col, token_count(text_col).cast("long").alias("n_tokens")
+            stream_col,
+            id_col,
+            # NULL text makes size(split(...)) = -1; clamp to 0 so empty
+            # docs occupy no tokens in the stream (and can't flip the
+            # sequence() below into descending order).
+            F.greatest(F.lit(0), token_count(text_col)).cast("long").alias("n_tokens"),
         )
         .withColumn(
             "tok_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
@@ -88,7 +97,10 @@ def pack_sequences(
     piece_start = F.greatest("tok_start", (F.col("seq_id") * ctx).cast("long"))
     piece_end = F.least("tok_end", ((F.col("seq_id") + 1) * ctx).cast("long"))
     return (
-        span.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        # zero-token docs emit no spans (first > last would otherwise make
+        # F.sequence generate a DESCENDING range and fabricate rows)
+        span.where(F.col("n_tokens") > 0)
+        .withColumn("seq_id", F.explode(F.sequence(first, last)))
         .select(
             stream_col,
             id_col,

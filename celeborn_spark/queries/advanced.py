@@ -321,15 +321,18 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-count sketch with a driver-verified accuracy bound:
-    per group, |approx - exact| / exact <= 5% (rsd=0.02 gives ~3 sigma
-    headroom). At 100 TB the sketch replaces the exact count's full
-    shuffle of distinct keys with fixed-size mergeable registers."""
+    per group, |approx - exact| / exact <= 5%. rsd=0.01 gives ~5 sigma
+    headroom (ADVICE r4: the earlier rsd=0.02 left only ~2.5 sigma, so
+    a testdata regen or Spark HLL++ tweak could flip a group and fail
+    the hash compare opaquely; the sketch is 4x bigger but still a
+    fixed-size mergeable register set). At 100 TB the sketch replaces
+    the exact count's full shuffle of distinct keys."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("exact_orders"),
         (
             F.abs(
-                F.approx_count_distinct("l_orderkey", rsd=0.02)
+                F.approx_count_distinct("l_orderkey", rsd=0.01)
                 - F.count_distinct("l_orderkey")
             )
             / F.count_distinct("l_orderkey")

@@ -4,8 +4,10 @@
 Reference analogue: Celeborn has no graph operators, but iterative
 exchange workloads are exactly what its data plane exists to serve
 (tests/spark-it/.../SparkTestBase.scala:122-135 repartition+reduce
-loops); here the per-iteration exchange is the rank relation only —
-the edge relation is partitioned once and reused (operators/graph.py).
+loops); here each round costs one exchange — the node-sized rank/deg
+relations are AQE-broadcast by default, and `partition_edges=True`
+opts into a partitioned-once edge layout for beyond-broadcast graphs
+(operators/graph.py).
 """
 
 from __future__ import annotations
@@ -15,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.graph import (
     bipartite_order_edges,
+    directed_order_edges,
     pagerank,
+    pagerank_dangling_oracle_sql,
     pagerank_oracle_sql,
 )
 from celeborn_spark.registry import query
@@ -26,9 +30,27 @@ _ITERS = 3
 @query("q_pagerank", oracle=pagerank_oracle_sql(iters=_ITERS))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaled PageRank (3 rounds, damping 0.85) over the undirected
-    customer<->supplier order graph. Edge relation hash-partitioned by
-    src once and persisted; each round exchanges only the node-sized
-    rank relation, localCheckpointed to cut lineage."""
+    customer<->supplier order graph. Default AQE-broadcast path: the
+    rank/deg relations are node-sized, so each round costs exactly one
+    exchange (the groupBy(dst) contribution combine); pass
+    partition_edges=True in `pagerank` for beyond-broadcast graphs.
+    The edge join+distinct is materialized once (bipartite_order_edges
+    localCheckpoints it) and the bounded rounds chain lazily."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return pagerank(bipartite_order_edges(orders, lineitem), iters=_ITERS)
+
+
+@query("q_pagerank_dangling", oracle=pagerank_dangling_oracle_sql(iters=_ITERS))
+def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dangling-aware PageRank over the DIRECTED customer->supplier
+    graph: every supplier is a planted dangler (no out-edges), so each
+    round redistributes their summed rank uniformly (teleport-sum
+    correction) — total mass stays at N instead of leaking. Scalars
+    (dangling mass, N) are broadcast 1-row relations; no per-round
+    driver action."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return pagerank(
+        directed_order_edges(orders, lineitem), iters=_ITERS, handle_dangling=True
+    )

@@ -138,6 +138,15 @@ def compact_parquet(
     import math
     import os as _os
 
+    # Input sizing walks the LOCAL filesystem; on an object-store/DFS URI
+    # os.walk silently yields total=0 → n_files=1 → the whole dataset
+    # rewritten into a single file. Fail loudly instead; the scale path
+    # is the Hadoop FileSystem API (jvm fs.globStatus), not os.walk.
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet sizes input via the local filesystem; "
+            f"non-local path {path!r} is not supported"
+        )
     total = sum(
         _os.path.getsize(_os.path.join(dp, f))
         for dp, _, fs in _os.walk(path)

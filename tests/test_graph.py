@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.graph import (
     bipartite_order_edges,
+    directed_order_edges,
     pagerank,
+    pagerank_dangling_oracle_sql,
     pagerank_oracle_sql,
 )
 from tests.oracle import assert_matches_oracle, duck_connection
@@ -67,3 +69,73 @@ def test_pagerank_vs_oracle(spark, sf_dir):
 def test_pagerank_rejects_negative_iters(spark, edges):
     with pytest.raises(ValueError):
         pagerank(edges, iters=-1)
+
+
+# --- dangling-node handling (handle_dangling=True) ---
+
+
+def test_dangling_mass_conserved(spark):
+    """Directed chain with a sink: 0->1->2 (node 2 dangles). With
+    redistribution, total rank mass stays at N=3 every round; the
+    default path leaks the dangler's mass instead."""
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    for iters in (1, 3, 5):
+        total = (
+            pagerank(edges, iters=iters, handle_dangling=True)
+            .agg(F.sum("pr"))
+            .collect()[0][0]
+        )
+        assert total == pytest.approx(3.0, rel=1e-4), (iters, total)
+    leaked = pagerank(edges, iters=3).agg(F.sum("pr")).collect()[0][0] or 0.0
+    assert leaked < 2.5  # documents the leak the flag exists to fix
+
+
+def test_dangling_sink_outranks_spoke(spark):
+    """Star with all edges INTO a sink hub: the hub (a dangler) must
+    accumulate the most rank, and its mass must flow back out to the
+    spokes via redistribution rather than vanish."""
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], ["src", "dst"])
+    ranks = {r.node: r.pr for r in pagerank(edges, iters=5, handle_dangling=True).collect()}
+    assert ranks[0] > max(ranks[i] for i in range(1, 6))
+    assert min(ranks.values()) > 0
+    assert sum(ranks.values()) == pytest.approx(6.0, rel=1e-4)
+
+
+def test_dangling_deterministic(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 0)], ["src", "dst"]
+    )
+    a = {r.node: r.pr for r in pagerank(edges, iters=3, handle_dangling=True).collect()}
+    b = {r.node: r.pr for r in pagerank(edges, iters=3, handle_dangling=True).collect()}
+    assert a == b and len(a) == 4
+
+
+def test_no_danglers_matches_default_path(spark, edges):
+    """On a graph with no danglers the correction is a no-op: both
+    paths produce identical 6-dp ranks."""
+    base = {r.node: r.pr for r in pagerank(edges, iters=2).collect()}
+    cor = {r.node: r.pr for r in pagerank(edges, iters=2, handle_dangling=True).collect()}
+    assert base == cor
+
+
+def test_pagerank_dangling_vs_oracle(spark, sf_dir):
+    from celeborn_spark.queries.graph import q_pagerank_dangling
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        q_pagerank_dangling(spark, sf_dir),
+        con,
+        pagerank_dangling_oracle_sql(iters=3),
+        "q_pagerank_dangling",
+    )
+
+
+def test_directed_edges_have_danglers(spark, sf_dir):
+    """The planted-dangler graph is honest: suppliers never appear as
+    src, so every supplier node dangles."""
+    e = directed_order_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    supplier_srcs = e.where(F.col("src") % 2 == 1).count()
+    assert supplier_srcs == 0
+    assert e.count() > 0

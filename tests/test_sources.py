@@ -143,6 +143,19 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert out.agg({"k": "sum"}).first()[0] == sum(range(10_000))
 
 
+def test_compact_parquet_rejects_object_store_paths(spark):
+    """os.walk sizing sees 0 bytes on s3a://hdfs:// paths -> the whole
+    dataset would be rewritten into ONE file; fail loudly instead
+    (ADVICE r4)."""
+    import pytest
+
+    from celeborn_spark.sources.io import compact_parquet
+
+    for path in ("s3a://bucket/table", "hdfs://nn/warehouse/t"):
+        with pytest.raises(ValueError, match="non-local"):
+            compact_parquet(spark, path)
+
+
 def test_dirty_json_malformed_row_modes(spark, tmp_path):
     """Crawl dumps emit bad lines; the three contracts: PERMISSIVE
     null-fills and captures raw text, DROPMALFORMED silently drops,
