@@ -17,6 +17,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _label_propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min propagation round (the loop body, exposed so skew
+    tests can pin its physical plan): each vertex takes the min label
+    among itself and its neighbors. The edges.dst join key is power-law
+    on real near-dup graphs (a giant component's hub vertex) — the
+    groupBy(src) partial-agg absorbs hot keys map-side and AQE's skew
+    split handles the join (tests/test_skew_stress.py)."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.vertex)
+        .groupBy("src")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return (
+        labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
+        .select(
+            "vertex",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+            (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                "_changed"
+            ),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -42,24 +68,7 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.vertex)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
-                    "_changed"
-                ),
-            )
-            .localCheckpoint()
-        )
+        new_labels = _label_propagation_round(edges, labels).localCheckpoint()
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

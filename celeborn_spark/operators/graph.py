@@ -81,18 +81,7 @@ def pagerank(
     e = raw.join(deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for i in range(iters):
-        contribs = ranks.join(e, ranks["node"] == e["src"]).select(
-            "dst", (F.col("pr") / F.col("outdeg")).alias("w")
-        )
-        ranks = (
-            contribs.groupBy("dst")
-            .agg(
-                F.round(
-                    (1 - damping) + damping * F.sum("w"), 6
-                ).alias("pr")
-            )
-            .select(F.col("dst").alias("node"), "pr")
-        )
+        ranks = _pagerank_round(ranks, e, damping)
         # Lineage control, not per-round materialization: each round
         # feeds exactly one consumer, so the lazy DAG evaluates once at
         # the end and shuffle boundaries already persist intermediate
@@ -107,6 +96,24 @@ def pagerank(
     if partition_edges:
         raw.unpersist()
     return ranks
+
+
+def _pagerank_round(ranks: DataFrame, e: DataFrame, damping: float) -> DataFrame:
+    """One PageRank round (the loop body, exposed so skew tests can pin
+    its physical plan): contribute pr/outdeg along each edge, combine
+    per dst. The dst key is power-law on real link graphs (hub nodes) —
+    the groupBy(dst) partial aggregation combines hub contributions
+    map-side BEFORE the exchange, so a 30%-hot dst costs one partial
+    row per map task, not a hot reduce partition
+    (tests/test_skew_stress.py pins partial-then-final)."""
+    contribs = ranks.join(e, ranks["node"] == e["src"]).select(
+        "dst", (F.col("pr") / F.col("outdeg")).alias("w")
+    )
+    return (
+        contribs.groupBy("dst")
+        .agg(F.round((1 - damping) + damping * F.sum("w"), 6).alias("pr"))
+        .select(F.col("dst").alias("node"), "pr")
+    )
 
 
 def _pagerank_dangling(

@@ -130,12 +130,31 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_approx_stats")  # rows-only: sketch internals are engine-specific
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB interactive profiling:
-    approx_count_distinct (HLL) and percentile_approx (KLL-ish);
-    accuracy vs exact is pinned in tests/test_advanced.py."""
+    approx_count_distinct (HLL, rsd=0.01) and percentile_approx
+    (KLL-ish). The raw estimates are engine-specific (hence rows-only),
+    so the output carries its own error-bound booleans (VERDICT r4
+    item 7): hll_within_5pct (~5 sigma headroom at rsd=0.01) and
+    median_in_p45_p55 (rank error ~n/10000 at default accuracy, far
+    inside the p45..p55 corridor). A broken sketch flips a boolean —
+    asserted in tests/test_advanced.py at every SF."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", rsd=0.01)
+                - F.count_distinct("l_orderkey")
+            )
+            / F.count_distinct("l_orderkey")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            F.percentile_approx("l_extendedprice", 0.5).between(
+                F.expr("percentile(l_extendedprice, 0.45)"),
+                F.expr("percentile(l_extendedprice, 0.55)"),
+            )
+        ).alias("median_in_p45_p55"),
     )
 
 

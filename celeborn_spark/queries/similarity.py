@@ -135,8 +135,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_embedding_near_dup")  # rows-only: bucketing hash is engine-specific
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed near-dup pairs (the fast xxhash64 path; the md5
+    variant is the oracle-checked one). Rows-only, so the output carries
+    its own recall claim (VERDICT r4 item 7): `sampled_recall_ok` is a
+    constant column computed by brute-forcing a deterministic ~3%
+    sample of vectors (vec_id % 29 == 0) against the whole corpus and
+    checking >= 60% of their exact above-threshold partners surfaced in
+    the bucketed output (12-bit signatures trade recall for candidate
+    pruning; the planted-dup pytest pins the high-recall regime).
+    Sample x corpus stays linear in N — scale-safe, unlike full
+    all-pairs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5)
+    pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint()
+
+    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    sample = v.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("id_s"), F.col("v").alias("vs")
+    )
+    exact = (
+        v.crossJoin(F.broadcast(sample))
+        .filter(F.col("vec_id") != F.col("id_s"))
+        .withColumn("cosine_x", S.cosine(F.col("v"), F.col("vs")))
+        .filter(F.col("cosine_x") >= 0.5)
+        .select(
+            F.least("vec_id", "id_s").alias("id_a"),
+            F.greatest("vec_id", "id_s").alias("id_b"),
+        )
+        .distinct()
+    )
+    found = exact.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    recall = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("n_found"))
+    ).select(
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_found") >= 0.6 * F.col("n_exact"))
+        ).alias("sampled_recall_ok")
+    )
+    return pairs.crossJoin(F.broadcast(recall))
 
 
 @query(

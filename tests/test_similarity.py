@@ -69,6 +69,19 @@ def test_embedding_near_dup_recall_vs_brute_force(spark, sf_dir):
     assert not missing, f"planted duplicates missed: {sorted(missing)[:5]}"
 
 
+def test_near_dup_query_recall_column(spark, sf_dir):
+    """q_embedding_near_dup's rows-only output carries its own sampled
+    recall claim — every emitted row must say sampled_recall_ok=true,
+    and the bound columns of q_approx_stats must all hold."""
+    from celeborn_spark.queries.advanced import q_approx_stats
+    from celeborn_spark.queries.similarity import q_embedding_near_dup
+
+    rows = q_embedding_near_dup(spark, sf_dir).collect()
+    assert all(r.sampled_recall_ok for r in rows)
+    stats = q_approx_stats(spark, sf_dir).collect()
+    assert stats and all(r.hll_within_5pct and r.median_in_p45_p55 for r in stats)
+
+
 def test_ivf_multiprobe_recall_with_bounded_scan(spark):
     """nprobe=3 must recover >=0.9 of the exact top-k while touching
     <20% of the vectors (20 cells, 3 probed). Clustered synthetic data:

@@ -105,3 +105,73 @@ def test_physical_schema(table):
             assert got.startswith("timestamp["), f"{table}.{col}: {got} is not a timestamp"
         else:
             assert got == want, f"{table}.{col}: {got} != {want}"
+
+
+# --- value-level invariants (VERDICT r4 item 8): a silent regeneration
+# that keeps schemas but changes content semantics should ALSO fail in
+# this one file. Cheap pyarrow reads of key columns only — no Spark job.
+
+_ID_COLS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+@pytest.mark.parametrize("table", sorted(_ID_COLS))
+def test_primary_id_unique_and_nonnull(table):
+    import pyarrow.compute as pc
+
+    col = _ID_COLS[table]
+    t = pq.read_table(os.path.join(SF_DIR, f"{table}.parquet"), columns=[col])
+    n = t.num_rows
+    assert n > 0, f"{table} is empty"
+    assert t.column(col).null_count == 0, f"{table}.{col} has nulls"
+    assert len(pc.unique(t.column(col))) == n, f"{table}.{col} not unique"
+
+
+def test_embedding_dim_constant_and_finite():
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"), columns=["embedding"])
+    lens = pc.unique(pc.list_value_length(t.column("embedding")))
+    assert len(lens) == 1, f"embedding dims vary: {lens.to_pylist()}"
+    assert lens[0].as_py() > 0
+    flat = pc.list_flatten(t.column("embedding"))
+    assert flat.null_count == 0, "embedding has null elements"
+    assert pc.all(pc.is_finite(flat)).as_py(), "embedding has NaN/inf"
+
+
+def test_lineitem_orderkeys_exist_in_orders():
+    """Referential integrity the join queries assume: every lineitem
+    points at a real order."""
+    import pyarrow.compute as pc
+
+    lo = pq.read_table(
+        os.path.join(SF_DIR, "lineitem.parquet"), columns=["l_orderkey"]
+    ).column("l_orderkey")
+    oo = pq.read_table(
+        os.path.join(SF_DIR, "orders.parquet"), columns=["o_orderkey"]
+    ).column("o_orderkey")
+    assert pc.all(pc.is_in(lo, value_set=oo.combine_chunks())).as_py()
+
+
+def test_documents_nchars_matches_text():
+    """n_chars is derived from text — the dedup/quality oracles rely on
+    the two staying in sync."""
+    import pyarrow.compute as pc
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["text", "n_chars"]
+    )
+    assert t.column("text").null_count == 0
+    got = pc.utf8_length(t.column("text"))
+    assert pc.all(
+        pc.equal(pc.cast(got, "int64"), t.column("n_chars"))
+    ).as_py(), "documents.n_chars diverged from len(text)"
