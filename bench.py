@@ -44,41 +44,38 @@ from celeborn_spark import registry
 
 # Non-window queries whose DuckDB baseline exceeds ~100 ms at sf0.1
 # (real compute on both engines; see module docstring for the rule).
+# Round 5: the CORRECTNESS window rotated 39 first-time queries in, so
+# the heavy formerly-window queries (pagerank, stream-stream join,
+# jaccard pairs, q3/q18, BM25/PMI, incremental dedup, gap-fill resample,
+# verified embedding near-dup) moved HERE to keep the heavy operator
+# classes benched round over round. The 1.9 KB line budget forces cuts
+# of sub-100ms-class variants (scalar-func family keeps math+json reps;
+# window-frame family is repped inside the window by
+# first_last/range_frame; rollup folds into cube; moving_avg/rank_dense/
+# count_distinct/datetime/date/pad/regexp dropped — all remain
+# registered, oracle-backed and driver-rotatable).
 HEAVY_EXTRAS = (
     "q_unpivot",
     "q_simhash_fingerprints",
     "q_math_funcs",
-    "q_window_moving_avg",
     "q_grouped_zscore",
-    "q_datetime_arith",
-    "q_date_funcs",
-    "q_window_first_last",
     "q_text_chunks",
-    "q_count_distinct",
     "q_array_funcs",
     "q_cube",
-    "q_rollup",
-    "q_string_pad_case",
-    "q_regexp_funcs",
-    "q_window_rank_dense",
     "q_json_funcs",
     "q21_waiting_supplier",
-    "q_anonymize",
-    "q_lateral_topk",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
     "q_dedup_edit_distance",
-    "q_multimodal_frames",
+    "q_pagerank",
+    "q_stream_stream_join",
+    "q_dedup_jaccard_pairs",
+    "q18_large_orders",
+    "q_embedding_near_dup_verified",
+    "q_bm25_topk",
+    "q_pmi_bigrams",
+    "q_incremental_dedup",
+    "q3_shipping_priority",
+    "q_resample_gapfill",
 )
-# Near-threshold exclusions (re-measured 2026-08-13): q_window_range_frame
-# 84 ms, q9_product_profit 106 ms, q_window_lag_lead 118 ms,
-# q_window_running_sum 138 ms, q_stream_session_window 106 ms,
-# q_multimodal_features 136 ms, q_unigram_logprob 98 ms,
-# q_per_source_cap 106 ms — all within host
-# noise of the 100 ms rule and of already-represented classes (three
-# window-function variants, three streaming-state queries and two
-# Arrow-kernel queries stay headlined); the 1.9 KB line budget forces
-# cuts somewhere (test_bench_contract pins the worst case).
 
 
 def headline_names() -> list[str]:

@@ -41,6 +41,13 @@ _CONF_PINNED: set[str] = set()
 # app_id -> sf_dir the views currently point at (views are REPLACED on
 # a switch, so only the latest registration is valid per session)
 _VIEWS_REGISTERED: dict[str, str] = {}
+# NOTE: a (app, sf_dir, table) -> DataFrame memoization was tried in
+# round 5 to shave the per-query footer read (~10 ms) and REVERTED:
+# reusing one DataFrame instance across query invocations made the
+# iterative/localCheckpoint-heavy pipelines (q_dedup_groups) ~1.7x
+# slower and high-variance (3.0 s -> 4.6-6.1 s steady-state, measured
+# in isolation both ways). Fresh spark.read.parquet per call is cheap
+# and keeps every invocation's plan independent.
 
 
 def _pin_session_confs(spark: SparkSession) -> None:

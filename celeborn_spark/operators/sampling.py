@@ -100,6 +100,59 @@ def weighted_sample_topk(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, epoch: int = 0
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle: assign every row a
+    pseudo-random (shard_id, pos) from md5(id ':' epoch) — the
+    reproducible permutation a training run re-derives each epoch
+    (change `epoch`, get an uncorrelated order; same epoch, identical
+    layout on any engine/partitioning).
+
+    Scale shape: one exchange (hash by shard_id) + per-shard window
+    sort on the 8-hex sort key — no global sort; shards map 1:1 to
+    output files via partitionBy(shard_id) at the sink. Oracle-portable
+    bit-for-bit (the md5 idiom above)."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window as W
+
+    k = hash_bucket(id_col, salt=epoch)
+    keyed = df.select(
+        F.col(id_col),
+        k.alias("_k"),
+        (F.conv(k, 16, 10).cast("long") % n_shards).alias("shard_id"),
+    )
+    w = W.partitionBy("shard_id").orderBy("_k", id_col)
+    return keyed.select(
+        id_col,
+        "shard_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+def epoch_shuffle_oracle_sql(
+    table: str, id_sql: str, n_shards: int, epoch: int = 0
+) -> str:
+    """DuckDB mirror of epoch_shuffle (md5 digests are identical, so
+    shard assignment and within-shard order replicate exactly)."""
+    return f"""
+    WITH keyed AS (
+        SELECT {id_sql},
+               substr(md5(concat_ws(':', CAST({id_sql} AS VARCHAR), '{epoch}')),
+                      1, {_HEX_DIGITS}) AS k
+        FROM {table}
+    )
+    SELECT {id_sql},
+           CAST(CAST(concat('0x', k) AS UBIGINT) % {n_shards} AS BIGINT)
+               AS shard_id,
+           row_number() OVER (
+               PARTITION BY CAST(concat('0x', k) AS UBIGINT) % {n_shards}
+               ORDER BY k, {id_sql}) - 1 AS pos
+    FROM keyed
+    """
+
+
 def uniform_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Statistical (rand-based) sample — NOT reproducible across
     partitionings; prefer hash_sample for pipeline determinism."""

@@ -190,3 +190,77 @@ def q_sorted_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    # old snapshot = customer; new snapshot derived deterministically:
+    # every 97th key dropped, every 89th key's balance bumped, every
+    # 101st key re-added under key+10M. Content identity = md5 over
+    # chr(1)-joined, chr(2)-null-tagged DECIMAL-normalized columns —
+    # identical bytes in both engines, so statuses hash-match exactly.
+    oracle="""
+    WITH oldt AS (
+        SELECT c_custkey,
+               md5(concat_ws(chr(1), c_name,
+                             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+                             c_mktsegment)) AS h
+        FROM customer
+    ),
+    newt AS (
+        SELECT c_custkey,
+               md5(concat_ws(chr(1), c_name,
+                             CAST(CAST(
+                                 CASE WHEN c_custkey % 89 = 0
+                                      THEN c_acctbal + 100 ELSE c_acctbal END
+                                 AS DECIMAL(12,2)) AS VARCHAR),
+                             c_mktsegment)) AS h
+        FROM customer WHERE c_custkey % 97 != 0
+        UNION ALL
+        SELECT c_custkey + 10000000,
+               md5(concat_ws(chr(1), c_name,
+                             CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+                             c_mktsegment)) AS h
+        FROM customer WHERE c_custkey % 101 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h != n.h THEN 'changed' END AS status
+    FROM oldt o FULL OUTER JOIN newt n USING (c_custkey)
+    WHERE (CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h != n.h THEN 'changed' END) IS NOT NULL
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/merge.py snapshot_diff): which keys were
+    added / removed / changed between two table versions — the lake
+    audit primitive. Digests are computed map-side so only (key, md5)
+    shuffles; unchanged keys never materialize. Balance normalized to
+    DECIMAL(12,2) before stringifying (double->string formatting is
+    engine-specific; decimal strings are digit-exact)."""
+    from celeborn_spark.operators.merge import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "c_mktsegment",
+    )
+    new = (
+        c.where(F.col("c_custkey") % 97 != 0)
+        .withColumn(
+            "bal",
+            F.when(
+                F.col("c_custkey") % 89 == 0,
+                (F.col("bal") + 100).cast("decimal(12,2)"),
+            ).otherwise(F.col("bal")),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 101 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 10_000_000
+            )
+        )
+    )
+    return snapshot_diff(c, new, "c_custkey", ["c_name", "bal", "c_mktsegment"])

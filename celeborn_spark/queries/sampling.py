@@ -93,3 +93,33 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return weighted_sample_topk(d, "doc_id", "n_chars", k=100, salt=3)
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), '5')),
+                      1, 8) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', k) AS UBIGINT) % 16 AS BIGINT) AS shard_id,
+           row_number() OVER (
+               PARTITION BY CAST(concat('0x', k) AS UBIGINT) % 16
+               ORDER BY k, doc_id) - 1 AS pos
+    FROM keyed
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-5 global shuffle of the corpus into 16
+    shards: every doc gets a pseudo-random (shard_id, pos) from
+    md5(doc_id ':' epoch) — the reproducible per-epoch permutation of a
+    training run (same epoch => identical layout on any engine; next
+    epoch => uncorrelated order). One exchange + per-shard window sort;
+    no global sort (operators/sampling.py epoch_shuffle)."""
+    from celeborn_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, "doc_id", n_shards=16, epoch=5)

@@ -73,15 +73,21 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_dedup_groups",  # keep: connected components (iterative)
     "q_dedup_keep_best",  # r5 first-time: arg_max representative per component
     "q_leakage_safe_split",  # r5 first-time: split keyed on near-dup component
-    "q_mixture_sample",  # keep: richest sampling rep (in-engine rates)
+    # q_mixture_sample (driver-green r1-r4; its class is repped this
+    # round by the two first-time samplers below) rotates out for the
+    # NEW epoch-shuffle operator
     "q_stratified_sample",  # r5 first-time: per-stratum hash-threshold rates
     "q_weighted_sample",  # r5 first-time: weight-scaled hash thresholds
+    "q_epoch_shuffle",  # NEW this round: reproducible per-epoch training layout
     "q_anonymize",  # r5 first-time: PII regex scrub (zero-shuffle)
     # --- §2C text analysis ---
     # r5 rotation out (driver-green r1-r4): q_text_token_stats,
     # q_text_lang_id, q_decontaminate, q_tfidf_topk, q_bm25_topk,
     # q_pmi_bigrams, q_inverted_index, q_per_source_cap, q_text_chunks
-    "q_text_quality",  # keep: per-doc scoring class rep
+    # q_text_quality (driver-green r1-r4; scoring class repped by the
+    # pipeline canary + normalize/bpe below) rotates out for the NEW
+    # snapshot-diff operator
+    "q_snapshot_diff",  # NEW this round: lake-audit added/removed/changed
     "q_text_normalize",  # r5 first-time: unicode/whitespace canonicalization
     "q_bpe_token_count",  # r5 first-time: BPE-ish regex token counting
     "q_length_histogram",  # r5 first-time: log-bucket length profile

@@ -3,37 +3,45 @@
 near- but not exact dups) and time the dedup/text family at 1x vs Kx.
 
 Last run (K=8, sf0.1 base = 5k docs -> 40k, 2k vecs -> 16k, local[32],
-round 4 / pyspark 4.1.2):
+round 5 / pyspark 4.1.2):
 
-    minhash_lsh          1.99 s ->  3.73 s   (1.9x: sublinear — band
-                                              collisions bound candidates)
-    repetition_stats     0.38 s ->  0.65 s   (1.7x: linear map+agg)
-    quality_curriculum   0.55 s ->  0.70 s   (1.3x: histogram quantiles
-                                              keyed by distinct values,
-                                              not rows)
-    mixture_sample       0.37 s ->  0.39 s   (1.1x: two aggregates +
-                                              codegen'd filter)
-    sequence_pack        0.30 s ->  0.37 s   (1.2x: one window exchange
-                                              + narrow span fan-out)
-    kmeans k=4 iters=2   1.93 s ->  2.05 s   (flat: per-iteration fixed
-                                              overhead dominates at this
-                                              size; vector passes are
-                                              embarrassingly parallel)
-    embedding_quantize   0.23 s ->  0.25 s   (1.1x: dim-sized stats agg
-                                              + map-side codes)
-    pagerank iters=3     1.56 s ->  3.07 s   (2.0x for 8x edges: linear
-                                              in edge mass, per-round
-                                              fixed cost amortizes)
-    jaccard_pairs(cap)   2.20 s -> 18.12 s   (8x: the exact all-pairs
-                                              join is QUADRATIC in
-                                              docs-per-shingle; 8 salted
-                                              copies -> 64x pair volume,
-                                              hot-shingle cap contains it)
+    minhash_lsh               2.01 s ->  9.91 s  (4.9x: sublinear; the
+                                                  salted 8x corpus also
+                                                  multiplies real dup
+                                                  collisions per bucket)
+    jaccard_pairs(cap)        2.88 s -> 46.50 s  (16x: exact all-pairs is
+                                                  QUADRATIC in docs-per-
+                                                  shingle BY DESIGN; the
+                                                  hot-shingle cap contains
+                                                  it, verified_lsh_dedup
+                                                  is the scale path)
+    repetition_stats          0.54 s ->  1.07 s  (2.0x: linear map+agg)
+    quality_curriculum        0.84 s ->  1.28 s  (1.5x: histogram quantiles
+                                                  keyed by distinct values)
+    mixture_sample            0.77 s ->  1.04 s  (1.4x: two aggregates +
+                                                  codegen'd filter)
+    sequence_pack             0.43 s ->  0.58 s  (1.3x: one window exchange
+                                                  + narrow span fan-out)
+    kmeans k=4 iters=2        3.85 s ->  3.08 s  (flat: per-iteration fixed
+                                                  overhead dominates here)
+    embedding_quantize        0.59 s ->  0.57 s  (flat: dim-sized stats agg
+                                                  + map-side codes)
+    pagerank iters=3          2.72 s ->  5.77 s  (2.1x for 8x edges)
+    pagerank(partition_edges) 3.03 s ->  6.37 s  (2.1x: partitioned-edge
+                                                  layout costs ~10% at toy
+                                                  scale, wins past
+                                                  broadcast scale)
+    pagerank(dangling)        3.64 s ->  9.23 s  (2.5x: + per-round
+                                                  dangler-sum aggregate)
+    winsorize                 0.50 s ->  0.62 s  (1.2x: two group-keyed
+                                                  aggregates + broadcast
+                                                  clamp)
 
-Interpretation: exact Jaccard is the correctness/oracle path; at scale
-the candidate generation must go through verified_lsh_dedup (LSH
-pruning + exact verification) with max_shingle_freq capping hot
-shingles — the probe demonstrates WHY, not a regression.
+Interpretation: every operator class is sublinear at 8x except exact
+Jaccard, which is the correctness/oracle path; at scale candidate
+generation must go through verified_lsh_dedup (LSH pruning + exact
+verification) with max_shingle_freq capping hot shingles — the probe
+demonstrates WHY, not a regression.
 """
 
 from __future__ import annotations
@@ -175,6 +183,40 @@ def main() -> None:
             f"pagerank(iters=3) {label}",
             lambda df=df: pagerank(df, iters=3).count(),
         )
+        timeit(
+            f"pagerank(partition_edges) {label}",
+            lambda df=df: pagerank(df, iters=3, partition_edges=True).count(),
+        )
+        timeit(
+            f"pagerank(dangling) {label}",
+            lambda df=df: pagerank(df, iters=3, handle_dangling=True).count(),
+        )
+
+    # winsorize scale: replicate events K x with shifted ids; the
+    # operator is two aggregates over the group key + a broadcast-join
+    # clamp, so work is linear in rows and keyed by group count
+    ev1 = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_type", "value"
+    )
+    evk_parts = [ev1 for _ in range(K)]
+    evk = evk_parts[0]
+    for r in evk_parts[1:]:
+        evk = evk.unionByName(r)
+    evk = evk.localCheckpoint()
+    for label, df in (("1x", ev1), (f"{K}x", evk)):
+        timeit(f"winsorize {label}", lambda df=df: _winsorize(df).count())
+
+
+def _winsorize(e):
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = e.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(F.avg("w").alias("avg_w"))
 
 
 def _curriculum(df):

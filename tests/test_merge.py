@@ -135,3 +135,19 @@ def test_scd2_closes_open_rows(spark):
     assert rows[(1, "a")] == "2024-06-01"   # old version closed
     assert rows[(1, "a2")] is None          # new version open
     assert rows[(2, "b")] is None           # untouched key stays open
+
+
+def test_snapshot_diff_statuses(spark):
+    from celeborn_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 99.0), (4, "d", 4.0), (5, "e", 5.0)],
+        "k long, name string, bal double",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k", ["name", "bal"]).collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 changed (NULL -> 'd'), 5 added
+    assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}

@@ -69,3 +69,38 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # deterministic across calls
     again = weighted_sample_topk(df, "key", "w", k=100).collect()
     assert [r.key for r in top] == [r.key for r in again]
+
+
+def test_epoch_shuffle_is_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions are contiguous
+    0..k-1 within each shard; a different epoch produces a genuinely
+    different order while keeping the same invariants."""
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.sampling import epoch_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    for epoch in (0, 1):
+        out = epoch_shuffle(d, "doc_id", n_shards=8, epoch=epoch)
+        rows = out.collect()
+        assert len(rows) == n
+        assert len({r.doc_id for r in rows}) == n
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r.shard_id, []).append(r.pos)
+        assert set(by_shard) <= set(range(8))
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss))), shard
+    a = {(r.doc_id): (r.shard_id, r.pos)
+         for r in epoch_shuffle(d, "doc_id", 8, epoch=0).collect()}
+    b = {(r.doc_id): (r.shard_id, r.pos)
+         for r in epoch_shuffle(d, "doc_id", 8, epoch=1).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > n * 0.9  # epochs decorrelate the layout
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_shuffle(d, "doc_id", n_shards=0)
