@@ -62,6 +62,12 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the plan (each = one full map->reduce data
-    movement; the thing to minimize)."""
-    plan = explain_formatted(df)
-    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
+    movement; the thing to minimize).
+
+    Counts on the toString physical plan: the FORMATTED explain puts
+    `Exchange` and its `Arguments: hashpartitioning(...)` on separate
+    lines, so the old formatted-based regex matched nothing and every
+    <=N assertion passed vacuously (caught in round 5 by the
+    epoch-shuffle pin expecting == 1 and getting 0)."""
+    plan = physical_plan(df)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))

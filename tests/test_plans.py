@@ -180,3 +180,36 @@ def test_pagerank_no_cartesian_no_nested_loop(spark, sf_dir):
     plan = physical_plan(qg.q_pagerank(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """The per-epoch permutation costs ONE hash exchange (by shard) +
+    partition-local window sort — never a range-partitioned global
+    sort (which would serialize the whole corpus through a sampler)."""
+    from celeborn_spark.queries import sampling as qs
+
+    df = qs.q_epoch_shuffle(spark, sf_dir)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_snapshot_diff_shuffles_digests_not_payload(spark, sf_dir):
+    """The diff join carries (key, md5-digest) only: the md5 projection
+    sits BELOW both exchanges, so the wide payload columns never
+    shuffle — the property that makes the audit affordable at 100 TB."""
+    from celeborn_spark.queries import dataplane as qd
+
+    df = qd.q_snapshot_diff(spark, sf_dir)
+    plan = physical_plan(df)
+    # both snapshot sides exchange on the key only (plus AQE may add a
+    # final coalesce read; count hash exchanges on the join key)
+    assert plan.count("Exchange hashpartitioning(c_custkey") == 2, plan[:3000]
+    # payload columns are consumed by the map-side md5 and must not
+    # appear in any exchange's output schema: every occurrence of
+    # c_name/c_mktsegment in the plan is inside a Project/Scan below
+    # the exchange, never between Exchange and the join
+    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "c_name" not in line and "c_mktsegment" not in line, line
