@@ -264,3 +264,60 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(c, new, "c_custkey", ["c_name", "bal", "c_mktsegment"])
+
+
+def _zorder_oracle() -> str:
+    from celeborn_spark.sources.io import zorder_oracle_expr
+
+    z = zorder_oracle_expr(
+        "l.l_quantity", "l.l_extendedprice",
+        "s.min_q", "s.max_q", "s.min_p", "s.max_p", bits=16,
+    )
+    return f"""
+    WITH s AS (
+        SELECT min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+               min(l_extendedprice) AS min_p, max(l_extendedprice) AS max_p
+        FROM lineitem
+    )
+    SELECT CAST({z} // 16777216 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l CROSS JOIN s
+    GROUP BY 1
+    """
+
+
+@query("q_zorder_layout", oracle=_zorder_oracle())
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_quantity,
+    l_extendedprice): min-max grid snap + bit interleave
+    (sources/io.zorder_value), aggregated to 256 z-bucket counts so the
+    interleaving is pinned digit-exact without shipping the row mass.
+    The layout primitive behind write_zordered: one z-sorted key gives
+    parquet min/max pruning on EITHER dimension — the multi-dim
+    clustering a 100 TB lake table needs (a plain sort serves only its
+    leading column). Bounds come from one stats aggregate broadcast
+    back; the z expression itself is a zero-shuffle map."""
+    from celeborn_spark.sources.io import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_quantity").alias("min_q"),
+        F.max("l_quantity").alias("max_q"),
+        F.min("l_extendedprice").alias("min_p"),
+        F.max("l_extendedprice").alias("max_p"),
+    )
+    z = zorder_value(
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("min_q"),
+        F.col("max_q"),
+        F.col("min_p"),
+        F.col("max_p"),
+        bits=16,
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select((z / 16_777_216).cast("long").alias("z_bucket"))
+        .groupBy("z_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

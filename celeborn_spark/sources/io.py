@@ -188,3 +188,85 @@ def write_sorted_buckets(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def zorder_value(col_a, col_b, min_a, max_a, min_b, max_b, bits: int = 16):
+    """Z-order (Morton) value of two columns: each value min-max scaled
+    to a [0, 2^bits) integer grid cell, then bit-interleaved (a in even
+    bit positions, b in odd). Rows close in BOTH dimensions get close
+    z-values, so a z-sorted file layout gives parquet row-group min/max
+    pruning on EITHER filter column — the standard multi-dimensional
+    clustering technique for 100 TB lake tables (one sort key serves
+    every dimension, where a plain sort serves only its leading column).
+
+    All-integer arithmetic after the grid snap (floor of the scaled
+    double), so the value is engine-exact and oracle-checkable. Bounds
+    are passed in (from a prior stats aggregate or known domain) —
+    computing them inline would force a second scan per call."""
+    from pyspark.sql import functions as F
+
+    span_a = max_a - min_a
+    span_b = max_b - min_b
+    cells = (1 << bits) - 1
+    ga = F.least(
+        F.lit(cells),
+        F.floor(((col_a if not isinstance(col_a, str) else F.col(col_a)) - min_a)
+                / span_a * (1 << bits)).cast("long"),
+    )
+    gb = F.least(
+        F.lit(cells),
+        F.floor(((col_b if not isinstance(col_b, str) else F.col(col_b)) - min_b)
+                / span_b * (1 << bits)).cast("long"),
+    )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ga, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(gb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_oracle_expr(
+    a_sql: str, b_sql: str, min_a, max_a, min_b, max_b, bits: int = 16
+) -> str:
+    """DuckDB expression mirroring zorder_value bit for bit. Bounds may
+    be numeric literals or SQL column references (e.g. a stats CTE's
+    columns) — the expression tree keeps the exact association order of
+    the Spark side, so the IEEE double grid snap is identical."""
+    cells = (1 << bits) - 1
+    ga = (
+        f"least({cells}, CAST(floor(({a_sql} - {min_a}) / ({max_a} - {min_a})"
+        f" * {1 << bits}) AS BIGINT))"
+    )
+    gb = (
+        f"least({cells}, CAST(floor(({b_sql} - {min_b}) / ({max_b} - {min_b})"
+        f" * {1 << bits}) AS BIGINT))"
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ga} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({gb} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    z_col,
+    n_files: int,
+) -> None:
+    """Write a z-clustered parquet layout: range-partition by the
+    z-value and sort within each file, so every file's row groups hold
+    a compact z-range — min/max footer stats then prune on each
+    original dimension independently."""
+    staged = (
+        df.withColumn("_z", z_col)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        if not isinstance(z_col, str)
+        else df.repartitionByRange(n_files, z_col).sortWithinPartitions(z_col)
+    )
+    staged.write.mode("overwrite").parquet(path)

@@ -213,3 +213,35 @@ def test_snapshot_diff_shuffles_digests_not_payload(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "c_name" not in line and "c_mktsegment" not in line, line
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering (SURVEY §2A A15 at join granularity):
+    a selective dim-side predicate injects a bloom filter that prunes
+    the fact side BEFORE its shuffle — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    keys. Thresholds are production-scale by default (10 GB application
+    side), so the test lowers them to fire at test SF; the mechanism
+    and plan shape are identical."""
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 1)
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").count()
+        plan = physical_plan(j)
+        assert "might_contain" in plan, plan[:2500]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -202,3 +202,69 @@ def test_dirty_json_malformed_row_modes(spark, tmp_path):
             spark, str(p), "json",
             schema=T.StructType(schema.fields[:2]), mode="FAILFAST",
         ).collect()
+
+
+def test_zorder_value_matches_python_reference(spark):
+    """Bit-interleave correctness vs a direct Python Morton encode on a
+    known grid (bounds chosen so the snap is exact)."""
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.sources.io import zorder_value
+
+    pts = [(float(a), float(b)) for a in range(8) for b in range(8)]
+    df = spark.createDataFrame(pts, "a double, b double")
+    z = zorder_value(F.col("a"), F.col("b"), 0.0, 8.0, 0.0, 8.0, bits=3)
+    got = {(r.a, r.b): r.z for r in df.select("a", "b", z.alias("z")).collect()}
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(3):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    for a, b in pts:
+        assert got[(a, b)] == morton(int(a), int(b)), (a, b)
+
+
+def test_zordered_layout_prunes_on_both_dims(spark, tmp_path):
+    """A z-clustered file layout keeps BOTH dimensions' footer min/max
+    ranges narrow per file, so a selective filter on either column can
+    skip most files — the property a leading-column sort cannot give
+    for the second column."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.sources.io import write_zordered, zorder_value
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 10.0).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)) / 10.0).alias("y"),
+    )
+    path = str(tmp_path / "zt")
+    z = zorder_value(F.col("x"), F.col("y"), 0.0, 100.0, 0.0, 100.0, bits=10)
+    write_zordered(df, path, z, n_files=16)
+
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= 8
+
+    # per-file min/max on each dim via pyarrow column statistics
+    def files_overlapping(col: str, lo: float, hi: float) -> int:
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            idx = names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hits += 1
+        return hits
+
+    for col in ("x", "y"):
+        assert files_overlapping(col, 10.0, 20.0) <= len(files) * 0.6, col
