@@ -327,3 +327,67 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
     return run_stream_to_table(agg, "stream_corpus_ingest", "complete")
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.c_id, p.p_id
+    FROM c CROSS JOIN mx
+    LEFT JOIN p
+      ON c.c_user = p.p_user
+     AND epoch_us(p.p_ts) >  epoch_us(c.c_ts)
+     AND epoch_us(p.p_ts) <= epoch_us(c.c_ts) + 3600000000
+    WHERE epoch_us(c.c_ts) <= epoch_us(mx.m) - 4 * 3600000000
+    """,
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: clicks with their within-1h
+    purchase, or NULL once the watermark proves no purchase can still
+    arrive — the state semantics inner joins never exercise (Spark
+    holds the unmatched side in the state store until the watermark
+    passes the join window, then emits the null row and evicts).
+
+    Boundary discipline: a click flushes its unmatched row only when
+    watermark (max ts - 2h) passes c_ts + 1h, so the bounded input's
+    final watermark leaves a tail of clicks undetermined. Both engines
+    apply the identical c_ts <= max_ts - 4h cutoff (one broadcast
+    scalar), so the compared region is exactly the provably-flushed
+    one."""
+    from celeborn_spark.catalog import load_table
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withColumnRenamed("ts", "c_ts")
+        .withColumnRenamed("user_id", "c_user")
+        .withWatermark("c_ts", "2 hours")
+        .select("c_user", "c_ts", F.col("event_id").alias("c_id"))
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "p_ts")
+        .withColumnRenamed("user_id", "p_user")
+        .withWatermark("p_ts", "2 hours")
+        .select("p_user", "p_ts", F.col("event_id").alias("p_id"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_stream_to_table(joined, "stream_stream_left_join", "append")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .where(F.col("c_ts") <= F.col("m") - F.expr("INTERVAL 4 HOURS"))
+        .select("c_id", "p_id")
+    )
