@@ -47,6 +47,7 @@ def pagerank(
     dst_col: str = "dst",
     partition_edges: bool = False,
     handle_dangling: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, pr) after `iters` rounds of scaled PageRank
     (sum of pr over nodes == node count). By default no dangling
@@ -67,17 +68,27 @@ def pagerank(
     round's (then sort-merge) rank join reuses that layout and only the
     node-sized rank relation crosses the wire. The per-term pr/outdeg
     stays a DIVISION — the oracle divides too, and pr*(1/outdeg) rounds
-    differently in the last ulp."""
+    differently in the last ulp.
+
+    ``weight_col`` names a positive edge-weight column: contributions
+    become pr * w / sum_w(src) (the weighted random surfer). Unweighted
+    graphs use w=1.0, which reduces to the classic form bit-for-bit
+    (pr * 1.0 == pr; sum of 1.0 over n edges == n exactly)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    wexpr = (
+        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    )
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), wexpr.alias("ew")
+    )
     if partition_edges:
         raw = raw.repartition(
             edges.sparkSession.sparkContext.defaultParallelism, "src"
         ).persist()
     if handle_dangling:
         return _pagerank_dangling(raw, iters, damping, unpersist_edges=partition_edges)
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = raw.groupBy("src").agg(F.sum("ew").alias("outdeg"))
     e = raw.join(deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for i in range(iters):
@@ -107,7 +118,7 @@ def _pagerank_round(ranks: DataFrame, e: DataFrame, damping: float) -> DataFrame
     row per map task, not a hot reduce partition
     (tests/test_skew_stress.py pins partial-then-final)."""
     contribs = ranks.join(e, ranks["node"] == e["src"]).select(
-        "dst", (F.col("pr") / F.col("outdeg")).alias("w")
+        "dst", (F.col("pr") * F.col("ew") / F.col("outdeg")).alias("w")
     )
     return (
         contribs.groupBy("dst")
@@ -135,7 +146,7 @@ def _pagerank_dangling(
         .union(raw.select(F.col("dst").alias("node")))
         .distinct()
     )
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = raw.groupBy("src").agg(F.sum("ew").alias("outdeg"))
     # (node, outdeg-null-iff-dangling): node-sized; materialized once —
     # every round's contribs/danglers/affine all reference it
     base = (
@@ -156,7 +167,7 @@ def _pagerank_dangling(
             r.where(F.col("outdeg").isNotNull())
             .join(raw, r["node"] == raw["src"])
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("cs"))
+            .agg(F.sum(F.col("pr") * F.col("ew") / F.col("outdeg")).alias("cs"))
         )
         ranks = (
             base.join(contribs, base["node"] == contribs["dst"], "left")
@@ -288,24 +299,70 @@ def pagerank_dangling_oracle_sql(
 
 
 def pagerank_oracle_sql(
-    edges_cte: str = EDGES_ORACLE, iters: int = 3, damping: float = DAMPING
+    edges_cte: str = EDGES_ORACLE,
+    iters: int = 3,
+    damping: float = DAMPING,
+    weighted: bool = False,
 ) -> str:
     """DuckDB mirror of `pagerank` over `edges_cte` (which must define
-    a CTE named `e(src, dst)`): the same init/contribute/sum arithmetic
-    unrolled one CTE per iteration."""
+    a CTE named `e(src, dst)` — plus `ew` when ``weighted``): the same
+    init/contribute/sum arithmetic unrolled one CTE per iteration."""
+    deg = (
+        "deg AS (SELECT src, sum(ew) AS outdeg FROM e GROUP BY src)"
+        if weighted
+        else "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)"
+    )
+    contrib = "{p}.pr * e.ew / deg.outdeg" if weighted else "{p}.pr / deg.outdeg"
     ctes = [
         edges_cte.strip(),
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        deg,
         "r0 AS (SELECT src AS node, 1.0 AS pr FROM deg)",
     ]
     prev = "r0"
     for i in range(iters):
         cur = f"r{i + 1}"
+        term = contrib.format(p=prev)
         ctes.append(f"""{cur} AS (
         SELECT e.dst AS node,
-               round((1 - {damping}) + {damping} * sum({prev}.pr / deg.outdeg), 6) AS pr
+               round((1 - {damping}) + {damping} * sum({term}), 6) AS pr
         FROM {prev} JOIN e ON {prev}.node = e.src JOIN deg ON deg.src = e.src
         GROUP BY e.dst
     )""")
         prev = cur
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, pr FROM {prev}"
+
+
+WEIGHTED_EDGES_ORACLE = """
+    eraw AS (
+        SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+               CAST(count(*) AS DOUBLE) AS ew
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, ew FROM eraw
+          UNION ALL SELECT dst AS src, src AS dst, ew FROM eraw)
+"""
+
+
+def weighted_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Undirected customer<->supplier edges weighted by order-line
+    multiplicity (how many lineitems link the pair) — the natural
+    strength signal a weighted random surfer should follow. Same
+    disjoint-id encoding as `bipartite_order_edges`; the groupBy
+    replaces its distinct (one exchange either way)."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey"),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("ew"))
+        .localCheckpoint()
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "ew")
+    )

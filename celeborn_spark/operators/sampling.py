@@ -100,6 +100,26 @@ def weighted_sample_topk(
     )
 
 
+def per_group_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Exactly-k-per-group deterministic random sample: rank rows
+    within each group by their md5 variate and keep the k smallest —
+    the balanced-class sampler (equal representation per lang/source/
+    label regardless of group skew), unlike fraction-based sampling
+    (k proportional to group size) or first-k-by-id (biased to early
+    keys). One group-keyed window; Spark's WindowGroupLimit prunes
+    past rank k before the full per-group sort."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(hash_bucket(key_col, salt), key_col)
+    return (
+        df.select(group_col, key_col, F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, key_col)
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str, n_shards: int, epoch: int = 0
 ) -> DataFrame:

@@ -16,11 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.graph import (
+    WEIGHTED_EDGES_ORACLE,
     bipartite_order_edges,
     directed_order_edges,
     pagerank,
     pagerank_dangling_oracle_sql,
     pagerank_oracle_sql,
+    weighted_order_edges,
 )
 from celeborn_spark.registry import query
 
@@ -39,6 +41,23 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     return pagerank(bipartite_order_edges(orders, lineitem), iters=_ITERS)
+
+
+@query(
+    "q_pagerank_weighted",
+    oracle=pagerank_oracle_sql(WEIGHTED_EDGES_ORACLE, iters=_ITERS, weighted=True),
+)
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: edges carry order-line multiplicity, so the
+    random surfer follows strong customer<->supplier relationships
+    proportionally (contribution = pr * w / sum_w(src)). Same
+    one-exchange-per-round plan as the unweighted form — the weight is
+    one extra double riding the existing edge relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return pagerank(
+        weighted_order_edges(orders, lineitem), iters=_ITERS, weight_col="ew"
+    )
 
 
 @query("q_pagerank_dangling", oracle=pagerank_dangling_oracle_sql(iters=_ITERS))

@@ -123,3 +123,30 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return epoch_shuffle(d, "doc_id", n_shards=16, epoch=5)
+
+
+@query(
+    "q_per_group_sample",
+    oracle="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                                 '11')), 1, 8),
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language sample: exactly 20 docs per lang chosen by
+    md5 variate — equal class representation regardless of language
+    skew (vs fraction sampling, which keeps groups proportional, and
+    first-k-by-id, which biases to early keys). WindowGroupLimit prunes
+    past rank 20 before the per-group sort
+    (operators/sampling.per_group_sample)."""
+    from celeborn_spark.operators.sampling import per_group_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return per_group_sample(d, "lang", "doc_id", k=20, salt=11)

@@ -130,6 +130,38 @@ def test_pagerank_dangling_vs_oracle(spark, sf_dir):
     )
 
 
+def test_weighted_pagerank_follows_strong_edges(spark):
+    """Two spokes pointing at two hubs with 9:1 weights — the heavy hub
+    must outrank the light one; uniform weights must reproduce the
+    unweighted ranks bit-for-bit."""
+    e = spark.createDataFrame(
+        [(1, 10, 9.0), (1, 11, 1.0), (2, 10, 9.0), (2, 11, 1.0),
+         (10, 1, 1.0), (11, 2, 1.0)],
+        ["src", "dst", "w"],
+    )
+    ranks = {r.node: r.pr for r in pagerank(e, iters=4, weight_col="w").collect()}
+    assert ranks[10] > ranks[11]
+    uni = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0)], ["src", "dst", "w"]
+    )
+    a = {r.node: r.pr for r in pagerank(uni, iters=3, weight_col="w").collect()}
+    b = {r.node: r.pr for r in pagerank(uni.drop("w"), iters=3).collect()}
+    assert a == b
+
+
+def test_weighted_pagerank_vs_oracle(spark, sf_dir):
+    from celeborn_spark.operators.graph import WEIGHTED_EDGES_ORACLE
+    from celeborn_spark.queries.graph import q_pagerank_weighted
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        q_pagerank_weighted(spark, sf_dir),
+        con,
+        pagerank_oracle_sql(WEIGHTED_EDGES_ORACLE, iters=3, weighted=True),
+        "q_pagerank_weighted",
+    )
+
+
 def test_directed_edges_have_danglers(spark, sf_dir):
     """The planted-dangler graph is honest: suppliers never appear as
     src, so every supplier node dangles."""

@@ -158,7 +158,8 @@ def test_pagerank_hub_agg_skew_partial_combine(spark):
         .cast("long")
         .alias("dst"),
     ).localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges = edges.withColumn("ew", F.lit(1.0))
+    deg = edges.groupBy("src").agg(F.sum("ew").alias("outdeg"))
     e = edges.join(deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     with _skew_confs(spark):
