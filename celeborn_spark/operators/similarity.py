@@ -408,3 +408,86 @@ def embedding_near_dup_oracle_sql(
     JOIN v vb ON vb.vid = b.{id_col}
     WHERE round(list_cosine_similarity(va.e, vb.e), 6) >= {threshold}
     """
+
+
+def project_embeddings(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to `k` dims: y_j =
+    sum_i x_i * w(i, j) / sqrt(k), hyperplane weights w derived from
+    md5(pos ':' j) exactly like embedding_bit_signature_md5 — so the
+    projection is deterministic, engine-portable and oracle-checkable.
+
+    The scale move BEFORE similarity search: a 768-dim corpus projected
+    to 64 dims shrinks ANN memory and dot-product cost ~12x while JL
+    preserves pairwise distances within (1 +- eps). Same plan shape as
+    the signature: weights computed once on the distinct-pos relation
+    (dims x k values) and broadcast back; ONE groupBy exchange with k
+    sum aggregates. Output unpivoted as (id, out_dim, y) rounded 6dp
+    (the sum is the only order-sensitive float op; addends are O(1))."""
+    import math
+
+    spread = vectors.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    dims = spread.select(
+        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "x")
+    )
+
+    def w(j: int) -> Column:
+        digest = F.md5(F.concat_ws(":", F.col("pos").cast("string"), F.lit(str(j))))
+        val = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long")
+        return (val % 2001 - 1000) / F.lit(1000.0)
+
+    weights = dims.select("pos").distinct().select(
+        "pos", *[w(j).alias(f"w{j}") for j in range(k)]
+    )
+    scale = math.sqrt(k)
+    sums = (
+        dims.join(F.broadcast(weights), "pos")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.round(F.sum(F.col("x") * F.col(f"w{j}")) / scale, 6).alias(f"y{j}")
+                for j in range(k)
+            ]
+        )
+    )
+    stack = ", ".join(f"{j}, y{j}" for j in range(k))
+    return sums.selectExpr(
+        id_col, f"stack({k}, {stack}) AS (out_dim, y)"
+    ).select(id_col, F.col("out_dim").cast("long").alias("out_dim"), "y")
+
+
+def projection_oracle_sql(
+    table: str, id_col: str, vec_col: str, k: int = 8
+) -> str:
+    """DuckDB mirror of project_embeddings (same hex->int CASE trick as
+    embedding_signature_oracle_sql)."""
+    hv = (
+        "(CASE {c} "
+        + " ".join(f"WHEN '{d}' THEN {int(d, 16)}" for d in "0123456789abcdef")
+        + " END)"
+    )
+
+    def val4(h: str) -> str:
+        parts = [hv.format(c=f"substr({h}, {i}, 1)") for i in range(1, 5)]
+        return f"((({parts[0]} * 16 + {parts[1]}) * 16 + {parts[2]}) * 16 + {parts[3]})"
+
+    digest = "md5(CAST(u.pos AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))"
+    w = f"(({val4(digest)} % 2001 - 1000) / 1000.0)"
+    return f"""
+    WITH dims AS (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(e) + 1),
+                                     i -> {{'pos': i - 1, 'x': e[i]}})) AS u
+        FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS e FROM {table})
+    )
+    SELECT {id_col}, CAST(j.j AS BIGINT) AS out_dim,
+           round(sum(u.x * {w}) / sqrt(CAST({k} AS DOUBLE)), 6) AS y
+    FROM dims CROSS JOIN (SELECT unnest(range({k})) AS j) j
+    GROUP BY {id_col}, j.j
+    """

@@ -266,3 +266,18 @@ def q_embedding_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.embedding_near_dup_pairs_md5(
         emb, "vec_id", "embedding", bits=12, threshold=0.9
     )
+
+
+@query(
+    "q_embedding_project",
+    oracle=S.projection_oracle_sql("embeddings", "vec_id", "embedding", k=8),
+)
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection of the embedding corpus to 8
+    dims (md5-derived hyperplanes, digit-exact in both engines) — the
+    dimensionality-reduction step that shrinks ANN memory and
+    dot-product cost before similarity search at scale
+    (operators/similarity.project_embeddings: one groupBy exchange,
+    weights broadcast from a dims x k relation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.project_embeddings(emb, k=8)
