@@ -151,3 +151,31 @@ def test_snapshot_diff_statuses(spark):
     got = {r.k: r.status for r in snapshot_diff(old, new, "k", ["name", "bal"]).collect()}
     # 1 unchanged (absent), 2 changed, 3 removed, 4 changed (NULL -> 'd'), 5 added
     assert got == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_snapshot_diff_matches_python_reference(spark):
+    """Differential on a randomized-ish grid: statuses must equal a
+    direct dict comparison (added/removed/changed/absent-if-equal)."""
+    from celeborn_spark.operators.merge import snapshot_diff
+
+    old_rows = [(k, f"v{k % 7}", float(k % 5)) for k in range(100)]
+    new_rows = [
+        (k, f"v{(k + (1 if k % 11 == 0 else 0)) % 7}", float(k % 5))
+        for k in range(100)
+        if k % 13 != 0
+    ] + [(1000 + k, "new", 0.0) for k in range(5)]
+    old = spark.createDataFrame(old_rows, "k long, a string, b double")
+    new = spark.createDataFrame(new_rows, "k long, a string, b double")
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k", ["a", "b"]).collect()}
+
+    om = {k: (a, b) for k, a, b in old_rows}
+    nm = {k: (a, b) for k, a, b in new_rows}
+    want = {}
+    for k in om.keys() | nm.keys():
+        if k not in nm:
+            want[k] = "removed"
+        elif k not in om:
+            want[k] = "added"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+    assert got == want

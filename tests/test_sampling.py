@@ -104,3 +104,31 @@ def test_epoch_shuffle_is_permutation(spark, sf_dir):
 
     with pytest.raises(ValueError):
         epoch_shuffle(d, "doc_id", n_shards=0)
+
+
+def test_epoch_shuffle_matches_python_md5_reference(spark):
+    """Differential: (shard_id, pos) must equal a direct Python md5
+    computation for every row — pins the exact hash-input format
+    ('id:epoch') and the hex->int shard arithmetic."""
+    import hashlib
+
+    from celeborn_spark.operators.sampling import epoch_shuffle
+
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.shard_id, r.pos)
+        for r in epoch_shuffle(df, "doc_id", n_shards=4, epoch=9).collect()
+    }
+
+    keyed = [
+        (hashlib.md5(f"{i}:9".encode()).hexdigest()[:8], i) for i in ids
+    ]
+    want: dict[int, tuple[int, int]] = {}
+    by_shard: dict[int, list[tuple[str, int]]] = {}
+    for k, i in keyed:
+        by_shard.setdefault(int(k, 16) % 4, []).append((k, i))
+    for shard, rows in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(rows)):
+            want[i] = (shard, pos)
+    assert got == want
