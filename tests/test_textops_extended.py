@@ -175,3 +175,8 @@ def test_compression_ratio_matches_zlib_and_orders_quality(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = compression_ratio(d, "doc_id", "text")
     assert out.count() == d.count()
+    # the registered query's self-check bound holds corpus-wide
+    from celeborn_spark.queries.text import q_compression_quality
+
+    rows = q_compression_quality(spark, sf_dir).collect()
+    assert rows and all(r.ratio_in_bounds for r in rows)
