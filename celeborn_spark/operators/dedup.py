@@ -293,6 +293,38 @@ def minhash_lsh_candidates(
         shingle — the portability tax.
     """
     rows = num_hashes // bands
+    banded = banded_signatures(
+        df, id_col, text_col, n, num_hashes, bands, hash_kind,
+        max_shingle_freq, shingles,
+    )
+    left = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+    right = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hash_kind: str = "xxhash64",
+    max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """(doc, band_idx, band_key): the LSH band-bucket index relation —
+    the persistable artifact of an incremental near-dup pipeline (store
+    it; new batches join against it instead of re-signing the corpus).
+    Factored out of minhash_lsh_candidates so the self-join (batch
+    dedup) and index-join (incremental) paths share one signature
+    implementation."""
+    rows = num_hashes // bands
     sh = shingles if shingles is not None else shingle_table(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         sh = drop_hot_shingles(sh, max_shingle_freq)
@@ -320,7 +352,7 @@ def minhash_lsh_candidates(
     else:
         raise ValueError(f"hash_kind must be 'xxhash64' or 'md5', got {hash_kind!r}")
     sig = base.groupBy("doc").agg(*lanes)
-    banded = sig.select(
+    return sig.select(
         "doc",
         F.posexplode(
             F.array(
@@ -333,13 +365,77 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_key"),
     )
-    left = banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
-    right = banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key")
-    return (
-        left.join(right, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+
+
+def incremental_lsh_near_dup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    hash_kind: str = "md5",
+) -> DataFrame:
+    """Rolling-ingestion NEAR-dup: which new-batch docs near-duplicate
+    the existing corpus — (id_new, id_old, jaccard) pairs above the
+    threshold. The near-dup twin of incremental_dedup (which catches
+    exact digests only).
+
+    Scale shape: the corpus's banded signatures are the INDEX (at scale
+    persisted once by `banded_signatures` and appended per batch, never
+    recomputed); candidates come from a batch-vs-index band join —
+    batch-sized × bucket occupancy, NOT corpus self-pairs — and only
+    candidates pay the exact-Jaccard verification (shingle joins with
+    map-side counts)."""
+    sh_c = shingle_table(corpus, id_col, text_col, n).localCheckpoint()
+    sh_b = shingle_table(batch, id_col, text_col, n).localCheckpoint()
+    bc = banded_signatures(
+        corpus, id_col, text_col, n, num_hashes, bands, hash_kind, shingles=sh_c
+    )
+    bb = banded_signatures(
+        batch, id_col, text_col, n, num_hashes, bands, hash_kind, shingles=sh_b
+    )
+    cand = (
+        bb.select(F.col("doc").alias("id_new"), "band_idx", "band_key")
+        .join(
+            bc.select(F.col("doc").alias("id_old"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .select("id_new", "id_old")
         .distinct()
+    )
+    sizes_b = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_new"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_old"))
+    a = sh_b.select(F.col(id_col).alias("id_new"), "shingle")
+    b = sh_c.select(F.col(id_col).alias("id_old2"), F.col("shingle").alias("shingle_b"))
+    common = (
+        cand.join(a, "id_new")
+        .join(
+            b,
+            (F.col("id_old") == F.col("id_old2"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes_b, common["id_new"] == sizes_b[id_col])
+        .drop(id_col)
+        .join(sizes_c, common["id_old"] == sizes_c[id_col])
+        .drop(id_col)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_new") + F.col("n_old") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_new", "id_old", "jaccard"
     )
 
 

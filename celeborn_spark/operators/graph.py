@@ -169,10 +169,12 @@ def _pagerank_dangling(
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("ew") / F.col("outdeg")).alias("cs"))
         )
+        # one broadcast of the combined 1-row scalar relation per round
+        # (dangling x n_nodes is 1x1), not two nested-loop broadcasts
+        scalars = dangling.crossJoin(n_nodes)
         ranks = (
             base.join(contribs, base["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(scalars))
             .select(
                 "node",
                 F.round(

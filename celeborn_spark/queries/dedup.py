@@ -387,3 +387,69 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=5,
     )
+
+
+@query(
+    "q_dedup_incremental_lsh",
+    # Same md5-lane machinery as q_dedup_minhash_lsh, but the candidate
+    # join is batch-vs-corpus (doc_id % 10 == 0 plays the incoming
+    # batch, the rest the indexed corpus) — the rolling-ingestion
+    # near-dup check. Signatures are split-independent, so the oracle
+    # computes them once and splits at the band join.
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    lanes AS (
+        SELECT doc_id, l,
+               min(substr(md5(CAST(l // 4 AS VARCHAR) || ':' || shingle),
+                          1 + 8 * (l % 4), 8)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(16)) AS l)
+        GROUP BY doc_id, l
+    ),
+    bands AS (
+        SELECT doc_id, l // 4 AS band_idx,
+               string_agg(mh, '|' ORDER BY l) AS band_key
+        FROM lanes GROUP BY doc_id, l // 4
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_old
+        FROM bands b JOIN bands c
+          ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+        WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT cand.id_new, cand.id_old, count(*) AS n_common
+        FROM cand
+        JOIN sh a  ON a.doc_id = cand.id_new
+        JOIN sh b2 ON b2.doc_id = cand.id_old AND b2.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_new, id_old,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_new
+    JOIN sizes sb ON sb.doc_id = id_old
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+    """,
+)
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against an indexed corpus: which incoming
+    docs (doc_id % 10 == 0 plays the batch) near-duplicate the existing
+    corpus — the rolling-ingestion twin of q_incremental_dedup (exact
+    digests) at LSH granularity. Candidates come from a batch-vs-index
+    band join, never corpus self-pairs; at scale the corpus's banded
+    signatures persist as the index and only the batch is signed per
+    ingest (operators/dedup.incremental_lsh_near_dup)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+    return D.incremental_lsh_near_dup(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.8, hash_kind="md5",
+    )

@@ -175,3 +175,34 @@ def test_edit_distance_pairs_blocked(spark):
            D.edit_distance_pairs(docs, "doc_id", "text", max_dist=10).collect()}
     assert (1, 2) in out and out[(1, 2)] == 3
     assert all(p == (1, 2) for p in out), out
+
+
+def test_incremental_lsh_finds_planted_cross_batch_near_dups(spark, sf_dir):
+    """Batch copies of corpus docs must surface with jaccard 1.0; novel
+    batch docs must not pair with anything."""
+    from pyspark.sql import functions as F2
+
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.dedup import incremental_lsh_near_dup
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F2.col("doc_id") < 100).localCheckpoint()
+    seed = corpus.where(F2.col("doc_id") < 5)
+    copies = seed.select((F2.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    novel = spark.createDataFrame(
+        [(2_000_000 + i, f"utterly novel text {i} zz{i} qq{i} ww{i} ee{i}")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    batch = copies.unionByName(novel)
+    pairs = incremental_lsh_near_dup(
+        corpus, batch, "doc_id", "text", num_hashes=16, bands=4, threshold=0.8
+    ).collect()
+    found: dict[int, list[tuple[int, float]]] = {}
+    for r in pairs:
+        found.setdefault(r.id_new, []).append((r.id_old, r.jaccard))
+    for r in seed.collect():
+        # the planted source must be among the matches at jaccard 1.0
+        # (other corpus docs may legitimately also near-dup the copy)
+        assert (r.doc_id, 1.0) in found.get(r.doc_id + 1_000_000, []), r.doc_id
+    assert not any(k >= 2_000_000 for k in found)
