@@ -245,3 +245,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_incremental_lsh_stays_equality_keyed(spark, sf_dir):
+    """The batch-vs-index path must stay band-bucket equality joins —
+    a cartesian or nested-loop here would mean the index join shape
+    degenerated to all-pairs."""
+    from celeborn_spark.queries import dedup as qd
+
+    df = qd.q_dedup_incremental_lsh(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
