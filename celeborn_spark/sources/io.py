@@ -202,7 +202,11 @@ def zorder_value(col_a, col_b, min_a, max_a, min_b, max_b, bits: int = 16):
     All-integer arithmetic after the grid snap (floor of the scaled
     double), so the value is engine-exact and oracle-checkable. Bounds
     are passed in (from a prior stats aggregate or known domain) —
-    computing them inline would force a second scan per call."""
+    computing them inline would force a second scan per call.
+
+    Reference analogue: extends the sorted-range-read idea (worker
+    PartitionFilesSorter.java:208, SURVEY §2A A14 — sort once so range
+    reads skip) from one key to an interleaved multi-dimensional key."""
     from pyspark.sql import functions as F
 
     span_a = max_a - min_a

@@ -3,39 +3,48 @@
 near- but not exact dups) and time the dedup/text family at 1x vs Kx.
 
 Last run (K=8, sf0.1 base = 5k docs -> 40k, 2k vecs -> 16k, local[32],
-round 5 / pyspark 4.1.2):
+round 5 / pyspark 4.1.2, idle host — an earlier same-day run under
+background host load showed ~2-3x inflated absolutes with the same
+sublinear SHAPE; compare ratios, not absolutes):
 
-    minhash_lsh               2.01 s ->  9.91 s  (4.9x: sublinear; the
-                                                  salted 8x corpus also
-                                                  multiplies real dup
-                                                  collisions per bucket)
-    jaccard_pairs(cap)        2.88 s -> 46.50 s  (16x: exact all-pairs is
+    minhash_lsh               1.70 s ->  3.47 s  (2.0x: sublinear; band
+                                                  collisions bound candidates)
+    jaccard_pairs(cap)        2.00 s -> 13.17 s  (6.6x: exact all-pairs is
                                                   QUADRATIC in docs-per-
                                                   shingle BY DESIGN; the
                                                   hot-shingle cap contains
                                                   it, verified_lsh_dedup
                                                   is the scale path)
-    repetition_stats          0.54 s ->  1.07 s  (2.0x: linear map+agg)
-    quality_curriculum        0.84 s ->  1.28 s  (1.5x: histogram quantiles
+    repetition_stats          0.33 s ->  0.61 s  (1.8x: linear map+agg)
+    quality_curriculum        0.51 s ->  0.55 s  (1.1x: histogram quantiles
                                                   keyed by distinct values)
-    mixture_sample            0.77 s ->  1.04 s  (1.4x: two aggregates +
+    mixture_sample            0.34 s ->  0.32 s  (flat: two aggregates +
                                                   codegen'd filter)
-    sequence_pack             0.43 s ->  0.58 s  (1.3x: one window exchange
+    sequence_pack             0.25 s ->  0.29 s  (1.2x: one window exchange
                                                   + narrow span fan-out)
-    kmeans k=4 iters=2        3.85 s ->  3.08 s  (flat: per-iteration fixed
-                                                  overhead dominates here)
-    embedding_quantize        0.59 s ->  0.57 s  (flat: dim-sized stats agg
+    kmeans k=4 iters=2        1.50 s ->  1.79 s  (1.2x: vector passes
+                                                  embarrassingly parallel)
+    embedding_quantize        0.18 s ->  0.20 s  (flat: dim-sized stats agg
                                                   + map-side codes)
-    pagerank iters=3          2.72 s ->  5.77 s  (2.1x for 8x edges)
-    pagerank(partition_edges) 3.03 s ->  6.37 s  (2.1x: partitioned-edge
-                                                  layout costs ~10% at toy
-                                                  scale, wins past
-                                                  broadcast scale)
-    pagerank(dangling)        3.64 s ->  9.23 s  (2.5x: + per-round
+    pagerank iters=3          1.20 s ->  2.45 s  (2.0x for 8x edges)
+    pagerank(partition_edges) 2.23 s ->  2.85 s  (1.3x: partitioned-edge
+                                                  layout costs extra fixed
+                                                  setup at toy scale, wins
+                                                  past broadcast scale)
+    pagerank(dangling)        1.97 s ->  4.13 s  (2.1x: + per-round
                                                   dangler-sum aggregate)
-    winsorize                 0.50 s ->  0.62 s  (1.2x: two group-keyed
+    winsorize                 0.16 s ->  0.28 s  (1.8x: two group-keyed
                                                   aggregates + broadcast
                                                   clamp)
+    epoch_shuffle             0.07 s ->  0.07 s  (flat: one exchange +
+                                                  per-shard local sort)
+    snapshot_diff             0.16 s ->  0.27 s  (1.7x: map-side digests,
+                                                  key+digest-only shuffle)
+    zorder                    0.19 s ->  0.18 s  (flat: zero-shuffle map)
+    incremental_lsh(xxh)      1.07 s ->  2.86 s  (2.7x with BOTH batch and
+                                                  corpus 8x: batch-vs-index
+                                                  band join, candidates
+                                                  bucket-bounded)
 
 Interpretation: every operator class is sublinear at 8x except exact
 Jaccard, which is the correctness/oracle path; at scale candidate
@@ -205,6 +214,46 @@ def main() -> None:
     evk = evk.localCheckpoint()
     for label, df in (("1x", ev1), (f"{K}x", evk)):
         timeit(f"winsorize {label}", lambda df=df: _winsorize(df).count())
+
+    # round-5 operators over the replicated documents corpus
+    from celeborn_spark.operators.dedup import incremental_lsh_near_dup
+    from celeborn_spark.operators.sampling import epoch_shuffle
+    from celeborn_spark.operators.merge import snapshot_diff
+    from celeborn_spark.sources.io import zorder_value
+
+    for label, df in (("1x", d1), (f"{K}x", dk)):
+        timeit(
+            f"epoch_shuffle {label}",
+            lambda df=df: epoch_shuffle(df, "doc_id", n_shards=64, epoch=1).count(),
+        )
+        timeit(
+            f"snapshot_diff {label}",
+            lambda df=df: snapshot_diff(
+                df,
+                df.where(F.col("doc_id") % 13 != 0),
+                "doc_id",
+                ["text", "lang"],
+            ).count(),
+        )
+        timeit(
+            f"zorder {label}",
+            lambda df=df: df.select(
+                zorder_value(
+                    F.col("n_chars").cast("double"),
+                    (F.col("doc_id") % 1000).cast("double"),
+                    0.0, 100000.0, 0.0, 1000.0, bits=16,
+                ).alias("z")
+            ).count(),
+        )
+        timeit(
+            f"incremental_lsh(xxh) {label}",
+            lambda df=df: incremental_lsh_near_dup(
+                df.where(F.col("doc_id") % 10 != 0),
+                df.where(F.col("doc_id") % 10 == 0),
+                "doc_id", "text", num_hashes=16, bands=4,
+                threshold=0.8, hash_kind="xxhash64",
+            ).count(),
+        )
 
 
 def _winsorize(e):
