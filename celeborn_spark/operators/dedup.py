@@ -613,3 +613,38 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def dup_span_profile(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Per-doc exact-substring duplication profile: of a doc's distinct
+    n-token spans, how many also occur in ANOTHER doc — the
+    span-granular dedup signal of Lee et al.'s "Deduplicating Training
+    Data" (exact substring duplication localizes boilerplate and
+    copied passages that whole-doc Jaccard misses when the rest of the
+    doc differs). Output: (id, n_spans, n_dup_spans, dup_frac 4dp).
+
+    Plan shape: one shingle exchange builds the span document-frequency
+    relation (map-side partial counts absorb hot boilerplate spans);
+    docs join it on the span key and aggregate back per doc — no
+    pair-space is ever materialized, so the profile is linear where
+    pairwise dedup is quadratic."""
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
+    df_counts = sh.groupBy("shingle").agg(
+        F.count_distinct(id_col).alias("_df")
+    )
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )

@@ -453,3 +453,32 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
         threshold=0.8, hash_kind="md5",
     )
+
+
+@query(
+    "q_dup_span_profile",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                                     i -> array_to_string(t[i:i+7], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 8
+    ),
+    dfreq AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+    FROM sh JOIN dfreq USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-token-substring duplication profile per doc (Lee et al.
+    substring dedup signal): fraction of a doc's distinct spans that
+    also occur elsewhere — localizes boilerplate/copied passages that
+    whole-doc Jaccard misses. Linear (span document-frequency join),
+    never pairwise (operators/dedup.dup_span_profile)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.dup_span_profile(d, "doc_id", "text", n=8)

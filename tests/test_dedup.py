@@ -206,3 +206,23 @@ def test_incremental_lsh_finds_planted_cross_batch_near_dups(spark, sf_dir):
         # (other corpus docs may legitimately also near-dup the copy)
         assert (r.doc_id, 1.0) in found.get(r.doc_id + 1_000_000, []), r.doc_id
     assert not any(k >= 2_000_000 for k in found)
+
+
+def test_dup_span_profile_localizes_copied_passage(spark):
+    """A doc sharing one 8-token passage with another must show exactly
+    the copied spans as duplicated; a fully-unique doc shows zero."""
+    from celeborn_spark.operators.dedup import dup_span_profile
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, passage + " tail one two three four five six seven"),
+        (2, "lead in words here now " + passage),
+        (3, "completely different text with no shared spans at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.n_spans, r.n_dup_spans) for r in
+           dup_span_profile(df, "doc_id", "text", n=8).collect()}
+    # both docs share exactly the one 8-token passage span
+    assert out[1][1] == 1 and out[2][1] == 1
+    assert out[3][1] == 0
+    assert out[1][0] == 9  # 16 tokens -> 9 distinct 8-gram spans
