@@ -91,3 +91,44 @@ def test_rate_source_flow_control_and_checkpoint_recovery(spark, tmp_path_factor
     assert n == distinct_n, "duplicated rows across restart"
     lo, hi = all_rows.agg({"value": "min"}).first()[0], all_rows.agg({"value": "max"}).first()[0]
     assert lo == 0 and hi == n - 1, f"gap in delivered offsets: [{lo}, {hi}] over {n} rows"
+
+
+def test_kafka_capability_gate(spark, monkeypatch):
+    """No Kafka jars ship in this image: the probe must say so and the
+    reader must fail with a clear NotImplementedError (not an opaque
+    ClassNotFoundException mid-stream). With the probe patched true,
+    the dispatch must build the kafka reader with admission control."""
+    import pytest
+
+    from celeborn_spark.streaming import events as ev
+
+    assert ev.kafka_available(spark) is False
+    with pytest.raises(NotImplementedError, match="read_offset_stream"):
+        ev.read_kafka_stream(spark, "t", "broker:9092")
+
+    monkeypatch.setattr(ev, "kafka_available", lambda s: True)
+    calls: dict[str, str] = {}
+
+    class FakeReader:
+        def format(self, f):
+            calls["format"] = f
+            return self
+
+        def option(self, k, v):
+            calls[k] = v
+            return self
+
+        def load(self):
+            calls["loaded"] = "yes"
+            return "df"
+
+    class FakeSpark:
+        readStream = FakeReader()
+
+    out = ev.read_kafka_stream(
+        FakeSpark(), "events", "broker:9092", max_offsets_per_trigger=5000
+    )
+    assert out == "df" and calls["format"] == "kafka"
+    assert calls["subscribe"] == "events"
+    assert calls["maxOffsetsPerTrigger"] == "5000"
+    assert calls["kafka.bootstrap.servers"] == "broker:9092"
