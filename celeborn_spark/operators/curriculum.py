@@ -51,12 +51,31 @@ def u01_oracle_expr(key_sql: str, salt: int = 0) -> str:
 
 
 def quantile_bins(
-    df: DataFrame, score_col: str, n_bins: int = 10, bin_col: str = "bin"
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    bin_col: str = "bin",
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """Append `bin_col` in [0, n_bins): the row's exact quantile bin of
     `score_col`, computed from the value histogram (no global row
     sort). bin = floor(n_bins * rows_before_this_value / total); all
-    rows sharing a value share a bin."""
+    rows sharing a value share a bin.
+
+    The histogram window runs over DISTINCT values only — which bounds
+    the single-partition sort ONLY when the score is discrete. For a
+    continuous double, distinct ~= rows and the "histogram" IS the table
+    on one partition. `quantize_dp` is the contract that prevents that:
+    the histogram (and the join-back key) use round(score, quantize_dp),
+    capping distinct values at span * 10^dp regardless of row count
+    (e.g. a [0, 1] score at dp=4 -> <= 10,001 histogram rows at any
+    scale). Rows within one quantization cell share a bin — the
+    bin-boundary granularity IS the grid. A score that is already
+    rounded at <= dp decimals is binned identically with or without
+    quantization (round is idempotent), so callers of discrete scores
+    lose nothing by passing it. Callers feeding raw continuous scores
+    MUST pass quantize_dp; quantize_dp=None keeps exact per-value bins
+    for genuinely discrete scores (integer grades, enum levels)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     # NULL scores are excluded EXPLICITLY: left in, the NULL group would
@@ -65,20 +84,31 @@ def quantile_bins(
     # silently drop the NULL rows anyway — mis-binned survivors plus
     # invisible losses. Callers wanting NULLs must bin them themselves.
     df = df.filter(F.col(score_col).isNotNull())
-    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("cnt"))
-    # window over DISTINCT score values only — cardinality-bounded, not
-    # row-bounded, so the single-partition sort is safe at scale
+    if quantize_dp is not None:
+        key = "_qb_cell"
+        keyed = df.withColumn(key, F.round(F.col(score_col), quantize_dp))
+    else:
+        key = score_col
+        keyed = df
+    hist = keyed.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    # window over DISTINCT (quantized) score values only —
+    # cardinality-bounded, not row-bounded
     edges = hist.withColumn(
-        "cum_before", F.sum("cnt").over(W.orderBy(score_col)) - F.col("cnt")
+        "cum_before", F.sum("cnt").over(W.orderBy(key)) - F.col("cnt")
     ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("total"))))
     bins = edges.select(
-        score_col,
+        key,
         F.least(
             F.lit(n_bins - 1).cast("long"),
             F.floor(F.lit(n_bins) * F.col("cum_before") / F.col("total")),
         ).alias(bin_col),
     )
-    return df.join(F.broadcast(bins), score_col)
+    out = keyed.join(F.broadcast(bins), key)
+    if quantize_dp is not None:
+        # same column order as the exact path (join-key score first)
+        rest = [c for c in df.columns if c != score_col]
+        out = out.select(score_col, *rest, bin_col)
+    return out
 
 
 def mixture_sample(

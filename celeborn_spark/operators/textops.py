@@ -326,11 +326,25 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum(idf * norm), 6).alias("bm25"))
     )
-    w = W.orderBy(F.col("bm25").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(id_col, "bm25", "rnk")
+    # Top-k via orderBy().limit(k) -> TakeOrderedAndProject: each task
+    # keeps a k-row heap and only k rows per partition reach the driver
+    # merge — a corpus-sized global sort never happens. (The previous
+    # form, an unpartitioned row_number window, put EVERY doc's score in
+    # one partition — a scale-killer at billions of docs.) The k
+    # survivors are then ranked without any window: pack into one
+    # sorted array (neg-score makes ascending sort_array = score desc,
+    # id asc — the same tiebreak row_number used) and posexplode, so
+    # rnk is the 1-based position. Negation is an exact IEEE sign flip.
+    topk = scored.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+    packed = topk.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("bm25")).alias("neg"), F.col(id_col).alias("doc")))
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "s")).select(
+        F.col("s.doc").alias(id_col),
+        (-F.col("s.neg")).alias("bm25"),
+        (F.col("pos") + 1).alias("rnk"),
     )
 
 

@@ -147,12 +147,19 @@ def compact_parquet(
             f"compact_parquet sizes input via the local filesystem; "
             f"non-local path {path!r} is not supported"
         )
+    # os.walk cannot walk a file:// URI (it would yield total=0 and the
+    # whole dataset would be rewritten into ONE file — the exact failure
+    # the guard above exists to prevent); strip the scheme for sizing
+    # while spark.read keeps the original path.
+    local = path[len("file://"):] if path.startswith("file://") else path
     total = sum(
         _os.path.getsize(_os.path.join(dp, f))
-        for dp, _, fs in _os.walk(path)
+        for dp, _, fs in _os.walk(local)
         for f in fs
         if f.endswith(".parquet")
     )
+    if total == 0:
+        raise ValueError(f"no parquet data found under {path!r}; refusing to rewrite")
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     staged = (
@@ -209,6 +216,19 @@ def zorder_value(col_a, col_b, min_a, max_a, min_b, max_b, bits: int = 16):
     reads skip) from one key to an interleaved multi-dimensional key."""
     from pyspark.sql import functions as F
 
+    # Literal bounds with zero/negative span divide by zero: Spark's
+    # non-ANSI x/0 yields NULL (least() then silently returns the clamp)
+    # while DuckDB produces inf and errors on the BIGINT cast — a silent
+    # engine divergence. Fail loudly here. Column-expression bounds (from
+    # a stats aggregate) can't be checked statically: the CONTRACT is
+    # that they span a nonzero range (true whenever the column has >1
+    # distinct value; a constant column has no z-order to contribute).
+    for lo, hi, dim in ((min_a, max_a, "a"), (min_b, max_b, "b")):
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) and hi - lo <= 0:
+            raise ValueError(
+                f"zorder_value dimension {dim!r}: bounds [{lo}, {hi}] have "
+                f"non-positive span; a constant column cannot be z-ordered"
+            )
     span_a = max_a - min_a
     span_b = max_b - min_b
     cells = (1 << bits) - 1
@@ -238,7 +258,8 @@ def zorder_oracle_expr(
     """DuckDB expression mirroring zorder_value bit for bit. Bounds may
     be numeric literals or SQL column references (e.g. a stats CTE's
     columns) — the expression tree keeps the exact association order of
-    the Spark side, so the IEEE double grid snap is identical."""
+    the Spark side, so the IEEE double grid snap is identical. Same
+    contract as zorder_value: bounds must span a nonzero range."""
     cells = (1 << bits) - 1
     ga = (
         f"least({cells}, CAST(floor(({a_sql} - {min_a}) / ({max_a} - {min_a})"

@@ -17,15 +17,24 @@ def test_headline_names_are_registered():
     assert not missing, missing
 
 
+# The 3 genuinely non-SQL-expressible queries carry self-checking bound
+# columns (hll_within_5pct, sampled_recall_ok, ordering bound), so their
+# rows-only driver row is meaningful — VERDICT r5 item 4 schedules them
+# into the r6 window for their first (weaker) driver rows.
+ROWS_ONLY_ALLOWED = {"q_approx_stats", "q_compression_quality", "q_embedding_near_dup"}
+
+
 def test_correctness_window_is_oracle_backed():
-    """The driver checks the first 50 entries of queries(); every slot
-    spent on a rows-only query can never earn a green row."""
+    """The driver checks the first 50 entries of queries(); a window
+    slot without an oracle earns only a rows-only row, so slots go to
+    oracle-backed queries — except the 3 self-checking rows-only
+    queries explicitly scheduled for their driver rows."""
     qs, oracles = registry.queries(), registry.oracles()
     window = registry.CORRECTNESS_WINDOW
     assert len(window) == 50
     assert list(qs)[:50] == list(window)
     no_oracle = [n for n in window if n not in oracles]
-    assert not no_oracle, no_oracle
+    assert set(no_oracle) <= ROWS_ONLY_ALLOWED, no_oracle
 
 
 def test_bench_line_fits_driver_tail_budget():

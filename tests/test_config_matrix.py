@@ -44,6 +44,55 @@ def test_results_invariant_under_conf(spark, sf_dir, conf, qfn):
             spark.conf.set(k, v)
 
 
+# --- r5 operator surface under the widened matrix (VERDICT r5 item 5):
+# AQE on/off, shuffle partitions {1, 32}, forced shuffle joins. The
+# physical strategy (adaptive re-plan, exchange width, join strategy)
+# must never change results — the reference's matrix pattern
+# (SkewJoinSuite.scala:50-54 loops CompressionCodec x skew x checks).
+# The shuffle WIRE codec (spark.io.compression.codec) is a core conf
+# frozen at JVM start — not settable per-test in one session; codec
+# variation is covered at the storage layer instead
+# (test_sources.py::test_parquet_codecs round-trips every codec).
+R5_CONF_VARIANTS = [
+    {"spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.shuffle.partitions": "1"},
+    {"spark.sql.shuffle.partitions": "32"},
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},  # force shuffle joins
+]
+
+
+def _r5_ops():
+    from celeborn_spark.queries.dataplane import q_snapshot_diff, q_zorder_layout
+    from celeborn_spark.queries.dedup import q_dedup_incremental_lsh
+    from celeborn_spark.queries.graph import q_pagerank_dangling, q_pagerank_weighted
+    from celeborn_spark.queries.sampling import q_epoch_shuffle
+    from celeborn_spark.queries.streaming import q_stream_stream_left_join
+
+    return [
+        q_zorder_layout,
+        q_dedup_incremental_lsh,
+        q_pagerank_dangling,
+        q_pagerank_weighted,
+        q_epoch_shuffle,
+        q_snapshot_diff,
+        q_stream_stream_left_join,
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r5_ops(), ids=lambda f: f.__name__)
+def test_r5_operators_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")

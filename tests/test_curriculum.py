@@ -49,6 +49,41 @@ def test_quantile_bins_ties_share_a_bin(spark):
     assert got == {(1.0, 0), (2.0, 2)}
 
 
+def test_quantile_bins_quantized_idempotent_on_rounded_score(spark, sf_dir):
+    # quality_score is already rounded to 6dp, so quantize_dp=6 must
+    # reproduce the exact-path bins bit for bit (round is idempotent) —
+    # the contract that lets q_quality_curriculum harden without an
+    # oracle change.
+    scored = _scored(spark, sf_dir).localCheckpoint()
+    exact = C.quantile_bins(scored, "q", n_bins=10)
+    quant = C.quantile_bins(scored, "q", n_bins=10, quantize_dp=6)
+    assert sorted(exact.select("doc_id", "bin").collect()) == sorted(
+        quant.select("doc_id", "bin").collect()
+    )
+    assert exact.columns == quant.columns
+
+
+def test_quantile_bins_quantized_bounds_continuous_scores(spark):
+    # All-distinct continuous doubles: the exact path's histogram is
+    # row-sized; quantize_dp=2 on a [0,1) score caps it at <= 101 cells
+    # whatever the row count — and the bins stay balanced.
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("double")
+         / F.lit(float(16 ** 8))).alias("s"),
+    )
+    assert df.select("s").distinct().count() == n  # genuinely continuous feed
+    binned = C.quantile_bins(df, "s", n_bins=10, quantize_dp=2)
+    cells = df.select(F.round("s", 2).alias("c")).distinct().count()
+    assert cells <= 101
+    per_bin = {r.bin: r.n for r in binned.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(per_bin) <= set(range(10))
+    for b, cnt in per_bin.items():
+        assert cnt <= 2 * n / 10, f"bin {b} holds {cnt} of {n}"
+    assert sum(per_bin.values()) == n
+
+
 def test_mixture_sample_hits_targets(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     targets = {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.2, "zh": 0.3}

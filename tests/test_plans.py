@@ -257,3 +257,16 @@ def test_incremental_lsh_stays_equality_keyed(spark, sf_dir):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_no_global_window(spark, sf_dir):
+    """BM25 top-k must heap-select (TakeOrderedAndProject) and rank the
+    k survivors WITHOUT any window — the r5 form's unpartitioned
+    row_number put every doc's score in one partition (VERDICT r5
+    item 2). A corpus-sized single-partition sort must never appear."""
+    from celeborn_spark.queries import text as qt
+
+    df = qt.q_bm25_topk(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]

@@ -178,3 +178,119 @@ def test_stateful_totals_batching_invariant(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def _write_click_purchase_slices(dirpath, n_slices, per_slice):
+    """One parquet file per hour-slice (written in order, so the file
+    source replays them oldest-first): per user a click and a purchase
+    30 min later. Event time advances 1h per slice, driving the
+    watermark forward every micro-batch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    base = 1_700_000_000_000_000  # epoch us
+    eid = 0
+    for i in range(n_slices):
+        ids, ts, users, types = [], [], [], []
+        for j in range(per_slice):
+            t = base + i * 3_600_000_000 + (j % 60) * 1_000_000
+            ids += [eid, eid + 1]
+            ts += [t, t + 1_800_000_000]
+            users += [j, j]
+            types += ["click", "purchase"]
+            eid += 2
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts_us": pa.array(ts, pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                }
+            ),
+            f"{dirpath}/slice_{i:03d}.parquet",
+        )
+
+
+def _run_join_replay(spark, dirpath, name):
+    """Replay the q_stream_stream_left_join shape one file per trigger
+    and return per-batch state-store row totals from the progress
+    telemetry."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema("event_id long, ts_us long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dirpath)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros("ts_us"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+            states = []
+            for p in q.recentProgress:
+                ops = p["stateOperators"] if isinstance(p, dict) else None
+                if ops is None:
+                    import json as _json
+
+                    ops = _json.loads(p.json).get("stateOperators", [])
+                if ops:
+                    states.append(sum(o["numRowsTotal"] for o in ops))
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return states
+
+
+def test_stream_stream_join_state_plateaus_under_watermark(spark, tmp_path):
+    """The 100 TB risk the watermark exists to manage (VERDICT r5
+    item 7): on an outer join, Spark holds BOTH sides in the state
+    store until the watermark proves no match can still arrive. With
+    eviction working, peak state is set by the join window + watermark
+    lag (a few hour-slices), NOT by replay length — a 2x longer replay
+    must keep roughly the same peak, and the tail of the long replay
+    must sit at the plateau, not at a monotone maximum."""
+    per_slice = 40
+    short_dir, long_dir = str(tmp_path / "short"), str(tmp_path / "long")
+    _write_click_purchase_slices(short_dir, 10, per_slice)
+    _write_click_purchase_slices(long_dir, 20, per_slice)
+    s_states = _run_join_replay(spark, short_dir, "ss_state_short")
+    l_states = _run_join_replay(spark, long_dir, "ss_state_long")
+    assert len(s_states) >= 8 and len(l_states) >= 16, (len(s_states), len(l_states))
+    peak_s, peak_l = max(s_states), max(l_states)
+    assert peak_l <= 1.5 * peak_s, (
+        f"state grew with replay length (no eviction): peak {peak_s} -> {peak_l}; "
+        f"long-run series {l_states}"
+    )
+    # the long run's steady-state tail sits at the plateau: each of the
+    # last 5 batches holds a WINDOW of rows, far below the total ingested
+    total_rows = 20 * per_slice * 2
+    for v in l_states[-5:]:
+        assert v < total_rows * 0.5, (v, l_states)
