@@ -648,3 +648,118 @@ def dup_span_profile(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
         )
     )
+
+
+def set_similarity_join(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """EXACT token-set Jaccard join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07; Xiao et al. ICDE'08) — the third
+    dedup path: exact like `jaccard_pairs` but SUBQUADRATIC like LSH.
+
+    Each doc's distinct tokens are ordered by global document
+    frequency (rarest first, token tiebreak); with prefix length
+    p = n - ceil(t*n) + 1, any pair with Jaccard >= t must share a
+    PREFIX token (if the smallest-ordered common element sat outside
+    either prefix, ALL common elements would fit in that doc's
+    ceil(t*n)-1 suffix slots — fewer than the >= ceil(t*n) overlap the
+    threshold forces). So the candidate join runs prefix-vs-prefix
+    only, and frequency ordering makes prefixes rare tokens —
+    candidates per token are df_prefix(token)-choose-2, tiny exactly
+    where a naive token join explodes. Verification computes true
+    Jaccard on the full sets, so the output is EXACT (identical to the
+    quadratic all-pairs oracle), at bucket-join cost.
+
+    Scale shape: one vocab agg + one token-keyed join + one doc-keyed
+    sort/collect + the candidate equi-join. No windows, no driver
+    state; the ordering needs no global rank materialization (the
+    (freq, token) struct IS the sort key). Reference analogue: the
+    band-bucket exchange discipline of minhash_lsh_candidates
+    (dedup.py above) with an exactness guarantee instead of a
+    probabilistic one."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from celeborn_spark.operators.textops import tokens
+
+    toks = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tf"))
+    ordered = (
+        toks.join(vocab, "tok")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("_tf"), F.col("tok")))).alias("st"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "p",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int"),
+        )
+        # sets + prefixes feed three branches (prefix explode x2 via
+        # self-join + verification join-back) — materialize once
+        .localCheckpoint()
+    )
+    pref = ordered.select(
+        "_id", F.explode(F.slice("st", F.lit(1), F.col("p"))).alias("s")
+    ).select("_id", F.col("s.tok").alias("ptok"))
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "ptok")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+        .distinct()
+    )
+    sets = ordered.select(
+        "_id", F.transform("st", lambda s: s["tok"]).alias("toks")
+    )
+    verified = (
+        cand.join(sets.select(F.col("_id").alias("ia"), F.col("toks").alias("ta")), "ia")
+        .join(sets.select(F.col("_id").alias("ib"), F.col("toks").alias("tb")), "ib")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        # filter on the RAW ratio (a correctly-rounded division of two
+        # exact ints — bit-identical in any IEEE engine), NOT the 6dp
+        # rounded value: a true-Jaccard just under t can round UP to t,
+        # and the prefix filter (correctly) never generates that pair
+        .withColumn(
+            "raw_jac",
+            F.col("inter") / (F.size("ta") + F.size("tb") - F.col("inter")),
+        )
+        .filter(F.col("raw_jac") >= threshold)
+    )
+    return verified.select(
+        F.col("ia").alias("id_a"),
+        F.col("ib").alias("id_b"),
+        F.round("raw_jac", 6).alias("jac"),
+    )
+
+
+def set_similarity_oracle_sql(
+    table: str, id_col: str, text_col: str, threshold: float
+) -> str:
+    """DuckDB mirror: brute-force all-pairs token-set Jaccard — the
+    quadratic ground truth the prefix-filtered join must match exactly
+    (same pairs, same 6dp values). Intersection via list_filter +
+    list_contains (order-insensitive set semantics, like Spark's
+    array_intersect on distinct arrays)."""
+    return f"""
+    WITH t AS (
+        SELECT {id_col} AS id,
+               list_distinct(list_filter(string_split({text_col}, ' '),
+                                         x -> x <> '')) AS s
+        FROM {table}
+    ),
+    nz AS (SELECT id, s, len(s) AS n FROM t WHERE len(s) > 0),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               len(list_filter(a.s, x -> list_contains(b.s, x))) AS inter,
+               a.n + b.n AS tot
+        FROM nz a JOIN nz b ON a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (tot - inter), 6) AS jac
+    FROM pairs
+    WHERE inter * 1.0 / (tot - inter) >= {threshold}
+    """

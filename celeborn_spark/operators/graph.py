@@ -368,3 +368,111 @@ def weighted_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "ew")
     )
+
+
+def copurchase_edges(lineitem: DataFrame, min_qty: int = 45) -> DataFrame:
+    """Undirected supplier co-purchase edges (u < v): two suppliers are
+    connected when large lines (l_quantity >= min_qty) of both appear in
+    the same order. One self-equi-join on the order key (shuffle on
+    l_orderkey, the natural co-occurrence key) + distinct."""
+    big = lineitem.filter(F.col("l_quantity") >= min_qty).select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        big.alias("a")
+        .join(big.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts via DEGREE-ORDERED
+    orientation — the classic subquadratic triangle algorithm (each
+    undirected edge is directed from its lower-(degree, id) endpoint,
+    so every out-neighborhood is O(sqrt(m)) and the wedge join touches
+    sum-of-squares of SMALL out-degrees, never the hub's full
+    neighborhood; a naive wedge join explodes quadratically on hubs).
+    In any triangle exactly one vertex (the orientation-minimal apex)
+    points to the other two, so each triangle is generated once:
+    wedge (a->x, a->y, x < y) closed by canonical edge (x, y).
+
+    `edges` must be canonical undirected (u < v, distinct). Three
+    exchanges total (degree agg, wedge self-join on apex, closing
+    equi-join) — all equality-keyed, AQE-skew-splittable."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint()  # o feeds both sides of the wedge join
+    w = (
+        o.alias("o1")
+        .join(o.alias("o2"), "s")
+        .filter(F.col("o1.t") < F.col("o2.t"))
+        .select(
+            F.col("s").alias("a"),
+            F.col("o1.t").alias("x"),
+            F.col("o2.t").alias("y"),
+        )
+    )
+    tri = w.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")), ["x", "y"]
+    )
+    return (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
+def triangle_oracle_sql(min_qty: int = 45) -> str:
+    """DuckDB mirror of triangle_counts over copurchase_edges: same
+    orientation, same wedge+close joins — exact integer counts."""
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= {min_qty} AND b.l_quantity >= {min_qty}
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM el UNION ALL SELECT v FROM el)
+        GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND el.u < el.v)
+                    THEN el.u ELSE el.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND el.u < el.v)
+                    THEN el.v ELSE el.u END AS t
+        FROM el JOIN deg du ON el.u = du.node JOIN deg dv ON el.v = dv.node
+    ),
+    w AS (
+        SELECT o1.s AS a, o1.t AS x, o2.t AS y
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+    ),
+    tri AS (SELECT a, x, y FROM w JOIN el ON el.u = w.x AND el.v = w.y)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT x FROM tri
+          UNION ALL SELECT y FROM tri)
+    GROUP BY node
+    """

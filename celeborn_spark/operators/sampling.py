@@ -185,3 +185,28 @@ def stratified_sample(
     """Statistical per-stratum sampling (df.sampleBy); see
     stratified_hash_sample for the deterministic form."""
     return df.sampleBy(stratum_col, fractions=fractions, seed=seed)
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int, fold_col: str = "fold", salt: int = 0
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = the row's md5-uniform
+    variate scaled to [0, k) and floored — reproducible across runs,
+    engines, and partitionings (no randomness, no shuffle; one
+    codegen'd expression). Stratification is free: folds are uniform
+    WITHIN any subpopulation because the hash ignores every column but
+    the key. Cross-validation splits for 100 TB: each fold is a
+    filter, so 'train on k-1 folds' is a pushdown predicate, not a
+    materialized copy."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    u = F.conv(hash_bucket(key_col, salt), 16, 10).cast("double") / F.lit(float(_SPACE))
+    return df.withColumn(fold_col, F.floor(u * k).cast("int"))
+
+
+def kfold_oracle_expr(key_sql: str, k: int, salt: int = 0) -> str:
+    """DuckDB expression mirroring kfold_assign's fold bit for bit."""
+    return (
+        f"CAST(floor(CAST(concat('0x', substr(md5(concat_ws(':', {key_sql}, "
+        f"'{salt}')), 1, {_HEX_DIGITS})) AS UBIGINT) / {float(_SPACE)} * {k}) AS INTEGER)"
+    )

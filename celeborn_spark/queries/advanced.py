@@ -647,3 +647,35 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_or(event_id)").alias("ids_or"),
         F.expr("bit_xor(event_id)").alias("ids_xor"),
     )
+
+
+K_ANON = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(floor(n_chars / 100.0) AS BIGINT) AS chars_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM documents
+    GROUP BY 1, 2, 3
+    HAVING count(*) < {K_ANON}
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): groups smaller than k=5 are re-identification risks
+    a release pipeline must generalize or suppress — the structural
+    complement of q_anonymize's value-level PII scrub. One map-combined
+    exchange; the HAVING prunes reduce-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / F.lit(100.0)).alias("chars_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+    )

@@ -482,3 +482,20 @@ def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pairwise (operators/dedup.dup_span_profile)."""
     d = load_table(spark, sf_dir, "documents")
     return D.dup_span_profile(d, "doc_id", "text", n=8)
+
+
+SET_SIM_THRESHOLD = 0.9
+
+
+@query(
+    "q_set_similarity_join",
+    oracle=D.set_similarity_oracle_sql("documents", "doc_id", "text", SET_SIM_THRESHOLD),
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT token-set Jaccard >= 0.9 pairs via prefix filtering
+    (operators/dedup.set_similarity_join) — exact like jaccard_pairs
+    but subquadratic like LSH: frequency-ordered prefixes make the
+    candidate join collide only on RARE tokens, and verification on the
+    full sets reproduces the quadratic all-pairs oracle pair for pair."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.set_similarity_join(d, "doc_id", "text", SET_SIM_THRESHOLD)

@@ -22,6 +22,7 @@ from celeborn_spark.operators.graph import (
     pagerank,
     pagerank_dangling_oracle_sql,
     pagerank_oracle_sql,
+    triangle_oracle_sql,
     weighted_order_edges,
 )
 from celeborn_spark.registry import query
@@ -73,3 +74,16 @@ def q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         directed_order_edges(orders, lineitem), iters=_ITERS, handle_dangling=True
     )
+
+
+@query("q_triangle_count", oracle=triangle_oracle_sql(min_qty=45))
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the co-purchase graph (two
+    suppliers connected when both ship large lines in one order) —
+    the community-density / clustering-coefficient primitive. Degree-
+    ordered orientation keeps the wedge join O(m^1.5) instead of
+    quadratic-on-hubs (operators/graph.triangle_counts)."""
+    from celeborn_spark.operators.graph import copurchase_edges, triangle_counts
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return triangle_counts(copurchase_edges(lineitem, min_qty=45))

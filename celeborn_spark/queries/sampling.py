@@ -12,9 +12,10 @@ partition-layout-specific, so they can never hash-match an oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
-from celeborn_spark.operators.sampling import hash_sample, stratified_hash_sample
+from celeborn_spark.operators.sampling import hash_sample, kfold_oracle_expr, stratified_hash_sample
 from celeborn_spark.registry import query
 
 from celeborn_spark.operators.curriculum import u01_oracle_expr
@@ -150,3 +151,39 @@ def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return per_group_sample(d, "lang", "doc_id", k=20, salt=11)
+
+
+K_FOLDS = 5
+
+
+@query(
+    "q_kfold_split",
+    # per-(stratum, fold) sizes — the shape a CV harness audits; the
+    # fold variate is the portable md5 u01, so DuckDB reproduces every
+    # assignment bit for bit
+    oracle=f"""
+    SELECT lang,
+           {kfold_oracle_expr("CAST(doc_id AS VARCHAR)", K_FOLDS, salt=11)} AS fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang, fold
+    """,
+)
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation split audited per
+    language: fold sizes and char mass per (lang, fold). The
+    assignment is a zero-shuffle hash expression
+    (operators/sampling.kfold_assign); at 100 TB each fold is a
+    predicate, never a copy."""
+    from celeborn_spark.operators.sampling import kfold_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_assign(d, "doc_id", K_FOLDS, salt=11)
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

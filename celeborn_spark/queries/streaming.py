@@ -391,3 +391,31 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_ts") <= F.col("m") - F.expr("INTERVAL 4 HOURS"))
         .select("c_id", "p_id")
     )
+
+
+@query("q_stream_dedup_watermark", oracle="SELECT event_id FROM events")
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion from an at-least-once source with BOUNDED
+    state: the events stream unioned with itself (every event delivered
+    twice, the redelivery failure mode of any at-least-once transport),
+    deduped by dropDuplicatesWithinWatermark — unlike plain
+    dropDuplicates (whose key state grows forever, the 100 TB trap),
+    state here is EVICTED once the watermark passes an id's event time.
+    A redelivery within the watermark lag hits live state; one after it
+    is late by definition and the watermark itself drops it — either
+    way each event_id is emitted exactly once, so the bounded replay
+    equals SELECT event_id FROM events.
+
+    Reference analogue: attempt/batch exactly-once dedup on shuffle
+    reads, CelebornInputStream.java:864-904 (SURVEY §2A A12), with the
+    state-eviction discipline the reference gets from bounded attempt
+    ids."""
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    deduped = (
+        s1.unionAll(s2)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return run_stream_to_table(deduped, "stream_dedup_watermark", "append")

@@ -784,3 +784,63 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals; see operators/textops.pmi_bigrams)."""
     d = load_table(spark, sf_dir, "documents")
     return T.pmi_bigrams(d, "text", min_count=5, k=50)
+
+
+@query(
+    "q_bigram_lm_score",
+    # corpus-trained bigram LM with Laplace smoothing: per-doc
+    # avg(-ln P(w2|w1)), P = (c(w1 w2)+1)/(c(w1 .)+|successor vocab|).
+    # Counts are exact ints in both engines; the log sum is a per-doc
+    # aggregate rounded 6dp (the repo's aggregate-rounding rule).
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM t WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+    c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT count(DISTINCT string_split(bg, ' ')[2]) AS vv FROM c2)
+    SELECT b.doc_id,
+           round(avg(-ln((c2.c2 + 1.0) / (c1.c1 + v.vv))), 6) AS avg_neg_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM b
+    JOIN c2 USING (bg)
+    JOIN c1 ON string_split(b.bg, ' ')[1] = c1.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per doc — the step up from q_unigram_logprob
+    toward a real perplexity filter: P(w2|w1) with Laplace smoothing,
+    trained on the corpus itself. Bigram counts shuffle once on the
+    bigram key; context totals are a rollup OF THE COUNTS (vocab-sized,
+    never re-reading the corpus); the successor-vocab scalar broadcasts.
+    High scorers are incoherent/outlier docs; low scorers are
+    boilerplate — both ends are what a pipeline prunes."""
+    from celeborn_spark.operators.dedup import _spread
+
+    d = load_table(spark, sf_dir, "documents")
+    bg_tbl = _spread(d, "doc_id").select(
+        "doc_id", F.explode(T.bigrams("text")).alias("bg")
+    )
+    c2 = bg_tbl.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    with_w = c2.withColumn("w1", F.substring_index("bg", " ", 1)).withColumn(
+        "w2", F.substring_index("bg", " ", -1)
+    )
+    c1 = with_w.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vv = with_w.agg(F.count_distinct("w2").alias("vv"))
+    scored = (
+        bg_tbl.join(c2, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vv))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.avg(-F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vv")))), 6
+        ).alias("avg_neg_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

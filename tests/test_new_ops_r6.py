@@ -1,0 +1,174 @@
+"""Round-6 operator tests: prefix-filtered set-similarity join,
+degree-oriented triangle counting, deterministic k-fold assignment,
+bigram-LM scoring shape, and bounded-state streaming dedup.
+
+(Each operator is also oracle-checked against DuckDB on the real
+corpus via tests/test_queries_vs_oracle.py's registry parametrization —
+these tests pin planted cases and plan/scale shapes instead.)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from celeborn_spark.operators.dedup import set_similarity_join
+from celeborn_spark.operators.graph import triangle_counts
+from celeborn_spark.operators.sampling import kfold_assign
+
+
+def test_set_similarity_finds_planted_pair_and_skips_distant(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # 9/10 shared tokens with doc 1 -> jaccard 9/11 = 0.818
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        # disjoint vocabulary
+        (3, "one two three four five six seven eight nine ten"),
+        # half-overlap with doc 3 -> jaccard 5/15 = 0.33, below 0.8
+        (4, "one two three four five aa bb cc dd ee"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in set_similarity_join(df, "doc_id", "text", 0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == round(9 / 11, 6)
+
+
+def test_set_similarity_identical_sets_regardless_of_order(spark):
+    # token SETS: order and multiplicity must not matter
+    df = spark.createDataFrame(
+        [(1, "x y z x x"), (2, "z y x"), (3, "x y w")], ["doc_id", "text"]
+    )
+    got = {(r.id_a, r.id_b): r.jac for r in
+           set_similarity_join(df, "doc_id", "text", 0.9).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_set_similarity_plan_stays_equality_keyed(spark, sf_dir):
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.plans import physical_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = physical_plan(set_similarity_join(d, "doc_id", "text", 0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_set_similarity_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(df, "doc_id", "text", 0.0)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["u", "v"])
+
+
+def test_triangle_counts_k4_and_square(spark):
+    # K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in 3 of them.
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    got = {r.node: r.n_tri for r in triangle_counts(k4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # a 4-cycle has no triangles -> empty result
+    square = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert triangle_counts(square).count() == 0
+
+
+def test_triangle_counts_star_plus_rim(spark):
+    # hub 0 connected to 1..5; rim edge (1,2) only -> exactly one
+    # triangle (0,1,2). The degree orientation points rim nodes at the
+    # hub, so the hub's out-neighborhood stays SMALL — the shape that
+    # keeps wedge generation off hub nodes.
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    got = {r.node: r.n_tri for r in triangle_counts(_edges(spark, star)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_kfold_assign_deterministic_uniform_and_partition_invariant(spark):
+    df = spark.range(5000).withColumnRenamed("id", "k")
+    a = {r.k: r.fold for r in kfold_assign(df, "k", 5, salt=3).collect()}
+    b = {
+        r.k: r.fold
+        for r in kfold_assign(df.repartition(13), "k", 5, salt=3).collect()
+    }
+    assert a == b  # partitioning can never change an assignment
+    assert set(a.values()) <= set(range(5))
+    sizes = [list(a.values()).count(f) for f in range(5)]
+    for s in sizes:  # md5-uniform: each fold within 15% of ideal
+        assert 0.85 * 1000 <= s <= 1.15 * 1000, sizes
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_assign(df, "k", 1)
+
+
+def test_bigram_lm_score_shape(spark, sf_dir):
+    from celeborn_spark.queries.text import q_bigram_lm_score
+
+    out = q_bigram_lm_score(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # smoothed probabilities are < 1 -> -ln P > 0; and a doc with
+        # n tokens contributes exactly n-1 bigrams
+        assert r.avg_neg_logprob > 0
+        assert r.n_bigrams >= 1
+
+
+def test_stream_dedup_watermark_state_is_bounded(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT: replaying 20 one-hour
+    slices (each delivered twice via self-union) one file per trigger,
+    the dedup state plateaus at the watermark window instead of
+    accumulating every key ever seen (plain dropDuplicates would end
+    at the full key count)."""
+    from tests.test_streaming import _write_click_purchase_slices
+
+    path = str(tmp_path / "slices")
+    n_slices, per_slice = 20, 40
+    _write_click_purchase_slices(path, n_slices, per_slice)
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros("ts_us"))
+    deduped = (
+        ev.unionAll(ev)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_wm_state")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            states = []
+            for p in q.recentProgress:
+                ops = p["stateOperators"] if isinstance(p, dict) else None
+                if ops is None:
+                    import json as _json
+
+                    ops = _json.loads(p.json).get("stateOperators", [])
+                if ops:
+                    states.append(sum(o["numRowsTotal"] for o in ops))
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    total_keys = n_slices * per_slice * 2
+    out_n = spark.table("dedup_wm_state").count()
+    assert out_n == total_keys  # exactly-once despite double delivery
+    assert states, "no state telemetry captured"
+    assert max(states) < total_keys * 0.6, (
+        f"dedup state ~= all keys ({max(states)}/{total_keys}): eviction broken"
+    )
