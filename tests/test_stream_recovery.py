@@ -17,22 +17,30 @@ ROWS_PER_BATCH = 100
 
 
 def _run_batches(spark, out_dir: str, cp_dir: str, min_new_batches: int) -> None:
-    """Run the rate stream until `min_new_batches` more batches commit,
+    """Run the rate stream until `min_new_batches` NEW batches commit,
     then stop. foreachBatch overwrites per-batch dirs, so a replayed
-    uncommitted batch is idempotent — the exactly-once sink contract."""
+    uncommitted batch is idempotent — the exactly-once sink contract.
+    A replayed batch id (one already on disk from the previous run) does
+    NOT count toward min_new_batches: on restart the first trigger may
+    re-deliver the last uncommitted batch, and counting it would let the
+    run stop before producing any genuinely new batches."""
     stream = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", str(ROWS_PER_BATCH))
         .option("numPartitions", "2")
         .load()
     )
+    preexisting = {
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(os.path.join(out_dir, "batch=*"))
+    }
     done = {"n": 0}
 
     def sink(batch_df, batch_id: int) -> None:
         batch_df.select("value").write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
         )
-        done["n"] += 1
+        if batch_id not in preexisting:
+            done["n"] += 1
 
     q = (
         stream.writeStream.foreachBatch(sink)
