@@ -476,3 +476,150 @@ def triangle_oracle_sql(min_qty: int = 45) -> str:
           UNION ALL SELECT y FROM tri)
     GROUP BY node
     """
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """(node, hop) — minimum hop distance from ANY seed node, bounded at
+    ``max_hops`` (unreached nodes are absent). Multi-source breadth-first
+    search: the reachability / blast-radius primitive (crawl-frontier
+    expansion, contamination spread from flagged documents, link-graph
+    locality). Reference analogue: Celeborn has no graph operators; this
+    is the third iterative algorithm of the §2C surface next to
+    `pagerank` and `operators/components.py`, same bounded-round
+    discipline.
+
+    ``edges`` is a DIRECTED (src, dst) relation — pass an undirected
+    (both-direction) list for undirected semantics. ``seeds`` has one
+    ``node`` column.
+
+    Scale shape: per round exactly one equality-keyed exchange (frontier
+    join edges on src) + a distinct + an anti-join against the settled
+    set. The settled set is a union of per-round localCheckpoint'ed
+    frontiers, so each round's anti-join re-reads materialized rows
+    instead of recomputing all prior rounds (the multi-reference rule
+    from CLAUDE.md: `dist` is read twice per round). Frontier size is
+    bounded by the reachable-node count, never the edge count; the edge
+    relation itself is never mutated, so at 100 TB it is hash-partitioned
+    by src once (persist) and every round's join reuses that layout."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col("src"), F.col("dst"))
+    frontier = seeds.select(
+        F.col("node").cast("long").alias("node")
+    ).distinct().localCheckpoint()
+    settled = [frontier.withColumn("hop", F.lit(0))]
+    dist = settled[0]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint()  # read by next round's anti-join AND the result union
+        )
+        settled.append(nxt.withColumn("hop", F.lit(h)))
+        dist = dist.unionAll(settled[-1])
+        frontier = nxt
+    return dist
+
+
+def bfs_oracle_sql(seed_pred: str, max_hops: int = 3) -> str:
+    """DuckDB mirror of `bfs_hops` over the undirected order bipartite
+    graph: bounded recursive walk (UNION dedups exact (node, hop) pairs,
+    the hop bound guarantees termination), then min(hop) per node —
+    identical to frontier BFS because BFS settles each node at its
+    minimum hop."""
+    return f"""
+    WITH RECURSIVE {EDGES_ORACLE.strip().rstrip()},
+    walk(node, hop) AS (
+        SELECT DISTINCT src AS node, 0 FROM e WHERE {seed_pred}
+        UNION
+        SELECT e.dst, w.hop + 1
+        FROM walk w JOIN e ON w.node = e.src
+        WHERE w.hop < {max_hops}
+    )
+    SELECT node, CAST(min(hop) AS INT) AS hop FROM walk GROUP BY node
+    """
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """(node, core_deg) — nodes surviving ``rounds`` rounds of k-core
+    peeling (repeatedly delete nodes of degree < k), with their degree
+    in the surviving subgraph. The density-filter primitive: k-core
+    isolates the mutually-well-connected region of a link/co-purchase
+    graph (spam farms and long-tail leaves peel away first). Bounded
+    rounds keep the operator oracle-checkable; at convergence the
+    result IS the k-core, and `rounds` is the convergence knob exactly
+    like `pagerank(iters=...)`.
+
+    ``edges`` must be canonical undirected (u < v, distinct).
+
+    Scale shape: each round is one degree aggregation (map-side
+    partials absorb power-law hubs) + two semi-joins that shrink the
+    edge relation. The edge relation is localCheckpoint'ed per round
+    because it feeds BOTH the degree agg and the semi-joins (and
+    rounds are few and the relation only shrinks — materializing the
+    survivor set is the cheap direction)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select("u", "v").localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("int").alias("core_deg"))
+    )
+
+
+def kcore_oracle_sql(k: int, rounds: int = 4, min_qty: int = 45) -> str:
+    """DuckDB mirror of `kcore` over the supplier co-purchase graph:
+    the same fixed peeling rounds unrolled as chained CTEs."""
+    ctes = [
+        f"""e0 AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= {min_qty} AND b.l_quantity >= {min_qty}
+    )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""keep{r} AS (
+        SELECT node FROM (
+            SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+        ) GROUP BY node HAVING count(*) >= {k}
+    ),
+    e{r + 1} AS (
+        SELECT e.u, e.v FROM e{r} e
+        WHERE e.u IN (SELECT node FROM keep{r})
+          AND e.v IN (SELECT node FROM keep{r})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, CAST(count(*) AS INT) AS core_deg
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node
+    """
+    )

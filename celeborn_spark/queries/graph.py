@@ -13,9 +13,12 @@ opts into a partitioned-once edge layout for beyond-broadcast graphs
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.graph import (
+    bfs_oracle_sql,
+    kcore_oracle_sql,
     WEIGHTED_EDGES_ORACLE,
     bipartite_order_edges,
     directed_order_edges,
@@ -87,3 +90,41 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return triangle_counts(copurchase_edges(lineitem, min_qty=45))
+
+
+@query(
+    "q_bfs_reachability",
+    oracle=bfs_oracle_sql(seed_pred="src % 194 = 0", max_hops=3),
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected customer<->
+    supplier order graph, seeds = customers with custkey % 97 == 0
+    (node id custkey*2, so node % 194 == 0). The blast-radius /
+    contamination-spread primitive: one frontier-join exchange per hop,
+    frontier bounded by reachable nodes, edges never mutated."""
+    from celeborn_spark.operators.graph import bfs_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = bipartite_order_edges(orders, lineitem)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 194 == 0)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+@query(
+    "q_kcore",
+    oracle=kcore_oracle_sql(k=8, rounds=4, min_qty=45),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=8, 4 bounded rounds) over the supplier
+    co-purchase graph — the graph density filter that strips leaves and
+    spam-farm tendrils, keeping the mutually-well-connected core. Each
+    round: one degree aggregation + two shrinking semi-joins."""
+    from celeborn_spark.operators.graph import copurchase_edges, kcore
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return kcore(copurchase_edges(lineitem, min_qty=45), k=8, rounds=4)

@@ -171,3 +171,109 @@ def test_directed_edges_have_danglers(spark, sf_dir):
     supplier_srcs = e.where(F.col("src") % 2 == 1).count()
     assert supplier_srcs == 0
     assert e.count() > 0
+
+
+# --- BFS hop distance (operators/graph.bfs_hops) ---
+
+
+def test_bfs_path_graph_hops(spark):
+    """Directed path 0->1->2->3->4, seed {0}: hop == node index,
+    bounded at max_hops."""
+    from celeborn_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 beyond the bound
+
+
+def test_bfs_min_hop_wins_on_diamond(spark):
+    """Diamond 0->1->3, 0->2, 2->3 plus a long detour 1->4->3 variant:
+    node 3 settles at hop 2 (shortest), never the longer path."""
+    from celeborn_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 4), (4, 3), (2, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=4).collect()}
+    assert got[3] == 2 and got[4] == 2
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    from celeborn_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (10, 3)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (10,)], ["node"])
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got[3] == 1  # via seed 10, not hop-3 via seed 0
+
+
+def test_bfs_zero_hops_returns_seeds_only(spark):
+    from celeborn_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    assert [(r.node, r.hop) for r in bfs_hops(e, seeds, max_hops=0).collect()] == [
+        (0, 0)
+    ]
+
+
+def test_bfs_vs_oracle(spark, sf_dir):
+    from celeborn_spark.queries.graph import q_bfs_reachability
+    from celeborn_spark.operators.graph import bfs_oracle_sql
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        q_bfs_reachability(spark, sf_dir),
+        con,
+        bfs_oracle_sql(seed_pred="src % 194 = 0", max_hops=3),
+        "q_bfs_reachability",
+    )
+
+
+# --- k-core peeling (operators/graph.kcore) ---
+
+
+def test_kcore_strips_tail_keeps_clique(spark):
+    """K4 clique with a pendant path hanging off: 2-core = the K4
+    (every clique node has core degree 3 once the tail peels)."""
+    from celeborn_spark.operators.graph import kcore
+
+    k4 = [(u, v) for u in range(4) for v in range(4) if u < v]
+    tail = [(3, 4), (4, 5)]
+    e = spark.createDataFrame(k4 + tail, ["u", "v"])
+    got = {r.node: r.core_deg for r in kcore(e, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    """A path peels one layer per round from each end — with too few
+    rounds the middle survives, with enough it empties (no 2-core)."""
+    from celeborn_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(6)]
+    e = spark.createDataFrame(path, ["u", "v"])
+    assert kcore(e, k=2, rounds=1).count() > 0
+    assert kcore(e, k=2, rounds=4).count() == 0
+
+
+def test_kcore_rejects_bad_k(spark):
+    from celeborn_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(0, 1)], ["u", "v"])
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(e, k=0)
+
+
+def test_kcore_vs_oracle(spark, sf_dir):
+    from celeborn_spark.queries.graph import q_kcore
+    from celeborn_spark.operators.graph import kcore_oracle_sql
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        q_kcore(spark, sf_dir),
+        con,
+        kcore_oracle_sql(k=8, rounds=4, min_qty=45),
+        "q_kcore",
+    )
