@@ -15,6 +15,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -164,3 +165,58 @@ def scd2_close_and_append(
     )
     opened = changes.withColumn(end_col, F.lit(None).cast(dict(current.dtypes)[end_col]))
     return closed.unionByName(opened)
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "k",
+    op_col: str = "op",
+    ord_cols: tuple[str, ...] = ("ts",),
+) -> DataFrame:
+    """Apply a change-data-capture feed to a base snapshot: the state a
+    lake table reaches after replaying a CDC log (Debezium/Delta change
+    feed shape). ``changes`` rows carry ``op`` in {'U','D'} (upsert /
+    delete); the LAST change per key wins, ordered by ``ord_cols``
+    (pass a unique tiebreaker column last — ties on a bare timestamp
+    would be engine-dependent). Keys never touched keep their base row;
+    keys whose last op is 'D' disappear; upserted keys take the change
+    payload whether or not they existed in base.
+
+    Value columns = every non-key, non-op, non-ordering column shared
+    by both relations (base must present the same payload schema).
+
+    Scale shape: ONE window exchange keyed on the CDC key reduces the
+    log to last-change-per-key (WindowGroupLimit prunes past rank 1
+    before any full per-key sort), then a key-only full-outer join
+    against base. At 100 TB both sides bucket by the key; the log's
+    payload beyond the winning row never crosses the wire."""
+    payload = [
+        c
+        for c in changes.columns
+        if c not in {key_col, op_col, *ord_cols}
+    ]
+    missing = [c for c in payload if c not in base.columns]
+    if missing or key_col not in base.columns:
+        raise ValueError(
+            f"base lacks columns {missing or [key_col]} required by the change feed"
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(*[F.col(c).desc() for c in ord_cols])
+    last = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, op_col, *payload)
+    )
+    b = base.select(key_col, *payload)
+    j = b.alias("b").join(last.alias("c"), key_col, "full_outer")
+    kept = j.filter((F.col(f"c.{op_col}").isNull()) | (F.col(f"c.{op_col}") != "D"))
+    # an upsert takes the change payload even where it is NULL —
+    # coalesce() would silently resurrect the base value
+    has_change = F.col(f"c.{op_col}").isNotNull()
+    out_cols = [F.col(key_col)] + [
+        F.when(has_change, F.col(f"c.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        for c in payload
+    ]
+    return kept.select(*out_cols)

@@ -1,0 +1,247 @@
+"""Statistical toolkit: correlation matrix, Welch's t-test, and a
+logistic-regression quality scorer trained in-engine.
+
+The measurement layer of a curation pipeline: correlation screens
+redundant features before model-based filtering, the two-sample test
+quantifies whether an experiment/cohort moved a metric, and the
+logistic fit IS the classic fastText-style quality-classifier step
+(train a tiny linear model on labeled docs, score the corpus).
+Reference analogue: Celeborn ships no statistics; these extend the
+§2C diagnostics surface (queries/advanced.py: profile, drift, MI,
+sketch-bound) with model-fitting machinery built on the same
+single-exchange aggregate discipline.
+
+Engine-parity rules (the kmeans/pagerank lesson): every iterative
+update is rounded to 6 dp before it feeds the next round, so
+accumulation-order noise (~1e-13 on O(1) sums) can never compound
+across rounds; the oracle unrolls the identical arithmetic as chained
+DuckDB CTEs.
+
+Scale shapes:
+- `corr_matrix`: ONE full-scan aggregate producing all sums/products
+  (map-side partials do the heavy lifting); the k*(k-1)/2 pair rows are
+  assembled from that single scalar row — never a per-pair scan.
+- `welch_t`: one group-keyed aggregate + a broadcast of the 1-row
+  baseline scalars.
+- `logreg_fit`: per round ONE full-scan gradient aggregate (k+1 sums);
+  the weight vector is a 1-row relation crossJoin-broadcast back, so
+  no per-round driver action and nothing node-sized ever shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corr_matrix(df: DataFrame, cols: list[str], dp: int = 6) -> DataFrame:
+    """(col_x, col_y, corr) for every unordered column pair (x < y by
+    list position). Pearson r assembled from one aggregate of sums,
+    squares and cross-products:
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))."""
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least 2 columns")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = df.agg(*aggs)
+
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            pair_rows.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.round(num / den, dp).alias("corr"),
+                )
+            )
+    return stats.select(F.explode(F.array(*pair_rows)).alias("p")).select("p.*")
+
+
+def corr_matrix_oracle_sql(table: str, cols: list[str], dp: int = 6) -> str:
+    """DuckDB mirror: identical sums formula, one aggregate CTE, one
+    SELECT per pair unioned."""
+    sel = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sel.append(f"sum({c}) AS s_{c}")
+        sel.append(f"sum({c} * {c}) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sel.append(f"sum({a} * {b}) AS sp_{a}_{b}")
+    unions = []
+    for a, b in pairs:
+        unions.append(
+            f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
+               round((n * sp_{a}_{b} - s_{a} * s_{b})
+                     / sqrt((n * ss_{a} - s_{a} * s_{a})
+                          * (n * ss_{b} - s_{b} * s_{b})), {dp}) AS corr
+            FROM stats"""
+        )
+    return (
+        f"WITH stats AS (SELECT {', '.join(sel)} FROM {table})\n    "
+        + "\n    UNION ALL ".join(unions)
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    baseline: str,
+    dp: int = 6,
+) -> DataFrame:
+    """(group, t_stat, dof) — Welch's unequal-variance t statistic of
+    every non-baseline group against the baseline group, with the
+    Welch–Satterthwaite degrees of freedom. Sample variance uses the
+    sums form var = (Sxx - Sx^2/n) / (n-1) identically in both engines.
+    One group-keyed aggregate; the baseline's 1-row scalars broadcast."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("ss"),
+    )
+    base = g.filter(F.col("grp") == baseline).select(
+        F.col("n").alias("bn"), F.col("s").alias("bs"), F.col("ss").alias("bss")
+    )
+    j = g.filter(F.col("grp") != baseline).crossJoin(F.broadcast(base))
+    mean, bmean = F.col("s") / F.col("n"), F.col("bs") / F.col("bn")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    bvar = (F.col("bss") - F.col("bs") * F.col("bs") / F.col("bn")) / (F.col("bn") - 1)
+    se2a, se2b = var / F.col("n"), bvar / F.col("bn")
+    t = (mean - bmean) / F.sqrt(se2a + se2b)
+    dof = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (F.col("n") - 1) + se2b * se2b / (F.col("bn") - 1)
+    )
+    return j.select(
+        F.col("grp").alias("grp"),
+        F.round(t, dp).alias("t_stat"),
+        F.round(dof, dp).alias("dof"),
+    )
+
+
+def welch_t_oracle_sql(
+    table: str, group_col: str, value_col: str, baseline: str, dp: int = 6
+) -> str:
+    return f"""
+    WITH g AS (
+        SELECT {group_col} AS grp,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum({value_col}) AS s,
+               sum({value_col} * {value_col}) AS ss
+        FROM {table} GROUP BY 1
+    ),
+    b AS (SELECT n AS bn, s AS bs, ss AS bss FROM g WHERE grp = '{baseline}')
+    SELECT grp,
+           round(((s / n) - (bs / bn))
+                 / sqrt(((ss - s * s / n) / (n - 1)) / n
+                      + ((bss - bs * bs / bn) / (bn - 1)) / bn), {dp}) AS t_stat,
+           round(pow(((ss - s * s / n) / (n - 1)) / n
+                   + ((bss - bs * bs / bn) / (bn - 1)) / bn, 2)
+                 / (pow(((ss - s * s / n) / (n - 1)) / n, 2) / (n - 1)
+                  + pow(((bss - bs * bs / bn) / (bn - 1)) / bn, 2) / (bn - 1)),
+                 {dp}) AS dof
+    FROM g CROSS JOIN b
+    WHERE grp <> '{baseline}'
+    """
+
+
+def logreg_fit(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 0.5,
+    dp: int = 6,
+) -> DataFrame:
+    """(feature, weight) — logistic regression fit by full-batch
+    gradient descent from a zero init: w_j <- round(w_j - lr * mean(
+    (sigmoid(w.x) - y) * x_j), dp) per round. Features should be O(1)-
+    bounded (scale before calling); a bias is NOT added implicitly —
+    pass a literal 1.0 column for an intercept.
+
+    This is the quality-classifier step of an LLM data pipeline
+    (fastText-style linear scorer) expressed as pure aggregates: each
+    round costs one full-scan gradient aggregate (k sums with map-side
+    partials) and the k-sized weight row crossJoin-broadcasts back —
+    no per-round driver action, no node-sized shuffle. The per-round
+    6-dp rounding pins engine parity exactly as in operators/kmeans.py.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    k = len(feature_cols)
+    if k == 0:
+        raise ValueError("logreg_fit needs at least 1 feature column")
+    rows = df.select(
+        *[F.col(c).cast("double").alias(f"x{j}") for j, c in enumerate(feature_cols)],
+        F.col(label_col).cast("double").alias("y"),
+    )
+    w = rows.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(k)]
+    )
+    for _ in range(iters):
+        j = rows.crossJoin(F.broadcast(w))
+        z = sum((F.col(f"w{i}") * F.col(f"x{i}") for i in range(1, k)),
+                F.col("w0") * F.col("x0"))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = j.agg(
+            *[
+                F.round(
+                    F.first(F.col(f"w{i}"))
+                    - F.lit(lr) * F.avg((p - F.col("y")) * F.col(f"x{i}")),
+                    dp,
+                ).alias(f"w{i}")
+                for i in range(k)
+            ]
+        )
+    names = F.array(*[F.lit(c) for c in feature_cols])
+    vals = F.array(*[F.col(f"w{j}") for j in range(k)])
+    return w.select(
+        F.explode(F.arrays_zip(names.alias("feature"), vals.alias("weight"))).alias("p")
+    ).select(F.col("p.feature").alias("feature"), F.col("p.weight").alias("weight"))
+
+
+def logreg_oracle_sql(
+    from_clause: str,
+    feature_exprs: list[tuple[str, str]],
+    label_expr: str,
+    iters: int = 3,
+    lr: float = 0.5,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `logreg_fit`: the same rounds unrolled as
+    chained scalar CTEs. ``feature_exprs`` is [(name, sql_expr)];
+    ``from_clause`` e.g. "documents"."""
+    k = len(feature_exprs)
+    feats = ", ".join(
+        f"CAST({e} AS DOUBLE) AS x{j}" for j, (_, e) in enumerate(feature_exprs)
+    )
+    ctes = [
+        f"rows_ AS (SELECT {feats}, CAST({label_expr} AS DOUBLE) AS y FROM {from_clause})",
+        "w0_ AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(k))
+        + ")",
+    ]
+    for r in range(iters):
+        z = " + ".join(f"w.w{j} * r.x{j}" for j in range(k))
+        grads = ", ".join(
+            f"round(first(w.w{j}) - {lr} * avg((1.0 / (1.0 + exp(-({z}))) - r.y) * r.x{j}), {dp}) AS w{j}"
+            for j in range(k)
+        )
+        ctes.append(
+            f"w{r + 1}_ AS (SELECT {grads} FROM rows_ r CROSS JOIN w{r}_ w)"
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS feature, w{j} AS weight FROM w{iters}_"
+        for j, (name, _) in enumerate(feature_exprs)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions

@@ -1,0 +1,142 @@
+"""Statistics + model-fitting queries (operators/stats.py, apply_cdc):
+correlation screen, A/B significance test, in-engine logistic quality
+classifier, and CDC log application.
+
+Reference analogue: Celeborn's data plane serves aggregate-heavy
+workloads (SparkTestBase.scala:111-135 combineByKey differentials);
+these queries are single-exchange aggregates + the bounded-iteration
+discipline of operators/kmeans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.stats import (
+    corr_matrix,
+    corr_matrix_oracle_sql,
+    logreg_fit,
+    logreg_oracle_sql,
+    welch_t,
+    welch_t_oracle_sql,
+)
+from celeborn_spark.registry import query
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+# O(1)-bounded features for the quality classifier: bias, capped
+# kilo-chars, and space density. Expressions are written identically
+# in Spark and DuckDB (length/replace agree on these ASCII corpora).
+_LOGREG_FEATURES = [
+    ("bias", "1.0"),
+    ("nchars_k", "least(n_chars, 2000) / 1000.0"),
+    ("space_ratio", "(length(text) - length(replace(text, ' ', ''))) * 1.0 / n_chars"),
+]
+_LOGREG_ITERS = 3
+_LOGREG_LR = 0.5
+
+
+@query(
+    "q_correlation_matrix",
+    oracle=corr_matrix_oracle_sql("lineitem", _CORR_COLS),
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures —
+    the feature-redundancy screen before model-based curation. ONE
+    full-scan aggregate produces every sum/square/cross-product; the
+    6 pair rows are assembled from that single scalar row."""
+    return corr_matrix(load_table(spark, sf_dir, "lineitem"), _CORR_COLS)
+
+
+@query(
+    "q_ab_test_welch",
+    oracle=welch_t_oracle_sql("events", "event_type", "value", "view"),
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-statistic of every event type's value distribution
+    against the 'view' baseline (+ Welch–Satterthwaite dof) — the
+    experiment-readout primitive. One group-keyed aggregate; the
+    baseline's 1-row scalars broadcast."""
+    return welch_t(
+        load_table(spark, sf_dir, "events"), "event_type", "value", "view"
+    )
+
+
+@query(
+    "q_logreg_quality",
+    oracle=logreg_oracle_sql(
+        "documents",
+        _LOGREG_FEATURES,
+        "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    ),
+)
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression quality classifier trained in-engine by
+    full-batch gradient descent (3 rounds, zero init) on document
+    features, label = is-English — the fastText-style linear scorer of
+    an LLM curation pipeline. Per round: one gradient aggregate +
+    a broadcast 1-row weight relation; weights rounded 6 dp per round
+    pin engine parity (operators/stats.logreg_fit)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit(1.0).alias("bias"),
+        (F.least(F.col("n_chars"), F.lit(2000)) / 1000.0).alias("nchars_k"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            * 1.0
+            / F.col("n_chars")
+        ).alias("space_ratio"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+    )
+    return logreg_fit(
+        docs,
+        [n for n, _ in _LOGREG_FEATURES],
+        "label",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+    )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH last AS (
+        SELECT user_id AS uid,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    c AS (SELECT uid, op, value FROM last WHERE rn = 1)
+    SELECT COALESCE(b.c_custkey, c.uid) AS uid,
+           CASE WHEN c.op IS NOT NULL THEN c.value ELSE b.c_acctbal END AS value
+    FROM customer b FULL OUTER JOIN c ON b.c_custkey = c.uid
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a CDC log onto a base snapshot (last-writer-wins with a
+    unique (ts, event_id) tiebreak; 'error' events are deletes): the
+    state a lake table reaches after applying a Debezium-style change
+    feed. One window exchange reduces the log to its winning row per
+    key, then a key-only full-outer join against base — payload beyond
+    the winner never shuffles (operators/merge.apply_cdc)."""
+    from celeborn_spark.operators.merge import apply_cdc
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), F.col("c_acctbal").alias("value")
+    )
+    changes = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return apply_cdc(
+        base, changes, key_col="uid", op_col="op", ord_cols=("ts", "event_id")
+    )

@@ -153,6 +153,7 @@ def _load_all() -> None:
         curriculum,
         tpch,
         graph,
+        stats,
     )
 
 

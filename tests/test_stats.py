@@ -1,0 +1,183 @@
+"""Statistics toolkit (operators/stats.py) + CDC apply
+(operators/merge.apply_cdc): known-answer kernels and oracle parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from celeborn_spark.operators.merge import apply_cdc
+from celeborn_spark.operators.stats import corr_matrix, logreg_fit, welch_t
+from tests.oracle import assert_matches_oracle, duck_connection
+
+
+# --- corr_matrix ---
+
+
+def test_corr_perfectly_linear(spark):
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1, -3.0 * i) for i in range(10)], ["a", "b", "c"]
+    )
+    got = {(r.col_x, r.col_y): r.corr for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert got[("b", "c")] == pytest.approx(-1.0)
+
+
+def test_corr_independent_near_zero(spark):
+    # alternating orthogonal pattern: exactly zero sample correlation
+    rows = [(1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    [r] = corr_matrix(df, ["a", "b"]).collect()
+    assert r.corr == pytest.approx(0.0)
+
+
+def test_corr_rejects_single_column(spark):
+    df = spark.createDataFrame([(1.0,)], ["a"])
+    with pytest.raises(ValueError, match="at least 2"):
+        corr_matrix(df, ["a"])
+
+
+# --- welch_t ---
+
+
+def test_welch_identical_groups_t_zero(spark):
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("base", float(v)) for v in (1, 2, 3, 4)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = welch_t(df, "g", "v", "base").collect()
+    assert r.t_stat == pytest.approx(0.0)
+
+
+def test_welch_shift_sign_and_textbook_value(spark):
+    """Equal-variance equal-n case reduces to the classic two-sample t."""
+    a = [2.0, 4.0, 6.0, 8.0]
+    b = [1.0, 3.0, 5.0, 7.0]
+    rows = [("a", v) for v in a] + [("base", v) for v in b]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = welch_t(df, "g", "v", "base").collect()
+    # means 5 vs 4, pooled se = sqrt(20/3/4 * 2); t = 1/se
+    se = math.sqrt((20 / 3) / 4 + (20 / 3) / 4)
+    assert r.t_stat == pytest.approx(1.0 / se, abs=1e-6)
+    assert r.dof == pytest.approx(6.0, abs=1e-6)
+
+
+# --- logreg_fit ---
+
+
+def test_logreg_zero_iters_returns_zero_weights(spark):
+    df = spark.createDataFrame([(1.0, 0.5, 1.0)], ["bias", "x", "y"])
+    got = {r.feature: r.weight for r in
+           logreg_fit(df, ["bias", "x"], "y", iters=0).collect()}
+    assert got == {"bias": 0.0, "x": 0.0}
+
+
+def test_logreg_learns_separating_sign(spark):
+    """Positive labels sit at x=+1, negatives at x=-1: the x weight
+    must move positive and dominate the bias."""
+    rows = [(1.0, 1.0, 1.0)] * 20 + [(1.0, -1.0, 0.0)] * 20
+    df = spark.createDataFrame(rows, ["bias", "x", "y"])
+    got = {r.feature: r.weight for r in
+           logreg_fit(df, ["bias", "x"], "y", iters=5).collect()}
+    assert got["x"] > 0.3
+    assert abs(got["bias"]) < 1e-6  # symmetric classes keep the bias at 0
+
+
+def test_logreg_loss_decreases(spark):
+    """More rounds → lower logistic loss on the training set."""
+    rows = [(1.0, 1.0, 1.0)] * 15 + [(1.0, -0.5, 0.0)] * 25
+    df = spark.createDataFrame(rows, ["bias", "x", "y"])
+
+    def loss(iters: int) -> float:
+        w = {r.feature: r.weight for r in
+             logreg_fit(df, ["bias", "x"], "y", iters=iters).collect()}
+        z = [(w["bias"] + w["x"] * x, y) for _, x, y in rows]
+        return sum(
+            -y * math.log(1 / (1 + math.exp(-zz)))
+            - (1 - y) * math.log(1 - 1 / (1 + math.exp(-zz)))
+            for zz, y in z
+        )
+
+    assert loss(4) < loss(1)
+
+
+def test_logreg_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1.0, 1.0)], ["x", "y"])
+    with pytest.raises(ValueError, match="iters"):
+        logreg_fit(df, ["x"], "y", iters=-1)
+    with pytest.raises(ValueError, match="feature"):
+        logreg_fit(df, [], "y")
+
+
+# --- apply_cdc ---
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "val"]
+    )
+
+
+def test_cdc_upsert_delete_insert(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, 11.0),   # update existing
+            (2, "D", 1, 0.0),    # delete existing
+            (9, "U", 1, 99.0),   # insert new
+        ],
+        ["k", "op", "seq", "val"],
+    )
+    got = {r.k: r.val for r in
+           apply_cdc(_base(spark), changes, key_col="k", op_col="op",
+                     ord_cols=("seq",)).collect()}
+    assert got == {1: 11.0, 3: 30.0, 9: 99.0}
+
+
+def test_cdc_last_writer_wins_with_tiebreak(spark):
+    changes = spark.createDataFrame(
+        [(1, "U", 1, 100.0), (1, "U", 2, 200.0), (1, "D", 3, 0.0),
+         (2, "D", 1, 0.0), (2, "U", 2, 222.0)],
+        ["k", "op", "seq", "val"],
+    )
+    got = {r.k: r.val for r in
+           apply_cdc(_base(spark), changes, key_col="k", op_col="op",
+                     ord_cols=("seq",)).collect()}
+    assert 1 not in got          # final op is a delete
+    assert got[2] == 222.0       # delete then re-insert survives
+    assert got[3] == 30.0
+
+
+def test_cdc_null_upsert_does_not_resurrect_base(spark):
+    changes = spark.createDataFrame(
+        [(1, "U", 1, None)], "k long, op string, seq long, val double"
+    )
+    [r] = [x for x in apply_cdc(_base(spark), changes, key_col="k",
+                                op_col="op", ord_cols=("seq",)).collect()
+           if x.k == 1]
+    assert r.val is None
+
+
+def test_cdc_rejects_base_missing_payload(spark):
+    base = spark.createDataFrame([(1,)], ["k"])
+    changes = spark.createDataFrame([(1, "U", 1, 5.0)], ["k", "op", "seq", "val"])
+    with pytest.raises(ValueError, match="base lacks"):
+        apply_cdc(base, changes, key_col="k", op_col="op", ord_cols=("seq",))
+
+
+# --- oracle parity of the registered queries ---
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_correlation_matrix", "q_ab_test_welch", "q_logreg_quality", "q_cdc_apply"],
+)
+def test_stats_queries_vs_oracle(spark, sf_dir, name):
+    from celeborn_spark import registry
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        registry.queries()[name](spark, sf_dir), con, registry.oracles()[name], name
+    )
