@@ -763,3 +763,93 @@ def set_similarity_oracle_sql(
     FROM pairs
     WHERE inter * 1.0 / (tot - inter) >= {threshold}
     """
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 8
+) -> DataFrame:
+    """(id, pos, fp) — winnowing document fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every
+    positional k-token gram, slide a w-hash window, and keep the
+    RIGHTMOST minimal hash of each window. Winnowing guarantees any
+    shared run of w+k-1 tokens between two docs yields at least one
+    shared selected fingerprint, at expected density 2/(w+1) — the
+    robust local-similarity signature that whole-doc hashes miss and
+    full k-gram inverted indexes overpay for.
+
+    fp = first 8 hex chars of md5(gram) (lexicographic min == numeric
+    min on fixed-width lowercase hex, identical in both engines); the
+    rightmost-of-ties rule is the struct-min trick: min over the
+    window frame of (h, -pos) picks the smallest hash, then the
+    largest position. Docs with fewer than w grams winnow their single
+    clipped window (the frame clips at the partition end in both
+    engines).
+
+    Scale shape: tokenize+hash is a zero-shuffle map stage (input
+    spread across cores first); ONE doc-keyed window exchange computes
+    every frame min; distinct dedups per doc. Window state is the doc's
+    OWN gram list — bounded by document length, never corpus-sized."""
+    from pyspark.sql.window import Window as W
+
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("_toks"), i + F.lit(j + 1)) for j in range(k)]
+    )
+    toked = _spread(df, id_col).select(id_col, tokens(text_col).alias("_toks"))
+    grams = toked.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= k,
+                F.transform(F.sequence(F.lit(0), F.size("_toks") - k), gram_at),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        id_col,
+        "pos",
+        F.substring(F.md5("gram"), 1, 8).alias("h"),
+        (-F.col("pos")).alias("np"),
+    )
+    win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = hashed.select(
+        id_col,
+        F.col("pos").alias("start"),
+        F.min(F.struct("h", "np")).over(win).alias("m"),
+        F.count(F.lit(1)).over(W.partitionBy(id_col)).alias("_n"),
+    ).filter(F.col("start") <= F.greatest(F.col("_n") - w, F.lit(0)))
+    return sel.select(
+        id_col,
+        (-F.col("m.np")).cast("int").alias("pos"),
+        F.col("m.h").alias("fp"),
+    ).distinct()
+
+
+def winnow_oracle_sql(
+    table: str, id_col: str, text_col: str, k: int = 4, w: int = 8
+) -> str:
+    """DuckDB mirror of `winnow_fingerprints`: same positional grams,
+    same struct-min-over-frame rightmost-tie rule."""
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+    WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}),
+    grams AS (
+        SELECT {id_col},
+               unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) - 1 AS pos,
+               unnest(list_transform(range(1, greatest(len(t) - {k - 1}, 0) + 1),
+                      i -> {gram})) AS gram
+        FROM toks
+    ),
+    hashed AS (
+        SELECT {id_col}, pos, substr(md5(gram), 1, 8) AS h, -pos AS np FROM grams
+    ),
+    sel AS (
+        SELECT {id_col}, pos AS start,
+               min({{'h': h, 'np': np}}) OVER (
+                   PARTITION BY {id_col} ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
+               count(*) OVER (PARTITION BY {id_col}) AS n
+        FROM hashed
+    )
+    SELECT DISTINCT {id_col}, CAST(-m.np AS INT) AS pos, m.h AS fp
+    FROM sel WHERE start <= greatest(n - {w}, 0)
+    """

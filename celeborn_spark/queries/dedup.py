@@ -499,3 +499,17 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     full sets reproduces the quadratic all-pairs oracle pair for pair."""
     d = load_table(spark, sf_dir, "documents")
     return D.set_similarity_join(d, "doc_id", "text", SET_SIM_THRESHOLD)
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=D.winnow_oracle_sql("documents", "doc_id", "text", k=4, w=8),
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints over the corpus: rightmost-minimal
+    k-gram hash per w-window, guaranteeing any shared w+k-1-token run
+    between two docs shares a fingerprint at ~2/(w+1) density — the
+    plagiarism/local-copy detection layout between whole-doc hashing
+    and a full inverted index (operators/dedup.winnow_fingerprints)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_fingerprints(d, "doc_id", "text", k=4, w=8)

@@ -419,3 +419,37 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id")
     )
     return run_stream_to_table(deduped, "stream_dedup_watermark", "append")
+
+
+@query(
+    "q_stream_anti_static",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')
+    GROUP BY event_type
+    """,
+)
+def q_stream_anti_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion filtered by a static suppression index
+    (stream-static LEFT ANTI join): events from users already present
+    in the 'BUILDING'-segment index are dropped in-flight — the
+    incremental-ingest twin of incremental_dedup (drop rows already in
+    the corpus index before they ever land). The static side broadcasts
+    per micro-batch; no state store is involved, so state is ZERO
+    regardless of stream length — the cheapest exactly-once-vs-index
+    guard available at 100 TB ingest rates."""
+    from celeborn_spark.catalog import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    index = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    kept = ev.join(F.broadcast(index), "user_id", "left_anti")
+    agg = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_stream_to_table(agg, "stream_anti_static", "complete")

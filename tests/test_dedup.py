@@ -226,3 +226,79 @@ def test_dup_span_profile_localizes_copied_passage(spark):
     assert out[1][1] == 1 and out[2][1] == 1
     assert out[3][1] == 0
     assert out[1][0] == 9  # 16 tokens -> 9 distinct 8-gram spans
+
+
+# --- winnowing fingerprints (operators/dedup.winnow_fingerprints) ---
+
+
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
+    """Winnowing guarantee: docs sharing a run of w+k-1 tokens share at
+    least one selected fingerprint (SIGMOD'03 property)."""
+    from celeborn_spark.operators.dedup import winnow_fingerprints
+
+    shared = "p q r s t u v w x y z"  # 11 tokens = w+k-1 for k=4, w=8
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f " + shared + " g h"),
+            (2, shared + " m n o aa bb cc dd"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=4, w=8).collect()
+    d1 = {r.fp for r in fps if r.doc_id == 1}
+    d2 = {r.fp for r in fps if r.doc_id == 2}
+    assert d1 & d2, "no shared fingerprint for a shared 11-token run"
+
+
+def test_winnow_rightmost_tie_break(spark):
+    """All-identical tokens hash equal: each window must select its
+    RIGHTMOST position (k=1, w=3 over 5 tokens -> positions {2,3,4})."""
+    from celeborn_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a a a a a")], ["doc_id", "text"])
+    got = sorted(
+        r.pos for r in winnow_fingerprints(df, "doc_id", "text", k=1, w=3).collect()
+    )
+    assert got == [2, 3, 4]
+
+
+def test_winnow_short_doc_single_window(spark):
+    """Fewer than w grams: one clipped window, exactly one fingerprint."""
+    from celeborn_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(7, "a b c d e")], ["doc_id", "text"])
+    rows = winnow_fingerprints(df, "doc_id", "text", k=4, w=8).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 7
+
+
+def test_winnow_density_bounded(spark, sf_dir):
+    """Selected density stays in the winnowing band: well below 1 gram
+    per position, at least 1/w of positions."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.dedup import winnow_fingerprints
+    from celeborn_spark.operators.dedup import tokens as _t  # noqa: F401
+
+    d = load_table(spark, sf_dir, "documents")
+    n_fp = winnow_fingerprints(d, "doc_id", "text", k=4, w=8).count()
+    from pyspark.sql import functions as F
+
+    n_grams = (
+        d.select((F.size(F.split("text", r"\s+")) - 3).alias("g"))
+        .agg(F.sum(F.greatest("g", F.lit(0))))
+        .collect()[0][0]
+    )
+    assert n_fp < 0.6 * n_grams
+    assert n_fp > n_grams / 10
+
+
+def test_winnow_vs_oracle(spark, sf_dir):
+    from celeborn_spark import registry
+    from tests.oracle import assert_matches_oracle, duck_connection
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        registry.queries()["q_winnow_fingerprints"](spark, sf_dir),
+        con,
+        registry.oracles()["q_winnow_fingerprints"],
+        "q_winnow_fingerprints",
+    )
