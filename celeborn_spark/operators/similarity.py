@@ -491,3 +491,59 @@ def projection_oracle_sql(
     FROM dims CROSS JOIN (SELECT unnest(range({k})) AS j) j
     GROUP BY {id_col}, j.j
     """
+
+
+def knn_join(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+) -> DataFrame:
+    """All-vectors k-nearest-neighbor JOIN through IVF cells:
+    (query_id, vec_id, cosine, rnk<=k) for EVERY vector — the
+    neighbor-graph construction behind embedding near-dup clustering,
+    label propagation and kNN classification at corpus scale.
+
+    Unlike `ivf_topk` (few queries, query side broadcast), BOTH sides
+    here are the full table, so the cell id becomes the SHUFFLE key:
+    data vectors keep their 1 nearest cell (disjoint), query vectors
+    probe `n_probe` cells, and the cell-keyed equi-join scores
+    ~N^2 * n_probe / n_cells pairs instead of N^2 — the same
+    bucketed-pruning contract as ivf_topk, but resilient to a query
+    side too big to broadcast. At 100 TB both sides arrive bucketed by
+    cell id and the join co-locates; hot cells split under AQE skew
+    handling like any equality join."""
+    assign_v = ivf_assign(vectors, centroids, id_col, vec_col, n_probe=1)
+    assign_q = ivf_assign(vectors, centroids, id_col, vec_col, n_probe=n_probe)
+    v = (
+        vectors.join(assign_v, id_col)
+        .select(id_col, "centroid_id", as_double_array(vec_col).alias("v"))
+        .withColumn("v_norm", l2_norm(F.col("v")))
+    )
+    q = (
+        vectors.join(assign_q, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "centroid_id",
+            as_double_array(vec_col).alias("q"),
+        )
+        .withColumn("q_norm", l2_norm(F.col("q")))
+    )
+    scored = (
+        v.join(q, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("v"), F.col("q")) / (F.col("v_norm") * F.col("q_norm")), 6
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", id_col, "cosine", "rnk")
+    )

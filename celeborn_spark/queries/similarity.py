@@ -281,3 +281,61 @@ def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights broadcast from a dims x k relation)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.project_embeddings(emb, k=8)
+
+
+KNN_K = 5
+KNN_PROBE = 3
+
+
+@query(
+    "q_knn_join",
+    # Deterministic IVF makes the full kNN-join pipeline SQL-exact:
+    # data side keeps its 1 nearest cell, the query side (every vector)
+    # probes its 3 nearest cells; disjoint data cells mean multi-probe
+    # never duplicates a (query, vector) pair.
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v
+          WHERE vec_id % {CENTROID_STEP} = 0),
+    sims AS (
+        SELECT v.vec_id, c.centroid_id,
+               round(list_cosine_similarity(v.vec, c.cvec), 6) AS sim
+        FROM v CROSS JOIN c
+    ),
+    ranked AS (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM sims
+    ),
+    vcell AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+    qcell AS (SELECT vec_id AS query_id, centroid_id FROM ranked
+              WHERE rn <= {KNN_PROBE}),
+    scored AS (
+        SELECT qc.query_id, v.vec_id,
+               round(list_cosine_similarity(v.vec, q.vec), 6) AS cosine
+        FROM v
+        JOIN vcell vc ON vc.vec_id = v.vec_id
+        JOIN qcell qc ON qc.centroid_id = vc.centroid_id
+        JOIN v q ON q.vec_id = qc.query_id
+        WHERE v.vec_id != qc.query_id
+    )
+    SELECT query_id, vec_id, cosine, rnk FROM (
+        SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {KNN_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor JOIN of the whole embedding table against
+    itself through IVF cells — the neighbor-graph builder. The cell id
+    is the shuffle key (neither side broadcasts); multi-probe on the
+    query side recovers cross-cell neighbors while scoring only
+    ~n_probe/n_cells of the pair space (operators/similarity.knn_join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return S.knn_join(emb, centroids, k=KNN_K, n_probe=KNN_PROBE)
