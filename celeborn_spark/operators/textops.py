@@ -479,3 +479,127 @@ def pmi_oracle_sql(
     SELECT w1, w2, c12, pmi FROM scored
     ORDER BY pmi DESC, w1, w2 LIMIT {k}
     """
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 4
+) -> DataFrame:
+    """(merge_rank, pair, merged, pair_count) — the first ``n_merges``
+    byte-pair-encoding merges learned from the corpus (Sennrich et al.
+    ACL'16, the tokenizer-training step of an LLM data pipeline).
+    Classic word-level BPE: count adjacent symbol pairs over the
+    word-frequency table (all adjacent occurrences, overlaps included —
+    the standard pair-statistics convention), merge the most frequent
+    pair everywhere (ties -> lexicographically smallest pair), repeat.
+
+    Determinism/parity: words are restricted to ^[a-z]+$ so symbols
+    stay regex-safe alphas; symbol sequences are carried as
+    space-separated strings with sentinel spaces (" h e l l o "), so
+    applying a merge is replace(" a b " -> " ab ") — non-overlapping
+    left-to-right in BOTH engines, which IS the BPE greedy application
+    order. Tie-break on the raw pair string is pure ASCII.
+
+    Scale shape: everything after the one word-count exchange is
+    VOCABULARY-sized, not corpus-sized — the classic reason BPE trains
+    on the word-freq table. Per round: one vocab-scan pair aggregate
+    (map-side partials), a 1-row argmax broadcast back, and a map-side
+    replace; the words relation is localCheckpoint'ed per round (it
+    feeds the pair count, the replace, and the next round)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .select(
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(n_merges):
+        toks_ = F.split(F.trim(F.col("s")), " ")
+        pair_at = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.element_at(toks_, i + 1), F.element_at(toks_, i + 2)
+        )
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size(toks_) >= 2,
+                    F.transform(F.sequence(F.lit(0), F.size(toks_) - 2), pair_at),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair"))
+            .limit(1)
+            .select(
+                F.lit(r + 1).alias("merge_rank"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        merges.append(best)
+        words = (
+            words.crossJoin(F.broadcast(best.select("pair", "merged")))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def bpe_oracle_sql(table: str, text_col: str, n_merges: int = 4) -> str:
+    """DuckDB mirror of `bpe_train`: identical word filter, sentinel-
+    space symbol strings, pair statistics and argmax tie-break, with
+    each merge round unrolled as chained CTEs."""
+    ctes = [
+        f"""w0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+               CAST(count(*) AS DOUBLE) AS freq
+        FROM (SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table})
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY 1
+    )"""
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""p{r} AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w{r})
+    ),
+    b{r} AS (
+        SELECT {r + 1} AS merge_rank, pair,
+               replace(pair, ' ', '') AS merged,
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM p{r} GROUP BY pair
+        ORDER BY sum(freq) DESC, pair LIMIT 1
+    ),
+    w{r + 1} AS (
+        SELECT replace(w.s, ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS s,
+               w.freq
+        FROM w{r} w CROSS JOIN b{r} b
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT merge_rank, pair, merged, pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions

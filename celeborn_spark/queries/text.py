@@ -844,3 +844,12 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_neg_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+@query("q_bpe_train", oracle=T.bpe_oracle_sql("documents", "text", n_merges=4))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the corpus's first 4 BPE merges (tokenizer training):
+    word-frequency table once, then vocabulary-sized pair statistics +
+    a broadcast argmax per round — the Sennrich et al. subword
+    pipeline as pure DataFrame aggregates (operators/textops.bpe_train)."""
+    return T.bpe_train(load_table(spark, sf_dir, "documents"), "text", n_merges=4)

@@ -180,3 +180,59 @@ def test_compression_ratio_matches_zlib_and_orders_quality(spark, sf_dir):
 
     rows = q_compression_quality(spark, sf_dir).collect()
     assert rows and all(r.ratio_in_bounds for r in rows)
+
+
+# --- BPE merge training (operators/textops.bpe_train) ---
+
+
+def test_bpe_known_answer(spark):
+    from celeborn_spark.operators.textops import bpe_train
+
+    df = spark.createDataFrame([("aaab aaab ab",)], ["text"])
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_train(df, "text", n_merges=2).orderBy("merge_rank").collect()
+    ]
+    # "aaab" freq 2 -> pairs (a,a)x2 each, (a,b); "ab" freq 1 -> (a,b)
+    assert got[0] == (1, "a a", "aa", 4)
+    # after merging: " aa a b " keeps (a,b); (a,b) total = 3 beats (aa,a) = 2
+    assert got[1] == (2, "a b", "ab", 3)
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    from celeborn_spark.operators.textops import bpe_train
+
+    # "xy" and "uv" each appear twice: tie -> 'u v' < 'x y'
+    df = spark.createDataFrame([("xy uv xy uv",)], ["text"])
+    [r] = bpe_train(df, "text", n_merges=1).collect()
+    assert (r.pair, r.pair_count) == ("u v", 2)
+
+
+def test_bpe_ignores_non_alpha_words(spark):
+    from celeborn_spark.operators.textops import bpe_train
+
+    df = spark.createDataFrame([("ab ab 123 A9 ab!",)], ["text"])
+    [r] = bpe_train(df, "text", n_merges=1).collect()
+    assert r.pair == "a b" and r.pair_count == 2  # only the two clean "ab"
+
+
+def test_bpe_rejects_bad_n_merges(spark):
+    import pytest
+    from celeborn_spark.operators.textops import bpe_train
+
+    df = spark.createDataFrame([("ab",)], ["text"])
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, "text", n_merges=0)
+
+
+def test_bpe_vs_oracle(spark, sf_dir):
+    from celeborn_spark import registry
+    from tests.oracle import assert_matches_oracle, duck_connection
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        registry.queries()["q_bpe_train"](spark, sf_dir),
+        con,
+        registry.oracles()["q_bpe_train"],
+        "q_bpe_train",
+    )
