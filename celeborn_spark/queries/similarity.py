@@ -162,6 +162,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("vec_id", "id_s").alias("id_b"),
         )
         .distinct()
+        .localCheckpoint()  # read twice: the n_exact agg + the semi-join
     )
     found = exact.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
     recall = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
