@@ -603,3 +603,212 @@ def bpe_oracle_sql(table: str, text_col: str, n_merges: int = 4) -> str:
         for r in range(n_merges)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+def bpe_apply_curve(
+    df: DataFrame, text_col: str, n_merges: int = 4
+) -> DataFrame:
+    """(n_merges_applied, total_symbols) — the vocabulary-compression
+    curve of the first ``n_merges`` BPE merges: total corpus symbol
+    count (sum over the word-frequency table of freq * symbols-per-
+    word) after cumulatively applying merges 0..r. Row 0 is the
+    character baseline; each following row shows how much corpus the
+    next learned merge absorbs — the curve a tokenizer team reads to
+    pick vocab size.
+
+    Same machinery as `bpe_train` (one corpus exchange, then
+    vocabulary-sized rounds); the curve rows are 1-row aggregates of
+    the evolving words relation."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .select(
+            F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    def total(words_df: DataFrame, r: int) -> DataFrame:
+        n_sym = F.size(F.split(F.trim(F.col("s")), " "))
+        return words_df.agg(
+            F.sum(F.col("freq") * n_sym).cast("long").alias("total_symbols")
+        ).select(F.lit(r).alias("n_merges_applied"), "total_symbols")
+
+    curve = [total(words, 0)]
+    for r in range(n_merges):
+        toks_ = F.split(F.trim(F.col("s")), " ")
+        pair_at = lambda i: F.concat_ws(  # noqa: E731
+            " ", F.element_at(toks_, i + 1), F.element_at(toks_, i + 2)
+        )
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size(toks_) >= 2,
+                    F.transform(F.sequence(F.lit(0), F.size(toks_) - 2), pair_at),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair"))
+            .limit(1)
+            .select("pair", F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"))
+            .localCheckpoint()
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("merged"), F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+        curve.append(total(words, r + 1))
+    out = curve[0]
+    for c in curve[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def bpe_apply_oracle_sql(table: str, text_col: str, n_merges: int = 4) -> str:
+    """DuckDB mirror of `bpe_apply_curve`: same unrolled merge rounds,
+    symbol totals per round."""
+    ctes = [
+        f"""w0 AS (
+        SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+               CAST(count(*) AS DOUBLE) AS freq
+        FROM (SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table})
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY 1
+    )"""
+    ]
+    for r in range(n_merges):
+        ctes.append(
+            f"""p{r} AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS pair,
+               freq
+        FROM (SELECT string_split(trim(s), ' ') AS t, freq FROM w{r})
+    ),
+    b{r} AS (
+        SELECT pair, replace(pair, ' ', '') AS merged
+        FROM p{r} GROUP BY pair
+        ORDER BY sum(freq) DESC, pair LIMIT 1
+    ),
+    w{r + 1} AS (
+        SELECT replace(w.s, ' ' || b.pair || ' ', ' ' || b.merged || ' ') AS s,
+               w.freq
+        FROM w{r} w CROSS JOIN b{r} b
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"""SELECT {r} AS n_merges_applied,
+               CAST(sum(freq * len(string_split(trim(s), ' '))) AS BIGINT)
+                   AS total_symbols FROM w{r}"""
+        for r in range(n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+def cms_heavy_hitters(
+    df: DataFrame, text_col: str, depth: int = 4, width: int = 256, k: int = 20
+) -> DataFrame:
+    """(token, true_count, cms_est) — the exact top-k tokens with their
+    count-min-sketch estimates from a depth x width sketch (Cormode &
+    Muthukrishnan '05). The bounded-memory frequency layer of a
+    streaming/multi-pass pipeline: the sketch is depth*width counters
+    REGARDLESS of vocabulary size, where the exact count table grows
+    with the vocabulary. CMS guarantees est >= true (only hash
+    collisions inflate), which the oracle checks value-for-value since
+    the md5 bucket mapping is deterministic in both engines.
+
+    Scale shape: ONE exchange builds the sketch — the (row, bucket)
+    relation is depth*width cells after map-side partial counts absorb
+    the token stream; the exact top-k (the expensive vocabulary-sized
+    side at 100 TB) is here only to label the readout and rides the
+    existing heavy-hitter TakeOrderedAndProject path."""
+    toks = df.select(F.explode(tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    rows_ = F.array(*[F.lit(j) for j in range(depth)])
+    cells = (
+        toks.select(F.col("tok"), F.explode(rows_).alias("j"))
+        .select(
+            "j",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("tok"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    top = exact.orderBy(F.col("true_count").desc(), F.col("tok")).limit(k)
+    probes = top.select(
+        "tok", "true_count", F.explode(rows_).alias("j")
+    ).select(
+        "tok",
+        "true_count",
+        "j",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "true_count")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+
+
+def cms_oracle_sql(
+    table: str, text_col: str, depth: int = 4, width: int = 256, k: int = 20
+) -> str:
+    """DuckDB mirror of `cms_heavy_hitters`: identical md5 bucket
+    arithmetic, sketch cells and min-probe."""
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS tok FROM {table}
+    ),
+    t AS (SELECT tok FROM toks WHERE tok <> ''),
+    rows_ AS (SELECT unnest(range({depth})) AS j),
+    cells AS (
+        SELECT j,
+               ('0x' || substr(md5(j || ':' || tok), 1, 8))::BIGINT % {width} AS bucket,
+               count(*) AS cell
+        FROM t CROSS JOIN rows_
+        GROUP BY 1, 2
+    ),
+    exact AS (SELECT tok, count(*) AS true_count FROM t GROUP BY tok),
+    top AS (SELECT tok, true_count FROM exact
+            ORDER BY true_count DESC, tok LIMIT {k}),
+    probes AS (
+        SELECT top.tok, top.true_count, rows_.j,
+               ('0x' || substr(md5(rows_.j || ':' || top.tok), 1, 8))::BIGINT
+                   % {width} AS bucket
+        FROM top CROSS JOIN rows_
+    )
+    SELECT p.tok AS token, p.true_count, min(c.cell) AS cms_est
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY 1, 2
+    """

@@ -853,3 +853,30 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast argmax per round — the Sennrich et al. subword
     pipeline as pure DataFrame aggregates (operators/textops.bpe_train)."""
     return T.bpe_train(load_table(spark, sf_dir, "documents"), "text", n_merges=4)
+
+
+@query(
+    "q_bpe_apply_curve",
+    oracle=T.bpe_apply_oracle_sql("documents", "text", n_merges=4),
+)
+def q_bpe_apply_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-compression curve of the learned BPE merges: corpus
+    symbol total after cumulatively applying merges 0..4 — the
+    tokenizer-sizing readout (row 0 = character baseline; each merge
+    absorbs corpus mass proportional to its pair count)."""
+    return T.bpe_apply_curve(load_table(spark, sf_dir, "documents"), "text", n_merges=4)
+
+
+@query(
+    "q_cms_heavy_hitters",
+    oracle=T.cms_oracle_sql("documents", "text", depth=4, width=256, k=20),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-20
+    tokens: the bounded-memory (depth x width counters, vocabulary-
+    independent) frequency layer, with the CMS >= exact guarantee
+    checkable value-for-value because the md5 bucket mapping is
+    deterministic in both engines (operators/textops.cms_heavy_hitters)."""
+    return T.cms_heavy_hitters(
+        load_table(spark, sf_dir, "documents"), "text", depth=4, width=256, k=20
+    )

@@ -259,6 +259,86 @@ def main() -> None:
             ).count(),
         )
 
+    # round-6 operators
+    from celeborn_spark.operators.dedup import set_similarity_join, winnow_fingerprints
+    from celeborn_spark.operators.graph import bfs_hops, kcore, triangle_counts
+    from celeborn_spark.operators.similarity import knn_join
+    from celeborn_spark.operators.stats import corr_matrix, logreg_fit
+    from celeborn_spark.operators.textops import bpe_train
+
+    for label, df in (("1x", d1), (f"{K}x", dk)):
+        timeit(
+            f"winnow {label}",
+            lambda df=df: winnow_fingerprints(df, "doc_id", "text", 4, 8).count(),
+        )
+        timeit(
+            f"set_similarity(t=.9) {label}",
+            lambda df=df: set_similarity_join(df, "doc_id", "text", 0.9).count(),
+        )
+        timeit(
+            f"bpe_train(4) {label}",
+            lambda df=df: bpe_train(df, "text", n_merges=4).count(),
+        )
+        timeit(
+            f"logreg(3 rounds) {label}",
+            lambda df=df: logreg_fit(
+                df.select(
+                    F.lit(1.0).alias("bias"),
+                    (F.least(F.col("n_chars"), F.lit(2000)) / 1000.0).alias("nk"),
+                    F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+                ),
+                ["bias", "nk"], "y", iters=3,
+            ).count(),
+        )
+
+    # graph round-6: BFS frontier + k-core peeling + triangles over the
+    # replicated disjoint graphs (same gk as pagerank)
+    for label, df in (("1x", g1), (f"{K}x", gk)):
+        timeit(
+            f"bfs(3 hops) {label}",
+            lambda df=df: bfs_hops(
+                df,
+                df.select(F.col("src").alias("node")).filter(
+                    F.col("node") % 194 == 0
+                ).distinct(),
+                max_hops=3,
+            ).count(),
+        )
+        timeit(
+            f"kcore(k=8,r=4) {label}",
+            lambda df=df: kcore(
+                df.filter(F.col("src") < F.col("dst")).select(
+                    F.col("src").alias("u"), F.col("dst").alias("v")
+                ),
+                k=8, rounds=4,
+            ).count(),
+        )
+
+    # knn join over the replicated embeddings (same ek as kmeans)
+    for label, df in (("1x", e1), (f"{K}x", ek)):
+        timeit(
+            f"knn_join(k=5,p=3) {label}",
+            lambda df=df: knn_join(
+                df,
+                df.filter(F.col("vec_id") % 100 == 0).select(
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("centroid_vec"),
+                ),
+                k=5, n_probe=3,
+            ).count(),
+        )
+        timeit(
+            f"corr_matrix {label}",
+            lambda df=df: corr_matrix(
+                df.select(
+                    F.element_at("embedding", 1).alias("a"),
+                    F.element_at("embedding", 2).alias("b"),
+                    F.element_at("embedding", 3).alias("c"),
+                ),
+                ["a", "b", "c"],
+            ).count(),
+        )
+
 
 def _winsorize(e):
     bounds = e.groupBy("event_type").agg(

@@ -107,3 +107,40 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
     )
     assert _rows(plain) == _rows(salted)
+
+
+# --- r6 operator surface under the same matrix: iterative graph ops
+# (BFS frontier, k-core peeling), the cell-keyed kNN join, winnowing's
+# window frames, BPE's per-round argmax broadcast, and CDC's
+# last-writer window — all must be invariant to adaptive re-plan,
+# exchange width and join strategy.
+def _r6_ops():
+    from celeborn_spark.queries.dedup import q_winnow_fingerprints
+    from celeborn_spark.queries.graph import q_bfs_reachability, q_kcore
+    from celeborn_spark.queries.similarity import q_knn_join
+    from celeborn_spark.queries.stats import q_cdc_apply, q_logreg_quality
+    from celeborn_spark.queries.text import q_bpe_train
+
+    return [
+        q_bfs_reachability,
+        q_kcore,
+        q_knn_join,
+        q_winnow_fingerprints,
+        q_bpe_train,
+        q_cdc_apply,
+        q_logreg_quality,
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r6_ops(), ids=lambda f: f.__name__)
+def test_r6_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -236,3 +236,63 @@ def test_bpe_vs_oracle(spark, sf_dir):
         registry.oracles()["q_bpe_train"],
         "q_bpe_train",
     )
+
+
+def test_bpe_apply_curve_monotone_and_baseline(spark, sf_dir):
+    """Row 0 equals the raw character total of clean words; each merge
+    strictly shrinks the corpus symbol count (it absorbs pair_count
+    occurrences)."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.textops import bpe_apply_curve, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    curve = {
+        r.n_merges_applied: r.total_symbols
+        for r in bpe_apply_curve(d, "text", n_merges=3).collect()
+    }
+    chars = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert curve[0] == chars
+    assert curve[0] > curve[1] > curve[2] > curve[3]
+
+
+def test_bpe_apply_curve_vs_oracle(spark, sf_dir):
+    from celeborn_spark import registry
+    from tests.oracle import assert_matches_oracle, duck_connection
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        registry.queries()["q_bpe_apply_curve"](spark, sf_dir),
+        con,
+        registry.oracles()["q_bpe_apply_curve"],
+        "q_bpe_apply_curve",
+    )
+
+
+def test_cms_overestimates_only(spark, sf_dir):
+    """The count-min guarantee: estimates never undercount."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.textops import cms_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = cms_heavy_hitters(d, "text", depth=4, width=256, k=20).collect()
+    assert len(rows) == 20
+    assert all(r.cms_est >= r.true_count for r in rows)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """A vocabulary far smaller than the sketch width estimates
+    exactly with high probability across 4 rows — and never under."""
+    from celeborn_spark.operators.textops import cms_heavy_hitters
+
+    df = spark.createDataFrame(
+        [("aa bb aa cc aa bb",)], ["text"]
+    )
+    got = {r.token: (r.true_count, r.cms_est) for r in
+           cms_heavy_hitters(df, "text", depth=4, width=1024, k=3).collect()}
+    assert got["aa"][0] == 3 and got["aa"][1] == 3
+    assert got["bb"][0] == 2 and got["bb"][1] >= 2
