@@ -295,3 +295,33 @@ def write_zordered(
         else df.repartitionByRange(n_files, z_col).sortWithinPartitions(z_col)
     )
     staged.write.mode("overwrite").parquet(path)
+
+
+def write_bloom_indexed(
+    df,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int | None = None,
+    n_files: int | None = None,
+) -> None:
+    """Write parquet with per-column bloom filters — the point-lookup
+    skip index for UNSORTED high-cardinality keys, where min/max row-
+    group stats cannot prune (every row group spans the whole domain).
+    The reference's mapId-bitmap range filter is the same idea at the
+    data plane: a compact per-location membership structure lets a
+    reader skip files containing none of the requested keys
+    (CelebornInputStream.skipLocation:364-380,
+    common/.../PartitionLocation.java mapIdBitMap). Sorted layouts
+    (write_sorted_buckets, write_zordered) serve RANGE predicates;
+    bloom filters serve `key = x` / `key IN (...)` on keys with no
+    exploitable order — the lakehouse lookup-table layout.
+
+    ``expected_ndv`` sizes the filter (parquet-mr defaults to 1M NDV /
+    ~1 MiB per filter otherwise — set it for small files)."""
+    out = df.coalesce(n_files) if n_files else df
+    w = out.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if expected_ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    w.parquet(path)

@@ -337,3 +337,63 @@ def test_zorder_vs_plain_sort_pruning_measured(spark, tmp_path):
     _, zfx, _, _ = overlap_stats(zpath, "x", lo, hi)
     assert pfx <= pn * 0.2, (pfx, pn)
     assert zfx <= zn * 0.5, (zfx, zn)
+
+
+def test_bloom_indexed_write_membership_and_pruning_path(spark, tmp_path):
+    """Parquet bloom-filter layout (A15 mapId-bitmap analogue): on an
+    UNSORTED high-cardinality key every row group's min/max spans the
+    whole domain (stats prune nothing), but the written bloom filter
+    answers point membership: all present keys found, absent keys
+    nearly all rejected — the reader's skip path for key = x lookups.
+    Asserted through parquet-mr itself (the reader Spark uses)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.sources.io import write_bloom_indexed
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(10 * n)).cast("int").alias("k"),
+        F.col("id").alias("v"),
+    )
+    path = str(tmp_path / "bloomed")
+    write_bloom_indexed(df, path, ["k"], expected_ndv=n, n_files=2)
+
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) == 2
+
+    # stats alone cannot prune: every row group's k range spans ~the domain
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(j).name for j in range(md.num_columns)]
+        idx = names.index("k")
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(idx).statistics
+            assert st.max - st.min > 8 * n  # unsorted: full-domain spread
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    f = files[0]
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        by_name = {
+            cols.get(i).getPath().toDotString(): cols.get(i)
+            for i in range(cols.size())
+        }
+        # bloom on the indexed column only
+        assert by_name["k"].getBloomFilterOffset() >= 0
+        assert by_name["v"].getBloomFilterOffset() < 0
+        bf = reader.readBloomFilter(by_name["k"])
+        present = [r.k for r in spark.read.parquet(f).limit(100).collect()]
+        assert all(bf.findHash(bf.hash(k)) for k in present)
+        absent = range(20 * n, 20 * n + 500)  # beyond the pmod domain
+        fp = sum(1 for x in absent if bf.findHash(bf.hash(x)))
+        assert fp <= 25, f"false-positive rate too high: {fp}/500"
+    finally:
+        reader.close()
