@@ -651,7 +651,11 @@ def dup_span_profile(
 
 
 def set_similarity_join(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    strategy: str = "auto",
 ) -> DataFrame:
     """EXACT token-set Jaccard join via prefix filtering (AllPairs /
     PPJoin, Bayardo et al. WWW'07; Xiao et al. ICDE'08) — the third
@@ -670,13 +674,33 @@ def set_similarity_join(
     Jaccard on the full sets, so the output is EXACT (identical to the
     quadratic all-pairs oracle), at bucket-join cost.
 
+    PREFIX FILTERING NEEDS A LONG-TAIL VOCABULARY. On a corpus whose
+    vocabulary is tiny (every token hot — e.g. the 31-word synthetic
+    testdata corpus), "rarest-first" prefixes are still hot and the
+    prefix join degenerates to worse-than-quadratic (measured at
+    sf0.1: 22M candidate pairs from 14k prefix rows over 31 tokens).
+    For that regime the LENGTH-BAND plan is exact and bounded: a pair
+    with Jaccard >= t must satisfy ceil(t*na) <= nb <= floor(na/t), so
+    each doc emits its <= n*(1/t - 1)+1 compatible sizes and candidates
+    come from an ordinary equi-join on the size key (3.8M candidates on
+    the same corpus). ``strategy``:
+
+    - "prefix": AllPairs prefix join (the large-vocabulary winner);
+    - "length": length-band equi-join (the dense/tiny-vocabulary
+      winner; also the right choice for short-set corpora);
+    - "auto" (default): measure both candidate counts with two cheap
+      aggregates over the already-built relations and take the
+      smaller — the reference's fallback-policy pattern (A28,
+      SparkShuffleManager.registerShuffle:213-234 picks a shuffle
+      implementation per workload from cheap runtime stats; two scalar
+      driver reads here are exactly AQE-style stats-driven planning).
+
     Scale shape: one vocab agg + one token-keyed join + one doc-keyed
-    sort/collect + the candidate equi-join. No windows, no driver
-    state; the ordering needs no global rank materialization (the
-    (freq, token) struct IS the sort key). Reference analogue: the
-    band-bucket exchange discipline of minhash_lsh_candidates
-    (dedup.py above) with an exactness guarantee instead of a
-    probabilistic one."""
+    sort/collect + ONE candidate equi-join (token- or size-keyed). No
+    windows; verification computes true Jaccard on the full sets, so
+    every strategy returns identical pairs. Reference analogue: the
+    band-bucket exchange discipline of minhash_lsh_candidates with an
+    exactness guarantee instead of a probabilistic one."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from celeborn_spark.operators.textops import tokens
@@ -702,16 +726,77 @@ def set_similarity_join(
         # self-join + verification join-back) — materialize once
         .localCheckpoint()
     )
-    pref = ordered.select(
-        "_id", F.explode(F.slice("st", F.lit(1), F.col("p"))).alias("s")
-    ).select("_id", F.col("s.tok").alias("ptok"))
-    cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "ptok")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
-        .distinct()
-    )
+    if strategy not in ("auto", "prefix", "length"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    def prefix_candidates() -> DataFrame:
+        pref = ordered.select(
+            "_id", F.explode(F.slice("st", F.lit(1), F.col("p"))).alias("s")
+        ).select("_id", F.col("s.tok").alias("ptok"))
+        return (
+            pref.alias("a")
+            .join(pref.alias("b"), "ptok")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
+            .distinct()
+        )
+
+    def length_candidates() -> DataFrame:
+        # each doc emits its compatible LARGER-OR-EQUAL set sizes
+        # (bounded fan-out <= n*(1/t - 1) + 1); the unordered pair is
+        # generated exactly once, by the smaller-n side (id tiebreak
+        # on equal sizes)
+        emits = ordered.select(
+            "_id",
+            F.col("n").alias("na"),
+            F.explode(
+                F.sequence(
+                    F.col("n"), F.floor(F.col("n") / F.lit(threshold)).cast("long")
+                )
+            ).alias("m"),
+        )
+        right = ordered.select(F.col("_id").alias("ib"), F.col("n").alias("m"))
+        return (
+            emits.join(right, "m")
+            .filter(
+                (F.col("na") < F.col("m"))
+                | ((F.col("na") == F.col("m")) & (F.col("_id") < F.col("ib")))
+            )
+            # generation is keyed smaller-SIZE-first; normalize to the
+            # id_a < id_b output contract (each unordered pair is
+            # generated exactly once, so no distinct is needed)
+            .select(
+                F.least(F.col("_id"), F.col("ib")).alias("ia"),
+                F.greatest(F.col("_id"), F.col("ib")).alias("ib"),
+            )
+        )
+
+    if strategy == "auto":
+        # two scalar stats over the checkpointed relation pick the plan
+        pref_cnt = (
+            ordered.select(
+                "_id", F.explode(F.slice("st", F.lit(1), F.col("p"))).alias("s")
+            )
+            .groupBy(F.col("s.tok"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("est"))
+            .first()["est"]
+            or 0
+        )
+        hist = {
+            r["n"]: r["c"]
+            for r in ordered.groupBy("n").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        import math as _math
+
+        len_cnt = 0
+        for na, ca in hist.items():
+            for nb in range(na, int(_math.floor(na / threshold)) + 1):
+                cb = hist.get(nb, 0)
+                len_cnt += ca * (ca - 1) // 2 if nb == na else ca * cb
+        strategy = "prefix" if pref_cnt <= len_cnt else "length"
+
+    cand = prefix_candidates() if strategy == "prefix" else length_candidates()
     sets = ordered.select(
         "_id", F.transform("st", lambda s: s["tok"]).alias("toks")
     )

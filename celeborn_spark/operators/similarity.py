@@ -556,3 +556,106 @@ def knn_join(
         .filter(F.col("rnk") <= k)
         .select("query_id", id_col, "cosine", "rnk")
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """(id, codes array<int>, recon_err) — product-quantization encode:
+    split each vector into ``m`` contiguous subspaces and replace every
+    subvector with the id of its nearest codeword (squared L2, rounded
+    ``dp`` before the argmin, ties -> lowest codeword id). With k
+    codewords per subspace a d-dim float vector compresses to m code
+    bytes — 64x at d=64/m=4 — the memory layout ANN indexes (IVF-PQ)
+    store; recon_err (the summed quantization distortion) is the
+    quality readout that picks m and k.
+
+    ``codebooks`` is (j, cb_id, cvec) with 0 <= j < m and cvec of
+    dims/m doubles — deterministic sampled codewords keep the operator
+    oracle-exact (a production refinement would Lloyd-polish each
+    subspace codebook with operators/kmeans, same as IVF centroids).
+
+    Scale shape: subspace explode is a map stage (m rows per vector of
+    dims/m doubles — same bytes as the input); codebooks broadcast; ONE
+    (id, j)-keyed window exchange picks argmins; the final per-id
+    rollup rides the same key. Nothing vector-sized ever shuffles
+    wider than the input row."""
+    dims_per = F.size(as_double_array(vec_col)) / m
+    subs = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    as_double_array(vec_col),
+                    (j * dims_per + 1).cast("int"),
+                    dims_per.cast("int"),
+                ),
+            )
+        ).alias("j", "sub"),
+    )
+    cb = codebooks.select(
+        F.col("j"), F.col("cb_id"), as_double_array("cvec").alias("cvec")
+    )
+    scored = subs.join(F.broadcast(cb), "j").withColumn(
+        "d2",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("sub"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            dp,
+        ),
+    )
+    w = W.partitionBy(id_col, "j").orderBy(F.col("d2"), F.col("cb_id"))
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("j"), F.col("cb_id")))
+            ).alias("_jc"),
+            F.round(F.sum("d2"), dp).alias("recon_err"),
+        )
+        .select(
+            id_col,
+            F.transform(F.col("_jc"), lambda s: s["cb_id"].cast("int")).alias("codes"),
+            "recon_err",
+        )
+    )
+
+
+def sampled_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    step: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: every ``step``-th vector's subvectors
+    become codewords, cb_id = source vector id (the IVF-centroid
+    sampling convention that keeps the pipeline SQL-replicable)."""
+    dims_per = F.size(as_double_array(vec_col)) / m
+    return (
+        vectors.filter(F.col(id_col) % step == 0)
+        .select(
+            F.col(id_col).alias("cb_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.slice(
+                        as_double_array(vec_col),
+                        (j * dims_per + 1).cast("int"),
+                        dims_per.cast("int"),
+                    ),
+                )
+            ).alias("j", "cvec"),
+        )
+        .select("j", "cb_id", "cvec")
+    )

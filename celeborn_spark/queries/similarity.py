@@ -340,3 +340,63 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     return S.knn_join(emb, centroids, k=KNN_K, n_probe=KNN_PROBE)
+
+
+PQ_M = 4
+
+
+@query(
+    "q_pq_encode",
+    # Deterministic sampled codebooks (every CENTROID_STEPth vector's
+    # subvectors) make the whole PQ pipeline SQL-exact; codes are
+    # serialized to a comma string (the harness's array convention).
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    dims AS (SELECT len(vec) // {PQ_M} AS dp FROM v LIMIT 1),
+    subs AS (
+        SELECT v.vec_id, j.j,
+               v.vec[j.j * d.dp + 1 : (j.j + 1) * d.dp] AS sub
+        FROM v CROSS JOIN dims d
+        CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) j
+    ),
+    cb AS (
+        SELECT s.vec_id AS cb_id, s.j, s.sub AS cvec
+        FROM subs s WHERE s.vec_id % {CENTROID_STEP} = 0
+    ),
+    scored AS (
+        SELECT s.vec_id, s.j, c.cb_id,
+               round(list_sum(list_transform(range(1, len(s.sub) + 1),
+                     i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))), 6) AS d2
+        FROM subs s JOIN cb c ON s.j = c.j
+    ),
+    best AS (
+        SELECT vec_id, j, cb_id, d2 FROM (
+            SELECT vec_id, j, cb_id, d2,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d2, cb_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(CAST(cb_id AS INT) ORDER BY j), ',') AS codes,
+           round(sum(d2), 6) AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding table: each vector
+    becomes 4 codeword ids (64x compression at 64 dims) plus the summed
+    quantization distortion — the IVF-PQ memory layout. Codebooks are
+    deterministic sampled subvectors (a production run Lloyd-polishes
+    them with operators/kmeans); codebooks broadcast, ONE (id, subspace)
+    keyed window exchange (operators/similarity.pq_encode)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.sampled_codebooks(emb, m=PQ_M, step=CENTROID_STEP)
+    out = S.pq_encode(emb, cb, m=PQ_M)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes"
+        ),
+        "recon_err",
+    )

@@ -51,6 +51,38 @@ Jaccard, which is the correctness/oracle path; at scale candidate
 generation must go through verified_lsh_dedup (LSH pruning + exact
 verification) with max_shingle_freq capping hot shingles — the probe
 demonstrates WHY, not a regression.
+
+Round-6 cases (same host, K=8):
+
+    winnow                    0.73 s ->  5.89 s  (8x: linear map+window,
+                                                  per-doc state)
+    bpe_train(4)              2.17 s ->  0.85 s  (flat: vocab-bounded
+                                                  after the word-count
+                                                  exchange; 1x paid codegen)
+    logreg(3 rounds)          2.40 s ->  0.41 s  (flat: k-sized gradient
+                                                  aggregates; same)
+    bfs(3 hops)               1.01 s ->  1.78 s  (1.8x for 8x edges)
+    kcore(k=8,r=4)            1.81 s ->  4.24 s  (2.3x for 8x edges)
+    knn_join(k=5,p=3)         5.56 s -> 10.60 s  (1.9x: cells bound the
+                                                  pair space; centroid
+                                                  count scales with N)
+    corr_matrix               0.31 s ->  0.24 s  (flat: one scalar agg)
+    set_similarity(t=.9)     32.45 s -> 402.8 s  (PREFIX plan, 31-token
+                                                  vocab: hot prefixes ->
+                                                  22M candidates at 1x —
+                                                  the measured case that
+                                                  drove the length-band
+                                                  strategy; auto now
+                                                  routes here to the
+                                                  length plan: 3.9 s at
+                                                  1x for the identical
+                                                  exact output. NOTE the
+                                                  8x corpus genuinely
+                                                  contains ~quadratic
+                                                  true-pair mass — output
+                                                  size, not candidate
+                                                  waste, dominates any
+                                                  exact algorithm there)
 """
 
 from __future__ import annotations

@@ -233,3 +233,64 @@ def test_knn_join_planted_twin_is_top_neighbor(spark, sf_dir):
     out = knn_join(planted, _knn_centroids(planted), k=5, n_probe=3)
     [r] = out.filter((F.col("query_id") == 999983) & (F.col("rnk") == 1)).collect()
     assert r.vec_id == 7 and r.cosine >= 0.999999
+
+
+# --- product quantization (operators/similarity.pq_encode) ---
+
+
+def test_pq_codes_shape_and_distortion_positive(spark, sf_dir):
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.similarity import pq_encode, sampled_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, sampled_codebooks(emb, m=4, step=100), m=4).localCheckpoint()
+    assert out.count() == emb.count()
+    assert out.filter(F.size("codes") != 4).count() == 0
+    assert out.filter(F.col("recon_err") < 0).count() == 0
+
+
+def test_pq_codeword_vectors_have_zero_distortion(spark, sf_dir):
+    """A vector that IS a codebook source reconstructs itself exactly:
+    every subspace picks its own codeword at distance 0."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.similarity import pq_encode, sampled_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_encode(emb, sampled_codebooks(emb, m=4, step=100), m=4)
+    sources = out.filter(F.col("vec_id") % 100 == 0).collect()
+    assert sources
+    for r in sources:
+        assert r.recon_err == 0.0
+        assert list(r.codes) == [r.vec_id] * 4
+
+
+def test_pq_distortion_shrinks_with_codebook_density(spark, sf_dir):
+    """More codewords -> lower total distortion (monotone in k)."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.similarity import pq_encode, sampled_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = (
+        pq_encode(emb, sampled_codebooks(emb, m=4, step=200), m=4)
+        .agg(F.sum("recon_err"))
+        .collect()[0][0]
+    )
+    fine = (
+        pq_encode(emb, sampled_codebooks(emb, m=4, step=50), m=4)
+        .agg(F.sum("recon_err"))
+        .collect()[0][0]
+    )
+    assert fine < coarse
+
+
+def test_pq_vs_oracle(spark, sf_dir):
+    from celeborn_spark import registry
+    from tests.oracle import assert_matches_oracle, duck_connection
+
+    con = duck_connection(sf_dir)
+    assert_matches_oracle(
+        registry.queries()["q_pq_encode"](spark, sf_dir),
+        con,
+        registry.oracles()["q_pq_encode"],
+        "q_pq_encode",
+    )
