@@ -140,3 +140,109 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cdc(
         base, changes, key_col="uid", op_col="op", ord_cols=("ts", "event_id")
     )
+
+
+_EXPECTATION_RULES = [
+    ("qty_in_domain", "l_quantity BETWEEN 1 AND 50"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("qty_under_30", "l_quantity <= 30"),
+    ("shipped_before_1997", "l_shipdate < timestamp '1997-01-01'"),
+    ("returnflag_not_null", "l_returnflag IS NOT NULL"),
+]
+
+
+@query(
+    "q_data_expectations",
+    oracle="""
+    WITH counts AS (
+        SELECT
+          CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS qty_in_domain,
+          CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+          CAST(sum(CASE WHEN l_quantity <= 30 THEN 0 ELSE 1 END) AS BIGINT) AS qty_under_30,
+          CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS shipped_before_1997,
+          CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS returnflag_not_null
+        FROM lineitem
+    )
+    SELECT 'qty_in_domain' AS rule, qty_in_domain AS n_violations, qty_in_domain = 0 AS pass FROM counts
+    UNION ALL SELECT 'price_positive', price_positive, price_positive = 0 FROM counts
+    UNION ALL SELECT 'qty_under_30', qty_under_30, qty_under_30 = 0 FROM counts
+    UNION ALL SELECT 'shipped_before_1997', shipped_before_1997, shipped_before_1997 = 0 FROM counts
+    UNION ALL SELECT 'returnflag_not_null', returnflag_not_null, returnflag_not_null = 0 FROM counts
+    """,
+)
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem: five named
+    row-level expectations counted in ONE scan (codegen'd conditional
+    sums, map-side partials) — the Deequ/Great-Expectations shape, and
+    the engine-level analogue of the reference's e2e integrity check
+    (A21). Mixed pass/fail rules keep the readout honest
+    (operators/quality.check_expectations)."""
+    from celeborn_spark.operators.quality import check_expectations
+
+    return check_expectations(
+        load_table(spark, sf_dir, "lineitem"), _EXPECTATION_RULES
+    )
+
+
+@query(
+    "q_referential_audit",
+    oracle="""
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_bad
+    FROM events e
+    WHERE e.user_id NOT IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY e.event_type
+    """,
+)
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential/allowlist audit: events whose user is absent from
+    the registered-user dimension (BUILDING segment), counted per type.
+    One anti-join on the key — broadcast because the dimension side is
+    dimension-sized (operators/quality.referential_violations)."""
+    from celeborn_spark.operators.quality import referential_violations
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bad = referential_violations(events, "user_id", dim, "c_custkey")
+    return bad.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_bad"))
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type AS grp, quantile_cont(value, 0.5) AS median
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type AS grp, e.value AS x, m.median,
+               abs(e.value - m.median) AS absdev
+        FROM events e JOIN med m ON e.event_type = m.grp
+    ),
+    mad AS (
+        SELECT grp, median, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY 1, 2
+    )
+    SELECT d.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(d.x - m.median) > 6.0 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(m.median, 6) AS median,
+           round(m.mad, 6) AS mad
+    FROM (SELECT grp, x FROM dev) d
+    JOIN mad m ON d.grp = m.grp
+    GROUP BY d.grp, m.median, m.mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier screen: |x - median| > 6 * MAD.
+    Median absolute deviation resists the corrupt batch that drags a
+    mean/stddev gate toward itself; exact interpolated medians are
+    engine-identical. Two group-keyed aggregates + broadcast joins
+    (operators/quality.mad_outliers)."""
+    from celeborn_spark.operators.quality import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"), "event_type", "value", k=6.0)

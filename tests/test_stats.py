@@ -181,3 +181,50 @@ def test_stats_queries_vs_oracle(spark, sf_dir, name):
     assert_matches_oracle(
         registry.queries()[name](spark, sf_dir), con, registry.oracles()[name], name
     )
+
+
+# --- data-quality gate (operators/quality.py) ---
+
+
+def test_expectations_counts_planted_violations(spark):
+    from celeborn_spark.operators.quality import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)], "id long, v double"
+    )
+    got = {r.rule: (r.n_violations, r["pass"]) for r in check_expectations(
+        df, [("v_positive", "v > 0"), ("id_known", "id BETWEEN 1 AND 4")]
+    ).collect()}
+    # NULL predicate counts as a violation (unevaluable != pass)
+    assert got["v_positive"] == (2, False)
+    assert got["id_known"] == (0, True)
+
+
+def test_expectations_rejects_empty_rules(spark):
+    from celeborn_spark.operators.quality import check_expectations
+
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError, match="at least one rule"):
+        check_expectations(df, [])
+
+
+def test_referential_violations_planted(spark):
+    from celeborn_spark.operators.quality import referential_violations
+
+    fact = spark.createDataFrame([(1,), (2,), (9,)], ["k"])
+    dim = spark.createDataFrame([(1,), (2,)], ["dk"])
+    got = [r.k for r in referential_violations(fact, "k", dim, "dk").collect()]
+    assert got == [9]
+
+
+def test_mad_robust_to_corrupt_batch(spark):
+    """A mean/stddev gate dragged by a corrupt batch misses it; the
+    MAD gate flags exactly the planted outliers."""
+    from celeborn_spark.operators.quality import mad_outliers
+
+    clean = [("g", float(v)) for v in range(100)]
+    corrupt = [("g", 1e6), ("g", 2e6), ("g", -1e6)]
+    df = spark.createDataFrame(clean + corrupt, ["grp", "v"])
+    [r] = mad_outliers(df, "grp", "v", k=6.0).collect()
+    assert r.n == 103 and r.n_outliers == 3
+    assert r.median == pytest.approx(50.0, abs=1.0)
