@@ -524,17 +524,46 @@ def knn_join(
     side too big to broadcast. At 100 TB both sides arrive bucketed by
     cell id and the join co-locates; hot cells split under AQE skew
     handling like any equality join."""
-    assign_v = ivf_assign(vectors, centroids, id_col, vec_col, n_probe=1)
-    assign_q = ivf_assign(vectors, centroids, id_col, vec_col, n_probe=n_probe)
+    # ONE scored+ranked pass yields both assignments (top-1 for the
+    # data side is a subset of the query side's top-n_probe) — half the
+    # centroid crossJoin/window cost of two ivf_assign calls; the slim
+    # (id, cell, rn) relation is checkpointed because it feeds both
+    # sides of the cell join
+    vv = vectors.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    cc = centroids.select(
+        F.col("centroid_id"), as_double_array("centroid_vec").alias("_c")
+    )
+    ranked = (
+        vv.crossJoin(F.broadcast(cc))
+        .withColumn("sim", F.round(cosine(F.col("_v"), F.col("_c")), 6))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(
+                    F.col("sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(id_col, "centroid_id", "rn")
+        .localCheckpoint()
+    )
+    assign_v = ranked.filter(F.col("rn") == 1).select(id_col, "centroid_id")
+    assign_q = ranked.select(id_col, "centroid_id")
     v = (
         vectors.join(assign_v, id_col)
         .select(id_col, "centroid_id", as_double_array(vec_col).alias("v"))
         .withColumn("v_norm", l2_norm(F.col("v")))
     )
     q = (
-        vectors.join(assign_q, id_col)
+        vectors.join(
+            assign_q.select(
+                F.col(id_col).alias("query_id"), F.col("centroid_id")
+            ),
+            vectors[id_col] == F.col("query_id"),
+        )
         .select(
-            F.col(id_col).alias("query_id"),
+            "query_id",
             "centroid_id",
             as_double_array(vec_col).alias("q"),
         )
