@@ -210,3 +210,29 @@ def kfold_oracle_expr(key_sql: str, k: int, salt: int = 0) -> str:
         f"CAST(floor(CAST(concat('0x', substr(md5(concat_ws(':', {key_sql}, "
         f"'{salt}')), 1, {_HEX_DIGITS})) AS UBIGINT) / {float(_SPACE)} * {k}) AS INTEGER)"
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo_hours: int = 0,
+) -> DataFrame:
+    """Add a ``split`` column: 'train' for rows strictly before
+    ``cutoff``, 'test' for rows at/after cutoff + ``embargo_hours``,
+    NULL (dropped) for rows inside the embargo gap. The time-based
+    train/eval split for forecasting/backtest pipelines — random
+    splits leak the future into training, and rows adjacent to the
+    cutoff leak through autocorrelation, which the embargo removes
+    (the purged/embargoed split of De Prado's backtesting protocol).
+
+    Zero-shuffle: one codegen'd map predicate; each split is a
+    pushdown-able filter, not a materialized copy."""
+    c = F.to_timestamp(F.lit(cutoff))
+    emb = c + F.make_interval(hours=F.lit(embargo_hours))
+    return df.withColumn(
+        "split",
+        F.when(F.col(ts_col) < c, F.lit("train"))
+        .when(F.col(ts_col) >= emb, F.lit("test"))
+        .otherwise(F.lit(None).cast("string")),
+    ).filter(F.col("split").isNotNull())

@@ -812,3 +812,65 @@ def cms_oracle_sql(
     FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
     GROUP BY 1, 2
     """
+
+
+def feature_hashing(
+    df: DataFrame, id_col: str, text_col: str, n_features: int = 16
+) -> DataFrame:
+    """(id, f0..f{n-1}) — the hashing-trick featurizer (Weinberger et
+    al. ICML'09): token t contributes sign(t) at bucket md5(t) %
+    n_features, so any vocabulary maps into a FIXED-width dense vector
+    with no dictionary to build, ship or version — the classic
+    featurizer in front of a linear quality classifier
+    (operators/stats.logreg_fit) at corpus scale. Signed hashing keeps
+    collision noise zero-mean.
+
+    bucket = md5 hex chars 1-8 as int % n_features; sign = +1 when hex
+    char 9 is even, else -1 — both portable. One token explode + one
+    id-keyed pivot aggregate (conditional sums, map-side partials)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    h = toks.select(
+        id_col,
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_features),
+        ).alias("b"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("b") == j, F.col("sgn")).otherwise(0))
+        .cast("long")
+        .alias(f"f{j}")
+        for j in range(n_features)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def feature_hashing_oracle_sql(
+    table: str, id_col: str, text_col: str, n_features: int = 16
+) -> str:
+    """DuckDB mirror: identical md5 bucket/sign arithmetic."""
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN b = {j} THEN sgn ELSE 0 END) AS BIGINT) AS f{j}"
+        for j in range(n_features)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok FROM {table}
+    ),
+    h AS (
+        SELECT {id_col},
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_features} AS b,
+               CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM toks WHERE tok <> ''
+    )
+    SELECT {id_col}, {cols} FROM h GROUP BY {id_col}
+    """

@@ -187,3 +187,33 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "q_temporal_split",
+    oracle="""
+    SELECT split, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                    WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                               + INTERVAL 24 HOUR THEN 'test'
+               END AS split
+        FROM events
+    ) WHERE split IS NOT NULL
+    GROUP BY split, event_type
+    """,
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embargoed time-based train/test split of the event stream
+    (cutoff Jan 20, 24h embargo): the future never leaks into
+    training, and the embargo gap removes cutoff-adjacent
+    autocorrelation leakage — zero-shuffle map predicates, audited per
+    split and type (operators/sampling.temporal_split)."""
+    from celeborn_spark.operators.sampling import temporal_split
+
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal_split(ev, "ts", "2024-01-20 00:00:00", embargo_hours=24)
+    return out.groupBy("split", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

@@ -880,3 +880,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cms_heavy_hitters(
         load_table(spark, sf_dir, "documents"), "text", depth=4, width=256, k=20
     )
+
+
+@query(
+    "q_feature_hashing",
+    oracle=T.feature_hashing_oracle_sql("documents", "doc_id", "text", n_features=16),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document features: every doc maps to a fixed
+    16-wide signed token-count vector with NO dictionary — the
+    corpus-scale featurizer in front of the in-engine logistic quality
+    classifier (operators/textops.feature_hashing)."""
+    return T.feature_hashing(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n_features=16
+    )

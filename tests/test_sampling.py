@@ -132,3 +132,49 @@ def test_epoch_shuffle_matches_python_md5_reference(spark):
         for pos, (_, i) in enumerate(sorted(rows)):
             want[i] = (shard, pos)
     assert got == want
+
+
+# --- temporal split (operators/sampling.temporal_split) ---
+
+
+def test_temporal_split_embargo_gap_dropped(spark):
+    from celeborn_spark.operators.sampling import temporal_split
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),   # train
+        (2, "2024-01-19 23:59:59"),   # train
+        (3, "2024-01-20 00:00:00"),   # embargo (dropped)
+        (4, "2024-01-20 23:59:59"),   # embargo (dropped)
+        (5, "2024-01-21 00:00:00"),   # test
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"]).select(
+        "id", F.to_timestamp("s").alias("ts")
+    )
+    got = {r.id: r.split for r in temporal_split(
+        df, "ts", "2024-01-20 00:00:00", embargo_hours=24
+    ).collect()}
+    assert got == {1: "train", 2: "train", 5: "test"}
+
+
+def test_temporal_split_zero_embargo_keeps_all(spark):
+    from celeborn_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-19 00:00:00"), (2, "2024-01-20 00:00:00")], ["id", "s"]
+    ).select("id", F.to_timestamp("s").alias("ts"))
+    out = temporal_split(df, "ts", "2024-01-20 00:00:00", embargo_hours=0)
+    assert out.count() == 2
+
+
+def test_feature_hashing_fixed_width_and_signed(spark):
+    """Any vocabulary maps into exactly n_features columns; a doc's
+    vector is the signed sum of its tokens' hash contributions (two
+    copies of a token double its contribution)."""
+    from celeborn_spark.operators.textops import feature_hashing
+
+    df = spark.createDataFrame([(1, "zebra zebra"), (2, "zebra")], ["doc_id", "text"])
+    rows = {r.doc_id: [r[f"f{j}"] for j in range(8)] for r in
+            feature_hashing(df, "doc_id", "text", n_features=8).collect()}
+    assert len(rows[1]) == 8
+    assert rows[1] == [2 * x for x in rows[2]]
+    assert sum(abs(x) for x in rows[2]) == 1  # one token -> one signed unit
