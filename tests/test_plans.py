@@ -270,3 +270,56 @@ def test_bm25_topk_no_global_window(spark, sf_dir):
     plan = physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+def test_corr_matrix_single_scan_single_exchange(spark, sf_dir):
+    """All pairwise sums/squares/cross-products come from ONE scan and
+    one partial->final aggregate exchange — never a per-pair pass."""
+    from celeborn_spark.queries.stats import q_correlation_matrix
+
+    df = q_correlation_matrix(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert count_exchanges(df) <= 1, plan[:2000]
+    assert plan.count("HashAggregate") == 2, plan[:2000]  # partial + final
+
+
+def test_expectations_single_scan_no_join(spark, sf_dir):
+    """Every rule is a conditional sum in the same aggregate: one scan,
+    one exchange, no join in the plan."""
+    from celeborn_spark.queries.stats import q_data_expectations
+
+    df = q_data_expectations(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1, plan[:2000]
+    assert count_exchanges(df) <= 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_cms_probe_side_is_broadcast(spark, sf_dir):
+    """The depth x width sketch relation broadcasts to the top-k probe
+    join — the corpus-sized side never shuffles for the readout."""
+    from celeborn_spark.queries.text import q_cms_heavy_hitters
+
+    df = q_cms_heavy_hitters(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_feature_hashing_single_pivot_exchange(spark, sf_dir):
+    """Explode + id-keyed pivot aggregate: exactly one exchange."""
+    from celeborn_spark.queries.text import q_feature_hashing
+
+    df = q_feature_hashing(spark, sf_dir)
+    assert count_exchanges(df) <= 1, physical_plan(df)[:2000]
+
+
+def test_temporal_split_is_zero_shuffle_map(spark, sf_dir):
+    """The split itself (before the audit aggregate) is a pure map:
+    no exchange, predicate reaches the scan."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.sampling import temporal_split
+
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal_split(ev, "ts", "2024-01-20 00:00:00", embargo_hours=24)
+    assert count_exchanges(out) == 0, physical_plan(out)[:2000]
