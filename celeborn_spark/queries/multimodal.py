@@ -131,3 +131,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop)."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.fake_extract_features(d)
+
+
+@query(
+    "q_multimodal_chunks",
+    # ASCII corpus: byte slices == char slices, so the VARCHAR-only
+    # DuckDB md5 can mirror the Spark BINARY-slice digests exactly.
+    oracle="""
+    WITH n AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+    idx AS (
+        SELECT doc_id, text, nb,
+               unnest(range(CAST(greatest(ceil(nb / 64.0), 1) AS BIGINT))) AS chunk_idx
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT)          AS chunk_idx,
+           chunk_idx * 64                  AS offset,
+           CAST(octet_length(encode(substring(text, CAST(chunk_idx * 64 + 1 AS INT), 64)))
+                AS INT)                    AS n_bytes,
+           md5(substring(text, CAST(chunk_idx * 64 + 1 AS INT), 64)) AS chunk_md5
+    FROM idx
+    """,
+)
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked binary serving layout (A14/A21 analogue): every payload
+    split into 64-byte chunks with offsets and per-chunk digests — the
+    resume/verify/parallelize-per-chunk index a 100 TB media table
+    needs. Zero-shuffle sequence fan-out + BINARY substring slices
+    (operators/multimodal.chunk_payload)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.chunk_payload(d, "doc_id", "payload", chunk_bytes=64)

@@ -105,3 +105,62 @@ def test_sample_frames_fan_out_counts(spark):
         n_frames = math.ceil(len(text) / 64)
         expect = [(k, min(64, len(text) - k * 64)) for k in range(0, n_frames, 4)]
         assert sorted(got[doc_id]) == expect, (doc_id, got[doc_id], expect)
+
+
+def test_chunk_payload_boundaries_and_digests(spark):
+    """Chunks tile the payload exactly: offsets stride by chunk size,
+    the tail chunk is short, digests match hashlib on the bytes."""
+    import hashlib
+
+    from celeborn_spark.operators.multimodal import (
+        attach_binary_payload,
+        chunk_payload,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame([(1, "abcdefghij"), (2, "xy")], ["doc_id", "text"])
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.offset, r.n_bytes, r.chunk_md5)
+        for r in chunk_payload(df, chunk_bytes=4).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 4, hashlib.md5(b"abcd").hexdigest()),
+        (1, 1, 4, 4, hashlib.md5(b"efgh").hexdigest()),
+        (1, 2, 8, 2, hashlib.md5(b"ij").hexdigest()),
+        (2, 0, 0, 2, hashlib.md5(b"xy").hexdigest()),
+    ]
+
+
+def test_chunk_payload_mass_conservation(spark, sf_dir):
+    """Sum of chunk byte counts == total payload bytes (no gap, no
+    overlap), and every chunk but each doc's last is full-size."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.multimodal import (
+        attach_binary_payload,
+        chunk_payload,
+    )
+    from pyspark.sql import functions as F
+
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    chunks = chunk_payload(d, chunk_bytes=64).localCheckpoint()
+    total_chunked = chunks.agg(F.sum("n_bytes")).collect()[0][0]
+    total_payload = d.agg(F.sum(F.octet_length("payload"))).collect()[0][0]
+    assert total_chunked == total_payload
+    short = chunks.withColumn(
+        "max_idx", F.max("chunk_idx").over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy("doc_id"))
+    ).filter((F.col("chunk_idx") != F.col("max_idx")) & (F.col("n_bytes") != 64))
+    assert short.count() == 0
+
+
+def test_chunk_payload_rejects_bad_size(spark):
+    import pytest
+
+    from celeborn_spark.operators.multimodal import (
+        attach_binary_payload,
+        chunk_payload,
+    )
+
+    df = attach_binary_payload(spark.createDataFrame([(1, "x")], ["doc_id", "text"]))
+    with pytest.raises(ValueError, match="chunk_bytes"):
+        chunk_payload(df, chunk_bytes=0)
