@@ -321,3 +321,39 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("z_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@query(
+    "q_quota_admission",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN rn > 40 THEN 1 ELSE 0 END) AS BIGINT)  AS n_rejected
+    FROM ranked
+    GROUP BY user_id
+    """,
+)
+def q_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant quota admission (A22/A23 analogue — the reference
+    enforces per-user traffic quotas and TCP-like congestion control,
+    QuotaManager.scala / CongestionController.java:41-176): admit each
+    user's first 40 events in arrival order (unique (ts, event_id)
+    order), reject the rest, and report the admitted/rejected audit per
+    tenant. ONE user-keyed window exchange; WindowGroupLimit cannot
+    prune here because rejected rows are counted, not dropped — the
+    audit IS the point."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("rn") <= 40, 1).otherwise(0)).cast("long").alias("n_admitted"),
+        F.sum(F.when(F.col("rn") > 40, 1).otherwise(0)).cast("long").alias("n_rejected"),
+    )
