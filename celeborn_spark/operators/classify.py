@@ -1,0 +1,143 @@
+"""Multinomial naive Bayes text classifier, trained and applied
+entirely in-engine.
+
+The token-count factorization makes the whole model a pair of
+aggregates: class priors + per-(class, token) counts — training at
+100 TB is the same map-side-combined groupBy as word count. Scoring
+avoids materializing a doc x class x vocab cube via the smoothing
+identity: with Laplace add-one,
+
+    score(d, c) = ln P(c) - len(d) * ln(tot_c + V)
+                  + sum_{t in d} cnt_t * ln(count_{c,t} + 1)
+
+where tokens ABSENT from class c contribute ln(0 + 1) = 0, so the
+score sum only needs the (doc-token) JOIN (class-token) inner join on
+the token key — the sparse postings join, never the dense cube. The
+class-level scalars ride a broadcast class-sized relation.
+
+Engine parity: scores are sums of ~doc-length ln() terms (1e-13
+accumulation noise), rounded 6 dp before the argmax; the argmax ranks
+on the ROUNDED score with the class name as tiebreaker, so both
+engines cut identically.
+
+Reference analogue: aggregate-heavy classify workloads are exactly the
+combineByKey differential shape of SparkTestBase.scala:111-135.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def naive_bayes_confusion(
+    docs: DataFrame, id_col: str, text_col: str, label_col: str, dp: int = 6
+) -> DataFrame:
+    """Train multinomial NB on the corpus (label = `label_col`), score
+    every document, and return the confusion matrix
+    (actual, predicted, n_docs) — the self-consistency readout of the
+    classifier (and an honest one: near-uniform synthetic token
+    distributions SHOULD confuse it toward the prior class)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("actual"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    dt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    doc_len = toks.groupBy("doc_id", "actual").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_len")
+    )
+    lt = toks.groupBy(F.col("actual").alias("cls"), "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cls_stats = (
+        doc_len.groupBy(F.col("actual").alias("cls"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_len").cast("long").alias("tot_tokens"),
+        )
+    )
+    scalars = dt.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("vocab")
+    ).crossJoin(doc_len.agg(F.count(F.lit(1)).cast("long").alias("n_total")))
+    # sparse postings join: only (class, token) pairs the class has seen
+    partial = (
+        dt.join(lt, "token")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("cnt") * F.log(F.col("c") + 1.0)).alias("hit_sum"))
+    )
+    grid = (
+        doc_len.crossJoin(F.broadcast(cls_stats))
+        .crossJoin(F.broadcast(scalars))
+        .join(partial, ["doc_id", "cls"], "left")
+    )
+    score = (
+        F.log(F.col("n_docs") / F.col("n_total"))
+        - F.col("doc_len") * F.log((F.col("tot_tokens") + F.col("vocab")).cast("double"))
+        + F.coalesce(F.col("hit_sum"), F.lit(0.0))
+    )
+    ranked = grid.select(
+        "doc_id", "actual", "cls", F.round(score, dp).alias("score")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy(F.col("actual"), F.col("cls").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def naive_bayes_oracle_sql(
+    table: str, id_col: str, text_col: str, label_col: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `naive_bayes_confusion`: identical counts,
+    identical smoothing identity, identical rounded-score argmax."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS doc_id, {label_col} AS actual,
+               unnest(string_split({text_col}, ' ')) AS token
+        FROM {table}
+    ),
+    dt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+           FROM toks GROUP BY 1, 2),
+    doc_len AS (SELECT doc_id, actual, CAST(count(*) AS BIGINT) AS doc_len
+                FROM toks GROUP BY 1, 2),
+    lt AS (SELECT actual AS cls, token, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2),
+    cls_stats AS (SELECT actual AS cls, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(doc_len) AS BIGINT) AS tot_tokens
+                  FROM doc_len GROUP BY 1),
+    scalars AS (SELECT (SELECT count(DISTINCT token) FROM dt) AS vocab,
+                       (SELECT count(*) FROM doc_len) AS n_total),
+    partial AS (
+        SELECT dt.doc_id, lt.cls, sum(dt.cnt * ln(lt.c + 1.0)) AS hit_sum
+        FROM dt JOIN lt ON dt.token = lt.token
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, d.actual, cs.cls,
+               round(ln(cs.n_docs / CAST(s.n_total AS DOUBLE))
+                     - d.doc_len * ln(CAST(cs.tot_tokens + s.vocab AS DOUBLE))
+                     + COALESCE(p.hit_sum, 0.0), {dp}) AS score
+        FROM doc_len d
+        CROSS JOIN cls_stats cs
+        CROSS JOIN scalars s
+        LEFT JOIN partial p ON p.doc_id = d.doc_id AND p.cls = cs.cls
+    ),
+    ranked AS (
+        SELECT doc_id, actual, cls,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls) AS rn
+        FROM grid
+    )
+    SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    GROUP BY 1, 2
+    """

@@ -623,3 +623,90 @@ def kcore_oracle_sql(k: int, rounds: int = 4, min_qty: int = 45) -> str:
     GROUP BY node
     """
     )
+
+
+def adamic_adar(edges: DataFrame, k: int = 30, dp: int = 6) -> DataFrame:
+    """Top-k link predictions by Adamic–Adar score: for each NON-edge
+    pair (a, b) at distance 2, sum 1/ln(deg(n)) over common neighbors n
+    — rare shared neighbors are strong evidence, hubs nearly none. The
+    link-prediction / related-entity primitive over any co-occurrence
+    graph.
+
+    `edges` must be canonical undirected (u < v, distinct). Plan: the
+    wedge self-join keys on the COMMON NEIGHBOR (so its cost is the sum
+    of squared degrees — cap or sample hub neighborhoods upstream at
+    100 TB scale, as the LSH operators cap hot shingles), an anti-join
+    drops already-connected pairs, then one pair-keyed aggregate. A
+    common neighbor has degree >= 2 by construction, so ln(deg) > 0.
+    Scores are ~deg-sized ln-sums rounded `dp` before the ranking cut;
+    ties break on the pair key — engine-deterministic."""
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("nbr").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wedges = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .select(
+            F.col("x.node").alias("a"),
+            F.col("y.node").alias("b"),
+            F.col("x.nbr").alias("n"),
+        )
+    )
+    non_edges = wedges.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(deg, "n")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), dp).alias(
+                "aa_score"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), F.col("a"), F.col("b")
+    ).limit(k)
+
+
+def adamic_adar_oracle_sql(k: int = 30, dp: int = 6, min_qty: int = 45) -> str:
+    """DuckDB mirror of `adamic_adar` over copurchase_edges: identical
+    wedge/anti joins, identical rounded score and tie-broken cut."""
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= {min_qty} AND b.l_quantity >= {min_qty}
+    ),
+    adj AS (SELECT u AS node, v AS nbr FROM el
+            UNION ALL SELECT v, u FROM el),
+    deg AS (SELECT nbr AS n, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY 1),
+    wedges AS (
+        SELECT x.node AS a, y.node AS b, x.nbr AS n
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+    ),
+    non_edges AS (
+        SELECT w.* FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM el WHERE el.u = w.a AND el.v = w.b)
+    ),
+    scored AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+               round(sum(1.0 / ln(CAST(deg.d AS DOUBLE))), {dp}) AS aa_score
+        FROM non_edges JOIN deg ON non_edges.n = deg.n
+        GROUP BY 1, 2
+    )
+    SELECT a, b, n_common, aa_score
+    FROM scored
+    ORDER BY aa_score DESC, a, b
+    LIMIT {k}
+    """

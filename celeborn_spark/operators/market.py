@@ -1,0 +1,106 @@
+"""Market-basket co-occurrence mining (support / confidence / lift).
+
+The classic retail-analytics association query, and in an LLM-data
+pipeline the same algebra ranks co-occurring sources/domains/tags for
+mixture design. Scale shape: pair generation self-joins on the BASKET
+key (the natural co-occurrence key — a bounded per-basket item set
+keeps the blow-up at O(items-per-basket²), never corpus-quadratic),
+pair counting is one pair-keyed aggregate, and the lone global scalar
+(total basket count) rides a broadcast 1-row relation. All counts are
+integers; lift/confidence are single IEEE divisions of exact integers,
+so every engine produces bit-identical doubles with no rounding.
+
+Reference analogue: SparkTestBase.scala:111-135 drives groupBy/
+combineByKey co-occurrence-style workloads through the shuffle plane;
+the basket self-join is exactly such an equality-keyed exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_lift(
+    df: DataFrame, basket_col: str, item_col: str, k: int = 25
+) -> DataFrame:
+    """Top-k item pairs by basket co-occurrence with support counts,
+    confidence(a→b) and lift. Pairs are canonical (item_a < item_b);
+    rank order (n_both desc, item_a, item_b) is all-integer, so the
+    top-k cut is engine-deterministic."""
+    baskets = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    # item -> number of baskets containing it (distinct already applied)
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+    total = baskets.select(
+        F.count_distinct(F.col("basket")).cast("long").alias("n_baskets")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    scored = (
+        pairs.join(
+            item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    ranked = scored.orderBy(
+        F.col("n_both").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(k)
+    return ranked.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        # single divisions of exact integers: bit-identical cross-engine
+        (F.col("n_both") / F.col("n_a")).alias("confidence_a_b"),
+        ((F.col("n_both") * F.col("n_baskets")) / (F.col("n_a") * F.col("n_b"))).alias(
+            "lift"
+        ),
+    )
+
+
+def cooccurrence_oracle_sql(
+    table: str, basket_col: str, item_col: str, k: int = 25
+) -> str:
+    """DuckDB mirror: identical canonical pairs, counts and divisions."""
+    return f"""
+    WITH baskets AS (
+        SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}
+    ),
+    item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY item),
+    total AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM baskets),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p.item_a, p.item_b, p.n_both,
+               na.n_item AS n_a, nb.n_item AS n_b, t.n_baskets
+        FROM pairs p
+        JOIN item_n na ON na.item = p.item_a
+        JOIN item_n nb ON nb.item = p.item_b
+        CROSS JOIN total t
+        ORDER BY p.n_both DESC, p.item_a, p.item_b
+        LIMIT {k}
+    )
+    SELECT item_a, item_b, n_both, n_a, n_b,
+           n_both / CAST(n_a AS DOUBLE) AS confidence_a_b,
+           (n_both * n_baskets) / CAST(n_a * n_b AS DOUBLE) AS lift
+    FROM ranked
+    """

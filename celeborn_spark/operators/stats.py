@@ -245,3 +245,189 @@ def logreg_oracle_sql(
         for j, (name, _) in enumerate(feature_exprs)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    lookback: int = 16,
+    k: int = 3,
+    min_n: int = 8,
+) -> DataFrame:
+    """Per-group streaming anomaly screen: flag a point whose deviation
+    from its OWN trailing window exceeds k sigma — the per-entity drift
+    monitor (a global z-score would wash out per-user baselines).
+
+    Engine-parity design: the value is floored to integer cents, so
+    every trailing sum is BIGINT-exact no matter how an engine
+    evaluates its sliding frames (DuckDB uses segment trees, Spark
+    re-accumulates — floating sums would differ in the last bits).
+    The k-sigma test is cleared of division entirely:
+        (x - s/n)^2 > k^2 * (ssq/n - (s/n)^2)
+    multiplied through by n^2 becomes the ALL-INTEGER predicate
+        (n*x - s)^2 > k^2 * (n*ssq - s^2)
+    Bounds: |cents| < ~1e6 keeps every term far below 2^63 at the
+    default lookback (documented input-domain contract).
+
+    One window exchange keyed on the group; output is group-sized."""
+    from pyspark.sql import Window as W
+
+    x = F.floor(F.col(value_col) * 100).cast("long")
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-lookback, -1)
+    )
+    d = df.select(F.col(group_col), *order_cols, x.alias("_x"))
+    d = d.select(
+        group_col,
+        "_x",
+        F.sum("_x").over(w).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_ssq"),
+        F.count("_x").over(w).alias("_n"),
+    )
+    scored = F.col("_n") >= min_n
+    lhs = (F.col("_n") * F.col("_x") - F.col("_s")) * (
+        F.col("_n") * F.col("_x") - F.col("_s")
+    )
+    rhs = F.lit(k * k) * (
+        F.col("_n") * F.col("_ssq") - F.col("_s") * F.col("_s")
+    )
+    return d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(scored, 1).otherwise(0)).cast("long").alias("n_scored"),
+        F.sum(F.when(scored & (lhs > rhs), 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+    )
+
+
+def rolling_anomaly_oracle_sql(
+    table: str,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    lookback: int = 16,
+    k: int = 3,
+    min_n: int = 8,
+) -> str:
+    """DuckDB mirror of `rolling_anomaly`: identical integer frame sums
+    and the identical division-free k-sigma predicate."""
+    ob = ", ".join(order_cols)
+    return f"""
+    WITH d AS (
+        SELECT {group_col} AS grp,
+               CAST(floor({value_col} * 100) AS BIGINT) AS x,
+               sum(CAST(floor({value_col} * 100) AS BIGINT)) OVER w AS s,
+               sum(CAST(floor({value_col} * 100) AS BIGINT)
+                   * CAST(floor({value_col} * 100) AS BIGINT)) OVER w AS ssq,
+               count(*) OVER w AS n
+        FROM {table}
+        WINDOW w AS (PARTITION BY {group_col} ORDER BY {ob}
+                     ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT grp AS {group_col},
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN n >= {min_n} THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN n >= {min_n}
+                          AND (n * x - s) * (n * x - s)
+                              > {k * k} * (n * ssq - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM d
+    GROUP BY grp
+    """
+
+
+def ewma_trend(
+    df: DataFrame,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    span: int = 8,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average (alpha = 1/2,
+    window truncated at `span` points) reported at each group's LAST
+    observation — the trend readout of a metrics pipeline.
+
+    Exactness without rounding: weights 2^-(j+1) are dyadic, inputs
+    are integer cents, so every product and the windowed sum are
+    EXACTLY representable doubles; the final normalizer division
+    (by 1 - 2^-n, also dyadic) is one correctly-rounded IEEE op.
+    Identical bits on every engine — the raw doubles ship unrounded.
+
+    One window exchange on the group key; lag-based terms read the
+    same sorted partition (no extra shuffle); output is group-sized."""
+    from pyspark.sql import Window as W
+
+    x = F.floor(F.col(value_col) * 100).cast("long")
+    w = W.partitionBy(group_col).orderBy(*[F.col(c) for c in order_cols])
+    d = df.select(F.col(group_col), *order_cols, x.alias("_x"))
+    num = None
+    for j in range(span):
+        term = F.coalesce(
+            F.lag("_x", j).over(w).cast("double") * F.lit(0.5 ** (j + 1)),
+            F.lit(0.0),
+        )
+        num = term if num is None else num + term
+    n_terms = F.least(F.row_number().over(w), F.lit(span))
+    # exact dyadic normalizer per term count — a CASE lookup instead of
+    # pow(), whose last-bit rounding libms do not all agree on
+    denom = F.lit(1.0 - 0.5**span)
+    for m in range(span - 1, 0, -1):
+        denom = F.when(n_terms == m, F.lit(1.0 - 0.5**m)).otherwise(denom)
+    d = d.select(
+        group_col,
+        *order_cols,
+        (num / denom / F.lit(100.0)).alias("ewma"),
+        F.row_number()
+        .over(W.partitionBy(group_col).orderBy(*[F.col(c).desc() for c in order_cols]))
+        .alias("_rev"),
+        F.count(F.lit(1)).over(W.partitionBy(group_col)).alias("n_events"),
+    )
+    return (
+        d.filter(F.col("_rev") == 1)
+        .select(group_col, F.col("n_events").cast("long").alias("n_events"), "ewma")
+    )
+
+
+def ewma_oracle_sql(
+    table: str,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    span: int = 8,
+) -> str:
+    """DuckDB mirror of `ewma_trend`: identical dyadic-weight lag sum."""
+    ob = ", ".join(order_cols)
+    ob_desc = ", ".join(f"{c} DESC" for c in order_cols)
+    terms = " + ".join(
+        f"COALESCE(CAST(lag(x, {j}) OVER w AS DOUBLE) * {0.5 ** (j + 1)!r}, 0.0)"
+        for j in range(span)
+    )
+    denom_cases = " ".join(
+        f"WHEN {m} THEN {1.0 - 0.5**m!r}" for m in range(1, span)
+    )
+    return f"""
+    WITH d AS (
+        SELECT {group_col} AS grp,
+               {ob},
+               CAST(floor({value_col} * 100) AS BIGINT) AS x
+        FROM {table}
+    ),
+    e AS (
+        SELECT grp, {ob},
+               ({terms}) AS num,
+               least(row_number() OVER w, {span}) AS n_terms,
+               row_number() OVER (PARTITION BY grp ORDER BY {ob_desc}) AS rev,
+               count(*) OVER (PARTITION BY grp) AS n_events
+        FROM d
+        WINDOW w AS (PARTITION BY grp ORDER BY {ob})
+    )
+    SELECT grp AS {group_col},
+           CAST(n_events AS BIGINT) AS n_events,
+           num / (CASE n_terms {denom_cases} ELSE {1.0 - 0.5**span!r} END) / 100.0 AS ewma
+    FROM e
+    WHERE rev = 1
+    """

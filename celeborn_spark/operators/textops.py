@@ -874,3 +874,75 @@ def feature_hashing_oracle_sql(
     )
     SELECT {id_col}, {cols} FROM h GROUP BY {id_col}
     """
+
+
+def topk_ranks(df: DataFrame, id_col: str, score_col: str, k: int) -> DataFrame:
+    """(id, rnk) for the top-k rows of `df` by (score desc, id asc) —
+    TakeOrderedAndProject (per-task k-row heap) + the windowless
+    pack/posexplode ranking of bm25_topk; no global sort, no
+    unpartitioned window. Order is ENCODED IN VALUES (neg-score struct
+    + sort_array), never inferred from collect_list row order, which no
+    plan guarantees."""
+    topk = df.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
+    packed = topk.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col(score_col).cast("double")).alias("neg"),
+                    F.col(id_col).alias("doc"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "s")).select(
+        F.col("s.doc").alias(id_col), (F.col("pos") + 1).alias("rnk")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], id_col: str, c: int = 60, k: int = 25
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate rankings: score(d) =
+    sum over lists of 1/(c + rank_in_list), the standard hybrid-search
+    combiner (BM25 + dense retrieval and friends) — robust because only
+    RANKS cross lists, never incomparable raw scores.
+
+    Each input must carry (id_col, rnk). Lists are top-K-sized (not
+    corpus-sized), so the union + id-keyed aggregate is tiny at any
+    corpus scale; each 1/(c+rank) is one exact-integer IEEE division
+    and a doc appears in <= len(rankings) lists, so fused scores are
+    engine-bit-identical without rounding. Final cut ranks on
+    (rrf desc, id) via the same windowless pack pattern."""
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(c) + F.col("rnk"))).alias("_term"),
+            F.lit(i).alias("_src"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = u.groupBy(id_col).agg(
+        F.sum("_term").alias("rrf"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    topk = fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
+    packed = topk.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("rrf")).alias("neg"),
+                    F.col(id_col).alias("doc"),
+                    F.col("n_lists").alias("nl"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("pos", "s")).select(
+        F.col("s.doc").alias(id_col),
+        (-F.col("s.neg")).alias("rrf"),
+        F.col("s.nl").alias("n_lists"),
+        (F.col("pos") + 1).alias("rnk"),
+    )

@@ -1,0 +1,217 @@
+"""Analytics additions (round 6, late): incremental aggregate
+maintenance, market-basket lift, per-entity rolling anomaly screen,
+dyadic-exact EWMA trend, in-engine naive Bayes, and reciprocal-rank
+fusion.
+
+Reference analogue: all are aggregate/join shapes the reference's data
+plane exists to serve (SparkTestBase.scala:111-150 differential
+workloads); the incremental-merge query additionally mirrors its
+partial-output merge-on-commit discipline at table level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.classify import (
+    naive_bayes_confusion,
+    naive_bayes_oracle_sql,
+)
+from celeborn_spark.operators.incremental import (
+    agg_state,
+    finalize_agg,
+    incremental_agg_oracle_sql,
+    merge_agg_states,
+)
+from celeborn_spark.operators.market import (
+    cooccurrence_lift,
+    cooccurrence_oracle_sql,
+)
+from celeborn_spark.operators.stats import (
+    ewma_oracle_sql,
+    ewma_trend,
+    rolling_anomaly,
+    rolling_anomaly_oracle_sql,
+)
+from celeborn_spark.registry import query
+
+_CUTOFF = "1996-01-01"
+
+
+@query(
+    "q_incremental_agg_merge",
+    oracle=incremental_agg_oracle_sql("lineitem", "l_partkey", "l_extendedprice"),
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view refresh without the rescan: the per-part price
+    summary is built as merge(state(pre-1996 base), state(1996+ delta))
+    — at 100 TB only the delta partition and the key-sized state table
+    are ever touched. The oracle recomputes from the FULL table, so
+    equality proves the merge algebra exact (integer-cents sums are
+    associative; float sums would not be)
+    (operators/incremental.agg_state/merge_agg_states)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    base = li.filter(F.col("l_shipdate") < cutoff)
+    delta = li.filter((F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull())
+    merged = merge_agg_states(
+        agg_state(base, "l_partkey", "l_extendedprice"),
+        agg_state(delta, "l_partkey", "l_extendedprice"),
+        "l_partkey",
+    )
+    return finalize_agg(merged, "l_partkey")
+
+
+@query(
+    "q_cooccurrence_lift",
+    oracle=cooccurrence_oracle_sql("lineitem", "l_orderkey", "l_partkey", k=25),
+)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top-25 part pairs by order co-occurrence
+    with confidence and lift. Pair generation self-joins on the BASKET
+    key (bounded per-order item sets — never corpus-quadratic); lift/
+    confidence are single divisions of exact integers, bit-identical
+    cross-engine; the cut ranks on all-integer (n_both, pair) keys
+    (operators/market.cooccurrence_lift)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(li, "l_orderkey", "l_partkey", k=25)
+
+
+@query(
+    "q_rolling_anomaly",
+    oracle=rolling_anomaly_oracle_sql(
+        "events", "user_id", ("ts", "event_id"), "value"
+    ),
+)
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-window k-sigma anomaly counts over the event
+    stream — the per-entity drift monitor. The 3-sigma test is the
+    division-free ALL-INTEGER predicate (n*x-s)^2 > 9*(n*ssq-s^2) over
+    integer-cents frame sums, so engines whose sliding-frame evaluation
+    strategies differ (segment tree vs re-accumulation) still agree
+    bit-for-bit. One window exchange on user_id
+    (operators/stats.rolling_anomaly)."""
+    return rolling_anomaly(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        ("ts", "event_id"),
+        "value",
+    )
+
+
+@query(
+    "q_ewma_trend",
+    oracle=ewma_oracle_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "user_id",
+        ("ts", "event_id"),
+        "value",
+    ),
+)
+def q_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's exponentially-weighted purchase-value trend (alpha
+    1/2, 8-point truncation) at their latest event. Dyadic weights over
+    integer cents make every windowed product and sum EXACTLY
+    representable — raw doubles ship unrounded and match bit-for-bit.
+    One window exchange on user_id (operators/stats.ewma_trend)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return ewma_trend(ev, "user_id", ("ts", "event_id"), "value")
+
+
+@query(
+    "q_naive_bayes_lang",
+    oracle=naive_bayes_oracle_sql("documents", "doc_id", "text", "lang"),
+)
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier trained AND applied
+    in-engine; output is the confusion matrix. Training is two
+    map-side-combined aggregates; scoring uses the add-one-smoothing
+    identity so only the sparse (doc-token)x(class-token) postings join
+    runs — never a dense doc x class x vocab cube. Argmax ranks on the
+    6 dp-rounded score with the class name as tiebreaker
+    (operators/classify.naive_bayes_confusion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs, "doc_id", "text", "lang")
+
+
+_RRF_TERMS = ("hash", "sort", "merge")
+_RRF_POOL = 100
+_RRF_C = 60
+_RRF_K = 25
+
+_RRF_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (
+        SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        WHERE tok IN ('hash', 'sort', 'merge')
+        GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                   * ((tf.tf * (1.2 + 1))
+                      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * (dl.dl / stats.avgdl))))
+               ), 6) AS bm25
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    r1 AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_RRF_POOL}
+    ),
+    r2 AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
+        ) WHERE rnk <= {_RRF_POOL}
+    ),
+    u AS (
+        SELECT doc_id, 1.0 / ({_RRF_C} + rnk) AS term FROM r1
+        UNION ALL
+        SELECT doc_id, 1.0 / ({_RRF_C} + rnk) FROM r2
+    ),
+    fused AS (
+        SELECT doc_id, sum(term) AS rrf, CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf, n_lists, rnk FROM (
+        SELECT doc_id, rrf, n_lists,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= {_RRF_K}
+"""
+
+
+@query("q_rrf_fusion", oracle=_RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search result fusion: BM25 lexical top-100 and a
+    length-prior top-100 combined by reciprocal-rank fusion
+    (sum 1/(60+rank)), final top-25. Only RANK integers cross lists, so
+    fused scores are sums of exact-integer divisions — bit-identical
+    cross-engine, no rounding. Both candidate lists and the final cut
+    use TakeOrderedAndProject + windowless pack-ranking; nothing
+    corpus-sized ever sits in one partition
+    (operators/textops.rrf_fuse/topk_ranks)."""
+    from celeborn_spark.operators.textops import bm25_topk, rrf_fuse, topk_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = bm25_topk(docs, "doc_id", "text", _RRF_TERMS, k=_RRF_POOL).select(
+        "doc_id", "rnk"
+    )
+    r2 = topk_ranks(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", _RRF_POOL)
+    return rrf_fuse([r1, r2], "doc_id", c=_RRF_C, k=_RRF_K)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.graph import (
+    adamic_adar_oracle_sql,
     bfs_oracle_sql,
     kcore_oracle_sql,
     WEIGHTED_EDGES_ORACLE,
@@ -128,3 +129,21 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return kcore(copurchase_edges(lineitem, min_qty=45), k=8, rounds=4)
+
+
+@query(
+    "q_adamic_adar",
+    oracle=adamic_adar_oracle_sql(k=30, min_qty=45),
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 Adamic–Adar link predictions over the supplier
+    co-purchase graph: non-adjacent supplier pairs ranked by
+    sum(1/ln(deg)) over common neighbors — the related-entity /
+    recommend-a-link primitive. Wedge join keyed on the common
+    neighbor, anti-join vs existing edges, one pair-keyed aggregate;
+    cut ranks on the 6 dp-rounded score with the pair as tiebreaker
+    (operators/graph.adamic_adar)."""
+    from celeborn_spark.operators.graph import adamic_adar, copurchase_edges
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return adamic_adar(copurchase_edges(lineitem, min_qty=45), k=30)

@@ -154,6 +154,7 @@ def _load_all() -> None:
         tpch,
         graph,
         stats,
+        analytics,
     )
 
 
