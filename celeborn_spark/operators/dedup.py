@@ -938,3 +938,105 @@ def winnow_oracle_sql(
     SELECT DISTINCT {id_col}, CAST(-m.np AS INT) AS pos, m.h AS fp
     FROM sel WHERE start <= greatest(n - {w}, 0)
     """
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED containment near-dup pairs: (contained, container) where
+    |A ∩ B| / |A| >= threshold_num/threshold_den, A != B. Symmetric
+    Jaccard misses exactly this case — a short document quoted whole
+    inside a long one has tiny Jaccard but containment ~1; this is the
+    quote/subset/boilerplate-inclusion detector (the directed sibling of
+    jaccard_pairs, sharing its posting-list machinery).
+
+    The threshold is rational and the filter compares
+    n_common * den >= num * |A| in INTEGER arithmetic — no float
+    boundary can disagree between engines; the reported containment is
+    then one exact-integer IEEE division (unrounded, bit-identical).
+
+    Scale shape: same shingle-keyed self-join as jaccard_pairs;
+    `max_shingle_freq` drops no-signal hot shingles before the join
+    (containment values for surviving pairs then undercount hot overlap
+    — a strict lower bound, same contract as jaccard_pairs). Pairs are
+    DIRECTED, so both orders of each unordered pair are evaluated from
+    the one n_common relation — no second join."""
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    joinable = sh if max_shingle_freq is None else drop_hot_shingles(sh, max_shingle_freq)
+
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+    # one undirected count per pair; both directions derive from it
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    directed = common.select(
+        F.col("id_a").alias("contained"), F.col("id_b").alias("container"), "n_common"
+    ).unionAll(
+        common.select(
+            F.col("id_b").alias("contained"), F.col("id_a").alias("container"), "n_common"
+        )
+    )
+    sz = sizes.select(
+        F.col(id_col).alias("contained"), F.col("n_shingles").cast("long").alias("n_contained")
+    )
+    return (
+        directed.join(sz, "contained")
+        .filter(
+            F.col("n_common") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * F.col("n_contained")
+        )
+        .select(
+            "contained",
+            "container",
+            "n_common",
+            "n_contained",
+            (F.col("n_common") / F.col("n_contained")).alias("containment"),
+        )
+    )
+
+
+def containment_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> str:
+    """DuckDB mirror of `containment_join` (n=3 shingles): identical
+    posting join, integer threshold filter and exact division."""
+    return f"""
+    WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}),
+    sh AS (
+        SELECT DISTINCT {id_col},
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY {id_col}),
+    common AS (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+        GROUP BY 1, 2
+    ),
+    directed AS (
+        SELECT id_a AS contained, id_b AS container, n_common FROM common
+        UNION ALL
+        SELECT id_b, id_a, n_common FROM common
+    )
+    SELECT d.contained, d.container, d.n_common,
+           s.n_sh AS n_contained,
+           d.n_common / CAST(s.n_sh AS DOUBLE) AS containment
+    FROM directed d JOIN sizes s ON s.{id_col} = d.contained
+    WHERE d.n_common * {threshold_den} >= {threshold_num} * s.n_sh
+    """

@@ -113,3 +113,121 @@ def incremental_agg_oracle_sql(
     FROM {table}
     GROUP BY {key}
     """
+
+
+def quantile_state(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    lo_cents: int,
+    width_cents: int,
+    n_bins: int,
+) -> DataFrame:
+    """Mergeable per-key quantile state: fixed-grid histogram counts
+    over integer cents. (key, bin, n) with bin = (c - c mod w)/w clamped
+    to [0, n_bins) — the subtract-mod form makes the floor-division an
+    EXACT-multiple IEEE division, identical in every engine (a bare
+    float divide could round across a bin boundary). Counts are
+    integers, so states merge by addition — the quantile analogue of
+    agg_state, and the reason percentile refresh at 100 TB touches only
+    the delta."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    c = F.greatest(cents - F.lit(lo_cents), F.lit(0))
+    bin_ = F.least(
+        ((c - (c % F.lit(width_cents))) / F.lit(width_cents)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    return df.groupBy(F.col(key), bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def merge_quantile_states(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Add two histogram states: union + one (key, bin)-keyed sum."""
+    return (
+        a.unionByName(b)
+        .groupBy(key, "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def quantile_from_state(
+    state: DataFrame,
+    key: str,
+    q_num: int,
+    q_den: int,
+    lo_cents: int,
+    width_cents: int,
+    out_col: str,
+) -> DataFrame:
+    """Per-key quantile estimate from a histogram state: the LOWER EDGE
+    of the first bin whose cumulative count reaches rank
+    ceil(q * n_rows) — a deterministic integer rule (rank via the
+    subtract-mod exact ceil-division; no interpolation, so engines
+    cannot disagree). The cumulative window is bounded by n_bins per
+    key, never row-sized."""
+    from pyspark.sql import Window as W
+
+    totals = state.groupBy(key).agg(F.sum("n").cast("long").alias("n_rows"))
+    t = F.col("n_rows") * F.lit(q_num) + F.lit(q_den - 1)
+    rank = ((t - (t % F.lit(q_den))) / F.lit(q_den)).cast("long")
+    cum = F.sum("n").over(
+        W.partitionBy(key).orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    )
+    hit = (
+        state.select(key, "bin", F.col("n"), cum.alias("cum"))
+        .join(totals.select(key, "n_rows", rank.alias("_rank")), key)
+        .filter(F.col("cum") >= F.col("_rank"))
+        .groupBy(key, "n_rows")
+        .agg(F.min("bin").alias("_bin"))
+    )
+    return hit.select(
+        F.col(key),
+        F.col("n_rows"),
+        ((F.lit(lo_cents) + F.col("_bin") * F.lit(width_cents)) / 100.0).alias(out_col),
+    )
+
+
+def incremental_quantile_oracle_sql(
+    table: str,
+    key: str,
+    value_col: str,
+    lo_cents: int,
+    width_cents: int,
+    n_bins: int,
+    quantiles: list[tuple[str, int, int]],
+) -> str:
+    """DuckDB mirror: FULL-table recompute of the identical histogram
+    rule for each (out_col, q_num, q_den) — equality with Spark's
+    merged-state build proves histogram mergeability."""
+    qcols = []
+    for out_col, q_num, q_den in quantiles:
+        qcols.append(
+            f"(({lo_cents} + min(CASE WHEN cum >= "
+            f"((n_rows * {q_num} + {q_den - 1}) - ((n_rows * {q_num} + {q_den - 1}) % {q_den})) / {q_den}"
+            f" THEN bin END) * {width_cents}) / 100.0) AS {out_col}"
+        )
+    sel = ", ".join(qcols)
+    return f"""
+    WITH cents AS (
+        SELECT {key} AS k,
+               greatest(CAST(floor({value_col} * 100) AS BIGINT) - {lo_cents}, 0) AS c
+        FROM {table}
+    ),
+    hist AS (
+        SELECT k, least(CAST((c - (c % {width_cents})) / {width_cents} AS BIGINT),
+                        {n_bins - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cents GROUP BY 1, 2
+    ),
+    cums AS (
+        SELECT k, bin, n,
+               sum(n) OVER (PARTITION BY k ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY k) AS n_rows
+        FROM hist
+    )
+    SELECT k AS {key}, CAST(any_value(n_rows) AS BIGINT) AS n_rows, {sel}
+    FROM cums
+    GROUP BY k
+    """

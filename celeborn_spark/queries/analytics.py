@@ -23,7 +23,11 @@ from celeborn_spark.operators.incremental import (
     agg_state,
     finalize_agg,
     incremental_agg_oracle_sql,
+    incremental_quantile_oracle_sql,
     merge_agg_states,
+    merge_quantile_states,
+    quantile_from_state,
+    quantile_state,
 )
 from celeborn_spark.operators.market import (
     cooccurrence_lift,
@@ -215,3 +219,41 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r2 = topk_ranks(docs.select("doc_id", "n_chars"), "doc_id", "n_chars", _RRF_POOL)
     return rrf_fuse([r1, r2], "doc_id", c=_RRF_C, k=_RRF_K)
+
+
+_Q_LO, _Q_W, _Q_BINS = 0, 50000, 256
+
+
+@query(
+    "q_incremental_quantiles",
+    oracle=incremental_quantile_oracle_sql(
+        "lineitem",
+        "l_suppkey",
+        "l_extendedprice",
+        _Q_LO,
+        _Q_W,
+        _Q_BINS,
+        [("p50", 1, 2), ("p95", 19, 20)],
+    ),
+)
+def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained per-supplier price percentiles: the
+    quantile sibling of q_incremental_agg_merge. The state is a fixed
+    $500-grid histogram of integer counts — mergeable by ADDITION, so
+    a percentile refresh at 100 TB touches only the delta partition and
+    the (key x <=256 bins) state. The estimate rule (lower edge of the
+    first bin reaching rank ceil(q*n)) is all-integer; the oracle
+    recomputes from the FULL table, so equality proves histogram
+    mergeability (operators/incremental.quantile_state)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    base = li.filter(F.col("l_shipdate") < cutoff)
+    delta = li.filter((F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull())
+    st = merge_quantile_states(
+        quantile_state(base, "l_suppkey", "l_extendedprice", _Q_LO, _Q_W, _Q_BINS),
+        quantile_state(delta, "l_suppkey", "l_extendedprice", _Q_LO, _Q_W, _Q_BINS),
+        "l_suppkey",
+    ).localCheckpoint()  # the state feeds both quantile extractions
+    p50 = quantile_from_state(st, "l_suppkey", 1, 2, _Q_LO, _Q_W, "p50")
+    p95 = quantile_from_state(st, "l_suppkey", 19, 20, _Q_LO, _Q_W, "p95")
+    return p50.join(p95.select("l_suppkey", "p95"), "l_suppkey")

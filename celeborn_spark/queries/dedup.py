@@ -513,3 +513,24 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a full inverted index (operators/dedup.winnow_fingerprints)."""
     d = load_table(spark, sf_dir, "documents")
     return D.winnow_fingerprints(d, "doc_id", "text", k=4, w=8)
+
+
+@query(
+    "q_containment_pairs",
+    oracle=D.containment_oracle_sql(
+        "documents", "doc_id", "text", threshold_num=4, threshold_den=5
+    ),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment near-dups: (contained, container) pairs
+    where >= 4/5 of the contained doc's 3-gram shingles appear in the
+    container — the quote/boilerplate-inclusion case symmetric Jaccard
+    structurally misses (a short doc quoted whole inside a long one has
+    tiny Jaccard, containment ~1). Same shingle-keyed posting join as
+    q_dedup_jaccard_pairs; the threshold filter is ALL-INTEGER
+    (n_common*5 >= 4*|A|), the reported ratio one exact division
+    (operators/dedup.containment_join)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_join(
+        d, "doc_id", "text", n=3, threshold_num=4, threshold_den=5
+    )

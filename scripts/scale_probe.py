@@ -372,6 +372,106 @@ def main() -> None:
         )
 
 
+    # round-6-late analytics operators
+    from celeborn_spark.operators.classify import naive_bayes_confusion
+    from celeborn_spark.operators.graph import adamic_adar
+    from celeborn_spark.operators.incremental import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+    from celeborn_spark.operators.market import cooccurrence_lift
+    from celeborn_spark.operators.stats import ewma_trend, rolling_anomaly
+
+    # lineitem replicated with shifted order/part keys (disjoint baskets)
+    li1 = l1.select("l_orderkey", "l_partkey", "l_extendedprice", "l_shipdate")
+    lik_parts = [
+        li1.select(
+            (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("l_partkey"),
+            "l_extendedprice",
+            "l_shipdate",
+        )
+        for i in range(K)
+    ]
+    lik = lik_parts[0]
+    for r in lik_parts[1:]:
+        lik = lik.unionByName(r)
+    lik = lik.localCheckpoint()
+
+    def _inc_merge(df):
+        cutoff = F.lit("1996-01-01").cast("timestamp")
+        base = df.filter(F.col("l_shipdate") < cutoff)
+        delta = df.filter(F.col("l_shipdate") >= cutoff)
+        return finalize_agg(
+            merge_agg_states(
+                agg_state(base, "l_partkey", "l_extendedprice"),
+                agg_state(delta, "l_partkey", "l_extendedprice"),
+                "l_partkey",
+            ),
+            "l_partkey",
+        )
+
+    for label, df in (("1x", li1), (f"{K}x", lik)):
+        timeit(
+            f"cooccurrence_lift {label}",
+            lambda df=df: cooccurrence_lift(df, "l_orderkey", "l_partkey", 25).count(),
+        )
+        timeit(
+            f"incremental_agg_merge {label}",
+            lambda df=df: _inc_merge(df).count(),
+        )
+
+    # events replicated with shifted user ids (disjoint window groups)
+    ev1f = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    evkf_parts = [
+        ev1f.select(
+            (F.col("user_id") + F.lit(i * 10_000_000)).alias("user_id"),
+            "ts",
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+            "value",
+        )
+        for i in range(K)
+    ]
+    evkf = evkf_parts[0]
+    for r in evkf_parts[1:]:
+        evkf = evkf.unionByName(r)
+    evkf = evkf.localCheckpoint()
+    for label, df in (("1x", ev1f), (f"{K}x", evkf)):
+        timeit(
+            f"rolling_anomaly {label}",
+            lambda df=df: rolling_anomaly(
+                df, "user_id", ("ts", "event_id"), "value"
+            ).count(),
+        )
+        timeit(
+            f"ewma_trend {label}",
+            lambda df=df: ewma_trend(
+                df, "user_id", ("ts", "event_id"), "value"
+            ).count(),
+        )
+
+    for label, df in (("1x", d1), (f"{K}x", dk)):
+        timeit(
+            f"naive_bayes {label}",
+            lambda df=df: naive_bayes_confusion(df, "doc_id", "text", "lang").count(),
+        )
+
+    # adamic-adar over the K disjoint canonicalized graphs
+    for label, df in (("1x", g1), (f"{K}x", gk)):
+        timeit(
+            f"adamic_adar {label}",
+            lambda df=df: adamic_adar(
+                df.filter(F.col("src") < F.col("dst"))
+                .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+                .distinct(),
+                k=30,
+            ).count(),
+        )
+
+
 def _winsorize(e):
     bounds = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.05)").alias("p05"),

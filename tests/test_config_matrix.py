@@ -144,3 +144,46 @@ def test_r6_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# --- late-r6 analytics surface under the same matrix: the merge
+# algebra's full-outer join, the basket self-join + top-k cut, window
+# frames (anomaly/EWMA), the postings-join argmax, wedge/anti joins,
+# and the fused-rank cut — all invariant to physical strategy. The
+# bit-exactness claims (EWMA, RRF, lift) get their strongest test
+# here: a 1-partition plan and a 32-partition plan must produce the
+# SAME raw doubles.
+def _r6_late_ops():
+    from celeborn_spark.queries.analytics import (
+        q_cooccurrence_lift,
+        q_ewma_trend,
+        q_incremental_agg_merge,
+        q_naive_bayes_lang,
+        q_rolling_anomaly,
+        q_rrf_fusion,
+    )
+    from celeborn_spark.queries.graph import q_adamic_adar
+
+    return [
+        q_incremental_agg_merge,
+        q_cooccurrence_lift,
+        q_rolling_anomaly,
+        q_ewma_trend,
+        q_naive_bayes_lang,
+        q_adamic_adar,
+        q_rrf_fusion,
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r6_late_ops(), ids=lambda f: f.__name__)
+def test_r6_late_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
