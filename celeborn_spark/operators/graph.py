@@ -710,3 +710,258 @@ def adamic_adar_oracle_sql(k: int = 30, dp: int = 6, min_qty: int = 45) -> str:
     ORDER BY aa_score DESC, a, b
     LIMIT {k}
     """
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub, auth) after ``iters`` rounds of HITS (Kleinberg's
+    hubs-and-authorities) over a DIRECTED edge relation — the
+    link-analysis dual of `pagerank`: authorities are pointed-to by
+    good hubs, hubs point to good authorities. The domain-trust signal
+    a crawl-curation pipeline uses when in-link quality and out-link
+    quality diverge (a directory page is a hub, a reference page an
+    authority — PageRank conflates them).
+
+    Per round: auth_raw(v) = sum of hub(u) over in-edges, then L1
+    normalization (auth sums to 1); hub_raw(u) = sum of auth(v) over
+    out-edges, L1-normalized. Both raw sums are one equality-keyed
+    groupBy exchange each; each normalizer is a 1-row aggregate that
+    stays JVM-side as a broadcast scalar relation (the
+    `_pagerank_dangling` discipline — no per-round driver action).
+    Values round to 6 dp after each normalization, so the only
+    order-sensitive op (the in/out-neighbor float sum, ~1e-13 noise on
+    O(1) addends) vanishes and `hits_oracle_sql` unrolls bit-identical
+    rounds. Nodes with no in-edges hold auth 0; no out-edges, hub 0.
+
+    Scale shape: per round exactly two node-keyed exchanges + two
+    scalar broadcasts; the edge relation is never mutated, so at
+    100 TB it is partitioned once and reused (pass a pre-partitioned
+    relation like `pagerank(partition_edges=True)` does)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()  # read by every round's left joins + the final select
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    auth = None
+    for i in range(iters):
+        araw = (
+            hub.join(e, hub["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        asum = araw.agg(F.sum("ar").alias("anorm"))
+        auth = (
+            nodes.join(araw, nodes["node"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("ar"), F.lit(0.0)) / F.col("anorm"), 6
+                ).alias("a"),
+            )
+        )
+        hraw = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hsum = hraw.agg(F.sum("hr").alias("hnorm"))
+        hub = (
+            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("hr"), F.lit(0.0)) / F.col("hnorm"), 6
+                ).alias("h"),
+            )
+        )
+        # lazy chaining between rounds (CLAUDE.md); cut lineage on long runs
+        if (i + 1) % 5 == 0 and (i + 1) < iters:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    return hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    )
+
+
+def hits_oracle_sql(
+    edges_cte: str = DIRECTED_EDGES_ORACLE, iters: int = 3
+) -> str:
+    """DuckDB mirror of `hits` over `edges_cte` (must define a CTE
+    `e(src, dst)`): the same raw-sum / L1-normalize / round-6dp
+    arithmetic unrolled, four CTEs per round."""
+    ctes = [
+        edges_cte.strip(),
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)",
+    ]
+    ph = "h0"
+    pa = None
+    for i in range(iters):
+        ctes.append(
+            f"""ar{i} AS (
+        SELECT e.dst, sum({ph}.h) AS ar
+        FROM {ph} JOIN e ON {ph}.node = e.src GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""a{i + 1} AS (
+        SELECT nodes.node,
+               round(coalesce(ar{i}.ar, CAST(0 AS DOUBLE))
+                     / (SELECT sum(ar) FROM ar{i}), 6) AS a
+        FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.dst
+    )"""
+        )
+        pa = f"a{i + 1}"
+        ctes.append(
+            f"""hr{i} AS (
+        SELECT e.src, sum({pa}.a) AS hr
+        FROM {pa} JOIN e ON {pa}.node = e.dst GROUP BY e.src
+    )"""
+        )
+        ctes.append(
+            f"""h{i + 1} AS (
+        SELECT nodes.node,
+               round(coalesce(hr{i}.hr, CAST(0 AS DOUBLE))
+                     / (SELECT sum(hr) FROM hr{i}), 6) AS h
+        FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.src
+    )"""
+        )
+        ph = f"h{i + 1}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT {ph}.node, {ph}.h AS hub, {pa}.a AS auth
+    FROM {ph} JOIN {pa} ON {ph}.node = {pa}.node"""
+    )
+
+
+def shortest_paths(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """(node, dist) — minimum WEIGHTED path cost from any seed within
+    ``rounds`` edge relaxations (bounded Bellman-Ford; unreached nodes
+    absent). The weighted generalization of `bfs_hops`: cheapest-route
+    cost over a cost-labeled link graph (crawl politeness budgets,
+    lineage depth weighted by transform cost).
+
+    ``edges`` is (src, dst, w) with NON-NEGATIVE INTEGER weights —
+    integer min/plus arithmetic makes every round engine-exact, no
+    rounding anywhere. ``seeds`` has one ``node`` column.
+
+    Per round: one equality-keyed exchange (settled frontier joins
+    edges on src) + a groupBy(dst).min with map-side partials (hub
+    in-degrees combine locally) + a full-outer merge against the
+    settled relation. The dist relation is node-sized and is
+    localCheckpoint'ed each round because the merge reads it twice
+    (CLAUDE.md multi-reference rule); the edge relation is never
+    mutated — partitioned once at scale."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col("w").cast("long").alias("w")
+    )
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relax = (
+            dist.join(e, dist["node"] == e["src"])
+            .select(F.col("dst"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("best"))
+        )
+        dist = (
+            dist.join(relax, dist["node"] == relax["dst"], "full_outer")
+            .select(
+                F.coalesce(F.col("node"), F.col("dst")).alias("node"),
+                F.when(F.col("dist").isNull(), F.col("best"))
+                .when(F.col("best").isNull(), F.col("dist"))
+                .when(F.col("best") < F.col("dist"), F.col("best"))
+                .otherwise(F.col("dist"))
+                .alias("dist"),
+            )
+            .localCheckpoint()  # read twice next round (relax + merge)
+        )
+    return dist
+
+
+def shortest_paths_oracle_sql(
+    edges_cte: str, seed_sql: str, rounds: int = 3
+) -> str:
+    """DuckDB mirror of `shortest_paths`: the same relax/merge rounds
+    unrolled as chained CTEs — exact integer min/plus, no rounding.
+    ``edges_cte`` must define `e(src, dst, w)`; ``seed_sql`` is a
+    SELECT yielding the seed `node` column."""
+    ctes = [
+        edges_cte.strip(),
+        f"d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM ({seed_sql}))",
+    ]
+    prev = "d0"
+    for i in range(rounds):
+        cur = f"d{i + 1}"
+        ctes.append(
+            f"""b{i} AS (
+        SELECT e.dst, min({prev}.dist + e.w) AS best
+        FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+        SELECT coalesce({prev}.node, b{i}.dst) AS node,
+               CASE WHEN {prev}.dist IS NULL THEN b{i}.best
+                    WHEN b{i}.best IS NULL THEN {prev}.dist
+                    WHEN b{i}.best < {prev}.dist THEN b{i}.best
+                    ELSE {prev}.dist END AS dist
+        FROM {prev} FULL OUTER JOIN b{i} ON {prev}.node = b{i}.dst
+    )"""
+        )
+        prev = cur
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, dist FROM {prev}"
+
+
+COST_EDGES_ORACLE = """
+    ecost AS (
+        SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+               CAST(min(l.l_quantity) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT src, dst, w FROM ecost
+          UNION ALL SELECT dst AS src, src AS dst, w FROM ecost)
+"""
+
+
+def cost_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """UNDIRECTED customer<->supplier edges weighted by the SMALLEST
+    linking line quantity (a positive integer 1..50) — the cheapest-hop
+    cost label for `shortest_paths`. Undirected (both-direction union)
+    so multi-hop customer->supplier->customer routes exist and
+    relaxation rounds actually improve paths (a directed bipartite
+    graph bottoms out after one hop). Same disjoint-id encoding as
+    `bipartite_order_edges`; the groupBy(min) replaces its distinct."""
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            lineitem.select("l_orderkey", "l_suppkey", "l_quantity"),
+            orders["o_orderkey"] == lineitem["l_orderkey"],
+        )
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+        .localCheckpoint()  # both union branches reference the join+agg
+    )
+    return pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import graph as graph_ops
 from celeborn_spark.operators.graph import (
     adamic_adar_oracle_sql,
     bfs_oracle_sql,
@@ -147,3 +148,40 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return adamic_adar(copurchase_edges(lineitem, min_qty=45), k=30)
+
+
+@query("q_hits", oracle=graph_ops.hits_oracle_sql(iters=_ITERS))
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (3 rounds) over the DIRECTED customer->
+    supplier order graph: customers are pure hubs, suppliers pure
+    authorities — the link-analysis dual of q_pagerank_dangling on the
+    same edge relation. Two node-keyed exchanges + two broadcast scalar
+    normalizers per round (operators/graph.hits)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return graph_ops.hits(directed_order_edges(orders, lineitem), iters=_ITERS)
+
+
+@query(
+    "q_shortest_path",
+    oracle=graph_ops.shortest_paths_oracle_sql(
+        graph_ops.COST_EDGES_ORACLE,
+        "SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0",
+        rounds=3,
+    ),
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (3 relaxation rounds) from every nation-0
+    customer over the undirected min-quantity-weighted order graph —
+    exact integer min/plus arithmetic end to end, so the unrolled-CTE
+    oracle matches bit-for-bit (operators/graph.shortest_paths). The
+    weighted generalization of q_bfs_reachability."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    seeds = customer.filter(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    return graph_ops.shortest_paths(
+        graph_ops.cost_order_edges(orders, lineitem), seeds, rounds=3
+    )

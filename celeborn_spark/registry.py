@@ -53,77 +53,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SURVEY.md §2. Everything NOT listed here stays registered (tests + bench
 # still cover it) and follows in registration order after the window.
 #
-# ROTATION PLAN (VERDICT r4 item 1, completed r6): 71 of 165
-# oracle-backed queries had never held a driver row after r4. Round 5
-# rotated 41 first-timers in; round 6 (this window) rotates in the
-# FINAL 43 never-checked queries — 40 oracle-backed (15 TPC-H shapes,
-# 18 from COVERAGE.md §rotation, 7 late-r5 additions) plus the 3
-# rows-only queries (now carrying self-checking bound columns, VERDICT
-# r5 item 4) — alongside 7 reps: the flagship (q1), the scale-path
-# dedup/ANN reps (minhash_lsh, groups, ann_ivf), the end-to-end canary
-# (pipeline_full), and the two queries whose operator source changed
-# this round (q_bm25_topk: TakeOrderedAndProject top-k;
-# q_quality_curriculum: quantize_dp histogram bound). With this window
-# EVERY registered query has held a driver row at least once — full
-# driver coverage, one round ahead of the judge's round-7 target.
+# ROTATION PLAN (VERDICT r4 item 1; full coverage reached r6): rounds
+# 5-6 rotated every then-registered query through a driver row. Round 6
+# added 33 new operators AFTER its window was sealed; round 7 (this
+# window) rotates those 33 first-timers in — early-r6 batch (6),
+# late-r6 batch (20), final-r6 analytics batch (7) — alongside 17
+# reps: the flagship (q1), the end-to-end canary (pipeline_full), the
+# scale-path dedup/ANN reps (minhash_lsh, groups, ann_ivf), and one
+# rep per §2B operator class (join, window-frame, grouping sets,
+# streaming, as-of, subquery, global sort, Arrow multimodal, k-means,
+# pagerank, sequence packing, snapshot diff). After CORRECTNESS_r07
+# every registered query has again held a driver row at least once.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # --- reps (7) ---
+    # --- reps (17) ---
     "q1_pricing_summary",  # keep: the flagship (entry() query)
     "q_pipeline_full",  # keep: end-to-end CorpusPipeline canary
     "q_dedup_minhash_lsh",  # keep: THE scale dedup path (band-bucketed)
     "q_dedup_groups",  # keep: connected components (iterative)
     "q_ann_ivf_topk",  # keep: the bucketed ANN scale path
-    "q_bm25_topk",  # source touched r6: global window -> TakeOrderedAndProject
-    "q_quality_curriculum",  # source touched r6: quantize_dp histogram bound
-    # --- TPC-H first-timers (15) ---
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # --- COVERAGE.md §rotation first-timers (18) ---
-    "q_arg_minmax",
-    "q_bigram_topk",
-    "q_bitwise_agg",
-    "q_corpus_clean_pipeline",
-    "q_dataset_manifest",
-    "q_dedup_normalized",
-    "q_embedding_signature",
-    "q_facet_mutual_information",
-    "q_grouped_zscore",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    "q_stream_corpus_ingest",
-    "q_stream_static_join",
-    "q_text_fingerprint",
-    "q_text_stats_by_lang",
-    "q_uniform_sample",
-    "q_unigram_logprob",
-    "q_vocab_coverage",
-    # --- late-r5 additions, first driver rows (7) ---
-    "q_zorder_layout",
-    "q_stream_stream_left_join",
-    "q_pagerank_weighted",
-    "q_per_group_sample",
-    "q_embedding_project",
-    "q_dedup_incremental_lsh",
-    "q_dup_span_profile",
-    # --- rows-only, first driver rows (3; self-checking bound columns) ---
-    "q_approx_stats",
-    "q_compression_quality",
-    "q_embedding_near_dup",
+    "q7_volume_shipping",  # §2B rep: multi-join
+    "q_window_range_frame",  # §2B rep: value-based RANGE frame
+    "q_grouping_sets",  # §2B rep: grouping sets via spark.sql
+    "q_stream_tumbling_counts",  # §2B rep: streaming windowed agg
+    "q_asof_join",  # §2B rep: as-of join
+    "q_scalar_subquery",  # §2B rep: subqueries
+    "q_global_sort",  # §2B rep: global sort
+    "q_multimodal_decode",  # §2C rep: Arrow mapInPandas path
+    "q_kmeans_clusters",  # §2C rep: iterative clustering
+    "q_pagerank",  # §2C rep: iterative graph
+    "q_sequence_pack",  # §2C rep: training layout
+    "q_snapshot_diff",  # §2C rep: lake audit digests
+    # --- early-r6 first-timers (6) ---
+    "q_set_similarity_join",
+    "q_triangle_count",
+    "q_kfold_split",
+    "q_bigram_lm_score",
+    "q_stream_dedup_watermark",
+    "q_k_anonymity",
+    # --- late-r6 first-timers (20) ---
+    "q_bfs_reachability",
+    "q_kcore",
+    "q_correlation_matrix",
+    "q_ab_test_welch",
+    "q_logreg_quality",
+    "q_cdc_apply",
+    "q_winnow_fingerprints",
+    "q_stream_anti_static",
+    "q_knn_join",
+    "q_bpe_train",
+    "q_bpe_apply_curve",
+    "q_cms_heavy_hitters",
+    "q_pq_encode",
+    "q_data_expectations",
+    "q_referential_audit",
+    "q_mad_outliers",
+    "q_feature_hashing",
+    "q_temporal_split",
+    "q_multimodal_chunks",
+    "q_quota_admission",
+    # --- final-r6 analytics batch first-timers (7) ---
+    "q_incremental_agg_merge",
+    "q_cooccurrence_lift",
+    "q_rolling_anomaly",
+    "q_ewma_trend",
+    "q_naive_bayes_lang",
+    "q_adamic_adar",
+    "q_rrf_fusion",
 )
 
 
@@ -155,6 +152,7 @@ def _load_all() -> None:
         graph,
         stats,
         analytics,
+        sketches,
     )
 
 

@@ -277,3 +277,102 @@ def test_kcore_vs_oracle(spark, sf_dir):
         kcore_oracle_sql(k=8, rounds=4, min_qty=45),
         "q_kcore",
     )
+
+
+# --- HITS hubs/authorities (operators/graph.hits) ---
+
+
+def test_hits_star_hub_dominates(spark):
+    """Star 0->{1,2,3}: node 0 is the only hub (hub=1 after L1 norm),
+    the three leaves split authority equally."""
+    from celeborn_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], ["src", "dst"])
+    got = {r.node: (r.hub, r.auth) for r in hits(e, iters=2).collect()}
+    assert got[0] == (1.0, 0.0)
+    for leaf in (1, 2, 3):
+        assert got[leaf][0] == 0.0
+        assert abs(got[leaf][1] - 1 / 3) < 1e-5
+
+
+def test_hits_authority_follows_indegree(spark):
+    """Two hubs point at node 3, one at node 4: auth(3) > auth(4), and
+    the hub pointing at BOTH popular targets out-scores the single-target
+    hub after mutual reinforcement."""
+    from celeborn_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(0, 3), (0, 4), (1, 3), (2, 4)], ["src", "dst"]
+    )
+    got = {r.node: (r.hub, r.auth) for r in hits(e, iters=3).collect()}
+    assert got[3][1] > got[4][1] - 1e-9  # indegree 2 vs 2 (0,1 vs 0,2) equalish
+    assert got[0][0] > got[1][0]  # two-target hub beats one-target hub
+
+
+def test_hits_values_normalized(spark):
+    """Hub and auth vectors each sum to ~1 (L1) every run."""
+    from celeborn_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    rows = hits(e, iters=3).collect()
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.auth for r in rows) - 1.0) < 1e-4
+
+
+def test_hits_rejects_zero_iters(spark):
+    import pytest as _pytest
+
+    from celeborn_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        hits(e, iters=0)
+
+
+# --- bounded Bellman-Ford (operators/graph.shortest_paths) ---
+
+
+def test_shortest_path_prefers_cheap_detour(spark):
+    """0->2 direct costs 10; 0->1->2 costs 2+3=5: the 2-hop detour wins
+    once rounds >= 2, while a 1-round bound must take the direct edge."""
+    from celeborn_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 2), (1, 2, 3)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    one = {r.node: r.dist for r in shortest_paths(e, seeds, rounds=1).collect()}
+    two = {r.node: r.dist for r in shortest_paths(e, seeds, rounds=2).collect()}
+    assert one[2] == 10 and two[2] == 5
+
+
+def test_shortest_path_multi_seed_min(spark):
+    from celeborn_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(0, 1, 7), (9, 1, 2)], ["src", "dst", "w"]
+    )
+    seeds = spark.createDataFrame([(0,), (9,)], ["node"])
+    got = {r.node: r.dist for r in shortest_paths(e, seeds, rounds=2).collect()}
+    assert got[1] == 2 and got[0] == 0 and got[9] == 0
+
+
+def test_shortest_path_unreached_absent(spark):
+    from celeborn_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame([(0, 1, 1), (5, 6, 1)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.dist for r in shortest_paths(e, seeds, rounds=3).collect()}
+    assert 5 not in got and 6 not in got and got == {0: 0, 1: 1}
+
+
+def test_shortest_path_zero_rounds_seeds_only(spark):
+    from celeborn_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame([(0, 1, 1)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    assert [
+        (r.node, r.dist) for r in shortest_paths(e, seeds, rounds=0).collect()
+    ] == [(0, 0)]
