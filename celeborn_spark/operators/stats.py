@@ -431,3 +431,178 @@ def ewma_oracle_sql(
     FROM e
     WHERE rev = 1
     """
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """Per-group CUSUM change-point detection: the order position where
+    the cumulative deviation from the group mean peaks — the
+    level-shift locator (metric regime changes, pipeline-output drift
+    onset) that a global mean test cannot place in time.
+
+    Engine-parity design: values floor to integer cents; the running
+    deviation is computed WITHOUT the mean division — cusum_t of
+    (n*x_i - S) over the first t points (n = group count, S = group
+    sum) equals n * classic-CUSUM_t, so the argmax is identical and
+    every term is BIGINT-exact. The change point is the earliest
+    position of the maximum |cusum| (argmax via an all-integer struct
+    max: (|c|, -order)). Bounds: |cents| < ~1e6 and n < ~1e6 keep
+    n*x and the running sum far below 2^63.
+
+    One window exchange keyed on the group + one group aggregate —
+    group-sized output."""
+    from pyspark.sql import Window as W
+
+    x = F.floor(F.col(value_col) * 100).cast("long")
+    ocols = [F.col(c) for c in order_cols]
+    wg = W.partitionBy(group_col)
+    wrun = wg.orderBy(*ocols).rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = df.select(F.col(group_col), *order_cols, x.alias("_x"))
+    d = (
+        d.withColumn("_n", F.count("_x").over(wg))
+        .withColumn("_s", F.sum("_x").over(wg))
+        .withColumn(
+            "_c",
+            F.sum(F.col("_n") * F.col("_x") - F.col("_s")).over(wrun),
+        )
+    )
+    # earliest peak: max over (|c|, -order_key) picks the largest
+    # deviation, ties resolved to the smallest order key
+    pick = F.struct(
+        F.abs(F.col("_c")).alias("m"),
+        (-F.col(order_cols[-1]).cast("long")).alias("negk"),
+    )
+    return d.groupBy(group_col).agg(
+        F.max(pick)["m"].alias("max_dev"),
+        (-F.max(pick)["negk"]).alias("cp_key"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+
+
+def cusum_oracle_sql(
+    table: str,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+) -> str:
+    """DuckDB mirror of `cusum_changepoint` — identical integer
+    arithmetic; the argmax re-expressed as ORDER BY (|c| DESC, key ASC)
+    LIMIT 1 per group via row_number. The LAST order column is the
+    reported change-point key, matching the Spark side's tiebreak."""
+    ob = ", ".join(order_cols)
+    key_col = order_cols[-1]
+    return f"""
+    WITH d AS (
+        SELECT {group_col}, {ob},
+               CAST(floor({value_col} * 100) AS BIGINT) AS x
+        FROM {table}
+    ),
+    g AS (
+        SELECT {group_col}, {ob}, x,
+               count(*) OVER (PARTITION BY {group_col}) AS n,
+               sum(x) OVER (PARTITION BY {group_col}) AS s
+        FROM d
+    ),
+    c AS (
+        SELECT {group_col}, {key_col} AS k, n,
+               sum(n * x - s) OVER (
+                   PARTITION BY {group_col} ORDER BY {ob}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM g
+    ),
+    r AS (
+        SELECT {group_col}, CAST(abs(c) AS BIGINT) AS max_dev, k AS cp_key, n,
+               row_number() OVER (
+                   PARTITION BY {group_col} ORDER BY abs(c) DESC, k ASC
+               ) AS rn
+        FROM c
+    )
+    SELECT {group_col}, max_dev, CAST(cp_key AS BIGINT) AS cp_key,
+           CAST(n AS BIGINT) AS n_points
+    FROM r WHERE rn = 1
+    """
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row key-distribution skew audit: n_keys, total_rows,
+    max_count, top_share (heaviest key's row fraction), and the exact
+    Gini coefficient of per-key row counts — the shuffle-health
+    diagnostic behind every salting/AQE-skew decision (operators/skew,
+    A16): gini ~ 0 means uniform keys, ~1 means one hot key owns the
+    table.
+
+    Exact Gini needs ranks over keys SORTED by count — a key-sized
+    global sort at 100 TB. This implementation never ranks keys:
+    equal-count keys contribute a closed-form block sum
+    (v * (m*a + m(m+1)/2) for a block of m keys at offset a), so the
+    rank sum reduces to a running sum over the COUNT-OF-COUNTS
+    histogram — a window over distinct count values, cardinality-
+    bounded (the operators/curriculum.quantile_bins discipline), tiny
+    even when keys are billions. All terms integer; the two final
+    divisions are emitted raw (single IEEE ops, bit-identical)."""
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    hist = counts.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+    run = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    hist = hist.withColumn("a", F.coalesce(F.sum("m").over(run), F.lit(0)))
+    # sum over sorted keys of rank*count, blockwise:
+    #   v * (m*a + m*(m+1)/2)  with ranks 1..n ascending by count
+    ranksum = hist.select(
+        F.sum(F.expr("v * (m * a + m * (m + 1) div 2)"))
+        .cast("long")
+        .alias("rs"),
+        F.sum(F.col("m")).alias("n_keys"),
+        F.sum(F.col("v") * F.col("m")).alias("total_rows"),
+        F.max(F.col("v")).alias("max_count"),
+    )
+    return ranksum.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("max_count").cast("long").alias("max_count"),
+        (F.col("max_count").cast("double") / F.col("total_rows")).alias(
+            "top_share"
+        ),
+        (
+            (2 * F.col("rs") - (F.col("n_keys") + 1) * F.col("total_rows"))
+            .cast("double")
+            / (F.col("n_keys").cast("double") * F.col("total_rows"))
+        ).alias("gini"),
+    )
+
+
+def key_skew_oracle_sql(table: str, key_sql: str) -> str:
+    """DuckDB mirror of `key_skew_profile` — same histogram block sums,
+    same two raw divisions."""
+    return f"""
+    WITH counts AS (
+        SELECT {key_sql} AS k, count(*) AS v FROM {table} GROUP BY 1
+    ),
+    hist AS (SELECT v, count(*) AS m FROM counts GROUP BY v),
+    hr AS (
+        SELECT v, m,
+               coalesce(sum(m) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS a
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(sum(v * (m * a + m * (m + 1) // 2)) AS BIGINT) AS rs,
+               CAST(sum(m) AS BIGINT) AS n_keys,
+               CAST(sum(v * m) AS BIGINT) AS total_rows,
+               CAST(max(v) AS BIGINT) AS max_count
+        FROM hr
+    )
+    SELECT n_keys, total_rows, max_count,
+           CAST(max_count AS DOUBLE) / total_rows AS top_share,
+           CAST(2 * rs - (n_keys + 1) * total_rows AS DOUBLE)
+               / (CAST(n_keys AS DOUBLE) * total_rows) AS gini
+    FROM agg
+    """

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table, register_views
+from celeborn_spark.operators import frontier as frontier_ops
 from celeborn_spark.registry import query
 
 
@@ -679,3 +680,30 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < K_ANON)
     )
+
+
+@query(
+    "q_pareto_frontier",
+    oracle=frontier_ops.skyline_oracle_sql(
+        "(SELECT p_partkey, CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,"
+        " -CAST(p_size AS BIGINT) AS neg_size FROM part)",
+        "price_cents",
+        "neg_size",
+        "p_partkey, price_cents, neg_size",
+    ),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts (cheapest price at each size, no part both
+    cheaper AND larger exists): the multi-objective selection operator.
+    Spark side runs the local-then-global skyline (per-partition prune
+    via per-x-min running windows — cardinality-bounded, no quadratic
+    join); the oracle is the NOT-EXISTS dominance definition itself, so
+    the match proves the distributed algorithm implements the exact
+    semantics (operators/frontier.skyline_2d)."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        (-F.col("p_size")).cast("long").alias("neg_size"),
+    )
+    return frontier_ops.skyline_2d(pts, "price_cents", "neg_size")

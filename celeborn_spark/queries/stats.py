@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import stats as stats_ops
 from celeborn_spark.operators.stats import (
     corr_matrix,
     corr_matrix_oracle_sql,
@@ -246,3 +247,34 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.quality import mad_outliers
 
     return mad_outliers(load_table(spark, sf_dir, "events"), "event_type", "value", k=6.0)
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=stats_ops.cusum_oracle_sql(
+        "events", "user_id", ("ts", "event_id"), "value"
+    ),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM level-shift locator: the event where cumulative
+    deviation from the user's mean peaks. Division-free all-integer
+    arithmetic over floored cents (cusum of n*x - S = n * classic
+    CUSUM, same argmax), so the windowed oracle matches bit-for-bit;
+    one user-keyed window exchange (operators/stats.cusum_changepoint)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.cusum_changepoint(ev, "user_id", ("ts", "event_id"), "value")
+
+
+@query(
+    "q_key_skew_profile",
+    oracle=stats_ops.key_skew_oracle_sql("lineitem", "l_partkey"),
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health audit of the l_partkey distribution: exact Gini
+    + heaviest-key share in ONE row. The rank sum over count-sorted
+    keys collapses to closed-form block sums over the count-of-counts
+    histogram — a window over distinct count VALUES, never a key-sized
+    sort — so the exact statistic stays computable at 100 TB
+    (operators/stats.key_skew_profile; the A16 decision input)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.key_skew_profile(li, "l_partkey")

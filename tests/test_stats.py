@@ -228,3 +228,88 @@ def test_mad_robust_to_corrupt_batch(spark):
     [r] = mad_outliers(df, "grp", "v", k=6.0).collect()
     assert r.n == 103 and r.n_outliers == 3
     assert r.median == pytest.approx(50.0, abs=1.0)
+
+
+# --- CUSUM change-point (operators/stats.cusum_changepoint) ---
+
+
+def test_cusum_locates_planted_level_shift(spark):
+    """20 points at 10.0 then 20 at 30.0: |cusum| peaks exactly at the
+    last pre-shift point (key 19)."""
+    from celeborn_spark.operators.stats import cusum_changepoint
+
+    rows = [("u", i, 10.0 if i < 20 else 30.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    out = cusum_changepoint(df, "g", ("k",), "v").collect()[0]
+    assert out.cp_key == 19
+    assert out.n_points == 40
+    # deviation magnitude: at t=19, sum of 20 * (n*x - S) with
+    # n=40, x=1000c, S=40*2000c avg -> 20*(40*1000-80000) = -800000
+    assert out.max_dev == 800000
+
+
+def test_cusum_flat_series_zero_deviation(spark):
+    """A constant series never deviates: max_dev == 0, change point is
+    the first key (all ties, earliest wins)."""
+    from celeborn_spark.operators.stats import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("u", i, 5.0) for i in range(10)], ["g", "k", "v"]
+    )
+    out = cusum_changepoint(df, "g", ("k",), "v").collect()[0]
+    assert out.max_dev == 0 and out.cp_key == 0
+
+
+def test_cusum_groups_independent(spark):
+    """A shifted group and a flat group report independently."""
+    from celeborn_spark.operators.stats import cusum_changepoint
+
+    rows = [("a", i, 1.0 if i < 5 else 9.0) for i in range(10)]
+    rows += [("b", i, 4.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    got = {r.g: r for r in cusum_changepoint(df, "g", ("k",), "v").collect()}
+    assert got["a"].max_dev > 0 and got["a"].cp_key == 4
+    assert got["b"].max_dev == 0
+
+
+# --- key-skew profile (operators/stats.key_skew_profile) ---
+
+
+def test_key_skew_uniform_gini_zero(spark):
+    """Every key exactly once: Gini == 0, top_share == 1/n."""
+    from celeborn_spark.operators.stats import key_skew_profile
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    out = key_skew_profile(df, "k").collect()[0]
+    assert out.gini == 0.0
+    assert out.n_keys == 100 and out.total_rows == 100
+    assert abs(out.top_share - 0.01) < 1e-12
+
+
+def test_key_skew_hot_key_raises_gini(spark):
+    """One key owning 90% of rows: Gini near (n-1)/n * 0.9-ish, far
+    from zero, and top_share reports the hot fraction."""
+    from celeborn_spark.operators.stats import key_skew_profile
+
+    rows = [(0,)] * 900 + [(i,) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_profile(df, "k").collect()[0]
+    assert out.max_count == 900
+    assert abs(out.top_share - 0.9) < 1e-12
+    assert out.gini > 0.8
+
+
+def test_key_skew_matches_direct_rank_formula(spark):
+    """Histogram block sums equal the direct sorted-rank Gini on a
+    small mixed distribution (computed in Python)."""
+    from celeborn_spark.operators.stats import key_skew_profile
+
+    counts = [1, 1, 2, 3, 3, 3, 8, 20]
+    rows = [(ki, ) for ki, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_profile(df, "k").collect()[0]
+    sc = sorted(counts)
+    n, tot = len(sc), sum(sc)
+    rs = sum((i + 1) * c for i, c in enumerate(sc))
+    expect = (2 * rs - (n + 1) * tot) / (n * tot)
+    assert abs(out.gini - expect) < 1e-12
