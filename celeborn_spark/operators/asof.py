@@ -146,3 +146,39 @@ def bucketed_range_self_join(
             (F.col("us_b") - F.col("us_a")).alias("delta_us"),
         )
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from_col: str,
+    valid_to_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Attach to each fact row the dimension version in effect at the
+    fact's timestamp: valid_from <= ts AND (ts < valid_to OR valid_to
+    IS NULL). The leakage-safe feature lookup of a training pipeline —
+    joining TODAY'S dimension attributes onto historical facts trains
+    on information that did not exist at event time; the
+    point-in-time join is the correct-by-construction form (the
+    feature-store "time travel" read).
+
+    Composition: a backward as-of join on valid_from (one exchange on
+    the keys — operators/asof.asof_join's union+window trick, no row
+    explosion), then payload columns are nulled where the fact falls
+    AT/after valid_to — which restores correctness on GAPPED version
+    histories, where plain as-of would attach the stale predecessor.
+    Versions must be unique per (keys, valid_from)."""
+    right = versions.select(
+        *keys,
+        F.col(valid_from_col).alias(ts_col),
+        F.col(valid_to_col).alias("_vt"),
+        *payload_cols,
+    )
+    out = asof_join(facts, right, keys, ts_col, ["_vt", *payload_cols])
+    valid = F.col("_vt").isNull() | (F.col(ts_col) < F.col("_vt"))
+    for c in payload_cols:
+        out = out.withColumn(c, F.when(valid, F.col(c)))
+    return out.drop("_vt")

@@ -141,3 +141,120 @@ def naive_bayes_oracle_sql(
     FROM ranked WHERE rn = 1
     GROUP BY 1, 2
     """
+
+
+def decision_stump(
+    df: DataFrame, feature_col: str, label_expr: F.Column
+) -> DataFrame:
+    """Best single-threshold split of an INTEGER-VALUED feature against
+    a boolean label — the depth-1 decision tree (the weak learner of
+    boosting, and the quick "is this feature predictive at all"
+    screen). Prediction rule: positive iff feature <= threshold.
+
+    Split quality is the ALL-INTEGER association magnitude
+    |TP*TN - FP*FN| (the numerator of the phi coefficient / chi-square
+    — zero exactly when the split is independent of the label), so the
+    argmax is engine-exact with no impurity divisions; ties resolve to
+    the smallest threshold. Candidate thresholds are the DISTINCT
+    feature values: confusion counts come from running sums over the
+    per-value (n_pos, n_neg) aggregate — a window over distinct values
+    (cardinality-bounded, the quantile_bins discipline), never over
+    rows. Bounds: counts < ~3e9 keep TP*TN below 2^63.
+
+    Output: one row (threshold, tp, fp, fn, tn, split_score, accuracy)
+    — accuracy is one exact-integer division, bit-identical."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(feature_col).cast("long").alias("x"),
+        F.when(label_expr, 1).otherwise(0).cast("long").alias("y"),
+    )
+    per_v = base.groupBy("x").agg(
+        F.sum("y").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).alias("q"),
+    )
+    run = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_v.select(
+        "x",
+        F.sum("p").over(run).alias("tp"),
+        F.sum("q").over(run).alias("fp"),
+    )
+    tot = per_v.groupBy().agg(
+        F.sum("p").alias("tot_p"), F.sum("q").alias("tot_q")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "x",
+        "tp",
+        "fp",
+        (F.col("tot_p") - F.col("tp")).alias("fn"),
+        (F.col("tot_q") - F.col("fp")).alias("tn"),
+    )
+    scored = scored.withColumn(
+        "split_score",
+        F.abs(F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")),
+    )
+    pick = F.struct(
+        F.col("split_score").alias("s"), (-F.col("x")).alias("negx")
+    )
+    best = scored.groupBy().agg(F.max(pick).alias("b"))
+    return (
+        best.select(F.col("b")["negx"].alias("negx"))
+        .join(scored, F.col("negx") == -F.col("x"))
+        .select(
+            F.col("x").alias("threshold"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            "split_score",
+            (
+                (F.col("tp") + F.col("tn")).cast("double")
+                / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+            ).alias("accuracy"),
+        )
+    )
+
+
+def decision_stump_oracle_sql(
+    table: str, feature_sql: str, label_pred: str
+) -> str:
+    """DuckDB mirror of `decision_stump`: identical per-value running
+    sums, |TP*TN - FP*FN| argmax with smallest-threshold tiebreak, and
+    the single accuracy division."""
+    return f"""
+    WITH base AS (
+        SELECT CAST({feature_sql} AS BIGINT) AS x,
+               CASE WHEN {label_pred} THEN 1 ELSE 0 END AS y
+        FROM {table}
+    ),
+    per_v AS (
+        SELECT x, CAST(sum(y) AS BIGINT) AS p,
+               CAST(sum(1 - y) AS BIGINT) AS q
+        FROM base GROUP BY x
+    ),
+    cum AS (
+        SELECT x,
+               CAST(sum(p) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS tp,
+               CAST(sum(q) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS fp
+        FROM per_v
+    ),
+    tot AS (
+        SELECT CAST(sum(p) AS BIGINT) AS tot_p, CAST(sum(q) AS BIGINT) AS tot_q
+        FROM per_v
+    ),
+    scored AS (
+        SELECT x, tp, fp, tot_p - tp AS fn, tot_q - fp AS tn,
+               abs(tp * (tot_q - fp) - fp * (tot_p - tp)) AS split_score
+        FROM cum CROSS JOIN tot
+    ),
+    best AS (
+        SELECT x, tp, fp, fn, tn, split_score,
+               row_number() OVER (ORDER BY split_score DESC, x ASC) AS rn
+        FROM scored
+    )
+    SELECT x AS threshold, tp, fp, fn, tn, split_score,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+    FROM best WHERE rn = 1
+    """

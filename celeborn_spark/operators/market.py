@@ -104,3 +104,121 @@ def cooccurrence_oracle_sql(
            (n_both * n_baskets) / CAST(n_a * n_b AS DOUBLE) AS lift
     FROM ranked
     """
+
+
+def item_neighbors(
+    df: DataFrame, basket_col: str, item_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k nearest items per item by co-occurrence cosine — the
+    item-item collaborative-filtering neighborhood (the "users who
+    bought X also bought" recommender primitive, and the item-side
+    input to swing/ItemCF rankers): sim(i, j) = n_ij / sqrt(n_i * n_j)
+    over distinct basket memberships.
+
+    Engine parity: n_ij, n_i, n_j are exact integers; sqrt of an exact
+    integer product and the final division are both correctly-rounded
+    IEEE ops, so sim is bit-identical cross-engine and ranking on
+    (sim DESC, neighbor ASC) is deterministic without any rounding.
+
+    Scale shape: pair generation self-joins on the BASKET key (bounded
+    per-basket item sets, the cooccurrence_lift discipline — never
+    corpus-quadratic); the per-item top-k window is
+    WindowGroupLimit-pruned at rank k. Pairs materialize once and feed
+    both direction unions (localCheckpoint, CLAUDE.md rule)."""
+    from pyspark.sql import Window as W
+
+    baskets = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    item_n = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .localCheckpoint()
+    )
+    both_dirs = pairs.union(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_both",
+        )
+    )
+    scored = (
+        both_dirs.join(
+            item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_i")),
+            "item_a",
+        )
+        .join(
+            item_n.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_j")),
+            "item_b",
+        )
+        .withColumn(
+            "sim",
+            F.col("n_both")
+            / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double")),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("item_a").orderBy(F.col("sim").desc(), F.col("item_b"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("item_b").alias("neighbor"),
+            "n_both",
+            "sim",
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
+
+
+def item_neighbors_oracle_sql(
+    table: str, basket_col: str, item_col: str, k: int = 5
+) -> str:
+    """DuckDB mirror of `item_neighbors`: identical integer counts,
+    sqrt/division, and (sim DESC, neighbor) ranking."""
+    return f"""
+    WITH baskets AS (
+        SELECT DISTINCT {basket_col} AS basket, {item_col} AS item FROM {table}
+    ),
+    item_n AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+    ),
+    both_dirs AS (
+        SELECT item_a, item_b, n_both FROM pairs
+        UNION ALL
+        SELECT item_b AS item_a, item_a AS item_b, n_both FROM pairs
+    ),
+    scored AS (
+        SELECT d.item_a, d.item_b, d.n_both,
+               d.n_both / sqrt(CAST(ni.n_item * nj.n_item AS DOUBLE)) AS sim
+        FROM both_dirs d
+        JOIN item_n ni ON ni.item = d.item_a
+        JOIN item_n nj ON nj.item = d.item_b
+    ),
+    ranked AS (
+        SELECT item_a, item_b, n_both, sim,
+               row_number() OVER (
+                   PARTITION BY item_a ORDER BY sim DESC, item_b
+               ) AS rn
+        FROM scored
+    )
+    SELECT item_a AS item, item_b AS neighbor, n_both, sim,
+           CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {k}
+    """

@@ -29,9 +29,15 @@ from celeborn_spark.operators.incremental import (
     quantile_from_state,
     quantile_state,
 )
+from celeborn_spark.operators.classify import (
+    decision_stump,
+    decision_stump_oracle_sql,
+)
 from celeborn_spark.operators.market import (
     cooccurrence_lift,
     cooccurrence_oracle_sql,
+    item_neighbors,
+    item_neighbors_oracle_sql,
 )
 from celeborn_spark.operators.stats import (
     ewma_oracle_sql,
@@ -257,3 +263,33 @@ def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = quantile_from_state(st, "l_suppkey", 1, 2, _Q_LO, _Q_W, "p50")
     p95 = quantile_from_state(st, "l_suppkey", 19, 20, _Q_LO, _Q_W, "p95")
     return p50.join(p95.select("l_suppkey", "p95"), "l_suppkey")
+
+
+@query(
+    "q_item_neighbors",
+    oracle=item_neighbors_oracle_sql("lineitem", "l_orderkey", "l_partkey", k=5),
+)
+def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-5 cosine neighbors per
+    part over order-basket co-occurrence — the "also bought" ranker.
+    Basket-keyed pair join (never corpus-quadratic), bit-identical
+    sqrt/division sims, WindowGroupLimit-pruned per-item top-k
+    (operators/market.item_neighbors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_neighbors(li, "l_orderkey", "l_partkey", k=5)
+
+
+@query(
+    "q_decision_stump",
+    oracle=decision_stump_oracle_sql(
+        "lineitem", "l_quantity", "l_returnflag = 'R'"
+    ),
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision tree: the single l_quantity threshold most
+    associated with return status, scored by the all-integer
+    |TP*TN - FP*FN| criterion over running sums on DISTINCT feature
+    values (cardinality-bounded window) — the weak-learner /
+    feature-screen primitive (operators/classify.decision_stump)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return decision_stump(li, "l_quantity", F.col("l_returnflag") == "R")

@@ -67,3 +67,50 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         k=_K,
     )
+
+
+@query(
+    "q_hll_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS merge_within_2pct,
+           TRUE AS hll_within_5pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native HLL sketch ALGEBRA, driver-verified: per return
+    flag, four partition-slice sketches (hll_sketch_agg) merged with
+    hll_union_agg estimate within 2% of one direct whole-group sketch
+    — this is why the sketch is the 100 TB distinct-count path
+    (partial sketches combine map-side like any partial agg; only
+    fixed-size register sets shuffle). NOT asserted bit-equal: the
+    Datasketches impl promotes sparse->dense representations on union,
+    so merged and direct estimates legitimately differ within rsd
+    (measured <=0.7% at sf0.01; lgConfigK=14 rsd ~0.8%, bound 2.5x).
+    The oracle pins exact counts plus both self-check booleans; the
+    direct estimate also sits within 5% of exact (>6 sigma)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sliced = li.groupBy(
+        "l_returnflag", F.pmod("l_orderkey", F.lit(4)).alias("_slice")
+    ).agg(F.hll_sketch_agg("l_orderkey", 14).alias("sk"))
+    merged = sliced.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", False)).alias("est_m")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", 14)).alias("est_d"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    return direct.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("est_m") - F.col("est_d")) / F.col("est_d") <= 0.02
+        ).alias("merge_within_2pct"),
+        (
+            F.abs(F.col("est_d") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+    )

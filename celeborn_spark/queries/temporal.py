@@ -9,9 +9,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from celeborn_spark.catalog import load_table
-from celeborn_spark.operators.asof import asof_join, bucketed_range_self_join
+from celeborn_spark.operators.asof import (
+    asof_join,
+    bucketed_range_self_join,
+    point_in_time_join,
+)
 from celeborn_spark.registry import query
 
 
@@ -293,3 +298,74 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.funnel import event_transitions
 
     return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_point_in_time_join",
+    oracle="""
+    WITH latest AS (
+        SELECT o_custkey, o_orderdate, o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+    ),
+    versions AS (
+        SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate) AS valid_to
+        FROM latest WHERE rn = 1
+    ),
+    facts AS (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           (SELECT v.o_orderpriority FROM versions v
+            WHERE v.o_custkey = f.o_custkey
+              AND v.valid_from <= f.l_shipdate
+              AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to)
+            ORDER BY v.valid_from DESC LIMIT 1) AS prio_at_ship
+    FROM facts f
+    """,
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature lookup: each shipped line is enriched with
+    the customer's order priority IN EFFECT AT SHIP TIME (the version
+    opened by the latest order on or before l_shipdate, superseded by
+    any newer order). The versioned dimension derives from orders via
+    a lead() window (SCD2 tiling, last order per (cust, date) wins);
+    the lookup is ONE key-exchange as-of join, not a range theta join
+    (operators/asof.point_in_time_join). The oracle is the correlated
+    validity-interval subquery — the semantics the composition must
+    reproduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    wv = W.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+    )
+    versions = latest.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        "o_orderpriority",
+        F.lead("o_orderdate")
+        .over(W.partitionBy("o_custkey").orderBy("o_orderdate"))
+        .alias("valid_to"),
+    )
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    out = point_in_time_join(
+        facts,
+        versions.withColumnRenamed("o_orderpriority", "prio_at_ship"),
+        ["o_custkey"],
+        "l_shipdate",
+        "valid_from",
+        "valid_to",
+        ["prio_at_ship"],
+    )
+    return out.select("l_orderkey", "l_linenumber", "prio_at_ship")

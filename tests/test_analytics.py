@@ -206,3 +206,90 @@ def test_topk_ranks_matches_window_ranking(spark):
     want_rows = df.orderBy(F.col("score").desc(), F.col("id")).limit(10).collect()
     want = {r["id"]: i + 1 for i, r in enumerate(want_rows)}
     assert got == want
+
+
+# --- item-item cosine neighbors (operators/market.item_neighbors) ---
+
+
+def test_item_neighbors_known_cosines(spark):
+    """Baskets {1:AB, 2:AB, 3:AC}: sim(A,B)=2/sqrt(3*2), sim(A,C)=
+    1/sqrt(3*1); B ranks before C for A."""
+    import math
+
+    from celeborn_spark.operators.market import item_neighbors
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {
+        (r.item, r.neighbor): (r.sim, r.rank)
+        for r in item_neighbors(df, "basket", "item", k=5).collect()
+    }
+    assert abs(got[("A", "B")][0] - 2 / math.sqrt(6)) < 1e-12
+    assert abs(got[("A", "C")][0] - 1 / math.sqrt(3)) < 1e-12
+    assert got[("A", "B")][1] == 1 and got[("A", "C")][1] == 2
+    # symmetry: sim(B, A) == sim(A, B)
+    assert got[("B", "A")][0] == got[("A", "B")][0]
+
+
+def test_item_neighbors_duplicate_lines_ignored(spark):
+    """The same item twice in one basket counts once (distinct
+    membership), so sims are unchanged by line duplication."""
+    from celeborn_spark.operators.market import item_neighbors
+
+    base = [(1, "A"), (1, "B")]
+    df1 = spark.createDataFrame(base, ["basket", "item"])
+    df2 = spark.createDataFrame(base + [(1, "A"), (1, "A")], ["basket", "item"])
+    s1 = {(r.item, r.neighbor): r.sim for r in item_neighbors(df1, "basket", "item").collect()}
+    s2 = {(r.item, r.neighbor): r.sim for r in item_neighbors(df2, "basket", "item").collect()}
+    assert s1 == s2
+
+
+def test_item_neighbors_topk_cuts(spark):
+    from celeborn_spark.operators.market import item_neighbors
+
+    rows = [(b, it) for b in range(4) for it in ("X", f"n{b}")]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    out = item_neighbors(df, "basket", "item", k=2)
+    assert out.filter(F.col("item") == "X").count() == 2
+
+
+# --- decision stump (operators/classify.decision_stump) ---
+
+
+def test_stump_perfect_split(spark):
+    """Labels exactly x <= 5: the stump finds threshold 5 with a
+    perfect confusion matrix and accuracy 1.0."""
+    from celeborn_spark.operators.classify import decision_stump
+
+    df = spark.createDataFrame(
+        [(x, x <= 5) for x in range(1, 11) for _ in range(3)], ["x", "y"]
+    )
+    out = decision_stump(df, "x", F.col("y")).collect()[0]
+    assert out.threshold == 5
+    assert out.fp == 0 and out.fn == 0
+    assert out.accuracy == 1.0
+
+
+def test_stump_independent_feature_scores_zero(spark):
+    """A label independent of x (y alternates within every x) gives
+    split_score 0 at the best (= smallest, by tiebreak) threshold."""
+    from celeborn_spark.operators.classify import decision_stump
+
+    rows = [(x, par == 0) for x in range(1, 6) for par in (0, 1)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = decision_stump(df, "x", F.col("y")).collect()[0]
+    assert out.split_score == 0
+    assert out.threshold == 1  # all ties -> smallest threshold
+
+
+def test_stump_inverse_rule_still_detected(spark):
+    """Association magnitude |TP*TN - FP*FN| detects a NEGATIVE rule
+    (positives at HIGH x) just as strongly — the stump reports the
+    boundary even though the <= rule inverts the labels."""
+    from celeborn_spark.operators.classify import decision_stump
+
+    df = spark.createDataFrame(
+        [(x, x > 7) for x in range(1, 11) for _ in range(2)], ["x", "y"]
+    )
+    out = decision_stump(df, "x", F.col("y")).collect()[0]
+    assert out.threshold == 7 and out.split_score > 0

@@ -76,3 +76,61 @@ def test_asof_forward_matches_pandas_merge_asof(spark, left_ts, right_ts):
     want = {int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
             for r in want_df.itertuples()}
     assert got == want
+
+
+# --- point-in-time join (operators/asof.point_in_time_join) ---
+
+
+def test_pit_join_picks_version_in_effect(spark):
+    """Versions [10, 20) = 'v1', [20, None) = 'v2': facts at ts 5, 10,
+    15, 20, 99 get NULL, v1, v1, v2, v2."""
+    from celeborn_spark.operators.asof import point_in_time_join
+    from pyspark.sql import functions as F
+
+    versions = spark.createDataFrame(
+        [("k", 10, 20, "v1"), ("k", 20, None, "v2")],
+        ["key", "valid_from", "valid_to", "attr"],
+    )
+    facts = spark.createDataFrame(
+        [("k", t) for t in (5, 10, 15, 20, 99)], ["key", "ts"]
+    )
+    out = point_in_time_join(
+        facts, versions, ["key"], "ts", "valid_from", "valid_to", ["attr"]
+    )
+    got = {r.ts: r.attr for r in out.collect()}
+    assert got == {5: None, 10: "v1", 15: "v1", 20: "v2", 99: "v2"}
+
+
+def test_pit_join_gap_yields_null_not_stale(spark):
+    """A GAPPED history ([0,10) then [50,None)): a fact at ts 30 falls
+    in the gap and must get NULL — plain backward as-of would wrongly
+    attach the stale [0,10) version."""
+    from celeborn_spark.operators.asof import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [("k", 0, 10, "old"), ("k", 50, None, "new")],
+        ["key", "valid_from", "valid_to", "attr"],
+    )
+    facts = spark.createDataFrame([("k", 30)], ["key", "ts"])
+    out = point_in_time_join(
+        facts, versions, ["key"], "ts", "valid_from", "valid_to", ["attr"]
+    ).collect()
+    assert out[0].attr is None
+
+
+def test_pit_join_keys_isolated(spark):
+    """Versions never leak across keys."""
+    from celeborn_spark.operators.asof import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [("a", 0, None, "va"), ("b", 0, None, "vb")],
+        "key string, valid_from long, valid_to long, attr string",
+    )
+    facts = spark.createDataFrame([("a", 5), ("b", 5)], ["key", "ts"])
+    got = {
+        r.key: r.attr
+        for r in point_in_time_join(
+            facts, versions, ["key"], "ts", "valid_from", "valid_to", ["attr"]
+        ).collect()
+    }
+    assert got == {"a": "va", "b": "vb"}
