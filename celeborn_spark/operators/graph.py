@@ -965,3 +965,78 @@ def cost_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """(node, label) after ``rounds`` of synchronous majority label
+    propagation over an undirected (both-direction) edge relation —
+    community detection (denser groupings than connected components,
+    which `operators/components.py` already finds: LPA labels split a
+    connected graph along its dense cores). Labels init to the node id;
+    each round every node adopts the most frequent label among its
+    neighbors, ties to the SMALLEST label — an all-integer argmax, so
+    the unrolled-CTE oracle matches exactly.
+
+    Per round: one equality-keyed join exchange (labels meet edges on
+    src) + one (dst, label) count aggregate with map-side partials
+    absorbing hub in-degrees + a per-dst argmax via struct max (no
+    window). The label relation is node-sized; the edge relation is
+    never mutated — partitioned once at 100 TB. Rounds chain lazily
+    (each round's labels feed exactly one consumer; CLAUDE.md rule)."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select("src", "dst")
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()  # feeds every round's join
+    )
+    for _ in range(rounds):
+        counts = (
+            labels.join(e, labels["node"] == e["src"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl"))
+        labels = (
+            counts.groupBy("dst")
+            .agg((-F.max(pick)["nl"]).alias("label"))
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_cte: str = EDGES_ORACLE, rounds: int = 3
+) -> str:
+    """DuckDB mirror of `label_propagation`: identical per-round
+    neighbor-label counts and (count DESC, label ASC) argmax, unrolled
+    one CTE pair per round."""
+    ctes = [
+        edges_cte.strip(),
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    prev = "l0"
+    for i in range(rounds):
+        cur = f"l{i + 1}"
+        ctes.append(
+            f"""c{i} AS (
+        SELECT e.dst, {prev}.label, count(*) AS cnt
+        FROM {prev} JOIN e ON {prev}.node = e.src
+        GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""{cur} AS (
+        SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   row_number() OVER (
+                       PARTITION BY dst ORDER BY cnt DESC, label ASC
+                   ) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = cur
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, label FROM {prev}"

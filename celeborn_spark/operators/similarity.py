@@ -688,3 +688,132 @@ def sampled_codebooks(
         )
         .select("j", "cb_id", "cvec")
     )
+
+
+def mmr_select(
+    vectors: DataFrame,
+    query_df: DataFrame,
+    k: int = 8,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance: greedily select k vectors balancing
+    relevance to the query against redundancy with what is already
+    selected — score(c) = lam * cos(c, q) - (1-lam) * max cos(c, s in
+    S). THE retrieval-diversification step (RAG context assembly,
+    eval-set curation): plain top-k returns k near-copies of the best
+    hit; MMR forces coverage.
+
+    Engine parity: every cosine rounds to 6 dp (the brute_force_topk
+    idiom); lam = .5 halves exactly, so scores are bit-identical and
+    each greedy argmax (score DESC, id ASC — TakeOrderedAndProject,
+    never a global window) picks the same vector as the unrolled-CTE
+    oracle.
+
+    Scale shape: candidates localCheckpoint ONCE (scored against the
+    broadcast 1-row query); each of the k rounds joins candidates to
+    the BROADCAST <=k-row selected set (anti-join + max-div aggregate),
+    then cuts 1 row. k driver rounds of cheap jobs — the
+    operators/kmeans.py bounded-iteration discipline. At 100 TB you
+    run MMR over the top-N prefilter (brute_force_topk / ann_ivf), not
+    the corpus; N-sized candidates stream once per round."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = query_df.select(as_double_array(vec_col).alias("q")).withColumn(
+        "qn", l2_norm(F.col("q"))
+    )
+    cands = (
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+        .withColumn("vn", l2_norm(F.col("v")))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel",
+            F.round(dot(F.col("v"), F.col("q")) / (F.col("vn") * F.col("qn")), 6),
+        )
+        .select(id_col, "v", "vn", "rel")
+        .localCheckpoint()  # read by every round (scores + anti-join)
+    )
+    selected = (
+        cands.orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(1)
+        .withColumn("mmr_rank", F.lit(1))
+        .localCheckpoint()
+    )
+    for t in range(2, k + 1):
+        s = selected.select(
+            F.col(id_col).alias("_sid"),
+            F.col("v").alias("sv"),
+            F.col("vn").alias("svn"),
+        )
+        div = (
+            cands.join(selected.select(id_col), id_col, "left_anti")
+            .crossJoin(F.broadcast(s))
+            .withColumn(
+                "dv",
+                F.round(
+                    dot(F.col("v"), F.col("sv")) / (F.col("vn") * F.col("svn")), 6
+                ),
+            )
+            .groupBy(id_col, "v", "vn", "rel")
+            .agg(F.max("dv").alias("dv"))
+        )
+        pick = (
+            div.withColumn(
+                "score", F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("dv")
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(1)
+            .select(id_col, "v", "vn", "rel", F.lit(t).alias("mmr_rank"))
+        )
+        # selected is read three times next round (anti-join, broadcast,
+        # union) — materialize the <=k-row relation per round
+        selected = selected.unionByName(pick).localCheckpoint()
+    return selected.select(id_col, "rel", "mmr_rank")
+
+
+def mmr_oracle_sql(k: int = 8, lam: float = 0.5, query_id: int = 0) -> str:
+    """DuckDB mirror of `mmr_select` over the embeddings table with the
+    query vector = embedding of ``query_id``: the same greedy rounds
+    unrolled, cosines rounded 6 dp, (score DESC, id) cuts."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"q AS (SELECT vec FROM v WHERE vec_id = {query_id})",
+        f"""cands AS MATERIALIZED (
+        SELECT v.vec_id, v.vec,
+               round(list_cosine_similarity(v.vec, q.vec), 6) AS rel
+        FROM v CROSS JOIN q WHERE v.vec_id != {query_id}
+    )""",
+        """sel1 AS MATERIALIZED (
+        SELECT vec_id, vec, rel, 1 AS mmr_rank FROM cands
+        ORDER BY rel DESC, vec_id LIMIT 1
+    )""",
+    ]
+    prev = "sel1"
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+        SELECT c.vec_id, c.vec, c.rel,
+               max(round(list_cosine_similarity(c.vec, s.vec), 6)) AS dv
+        FROM cands c CROSS JOIN {prev} s
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY c.vec_id, c.vec, c.rel
+    )"""
+        )
+        ctes.append(
+            f"""pick{t} AS (
+        SELECT vec_id, vec, rel, {t} AS mmr_rank FROM d{t}
+        ORDER BY {lam} * rel - {1 - lam} * dv DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""sel{t} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+    )"""
+        )
+        prev = f"sel{t}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, rel, mmr_rank FROM {prev}"
+    )

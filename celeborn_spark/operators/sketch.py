@@ -37,13 +37,21 @@ def _u01_sql(hex_sql: str) -> str:
     return f"CAST(concat('0x', {hex_sql}) AS UBIGINT) / {float(_SPACE)}"
 
 
-def kmv_sketch(df: DataFrame, key_col: str, group_col: str, k: int) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_col: str, k: int, fanin: int = 32
+) -> DataFrame:
     """(group, h, nk, rn): the k lexicographically-smallest distinct
     md5 hash buckets per group (rn = rank, nk = number of distinct keys
     sharing the hash — carried so exact counts survive 32-bit hash
-    collisions). One exchange for the distinct-pair aggregate; the
-    per-group top-k window is WindowGroupLimit-pruned (rank <= k cuts
-    before any full per-group sort materializes)."""
+    collisions). TWO-STAGE top-k — a single per-group window would pull
+    every distinct hash of a group through one task; instead each of
+    `fanin` subgroups keeps its local k minima (this IS the sketch's
+    own merge: per-slice k-minima unioned and re-cut are exactly the
+    global k-minima, pinned by tests/test_sketch.py), and the final
+    window ranks at most fanin*k rows per group. The subgroup key is
+    xxhash64 of the hash string — NOT a prefix of it, which would
+    correlate with the very order being ranked and send all minima to
+    one subgroup."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     hx = (
@@ -54,8 +62,15 @@ def kmv_sketch(df: DataFrame, key_col: str, group_col: str, k: int) -> DataFrame
         .groupBy("grp", "h")
         .agg(F.count(F.lit(1)).alias("nk"))
     )
+    sub = F.pmod(F.xxhash64("h"), F.lit(fanin))
+    local_rn = F.row_number().over(
+        W.partitionBy("grp", sub.alias("_sub")).orderBy("h")
+    )
+    pruned = hx.withColumn("_lrn", local_rn).filter(F.col("_lrn") <= k)
     rn = F.row_number().over(W.partitionBy("grp").orderBy("h"))
-    return hx.withColumn("rn", rn).filter(F.col("rn") <= k)
+    return (
+        pruned.withColumn("rn", rn).filter(F.col("rn") <= k).drop("_lrn")
+    )
 
 
 def kmv_distinct(

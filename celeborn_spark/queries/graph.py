@@ -185,3 +185,21 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.shortest_paths(
         graph_ops.cost_order_edges(orders, lineitem), seeds, rounds=3
     )
+
+
+@query(
+    "q_label_propagation",
+    oracle=graph_ops.label_propagation_oracle_sql(rounds=_ITERS),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label propagation (3 synchronous rounds, all-integer
+    min-label tiebreak) over the undirected customer<->supplier order
+    graph — community detection beside q_dedup_groups' connected
+    components. One join + one partial-combined count exchange per
+    round, argmax via struct max, zero windows
+    (operators/graph.label_propagation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return graph_ops.label_propagation(
+        bipartite_order_edges(orders, lineitem), rounds=_ITERS
+    )

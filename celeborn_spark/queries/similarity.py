@@ -400,3 +400,18 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "recon_err",
     )
+
+
+@query("q_mmr_select", oracle=S.mmr_oracle_sql(k=8, lam=0.5, query_id=0))
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-8 against vector 0:
+    greedy rounds trade relevance (6dp cosine to the query) against
+    redundancy (max 6dp cosine to the already-selected set), lam=0.5
+    so every score is an exact half-sum — bit-identical to the
+    unrolled greedy oracle. The retrieval-diversification layer over
+    q_cosine_topk (operators/similarity.mmr_select)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    return S.mmr_select(
+        emb.filter(F.col("vec_id") != 0), qv, k=8, lam=0.5
+    )

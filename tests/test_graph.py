@@ -376,3 +376,63 @@ def test_shortest_path_zero_rounds_seeds_only(spark):
     assert [
         (r.node, r.dist) for r in shortest_paths(e, seeds, rounds=0).collect()
     ] == [(0, 0)]
+
+
+# --- label propagation communities (operators/graph.label_propagation) ---
+
+
+def _undirected(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, ["src", "dst"])
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_lpa_disjoint_cliques_get_distinct_labels(spark):
+    """Two disjoint triangles each converge to their own min node id."""
+    from celeborn_spark.operators.graph import label_propagation
+
+    e = _undirected(
+        spark, [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    )
+    got = {r.node: r.label for r in label_propagation(e, rounds=3).collect()}
+    assert {got[0], got[1], got[2]} == {0}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_lpa_majority_beats_min_label(spark):
+    """Node 9 sits between a K4 community (stable label 4 from round 2)
+    and the smaller-id pair {0,1}: the MAJORITY label 4 wins over the
+    smaller label — the rule that separates LPA from
+    connected-components min-propagation (which would give 0)."""
+    from celeborn_spark.operators.graph import label_propagation
+
+    k4 = [(4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7)]
+    e = _undirected(spark, k4 + [(9, 5), (9, 6), (9, 7), (9, 0), (0, 1)])
+    got = {r.node: r.label for r in label_propagation(e, rounds=3).collect()}
+    assert got[9] == 4
+
+
+def test_lpa_deterministic(spark, sf_dir):
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.graph import (
+        bipartite_order_edges,
+        label_propagation,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = bipartite_order_edges(o, li)
+    a = sorted((r.node, r.label) for r in label_propagation(e, 2).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(e, 2).collect())
+    assert a == b
+
+
+def test_lpa_rejects_zero_rounds(spark):
+    import pytest as _pytest
+
+    from celeborn_spark.operators.graph import label_propagation
+
+    e = _undirected(spark, [(0, 1)])
+    with _pytest.raises(ValueError):
+        label_propagation(e, rounds=0)

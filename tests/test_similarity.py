@@ -294,3 +294,52 @@ def test_pq_vs_oracle(spark, sf_dir):
         registry.oracles()["q_pq_encode"],
         "q_pq_encode",
     )
+
+
+# --- MMR diversified selection (operators/similarity.mmr_select) ---
+
+
+def test_mmr_skips_near_duplicate_of_selected(spark):
+    """Query q = e1. Candidates: a ~= q (best), a' a clone of a, b
+    orthogonal-ish. Plain top-2 = {a, a'}; MMR(lam=.5) must pick a then
+    b — the clone's redundancy penalty (~1.0) beats its relevance."""
+    from celeborn_spark.operators.similarity import mmr_select
+
+    rows = [
+        (1, [1.0, 0.05, 0.0]),   # a: closest to q
+        (2, [1.0, 0.06, 0.0]),   # a': near-clone of a (cos ~ 0.99995)
+        (3, [1.0, -0.5, 0.0]),   # b: still relevant, angularly distinct
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    got = {
+        r.mmr_rank: r.vec_id for r in mmr_select(vecs, q, k=2).collect()
+    }
+    assert got[1] == 1 and got[2] == 3
+
+
+def test_mmr_lam_one_is_plain_topk(spark):
+    """lam=1 disables the diversity term: picks are relevance order."""
+    from celeborn_spark.operators.similarity import mmr_select
+
+    rows = [(i, [1.0, 0.01 * i, 0.0]) for i in range(1, 5)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["vec_id", "embedding"])
+    out = sorted(
+        (r.mmr_rank, r.vec_id) for r in mmr_select(vecs, q, k=3, lam=1.0).collect()
+    )
+    assert out == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_mmr_rank_count_and_determinism(spark, sf_dir):
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.similarity import mmr_select
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") != 0)
+    a = sorted((r.mmr_rank, r.vec_id) for r in mmr_select(c, qv, k=5).collect())
+    b = sorted((r.mmr_rank, r.vec_id) for r in mmr_select(c, qv, k=5).collect())
+    assert a == b and len(a) == 5
+    assert [t for t, _ in a] == [1, 2, 3, 4, 5]
