@@ -472,6 +472,139 @@ def main() -> None:
         )
 
 
+    # --- round-7 cases ---
+    from celeborn_spark.operators.classify import decision_stump
+    from celeborn_spark.operators.frontier import skyline_2d
+    from celeborn_spark.operators.graph import (
+        cost_order_edges,
+        directed_order_edges,
+        hits,
+        label_propagation,
+        shortest_paths,
+    )
+    from celeborn_spark.operators.market import item_neighbors
+    from celeborn_spark.operators.sketch import kmv_distinct
+    from celeborn_spark.operators.stats import cusum_changepoint, key_skew_profile
+
+    # directed + cost edge variants of the K disjoint graphs
+    ed1 = directed_order_edges(o1, l1)
+    edk_parts = [
+        ed1.select(
+            (F.col("src") + F.lit(i * 100_000_000)).alias("src"),
+            (F.col("dst") + F.lit(i * 100_000_000)).alias("dst"),
+        )
+        for i in range(K)
+    ]
+    edk = edk_parts[0]
+    for r in edk_parts[1:]:
+        edk = edk.unionByName(r)
+    edk = edk.localCheckpoint()
+    for label, df in (("1x", ed1), (f"{K}x", edk)):
+        timeit(f"hits(3) {label}", lambda df=df: hits(df, iters=3).count())
+
+    ce1 = cost_order_edges(o1, l1)
+    cek_parts = [
+        ce1.select(
+            (F.col("src") + F.lit(i * 100_000_000)).alias("src"),
+            (F.col("dst") + F.lit(i * 100_000_000)).alias("dst"),
+            "w",
+        )
+        for i in range(K)
+    ]
+    cek = cek_parts[0]
+    for r in cek_parts[1:]:
+        cek = cek.unionByName(r)
+    cek = cek.localCheckpoint()
+    for label, df in (("1x", ce1), (f"{K}x", cek)):
+        seeds = df.select(F.col("src").alias("node")).filter(
+            F.pmod("node", F.lit(194)) == 0
+        )
+        timeit(
+            f"shortest_paths(3) {label}",
+            lambda df=df, seeds=seeds: shortest_paths(df, seeds, rounds=3).count(),
+        )
+
+    for label, df in (("1x", g1), (f"{K}x", gk)):
+        timeit(
+            f"label_propagation(3) {label}",
+            lambda df=df: label_propagation(df, rounds=3).count(),
+        )
+
+    # lineitem-shaped cases: keys/baskets scale Kx
+    for label, df in (("1x", li1), (f"{K}x", lik)):
+        timeit(
+            f"kmv_distinct(k=64) {label}",
+            lambda df=df: kmv_distinct(
+                df.withColumn("grp", F.pmod("l_orderkey", F.lit(7))),
+                "l_partkey",
+                "grp",
+                k=64,
+            ).count(),
+        )
+        timeit(
+            f"key_skew_profile {label}",
+            lambda df=df: key_skew_profile(df, "l_partkey").count(),
+        )
+        timeit(
+            f"skyline_2d {label}",
+            lambda df=df: skyline_2d(
+                df.select(
+                    F.floor(F.col("l_extendedprice") * 100)
+                    .cast("long")
+                    .alias("x"),
+                    F.pmod("l_partkey", F.lit(1000)).cast("long").alias("y"),
+                ),
+                "x",
+                "y",
+            ).count(),
+        )
+        timeit(
+            f"item_neighbors(k=5) {label}",
+            lambda df=df: item_neighbors(df, "l_orderkey", "l_partkey", 5).count(),
+        )
+        timeit(
+            f"decision_stump {label}",
+            lambda df=df: decision_stump(
+                df.withColumn("f", F.pmod("l_partkey", F.lit(50))),
+                "f",
+                F.col("l_extendedprice") > 30000,
+            ).count(),
+        )
+
+    for label, df in (("1x", ev1f), (f"{K}x", evkf)):
+        timeit(
+            f"cusum_changepoint {label}",
+            lambda df=df: cusum_changepoint(
+                df, "user_id", ("ts", "event_id"), "value"
+            ).count(),
+        )
+
+    # MMR over Kx candidates (identical vectors replicated: ties are
+    # id-broken; work scales with candidate count x k rounds)
+    from celeborn_spark.operators.similarity import mmr_select
+
+    em1 = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    emk_parts = [
+        em1.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(K)
+    ]
+    emk = emk_parts[0]
+    for r in emk_parts[1:]:
+        emk = emk.unionByName(r)
+    emk = emk.localCheckpoint()
+    qv = em1.filter(F.col("vec_id") == 0)
+    for label, df in (("1x", em1), (f"{K}x", emk)):
+        timeit(
+            f"mmr_select(k=8) {label}",
+            lambda df=df: mmr_select(
+                df.filter(F.col("vec_id") != 0), qv, k=8
+            ).count(),
+        )
+
+
 def _winsorize(e):
     bounds = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.05)").alias("p05"),

@@ -25,7 +25,11 @@ CONF_VARIANTS = [
 
 
 def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+    # repr gives a None-safe total order (this testdata has duplicate
+    # (l_orderkey, l_linenumber) pairs, so ties can reach a nullable
+    # column where None < str raises); any consistent order works for
+    # the multiset-equality assertion.
+    return sorted((tuple(r) for r in df.collect()), key=repr)
 
 
 @pytest.mark.parametrize("conf", CONF_VARIANTS, ids=[str(c) for c in CONF_VARIANTS])
@@ -178,6 +182,49 @@ def _r6_late_ops():
 @pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
 @pytest.mark.parametrize("qfn", _r6_late_ops(), ids=lambda f: f.__name__)
 def test_r6_late_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+# --- r7 operator surface under the same matrix: HITS' broadcast
+# scalar normalizers, Bellman-Ford's full-outer merge, the two-stage
+# KMV top-k, the skyline's hash pruning groups, LPA's struct-max
+# argmax, MMR's greedy rounds, the PIT join's union+window — all must
+# be invariant to adaptive re-plan, exchange width and join strategy.
+def _r7_ops():
+    from celeborn_spark.queries.advanced import q_pareto_frontier
+    from celeborn_spark.queries.analytics import q_item_neighbors
+    from celeborn_spark.queries.graph import (
+        q_hits,
+        q_label_propagation,
+        q_shortest_path,
+    )
+    from celeborn_spark.queries.similarity import q_mmr_select
+    from celeborn_spark.queries.sketches import q_kmv_distinct
+    from celeborn_spark.queries.temporal import q_point_in_time_join
+
+    return [
+        q_hits,
+        q_shortest_path,
+        q_label_propagation,
+        q_kmv_distinct,
+        q_pareto_frontier,
+        q_item_neighbors,
+        q_mmr_select,
+        q_point_in_time_join,
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r7_ops(), ids=lambda f: f.__name__)
+def test_r7_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     baseline = _rows(qfn(spark, sf_dir))
     saved = {k: spark.conf.get(k) for k in conf}
     try:
