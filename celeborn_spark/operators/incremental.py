@@ -231,3 +231,30 @@ def incremental_quantile_oracle_sql(
     FROM cums
     GROUP BY k
     """
+
+
+def delta_join(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    key: str,
+) -> DataFrame:
+    """The DELTA of an inner equi-join under insertions to both sides:
+    d(A join B) = dA join B_old  union all  A_old join dB
+                  union all  dA join dB
+    — the other half of incremental view maintenance next to
+    `merge_agg_states` (aggregates). At 100 TB the nightly refresh of
+    a joined view touches ONLY the delta partitions and their matching
+    keys, never a full re-join: the three delta terms are each keyed
+    joins whose small side is the delta (broadcast when it fits).
+
+    Returns the join DELTA; union it with the previous materialized
+    join result to refresh. Exact by the distributivity of inner join
+    over union — pinned against a full recompute by the oracle of
+    q_incremental_join_merge."""
+    return (
+        delta_a.join(base_b, key)
+        .unionByName(base_a.join(delta_b, key))
+        .unionByName(delta_a.join(delta_b, key))
+    )

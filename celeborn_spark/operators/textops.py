@@ -946,3 +946,139 @@ def rrf_fuse(
         F.col("s.nl").alias("n_lists"),
         (F.col("pos") + 1).alias("rnk"),
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int = 1000,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Document pairs with TF-IDF cosine >= threshold via the SPARSE
+    postings join — weighted near-duplicate / related-document
+    retrieval where set-Jaccard is too crude (it ignores term salience)
+    and dense embeddings don't exist yet. sim = sum over SHARED terms
+    of w_a * w_b / (|w_a| |w_b|): only the postings self-join on the
+    term key touches pairs, so cost is sum of df^2 over terms — the
+    `max_df` cap drops stopword-grade terms (their tf-idf weight is
+    ~0 anyway), bounding the join exactly like jaccard_pairs'
+    max_shingle_freq (the measured quadratic-hot-key lesson).
+
+    Engine parity: weights and norms round to 6 dp (ln divergence dies
+    at the round), the final cosine rounds to 6 dp, and the threshold
+    compares the ROUNDED value — the tfidf_topk discipline.
+
+    ``block_col`` restricts pairs (and df statistics) to the SAME
+    block — the sharded-retrieval discipline for corpora whose
+    vocabulary is so small that every term is hot (this testdata: 31
+    tokens over 500 docs, so even `max_df` cannot bound a global join;
+    blocking divides the df^2 pair space by the block count, the same
+    way LSH bands or IVF cells bound their joins). The join key
+    becomes (block, term).
+
+    One exchange for tf, one vocabulary-keyed join for df, one
+    term-keyed pair join + pair-keyed aggregate."""
+    from celeborn_spark.operators.dedup import _spread
+
+    blk = F.col(block_col) if block_col else F.lit(0)
+    toks = _spread(df, id_col).select(
+        F.col(id_col).alias("id"),
+        blk.alias("blk"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    tf = toks.groupBy("id", "blk", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("blk", "tok").agg(
+        F.count_distinct(F.col("id")).alias("df")
+    )
+    n_docs = df.groupBy(blk.alias("blk")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = (
+        tf.join(dfreq.filter(F.col("df") <= max_df), ["blk", "tok"])
+        .join(n_docs, "blk")
+        .select(
+            "id",
+            "blk",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("w"),
+        )
+        .localCheckpoint()  # feeds norms + both sides of the pair join
+    )
+    norms = w.groupBy("id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
+    )
+    pairs = (
+        w.alias("a")
+        .join(w.alias("b"), ["blk", "tok"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    scored = (
+        pairs.join(norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        # a doc whose every term has idf 0 (uniform block) has norm 0:
+        # no similarity is defined for it — drop BEFORE the division
+        # (ANSI mode raises on /0; DuckDB would emit inf)
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def sparse_cosine_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int = 1000,
+    block_sql: str = "0",
+) -> str:
+    """DuckDB mirror of `sparse_cosine_pairs` — identical tokenization
+    (the `tokens` regex contract), 6dp weights/norms/cosines, rounded
+    threshold compare."""
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS id, {block_sql} AS blk,
+               unnest(string_split({text_col}, ' ')) AS tok
+        FROM {table}
+    ),
+    tf AS (SELECT id, blk, tok, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+    dfreq AS (
+        SELECT blk, tok, count(DISTINCT id) AS df FROM toks GROUP BY 1, 2
+    ),
+    nd AS (SELECT {block_sql} AS blk, count(*) AS n_docs FROM {table} GROUP BY 1),
+    w AS (
+        SELECT tf.id, tf.blk, tf.tok,
+               round(tf.tf * ln(nd.n_docs / dfreq.df), 6) AS w
+        FROM tf
+        JOIN dfreq ON tf.blk = dfreq.blk AND tf.tok = dfreq.tok
+        JOIN nd ON tf.blk = nd.blk
+        WHERE dfreq.df <= {max_df}
+    ),
+    norms AS (
+        SELECT id, round(sqrt(sum(w * w)), 6) AS nrm FROM w GROUP BY id
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           round(p.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM pairs p
+    JOIN norms na ON na.id = p.id_a
+    JOIN norms nb ON nb.id = p.id_b
+    WHERE na.nrm > 0 AND nb.nrm > 0
+      AND round(p.dot / (na.nrm * nb.nrm), 6) >= {threshold}
+    """

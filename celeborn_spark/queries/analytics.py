@@ -21,6 +21,7 @@ from celeborn_spark.operators.classify import (
 )
 from celeborn_spark.operators.incremental import (
     agg_state,
+    delta_join,
     finalize_agg,
     incremental_agg_oracle_sql,
     incremental_quantile_oracle_sql,
@@ -293,3 +294,43 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-screen primitive (operators/classify.decision_stump)."""
     li = load_table(spark, sf_dir, "lineitem")
     return decision_stump(li, "l_quantity", F.col("l_returnflag") == "R")
+
+
+@query(
+    "q_incremental_join_merge",
+    oracle="""
+    SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance: orders and lineitem are each split
+    at the 1996 cutoff into (base, delta); the refreshed view =
+    base-join UNION delta_join(dA join B_old + A_old join dB +
+    dA join dB). The oracle recomputes the join from the FULL tables,
+    so equality proves the delta algebra exact — the
+    refresh-without-rescan shape for JOINED views, next to
+    q_incremental_agg_merge's aggregate half
+    (operators/incremental.delta_join)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+    base_l = li.filter(F.col("l_shipdate") < cutoff)
+    delta_l = li.filter(
+        (F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull()
+    )
+    o_keyed = orders.withColumnRenamed("o_orderkey", "l_orderkey")
+    base_o = o_keyed.filter(F.col("o_orderdate") < cutoff)
+    delta_o = o_keyed.filter(
+        (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+    )
+    proj = ["l_orderkey", "l_partkey", "l_quantity", "o_orderpriority"]
+    prev = base_l.join(base_o, "l_orderkey").select(*proj)
+    delta = delta_join(base_l, delta_l, base_o, delta_o, "l_orderkey").select(
+        *proj
+    )
+    return prev.unionByName(delta)

@@ -894,3 +894,25 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.feature_hashing(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n_features=16
     )
+
+
+@query(
+    "q_sparse_cosine_pairs",
+    oracle=T.sparse_cosine_oracle_sql(
+        "documents", "doc_id", "text", threshold=0.5, max_df=1000,
+        block_sql="source",
+    ),
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document pairs by TF-IDF cosine >= 0.5 within each
+    source shard — weighted similarity where set-Jaccard ignores term
+    salience. Blocking by source is the scale bound on THIS corpus's
+    31-token vocabulary (every term is hot, so a global postings join
+    is quadratic no matter the df cap — the same measured lesson that
+    drove set_similarity_join's adaptive strategy); df statistics and
+    the pair join both key on (source, term)
+    (operators/textops.sparse_cosine_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.sparse_cosine_pairs(
+        d, "doc_id", "text", threshold=0.5, max_df=1000, block_col="source"
+    )

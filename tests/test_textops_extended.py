@@ -296,3 +296,94 @@ def test_cms_exact_when_no_collisions(spark):
            cms_heavy_hitters(df, "text", depth=4, width=1024, k=3).collect()}
     assert got["aa"][0] == 3 and got["aa"][1] == 3
     assert got["bb"][0] == 2 and got["bb"][1] >= 2
+
+
+# --- sparse TF-IDF cosine pairs (operators/textops.sparse_cosine_pairs) ---
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    """Two identical docs: cosine exactly 1.0 (identical weight
+    vectors); an unrelated doc pairs below threshold or not at all."""
+    from celeborn_spark.operators.textops import sparse_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_sparse_cosine_salience_weighting(spark):
+    """Docs sharing only a CORPUS-UNIVERSAL term score far below docs
+    sharing a rare term — the idf weighting Jaccard lacks. With 'the'
+    in every doc its idf is ln(1) = 0, so pair (1,2) (sharing only
+    'the') scores 0 while (3,4) share the rare 'quark'."""
+    from celeborn_spark.operators.textops import sparse_cosine_pairs
+
+    rows = [
+        (1, "the cat"),
+        (2, "the dog"),
+        (3, "the quark spin"),
+        (4, "the quark charm"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sparse_cosine_pairs(df, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert (1, 2) not in got
+    assert got.get((3, 4), 0.0) >= 0.2  # = w^2 / 5w^2 exactly
+
+
+def test_sparse_cosine_blocking_isolates(spark):
+    """With block_col, identical docs in DIFFERENT blocks never pair."""
+    from celeborn_spark.operators.textops import sparse_cosine_pairs
+
+    rows = [
+        (1, "same words here", "s1"),
+        (2, "same words here", "s2"),
+        (3, "same words here", "s1"),
+        (5, "unrelated tokens entirely", "s1"),   # keeps s1 idfs nonzero
+        (6, "completely different stuff", "s2"),  # keeps s2 idfs nonzero
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in sparse_cosine_pairs(
+            df, "doc_id", "text", threshold=0.5, block_col="source"
+        ).collect()
+    }
+    assert (1, 3) in got
+    assert all(a != 2 and b != 2 for a, b in got)  # cross-block never
+
+
+# --- incremental join maintenance (operators/incremental.delta_join) ---
+
+
+def test_delta_join_covers_all_cross_terms(spark):
+    """Keys matched base-base, base-delta, delta-base, delta-delta:
+    previous + delta == full recompute as a multiset."""
+    from celeborn_spark.operators.incremental import delta_join
+
+    a_base = spark.createDataFrame([(1, "ab1"), (2, "ab2")], ["k", "pa"])
+    a_delta = spark.createDataFrame([(2, "ad2"), (3, "ad3")], ["k", "pa"])
+    b_base = spark.createDataFrame([(1, "bb1"), (3, "bb3")], ["k", "pb"])
+    b_delta = spark.createDataFrame([(2, "bd2"), (3, "bd3")], ["k", "pb"])
+    full_a = a_base.unionByName(a_delta)
+    full_b = b_base.unionByName(b_delta)
+    recompute = sorted(
+        tuple(r) for r in full_a.join(full_b, "k").collect()
+    )
+    incremental = sorted(
+        tuple(r)
+        for r in a_base.join(b_base, "k")
+        .unionByName(delta_join(a_base, a_delta, b_base, b_delta, "k"))
+        .collect()
+    )
+    assert incremental == recompute
