@@ -56,3 +56,79 @@ def resample_gapfill(
         "bucket_avg",
         F.last("bucket_avg", ignorenulls=True).over(w).alias("filled"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching [start, end] intervals per key —
+    the gaps-and-islands operator (merging validity windows, speech/
+    scene segments, maintenance windows; the interval dual of
+    sessionization's gap splitting). Intervals touch when
+    next.start <= running_max(end); each island starts where that
+    fails. Output: (key, island_start, island_end, n_merged).
+
+    Plan: ONE window exchange keyed on the key — running max of end
+    over (start, end) order marks island heads (classic prefix-max
+    islands); island ids are a running sum of heads; the final
+    per-island aggregate reuses the same partitioning. All comparisons
+    on the raw (integer/timestamp) bounds — no arithmetic, engine-exact."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max = F.max(F.col(end_col)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = df.select(F.col(key_col), F.col(start_col), F.col(end_col)).withColumn(
+        "_head",
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0),
+    )
+    d = d.withColumn(
+        "_island",
+        F.sum("_head").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return d.groupBy(key_col, "_island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ).drop("_island")
+
+
+def merge_intervals_oracle_sql(
+    intervals_sql: str, key_col: str
+) -> str:
+    """DuckDB mirror of `merge_intervals` over ``intervals_sql`` (a
+    relation with (key, s, e) columns): identical prefix-max island
+    construction."""
+    return f"""
+    WITH iv AS ({intervals_sql}),
+    d AS (
+        SELECT {key_col}, s, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY {key_col} ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s > max(e) OVER (
+                        PARTITION BY {key_col} ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS head
+        FROM iv
+    ),
+    g AS (
+        SELECT {key_col}, s, e,
+               sum(head) OVER (
+                   PARTITION BY {key_col} ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM d
+    )
+    SELECT {key_col}, min(s) AS island_start, max(e) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_merged
+    FROM g GROUP BY {key_col}, island
+    """

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.resample import (
+    merge_intervals,
+    merge_intervals_oracle_sql,
+)
 from celeborn_spark.operators.asof import (
     asof_join,
     bucketed_range_self_join,
@@ -369,3 +373,96 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["prio_at_ship"],
     )
     return out.select("l_orderkey", "l_linenumber", "prio_at_ship")
+
+
+@query(
+    "q_interval_merge",
+    oracle=merge_intervals_oracle_sql(
+        "SELECT l_suppkey, l_shipdate AS s, "
+        "l_shipdate + INTERVAL 7 DAY AS e FROM lineitem",
+        "l_suppkey",
+    )
+    .replace("SELECT l_suppkey, min(s)", "SELECT l_suppkey, CAST(min(s) AS DATE)")
+    .replace("max(e) AS island_end", "CAST(max(e) AS DATE) AS island_end"),
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each supplier's 7-day shipping windows
+    coalesced into continuous activity islands — the interval dual of
+    sessionization (validity-window merging, maintenance scheduling).
+    ONE supplier-keyed window exchange; prefix-max island heads, raw
+    timestamp comparisons only (operators/resample.merge_intervals)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("s"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+    )
+    out = merge_intervals(iv, "l_suppkey", "s", "e")
+    return out.select(
+        "l_suppkey",
+        F.col("island_start").cast("date").alias("island_start"),
+        F.col("island_end").cast("date").alias("island_end"),
+        "n_merged",
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, ts, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+        SELECT p.event_id, p.cents,
+               (SELECT t.event_type FROM touches t
+                WHERE t.user_id = p.user_id AND t.rn = 1 AND t.ts <= p.ts
+                ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS touch_type
+        FROM purchases p
+    )
+    SELECT coalesce(touch_type, 'unattributed') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM attributed GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the
+    LATEST preceding click/view of the same user (the marketing-
+    analytics sibling of the point-in-time join — same backward as-of
+    machinery, one user-keyed exchange, no per-purchase scan). Touches
+    deduped per (user, ts) by highest event_id so the as-of right side
+    is unique; revenue in exact integer cents; purchases with no prior
+    touch report 'unattributed'. Oracle = the correlated latest-touch
+    subquery (operators/asof.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wt = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("touch_type"))
+    )
+    att = asof_join(
+        purchases, touches, ["user_id"], "ts", ["touch_type"]
+    )
+    return att.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias(
+            "touch_type"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

@@ -31,3 +31,42 @@ def test_percentile_approx_near_exact(spark, sf_dir):
     exact = li.agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m")).collect()[0].m
     approx = li.agg(F.percentile_approx("l_extendedprice", 0.5).alias("m")).collect()[0].m
     assert abs(approx - exact) / exact < 0.05
+
+
+# --- interval merge (operators/resample.merge_intervals) ---
+
+
+def test_merge_intervals_overlap_and_touch(spark):
+    """[1,5],[4,8] overlap; [8,10] touches (start == running max end);
+    [20,21] is a separate island."""
+    from celeborn_spark.operators.resample import merge_intervals
+
+    rows = [("k", 1, 5), ("k", 4, 8), ("k", 8, 10), ("k", 20, 21)]
+    df = spark.createDataFrame(rows, ["key", "s", "e"])
+    got = sorted(
+        (r.island_start, r.island_end, r.n_merged)
+        for r in merge_intervals(df, "key", "s", "e").collect()
+    )
+    assert got == [(1, 10, 3), (20, 21, 1)]
+
+
+def test_merge_intervals_contained_interval(spark):
+    """An interval fully inside another never opens a new island even
+    though its end is smaller than the running max."""
+    from celeborn_spark.operators.resample import merge_intervals
+
+    rows = [("k", 1, 100), ("k", 5, 10), ("k", 50, 60)]
+    df = spark.createDataFrame(rows, ["key", "s", "e"])
+    got = [
+        (r.island_start, r.island_end, r.n_merged)
+        for r in merge_intervals(df, "key", "s", "e").collect()
+    ]
+    assert got == [(1, 100, 3)]
+
+
+def test_merge_intervals_keys_independent(spark):
+    from celeborn_spark.operators.resample import merge_intervals
+
+    rows = [("a", 1, 5), ("b", 4, 8)]
+    df = spark.createDataFrame(rows, ["key", "s", "e"])
+    assert merge_intervals(df, "key", "s", "e").count() == 2
