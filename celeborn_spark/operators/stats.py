@@ -606,3 +606,155 @@ def key_skew_oracle_sql(table: str, key_sql: str) -> str:
                / (CAST(n_keys AS DOUBLE) * total_rows) AS gini
     FROM agg
     """
+
+
+def grouped_ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col_days: str,
+    value_col: str,
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend of value (integer cents)
+    over time (integer days) — the per-entity drift detector (is this
+    supplier's price CLIMBING?) where a global regression washes out
+    per-group baselines and CUSUM only localizes a single shift.
+
+    Engine parity: x = days since epoch, y = floored cents — all four
+    OLS sums (n, Sx, Sy, Sxy, Sxx) are BIGINT-exact, so
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+    is ONE division of exact integers, bit-identical cross-engine (no
+    rounding anywhere). Groups with n < min_n or zero x-variance are
+    dropped (their slope is undefined). Bounds: |days| < ~30k and
+    |cents| < ~1e7 keep n*Sxy below 2^63 for n up to ~1e4 per group
+    (documented input-domain contract).
+
+    ONE map-combined group aggregate — the cheapest possible plan."""
+    x = F.datediff(F.col(x_col_days), F.lit("1970-01-01")).cast("long")
+    y = F.floor(F.col(value_col) * 100).cast("long")
+    agg = (
+        df.select(F.col(group_col), x.alias("x"), y.alias("y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        agg.filter((F.col("n") >= min_n) & (den != 0))
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n"),
+            num.alias("slope_num"),
+            den.alias("slope_den"),
+            (num.cast("double") / den).alias("slope_cents_per_day"),
+        )
+    )
+
+
+def grouped_ols_oracle_sql(
+    table: str,
+    group_col: str,
+    x_col_days: str,
+    value_col: str,
+    min_n: int = 3,
+) -> str:
+    """DuckDB mirror of `grouped_ols_trend` — identical integer sums
+    and the single slope division."""
+    return f"""
+    WITH d AS (
+        SELECT {group_col},
+               CAST(date_diff('day', DATE '1970-01-01', {x_col_days}) AS BIGINT) AS x,
+               CAST(floor({value_col} * 100) AS BIGINT) AS y
+        FROM {table}
+    ),
+    agg AS (
+        SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM d GROUP BY {group_col}
+    )
+    SELECT {group_col}, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+               AS slope_cents_per_day
+    FROM agg
+    WHERE n >= {min_n} AND n * sxx - sx * sx != 0
+    """
+
+
+BENFORD_EXPECTED = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive value column
+    vs Benford's law — the classic fabricated-numbers screen for
+    ingested financial/metric feeds (organic multiplicative data
+    follows log10(1+1/d); invented numbers don't). Output per digit
+    1..9: observed count, observed share (one exact-integer division),
+    expected Benford share, and the absolute deviation.
+
+    The first digit comes from string form (regexp first nonzero
+    digit) — identical in both engines for positive doubles rendered
+    via a fixed format; to dodge engine float-formatting differences
+    entirely, the digit is taken from the INTEGER cents value.
+    One map-combined aggregate over 9 groups."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = df.filter(cents > 0).select(digit.alias("digit"))
+    total = base.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    exp_expr = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(round(BENFORD_EXPECTED[d], 6)))
+            ]
+        ),
+        F.col("digit"),
+    )
+    return (
+        base.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("observed"),
+            exp_expr.alias("expected"),
+            F.abs(
+                F.col("n").cast("double") / F.col("total") - exp_expr
+            ).alias("abs_dev"),
+        )
+    )
+
+
+def benford_oracle_sql(table: str, value_col: str) -> str:
+    """DuckDB mirror of `benford_audit`: same integer-cents first
+    digit, same 6dp expected constants, same divisions."""
+    cases = " ".join(
+        f"WHEN {d} THEN {round(BENFORD_EXPECTED[d], 6)!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH base AS (
+        SELECT CAST(substr(CAST(CAST(floor({value_col} * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM {table}
+        WHERE CAST(floor({value_col} * 100) AS BIGINT) > 0
+    ),
+    t AS (SELECT count(*) AS total FROM base)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) / t.total AS observed,
+           CAST(CASE digit {cases} END AS DOUBLE) AS expected,
+           abs(CAST(count(*) AS DOUBLE) / t.total
+               - CAST(CASE digit {cases} END AS DOUBLE)) AS abs_dev
+    FROM base CROSS JOIN t
+    GROUP BY digit, t.total
+    """

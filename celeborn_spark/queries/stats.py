@@ -278,3 +278,35 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.key_skew_profile; the A16 decision input)."""
     li = load_table(spark, sf_dir, "lineitem")
     return stats_ops.key_skew_profile(li, "l_partkey")
+
+
+@query(
+    "q_grouped_ols_trend",
+    oracle=stats_ops.grouped_ols_oracle_sql(
+        "lineitem", "l_suppkey", "l_shipdate", "l_extendedprice"
+    ),
+)
+def q_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier price trend: OLS slope of extended price (integer
+    cents) over ship date (integer days). All four OLS sums are
+    BIGINT-exact, slope is ONE division — bit-identical with no
+    rounding anywhere; one map-combined aggregate
+    (operators/stats.grouped_ols_trend)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.grouped_ols_trend(
+        li, "l_suppkey", "l_shipdate", "l_extendedprice"
+    )
+
+
+@query(
+    "q_benford_audit",
+    oracle=stats_ops.benford_oracle_sql("lineitem", "l_extendedprice"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of extended prices — the
+    fabricated-feed screen. Digits from the INTEGER cents string (no
+    engine float formatting), expected shares as shared 6dp constants,
+    single-division observed shares; one 9-group aggregate
+    (operators/stats.benford_audit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.benford_audit(li, "l_extendedprice")

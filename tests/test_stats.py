@@ -313,3 +313,66 @@ def test_key_skew_matches_direct_rank_formula(spark):
     rs = sum((i + 1) * c for i, c in enumerate(sc))
     expect = (2 * rs - (n + 1) * tot) / (n * tot)
     assert abs(out.gini - expect) < 1e-12
+
+
+# --- grouped OLS trend (operators/stats.grouped_ols_trend) ---
+
+
+def test_ols_exact_slope_on_planted_line(spark):
+    """y = 2.5 cents/day * x + const: slope recovered exactly (all
+    sums integer, one division)."""
+    from celeborn_spark.operators.stats import grouped_ols_trend
+
+    rows = [("s", f"1970-01-{d:02d}", (250 * d + 1000) / 100.0) for d in range(1, 11)]
+    df = spark.createDataFrame(rows, ["g", "day", "v"]).select(
+        "g", F.col("day").cast("timestamp").alias("day"), "v"
+    )
+    out = grouped_ols_trend(df, "g", "day", "v").collect()[0]
+    assert out.slope_cents_per_day == 250.0
+    assert out.slope_num == out.slope_den * 250
+
+
+def test_ols_flat_series_zero_slope(spark):
+    from celeborn_spark.operators.stats import grouped_ols_trend
+
+    rows = [("s", f"1970-02-{d:02d}", 7.0) for d in range(1, 8)]
+    df = spark.createDataFrame(rows, ["g", "day", "v"]).select(
+        "g", F.col("day").cast("timestamp").alias("day"), "v"
+    )
+    out = grouped_ols_trend(df, "g", "day", "v").collect()[0]
+    assert out.slope_num == 0 and out.slope_cents_per_day == 0.0
+
+
+def test_ols_drops_degenerate_groups(spark):
+    """Groups below min_n or with a single distinct day (zero
+    x-variance) are absent."""
+    from celeborn_spark.operators.stats import grouped_ols_trend
+
+    rows = [("small", "1970-01-01", 1.0), ("small", "1970-01-02", 2.0)]
+    rows += [("const_x", "1970-01-05", float(v)) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["g", "day", "v"]).select(
+        "g", F.col("day").cast("timestamp").alias("day"), "v"
+    )
+    assert grouped_ols_trend(df, "g", "day", "v", min_n=3).count() == 0
+
+
+# --- Benford audit (operators/stats.benford_audit) ---
+
+
+def test_benford_digits_and_shares(spark):
+    from celeborn_spark.operators.stats import benford_audit
+
+    rows = [(1.23,), (1.99,), (2.50,), (0.9,)]  # cents: 123,199,250,90
+    df = spark.createDataFrame(rows, ["v"])
+    got = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert got[1].n == 2 and got[2].n == 1 and got[9].n == 1
+    assert abs(got[1].observed - 0.5) < 1e-12
+    assert abs(got[1].expected - 0.30103) < 1e-6
+
+
+def test_benford_ignores_nonpositive(spark):
+    from celeborn_spark.operators.stats import benford_audit
+
+    df = spark.createDataFrame([(0.0,), (-5.0,), (3.0,)], ["v"])
+    got = benford_audit(df, "v").collect()
+    assert len(got) == 1 and got[0].digit == 3 and got[0].observed == 1.0
