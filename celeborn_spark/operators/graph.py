@@ -747,11 +747,21 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     )
     hub = nodes.select("node", F.lit(1.0).alias("h"))
     auth = None
+    # Every round references araw/hraw TWICE (normalizer agg + the
+    # normalized join) and the final join references the whole auth
+    # chain a second time — left lazy, the plan QUADRUPLES per round
+    # (measured: 754 exchanges at iters=3, and even rendering the plan
+    # string OOMed a default driver). Lazy persist() does not help:
+    # the LOGICAL lineage still doubles, and plan analysis/rendering
+    # pays it. Eager localCheckpoint of the two node-sized aggregates
+    # per round cuts lineage at the doubling points — two small jobs
+    # per round, constant plan depth (the bfs_hops discipline).
     for i in range(iters):
         araw = (
             hub.join(e, hub["node"] == e["src"])
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
+            .localCheckpoint()  # read by the normalizer AND the join
         )
         asum = araw.agg(F.sum("ar").alias("anorm"))
         auth = (
@@ -768,6 +778,7 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             auth.join(e, auth["node"] == e["dst"])
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
+            .localCheckpoint()  # read by the normalizer AND the join
         )
         hsum = hraw.agg(F.sum("hr").alias("hnorm"))
         hub = (
@@ -780,10 +791,6 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
                 ).alias("h"),
             )
         )
-        # lazy chaining between rounds (CLAUDE.md); cut lineage on long runs
-        if (i + 1) % 5 == 0 and (i + 1) < iters:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
     return hub.join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("auth")
     )

@@ -129,10 +129,13 @@ def item_neighbors(
 
     baskets = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint()  # feeds the pair self-join AND item_n
+    # item-count-sized; materialized because BOTH direction joins read
+    # it — without this the plan recomputed the whole scan+distinct+agg
+    # chain once per side (verified in the executed plan: two FileScans)
     item_n = baskets.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("n_item")
-    )
+    ).localCheckpoint()
     pairs = (
         baskets.alias("a")
         .join(baskets.alias("b"), "basket")
