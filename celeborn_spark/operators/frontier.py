@@ -66,7 +66,12 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     # grouping is a correct pruning superset.
     nparts = df.sparkSession.sparkContext.defaultParallelism
     grp = F.pmod(F.xxhash64("_x", "_y"), F.lit(nparts))
-    local = _prune(base, grp, "_x", "_y")
+    # stage-2's _prune reads its input twice (rows + per-x minima);
+    # survivors are frontier-sized, so materialize them instead of
+    # running the whole stage-1 prune once per reference. The RAW
+    # input is deliberately NOT materialized — re-scanning pruned
+    # parquet twice beats writing the full table once at 100 TB.
+    local = _prune(base, grp, "_x", "_y").localCheckpoint()
     out = _prune(local, F.lit(0), "_x", "_y")
     return out.drop("_x", "_y")
 

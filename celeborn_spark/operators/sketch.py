@@ -162,8 +162,14 @@ def kmv_overlap(
     / theta. At 100 TB only the two k-row sketches meet (a broadcast
     join of 64-row relations); the exact companion — a distinct-key
     inner join — is the oracle honesty column you would drop."""
-    a = kmv_sketch(df_a.select(F.col(key_col)).withColumn("_g", F.lit(1)), key_col, "_g", k)
-    b = kmv_sketch(df_b.select(F.col(key_col)).withColumn("_g", F.lit(1)), key_col, "_g", k)
+    # each k-row sketch is read twice (its theta + the common join) —
+    # materialize so the hash aggregate never runs once per reference
+    a = kmv_sketch(
+        df_a.select(F.col(key_col)).withColumn("_g", F.lit(1)), key_col, "_g", k
+    ).localCheckpoint()
+    b = kmv_sketch(
+        df_b.select(F.col(key_col)).withColumn("_g", F.lit(1)), key_col, "_g", k
+    ).localCheckpoint()
     u = F.conv("h", 16, 10).cast("double") / F.lit(float(_SPACE))
 
     def theta_of(sk: DataFrame) -> DataFrame:
