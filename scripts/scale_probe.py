@@ -83,6 +83,28 @@ Round-6 cases (same host, K=8):
                                                   size, not candidate
                                                   waste, dominates any
                                                   exact algorithm there)
+
+Round-7 cases (idle host, K=8, r7-only runner):
+
+    hits(3)                   7.81 s ->  5.27 s  (first-case JVM warmup
+                                                  inflates 1x; sublinear)
+    shortest_paths(3)         1.18 s ->  2.63 s  (2.2x for 8x edges)
+    label_propagation(3)      1.24 s ->  3.03 s  (2.4x for 8x edges)
+    kmv_distinct(k=64)        1.20 s ->  2.56 s  (2.1x: distinct-pair agg
+                                                  dominates; sketch rows flat)
+    key_skew_profile          0.14 s ->  0.37 s  (histogram-bounded)
+    skyline_2d                1.75 s -> 12.10 s  (~7x ~ LINEAR: stage-1
+                                                  windows + survivor set
+                                                  scale with data — the
+                                                  inherent cost; never
+                                                  quadratic)
+    item_neighbors(k=5)       2.89 s ->  7.91 s  (2.7x: basket-bounded
+                                                  pair join)
+    decision_stump            0.36 s ->  0.45 s  (flat: distinct-value
+                                                  histogram)
+    cusum_changepoint         0.14 s ->  0.18 s  (flat: one window pass)
+    mmr_select(k=8)           3.96 s ->  2.09 s  (flat: k fixed tiny jobs
+                                                  dominate; 1x paid warmup)
 """
 
 from __future__ import annotations
