@@ -758,3 +758,92 @@ def benford_oracle_sql(table: str, value_col: str) -> str:
     FROM base CROSS JOIN t
     GROUP BY digit, t.total
     """
+
+
+def lag1_autocorr(
+    df: DataFrame,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    min_n: int = 3,
+) -> DataFrame:
+    """Per-group lag-1 autocorrelation of integer-cents values — the
+    is-this-series-trending/mean-reverting diagnostic (white noise ~ 0,
+    drifting metrics ~ +1): the companion readout to
+    `cusum_changepoint` (which locates a shift this statistic only
+    detects).
+
+    Division-free core (the rolling_anomaly discipline): with
+    d_t = n*x_t - S (exact BIGINT),
+        acf1 = sum(d_t * d_{t-1}) / sum(d_t^2)
+    — the n^2 factors cancel, so the statistic equals the classic
+    anchored ACF with ONE final division of exact integers,
+    bit-identical cross-engine. Groups with n < min_n or zero variance
+    are dropped. Bounds: n * |cents deviation| < ~3e9 keeps every
+    summed square below 2^63 (documented input-domain contract).
+
+    One group-keyed window exchange + one group aggregate."""
+    from pyspark.sql import Window as W
+
+    x = F.floor(F.col(value_col) * 100).cast("long")
+    ocols = [F.col(c) for c in order_cols]
+    wg = W.partitionBy(group_col)
+    wlag = wg.orderBy(*ocols)
+    d = df.select(F.col(group_col), *order_cols, x.alias("_x"))
+    d = (
+        d.withColumn("_n", F.count("_x").over(wg))
+        .withColumn("_s", F.sum("_x").over(wg))
+        .withColumn("_d", F.col("_n") * F.col("_x") - F.col("_s"))
+        .withColumn("_dp", F.lag("_d").over(wlag))
+    )
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_d") * F.col("_dp")).alias("num"),
+        F.sum(F.col("_d") * F.col("_d")).alias("den"),
+    )
+    return agg.filter((F.col("n") >= min_n) & (F.col("den") != 0)).select(
+        group_col,
+        "n",
+        F.col("num").alias("acf_num"),
+        F.col("den").alias("acf_den"),
+        (F.col("num").cast("double") / F.col("den")).alias("acf1"),
+    )
+
+
+def lag1_autocorr_oracle_sql(
+    table: str,
+    group_col: str,
+    order_cols: tuple[str, ...],
+    value_col: str,
+    min_n: int = 3,
+) -> str:
+    """DuckDB mirror of `lag1_autocorr` — identical integer lag
+    products and the single division."""
+    ob = ", ".join(order_cols)
+    return f"""
+    WITH d AS (
+        SELECT {group_col}, {ob},
+               CAST(floor({value_col} * 100) AS BIGINT) AS x
+        FROM {table}
+    ),
+    g AS (
+        SELECT {group_col}, {ob}, x,
+               count(*) OVER (PARTITION BY {group_col}) AS n,
+               sum(x) OVER (PARTITION BY {group_col}) AS s
+        FROM d
+    ),
+    l AS (
+        SELECT {group_col}, n, n * x - s AS dd,
+               lag(n * x - s) OVER (PARTITION BY {group_col} ORDER BY {ob}) AS dp
+        FROM g
+    ),
+    agg AS (
+        SELECT {group_col}, CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(dd * dp) AS BIGINT) AS num,
+               CAST(sum(dd * dd) AS BIGINT) AS den
+        FROM l GROUP BY {group_col}
+    )
+    SELECT {group_col}, n, num AS acf_num, den AS acf_den,
+           CAST(num AS DOUBLE) / den AS acf1
+    FROM agg WHERE n >= {min_n} AND den != 0
+    """

@@ -357,3 +357,55 @@ def q_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") <= 40, 1).otherwise(0)).cast("long").alias("n_admitted"),
         F.sum(F.when(F.col("rn") > 40, 1).otherwise(0)).cast("long").alias("n_rejected"),
     )
+
+
+@query(
+    "q_cdc_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_nationkey AS INT) AS c_nationkey,
+           CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 10.0
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE c_custkey % 7 != 0
+    """,
+)
+def q_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff -> CDC log -> apply, closed loop: base (customers sans
+    every 11th) is diffed against a mutated target (every 7th deleted,
+    every 5th's balance +10), the diff rows become a Debezium-shaped
+    U/D feed carrying the TARGET payload, and apply_cdc replays it
+    onto base. The oracle is the target definition itself, so the
+    match proves diff and apply are mutual inverses — the lake
+    change-feed pipeline end to end (operators/merge.snapshot_diff +
+    apply_cdc), with only (key, digest) shuffling in the diff and
+    last-writer pruning in the apply."""
+    from celeborn_spark.operators.merge import apply_cdc, snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    base = cust.filter(F.col("c_custkey") % 11 != 0)
+    target = cust.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    diff = snapshot_diff(
+        base, target, "c_custkey", ["c_nationkey", "c_acctbal"]
+    )
+    log = (
+        diff.join(target, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.when(F.col("status") == "removed", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.lit(1).alias("ts"),
+            "c_nationkey",
+            "c_acctbal",
+        )
+    )
+    return apply_cdc(
+        base, log, key_col="c_custkey", op_col="op", ord_cols=("ts",)
+    )

@@ -310,3 +310,20 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.benford_audit)."""
     li = load_table(spark, sf_dir, "lineitem")
     return stats_ops.benford_audit(li, "l_extendedprice")
+
+
+@query(
+    "q_autocorrelation",
+    oracle=stats_ops.lag1_autocorr_oracle_sql(
+        "events", "user_id", ("ts", "event_id"), "value"
+    ),
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values: the n^2 factors
+    of the deviation products cancel, so the classic anchored ACF is
+    sums of exact BIGINT lag products with ONE final division —
+    bit-identical, no rounding. One user-keyed window exchange
+    (operators/stats.lag1_autocorr); the drift companion to
+    q_cusum_changepoint."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.lag1_autocorr(ev, "user_id", ("ts", "event_id"), "value")

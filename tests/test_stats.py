@@ -376,3 +376,34 @@ def test_benford_ignores_nonpositive(spark):
     df = spark.createDataFrame([(0.0,), (-5.0,), (3.0,)], ["v"])
     got = benford_audit(df, "v").collect()
     assert len(got) == 1 and got[0].digit == 3 and got[0].observed == 1.0
+
+
+# --- lag-1 autocorrelation (operators/stats.lag1_autocorr) ---
+
+
+def test_acf_alternating_series_negative(spark):
+    """A perfectly alternating series (+a, -a, ...) has acf1 near -1."""
+    from celeborn_spark.operators.stats import lag1_autocorr
+
+    rows = [("u", i, 10.0 if i % 2 == 0 else -10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    out = lag1_autocorr(df, "g", ("k",), "v").collect()[0]
+    assert out.acf1 < -0.9
+
+
+def test_acf_trending_series_positive(spark):
+    """A monotone ramp is strongly positively autocorrelated."""
+    from celeborn_spark.operators.stats import lag1_autocorr
+
+    rows = [("u", i, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    out = lag1_autocorr(df, "g", ("k",), "v").collect()[0]
+    assert out.acf1 > 0.8
+
+
+def test_acf_constant_series_dropped(spark):
+    """Zero variance: the group has no defined ACF and is absent."""
+    from celeborn_spark.operators.stats import lag1_autocorr
+
+    df = spark.createDataFrame([("u", i, 5.0) for i in range(10)], ["g", "k", "v"])
+    assert lag1_autocorr(df, "g", ("k",), "v").count() == 0
