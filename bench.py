@@ -75,6 +75,10 @@ HEAVY_EXTRAS = (
     "q_incremental_dedup",
     "q3_shipping_priority",
     "q_resample_gapfill",
+    # r7 additions benched ahead of their r8 driver window
+    "q_hits",
+    "q_item_neighbors",
+    "q_mmr_select",
 )
 
 

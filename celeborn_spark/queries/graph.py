@@ -203,3 +203,77 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.label_propagation(
         bipartite_order_edges(orders, lineitem), rounds=_ITERS
     )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM el UNION ALL SELECT v FROM el)
+        GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND el.u < el.v)
+                    THEN el.u ELSE el.v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND el.u < el.v)
+                    THEN el.v ELSE el.u END AS t
+        FROM el JOIN deg du ON el.u = du.node JOIN deg dv ON el.v = dv.node
+    ),
+    w AS (
+        SELECT o1.s AS a, o1.t AS x, o2.t AS y
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+    ),
+    tri AS (SELECT a, x, y FROM w JOIN el ON el.u = w.x AND el.v = w.y),
+    ntri AS (
+        SELECT node, count(*) AS n_tri
+        FROM (SELECT a AS node FROM tri
+              UNION ALL SELECT x FROM tri
+              UNION ALL SELECT y FROM tri)
+        GROUP BY node
+    )
+    SELECT deg.node, CAST(coalesce(ntri.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(2 * coalesce(ntri.n_tri, 0) AS DOUBLE)
+               / (deg.d * (deg.d - 1)) AS clustering
+    FROM deg LEFT JOIN ntri ON deg.node = ntri.node
+    WHERE deg.d >= 2
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the supplier co-purchase
+    graph: 2*triangles / (d*(d-1)) per node with degree >= 2 — the
+    how-clique-like-is-my-neighborhood signal (community density,
+    link-spam detection) composed from `triangle_counts` and the
+    degree aggregate; ONE exact-integer division, no rounding. Nodes
+    with no triangles report 0 (left join), keeping the denominator
+    honest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint()
+    tri = graph_ops.triangle_counts(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.col("degree").cast("long").alias("degree"),
+            (
+                (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("clustering"),
+        )
+    )

@@ -415,3 +415,63 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_select(
         emb.filter(F.col("vec_id") != 0), qv, k=8, lam=0.5
     )
+
+
+@query(
+    "q_centroid_similarity",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, pos, round(avg(x), 6) AS v
+        FROM dims GROUP BY label, pos
+    ),
+    p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.v * b.v) AS dot,
+               sqrt(sum(a.v * a.v)) AS na, sqrt(sum(b.v * b.v)) AS nb
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, round(dot / (na * nb), 6) AS cosine
+    FROM p
+    """,
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid cosine matrix: how separable are the embedding
+    classes? Centroids are per-dim 6dp means (the q_label_centroids
+    relation), pairs join on the DIMENSION key — one label²·dims-sized
+    aggregate over class-count-bounded relations, never touching row
+    vectors twice. The cluster-quality readout for curriculum/mixture
+    decisions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (
+        emb.select(
+            "label", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("v"))
+        .localCheckpoint()  # both sides of the pair join
+    )
+    p = (
+        c.alias("a")
+        .join(c.alias("b"), "pos")
+        .filter(F.col("a.label") < F.col("b.label"))
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.v") * F.col("b.v")).alias("dot"),
+            F.sqrt(F.sum(F.col("a.v") * F.col("a.v"))).alias("na"),
+            F.sqrt(F.sum(F.col("b.v") * F.col("b.v"))).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    )
