@@ -753,15 +753,16 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     # (measured: 754 exchanges at iters=3, and even rendering the plan
     # string OOMed a default driver). Lazy persist() does not help:
     # the LOGICAL lineage still doubles, and plan analysis/rendering
-    # pays it. Eager localCheckpoint of the two node-sized aggregates
-    # per round cuts lineage at the doubling points — two small jobs
-    # per round, constant plan depth (the bfs_hops discipline).
+    # pays it. ONE eager localCheckpoint per round (hraw, the round
+    # boundary) bounds the plan: araw's duplicated subtree then reads
+    # from the previous round's checkpoint, so the doubling never
+    # compounds (measured at sf0.1: lazy unusable, both-ckpt 5.5 s,
+    # hraw-only 4.6 s — the bfs_hops discipline, halved).
     for i in range(iters):
         araw = (
             hub.join(e, hub["node"] == e["src"])
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
-            .localCheckpoint()  # read by the normalizer AND the join
         )
         asum = araw.agg(F.sum("ar").alias("anorm"))
         auth = (
