@@ -707,3 +707,83 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("p_size")).cast("long").alias("neg_size"),
     )
     return frontier_ops.skyline_2d(pts, "price_cents", "neg_size")
+
+
+@query(
+    "q_feature_scaling",
+    oracle="""
+    WITH stats AS (
+        SELECT l_returnflag AS grp,
+               min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, s.grp,
+           (l.l_extendedprice - s.mn) / (s.mx - s.mn) AS price_scaled
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.grp
+    WHERE s.mx > s.mn
+    """,
+)
+def q_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] — the ML
+    preprocessing map: group stats from ONE aggregate broadcast back
+    onto the rows; the scaled value is a single subtraction and
+    division of identical doubles (raw, unrounded — bit-identical);
+    degenerate constant groups dropped before the division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    return (
+        li.join(
+            F.broadcast(stats.filter(F.col("mx") > F.col("mn"))),
+            li["l_returnflag"] == F.col("grp"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "grp",
+            (
+                (F.col("l_extendedprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+            ).alias("price_scaled"),
+        )
+    )
+
+
+@query(
+    "q_group_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(t.tot AS BIGINT) AS n_events,
+           round(-sum((c.n / CAST(t.tot AS DOUBLE))
+                      * ln(c.n / CAST(t.tot AS DOUBLE))), 6) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.tot
+    """,
+)
+def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity signal (bots repeat one action, entropy ~ 0; organic
+    users spread). Exact-integer ratios through ln, summed per user
+    and rounded 6dp; two group-keyed aggregates, the second reusing
+    the first's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "user_id",
+            F.col("tot").cast("long").alias("n_events"),
+            "entropy",
+        )
+    )
