@@ -277,3 +277,90 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "q_degree_assortativity",
+    oracle="""
+    WITH el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM el UNION ALL SELECT v FROM el)
+        GROUP BY node
+    ),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y FROM el
+        JOIN deg du ON el.u = du.node JOIN deg dv ON el.v = dv.node
+        UNION ALL
+        SELECT dv.d AS x, du.d AS y FROM el
+        JOIN deg du ON el.u = du.node JOIN deg dv ON el.v = dv.node
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs
+    )
+    SELECT n AS n_edge_ends,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                            * (n * syy - sy * sy)) END AS assortativity
+    FROM s
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-purchase graph: Pearson
+    correlation of endpoint degrees over both edge directions — do
+    hubs attach to hubs (positive, social-style) or to leaves
+    (negative, hub-and-spoke)? All correlation sums are exact BIGINTs
+    (degrees are integers); one sqrt + one division, bit-identical.
+    The structural prior behind skew decisions: disassortative graphs
+    concentrate shuffle load on hub keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint()  # joined twice per direction
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ends = edges.join(du, "u").join(dv, "v")
+    pairs = ends.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        ends.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        # a regular graph (zero degree variance) has no defined
+        # assortativity: NULL on both engines, never a /0
+        F.when(
+            (varx == 0) | (vary == 0), F.lit(None).cast("double")
+        ).otherwise(num.cast("double") / den).alias("assortativity"),
+    )

@@ -475,3 +475,89 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
     )
+
+
+@query(
+    "q_silhouette",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label AS clabel, pos, round(avg(x), 6) AS v
+        FROM dims GROUP BY label, pos
+    ),
+    d AS (
+        SELECT dims.vec_id, dims.label, c.clabel,
+               round(sqrt(sum((dims.x - c.v) * (dims.x - c.v))), 6) AS dist
+        FROM dims JOIN c ON dims.pos = c.pos
+        GROUP BY dims.vec_id, dims.label, c.clabel
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN clabel = label THEN dist END) AS a,
+               min(CASE WHEN clabel != label THEN dist END) AS b
+        FROM d GROUP BY vec_id, label
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg((b - a) / greatest(a, b)), 6) AS avg_silhouette
+    FROM ab WHERE greatest(a, b) > 0
+    GROUP BY label
+    """,
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette per label: s = (b - a) /
+    max(a, b) with a = distance to the OWN label centroid, b = nearest
+    OTHER centroid — the cluster-separation readout behind curriculum
+    and stratification decisions. Centroids (6dp per-dim means) ride a
+    BROADCAST label-count-sized array relation; each point computes
+    all label distances via one codegen'd zip_with pass — never a
+    points x labels x dims row explosion. Distances round 6dp; the
+    silhouette ratio and its per-label mean are then engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label", S.as_double_array("embedding").alias("vec")
+    )
+    cent = (
+        pts.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(F.round(F.avg("x"), 6).alias("v"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"), F.col("cvec"), lambda x, v: (x - v) * (x - v)
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ),
+        6,
+    )
+    d = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", dist.alias("dist")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        ab.filter(F.greatest("a", "b") > 0)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(sil), 6).alias("avg_silhouette"),
+        )
+    )
