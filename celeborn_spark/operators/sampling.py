@@ -236,3 +236,99 @@ def temporal_split(
         .when(F.col(ts_col) >= emb, F.lit("test"))
         .otherwise(F.lit(None).cast("string")),
     ).filter(F.col("split").isNotNull())
+
+
+def rendezvous_assign(
+    df: DataFrame, key_col: str, n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Append the key's rendezvous (highest-random-weight) shard:
+    shard = argmax over s in [0, n_shards) of md5(key ':' s) — the
+    consistent-assignment primitive (stable worker/slot routing,
+    cache-affinity sharding; the reference's slot-allocation concern
+    re-expressed as a pure function). Unlike mod-hashing, growing the
+    ring from n to n+1 relocates only the keys whose NEW shard wins
+    the argmax — ~1/(n+1) of them — so 100 TB of routed state is not
+    reshuffled by one topology change (pinned by
+    tests/test_sampling.py).
+
+    Zero shuffle: the argmax is a codegen'd array expression over
+    n_shards md5 calls per row — built as ONE parsed SQL string (the
+    CLAUDE.md lesson: composing wide Column trees costs py4j
+    round-trips per node). Portable md5 makes it oracle-exact."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    digests = ", ".join(
+        f"named_struct('h', md5(concat_ws(':', CAST({key_col} AS STRING), '{s}')),"
+        f" 's', {s})"
+        for s in range(n_shards)
+    )
+    expr = (
+        f"array_max(array({digests})).s"
+    )
+    return df.withColumn(out_col, F.expr(expr).cast("int"))
+
+
+def rendezvous_oracle_expr(key_sql: str, n_shards: int) -> str:
+    """DuckDB expression mirroring `rendezvous_assign` — the same
+    md5-per-shard argmax, expressed as a greatest-struct compare via
+    list_max over (hash, shard) rows."""
+    rows = ", ".join(
+        f"{{'h': md5(concat_ws(':', CAST({key_sql} AS VARCHAR), '{s}')), 's': {s}}}"
+        for s in range(n_shards)
+    )
+    return f"CAST(list_max([{rows}]).s AS INT)"
+
+
+def assign_dense_ids(
+    df: DataFrame, key_col: str, n_buckets: int = 64, out_col: str = "row_id"
+) -> DataFrame:
+    """Assign contiguous ids 0..n-1 to UNIQUE keys without a global
+    sort — the scalable zipWithIndex (stable row ids for training
+    shards, foreign-key surrogate generation). Order contract: ids
+    follow (md5-bucket, key) order — deterministic and portable, not a
+    value sort (use write_sorted_buckets for that).
+
+    The distributed prefix-sum pattern: (1) bucket each key by its md5
+    hash (portable, oracle-exact); (2) per-bucket counts -> bucket
+    offsets via a running sum over the n_buckets-row count relation (a
+    window over a CARDINALITY-BOUNDED histogram, never rows); (3) per
+    bucket, rank keys locally (bucket-partitioned window) and add the
+    broadcast offset. One exchange for the counts, one for the
+    bucket-keyed rank."""
+    from celeborn_spark.operators.curriculum import u01  # noqa: F401  (doc xref)
+
+    b = F.pmod(F.conv(hash_bucket(key_col), 16, 10).cast("long"), F.lit(n_buckets))
+    keyed = df.select(F.col(key_col)).distinct().withColumn("_b", b)
+    counts = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    from pyspark.sql import Window as W
+
+    off = F.coalesce(
+        F.sum("_n").over(W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    offsets = counts.withColumn("_off", off).select("_b", "_off")
+    rn = F.row_number().over(W.partitionBy("_b").orderBy(key_col))
+    return (
+        keyed.join(F.broadcast(offsets), "_b")
+        .withColumn(out_col, (F.col("_off") + rn - 1).cast("long"))
+        .select(key_col, out_col)
+    )
+
+
+def dense_ids_oracle_sql(table: str, key_sql: str, n_buckets: int = 64) -> str:
+    """DuckDB mirror of `assign_dense_ids`: identical md5 buckets and
+    (bucket, key) ordering via one global row_number (the semantics the
+    distributed two-stage form must reproduce)."""
+    return f"""
+    WITH keys AS (SELECT DISTINCT {key_sql} AS k FROM {table}),
+    kb AS (
+        SELECT k,
+               CAST(concat('0x', substr(md5(concat_ws(':', CAST(k AS VARCHAR),
+                                                      '0')), 1, 8)) AS UBIGINT)
+                   % {n_buckets} AS b
+        FROM keys
+    )
+    SELECT k AS key, CAST(row_number() OVER (ORDER BY b, k) - 1 AS BIGINT)
+               AS row_id
+    FROM kb
+    """

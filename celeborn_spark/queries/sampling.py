@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.sampling import hash_sample, kfold_oracle_expr, stratified_hash_sample
+from celeborn_spark.operators import sampling as S_ops
 from celeborn_spark.registry import query
 
 from celeborn_spark.operators.curriculum import u01_oracle_expr
@@ -217,3 +218,47 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+@query(
+    "q_rendezvous_routing",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_orderkey,
+               {S_ops.rendezvous_oracle_expr("l_orderkey", 8)} AS shard
+        FROM lineitem
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+    FROM r GROUP BY shard
+    """,
+)
+def q_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing of order keys
+    to 8 shards, summarized per shard — the consistent-assignment
+    primitive (stable slot routing; growing the ring relocates only
+    ~1/(n+1) of keys, pinned by pytest). Zero-shuffle codegen'd md5
+    argmax per row; md5 makes the oracle bit-exact
+    (operators/sampling.rendezvous_assign)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    routed = S_ops.rendezvous_assign(li, "l_orderkey", 8)
+    return routed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("l_orderkey").cast("long").alias("n_keys"),
+    )
+
+
+@query(
+    "q_dense_ids",
+    oracle=S_ops.dense_ids_oracle_sql("lineitem", "l_partkey", n_buckets=64),
+)
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous ids 0..n-1 over distinct part keys WITHOUT a global
+    sort: md5-bucket each key, prefix-sum the 64-row bucket-count
+    histogram into offsets, rank locally per bucket and add the
+    broadcast offset — the scalable zipWithIndex. The oracle's single
+    global row_number pins the exact (bucket, key) order the two-stage
+    form must reproduce (operators/sampling.assign_dense_ids)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = S_ops.assign_dense_ids(li, "l_partkey", n_buckets=64)
+    return out.select(F.col("l_partkey").alias("key"), "row_id")

@@ -178,3 +178,53 @@ def test_feature_hashing_fixed_width_and_signed(spark):
     assert len(rows[1]) == 8
     assert rows[1] == [2 * x for x in rows[2]]
     assert sum(abs(x) for x in rows[2]) == 1  # one token -> one signed unit
+
+
+# --- rendezvous hashing (operators/sampling.rendezvous_assign) ---
+
+
+def test_rendezvous_relocation_bounded(spark):
+    """Growing the ring n -> n+1 relocates ~1/(n+1) of keys — the
+    consistent-hashing property mod-hashing lacks (mod moves ~n/(n+1))."""
+    from celeborn_spark.operators.sampling import rendezvous_assign
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    a = {r.k: r.shard for r in rendezvous_assign(df, "k", 5).collect()}
+    b = {r.k: r.shard for r in rendezvous_assign(df, "k", 6).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved / 1000 < 0.30  # expect ~1/6 ~= 0.167; mod would be ~0.83
+    # survivors keep their EXACT shard (only new-shard winners move)
+    assert all(b[k] == a[k] or b[k] == 5 for k in a)
+
+
+def test_rendezvous_balanced_and_deterministic(spark):
+    from celeborn_spark.operators.sampling import rendezvous_assign
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    out = rendezvous_assign(df, "k", 4)
+    sizes = {r.shard: r.n for r in out.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    again = rendezvous_assign(df, "k", 4)
+    assert out.exceptAll(again).count() == 0
+
+
+# --- dense id assignment (operators/sampling.assign_dense_ids) ---
+
+
+def test_dense_ids_contiguous_and_unique(spark):
+    from celeborn_spark.operators.sampling import assign_dense_ids
+
+    df = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    out = assign_dense_ids(df, "k", n_buckets=16)
+    ids = sorted(r.row_id for r in out.collect())
+    assert ids == list(range(500))
+
+
+def test_dense_ids_partition_layout_invariant(spark):
+    from celeborn_spark.operators.sampling import assign_dense_ids
+
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    a = sorted((r.k, r.row_id) for r in assign_dense_ids(df.coalesce(1), "k").collect())
+    b = sorted((r.k, r.row_id) for r in assign_dense_ids(df.repartition(16), "k").collect())
+    assert a == b
