@@ -466,3 +466,139 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@query(
+    "q_temporal_cooccurrence",
+    oracle="""
+    SELECT least(a.event_type, b.event_type) AS type_a,
+           greatest(a.event_type, b.event_type) AS type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+    GROUP BY 1, 2
+    """,
+)
+def q_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type pairs co-occurring within 5 minutes per user — the
+    TEMPORAL basket (what happens together in time, where
+    q_cooccurrence_lift asks what belongs to the same static basket).
+    Pair generation rides bucketed_range_self_join, the (key, bucket)
+    equi-join form of the range theta join — Catalyst hash-partitions
+    it, so at 100 TB the pair space is user x window bounded, never
+    quadratic in the stream. The oracle IS the theta join, proving the
+    bucketed rewrite exact (operators/asof.bucketed_range_self_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = bucketed_range_self_join(ev, "user_id", "ts", 300, "event_id")
+    types = ev.select("event_id", "event_type")
+    typed = (
+        pairs.join(
+            types.select(
+                F.col("event_id").alias("id_a"), F.col("event_type").alias("ta")
+            ),
+            "id_a",
+        )
+        .join(
+            types.select(
+                F.col("event_id").alias("id_b"), F.col("event_type").alias("tb")
+            ),
+            "id_b",
+        )
+    )
+    return typed.groupBy(
+        F.least("ta", "tb").alias("type_a"),
+        F.greatest("ta", "tb").alias("type_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH firstw AS (
+        SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+        FROM events GROUP BY 1
+    ),
+    sized AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+        FROM firstw GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort,
+               CAST(date_diff('week', f.cohort,
+                              CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
+                   AS week_n,
+               CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events e JOIN firstw f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, week_n,
+               CAST(sum(cents) OVER (
+                   PARTITION BY cohort ORDER BY week_n
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT cum.cohort, cum.week_n, cum.cum_cents, sized.cohort_users,
+           CAST(cum.cum_cents AS DOUBLE) / sized.cohort_users
+               AS ltv_cents_per_user
+    FROM cum JOIN sized ON cum.cohort = sized.cohort
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: cumulative purchase revenue per
+    signup-week cohort, normalized per cohort user — the weekly
+    retention triangle's revenue companion. Integer-cents sums, a
+    cohort-partitioned running window, and ONE exact division —
+    bit-identical; two user-keyed exchanges plus the tiny cohort
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort")
+    )
+    sized = firstw.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .groupBy(
+            "cohort",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("cohort")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cum = rev.withColumn(
+        "cum_cents",
+        F.sum("cents")
+        .over(
+            W.partitionBy("cohort")
+            .orderBy("week_n")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
+    return cum.join(sized, "cohort").select(
+        "cohort",
+        "week_n",
+        "cum_cents",
+        "cohort_users",
+        (F.col("cum_cents").cast("double") / F.col("cohort_users")).alias(
+            "ltv_cents_per_user"
+        ),
+    )
