@@ -210,6 +210,9 @@ def _r7_ops():
     from celeborn_spark.queries.sketches import q_kmv_distinct
     from celeborn_spark.queries.temporal import q_point_in_time_join
 
+    from celeborn_spark.queries.sampling import q_dense_ids
+    from celeborn_spark.queries.temporal import q_temporal_cooccurrence
+
     return [
         q_hits,
         q_shortest_path,
@@ -219,6 +222,8 @@ def _r7_ops():
         q_item_neighbors,
         q_mmr_select,
         q_point_in_time_join,
+        q_dense_ids,  # two-stage offset+rank must not depend on layout
+        q_temporal_cooccurrence,  # bucketed rewrite under join-strategy flips
     ]
 
 
