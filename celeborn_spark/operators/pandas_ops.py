@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def grouped_zscore(
@@ -35,3 +36,70 @@ def grouped_zscore(
         return out
 
     return df.groupBy(group_col).applyInPandas(z, schema=schema)
+
+
+def cogroup_merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_payload: list[str],
+) -> DataFrame:
+    """Backward as-of join via COGROUPED applyInPandas — the Arrow
+    cogroup API surface (two grouped relations delivered to one pandas
+    kernel per key): each key's left/right slices meet in a
+    pd.merge_asof. Semantically identical to the JVM union+window
+    `operators/asof.asof_join` (pinned by the differential test and by
+    q_cogroup_asof's oracle); that form remains THE scale path — this
+    one exists for kernels that genuinely need pandas per key group
+    (model scoring against a per-key reference series). The cogroup
+    shuffles both sides on the key once; each group must fit one
+    worker's memory (the documented applyInPandas contract)."""
+    import pandas as pd
+
+    lschema = ", ".join(
+        f"{c} {t}" for c, t in left.select(key_col, ts_col, *left_cols).dtypes
+    )
+    pschema = ", ".join(
+        f"{c} {t}" for c, t in right.select(*right_payload).dtypes
+    )
+    schema = f"{lschema}, {pschema}"
+    # When both sides derive from the SAME source relation, the shared
+    # ts attribute carries one exprId and cogroup DEDUPLICATES it — the
+    # right pandas frame silently arrives without its ts column
+    # (observed: clicks/views both from events). A private rename on
+    # the right side forces a distinct attribute.
+    rts = f"__{ts_col}_r"
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(
+                columns=[key_col, ts_col, *left_cols, *right_payload]
+            )
+        l = l.sort_values([ts_col])
+        if r.empty:
+            out = l.copy()
+            for c in right_payload:
+                out[c] = None
+            return out[[key_col, ts_col, *left_cols, *right_payload]]
+        r = r.sort_values([rts])
+        out = pd.merge_asof(
+            l,
+            r[[rts, *right_payload]],
+            left_on=ts_col,
+            right_on=rts,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out[[key_col, ts_col, *left_cols, *right_payload]]
+
+    r_sel = right.select(
+        F.col(key_col), F.col(ts_col).alias(rts), *right_payload
+    )
+    return (
+        left.select(key_col, ts_col, *left_cols)
+        .groupBy(key_col)
+        .cogroup(r_sel.groupBy(key_col))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.pandas_ops import cogroup_merge_asof
 from celeborn_spark.registry import query
 
 
@@ -54,4 +55,55 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("zscore"),
         )
+    )
+
+
+@query(
+    "q_cogroup_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts,
+               max(event_id)            AS view_event_id,
+               arg_max(value, event_id) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+    )
+    SELECT c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           c.event_id, v.view_event_id, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-pandas as-of join (groupBy.cogroup.applyInPandas
+    + pd.merge_asof per user) against the same oracle as the JVM
+    union+window form (q_asof_join) — pinning that the Arrow cogroup
+    API surface reproduces ASOF semantics exactly. The JVM form stays
+    the scale path; this is the per-key-pandas-kernel escape hatch
+    (operators/pandas_ops.cogroup_merge_asof)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.max_by("value", "event_id").alias("view_value"),
+        )
+    )
+    out = cogroup_merge_asof(
+        clicks, views, "user_id", "ts", ["event_id"], ["view_event_id", "view_value"]
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "event_id",
+        "view_event_id",
+        "view_value",
     )

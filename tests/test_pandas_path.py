@@ -46,3 +46,55 @@ def test_constant_value_group_excluded_on_both_paths(spark):
     z = grouped_zscore(df, "user_id", "value", "event_id")
     kept = z.filter(F.col("zscore").isNotNull() & ~F.isnan("zscore")).collect()
     assert {r.user_id for r in kept} == {2}
+
+
+def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
+    """The cogrouped-pandas merge_asof equals the JVM union+window
+    asof_join row for row on the click/view enrichment."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.asof import asof_join
+    from celeborn_spark.operators.pandas_ops import cogroup_merge_asof
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("v_id"))
+    )
+    jvm = asof_join(clicks, views, ["user_id"], "ts", ["v_id"]).select(
+        "user_id", "event_id", "v_id"
+    )
+    pd_form = cogroup_merge_asof(
+        clicks, views, "user_id", "ts", ["event_id"], ["v_id"]
+    ).select("user_id", "event_id", "v_id")
+    assert sorted(map(tuple, jvm.collect())) == sorted(
+        map(tuple, pd_form.collect())
+    )
+
+
+def test_cogroup_shared_lineage_keeps_right_ts(spark):
+    """Regression: when both cogroup sides derive from ONE source, the
+    shared ts attribute (same exprId) was DEDUPLICATED and the right
+    pandas frame arrived without it — the operator's internal rename
+    must keep the right timestamps observable (payload attaches)."""
+    from celeborn_spark.operators.pandas_ops import cogroup_merge_asof
+
+    src = spark.createDataFrame(
+        [("u", 1, "l", 0.0), ("u", 5, "r", 9.9)],
+        "k string, ts long, side string, val double",
+    )
+    left = src.filter(F.col("side") == "l").select("k", "ts", F.col("val").alias("lv"))
+    right = src.filter(F.col("side") == "r").select("k", "ts", "val")
+    out = cogroup_merge_asof(
+        left.union(left.select("k", (F.col("ts") + 9).alias("ts"), "lv")),
+        right,
+        "k",
+        "ts",
+        ["lv"],
+        ["val"],
+    ).collect()
+    got = {r.ts: r.val for r in out}
+    assert got[1] is None and got[10] == 9.9
