@@ -453,3 +453,51 @@ def q_stream_anti_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
     return run_stream_to_table(agg, "stream_anti_static", "complete")
+
+
+@query(
+    "q_stream_user_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           (count(DISTINCT CASE WHEN event_type IN ('view', 'click', 'purchase')
+                                THEN event_type END) = 3) AS full_funnel
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful operator
+    (streaming/stateful.user_profile_state): per-user count, first/
+    last event-time and a type BITMASK, accumulated in group state.
+    Every state component is a commutative monoid (sum/min/max/OR), so
+    the result is exact under ANY batch split or arrival order — the
+    design rule for stateful ops at scale; the batch aggregate is the
+    oracle. Final state recovered batching-invariantly per key by the
+    highest-count emission; the mask unpacks to distinct-type count
+    and a view+click+purchase funnel-completion flag."""
+    from celeborn_spark.streaming.stateful import user_profile_state
+
+    ev = read_events_stream(spark, sf_dir)
+    prof = run_stream_to_table(
+        user_profile_state(ev), "stream_user_profile", "update"
+    )
+    final = prof.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("first_us", "n_events").alias("first_us"),
+        F.max_by("last_us", "n_events").alias("last_us"),
+        F.max_by("type_mask", "n_events").alias("mask"),
+    )
+    n_types = (
+        F.bit_count(F.expr("mask & 31L"))
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        "first_us",
+        "last_us",
+        n_types.cast("long").alias("n_types"),
+        (F.expr("mask & 7L") == 7).alias("full_funnel"),
+    )

@@ -294,3 +294,68 @@ def test_stream_stream_join_state_plateaus_under_watermark(spark, tmp_path):
     total_rows = 20 * per_slice * 2
     for v in l_states[-5:]:
         assert v < total_rows * 0.5, (v, l_states)
+
+
+def test_user_profile_state_batch_split_invariant(spark, tmp_path):
+    """The monoid-state profile accumulator yields IDENTICAL final
+    state whether the replay arrives as one batch or one file per
+    trigger — the arrival-order-independence contract the operator's
+    design rule (commutative monoid components) guarantees."""
+    import pandas as pd
+
+    from celeborn_spark.streaming.stateful import user_profile_state
+
+    import os
+
+    path = str(tmp_path / "slices")
+    os.makedirs(path, exist_ok=True)
+    rows = []
+    eid = 0
+    for s in range(6):
+        part = []
+        for u in range(4):
+            for t in ("view", "click", "purchase", "error"):
+                part.append((eid, (s * 3600 + u) * 1_000_000, u, t))
+                eid += 1
+        pd.DataFrame(
+            part, columns=["event_id", "ts_us", "user_id", "event_type"]
+        ).to_parquet(f"{path}/slice={s}.parquet")
+        rows += part
+
+    import pyspark.sql.functions as SF
+
+    def run(max_files):
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts_us long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", str(max_files))
+            .parquet(path)
+        )
+        ev = raw.withColumn("ts", SF.timestamp_micros("ts_us"))
+        name = f"profile_split_{max_files}"
+        q = (
+            user_profile_state(ev)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                SF.max("n_events").alias("n"),
+                SF.max_by("first_us", "n_events").alias("f"),
+                SF.max_by("last_us", "n_events").alias("l"),
+                SF.max_by("type_mask", "n_events").alias("m"),
+            )
+        )
+        return sorted(tuple(r) for r in final.collect())
+
+    assert run(1) == run(100)
