@@ -40,6 +40,7 @@ from celeborn_spark.operators.market import (
     item_neighbors,
     item_neighbors_oracle_sql,
 )
+from celeborn_spark.operators import stats as stats_ops
 from celeborn_spark.operators.stats import (
     ewma_oracle_sql,
     ewma_trend,
@@ -334,3 +335,121 @@ def q_incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         *proj
     )
     return prev.unionByName(delta)
+
+
+@query(
+    "q_events_pipeline",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    base AS (
+        SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+        FROM gaps GROUP BY user_id
+    ),
+    e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t FROM events),
+    s1 AS (SELECT u, min(t) AS t FROM e WHERE et = 'view' GROUP BY u),
+    s2 AS (
+        SELECT e.u, min(e.t) AS t FROM e
+        JOIN s1 ON e.u = s1.u AND e.et = 'click' AND e.t > s1.t GROUP BY e.u
+    ),
+    s3 AS (
+        SELECT e.u, min(e.t) AS t FROM e
+        JOIN s2 ON e.u = s2.u AND e.et = 'purchase' AND e.t > s2.t GROUP BY e.u
+    ),
+    rev AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    anom AS ({stats_ops.rolling_anomaly_oracle_sql(
+        "events", "user_id", ("ts", "event_id"), "value"
+    )})
+    SELECT base.user_id, base.n_sessions,
+           (s3.u IS NOT NULL) AS completed_funnel,
+           coalesce(rev.cents, 0) AS purchase_cents,
+           anom.n_anomalies
+    FROM base
+    LEFT JOIN s3 ON base.user_id = s3.u
+    LEFT JOIN rev ON base.user_id = rev.user_id
+    JOIN anom ON base.user_id = anom.user_id
+    """,
+)
+def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end events analytics canary (the behavioral twin of
+    q_pipeline_full's corpus canary): per user, 30-min-gap session
+    count, strict view->click->purchase funnel completion, exact
+    integer-cents purchase revenue, and the rolling k-sigma anomaly
+    count — four verified operator families composed through
+    user-keyed joins in ONE plan, each reusing the same user
+    partitioning. Any component regression turns this single driver
+    row red."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    base = gaps.groupBy("user_id").agg(
+        F.sum("new_session").cast("long").alias("n_sessions")
+    )
+    e = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("et"),
+        F.unix_micros("ts").alias("t"),
+    )
+    s1 = e.filter(F.col("et") == "view").groupBy("u").agg(F.min("t").alias("t1"))
+    s2 = (
+        e.filter(F.col("et") == "click")
+        .join(s1, "u")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("et") == "purchase")
+        .join(s2, "u")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t3"))
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    anom = stats_ops.rolling_anomaly(ev, "user_id", ("ts", "event_id"), "value")
+    return (
+        base.join(s3.select(F.col("u").alias("user_id"), "t3"), "user_id", "left")
+        .join(rev, "user_id", "left")
+        .join(anom.select("user_id", "n_anomalies"), "user_id")
+        .select(
+            "user_id",
+            "n_sessions",
+            F.col("t3").isNotNull().alias("completed_funnel"),
+            F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias(
+                "purchase_cents"
+            ),
+            "n_anomalies",
+        )
+    )
