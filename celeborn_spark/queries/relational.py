@@ -394,3 +394,34 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     return a.exceptAll(b)
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    SELECT user_id, CAST(n AS BIGINT) AS n, event_type AS mode_type
+    FROM (
+        SELECT user_id, event_type, count(*) AS n,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY count(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent, ties to the smallest
+    type string): max count per user, then min type among the tied —
+    two aggregates on the SAME user key (the second exchange-free
+    under AQE), ZERO window operators where the naive rank form sorts
+    every group."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = counts.groupBy("user_id").agg(F.max("n").alias("n"))
+    return (
+        best.join(counts, ["user_id", "n"])
+        .groupBy("user_id", "n")
+        .agg(F.min("event_type").alias("mode_type"))
+        .select("user_id", F.col("n").cast("long").alias("n"), "mode_type")
+    )
