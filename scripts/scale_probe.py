@@ -105,6 +105,18 @@ Round-7 cases (idle host, K=8, r7-only runner):
     cusum_changepoint         0.14 s ->  0.18 s  (flat: one window pass)
     mmr_select(k=8)           3.96 s ->  2.09 s  (flat: k fixed tiny jobs
                                                   dominate; 1x paid warmup)
+
+Late-r7 cases (idle host, K=8):
+
+    rendezvous_assign(8)      2.19 s ->  3.05 s  (1.4x: zero-shuffle map,
+                                                  8 md5s/row)
+    assign_dense_ids          1.37 s ->  1.54 s  (~flat: bucket-count
+                                                  histogram + local ranks)
+    grouped_ols_trend         0.43 s ->  0.40 s  (flat: one map-combined agg)
+    lag1_autocorr             0.49 s ->  0.72 s  (1.5x: one window pass)
+    range_self_join(5min)     0.50 s ->  1.38 s  (2.8x: PAIR OUTPUT grows
+                                                  with density — output
+                                                  size, not candidate waste)
 """
 
 from __future__ import annotations
