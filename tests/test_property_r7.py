@@ -118,3 +118,72 @@ def test_shortest_paths_matches_python_bellman_ford(spark, edges, rounds):
         for r in shortest_paths(e, sdf, rounds=rounds).collect()
     )
     assert got == expect
+
+
+series_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=30
+)
+
+
+@given(series_strategy)
+@settings(**_SETTINGS)
+def test_cusum_matches_python_reference(spark, vals):
+    from celeborn_spark.operators.stats import cusum_changepoint
+
+    cents = [v * 100 for v in vals]
+    n, s = len(cents), sum(cents)
+    run, best, best_k = 0, -1, None
+    for k, x in enumerate(cents):
+        run += n * x - s
+        if abs(run) > best or (abs(run) == best and False):
+            best, best_k = abs(run), k
+    df = spark.createDataFrame(
+        [("g", i, v * 1.0) for i, v in enumerate(vals)], ["g", "k", "v"]
+    )
+    out = cusum_changepoint(df, "g", ("k",), "v").collect()[0]
+    assert out.max_dev == best
+    assert out.cp_key == best_k
+    assert out.n_points == n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # day offset
+            st.integers(min_value=-99, max_value=99),  # value units
+        ),
+        min_size=3,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_grouped_ols_matches_python_reference(spark, pts):
+    from celeborn_spark.operators.stats import grouped_ols_trend
+
+    xs = [d for d, _ in pts]
+    ys = [v * 100 for _, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    df = spark.createDataFrame(
+        [
+            ("g", f"1970-01-{d + 1:02d}", v / 100.0)
+            for (d, _), v in zip(pts, ys)
+        ],
+        ["g", "day", "v"],
+    ).select("g", st_col_ts("day"), "v")
+    out = grouped_ols_trend(df, "g", "day", "v").collect()
+    if den == 0:
+        assert out == []
+    else:
+        r = out[0]
+        assert r.slope_num == n * sxy - sx * sy
+        assert r.slope_den == den
+
+
+def st_col_ts(c):
+    from pyspark.sql import functions as F
+
+    return F.col(c).cast("timestamp").alias(c)
