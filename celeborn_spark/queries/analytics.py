@@ -453,3 +453,59 @@ def q_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_anomalies",
         )
     )
+
+
+@query(
+    "q_user_growth",
+    oracle="""
+    WITH firstd AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS d0
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d0 AS day, CAST(count(*) AS BIGINT) AS new_users FROM firstd
+        GROUP BY 1
+    ),
+    active AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM events GROUP BY 1
+    )
+    SELECT a.day, a.active_users,
+           coalesce(daily.new_users, 0) AS new_users,
+           CAST(sum(coalesce(daily.new_users, 0)) OVER (
+               ORDER BY a.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM active a LEFT JOIN daily ON a.day = daily.day
+    """,
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth curve: active users, first-seen (new) users, and
+    the cumulative user count — the DAU/acquisition readout. The only
+    unpartitioned window runs over DISTINCT DAYS (calendar-bounded,
+    the histogram discipline); everything else is user/day-keyed
+    exchanges with exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0")
+    )
+    daily = firstd.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    active = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    from pyspark.sql import Window as W
+
+    joined = active.join(daily, "day", "left").withColumn(
+        "new_users", F.coalesce(F.col("new_users"), F.lit(0).cast("long"))
+    )
+    return joined.withColumn(
+        "cumulative_users",
+        F.sum("new_users")
+        .over(
+            W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("long"),
+    )
