@@ -916,3 +916,72 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.sparse_cosine_pairs(
         d, "doc_id", "text", threshold=0.5, max_df=1000, block_col="source"
     )
+
+
+@query(
+    "q_zipf_slope",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    top AS (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rnk
+        FROM freq ORDER BY n DESC, tok LIMIT 100
+    ),
+    pts AS (SELECT ln(rnk) AS x, ln(n) AS y FROM top),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS n_terms,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_slope
+    FROM s
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-100 tokens — natural language sits near -1; templated or
+    synthetic corpora drift off (the distributional cousin of
+    q_vocab_coverage). The top-k cut is TakeOrderedAndProject (per-task
+    heaps, no global sort); ranks are assigned on the 100 survivors
+    only; ln inputs are exact integers so both engines feed identical
+    doubles into the rounded slope."""
+    d = load_table(spark, sf_dir, "documents")
+    from celeborn_spark.operators.dedup import _spread
+
+    freq = (
+        _spread(d, "text")
+        .select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    top = freq.orderBy(F.col("n").desc(), "tok").limit(100)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("n").desc(), "tok")
+        ),
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("n_terms"),
+        F.round(
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
