@@ -509,3 +509,107 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long"),
     )
+
+
+@query(
+    "q_revenue_wow_growth",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    g AS (
+        SELECT week, cents,
+               lag(cents) OVER (ORDER BY week) AS prev_cents
+        FROM w
+    )
+    SELECT week, cents, prev_cents,
+           CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                ELSE CAST(cents - prev_cents AS DOUBLE) / prev_cents END
+               AS wow_growth
+    FROM g
+    """,
+)
+def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: integer-cents weekly sums, a lag
+    over DISTINCT WEEKS (calendar-bounded window), one exact division
+    per row (NULL on the first/zero weeks, never /0) — the core
+    business-trend readout."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = o.groupBy(
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    g = w.withColumn("prev_cents", F.lag("cents").over(W.orderBy("week")))
+    return g.select(
+        "week",
+        "cents",
+        "prev_cents",
+        F.when(
+            F.col("prev_cents").isNull() | (F.col("prev_cents") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            (F.col("cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents")
+        )
+        .alias("wow_growth"),
+    )
+
+
+@query(
+    "q_market_hhi",
+    oracle="""
+    WITH s AS (
+        SELECT s.s_nationkey AS nation,
+               l.l_suppkey AS supp,
+               CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT nation, CAST(sum(cents) AS BIGINT) AS tot FROM s GROUP BY 1)
+    SELECT s.nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((CAST(s.cents AS DOUBLE) / t.tot)
+                     * (CAST(s.cents AS DOUBLE) / t.tot)), 6) AS hhi
+    FROM s JOIN t ON s.nation = t.nation
+    GROUP BY s.nation
+    """,
+)
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue per
+    nation (1/n = perfectly even, 1 = monopoly) — the market-structure
+    audit, and the revenue-weighted sibling of q_key_skew_profile's
+    count-based Gini. Shares are exact-integer-cents divisions; the
+    share-square sum rounds 6dp; two nation-keyed aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    s = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    t = s.groupBy("nation").agg(F.sum("cents").cast("long").alias("tot"))
+    share = F.col("cents").cast("double") / F.col("tot")
+    return (
+        s.join(t, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
