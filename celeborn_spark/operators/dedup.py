@@ -644,8 +644,17 @@ def dup_span_profile(
             .alias("n_dup_spans"),
         )
         .withColumn(
+            # 4dp HALF-UP via all-integer division, not round(): the
+            # ratio of two counts is an exact rational that can land on
+            # a half-way point (x/32 = 0.xxxx5), where Spark's decimal
+            # HALF_UP and DuckDB's binary-double rounding disagree (the
+            # finalize_agg tie class, VERDICT r7). The final /1e4 is one
+            # IEEE op on an exact integer — identical in every engine.
             "dup_frac",
-            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+            F.expr(
+                "cast((n_dup_spans * 20000 + n_spans) div (2 * n_spans) as double)"
+            )
+            / F.lit(1e4),
         )
     )
 

@@ -81,17 +81,28 @@ def merge_agg_states(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
 
 
 def finalize_agg(state: DataFrame, key: str) -> DataFrame:
-    """Derive the user-facing summary from a state relation. The mean
-    divides two exact integers — identical IEEE division in every
-    engine — and is rounded 6 dp only to survive the driver's textual
-    hash of doubles."""
+    """Derive the user-facing summary from a state relation. The mean is
+    emitted as ALL-INTEGER half-up micro-units (1e-6 of the value unit):
+    avg_micro = (sum_cents * 20000 + n_rows) DIV (2 * n_rows). A 6dp
+    `round()` of the exact rational sum_cents/n/100 is the tie-prone
+    class — it can land exactly on a half-way point (l_partkey=148 at
+    sf0.01: 214062551/32/100 = 66894.5471875 exactly; Spark's BigDecimal
+    HALF_UP and DuckDB's double rounding then disagree in the last
+    digit, the repo's one driver correctness failure, VERDICT r7). The
+    integer DIV form computes the identical BIGINT in every engine.
+    (Contract: sum_cents >= 0 — Spark's `div` truncates toward zero
+    while DuckDB's `//` floors; they agree only for non-negative
+    numerators, true for the price/amount columns this serves.)"""
+    avg_micro = F.expr(
+        "(sum_cents * 20000L + n_rows) div (2L * n_rows)"
+    ).cast("long")
     return state.select(
         F.col(key),
         "n_rows",
         "sum_cents",
         "min_cents",
         "max_cents",
-        F.round(F.col("sum_cents") / F.col("n_rows") / 100.0, 6).alias("avg_value"),
+        avg_micro.alias("avg_micro"),
     )
 
 
@@ -103,15 +114,18 @@ def incremental_agg_oracle_sql(
     the same table, so oracle equality IS the merge-correctness proof —
     any non-associative statistic would diverge here."""
     return f"""
-    SELECT {key},
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-           CAST(min(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT) AS min_cents,
-           CAST(max(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT) AS max_cents,
-           round(CAST(sum(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT)
-                 / count(*) / 100.0, 6) AS avg_value
-    FROM {table}
-    GROUP BY {key}
+    WITH st AS (
+        SELECT {key},
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(min(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+               CAST(max(CAST(floor({value_col} * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        FROM {table}
+        GROUP BY {key}
+    )
+    SELECT {key}, n_rows, sum_cents, min_cents, max_cents,
+           CAST((sum_cents * 20000 + n_rows) // (2 * n_rows) AS BIGINT) AS avg_micro
+    FROM st
     """
 
 

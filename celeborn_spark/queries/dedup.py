@@ -469,7 +469,8 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-           round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac
+           CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 20000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1e4 AS dup_frac
     FROM sh JOIN dfreq USING (shingle)
     GROUP BY doc_id
     """,

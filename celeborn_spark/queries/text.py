@@ -550,7 +550,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum
         FROM counts
     )
-    SELECT token, cnt, round(cum / total, 6) AS cum_share
+    SELECT token, cnt,
+           CAST((cum * 2000000 + total) // (2 * total) AS DOUBLE) / 1e6 AS cum_share
     FROM ranked CROSS JOIN tot
     ORDER BY cnt DESC, token LIMIT 200
     """,
@@ -576,7 +577,15 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("cum", F.sum("cnt").over(w))
         .crossJoin(F.broadcast(total))
         .select(
-            "token", "cnt", F.round(F.col("cum") / F.col("total"), 6).alias("cum_share")
+            "token",
+            "cnt",
+            # tie-safe 6dp half-up: all-integer division of exact counts
+            # (the finalize_agg tie class), then ONE IEEE /1e6 — not
+            # round(), whose half-way rule differs across engines.
+            (
+                F.expr("cast((cum * 2000000 + total) div (2 * total) as double)")
+                / F.lit(1e6)
+            ).alias("cum_share"),
         )
         .orderBy(F.col("cnt").desc(), "token")
         .limit(200)

@@ -55,6 +55,62 @@ def test_incremental_merge_one_sided_keys_pass_through(spark):
     assert m[2] == {"k": 2, "n_rows": 1, "sum_cents": 500, "min_cents": 500, "max_cents": 500}
 
 
+def test_finalize_agg_halfway_tie_matches_duckdb(spark):
+    """Regression for the repo's one driver correctness failure (r7):
+    l_partkey=148 at sf0.01 has sum_cents=214062551 over n=32 rows →
+    avg exactly 66894.5471875, a 6dp half-way point where Spark's
+    BigDecimal HALF_UP round and DuckDB's binary-double round diverge.
+    finalize_agg now emits an all-integer half-up avg_micro that both
+    engines compute identically; this plants the exact tie and compares
+    Spark against the oracle SQL in DuckDB."""
+    import duckdb
+
+    # 31 rows of 66894.00 + one of 66911.5471875... reconstruct exactly:
+    # plant values whose floor(v*100) cents sum to 214062551 over 32 rows.
+    cents = [6689454] * 31 + [214062551 - 31 * 6689454]
+    rows = [(148, c / 100.0 + 0.001) for c in cents]  # +0.001 < 1 cent
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = finalize_agg(agg_state(df, "k", "v"), "k").collect()[0].asDict()
+    assert out["sum_cents"] == 214062551 and out["n_rows"] == 32
+    # exact half-up of 66894.5471875 at micro precision
+    assert out["avg_micro"] == 66894547188
+
+    from celeborn_spark.operators.incremental import incremental_agg_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INTEGER, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(incremental_agg_oracle_sql("t", "k", "v")).fetchdf()
+    assert int(want["avg_micro"][0]) == out["avg_micro"]
+    con.close()
+
+
+def test_no_round_of_integer_ratio_lint():
+    """Lint for the finalize_agg tie class (VERDICT r7 item 1): no
+    operator/query source may apply F.round()/round() directly to a
+    ratio whose numerator and denominator are both integer aggregates
+    (count/sum-of-ints) — exact rationals hit half-way points where
+    engines' rounding rules differ. Tie-safe form: all-integer half-up
+    division `(p*2*10^k + q) div (2*q)`, then at most ONE IEEE division
+    by a power of ten."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "celeborn_spark"
+    # integer-valued column idioms used throughout the repo
+    int_ratio = re.compile(
+        r"round\(\s*(F\.col\(\"(n_|cnt|cum|total|sum_cents)|"
+        r"(sum|count)\(\*?\)?.{0,40}/\s*(count\(|n_rows|n_spans|total))",
+        re.IGNORECASE,
+    )
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "round(" in line and int_ratio.search(line):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
+
+
 # ---------- market-basket co-occurrence ----------
 
 
