@@ -712,7 +712,9 @@ def adamic_adar_oracle_sql(k: int = 30, dp: int = 6, min_qty: int = 45) -> str:
     """
 
 
-def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+def hits(
+    edges: DataFrame, iters: int = 3, partition_edges: bool = False
+) -> DataFrame:
     """(node, hub, auth) after ``iters`` rounds of HITS (Kleinberg's
     hubs-and-authorities) over a DIRECTED edge relation — the
     link-analysis dual of `pagerank`: authorities are pointed-to by
@@ -733,12 +735,27 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     rounds. Nodes with no in-edges hold auth 0; no out-edges, hub 0.
 
     Scale shape: per round exactly two node-keyed exchanges + two
-    scalar broadcasts; the edge relation is never mutated, so at
-    100 TB it is partitioned once and reused (pass a pre-partitioned
-    relation like `pagerank(partition_edges=True)` does)."""
+    scalar broadcasts; the edge relation is never mutated. With
+    ``partition_edges=True`` it is shuffled ONCE per join direction
+    (a src-keyed and a dst-keyed persisted copy — HITS alternates join
+    keys, unlike pagerank's single-src discipline) and every round
+    reuses the cached partitioning instead of re-exchanging the edge
+    mass ``iters`` times — the option to set when the node set
+    outgrows broadcast."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = edges.select("src", "dst")
+    # The edge relation is referenced 2*iters+1 times (nodes + two
+    # joins per round); left lazy, a DERIVED edge relation (e.g. the
+    # orders-lineitem join behind q_hits) would recompute per
+    # reference (the CLAUDE.md checkpoint-inputs rule — pagerank's
+    # pair build ran 4x before the same fix). One eager materialization
+    # up front; the broadcast-joined rounds then rescan it locally.
+    e = edges.select("src", "dst").localCheckpoint()
+    e_src = e_dst = e
+    if partition_edges:
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        e_src = e.repartition(par, "src").persist()
+        e_dst = e.repartition(par, "dst").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -760,7 +777,7 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     # hraw-only 4.6 s — the bfs_hops discipline, halved).
     for i in range(iters):
         araw = (
-            hub.join(e, hub["node"] == e["src"])
+            hub.join(e_src, hub["node"] == e_src["src"])
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
         )
@@ -776,7 +793,7 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
         )
         hraw = (
-            auth.join(e, auth["node"] == e["dst"])
+            auth.join(e_dst, auth["node"] == e_dst["dst"])
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
             .localCheckpoint()  # read by the normalizer AND the join
@@ -792,9 +809,18 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
                 ).alias("h"),
             )
         )
-    return hub.join(auth, "node").select(
+    out = hub.join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("auth")
     )
+    if partition_edges:
+        # materialize BEFORE dropping the edge caches — the final
+        # round's araw lineage still reads e_src (only hraw is
+        # checkpointed), and unpersisting first would rebuild the
+        # edge shuffle from scratch (the pagerank discipline).
+        out = out.localCheckpoint()
+        e_src.unpersist()
+        e_dst.unpersist()
+    return out
 
 
 def hits_oracle_sql(

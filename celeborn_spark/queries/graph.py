@@ -159,6 +159,11 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizers per round (operators/graph.hits)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # partition_edges stays False here: at bench scale the node-sized
+    # hub/auth side broadcasts, so the edge mass never shuffles at all
+    # (byte-measured in tests/test_metrics.py) — pre-partitioning would
+    # ADD two edge shuffles. Set True only when the node set outgrows
+    # broadcast and the per-round joins degrade to shuffle joins.
     return graph_ops.hits(directed_order_edges(orders, lineitem), iters=_ITERS)
 
 

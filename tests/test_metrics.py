@@ -61,3 +61,59 @@ def test_persist_tiers_serve_rereads(spark, sf_dir):
         assert again.collect()[0][0] is not None
     finally:
         cached.unpersist()
+
+
+def test_hits_partition_edges_cuts_edge_shuffle(spark):
+    """HITS at iters=3 joins the edge relation six times (two
+    directions x three rounds). While the node-sized hub/auth side
+    broadcasts, the edge mass never shuffles and partition_edges would
+    only ADD two repartition shuffles — q_hits therefore keeps it off.
+    The option exists for the regime where the node set OUTGROWS
+    broadcast (per-round joins degrade to shuffle joins): modeled here
+    by disabling broadcast, where partition_edges=True shuffles the
+    edge mass once per join direction instead of once per round per
+    direction — byte-measured like A26/A3 above, results identical."""
+    from celeborn_spark.operators.graph import hits
+
+    n_nodes, n_edges = 400, 60_000
+    base = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("src"),
+        ((F.col("id") * 7919 + 13) % n_nodes).alias("dst"),
+    )
+    base.write.mode("overwrite").parquet("/tmp/hits_edges_metrics")
+    edges = spark.read.parquet("/tmp/hits_edges_metrics")
+
+    def run(partition):
+        return measure_action(
+            edges,
+            action=lambda _: hits(
+                edges, iters=3, partition_edges=partition
+            ).count(),
+        )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plain, part = run(False), run(True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    assert part.shuffle_write_bytes < plain.shuffle_write_bytes, (part, plain)
+
+    a = {r.node: (r.hub, r.auth) for r in hits(edges, iters=3).collect()}
+    b = {
+        r.node: (r.hub, r.auth)
+        for r in hits(edges, iters=3, partition_edges=True).collect()
+    }
+    assert a == b
