@@ -100,11 +100,17 @@ def merge_intervals(
 
 
 def merge_intervals_oracle_sql(
-    intervals_sql: str, key_col: str
+    intervals_sql: str, key_col: str, bounds_cast: str | None = None
 ) -> str:
     """DuckDB mirror of `merge_intervals` over ``intervals_sql`` (a
     relation with (key, s, e) columns): identical prefix-max island
-    construction."""
+    construction. ``bounds_cast`` (e.g. ``"DATE"``) casts the output
+    island bounds so the oracle's types match a Spark side that casts
+    its own output — a first-class parameter instead of post-hoc
+    string surgery on this SQL (ADVICE r7: a silent no-op .replace()
+    would break type matching undiagnosably if this text drifted)."""
+    s_out = f"CAST(min(s) AS {bounds_cast})" if bounds_cast else "min(s)"
+    e_out = f"CAST(max(e) AS {bounds_cast})" if bounds_cast else "max(e)"
     return f"""
     WITH iv AS ({intervals_sql}),
     d AS (
@@ -128,7 +134,7 @@ def merge_intervals_oracle_sql(
                ) AS island
         FROM d
     )
-    SELECT {key_col}, min(s) AS island_start, max(e) AS island_end,
+    SELECT {key_col}, {s_out} AS island_start, {e_out} AS island_end,
            CAST(count(*) AS BIGINT) AS n_merged
     FROM g GROUP BY {key_col}, island
     """

@@ -37,8 +37,29 @@ def _u01_sql(hex_sql: str) -> str:
     return f"CAST(concat('0x', {hex_sql}) AS UBIGINT) / {float(_SPACE)}"
 
 
+def _hash_counts(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """(grp, h, nk): distinct md5 hash buckets per group with the
+    number of distinct keys sharing each bucket — the relation behind
+    both the sketch and its exact companion stats. The distinct over
+    (group, key) is the heaviest exchange in the pipeline, so callers
+    that need it twice (kmv_distinct) build it ONCE and share it."""
+    return (
+        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
+        .groupBy("grp", "key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("grp", hash_bucket(F.col("key")).alias("h"))
+        .groupBy("grp", "h")
+        .agg(F.count(F.lit(1)).alias("nk"))
+    )
+
+
 def kmv_sketch(
-    df: DataFrame, key_col: str, group_col: str, k: int, fanin: int = 32
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+    fanin: int = 32,
+    hx: DataFrame | None = None,
 ) -> DataFrame:
     """(group, h, nk, rn): the k lexicographically-smallest distinct
     md5 hash buckets per group (rn = rank, nk = number of distinct keys
@@ -51,17 +72,12 @@ def kmv_sketch(
     window ranks at most fanin*k rows per group. The subgroup key is
     xxhash64 of the hash string — NOT a prefix of it, which would
     correlate with the very order being ranked and send all minima to
-    one subgroup."""
+    one subgroup. Pass a prebuilt ``hx`` (from `_hash_counts`) to
+    share the distinct-pair aggregate with other consumers."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    hx = (
-        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
-        .groupBy("grp", "key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("grp", hash_bucket(F.col("key")).alias("h"))
-        .groupBy("grp", "h")
-        .agg(F.count(F.lit(1)).alias("nk"))
-    )
+    if hx is None:
+        hx = _hash_counts(df, key_col, group_col)
     sub = F.pmod(F.xxhash64("h"), F.lit(fanin))
     local_rn = F.row_number().over(
         W.partitionBy("grp", sub.alias("_sub")).orderBy("h")
@@ -82,17 +98,11 @@ def kmv_distinct(
     set); larger groups estimate (k-1)/u_k. The exact companion column
     is the honesty check the driver hash-compares; at 100 TB it is the
     column you would DROP, leaving a k-row-per-group plan."""
-    sk = kmv_sketch(df, key_col, group_col, k)
-    # full per-group hash stats come from the pre-window aggregate; re-derive
-    # them from the same distinct-pair relation to keep one code path
-    hx = (
-        df.select(F.col(group_col).alias("grp"), F.col(key_col).alias("key"))
-        .groupBy("grp", "key")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select("grp", hash_bucket(F.col("key")).alias("h"))
-        .groupBy("grp", "h")
-        .agg(F.count(F.lit(1)).alias("nk"))
-    )
+    # the distinct-pair + hash aggregate is the heaviest exchange in
+    # the pipeline; build it ONCE, materialize, and feed both the
+    # sketch and the exact stats from it (ADVICE r7 — it ran twice)
+    hx = _hash_counts(df, key_col, group_col).localCheckpoint()
+    sk = kmv_sketch(df, key_col, group_col, k, hx=hx)
     stats = hx.groupBy("grp").agg(
         F.sum("nk").cast("long").alias("exact_distinct"),
         F.count(F.lit(1)).alias("nh"),

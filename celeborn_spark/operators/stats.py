@@ -454,8 +454,21 @@ def cusum_changepoint(
     n*x and the running sum far below 2^63.
 
     One window exchange keyed on the group + one group aggregate —
-    group-sized output."""
+    group-sized output.
+
+    CONTRACT: the LAST order column (the reported change-point key)
+    must be an INTEGRAL column — the earliest-peak tiebreak negates it
+    through cast('long'), which would yield NULLs (and a silently
+    wrong cp_key) on a string or timestamp key (ADVICE r7). Enforced
+    below; pass the epoch/id form of a temporal key instead."""
     from pyspark.sql import Window as W
+
+    key_dtype = dict(df.dtypes).get(order_cols[-1])
+    if key_dtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"cusum_changepoint: last order column {order_cols[-1]!r} must "
+            f"be integral (tiebreak negates it as long), got {key_dtype}"
+        )
 
     x = F.floor(F.col(value_col) * 100).cast("long")
     ocols = [F.col(c) for c in order_cols]

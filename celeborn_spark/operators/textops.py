@@ -957,7 +957,15 @@ def sparse_cosine_pairs(
     block_col: str | None = None,
 ) -> DataFrame:
     """Document pairs with TF-IDF cosine >= threshold via the SPARSE
-    postings join — weighted near-duplicate / related-document
+    postings join.
+
+    INPUT CONTRACT: ``text_col`` must be single-space-normalized (one
+    ASCII space between tokens, no tabs/newlines/runs — what
+    `normalize_text` emits and this corpus satisfies). The Spark side
+    tokenizes on \\s+ while the oracle splits on a single space; the
+    two agree ONLY under this contract, so a tab- or double-space-
+    bearing document would diverge from its own oracle (ADVICE r7).
+    Weighted near-duplicate / related-document
     retrieval where set-Jaccard is too crude (it ignores term salience)
     and dense embeddings don't exist yet. sim = sum over SHARED terms
     of w_a * w_b / (|w_a| |w_b|): only the postings self-join on the
@@ -1045,8 +1053,10 @@ def sparse_cosine_oracle_sql(
     block_sql: str = "0",
 ) -> str:
     """DuckDB mirror of `sparse_cosine_pairs` — identical tokenization
-    (the `tokens` regex contract), 6dp weights/norms/cosines, rounded
-    threshold compare."""
+    under the single-space-normalized input contract (see
+    `sparse_cosine_pairs`: \\s+ vs single-space split agree only on
+    such text), 6dp weights/norms/cosines, rounded threshold
+    compare."""
     return f"""
     WITH toks AS (
         SELECT {id_col} AS id, {block_sql} AS blk,

@@ -381,9 +381,8 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT l_suppkey, l_shipdate AS s, "
         "l_shipdate + INTERVAL 7 DAY AS e FROM lineitem",
         "l_suppkey",
-    )
-    .replace("SELECT l_suppkey, min(s)", "SELECT l_suppkey, CAST(min(s) AS DATE)")
-    .replace("max(e) AS island_end", "CAST(max(e) AS DATE) AS island_end"),
+        bounds_cast="DATE",
+    ),
 )
 def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each supplier's 7-day shipping windows

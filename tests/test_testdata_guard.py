@@ -175,3 +175,21 @@ def test_documents_nchars_matches_text():
     assert pc.all(
         pc.equal(pc.cast(got, "int64"), t.column("n_chars"))
     ).as_py(), "documents.n_chars diverged from len(text)"
+
+
+def test_event_type_universe_matches_type_bits():
+    """q_stream_user_profile's state packs event types into the fixed
+    _TYPE_BITS bitmask; an event type the mask doesn't know would map
+    to bit 0 and silently undercount n_types (ADVICE r7). Pin the data
+    universe to the mask's key set so testdata drift fails HERE, not as
+    a driver hash mismatch."""
+    from celeborn_spark.streaming.stateful import _TYPE_BITS
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "events.parquet"), columns=["event_type"]
+    )
+    assert t.column("event_type").null_count == 0
+    got = set(t.column("event_type").unique().to_pylist())
+    assert got == set(_TYPE_BITS), (
+        f"event_type universe {got} != _TYPE_BITS keys {set(_TYPE_BITS)}"
+    )
