@@ -1074,3 +1074,88 @@ def label_propagation_oracle_sql(
         )
         prev = cur
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, label FROM {prev}"
+
+
+def neighbor_jaccard(edges: DataFrame, k: int = 25) -> DataFrame:
+    """Top-k NON-edge pairs by neighbor-set Jaccard — the normalized
+    link-prediction sibling of `adamic_adar` (Adamic-Adar weights rare
+    common neighbors; Jaccard asks what FRACTION of the combined
+    neighborhoods is shared, the better signal when degrees vary
+    wildly). Output (a, b, n_common, jac) ranked (jac desc, a, b).
+
+    `edges` must be canonical undirected (u < v, distinct). Same
+    wedge-join shape as adamic_adar: the self-join keys on the common
+    neighbor (cost = sum of squared degrees — cap hub neighborhoods
+    upstream at 100 TB), anti-join vs existing edges, one pair-keyed
+    count. jac = cn / (deg_a + deg_b - cn) is ONE division of exact
+    integers — bit-identical cross-engine, so ranking on the raw value
+    with the pair tiebreak is deterministic (no rounding needed before
+    the cut; the emitted column rounds 6dp for the driver hash)."""
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedges = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .select(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+    )
+    non_edges = wedges.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    cn = non_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    scored = (
+        cn.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .withColumn(
+            "jac_raw",
+            F.col("n_common")
+            / (F.col("da") + F.col("db") - F.col("n_common")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("jac_raw").desc(), "a", "b")
+        .limit(k)
+        .select("a", "b", "n_common", F.round("jac_raw", 6).alias("jac"))
+    )
+
+
+def neighbor_jaccard_oracle_sql(
+    edges_cte: str, k: int = 25
+) -> str:
+    """DuckDB mirror of `neighbor_jaccard` over ``edges_cte`` (must
+    define a CTE `el(u, v)` of canonical undirected edges)."""
+    return f"""
+    WITH {edges_cte},
+    adj AS (SELECT u AS node, v AS nbr FROM el
+            UNION ALL SELECT v, u FROM el),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    wedges AS (
+        SELECT x.node AS a, y.node AS b
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+    ),
+    non_edges AS (
+        SELECT w.* FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM el WHERE el.u = w.a AND el.v = w.b)
+    ),
+    cn AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_common
+        FROM non_edges GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT a, b, n_common,
+               CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) AS jac_raw
+        FROM cn
+        JOIN deg da ON da.node = cn.a
+        JOIN deg db ON db.node = cn.b
+    )
+    SELECT a, b, n_common, round(jac_raw, 6) AS jac
+    FROM scored
+    ORDER BY jac_raw DESC, a, b
+    LIMIT {k}
+    """

@@ -860,3 +860,333 @@ def lag1_autocorr_oracle_sql(
            CAST(num AS DOUBLE) / den AS acf1
     FROM agg WHERE n >= {min_n} AND den != 0
     """
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: corpus-comparison + inference statistics
+# ---------------------------------------------------------------------------
+
+
+def kl_divergence(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    ref_value: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group KL divergence D(p_g || p_ref) between Laplace-smoothed
+    unigram distributions — the corpus-drift / slice-divergence readout
+    (which language/source slice departs most from the reference mix,
+    did this week's crawl shift vocabulary). ``df`` is an exploded
+    (group, token) occurrence relation; ``ref_value`` names the
+    reference group.
+
+    Engine parity: with V = |union vocabulary| and n_g = group token
+    total, p_g(w) = (c_gw + 1)/(n_g + V). The summand is written as
+    p * ln(ratio) where ratio = ((c_g+1) * (n_ref+V)) /
+    ((n_g+V) * (c_ref+1)) — both products are exact integers far below
+    2^53, so the ratio is ONE correctly-rounded IEEE division and the
+    oracle reproduces every term bit-for-bit; the vocabulary-sized sum
+    rounds ``dp`` at the end (the q_group_entropy ln discipline).
+    Absent words contribute the c_g = 0 term — the full vocab x group
+    grid is materialized, which is VOCABULARY x groups sized, never
+    corpus sized.
+
+    Scale shape: one (group, token) count exchange, one vocab-sized
+    grid join, one group-keyed sum. The token mass is touched once."""
+    occ = df.select(F.col(group_col).alias("g"), F.col(token_col).alias("w"))
+    counts = occ.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    ref = counts.filter(F.col("g") == ref_value).select(
+        "w", F.col("c").alias("c_ref")
+    )
+    ref_n = totals.filter(F.col("g") == ref_value).select(
+        F.col("n").alias("n_ref")
+    )
+    grid = (
+        vocab.crossJoin(totals.filter(F.col("g") != ref_value))
+        .join(counts, ["g", "w"], "left")
+        .join(F.broadcast(ref), "w", "left")
+        .crossJoin(F.broadcast(ref_n))
+        .crossJoin(F.broadcast(vsize))
+    )
+    cg = F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)
+    cr = F.coalesce(F.col("c_ref"), F.lit(0)) + F.lit(1)
+    p = cg / (F.col("n") + F.col("v"))
+    ratio = (cg * (F.col("n_ref") + F.col("v"))) / (
+        (F.col("n") + F.col("v")) * cr
+    )
+    return (
+        grid.select("g", (p * F.log(ratio)).alias("term"))
+        .groupBy("g")
+        .agg(F.round(F.sum("term"), dp).alias("kl"))
+        .select(F.col("g").alias(group_col), "kl")
+    )
+
+
+def kl_divergence_oracle_sql(
+    occ_sql: str, ref_value: str, group_alias: str = "g", dp: int = 6
+) -> str:
+    """DuckDB mirror of `kl_divergence` over ``occ_sql`` (a relation
+    with (g, w) columns): identical smoothed counts, single-division
+    ratio, and dp-rounded vocabulary sum."""
+    return f"""
+    WITH occ AS ({occ_sql}),
+    counts AS (SELECT g, w, count(*) AS c FROM occ GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY 1),
+    ref AS (SELECT w, c AS c_ref FROM counts WHERE g = '{ref_value}'),
+    refn AS (SELECT n AS n_ref FROM totals WHERE g = '{ref_value}'),
+    grid AS (
+        SELECT t.g, vo.w,
+               coalesce(c.c, 0) + 1 AS cg,
+               coalesce(r.c_ref, 0) + 1 AS cr,
+               t.n, rn.n_ref, vs.v
+        FROM vocab vo
+        CROSS JOIN (SELECT * FROM totals WHERE g <> '{ref_value}') t
+        LEFT JOIN counts c ON c.g = t.g AND c.w = vo.w
+        LEFT JOIN ref r ON r.w = vo.w
+        CROSS JOIN refn rn CROSS JOIN vsize vs
+    )
+    SELECT g AS {group_alias}, round(sum(
+               (CAST(cg AS DOUBLE) / (n + v))
+               * ln((CAST(cg AS DOUBLE) * (n_ref + v)) / (CAST(n + v AS DOUBLE) * cr))
+           ), {dp}) AS kl
+    FROM grid GROUP BY g
+    """
+
+
+def chi_square_independence(
+    df: DataFrame, row_col: str, col_col: str, dp: int = 4
+) -> DataFrame:
+    """Chi-square test of independence over the (row_col x col_col)
+    contingency table: one output row (chi2, dof, n) — the categorical
+    association screen next to Welch (means) and facet MI (strength in
+    bits). Did source mix shift by language? Is event type independent
+    of user cohort?
+
+    Engine parity: per-cell term = d*d / (n*r*c) with d = o*n - r*c
+    computed in DOUBLE (o, n, r, c are exact integer counts; their
+    products stay exactly representable below 2^53 — documented bound
+    n < ~3e6 rows at the default dp). The cell-count-bounded sum
+    rounds ``dp``; cell terms are rationals with large distinct
+    denominators, so half-way collisions are out of reach (the
+    q_market_hhi large-denominator argument).
+
+    Scale shape: ONE map-combined count aggregate over the data; the
+    marginals and the chi2 sum run over the CELL relation (|rows| x
+    |cols| sized), never the row mass."""
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+    )
+    d = (
+        F.col("o").cast("double") * F.col("n")
+        - F.col("rt").cast("double") * F.col("ct")
+    )
+    term = d * d / (
+        F.col("n").cast("double") * F.col("rt") * F.col("ct")
+    )
+    return (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(colsm), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(term), dp).alias("chi2"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+
+
+def chi_square_oracle_sql(
+    table: str, row_sql: str, col_sql: str, dp: int = 4
+) -> str:
+    """DuckDB mirror of `chi_square_independence`: identical
+    double-space cell terms and dp-rounded sum."""
+    return f"""
+    WITH cells AS (
+        SELECT {row_sql} AS r, {col_sql} AS c, CAST(count(*) AS BIGINT) AS o
+        FROM {table} GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT r, sum(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT c, sum(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+                   count(DISTINCT c) AS nc
+            FROM cells)
+    SELECT round(sum(
+               (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+               * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+               / (CAST(n AS DOUBLE) * rt * ct)
+           ), {dp}) AS chi2,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+    FROM cells JOIN rows_ USING (r) JOIN cols_ USING (c) CROSS JOIN tot
+    """
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    z: float = 1.96,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group Wilson score interval for a binomial proportion —
+    the small-n-honest conversion-rate readout (the normal-approx
+    interval lies badly at p near 0/1 or small n; Wilson is the
+    standard fix). ``success_col`` is a boolean/0-1 column or
+    expression counted per group.
+
+    Engine parity: p = s/n is one division of exact integers; the
+    center/half formulas are written identically on both sides and
+    pass through sqrt (irrational), so the dp rounds are tie-safe.
+    One map-combined aggregate; group-sized output."""
+    s = F.sum(F.when(F.col(success_col) if isinstance(success_col, str) else success_col, 1).otherwise(0)).cast("long")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), s.alias("s")
+    )
+    zz = z * z
+    p = F.col("s") / F.col("n")
+    denom = 1 + F.lit(zz) / F.col("n")
+    center = (p + F.lit(zz) / (2 * F.col("n"))) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (1 - p) / F.col("n")
+            + F.lit(zz) / (4 * F.col("n") * F.col("n"))
+        )
+        / denom
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "s",
+        F.round(center - half, dp).alias("ci_lo"),
+        F.round(center + half, dp).alias("ci_hi"),
+    )
+
+
+def wilson_oracle_sql(
+    table: str,
+    group_sql: str,
+    group_alias: str,
+    success_sql: str,
+    z: float = 1.96,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `wilson_interval` — identical formula text."""
+    zz = z * z
+    return f"""
+    WITH agg AS (
+        SELECT {group_sql} AS {group_alias},
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN {success_sql} THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM {table} GROUP BY 1
+    )
+    SELECT {group_alias}, n, s,
+           round(((CAST(s AS DOUBLE) / n + {zz} / (2 * n))
+                  - {z} * sqrt((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                               + {zz} / (4.0 * n * n)))
+                 / (1 + {zz} / n), {dp}) AS ci_lo,
+           round(((CAST(s AS DOUBLE) / n + {zz} / (2 * n))
+                  + {z} * sqrt((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n) / n
+                               + {zz} / (4.0 * n * n)))
+                 / (1 + {zz} / n), {dp}) AS ci_hi
+    FROM agg
+    """
+
+
+def km_survival(
+    df: DataFrame, duration_col: str, dp: int = 6
+) -> DataFrame:
+    """Kaplan-Meier-style survival curve over integer durations (no
+    censoring: every subject's terminal duration is observed) —
+    the retention/lifetime readout: what fraction of users is still
+    active t days after first touch. Output one row per distinct
+    duration t: (t, n_at_risk, d_events, survival).
+
+    S(t) = prod_{u <= t} (n_u - d_u)/n_u, computed as
+    exp(sum ln(...)) over the DISTINCT-DURATION prefix (Spark has no
+    product aggregate; the ln terms are single divisions of exact
+    integers, the q_group_entropy parity discipline, rounded dp at the
+    end). The final duration has n = d, whose factor is 0: a prefix
+    max flag pins survival to exactly 0.0 there instead of ln(0).
+
+    Scale shape: one duration-count aggregate; the curve windows run
+    over DISTINCT durations (calendar-bounded, like q_user_growth),
+    never subjects."""
+    from pyspark.sql import Window as W
+
+    durs = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    total = durs.agg(F.sum("d").alias("total"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    cur = (
+        durs.crossJoin(F.broadcast(total))
+        .withColumn("n_at_risk", F.col("total") - F.sum("d").over(w) + F.col("d"))
+        .withColumn(
+            "lnterm",
+            F.when(
+                F.col("n_at_risk") > F.col("d"),
+                F.log((F.col("n_at_risk") - F.col("d")) / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("zeroed", F.max((F.col("n_at_risk") == F.col("d")).cast("int")).over(w))
+        .withColumn("lnsum", F.sum("lnterm").over(w))
+    )
+    return cur.select(
+        "t",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), dp))
+        .alias("survival"),
+    )
+
+
+def km_survival_oracle_sql(durations_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `km_survival` over ``durations_sql`` (one
+    column t per subject): identical distinct-duration prefix algebra."""
+    return f"""
+    WITH subj AS ({durations_sql}),
+    durs AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM subj GROUP BY 1),
+    tot AS (SELECT sum(d) AS total FROM durs),
+    cur AS (
+        SELECT t, d,
+               total - sum(d) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + d
+                   AS n_at_risk
+        FROM durs CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT t, d, n_at_risk,
+               CASE WHEN n_at_risk > d
+                    THEN ln((CAST(n_at_risk AS DOUBLE) - d) / n_at_risk)
+                    ELSE 0.0 END AS lnterm,
+               CASE WHEN n_at_risk = d THEN 1 ELSE 0 END AS iszero
+        FROM cur
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS d_events,
+           CASE WHEN max(iszero) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(lnterm) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), {dp})
+           END AS survival
+    FROM terms
+    """

@@ -208,3 +208,98 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source")
     )
+
+
+def _bin5_ctes(name: str, col: str) -> str:
+    """Histogram quintile-bin CTE triple over the `base` CTE for one
+    RFM dimension — the exact quantile_bins rule (floor(5*cum_before/
+    total) over distinct values, capped at 4) in SQL form."""
+    return f"""
+    hist_{name} AS (SELECT {col} AS v, count(*) AS cnt FROM base GROUP BY 1),
+    edges_{name} AS (
+        SELECT v, cnt,
+               sum(cnt) OVER (ORDER BY v) - cnt AS cum_before,
+               sum(cnt) OVER ()                 AS total
+        FROM hist_{name}
+    ),
+    bins_{name} AS (
+        SELECT v, least(4, CAST(floor(5 * cum_before / total) AS BIGINT)) AS bin
+        FROM edges_{name}
+    )"""
+
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS c_custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_d,
+               CAST(count(*) AS BIGINT) AS f_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS m_cents
+        FROM orders GROUP BY 1
+    ),
+    anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    base AS (
+        SELECT c_custkey,
+               CAST(date_diff('day', last_d, d1) AS BIGINT) AS r_days,
+               f_orders, m_cents
+        FROM per_cust CROSS JOIN anchor
+    ),
+    {_bin5_ctes("r", "r_days")},
+    {_bin5_ctes("f", "f_orders")},
+    {_bin5_ctes("m", "m_cents")}
+    SELECT b.c_custkey, b.r_days, b.f_orders, b.m_cents,
+           br.bin AS r_bin, bf.bin AS f_bin, bm.bin AS m_bin,
+           CAST(br.bin * 100 + bf.bin * 10 + bm.bin AS BIGINT) AS rfm_code
+    FROM base b
+    JOIN bins_r br ON b.r_days = br.v
+    JOIN bins_f bf ON b.f_orders = bf.v
+    JOIN bins_m bm ON b.m_cents = bm.v
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus anchor), frequency (order count) and monetary (integer-cents
+    revenue) quintiled via the exact value-histogram method — the same
+    no-global-sort discipline as q_quality_curriculum (ntile would sort
+    every row; the histogram windows run over DISTINCT integer values).
+    rfm_code packs the three quintiles into one segment label. One
+    customer-keyed aggregate + three histogram-bin joins (bin tables
+    broadcast — they are distinct-value sized)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("m_cents"),
+    )
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("d1"))
+    base = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .select(
+            "c_custkey",
+            F.datediff("d1", "last_d").cast("long").alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+        # three quantile_bins passes re-read this relation (histogram +
+        # join-back each): materialize the slim per-customer base once
+        .localCheckpoint()
+    )
+    b = C.quantile_bins(base, "r_days", n_bins=5, bin_col="r_bin")
+    b = C.quantile_bins(b, "f_orders", n_bins=5, bin_col="f_bin")
+    b = C.quantile_bins(b, "m_cents", n_bins=5, bin_col="m_bin")
+    return b.select(
+        "c_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        "r_bin",
+        "f_bin",
+        "m_bin",
+        (F.col("r_bin") * 100 + F.col("f_bin") * 10 + F.col("m_bin"))
+        .cast("long")
+        .alias("rfm_code"),
+    )

@@ -369,3 +369,29 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (varx == 0) | (vary == 0), F.lit(None).cast("double")
         ).otherwise(num.cast("double") / den).alias("assortativity"),
     )
+
+
+@query(
+    "q_neighbor_jaccard",
+    oracle=graph_ops.neighbor_jaccard_oracle_sql(
+        """el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    )""",
+        k=25,
+    ),
+)
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 supplier pairs by neighbor-set Jaccard over the
+    co-purchase graph — the degree-normalized link predictor next to
+    q_adamic_adar (same wedge/anti-join machinery; Jaccard asks what
+    FRACTION of the combined neighborhoods is shared). The ranking key
+    is one division of exact integers — bit-identical cross-engine —
+    with the pair as tiebreak (operators/graph.neighbor_jaccard)."""
+    from celeborn_spark.operators.graph import copurchase_edges, neighbor_jaccard
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return neighbor_jaccard(copurchase_edges(lineitem, min_qty=45), k=25)

@@ -327,3 +327,71 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_cusum_changepoint."""
     ev = load_table(spark, sf_dir, "events")
     return stats_ops.lag1_autocorr(ev, "user_id", ("ts", "event_id"), "value")
+
+
+@query(
+    "q_chi_square",
+    oracle=stats_ops.chi_square_oracle_sql("documents", "lang", "source"),
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the lang x source contingency
+    table — did the crawl's language mix shift by source? One
+    map-combined count aggregate; marginals and the chi2 sum run over
+    the cell relation (langs x sources sized), never the corpus
+    (operators/stats.chi_square_independence). Output (chi2, dof, n)."""
+    d = load_table(spark, sf_dir, "documents")
+    return stats_ops.chi_square_independence(d, "lang", "source")
+
+
+@query(
+    "q_wilson_ci",
+    oracle=stats_ops.wilson_oracle_sql(
+        """(SELECT c.c_nationkey,
+                   EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey) AS active
+            FROM customer c)""",
+        "c_nationkey",
+        "c_nationkey",
+        "active",
+    ),
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer activation rate with the Wilson 95% score
+    interval — the small-n-honest conversion readout (normal-approx
+    intervals lie at extreme p or small n). Activation = has >= 1
+    order, via a left-semi-join flag; one group-keyed aggregate
+    (operators/stats.wilson_interval)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    flagged = c.join(
+        o.withColumn("active", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "c_nationkey", F.coalesce("active", F.lit(False)).alias("active")
+    )
+    return stats_ops.wilson_interval(flagged, "c_nationkey", "active")
+
+
+@query(
+    "q_survival_curve",
+    oracle=stats_ops.km_survival_oracle_sql(
+        """SELECT date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS t
+           FROM events GROUP BY user_id"""
+    ),
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve (Kaplan-Meier without censoring):
+    fraction of users still active t days after first touch, per
+    distinct lifetime day. Lifetime = whole days between a user's first
+    and last event. S(t) = exp(prefix-sum of ln((n-d)/n)) over DISTINCT
+    durations (calendar-bounded window, the q_user_growth discipline),
+    exact-integer ratios through ln, 6dp
+    (operators/stats.km_survival)."""
+    ev = load_table(spark, sf_dir, "events")
+    durs = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("t")
+    )
+    return stats_ops.km_survival(durs, "t")

@@ -601,3 +601,54 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_cents_per_user"
         ),
     )
+
+
+@query(
+    "q_seq_pattern_topk",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trigrams AS (
+        SELECT event_type || '>' || t2 || '>' || t3 AS pattern
+        FROM ordered WHERE t3 IS NOT NULL
+    )
+    SELECT pattern, CAST(count(*) AS BIGINT) AS n
+    FROM trigrams GROUP BY pattern
+    ORDER BY n DESC, pattern
+    LIMIT 20
+    """,
+)
+def q_seq_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams (consecutive event-type triples per
+    user, ordered by time): the sequential-pattern summary one level
+    deeper than q_event_transitions' Markov pairs — what three-step
+    paths dominate, where do error loops cluster. ONE user-keyed
+    window exchange (both leads share the frame) + a pattern-keyed
+    count with map-side partials; the cut ranks on exact integers
+    with the pattern string as tiebreak."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("pattern")
+        )
+    )
+    return (
+        tri.groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "pattern")
+        .limit(20)
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators import textops as T
+from celeborn_spark.operators.stats import kl_divergence_oracle_sql
 from celeborn_spark.registry import query
 
 _SW = "('the','a','and','of','to','in','is','it')"
@@ -993,4 +994,103 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
             6,
         ).alias("zipf_slope"),
+    )
+
+
+@query(
+    "q_kl_divergence",
+    oracle=kl_divergence_oracle_sql(
+        "SELECT lang AS g, unnest(string_split(text, ' ')) AS w FROM documents",
+        "en",
+        group_alias="lang",
+    ),
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution KL divergence of every language slice
+    against the English reference (Laplace-smoothed) — the corpus-drift
+    / slice-divergence diagnostic next to q_distribution_drift (PSI on
+    a numeric column) and q_zipf_slope. One (lang, token) count
+    exchange; the grid is vocabulary x languages sized
+    (operators/stats.kl_divergence)."""
+    from celeborn_spark.operators.stats import kl_divergence
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("lang", F.explode(T.tokens("text")).alias("w"))
+    return kl_divergence(occ, "lang", "w", ref_value="en")
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' '))) AS g
+        FROM toks WHERE len(t) >= 3
+    ),
+    ref AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    scored AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel
+        FROM sh s LEFT JOIN ref r ON s.g = r.g
+        WHERE s.source <> 'src0'
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           CAST((n_novel * 20000 + n_shingles) // (2 * n_shingles)
+                AS DOUBLE) / 1e4 AS novel_frac
+    FROM scored
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty vs a reference slice: the fraction of a
+    document's distinct 3-token shingles ABSENT from the src0 corpus —
+    the inverse of decontamination (there: drop overlap with eval;
+    here: measure what new text a source contributes, the dedup-aware
+    acquisition signal). Reference shingles are a distinct set the
+    corpus side left-anti-checks via a shingle-keyed join (broadcast
+    when the reference is slice-sized). novel_frac uses the tie-safe
+    all-integer half-up division (the finalize_agg class)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split(F.col("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i + 1, F.lit(3))
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    ref = sh.filter(F.col("source") == "src0").select("g").distinct()
+    scored = (
+        sh.filter(F.col("source") != "src0")
+        .join(ref.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.expr(
+                "cast((n_novel * 20000 + n_shingles) div (2 * n_shingles) as double)"
+            )
+            / F.lit(1e4)
+        ).alias("novel_frac"),
     )
