@@ -1190,3 +1190,114 @@ def km_survival_oracle_sql(durations_sql: str, dp: int = 6) -> str:
            END AS survival
     FROM terms
     """
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    dp: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (normal approximation with tie
+    correction) comparing ``value_col`` between two groups — the
+    nonparametric sibling of `welch_t` (Welch compares means and
+    assumes rough normality; rank-sum asks whether one group's values
+    stochastically dominate, robust to outliers and skew — the right
+    test for latency-like metrics). Output one row
+    (n_a, n_b, u_stat, z).
+
+    NO row sort: ranks come from the VALUE HISTOGRAM. avg rank of a
+    tied value block = cum_before + (t+1)/2, computed over distinct
+    values (the quantile_bins unpartitioned-window discipline — the
+    window input is a histogram, bounded by |distinct values|, 50 for
+    l_quantity). Rank sums therefore cost one count aggregate + one
+    histogram window, never a corpus-wide sort.
+
+    Engine parity: avg_rank = (2*cum_before + t + 1)/2 — halves are
+    exact in IEEE doubles, so rank sums, U and mu are EXACT and emitted
+    unrounded; z passes through sqrt (irrational) and rounds ``dp``
+    tie-safe. The identical formula text runs in the oracle."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    t = F.col("ca") + F.col("cb")
+    ranked = hist.withColumn(
+        "cum_before", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+    ).withColumn("avg_rank", (2 * F.col("cum_before") + t + 1) / F.lit(2.0))
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("ra"),
+        F.sum(t * t * t - t).cast("long").alias("ties"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u = F.col("ra") - na * (na + 1) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma2 = (
+        (na * nb).cast("double")
+        / F.lit(12.0)
+        * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        F.round((u - mu) / F.sqrt(sigma2), dp).alias("z"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    group_a_lit: str,
+    group_b_lit: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `mann_whitney_u`: identical histogram ranks,
+    exact U, dp-rounded z. Group literals are SQL literals (quoted)."""
+    return f"""
+    WITH hist AS (
+        SELECT {value_sql} AS v,
+               CAST(sum(CASE WHEN {group_sql} = {group_a_lit} THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN {group_sql} = {group_b_lit} THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM {table}
+        WHERE {group_sql} IN ({group_a_lit}, {group_b_lit})
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT ca, cb,
+               coalesce(sum(ca + cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before,
+               ca + cb AS t
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               sum(ca * ((2 * cum_before + t + 1) / 2.0)) AS ra,
+               CAST(sum(t * t * t - t) AS BIGINT) AS ties
+        FROM ranked
+    )
+    SELECT n_a, n_b,
+           ra - n_a * (n_a + 1) / 2.0 AS u_stat,
+           round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                        * ((n_a + n_b + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((n_a + n_b) * (n_a + n_b - 1)))), {dp}) AS z
+    FROM agg
+    """

@@ -1092,3 +1092,134 @@ def sparse_cosine_oracle_sql(
     WHERE na.nrm > 0 AND nb.nrm > 0
       AND round(p.dot / (na.nrm * nb.nrm), 6) >= {threshold}
     """
+
+
+def coverage_select(
+    shingles: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    sh_col: str = "g",
+) -> DataFrame:
+    """Greedy maximum-coverage document selection: pick k documents
+    that together cover the most DISTINCT shingles — the classic
+    (1 - 1/e)-approximate submodular curation step (choose a small,
+    diverse seed corpus that spans the most content; MMR diversifies a
+    ranked retrieval, this maximizes raw coverage with no query).
+    ``shingles`` is a distinct (doc, shingle) relation. Output one row
+    per pick: (sel_rank, doc_id, gain, covered_total) where gain =
+    newly covered shingles at that round and covered_total the running
+    union size (= prefix sum of gains, since each gain counts only
+    uncovered shingles).
+
+    Per round: one anti-join of the checkpointed shingle relation
+    against the covered set (shingle-keyed), one doc-keyed count, and a
+    1-row TakeOrderedAndProject cut (gain DESC, doc ASC — exact
+    integers, no rounding) — the mmr_select bounded-greedy discipline.
+    Covered and selected are re-read by the next round's three
+    references, so both localCheckpoint per round (the r7
+    lineage-doubling lesson). The covered set is bounded by the
+    selected docs' shingle union (k docs' worth), never corpus-sized;
+    at 100 TB run the greedy over a candidate pool (e.g. per-source
+    top-N by quality), which is how the submodular-curation literature
+    scales it anyway.
+
+    Docs whose shingles are all covered (gain 0) are never picked on
+    either engine: the gain aggregate runs over UNCOVERED rows only, so
+    such docs simply vanish from the candidate relation."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sh = (
+        shingles.select(
+            F.col(id_col).alias("_id"), F.col(sh_col).alias("_g")
+        )
+        .distinct()
+        .localCheckpoint()  # re-joined every round
+    )
+    pick = (
+        sh.groupBy("_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        .orderBy(F.col("gain").desc(), "_id")
+        .limit(1)
+        .withColumn("sel_rank", F.lit(1))
+    )
+    selected = pick.localCheckpoint()
+    covered = (
+        sh.join(pick.select("_id"), "_id").select("_g").localCheckpoint()
+    )
+    for t in range(2, k + 1):
+        uncovered = sh.join(
+            selected.select("_id"), "_id", "left_anti"
+        ).join(covered, "_g", "left_anti")
+        pick = (
+            uncovered.groupBy("_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .orderBy(F.col("gain").desc(), "_id")
+            .limit(1)
+            .withColumn("sel_rank", F.lit(t))
+        )
+        # selected feeds next round's anti-join AND the final output;
+        # covered feeds the anti-join and its own union — materialize
+        # both at the doubling points
+        selected = selected.unionByName(pick).localCheckpoint()
+        covered = (
+            covered.unionByName(
+                sh.join(
+                    pick.select("_id"), "_id"
+                ).select("_g")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+    w = W.orderBy("sel_rank").rowsBetween(W.unboundedPreceding, 0)
+    return selected.select(
+        "sel_rank",
+        F.col("_id").alias(id_col),
+        "gain",
+        F.sum("gain").over(w).cast("long").alias("covered_total"),
+    )
+
+
+def coverage_select_oracle_sql(shingles_sql: str, k: int = 5) -> str:
+    """DuckDB mirror of `coverage_select` over ``shingles_sql`` (a
+    relation with (doc_id, g) columns): the greedy loop unrolled one
+    pick + one covered CTE per round. Every round's CTEs are
+    AS MATERIALIZED — round t references round t-1 twice (anti-join +
+    union), and DuckDB inlines multiply-referenced CTEs, which made
+    the unrolled MMR oracle exponential (the r7 lesson)."""
+    ctes = [
+        f"sh AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM ({shingles_sql}))",
+        """p1 AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS gain, 1 AS sel_rank
+        FROM sh GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+    )""",
+        "sel1 AS MATERIALIZED (SELECT * FROM p1)",
+        """cov1 AS MATERIALIZED (
+        SELECT DISTINCT g FROM sh JOIN p1 USING (doc_id)
+    )""",
+    ]
+    for t in range(2, k + 1):
+        p, s_prev, c_prev = f"p{t}", f"sel{t - 1}", f"cov{t - 1}"
+        ctes.append(f"""{p} AS MATERIALIZED (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain, {t} AS sel_rank
+        FROM sh s
+        WHERE NOT EXISTS (SELECT 1 FROM {s_prev} q WHERE q.doc_id = s.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM {c_prev} c WHERE c.g = s.g)
+        GROUP BY s.doc_id ORDER BY gain DESC, s.doc_id LIMIT 1
+    )""")
+        ctes.append(
+            f"sel{t} AS MATERIALIZED (SELECT * FROM {s_prev} UNION ALL SELECT * FROM {p})"
+        )
+        ctes.append(f"""cov{t} AS MATERIALIZED (
+        SELECT g FROM {c_prev} UNION SELECT g FROM sh JOIN {p} USING (doc_id)
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT sel_rank, doc_id, gain,
+           CAST(sum(gain) OVER (ORDER BY sel_rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS covered_total
+    FROM sel{k}
+    """
+    )

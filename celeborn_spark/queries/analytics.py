@@ -613,3 +613,88 @@ def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ),
+    hist AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(sum(cents) AS BIGINT) AS vcents
+             FROM per_cust GROUP BY 1),
+    edges AS (
+        SELECT v, cnt, vcents,
+               sum(cnt) OVER (ORDER BY v) - cnt AS cum_before,
+               sum(cnt) OVER ()                 AS total_n
+        FROM hist
+    ),
+    binned AS (
+        SELECT least(9, CAST(floor(10 * cum_before / total_n) AS BIGINT))
+                   AS decile,
+               CAST(sum(cnt) AS BIGINT) AS n_customers,
+               CAST(sum(vcents) AS BIGINT) AS bin_cents
+        FROM edges GROUP BY 1
+    ),
+    tot AS (SELECT sum(bin_cents) AS total_cents FROM binned)
+    SELECT decile, n_customers, bin_cents,
+           CAST(sum(bin_cents) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / total_cents AS cum_share
+    FROM binned CROSS JOIN tot
+    """,
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of customer revenue: customers
+    binned into spend deciles via the exact value-histogram rule (the
+    quantile_bins arithmetic inline over integer cents — no global row
+    sort), then each decile's cumulative share of total revenue — the
+    curve readout whose scalar summaries are q_market_hhi and the
+    key-skew Gini. cum_share = ONE division of exact integer cents,
+    emitted raw; the windows run over the cents HISTOGRAM and the
+    10-row decile relation."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    hist = per_cust.groupBy(F.col("cents").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("cents").cast("long").alias("vcents"),
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    binned = (
+        hist.withColumn("cum_before", F.sum("cnt").over(wcum) - F.col("cnt"))
+        .withColumn("total_n", F.sum("cnt").over(wall))
+        .groupBy(
+            F.least(
+                F.lit(9),
+                F.floor(10 * F.col("cum_before") / F.col("total_n")).cast(
+                    "long"
+                ),
+            ).alias("decile")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_customers"),
+            F.sum("vcents").cast("long").alias("bin_cents"),
+        )
+    )
+    wdec = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wtot = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return binned.select(
+        "decile",
+        "n_customers",
+        "bin_cents",
+        (
+            F.sum("bin_cents").over(wdec).cast("double")
+            / F.sum("bin_cents").over(wtot)
+        ).alias("cum_share"),
+    )

@@ -303,3 +303,43 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm_code"),
     )
+
+
+_COVERAGE_SHINGLES = """
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+"""
+
+
+@query(
+    "q_coverage_select",
+    oracle=T.coverage_select_oracle_sql(_COVERAGE_SHINGLES, k=5),
+)
+def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection of 5 documents spanning the
+    most distinct 3-token shingles — the submodular seed-corpus
+    curation step (MMR diversifies a ranked retrieval; this maximizes
+    raw content coverage with no query). Each of the 5 rounds is one
+    shingle-keyed anti-join + doc-keyed count + 1-row cut on exact
+    integers (operators/textops.coverage_select)."""
+    from celeborn_spark.operators.textops import coverage_select
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.col("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i + 1, F.lit(3))
+                ),
+            )
+        ).alias("g"),
+    )
+    return coverage_select(sh, k=5)

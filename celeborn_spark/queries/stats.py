@@ -395,3 +395,149 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t")
     )
     return stats_ops.km_survival(durs, "t")
+
+
+@query(
+    "q_mann_whitney",
+    oracle=stats_ops.mann_whitney_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity", "'R'", "'A'"
+    ),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do RETURNED lineitems'
+    quantities stochastically dominate ACCEPTED ones? The
+    nonparametric sibling of q_ab_test_welch — ranks come from the
+    l_quantity VALUE HISTOGRAM (50 distinct values), never a row
+    sort; U and the rank sums are exact integers/halves, z rounds
+    6dp through sqrt (operators/stats.mann_whitney_u)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.mann_whitney_u(li, "l_returnflag", "l_quantity", "R", "A")
+
+
+@query(
+    "q_quantile_transform",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, l_quantity AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT g, v, cnt,
+               coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before,
+               sum(cnt) OVER (PARTITION BY g) AS n
+        FROM hist
+    ),
+    bins AS (
+        SELECT g, v,
+               CAST(2 * cum_before + cnt + 1 AS DOUBLE) / (2 * n) AS qfrac
+        FROM ranked
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+           b.qfrac
+    FROM lineitem l
+    JOIN bins b ON b.g = l.l_returnflag AND b.v = l.l_quantity
+    """,
+)
+def q_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile (rank-based) normalization: map every
+    l_quantity to its average-rank FRACTION within its return-flag
+    group — the distribution-free feature transform (quantile
+    normalization) next to q_feature_scaling (min-max) and
+    q_grouped_zscore (parametric). qfrac = (2*cum_before + t + 1) /
+    (2n): exact integers through ONE division, bit-identical
+    cross-engine. The ranks come from the per-group VALUE HISTOGRAM
+    (50 distinct values; the quantile_bins discipline) and join back
+    to the row mass broadcast — the corpus is never sorted."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("g"), F.col("l_quantity").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    wn = W.partitionBy("g")
+    bins = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .withColumn("n", F.sum("cnt").over(wn))
+        .select(
+            "g",
+            "v",
+            (
+                (2 * F.col("cum_before") + F.col("cnt") + 1).cast("double")
+                / (2 * F.col("n"))
+            ).alias("qfrac"),
+        )
+    )
+    return li.join(
+        F.broadcast(bins),
+        (F.col("g") == F.col("l_returnflag")) & (F.col("v") == F.col("l_quantity")),
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "qfrac")
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':srm'), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 0 ELSE 1 END AS arm
+        FROM users
+    ),
+    obs AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM arms
+    )
+    SELECT n_a, n_b,
+           (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+           + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0) AS chi2,
+           ((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)
+           + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+               / ((n_a + n_b) / 2.0)) > 3.841 AS srm_flag
+    FROM obs
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: split users into two arms by a
+    reproducible md5 bit (the repo's hash-lane idiom — DuckDB
+    reproduces md5 bit-for-bit) and chi-square goodness-of-fit the
+    observed arm counts against the designed 50/50 — THE first check
+    before reading any A/B metric (a biased assignment invalidates
+    q_ab_test_welch downstream). One distinct + one scalar aggregate;
+    expected counts are exact halves, so the two GOF terms are
+    identical IEEE expressions cross-engine; flag at the 5%
+    critical value (dof 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":srm"))),
+                    1,
+                    1,
+                ).isin(list("01234567")),
+                0,
+            )
+            .otherwise(1)
+            .alias("arm")
+        )
+    )
+    obs = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    e = (na + nb) / F.lit(2.0)
+    chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    return obs.select("n_a", "n_b", chi2.alias("chi2"), (chi2 > 3.841).alias("srm_flag"))

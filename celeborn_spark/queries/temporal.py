@@ -16,6 +16,7 @@ from celeborn_spark.operators.resample import (
     merge_intervals,
     merge_intervals_oracle_sql,
 )
+from celeborn_spark.operators.stats import wilson_oracle_sql
 from celeborn_spark.operators.asof import (
     asof_join,
     bucketed_range_self_join,
@@ -652,3 +653,144 @@ def q_seq_pattern_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pattern")
         .limit(20)
     )
+
+
+@query(
+    "q_seasonality_index",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, isodow(ts) AS isodow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    totals AS (SELECT event_type, sum(n) AS n_t FROM counts GROUP BY 1)
+    SELECT c.event_type, c.isodow, c.n,
+           CAST(c.n * 7 AS DOUBLE) / t.n_t AS dow_index
+    FROM counts c JOIN totals t USING (event_type)
+    """,
+)
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed share of
+    a weekday vs the uniform 1/7 expectation (index 1.0 = no
+    seasonality; >1 = overrepresented day) — the weekly-rhythm
+    diagnostic next to q_user_growth (daily trend) and q_ewma_trend.
+    Two count aggregates; dow_index = ONE division of exact integers
+    (n*7 / n_t), bit-identical cross-engine, emitted raw. isodow
+    (Monday=1..7) = Spark weekday()+1."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("isodow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    return counts.join(totals, "event_type").select(
+        "event_type",
+        "isodow",
+        "n",
+        ((F.col("n") * 7).cast("double") / F.col("n_t")).alias("dow_index"),
+    )
+
+
+@query(
+    "q_ohlc_hourly",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+        FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT event_type, hour,
+           arg_min(value, k) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, k) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM keyed GROUP BY 1, 2
+    """,
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles of event value per
+    event type — the time-bucketed rollup a metrics store serves for
+    any "how did this metric move" panel. ONE map-combined aggregate
+    (open/close via min_by/max_by on a zero-padded (epoch_us,
+    event_id) string key — lexicographic IS chronological and the
+    unique id makes ties deterministic; DuckDB's arg_min/arg_max take
+    only scalar ordering keys, hence the fold). High/low/open/close
+    are raw untouched doubles — no arithmetic, no rounding needed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.min_by("value", k).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", k).alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "q_funnel_conversion_ci",
+    oracle=wilson_oracle_sql(
+        """(
+        WITH reach AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS r_view,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS r_click,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS r_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT 'view>click' AS step, r_click = 1 AS conv
+        FROM reach WHERE r_view = 1
+        UNION ALL
+        SELECT 'click>purchase', r_purchase = 1
+        FROM reach WHERE r_click = 1
+    )""",
+        "step",
+        "step",
+        "conv",
+    ),
+)
+def q_funnel_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-conversion rates WITH Wilson 95% intervals — the
+    composition of q_funnel_steps' reach flags and the
+    operators/stats.wilson_interval machinery: a raw conversion rate
+    without its interval invites overreading small cohorts. Per-user
+    reach flags in ONE aggregate, one union of the two step cohorts,
+    one group-keyed Wilson aggregate (the oracle is generated by
+    wilson_oracle_sql so both engines fold the identical z^2
+    constant — a hand-copied 3.8416 vs Python's 1.96*1.96 differs in
+    the last ulp)."""
+    from celeborn_spark.operators.stats import wilson_interval
+
+    ev = load_table(spark, sf_dir, "events")
+    reach = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("r_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("r_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "r_purchase"
+        ),
+    )
+    steps = (
+        reach.filter(F.col("r_view") == 1)
+        .select(
+            F.lit("view>click").alias("step"),
+            (F.col("r_click") == 1).alias("conv"),
+        )
+        .unionByName(
+            reach.filter(F.col("r_click") == 1).select(
+                F.lit("click>purchase").alias("step"),
+                (F.col("r_purchase") == 1).alias("conv"),
+            )
+        )
+    )
+    return wilson_interval(steps, "step", "conv")

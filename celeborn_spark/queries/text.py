@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators import textops as T
+from celeborn_spark.operators.graph import pagerank_oracle_sql
 from celeborn_spark.operators.stats import kl_divergence_oracle_sql
 from celeborn_spark.registry import query
 
@@ -1093,4 +1094,68 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.lit(1e4)
         ).alias("novel_frac"),
+    )
+
+
+_TEXTRANK_EDGES = """
+    toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    adjp AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    canon AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM adjp WHERE a <> b),
+    e AS (SELECT u AS src, v AS dst FROM canon
+          UNION ALL SELECT v, u FROM canon)
+"""
+
+
+@query(
+    "q_textrank_keywords",
+    oracle="SELECT node AS word, pr FROM ("
+    + pagerank_oracle_sql(edges_cte=_TEXTRANK_EDGES, iters=3)
+    + ") ORDER BY pr DESC, word LIMIT 20",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the word
+    co-occurrence graph (distinct undirected adjacent-token pairs
+    across the corpus), top-20 words by rank — the graph-centrality
+    keyword signal next to q_tfidf_topk (frequency-based) and
+    q_bm25_topk (query-relevance). Pure composition: the SAME pagerank
+    operator the graph family uses (operators/graph.pagerank, r7
+    driver-green) runs on a vocabulary-sized token graph — nodes are
+    words, so the per-round exchanges are vocab-bounded, never
+    corpus-bounded; the adjacency build touches the token mass once.
+    Rank on the 6dp-rounded pr with the word as tiebreak."""
+    from celeborn_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens("text").alias("t")).filter(F.size("t") >= 2)
+    adj = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("a"),
+                        F.element_at("t", i + 2).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    canon = adj.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    e = canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        canon.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return (
+        pagerank(e, iters=3)
+        .select(F.col("node").alias("word"), "pr")
+        .orderBy(F.col("pr").desc(), "word")
+        .limit(20)
     )

@@ -17,6 +17,7 @@ gated behind import-try in read_any.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 PARQUET_CODECS = ("zstd", "snappy", "gzip", "lz4", "none")
 FORMATS = ("parquet", "orc", "json", "csv", "text")
@@ -325,3 +326,40 @@ def write_bloom_indexed(
         if expected_ndv is not None:
             w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
     w.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+    max_file_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's built-in `binaryFile` source:
+    each file becomes one row (path, modificationTime, length,
+    content binary) — the entry point of the multimodal pipeline
+    (queries/multimodal.py consumes exactly this shape: opaque binary
+    + typed metadata, then Arrow-batched decode kernels). Column-prunes
+    like any V2 source: a metadata-only query (count, size audit)
+    never reads file CONTENT bytes, just the listing.
+
+    ``glob`` filters file names (e.g. ``*.png``); ``recursive``
+    descends subdirectories; ``max_file_bytes`` guards against a
+    single giant asset blowing an executor (files above the bound are
+    FILTERED with a pushed length predicate, not failed — a 100 TB
+    crawl always contains a few pathological objects; route them to a
+    chunked path via multimodal.chunk_binary instead).
+
+    Reference analogue: partition readers dispatch by format
+    (client-spark/.../CelebornShuffleReader behaviour is
+    format-agnostic bytes-in); here the format registry is Spark's
+    DataSource V2."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_file_bytes is not None:
+        df = df.filter(F.col("length") <= max_file_bytes)
+    return df

@@ -239,3 +239,44 @@ def test_r7_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r8_ops():
+    from celeborn_spark.queries.curriculum import q_coverage_select, q_rfm_segments
+    from celeborn_spark.queries.graph import q_neighbor_jaccard
+    from celeborn_spark.queries.stats import (
+        q_chi_square,
+        q_mann_whitney,
+        q_quantile_transform,
+        q_survival_curve,
+    )
+    from celeborn_spark.queries.temporal import q_ohlc_hourly, q_seq_pattern_topk
+    from celeborn_spark.queries.text import q_kl_divergence, q_textrank_keywords
+
+    return [
+        q_kl_divergence,       # vocab-grid crossJoin under strategy flips
+        q_chi_square,          # broadcast marginals forced to shuffle
+        q_mann_whitney,        # histogram window at 1 vs 32 partitions
+        q_survival_curve,      # prefix products over distinct durations
+        q_quantile_transform,  # broadcast bin join-back forced to shuffle
+        q_rfm_segments,        # three quantile_bins passes over layouts
+        q_neighbor_jaccard,    # wedge self-join + anti-join re-planned
+        q_coverage_select,     # 5 greedy rounds re-planned per round
+        q_textrank_keywords,   # pagerank on string nodes under AQE off
+        q_seq_pattern_topk,    # user-keyed leads at 1 partition
+        q_ohlc_hourly,         # min_by/max_by partial-merge associativity
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r8_ops(), ids=lambda f: f.__name__)
+def test_r8_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

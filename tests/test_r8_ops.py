@@ -222,3 +222,170 @@ def test_seq_pattern_counts_match_manual(spark):
     )
     got = {r.p: r.n for r in tri.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == {"a>b>c": 2, "b>c>b": 1, "c>b>c": 1}
+
+
+# ---------- Mann-Whitney U ----------
+
+
+def test_mann_whitney_known_value(spark):
+    from celeborn_spark.operators.stats import mann_whitney_u
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # sorted: 1(a) r1; {2a,2b} avg 2.5; {3a,3b} avg 4.5; 4(b) r6
+    # Ra = 1 + 2.5 + 4.5 = 8; U = 8 - 6 = 2; mu = 4.5
+    # ties = 2 blocks of t=2 -> 12; sigma2 = 9/12 * (7 - 12/30)
+    import math
+
+    sigma2 = 9 / 12 * (7 - 12 / 30)
+    want_z = round((2 - 4.5) / math.sqrt(sigma2), 6)
+    assert (r.n_a, r.n_b, r.u_stat) == (3, 3, 2.0)
+    assert r.z == want_z
+
+
+def test_mann_whitney_symmetry(spark):
+    from celeborn_spark.operators.stats import mann_whitney_u
+
+    rows = [("a", v) for v in (1, 5, 9, 13)] + [("b", v) for v in (2, 4, 6, 8)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    z_ab = mann_whitney_u(df, "g", "v", "a", "b").collect()[0].z
+    z_ba = mann_whitney_u(df, "g", "v", "b", "a").collect()[0].z
+    assert z_ab == -z_ba
+
+
+# ---------- greedy max-coverage ----------
+
+
+def test_coverage_select_greedy_order(spark):
+    from celeborn_spark.operators.textops import coverage_select
+
+    rows = (
+        [(1, s) for s in "abc"]
+        + [(2, s) for s in "ab"]
+        + [(3, s) for s in "cd"]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out = {
+        r.sel_rank: (r.doc_id, r.gain, r.covered_total)
+        for r in coverage_select(df, k=2).collect()
+    }
+    # round 1: doc 1 covers {a,b,c} (gain 3); round 2: doc 2's shingles
+    # are all covered (vanishes), doc 3 adds {d} (gain 1)
+    assert out == {1: (1, 3, 3), 2: (3, 1, 4)}
+
+
+def test_coverage_select_tiebreak_min_doc(spark):
+    from celeborn_spark.operators.textops import coverage_select
+
+    rows = [(7, "x"), (7, "y"), (3, "x"), (3, "y")]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out = coverage_select(df, k=1).collect()
+    assert [(r.doc_id, r.gain) for r in out] == [(3, 2)]
+
+
+# ---------- seasonality / textrank smoke ----------
+
+
+def test_seasonality_index_exact(spark):
+    import datetime
+
+    # 7 views Mon..Sun + 7 extra views on Monday: Monday index = 14/2
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [("view", base + datetime.timedelta(days=d)) for d in range(7)]
+    rows += [("view", base)] * 7
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    counts = df.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("isodow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("n_t"))
+    out = {
+        r.isodow: r.dow_index
+        for r in counts.join(totals, "event_type")
+        .select(
+            "isodow",
+            ((F.col("n") * 7).cast("double") / F.col("n_t")).alias("dow_index"),
+        )
+        .collect()
+    }
+    assert out[1] == 4.0  # Monday: 8 of 14 events -> 8*7/14
+    assert out[2] == 0.5
+
+
+def test_textrank_symmetric_chain(spark):
+    from celeborn_spark.operators.graph import pagerank
+
+    # path graph a-b-c: middle node must outrank endpoints
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], ["src", "dst"]
+    )
+    pr = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+    assert pr["b"] > pr["a"] == pr["c"]
+
+
+# ---------- property tests ----------
+
+
+def test_kl_nonnegative_on_random_slices(spark):
+    # smoothed distributions are proper -> KL >= 0 always
+    import random
+
+    rng = random.Random(8)
+    rows = [
+        (g, rng.choice("abcdefgh"))
+        for g in ("ref", "x", "y", "z")
+        for _ in range(rng.randint(5, 40))
+    ]
+    from celeborn_spark.operators.stats import kl_divergence
+
+    df = spark.createDataFrame(rows, ["g", "w"])
+    for r in kl_divergence(df, "g", "w", "ref").collect():
+        assert r.kl >= 0.0, r
+
+
+def test_coverage_gains_non_increasing(spark):
+    # greedy coverage is submodular: marginal gains never increase
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (d, rng.randint(0, 30))
+        for d in range(20)
+        for _ in range(rng.randint(1, 15))
+    ]
+    from celeborn_spark.operators.textops import coverage_select
+
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out = sorted(
+        coverage_select(df, k=6).collect(), key=lambda r: r.sel_rank
+    )
+    gains = [r.gain for r in out]
+    assert gains == sorted(gains, reverse=True)
+    assert out[-1].covered_total == sum(gains)
+
+
+def test_km_survival_non_increasing(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(rng.randint(0, 12),) for _ in range(200)]
+    from celeborn_spark.operators.stats import km_survival
+
+    df = spark.createDataFrame(rows, ["t"])
+    out = sorted(km_survival(df, "t").collect(), key=lambda r: r.t)
+    survs = [r.survival for r in out]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert survs[-1] == 0.0  # no censoring: everyone eventually stops
+
+
+def test_wilson_interval_brackets_p(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(g, rng.random() < 0.3 + 0.1 * g) for g in range(4) for _ in range(30)]
+    from celeborn_spark.operators.stats import wilson_interval
+
+    df = spark.createDataFrame(rows, ["g", "ok"])
+    for r in wilson_interval(df, "g", "ok").collect():
+        p = r.s / r.n
+        assert 0.0 <= r.ci_lo <= p <= r.ci_hi <= 1.0, r

@@ -397,3 +397,29 @@ def test_bloom_indexed_write_membership_and_pruning_path(spark, tmp_path):
         assert fp <= 25, f"false-positive rate too high: {fp}/500"
     finally:
         reader.close()
+
+
+def test_read_binary_files_glob_and_bound(spark, tmp_path):
+    from celeborn_spark.sources.io import read_binary_files
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG" + b"x" * 10)
+    (d / "b.png").write_bytes(b"\x89PNG" + b"y" * 500)
+    (d / "c.txt").write_bytes(b"not an image")
+    sub = d / "nested"
+    sub.mkdir()
+    (sub / "d.png").write_bytes(b"\x89PNG")
+
+    flat = read_binary_files(spark, str(d), glob="*.png")
+    assert flat.count() == 2  # c.txt filtered, nested not recursed
+    rec = read_binary_files(spark, str(d), glob="*.png", recursive=True)
+    assert rec.count() == 3
+    bounded = read_binary_files(
+        spark, str(d), glob="*.png", max_file_bytes=100
+    )
+    names = sorted(r.path.rsplit("/", 1)[-1] for r in bounded.collect())
+    assert names == ["a.png"]
+    row = bounded.filter(F.col("path").endswith("a.png")).collect()[0]
+    assert bytes(row.content).startswith(b"\x89PNG")
+    assert row.length == 14
