@@ -745,15 +745,23 @@ def hits(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     # The edge relation is referenced 2*iters+1 times (nodes + two
-    # joins per round); left lazy, a DERIVED edge relation (e.g. the
-    # orders-lineitem join behind q_hits) would recompute per
-    # reference (the CLAUDE.md checkpoint-inputs rule — pagerank's
-    # pair build ran 4x before the same fix). One eager materialization
-    # up front; the broadcast-joined rounds then rescan it locally.
-    e = edges.select("src", "dst").localCheckpoint()
+    # joins per round) and stays LAZY on purpose: the checkpoint-inputs
+    # rule applies only when the derived relation is EXPENSIVE relative
+    # to a rescan. q_hits' edges are a broadcast join of two parquet
+    # scans — recomputing that inside each round's codegen measured
+    # 3.4-4.4 s for the whole query, while an eager localCheckpoint of
+    # the same edges (r8 first attempt) measured 7.0-11.8 s: the
+    # materialize+deserialize round-trip cost MORE than 7 cheap
+    # recomputes. Pagerank's pair build (the r7 4x lesson) was the
+    # opposite regime — an expensive exchange-bearing build. Callers
+    # with a costly edge pipeline should localCheckpoint it themselves
+    # before calling, or pass partition_edges=True, which materializes
+    # exactly once per join direction anyway.
+    e = edges.select("src", "dst")
     e_src = e_dst = e
     if partition_edges:
         par = edges.sparkSession.sparkContext.defaultParallelism
+        e = e.localCheckpoint()  # one materialization feeds both copies
         e_src = e.repartition(par, "src").persist()
         e_dst = e.repartition(par, "dst").persist()
     nodes = (
@@ -764,17 +772,20 @@ def hits(
     )
     hub = nodes.select("node", F.lit(1.0).alias("h"))
     auth = None
-    # Every round references araw/hraw TWICE (normalizer agg + the
-    # normalized join) and the final join references the whole auth
-    # chain a second time — left lazy, the plan QUADRUPLES per round
-    # (measured: 754 exchanges at iters=3, and even rendering the plan
-    # string OOMed a default driver). Lazy persist() does not help:
-    # the LOGICAL lineage still doubles, and plan analysis/rendering
-    # pays it. ONE eager localCheckpoint per round (hraw, the round
-    # boundary) bounds the plan: araw's duplicated subtree then reads
-    # from the previous round's checkpoint, so the doubling never
-    # compounds (measured at sf0.1: lazy unusable, both-ckpt 5.5 s,
-    # hraw-only 4.6 s — the bfs_hops discipline, halved).
+    # Every round references the raw aggregate TWICE (normalizer agg +
+    # the normalized join) and the final join references the whole
+    # auth chain a second time — left fully lazy, the plan QUADRUPLES
+    # per round (measured: 754 exchanges at iters=3, and even
+    # rendering the plan string OOMed a default driver). Lazy
+    # persist() does not help: the LOGICAL lineage still doubles, and
+    # plan analysis/rendering pays it. The checkpoint PLACEMENT was
+    # re-measured r8 (warm reps, idle host, sf0.1): eager checkpoint
+    # of the NORMALIZED node-sized relations (auth AND hub, one per
+    # half-round) 4.2-4.4 s; auth+raw-hraw 5.3-5.7 s; hraw-only
+    # 6.5-6.9 s (its lazy auth recomputes araw + the normalizer
+    # subquery inside every consumer). Normalized-relation checkpoints
+    # win because each half-round's job then contains exactly ONE edge
+    # join reading the previous checkpoint.
     for i in range(iters):
         araw = (
             hub.join(e_src, hub["node"] == e_src["src"])
@@ -791,12 +802,12 @@ def hits(
                     F.coalesce(F.col("ar"), F.lit(0.0)) / F.col("anorm"), 6
                 ).alias("a"),
             )
+            .localCheckpoint()  # read by hraw's join AND the final join
         )
         hraw = (
             auth.join(e_dst, auth["node"] == e_dst["dst"])
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
-            .localCheckpoint()  # read by the normalizer AND the join
         )
         hsum = hraw.agg(F.sum("hr").alias("hnorm"))
         hub = (
@@ -808,16 +819,14 @@ def hits(
                     F.coalesce(F.col("hr"), F.lit(0.0)) / F.col("hnorm"), 6
                 ).alias("h"),
             )
+            .localCheckpoint()  # read by next round's araw AND the final join
         )
     out = hub.join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("auth")
     )
     if partition_edges:
-        # materialize BEFORE dropping the edge caches — the final
-        # round's araw lineage still reads e_src (only hraw is
-        # checkpointed), and unpersisting first would rebuild the
-        # edge shuffle from scratch (the pagerank discipline).
-        out = out.localCheckpoint()
+        # hub/auth are checkpointed, so the final join no longer
+        # references the edge caches — safe to drop them here.
         e_src.unpersist()
         e_dst.unpersist()
     return out
