@@ -53,16 +53,16 @@ from celeborn_spark import registry
 # window-frame family is repped inside the window by
 # first_last/range_frame; rollup folds into cube; moving_avg/rank_dense/
 # count_distinct/datetime/date/pad/regexp dropped — all remain
-# registered, oracle-backed and driver-rotatable).
+# registered, oracle-backed and driver-rotatable). Round 8: the 50-query
+# window grew the line past the 1.9 KB budget, so math/json_funcs fold
+# into array_funcs as the scalar-func family rep.
 HEAVY_EXTRAS = (
     "q_unpivot",
     "q_simhash_fingerprints",
-    "q_math_funcs",
     "q_grouped_zscore",
     "q_text_chunks",
     "q_array_funcs",
     "q_cube",
-    "q_json_funcs",
     "q21_waiting_supplier",
     "q_dedup_edit_distance",
     "q_pagerank",
