@@ -1168,3 +1168,75 @@ def neighbor_jaccard_oracle_sql(
     ORDER BY jac_raw DESC, a, b
     LIMIT {k}
     """
+
+
+def harmonic_centrality_2hop(edges: DataFrame) -> DataFrame:
+    """Truncated (2-hop) harmonic centrality per node: H2(v) =
+    |N1(v)| + |N2(v)|/2, with N2 the nodes at distance exactly 2 —
+    the influence-reach ranking that full closeness centrality needs
+    all-pairs BFS for; truncating at 2 hops keeps it two equi-joins
+    and captures most of the ranking signal on small-diameter graphs
+    (the reach primitive next to `triangle_counts` (density) and
+    `neighbor_jaccard` (pairwise overlap)). Output (node, n1, n2,
+    harmonic), node-sized.
+
+    Engine parity: n1/n2 are exact distinct counts; harmonic =
+    (2*n1 + n2)/2.0 is one division by 2 of an exact integer — exact
+    in IEEE, emitted raw.
+
+    Scale shape: the wedge self-join keys on the middle node, so cost
+    is sum of squared degrees (cap hub neighborhoods upstream at
+    100 TB — the neighbor_jaccard discipline); the distance-2 set is
+    deduplicated by (node, nbr2) BEFORE counting, and 1-hop nodes are
+    removed with one anti-join. `edges` must be canonical undirected
+    (u < v, distinct)."""
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    n1 = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    two = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .filter(F.col("x.node") != F.col("y.node"))
+        .select(F.col("x.node").alias("node"), F.col("y.node").alias("nbr2"))
+        .distinct()
+        .join(
+            adj.select("node", F.col("nbr").alias("nbr2")),
+            ["node", "nbr2"],
+            "left_anti",
+        )
+    )
+    n2 = two.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    return (
+        n1.join(n2, "node", "left")
+        .select(
+            "node",
+            "n1",
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n2"),
+            (
+                (2 * F.col("n1") + F.coalesce("n2", F.lit(0))) / F.lit(2.0)
+            ).alias("harmonic"),
+        )
+    )
+
+
+def harmonic_oracle_sql(edges_cte: str) -> str:
+    """DuckDB mirror of `harmonic_centrality_2hop` over ``edges_cte``
+    (must define a CTE `el(u, v)` of canonical undirected edges)."""
+    return f"""
+    WITH {edges_cte},
+    adj AS (SELECT u AS node, v AS nbr FROM el
+            UNION ALL SELECT v, u FROM el),
+    n1 AS (SELECT node, CAST(count(*) AS BIGINT) AS n1 FROM adj GROUP BY 1),
+    two AS (
+        SELECT DISTINCT x.node, y.node AS nbr2
+        FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node <> y.node
+        WHERE NOT EXISTS (SELECT 1 FROM adj a
+                          WHERE a.node = x.node AND a.nbr = y.node)
+    ),
+    n2 AS (SELECT node, CAST(count(*) AS BIGINT) AS n2 FROM two GROUP BY 1)
+    SELECT n1.node, n1.n1,
+           CAST(coalesce(n2.n2, 0) AS BIGINT) AS n2,
+           (2 * n1.n1 + coalesce(n2.n2, 0)) / 2.0 AS harmonic
+    FROM n1 LEFT JOIN n2 ON n1.node = n2.node
+    """

@@ -817,3 +817,149 @@ def mmr_oracle_sql(k: int = 8, lam: float = 0.5, query_id: int = 0) -> str:
         + ",\n    ".join(ctes)
         + f"\n    SELECT vec_id, rel, mmr_rank FROM {prev}"
     )
+
+
+def cluster_medoid(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    cap: int = 50,
+) -> DataFrame:
+    """Per-cluster MEDOID — the real member minimizing total cosine
+    distance to its cluster — over a deterministic md5-capped sample
+    of each cluster. The centroid (q_label_centroids) is an average
+    that may sit in empty space; the medoid is the exemplar you can
+    actually show, dedup against, or seed a curriculum with. Output
+    (label, medoid_id, n_sampled, sum_micro, avg_dist).
+
+    Engine parity: per-pair cosine distance passes through sqrt norms
+    (irrational), so quantizing to exact micro-units
+    (round(dist * 1e6) as BIGINT) is tie-safe; the per-candidate SUM
+    is then exact-integer, the argmin struct is (sum_micro, id) —
+    fully deterministic — and avg_dist = sum_micro / ((n-1) * 1e6) is
+    one IEEE division of exact integers, emitted raw.
+
+    Scale shape: the pairwise join is capped at ``cap`` rows per
+    cluster by an md5-ordered per-label window (deterministic, not
+    first-seen), so cost is clusters * cap^2 regardless of corpus
+    size; vectors shuffle once, keyed by label."""
+    pts = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("id"),
+        as_double_array(vec_col).alias("vec"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("vec"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("label").orderBy(F.md5(F.col("id").cast("string")), "id")
+    )
+    capped = pts.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
+    dot = F.aggregate(
+        F.zip_with(F.col("i.vec"), F.col("j.vec"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    micro = F.round(
+        (F.lit(1.0) - dot / (F.col("i.norm") * F.col("j.norm"))) * 1e6, 0
+    ).cast("long")
+    sums = (
+        capped.alias("i")
+        .join(capped.alias("j"), "label")
+        .filter(F.col("i.id") != F.col("j.id"))
+        .select("label", F.col("i.id").alias("id"), micro.alias("micro"))
+        .groupBy("label", "id")
+        .agg(F.sum("micro").alias("sum_micro"))
+    )
+    n_s = capped.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    best = sums.groupBy("label").agg(
+        F.min(F.struct("sum_micro", "id")).alias("m")
+    )
+    return (
+        best.join(n_s, "label")
+        .select(
+            "label",
+            F.col("m.id").alias("medoid_id"),
+            "n_sampled",
+            F.col("m.sum_micro").alias("sum_micro"),
+            (
+                F.col("m.sum_micro")
+                / ((F.col("n_sampled") - 1) * F.lit(1e6))
+            ).alias("avg_dist"),
+        )
+    )
+
+
+def cluster_medoid_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    cap: int = 50,
+) -> str:
+    """DuckDB mirror of `cluster_medoid`: identical md5 cap, per-pair
+    micro-unit quantization, and (sum_micro, id) argmin."""
+    return f"""
+    WITH capped AS (
+        SELECT {label_col} AS label, {id_col} AS id, {vec_col} AS v
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY {label_col}
+                ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+            ) AS rn
+            FROM {table}
+        ) WHERE rn <= {cap}
+    ),
+    dims AS (
+        SELECT label, id,
+               generate_subscripts(v, 1) AS pos,
+               CAST(unnest(v) AS DOUBLE) AS x
+        FROM capped
+    ),
+    norms AS (
+        SELECT label, id, sqrt(sum(x * x)) AS norm
+        FROM dims GROUP BY 1, 2
+    ),
+    pair AS (
+        SELECT i.label, i.id AS id, j.id AS jd,
+               sum(i.x * j.x) AS dot
+        FROM dims i JOIN dims j
+          ON i.label = j.label AND i.pos = j.pos AND i.id <> j.id
+        GROUP BY 1, 2, 3
+    ),
+    micro AS (
+        SELECT p.label, p.id,
+               CAST(round((1.0 - p.dot / (ni.norm * nj.norm)) * 1e6)
+                    AS BIGINT) AS micro
+        FROM pair p
+        JOIN norms ni ON ni.label = p.label AND ni.id = p.id
+        JOIN norms nj ON nj.label = p.label AND nj.id = p.jd
+    ),
+    sums AS (
+        SELECT label, id, sum(micro) AS sum_micro
+        FROM micro GROUP BY 1, 2
+    ),
+    n_s AS (SELECT label, CAST(count(*) AS BIGINT) AS n_sampled
+            FROM capped GROUP BY 1),
+    best AS (
+        SELECT label, id AS medoid_id, sum_micro,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY sum_micro, id) AS rk
+        FROM sums
+    )
+    SELECT b.label, b.medoid_id, n_s.n_sampled,
+           CAST(b.sum_micro AS BIGINT) AS sum_micro,
+           CAST(b.sum_micro AS DOUBLE) / ((n_s.n_sampled - 1) * 1e6)
+               AS avg_dist
+    FROM best b JOIN n_s ON n_s.label = b.label
+    WHERE b.rk = 1
+    """

@@ -1301,3 +1301,412 @@ def mann_whitney_oracle_sql(
                              / ((n_a + n_b) * (n_a + n_b - 1)))), {dp}) AS z
     FROM agg
     """
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str, dp: int = 4
+) -> DataFrame:
+    """One-way ANOVA F-test across ALL groups at once — the k-sample
+    generalization of `welch_t` (which compares each group to one
+    baseline): did event type / source / cohort move the metric at
+    all, before pairwise drill-down? One output row
+    (f_stat, eta_sq, dof1, dof2, n).
+
+    Sums form (written identically in the oracle):
+      SSB = sum_i s_i^2/n_i - S^2/N,  SSW = sum_i ss_i - sum_i s_i^2/n_i
+      F = (SSB/(k-1)) / (SSW/(N-k)),  eta^2 = SSB/(SSB+SSW).
+
+    Engine parity: the group sums are doubles, so accumulation order
+    differs cross-engine by ~1e-13 relative; F and eta^2 are O(1)-to-
+    O(1e3) ratios rounded dp=4/6 — far above the noise, far below any
+    half-way tie (the welch_t discipline). Do NOT emit the raw sums.
+
+    Scale shape: ONE map-combined group aggregate (3 sums per group),
+    then all statistics assemble on the k-row relation. The row mass
+    is touched once."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("ss"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("stot"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sqn"),
+        F.sum("ss").alias("sstot"),
+    )
+    ssb = F.col("sqn") - F.col("stot") * F.col("stot") / F.col("nn")
+    ssw = F.col("sstot") - F.col("sqn")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    return tot.select(
+        F.round(f_stat, dp).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+        (F.col("k") - 1).cast("long").alias("dof1"),
+        (F.col("nn") - F.col("k")).cast("long").alias("dof2"),
+        F.col("nn").cast("long").alias("n"),
+    )
+
+
+def anova_oracle_sql(
+    table: str, group_sql: str, value_sql: str, dp: int = 4
+) -> str:
+    """DuckDB mirror of `anova_oneway`: identical sums form."""
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum({value_sql}) AS s,
+               sum({value_sql} * {value_sql}) AS ss
+        FROM {table} GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS k, sum(n) AS nn,
+               sum(s) AS stot, sum(s * s / n) AS sqn, sum(ss) AS sstot
+        FROM g
+    )
+    SELECT round(((sqn - stot * stot / nn) / (k - 1))
+                 / ((sstot - sqn) / (nn - k)), {dp}) AS f_stat,
+           round((sqn - stot * stot / nn)
+                 / ((sqn - stot * stot / nn) + (sstot - sqn)), 6) AS eta_sq,
+           CAST(k - 1 AS BIGINT) AS dof1,
+           CAST(nn - k AS BIGINT) AS dof2,
+           CAST(nn AS BIGINT) AS n
+    FROM tot
+    """
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str, a: str, b: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic between groups ``a``
+    and ``b`` of ``value_col`` — the distribution-equality screen that
+    sees SHAPE differences Welch (means) and Mann-Whitney (shift)
+    miss. One output row (n_a, n_b, ks_num, ks_d).
+
+    Everything is exact-integer until the last division: the CDFs come
+    from the VALUE HISTOGRAM (cum_a, cum_b running counts), and
+    D's numerator max|cum_a*n_b - cum_b*n_a| is a BIGINT (documented
+    bound: cum*n < 2^63, i.e. ~3e9 rows per side). ks_d =
+    ks_num/(n_a*n_b) is ONE IEEE division of exact integers —
+    bit-identical cross-engine, emitted RAW (the CLAUDE.md no-round
+    rule; rounding is what diverges at ties, division never does).
+
+    Scale shape: one map-combined histogram aggregate; the running
+    CDFs run on the DISTINCT-VALUE relation under a single-partition
+    window — fine for bounded-cardinality metrics (quantities, scores,
+    prices-to-the-cent); for truly continuous columns bucket first."""
+    hist = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(F.when(F.col(group_col) == a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col(group_col) == b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            )
+            .cast("long")
+            .alias("ks_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (F.col("ks_num") / (F.col("n_a") * F.col("n_b"))).alias("ks_d"),
+        )
+    )
+
+
+def ks_oracle_sql(
+    table: str, group_sql: str, value_sql: str, a_lit: str, b_lit: str
+) -> str:
+    """DuckDB mirror of `ks_two_sample`: integer CDF numerators, one
+    final division."""
+    return f"""
+    WITH hist AS (
+        SELECT {value_sql} AS v,
+               CAST(sum(CASE WHEN {group_sql} = {a_lit} THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN {group_sql} = {b_lit} THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM {table}
+        WHERE {group_sql} IN ({a_lit}, {b_lit})
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+               sum(cb) OVER (ORDER BY v) AS cum_b
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b
+            FROM hist)
+    SELECT n_a, n_b,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+               / (n_a * n_b) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY n_a, n_b
+    """
+
+
+def cramers_v(
+    df: DataFrame, row_col: str, col_col: str, dp: int = 6
+) -> DataFrame:
+    """Cramér's V effect size for the (row_col x col_col) association —
+    the 0..1 companion to `chi_square_independence` (chi2 grows with n,
+    so it cannot compare association STRENGTH across differently-sized
+    slices; V = sqrt(chi2 / (n * min(r-1, c-1))) can). One output row
+    (v, dof, n).
+
+    Engine parity: same exact-integer cell terms as the chi-square
+    (documented bound n < ~3e6 rows for exact double products); the
+    final sqrt makes V irrational, so the dp round is tie-safe.
+
+    Scale shape: identical to the chi-square — one map-combined count
+    aggregate; everything downstream is cell-relation sized."""
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+    )
+    d = (
+        F.col("o").cast("double") * F.col("n")
+        - F.col("rt").cast("double") * F.col("ct")
+    )
+    term = d * d / (F.col("n").cast("double") * F.col("rt") * F.col("ct"))
+    return (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(colsm), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(term).alias("chi2"),
+            F.max("n").alias("nn"),
+            F.least(F.max("nr") - 1, F.max("nc") - 1).alias("md"),
+        )
+        .select(
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("nn") * F.col("md"))), dp
+            ).alias("v"),
+            F.col("md").cast("long").alias("dof"),
+            F.col("nn").cast("long").alias("n"),
+        )
+    )
+
+
+def cramers_v_oracle_sql(
+    table: str, row_sql: str, col_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `cramers_v` — the chi-square cell terms plus
+    the sqrt normalization."""
+    return f"""
+    WITH cells AS (
+        SELECT {row_sql} AS r, {col_sql} AS c, CAST(count(*) AS BIGINT) AS o
+        FROM {table} GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT r, sum(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT c, sum(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+                   count(DISTINCT c) AS nc
+            FROM cells),
+    agg AS (
+        SELECT sum((CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+                   * (CAST(o AS DOUBLE) * n - CAST(rt AS DOUBLE) * ct)
+                   / (CAST(n AS DOUBLE) * rt * ct)) AS chi2,
+               max(n) AS nn,
+               least(max(nr) - 1, max(nc) - 1) AS md
+        FROM cells JOIN rows_ USING (r) JOIN cols_ USING (c) CROSS JOIN tot
+    )
+    SELECT round(sqrt(chi2 / (nn * md)), {dp}) AS v,
+           CAST(md AS BIGINT) AS dof,
+           CAST(nn AS BIGINT) AS n
+    FROM agg
+    """
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    ref_value: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence JS(p_g || p_ref) between
+    Laplace-smoothed unigram distributions — the SYMMETRIC, bounded
+    (0..ln 2) sibling of `kl_divergence` (KL is infinite-tailed and
+    direction-dependent; JS is the standard corpus-similarity metric
+    when neither slice is the canonical reference).
+
+    Engine parity (the kl_divergence single-division discipline): with
+    a = (c_g+1)*(n_ref+V) and b = (c_ref+1)*(n_g+V) — both exact
+    integers below 2^53 — and d = (n_g+V)*(n_ref+V):
+      term = (a*ln(2a/(a+b)) + b*ln(2b/(a+b))) / (2d)
+    Every ratio is ONE correctly-rounded IEEE division, ln makes the
+    summand irrational, and the vocabulary-sized sum rounds ``dp``.
+
+    Scale shape: identical to kl_divergence — one (group, token) count
+    exchange, one vocab x group grid, one group-keyed sum."""
+    occ = df.select(F.col(group_col).alias("g"), F.col(token_col).alias("w"))
+    counts = occ.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("w").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    ref = counts.filter(F.col("g") == ref_value).select(
+        "w", F.col("c").alias("c_ref")
+    )
+    ref_n = totals.filter(F.col("g") == ref_value).select(
+        F.col("n").alias("n_ref")
+    )
+    grid = (
+        vocab.crossJoin(totals.filter(F.col("g") != ref_value))
+        .join(counts, ["g", "w"], "left")
+        .join(F.broadcast(ref), "w", "left")
+        .crossJoin(F.broadcast(ref_n))
+        .crossJoin(F.broadcast(vsize))
+    )
+    a = (
+        (F.coalesce(F.col("c"), F.lit(0)) + 1) * (F.col("n_ref") + F.col("v"))
+    ).cast("double")
+    b = (
+        (F.coalesce(F.col("c_ref"), F.lit(0)) + 1) * (F.col("n") + F.col("v"))
+    ).cast("double")
+    dd = ((F.col("n") + F.col("v")) * (F.col("n_ref") + F.col("v"))).cast(
+        "double"
+    )
+    term = (
+        a * F.log(2 * a / (a + b)) + b * F.log(2 * b / (a + b))
+    ) / (2 * dd)
+    return (
+        grid.select("g", term.alias("term"))
+        .groupBy("g")
+        .agg(F.round(F.sum("term"), dp).alias("js"))
+        .select(F.col("g").alias(group_col), "js")
+    )
+
+
+def js_divergence_oracle_sql(
+    occ_sql: str, ref_value: str, group_alias: str = "g", dp: int = 6
+) -> str:
+    """DuckDB mirror of `js_divergence` over ``occ_sql`` (a relation
+    with (g, w) columns)."""
+    return f"""
+    WITH occ AS ({occ_sql}),
+    counts AS (SELECT g, w, count(*) AS c FROM occ GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT w FROM counts),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY 1),
+    ref AS (SELECT w, c AS c_ref FROM counts WHERE g = '{ref_value}'),
+    refn AS (SELECT n AS n_ref FROM totals WHERE g = '{ref_value}'),
+    grid AS (
+        SELECT t.g,
+               CAST((coalesce(c.c, 0) + 1) * (n_ref + v) AS DOUBLE) AS a,
+               CAST((coalesce(r.c_ref, 0) + 1) * (t.n + v) AS DOUBLE) AS b,
+               CAST((t.n + v) * (n_ref + v) AS DOUBLE) AS d
+        FROM vocab
+        CROSS JOIN (SELECT * FROM totals WHERE g <> '{ref_value}') t
+        LEFT JOIN counts c ON c.g = t.g AND c.w = vocab.w
+        LEFT JOIN ref r ON r.w = vocab.w
+        CROSS JOIN refn CROSS JOIN vsize
+    )
+    SELECT g AS {group_alias},
+           round(sum((a * ln(2 * a / (a + b)) + b * ln(2 * b / (a + b)))
+                     / (2 * d)), {dp}) AS js
+    FROM grid GROUP BY 1
+    """
+
+
+def theil_sen(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Theil-Sen robust slope: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), x_i < x_j — the outlier-immune
+    trend estimator next to `grouped_ols_trend` (one wild day moves an
+    OLS slope arbitrarily; Theil-Sen tolerates ~29% corruption).
+    Output (group, n_points, n_pairs, sen_slope).
+
+    ``df`` must be pre-aggregated to ONE EXACT-INTEGER y per (group,
+    x): every pairwise slope is then one IEEE division of exact
+    integers and the median (both engines average the two middle
+    values on even counts) is bit-identical cross-engine — sen_slope
+    is emitted RAW, unrounded (the CLAUDE.md no-round rule).
+
+    Scale shape: the self-join is pairwise in the NUMBER OF DISTINCT
+    x VALUES per group (calendar days, hour buckets) — bounded by the
+    time window, never by row mass; the row mass was already reduced
+    by the caller's aggregate."""
+    pts = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    pairs = (
+        pts.alias("i")
+        .join(pts.alias("j"), "grp")
+        .filter(F.col("i.x") < F.col("j.x"))
+        .select(
+            "grp",
+            (
+                (F.col("j.y") - F.col("i.y"))
+                / (F.col("j.x") - F.col("i.x"))
+            ).alias("slope"),
+        )
+    )
+    npts = pts.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    agg = pairs.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.median("slope").alias("sen_slope"),
+    )
+    return (
+        npts.join(agg, "grp")
+        .select(
+            F.col("grp").alias(group_col), "n_points", "n_pairs", "sen_slope"
+        )
+    )
+
+
+def theil_sen_oracle_sql(pts_sql: str, group_alias: str = "g") -> str:
+    """DuckDB mirror of `theil_sen` over ``pts_sql`` (a relation with
+    (g, x, y) columns, one exact-integer y per (g, x))."""
+    return f"""
+    WITH pts AS ({pts_sql}),
+    pairs AS (
+        SELECT i.g,
+               CAST(j.y - i.y AS DOUBLE) / (j.x - i.x) AS slope
+        FROM pts i JOIN pts j ON i.g = j.g AND i.x < j.x
+    ),
+    npts AS (SELECT g, CAST(count(*) AS BIGINT) AS n_points
+             FROM pts GROUP BY 1),
+    agg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+               median(slope) AS sen_slope
+        FROM pairs GROUP BY 1
+    )
+    SELECT npts.g AS {group_alias}, n_points, n_pairs, sen_slope
+    FROM npts JOIN agg ON npts.g = agg.g
+    """
