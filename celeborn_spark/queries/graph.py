@@ -395,3 +395,31 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return neighbor_jaccard(copurchase_edges(lineitem, min_qty=45), k=25)
+
+
+@query(
+    "q_harmonic_centrality",
+    oracle=graph_ops.harmonic_oracle_sql(
+        """el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    )"""
+    ),
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated (2-hop) harmonic centrality over the supplier
+    co-purchase graph: H2 = |N1| + |N2|/2 — the influence-reach
+    ranking next to q_triangle_count (density) and q_neighbor_jaccard
+    (pairwise overlap), without all-pairs BFS. Two wedge equi-joins
+    keyed on the middle node; harmonic = (2*n1+n2)/2.0 is one exact
+    halving, emitted raw (operators/graph.harmonic_centrality_2hop)."""
+    from celeborn_spark.operators.graph import (
+        copurchase_edges,
+        harmonic_centrality_2hop,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return harmonic_centrality_2hop(copurchase_edges(lineitem, min_qty=45))

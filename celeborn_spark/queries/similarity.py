@@ -561,3 +561,19 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(sil), 6).alias("avg_silhouette"),
         )
     )
+
+
+@query(
+    "q_cluster_medoid",
+    oracle=S.cluster_medoid_oracle_sql(),
+)
+def q_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster MEDOID — the real member minimizing total
+    cosine distance over a deterministic md5-capped 50-vector sample —
+    the showable exemplar next to q_label_centroids (an average that
+    may sit in empty space). Pairwise distances quantize to exact
+    micro-units so the argmin struct (sum_micro, id) is deterministic
+    cross-engine; cost is labels x cap^2 regardless of corpus size
+    (operators/similarity.cluster_medoid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cluster_medoid(emb)

@@ -541,3 +541,78 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (na + nb) / F.lit(2.0)
     chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
     return obs.select("n_a", "n_b", chi2.alias("chi2"), (chi2 > 3.841).alias("srm_flag"))
+
+
+@query(
+    "q_anova",
+    oracle=stats_ops.anova_oracle_sql("lineitem", "l_returnflag", "l_quantity"),
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does return status (A/N/R) move order quantity at
+    all? The k-sample generalization of q_ab_test_welch — one
+    map-combined (n, sum, sum-sq) aggregate per group, then all
+    statistics assemble on the 3-row relation
+    (operators/stats.anova_oneway). Output (f_stat, eta_sq, dof1,
+    dof2, n)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.anova_oneway(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_ks_test",
+    oracle=stats_ops.ks_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity", "'R'", "'A'"
+    ),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between RETURNED and ACCEPTED
+    quantity distributions — the shape-difference screen next to
+    q_mann_whitney (shift) and q_ab_test_welch (means). CDFs come from
+    the 50-value quantity HISTOGRAM, never a row sort; D's numerator
+    is an exact BIGINT and ks_d is one IEEE division, emitted raw
+    (operators/stats.ks_two_sample)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.ks_two_sample(li, "l_returnflag", "l_quantity", "R", "A")
+
+
+@query(
+    "q_cramers_v",
+    oracle=stats_ops.cramers_v_oracle_sql("documents", "lang", "source"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the lang x source association — the
+    0..1 companion to q_chi_square (chi2 grows with n, V compares
+    association STRENGTH across slices). Same one-exchange cell
+    aggregate; the sqrt makes V irrational so the 6dp round is
+    tie-safe (operators/stats.cramers_v). Output (v, dof, n)."""
+    d = load_table(spark, sf_dir, "documents")
+    return stats_ops.cramers_v(d, "lang", "source")
+
+
+@query(
+    "q_theil_sen",
+    oracle=stats_ops.theil_sen_oracle_sql(
+        """SELECT event_type AS g,
+                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2""",
+        group_alias="event_type",
+    ),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen robust trend of daily event volume —
+    the outlier-immune sibling of q_ols_trend (median of pairwise
+    slopes tolerates ~29% corruption; one wild day moves OLS
+    arbitrarily). Input is the per-(type, day) COUNT relation: every
+    slope is one IEEE division of exact integers and the median is
+    bit-identical cross-engine, emitted raw. The pairwise self-join is
+    bounded by distinct DAYS per type, never row mass
+    (operators/stats.theil_sen)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return stats_ops.theil_sen(daily, "event_type", "x", "y")

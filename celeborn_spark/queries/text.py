@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators import textops as T
 from celeborn_spark.operators.graph import pagerank_oracle_sql
-from celeborn_spark.operators.stats import kl_divergence_oracle_sql
+from celeborn_spark.operators.stats import (
+    js_divergence_oracle_sql,
+    kl_divergence_oracle_sql,
+)
 from celeborn_spark.registry import query
 
 _SW = "('the','a','and','of','to','in','is','it')"
@@ -1018,6 +1021,33 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     occ = d.select("lang", F.explode(T.tokens("text")).alias("w"))
     return kl_divergence(occ, "lang", "w", ref_value="en")
+
+
+@query(
+    "q_js_divergence",
+    oracle=js_divergence_oracle_sql(
+        "SELECT source AS g, unnest(string_split(text, ' ')) AS w FROM documents",
+        "src0",
+        group_alias="source",
+    ),
+)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of every source slice's unigram
+    distribution against the 'src0' reference — the SYMMETRIC, bounded
+    (0..ln 2) sibling of q_kl_divergence, the standard corpus-similarity
+    metric when neither slice is canonical. Same single-exchange
+    (source, token) count + vocab x source grid shape
+    (operators/stats.js_divergence).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+ while the oracle splits on ' ' — the testdata documents
+    are single-space-normalized word streams, which makes the two
+    identical; a tab/double-space corpus must be normalized first."""
+    from celeborn_spark.operators.stats import js_divergence
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select("source", F.explode(T.tokens("text")).alias("w"))
+    return js_divergence(occ, "source", "w", ref_value="src0")
 
 
 @query(

@@ -459,7 +459,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
            / 700.0 AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23'
@@ -472,12 +472,17 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated AVG subquery ("below 20% of the
     part's mean order size"). Decorrelated by Catalyst into a per-part
-    avg joined back; the final value is exact-cents / 700.0 so no
-    rounding is needed."""
+    avg joined back. The final division MUST go through DOUBLE on both
+    sides: ``BIGINT / 700.0`` is decimal division in Spark (result
+    DECIMAL(38,6), truncated at 6 fractional digits) but full-precision
+    DOUBLE division in DuckDB — the r8 driver row hash-failed exactly
+    when the quotient needed >6 decimal digits (VERDICT r8 item 1).
+    Same int64 dividend through IEEE double division is bit-identical
+    in both engines."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
                / 700.0 AS avg_yearly
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#23'

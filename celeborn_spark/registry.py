@@ -53,74 +53,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SURVEY.md §2. Everything NOT listed here stays registered (tests + bench
 # still cover it) and follows in registration order after the window.
 #
-# ROTATION PLAN (VERDICT r4 item 1; corrected r8 per VERDICT r7 item 2):
-# round 6's driver artifacts never materialized (no CORRECTNESS_r06 on
-# disk or in git), so the true never-driver-checked backlog entering r8
-# is 84 queries, not 39. This r8 window drains the 49 highest-value
-# first-timers — the full never-checked TPC-H set (the queries a real
-# user runs first), the 13 r7 §2C survey rows, the two queries whose
-# sources changed this round (tie-safe rounding), and the top remainder
-# — plus ONE rep: q_incremental_agg_merge, whose r7 driver row FAILED
-# on a 6dp half-way tie and whose fixed source needs a green row.
-# The residual ~35 (plus r8 additions) rotate in r9. Queries rotated
-# OUT remain oracle-checked every pytest run
-# (tests/test_queries_vs_oracle.py parametrizes the whole registry).
+# ROTATION PLAN (VERDICT r4 item 1; r9 drain per VERDICT r8 item 3):
+# entering r9 the never-driver-checked backlog is 59 queries (registry
+# 276 minus the union of CORRECTNESS_r01–r08 keys: the 35 pre-r8
+# residual + the 17 operators added after the r8 window sealed + the 7
+# formerly-unwired snapshot operators registered this round) plus ONE
+# rep: q17_small_quantity_revenue, whose r8 driver row hash-FAILED on
+# Spark's DECIMAL(38,6) division vs DuckDB's DOUBLE division and whose
+# fixed source (CAST ... AS DOUBLE on both sides) needs a green row.
+# This r9 window = the q17 rep + the 49 highest-value first-timers;
+# the 10 deferred to r10 are single-exchange scalar/aggregate shapes
+# mechanically identical to already-green rows (q_approx_stats,
+# q_dataset_manifest, q_arg_minmax, q_bitwise_agg, q_uniform_sample,
+# q_dense_ids, q_mode_per_group, q_compression_quality,
+# q_text_fingerprint, q_bigram_topk). Queries rotated OUT remain
+# oracle-checked every pytest run (tests/test_queries_vs_oracle.py
+# parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # --- rep: r7 driver FAIL, source fixed this round (1) ---
-    "q_incremental_agg_merge",
-    # --- TPC-H first-timers (15) ---
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
+    # --- rep: r8 driver FAIL, source fixed this round (1) ---
     "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_promotion_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # --- r7 §2C survey-row first-timers (13) ---
-    "q_hits",
-    "q_shortest_path",
-    "q_label_propagation",
-    "q_kmv_distinct",
-    "q_kmv_overlap",
-    "q_hll_merge",
-    "q_cusum_changepoint",
-    "q_key_skew_profile",
-    "q_pareto_frontier",
-    "q_item_neighbors",
-    "q_decision_stump",
-    "q_point_in_time_join",
-    "q_mmr_select",
-    # --- sources changed this round: tie-safe rounding (2) ---
-    "q_dup_span_profile",
-    "q_vocab_coverage",
-    # --- highest-value remainder first-timers (19) ---
-    "q_zorder_layout",
-    "q_dedup_incremental_lsh",
-    "q_pagerank_weighted",
-    "q_stream_stream_left_join",
-    "q_cogroup_asof",
-    "q_events_pipeline",
-    "q_sparse_cosine_pairs",
-    "q_incremental_join_merge",
-    "q_interval_merge",
-    "q_attribution_last_touch",
-    "q_grouped_ols_trend",
-    "q_benford_audit",
-    "q_autocorrelation",
-    "q_cdc_roundtrip",
-    "q_clustering_coefficient",
-    "q_centroid_similarity",
-    "q_feature_scaling",
-    "q_group_entropy",
-    "q_degree_assortativity",
+    # --- r9 first-timers: the 7 newly wired snapshot operators ---
+    "q_anova",
+    "q_ks_test",
+    "q_cramers_v",
+    "q_theil_sen",
+    "q_js_divergence",
+    "q_harmonic_centrality",
+    "q_cluster_medoid",
+    # --- post-r8-window additions (17) ---
+    "q_kl_divergence",
+    "q_chi_square",
+    "q_wilson_ci",
+    "q_survival_curve",
+    "q_neighbor_jaccard",
+    "q_rfm_segments",
+    "q_ngram_novelty",
+    "q_seq_pattern_topk",
+    "q_mann_whitney",
+    "q_coverage_select",
+    "q_textrank_keywords",
+    "q_seasonality_index",
+    "q_quantile_transform",
+    "q_srm_check",
+    "q_lorenz_curve",
+    "q_ohlc_hourly",
+    "q_funnel_conversion_ci",
+    # --- pre-r8 residual backlog (25 of 35) ---
+    "q_containment_pairs",
+    "q_corpus_clean_pipeline",
+    "q_text_stats_by_lang",
+    "q_facet_mutual_information",
+    "q_dedup_normalized",
+    "q_unigram_logprob",
+    "q_zipf_slope",
+    "q_embedding_near_dup",
+    "q_embedding_signature",
+    "q_embedding_project",
+    "q_silhouette",
+    "q_multimodal_resize",
+    "q_multimodal_features",
+    "q_stream_static_join",
+    "q_stream_corpus_ingest",
+    "q_stream_user_profile",
+    "q_temporal_cooccurrence",
+    "q_cohort_ltv",
+    "q_grouped_zscore",
+    "q_per_group_sample",
+    "q_rendezvous_routing",
+    "q_incremental_quantiles",
+    "q_user_growth",
+    "q_revenue_wow_growth",
+    "q_market_hhi",
 )
 
 

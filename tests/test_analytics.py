@@ -111,6 +111,34 @@ def test_no_round_of_integer_ratio_lint():
     assert not offenders, "\n".join(offenders)
 
 
+def test_no_bare_bigint_decimal_division_lint():
+    """Lint for the TPC-H q17 class (VERDICT r8 item 1): a BIGINT
+    divided by a DECIMAL literal is *decimal division* in Spark SQL
+    (result DECIMAL(38,6), truncated at 6 fractional digits) but
+    full-precision DOUBLE division in DuckDB — values diverge wherever
+    the exact quotient needs >6 decimal digits. Tie-safe form: CAST the
+    integer dividend to DOUBLE first (same int64 through IEEE division
+    is bit-identical in both engines). A division whose result feeds
+    floor(...) then CAST(... AS BIGINT) is exempt: the output is
+    integer-valued and the floor boundaries (multiples of the divisor)
+    are exact in both engines' quotients."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "celeborn_spark"
+    pat = re.compile(r"AS BIGINT\)\s*/\s*[0-9]+\.[0-9][0-9]*(.{0,24})", re.DOTALL)
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        text = p.read_text()
+        for m in pat.finditer(text):
+            tail = " ".join(m.group(1).split())
+            if "AS BIGINT" in tail:  # floor(...)::BIGINT — integer-valued, exempt
+                continue
+            ln = text[: m.start()].count("\n") + 1
+            offenders.append(f"{p.name}:{ln}: {' '.join(m.group(0).split())}")
+    assert not offenders, "\n".join(offenders)
+
+
 # ---------- market-basket co-occurrence ----------
 
 
