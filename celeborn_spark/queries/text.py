@@ -1015,7 +1015,12 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     / slice-divergence diagnostic next to q_distribution_drift (PSI on
     a numeric column) and q_zipf_slope. One (lang, token) count
     exchange; the grid is vocabulary x languages sized
-    (operators/stats.kl_divergence)."""
+    (operators/stats.kl_divergence).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+ while the oracle splits on ' ' — identical on the
+    single-space-normalized testdata word streams; a tab/double-space
+    corpus must be normalized first."""
     from celeborn_spark.operators.stats import kl_divergence
 
     d = load_table(spark, sf_dir, "documents")
@@ -1085,7 +1090,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     acquisition signal). Reference shingles are a distinct set the
     corpus side left-anti-checks via a shingle-keyed join (broadcast
     when the reference is slice-sized). novel_frac uses the tie-safe
-    all-integer half-up division (the finalize_agg class)."""
+    all-integer half-up division (the finalize_agg class).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+ while the oracle splits on ' ' — identical on the
+    single-space-normalized testdata word streams; a tab/double-space
+    corpus must be normalized first."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", F.split(F.col("text"), r"\s+").alias("t")
@@ -1157,7 +1167,12 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-green) runs on a vocabulary-sized token graph — nodes are
     words, so the per-round exchanges are vocab-bounded, never
     corpus-bounded; the adjacency build touches the token mass once.
-    Rank on the 6dp-rounded pr with the word as tiebreak."""
+    Rank on the 6dp-rounded pr with the word as tiebreak.
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+ while the oracle splits on ' ' — identical on the
+    single-space-normalized testdata word streams; a tab/double-space
+    corpus must be normalized first."""
     from celeborn_spark.operators.graph import pagerank
 
     d = load_table(spark, sf_dir, "documents")

@@ -61,17 +61,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rep: q17_small_quantity_revenue, whose r8 driver row hash-FAILED on
 # Spark's DECIMAL(38,6) division vs DuckDB's DOUBLE division and whose
 # fixed source (CAST ... AS DOUBLE on both sides) needs a green row.
-# This r9 window = the q17 rep + the 49 highest-value first-timers;
-# the 10 deferred to r10 are single-exchange scalar/aggregate shapes
-# mechanically identical to already-green rows (q_approx_stats,
-# q_dataset_manifest, q_arg_minmax, q_bitwise_agg, q_uniform_sample,
-# q_dense_ids, q_mode_per_group, q_compression_quality,
-# q_text_fingerprint, q_bigram_topk). Queries rotated OUT remain
-# oracle-checked every pytest run (tests/test_queries_vs_oracle.py
-# parametrizes the whole registry).
+# This r9 window = the q17 rep + the q_cogroup_asof rep (source
+# rewritten this round: key-bucketed merge_asof, 10.6 -> 1.4 s) + the
+# 48 highest-value first-timers; the 11 deferred to r10 are
+# single-exchange scalar/aggregate shapes mechanically identical to
+# already-green rows (q_approx_stats, q_dataset_manifest, q_arg_minmax,
+# q_bitwise_agg, q_uniform_sample, q_dense_ids, q_mode_per_group,
+# q_compression_quality, q_text_fingerprint, q_bigram_topk,
+# q_market_hhi). Queries rotated OUT remain oracle-checked every pytest
+# run (tests/test_queries_vs_oracle.py parametrizes the whole
+# registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
     # --- rep: r8 driver FAIL, source fixed this round (1) ---
     "q17_small_quantity_revenue",
+    # --- rep: source rewritten this round (bucketed cogroup) (1) ---
+    "q_cogroup_asof",
     # --- r9 first-timers: the 7 newly wired snapshot operators ---
     "q_anova",
     "q_ks_test",
@@ -98,7 +102,7 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_lorenz_curve",
     "q_ohlc_hourly",
     "q_funnel_conversion_ci",
-    # --- pre-r8 residual backlog (25 of 35) ---
+    # --- pre-r8 residual backlog (24 of 35) ---
     "q_containment_pairs",
     "q_corpus_clean_pipeline",
     "q_text_stats_by_lang",
@@ -123,7 +127,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_incremental_quantiles",
     "q_user_growth",
     "q_revenue_wow_growth",
-    "q_market_hhi",
 )
 
 

@@ -63,7 +63,7 @@ def test_persist_tiers_serve_rereads(spark, sf_dir):
         cached.unpersist()
 
 
-def test_hits_partition_edges_cuts_edge_shuffle(spark):
+def test_hits_partition_edges_cuts_edge_shuffle(spark, tmp_path):
     """HITS at iters=3 joins the edge relation six times (two
     directions x three rounds). While the node-sized hub/auth side
     broadcasts, the edge mass never shuffles and partition_edges would
@@ -80,8 +80,9 @@ def test_hits_partition_edges_cuts_edge_shuffle(spark):
         (F.col("id") % n_nodes).alias("src"),
         ((F.col("id") * 7919 + 13) % n_nodes).alias("dst"),
     )
-    base.write.mode("overwrite").parquet("/tmp/hits_edges_metrics")
-    edges = spark.read.parquet("/tmp/hits_edges_metrics")
+    edges_dir = str(tmp_path / "hits_edges_metrics")
+    base.write.mode("overwrite").parquet(edges_dir)
+    edges = spark.read.parquet(edges_dir)
 
     def run(partition):
         return measure_action(
