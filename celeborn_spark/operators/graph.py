@@ -1240,3 +1240,108 @@ def harmonic_oracle_sql(edges_cte: str) -> str:
            (2 * n1.n1 + coalesce(n2.n2, 0)) / 2.0 AS harmonic
     FROM n1 LEFT JOIN n2 ON n1.node = n2.node
     """
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed_mod: int,
+    iters: int = 3,
+    damping: float = DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a SEED SET —
+    the relevance-to-these-nodes ranking behind related-item / local
+    influence queries, where global PageRank answers the wrong
+    question (importance to the whole graph). Seeds are the nodes with
+    ``node % seed_mod == 0`` (a deterministic predicate both engines
+    evaluate identically); r0 = 1.0 on seeds, 0 elsewhere;
+    r' = (1-d)*seed_indicator + d * in_contributions. Output
+    (node, ppr) over the full node universe.
+
+    Engine parity: same contribute/divide/sum arithmetic as
+    `pagerank` (the per-term division is written as DIVISION on both
+    sides), 6dp round per ROUND so accumulation order can't drift
+    across iterations.
+
+    Scale shape: per round ONE groupBy(dst) exchange (map-side partials
+    absorb hub in-degrees) plus a node-sized left join against the
+    node universe to re-add restart mass on nodes with no in-edges —
+    node-relation traffic only, the pagerank discipline. Each round's
+    relation feeds exactly one consumer, so the chain stays LAZY
+    (checkpoint every 5th round only, for lineage depth)."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn(
+            "seed",
+            F.when(F.col("node") % seed_mod == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .localCheckpoint()
+    )
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = raw.join(deg, "src")
+    ranks = nodes.select("node", F.col("seed").alias("ppr"))
+    for i in range(iters):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select("dst", (F.col("ppr") / F.col("outdeg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("inw"))
+            .select(F.col("dst").alias("node"), "inw")
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            F.round(
+                (1 - damping) * F.col("seed")
+                + damping * F.coalesce(F.col("inw"), F.lit(0.0)),
+                6,
+            ).alias("ppr"),
+        )
+        if (i + 1) % 5 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_cte: str,
+    seed_mod: int,
+    iters: int = 3,
+    damping: float = DAMPING,
+) -> str:
+    """DuckDB mirror of `personalized_pagerank` over ``edges_cte``
+    (must define a CTE `e(src, dst)`): the same restart/contribute
+    arithmetic unrolled one CTE per iteration. Each round references
+    the previous round ONCE (plus the static node/seed relation), so
+    plain CTE inlining stays linear — no AS MATERIALIZED needed (the
+    MMR lesson applies only to multi-reference rounds)."""
+    ctes = [
+        edges_cte.strip(),
+        """nodes AS (
+        SELECT node,
+               CASE WHEN node % {m} = 0 THEN 1.0 ELSE 0.0 END AS seed
+        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    )""".format(m=seed_mod),
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, seed AS ppr FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(iters):
+        cur = f"r{i + 1}"
+        ctes.append(f"""{cur} AS (
+        SELECT nodes.node,
+               round((1 - {damping}) * nodes.seed
+                     + {damping} * coalesce(c.inw, 0.0), 6) AS ppr
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum({prev}.ppr / deg.outdeg) AS inw
+            FROM {prev} JOIN e ON {prev}.node = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst
+        ) c ON c.node = nodes.node
+    )""")
+        prev = cur
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, ppr FROM {prev}"

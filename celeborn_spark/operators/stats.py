@@ -1709,3 +1709,556 @@ def theil_sen_oracle_sql(pts_sql: str, group_alias: str = "g") -> str:
     SELECT npts.g AS {group_alias}, n_points, n_pairs, sen_slope
     FROM npts JOIN agg ON npts.g = agg.g
     """
+
+
+def g_test(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence for the
+    (row_col x col_col) contingency table — the ln-based sibling of
+    `chi_square_independence` (better calibrated when expected counts
+    are small; additive across partitions of the table). One output
+    row (g_stat, dof, n).
+
+    Engine parity: each observed cell contributes
+    2 * o * ln(o * n / (rt * ct)) — o*n and rt*ct are exact integers
+    below 2^63, so the ratio is ONE correctly-rounded IEEE division
+    through ln (bit-identical per term, the kl_divergence discipline);
+    zero cells contribute exactly 0 and are never materialized. The
+    cell-relation sum rounds 6dp.
+
+    Scale shape: identical to the chi-square — one map-combined count
+    aggregate; everything downstream is cell-relation sized."""
+    cells = (
+        df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
+    colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("r").alias("nr"),
+        F.count_distinct("c").alias("nc"),
+    )
+    term = 2.0 * F.col("o") * F.log(
+        (F.col("o") * F.col("n")).cast("double") / (F.col("rt") * F.col("ct"))
+    )
+    return (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(colsm), "c")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(term), 6).alias("g_stat"),
+            ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("long").alias("dof"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+
+
+def g_test_oracle_sql(table: str, row_sql: str, col_sql: str) -> str:
+    """DuckDB mirror of `g_test` — identical cell terms."""
+    return f"""
+    WITH cells AS (
+        SELECT {row_sql} AS r, {col_sql} AS c, CAST(count(*) AS BIGINT) AS o
+        FROM {table} GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT r, sum(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT c, sum(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT r) AS nr,
+                   count(DISTINCT c) AS nc
+            FROM cells)
+    SELECT round(sum(2.0 * o * ln(CAST(o * n AS DOUBLE) / (rt * ct))), 6)
+               AS g_stat,
+           CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+    FROM cells JOIN rows_ USING (r) JOIN cols_ USING (c) CROSS JOIN tot
+    """
+
+
+def cohens_d_int(
+    df: DataFrame, group_col: str, value_col: str, a: str, b: str
+) -> DataFrame:
+    """Cohen's d standardized mean difference between groups ``a`` and
+    ``b`` of an INTEGER-VALUED metric — the effect-size companion to
+    the Welch/Mann-Whitney significance tests (a p-value says the
+    difference is real; d says whether it is big enough to matter).
+    One output row (n_a, n_b, d).
+
+    Engine parity (the integer-sums discipline): ``value_col`` must be
+    integer-valued (quantities, counts, cents) — the (n, sum, sum-sq)
+    accumulators are then EXACT BIGINTs, every downstream expression is
+    the identical IEEE sequence from identical integers, and d is
+    emitted raw (documented bound: sum of squares < 2^63).
+
+    Scale shape: one map-combined aggregate; constant-size output."""
+    g = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+            F.sum(
+                F.col(value_col).cast("long") * F.col(value_col).cast("long")
+            ).alias("ss"),
+        )
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("grp") == a, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == a, F.col("s"))).alias("s_a"),
+        F.max(F.when(F.col("grp") == a, F.col("ss"))).alias("ss_a"),
+        F.max(F.when(F.col("grp") == b, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == b, F.col("s"))).alias("s_b"),
+        F.max(F.when(F.col("grp") == b, F.col("ss"))).alias("ss_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    va = (F.col("ss_a") - F.col("s_a").cast("double") * F.col("s_a") / na) / (na - 1)
+    vb = (F.col("ss_b") - F.col("s_b").cast("double") * F.col("s_b") / nb) / (nb - 1)
+    pooled = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = (F.col("s_a") / na - F.col("s_b") / nb) / pooled
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        d.alias("d"),
+    )
+
+
+def cohens_d_oracle_sql(
+    table: str, group_sql: str, value_sql: str, a_lit: str, b_lit: str
+) -> str:
+    """DuckDB mirror of `cohens_d_int`: identical integer sums and
+    IEEE assembly."""
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST({value_sql} AS BIGINT)) AS s,
+               sum(CAST({value_sql} AS BIGINT) * CAST({value_sql} AS BIGINT)) AS ss
+        FROM {table}
+        WHERE {group_sql} IN ({a_lit}, {b_lit})
+        GROUP BY 1
+    ),
+    wide AS (
+        SELECT max(CASE WHEN grp = {a_lit} THEN n END) AS n_a,
+               max(CASE WHEN grp = {a_lit} THEN s END) AS s_a,
+               max(CASE WHEN grp = {a_lit} THEN ss END) AS ss_a,
+               max(CASE WHEN grp = {b_lit} THEN n END) AS n_b,
+               max(CASE WHEN grp = {b_lit} THEN s END) AS s_b,
+               max(CASE WHEN grp = {b_lit} THEN ss END) AS ss_b
+        FROM g
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           (s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+           / sqrt(((CAST(n_a AS DOUBLE) - 1)
+                       * ((ss_a - CAST(s_a AS DOUBLE) * s_a / CAST(n_a AS DOUBLE))
+                          / (CAST(n_a AS DOUBLE) - 1))
+                   + (CAST(n_b AS DOUBLE) - 1)
+                       * ((ss_b - CAST(s_b AS DOUBLE) * s_b / CAST(n_b AS DOUBLE))
+                          / (CAST(n_b AS DOUBLE) - 1)))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) AS d
+    FROM wide
+    """
+
+
+def spearman_rho_int(
+    df: DataFrame, group_col: str, x_col, y_col
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two INTEGER-VALUED
+    (or integer-expressible) columns — the monotone-association screen
+    that Pearson misses on nonlinear-but-ordered relationships
+    (quantity vs discount tier, score vs bucket). Output
+    (group, n, rho).
+
+    Everything is exact-integer until the final assembly: average
+    ranks come from the per-group VALUE HISTOGRAMS as DOUBLED ranks
+    dr(v) = 2*cum_before + cnt + 1 (exact BIGINTs — ties included),
+    the Pearson sums over rows reduce to joint-histogram sums
+    Sxy = sum_cells n_xy * dr_x * dr_y, and
+    rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+    is assembled in DOUBLE from identical integers with identical IEEE
+    ops — bit-identical cross-engine, emitted raw. Documented bound:
+    sums need 4n^3 < 2^63, i.e. ~1.3M rows per group on the exact
+    path (beyond that, bucket values first).
+
+    Scale shape: ONE (group, x, y) count exchange; ranks and sums run
+    on the joint-cell relation (value-space sized, never row-sized)
+    under group-partitioned windows."""
+    from pyspark.sql import Window as W
+
+    xe = F.col(x_col) if isinstance(x_col, str) else x_col
+    ye = F.col(y_col) if isinstance(y_col, str) else y_col
+    cells = df.groupBy(
+        F.col(group_col).alias("grp"),
+        xe.cast("long").alias("x"),
+        ye.cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    wx = W.partitionBy("grp").orderBy("x").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    xmarg = (
+        cells.groupBy("grp", "x")
+        .agg(F.sum("n_xy").alias("cx"))
+        .select(
+            "grp",
+            "x",
+            (2 * F.coalesce(F.sum("cx").over(wx), F.lit(0)) + F.col("cx") + 1)
+            .cast("long")
+            .alias("drx"),
+        )
+    )
+    wy = W.partitionBy("grp").orderBy("y").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    ymarg = (
+        cells.groupBy("grp", "y")
+        .agg(F.sum("n_xy").alias("cy"))
+        .select(
+            "grp",
+            "y",
+            (2 * F.coalesce(F.sum("cy").over(wy), F.lit(0)) + F.col("cy") + 1)
+            .cast("long")
+            .alias("dry"),
+        )
+    )
+    j = cells.join(xmarg, ["grp", "x"]).join(ymarg, ["grp", "y"])
+    s = j.groupBy("grp").agg(
+        F.sum("n_xy").alias("n"),
+        F.sum(F.col("n_xy") * F.col("drx")).alias("sx"),
+        F.sum(F.col("n_xy") * F.col("dry")).alias("sy"),
+        F.sum(F.col("n_xy") * F.col("drx") * F.col("drx")).alias("sxx"),
+        F.sum(F.col("n_xy") * F.col("dry") * F.col("dry")).alias("syy"),
+        F.sum(F.col("n_xy") * F.col("drx") * F.col("dry")).alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        (num / den).alias("rho"),
+    )
+
+
+def spearman_oracle_sql(
+    table: str, group_sql: str, x_sql: str, y_sql: str, group_alias: str = "g"
+) -> str:
+    """DuckDB mirror of `spearman_rho_int`: identical doubled-rank
+    histograms and integer sums."""
+    return f"""
+    WITH cells AS (
+        SELECT {group_sql} AS grp, CAST({x_sql} AS BIGINT) AS x,
+               CAST({y_sql} AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_xy
+        FROM {table} GROUP BY 1, 2, 3
+    ),
+    xmarg AS (
+        SELECT grp, x,
+               CAST(2 * coalesce(sum(cx) OVER (PARTITION BY grp ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cx + 1 AS BIGINT) AS drx
+        FROM (SELECT grp, x, sum(n_xy) AS cx FROM cells GROUP BY 1, 2)
+    ),
+    ymarg AS (
+        SELECT grp, y,
+               CAST(2 * coalesce(sum(cy) OVER (PARTITION BY grp ORDER BY y
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cy + 1 AS BIGINT) AS dry
+        FROM (SELECT grp, y, sum(n_xy) AS cy FROM cells GROUP BY 1, 2)
+    ),
+    s AS (
+        SELECT grp, sum(n_xy) AS n,
+               sum(n_xy * drx) AS sx, sum(n_xy * dry) AS sy,
+               sum(n_xy * drx * drx) AS sxx, sum(n_xy * dry * dry) AS syy,
+               sum(n_xy * drx * dry) AS sxy
+        FROM cells JOIN xmarg USING (grp, x) JOIN ymarg USING (grp, y)
+        GROUP BY grp
+    )
+    SELECT grp AS {group_alias}, CAST(n AS BIGINT) AS n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho
+    FROM s
+    """
+
+
+def kendall_tau_b(df: DataFrame, x_col, y_col) -> DataFrame:
+    """Kendall tau-b rank correlation between two bounded-cardinality
+    integer-valued columns — the concordance-probability association
+    measure (more robust than Spearman to a few extreme ranks; its
+    value reads directly as P(concordant) - P(discordant)). One output
+    row (n, concordant, discordant, tau_b).
+
+    Everything is exact-integer until the last division: pair counts
+    come from the JOINT VALUE HISTOGRAM's self-join — for cell pairs
+    strictly increasing in both dims, concordant += n_a * n_b; for
+    pairs increasing in x and decreasing in y, discordant += n_a * n_b
+    — and the tie terms n1/n2 from the marginals. tau_b =
+    (C - D) / sqrt((n0-n1) * (n0-n2)) casts the exact BIGINTs to
+    DOUBLE for the one product+sqrt+division — identical IEEE sequence
+    cross-engine, emitted raw.
+
+    Scale shape: the self-join is CELL x CELL (value-space squared:
+    50 quantity x 11 discount values = 550 cells here), never
+    row-squared; the row mass is touched once by the count
+    aggregate."""
+    xe = F.col(x_col) if isinstance(x_col, str) else x_col
+    ye = F.col(y_col) if isinstance(y_col, str) else y_col
+    cells = df.groupBy(
+        xe.cast("long").alias("x"),
+        ye.cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.x") < F.col("b.x")
+    ).select(
+        (F.col("a.n_xy") * F.col("b.n_xy")).alias("np"),
+        F.when(F.col("a.y") < F.col("b.y"), F.lit(1))
+        .when(F.col("a.y") > F.col("b.y"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("sign"),
+    )
+    cd = pairs.agg(
+        F.sum(F.when(F.col("sign") == 1, F.col("np")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("sign") == -1, F.col("np")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("discordant"),
+    )
+    xt = (
+        cells.groupBy("x")
+        .agg(F.sum("n_xy").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n1"))
+    )
+    yt = (
+        cells.groupBy("y")
+        .agg(F.sum("n_xy").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("n2"))
+    )
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("n"))
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    return (
+        cd.crossJoin(F.broadcast(xt))
+        .crossJoin(F.broadcast(yt))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "concordant",
+            "discordant",
+            (
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("n1")).cast("double")
+                    * (n0 - F.col("n2")).cast("double")
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
+def kendall_oracle_sql(table: str, x_sql: str, y_sql: str) -> str:
+    """DuckDB mirror of `kendall_tau_b`: identical joint-histogram
+    pair counts and tie terms."""
+    return f"""
+    WITH cells AS (
+        SELECT CAST({x_sql} AS BIGINT) AS x, CAST({y_sql} AS BIGINT) AS y,
+               CAST(count(*) AS BIGINT) AS n_xy
+        FROM {table} GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT CAST(sum(CASE WHEN a.y < b.y THEN a.n_xy * b.n_xy ELSE 0 END)
+                    AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN a.y > b.y THEN a.n_xy * b.n_xy ELSE 0 END)
+                    AS BIGINT) AS discordant
+        FROM cells a JOIN cells b ON a.x < b.x
+    ),
+    xt AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+           FROM (SELECT sum(n_xy) AS t FROM cells GROUP BY x)),
+    yt AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+           FROM (SELECT sum(n_xy) AS t FROM cells GROUP BY y)),
+    tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
+    SELECT n, concordant, discordant,
+           CAST(concordant - discordant AS DOUBLE)
+           / sqrt(CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n1 AS DOUBLE)
+                  * CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n2 AS DOUBLE)) AS tau_b
+    FROM cd CROSS JOIN xt CROSS JOIN yt CROSS JOIN tot
+    """
+
+
+def jarque_bera_int(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """Per-group Jarque-Bera normality test from explicit moment sums
+    of an INTEGER-VALUED metric — the distribution-shape gate before
+    parametric tests (Welch/ANOVA assume roughly normal groups; JB
+    reads skewness+kurtosis departure in one number). Output
+    (group, n, skewness, ex_kurtosis, jb).
+
+    Spark's built-in skewness/kurtosis can NEVER hash-match DuckDB's
+    (population vs bias-corrected estimators — the q_regression_agg
+    note); this operator instead accumulates the raw power sums
+    s1..s4 as EXACT BIGINTs (documented bound: sum(v^4) < 2^63) and
+    assembles the POPULATION moments m_k = s_k/n - ... with identical
+    IEEE expression text in both engines. skewness = m3/m2^1.5,
+    ex_kurtosis = m4/m2^2 - 3, jb = n/6 * (S^2 + K^2/4); S/K/jb round
+    6dp (the values pass through non-integer powers).
+
+    Scale shape: one map-combined aggregate; group-sized output."""
+    v = F.col(value_col).cast("long") if isinstance(value_col, str) else value_col.cast("long")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    exk = m4 / (m2 * m2) - 3
+    jb = n / 6 * (skew * skew + exk * exk / 4)
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(jb, 6).alias("jb"),
+    )
+
+
+def jarque_bera_oracle_sql(
+    table: str, group_sql: str, value_sql: str, group_alias: str = "g"
+) -> str:
+    """DuckDB mirror of `jarque_bera_int`: identical integer power
+    sums and moment assembly."""
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST({value_sql} AS BIGINT)) AS s1,
+               sum(CAST({value_sql} AS BIGINT) * CAST({value_sql} AS BIGINT)) AS s2,
+               sum(CAST({value_sql} AS BIGINT) * CAST({value_sql} AS BIGINT)
+                   * CAST({value_sql} AS BIGINT)) AS s3,
+               sum(CAST({value_sql} AS BIGINT) * CAST({value_sql} AS BIGINT)
+                   * CAST({value_sql} AS BIGINT) * CAST({value_sql} AS BIGINT)) AS s4
+        FROM {table} GROUP BY 1
+    ),
+    m AS (
+        SELECT grp, n,
+               s1 / CAST(n AS DOUBLE) AS mu,
+               s2 / CAST(n AS DOUBLE) AS r2,
+               s3 / CAST(n AS DOUBLE) AS r3,
+               s4 / CAST(n AS DOUBLE) AS r4
+        FROM g
+    ),
+    c AS (
+        SELECT grp, n,
+               r2 - mu * mu AS m2,
+               r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+               r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                  - 3 * mu * mu * mu * mu AS m4
+        FROM m
+    ),
+    sk AS (
+        SELECT grp, n,
+               m3 / pow(m2, 1.5) AS skew,
+               m4 / (m2 * m2) - 3 AS exk
+        FROM c
+    )
+    SELECT grp AS {group_alias}, CAST(n AS BIGINT) AS n,
+           round(skew, 6) AS skewness,
+           round(exk, 6) AS ex_kurtosis,
+           round(CAST(n AS DOUBLE) / 6 * (skew * skew + exk * exk / 4), 6) AS jb
+    FROM sk
+    """
+
+
+def pca_2d_int(
+    df: DataFrame, group_col: str, x_col, y_col
+) -> DataFrame:
+    """Per-group closed-form 2D PCA over two INTEGER-VALUED metrics:
+    eigenvalues of the 2x2 covariance matrix and the principal-axis
+    angle — the correlation-structure readout next to q_corr_matrix
+    (which gives the normalized off-diagonal; PCA gives the variance
+    split and direction a whitening/projection step needs). Output
+    (group, n, var_explained, theta).
+
+    Engine parity: the (n, sx, sy, sxx, syy, sxy) accumulators are
+    EXACT BIGINTs; the sample covariances and the closed form
+    lam = ((vx+vy) ± sqrt((vx-vy)^2 + 4*cxy^2)) / 2,
+    theta = atan2(2*cxy, vx-vy) / 2 are the identical IEEE sequence in
+    both engines; var_explained = lam1/(lam1+lam2) and theta round 6dp
+    (sqrt/atan2 keep them off half-way ties).
+
+    Scale shape: one map-combined aggregate; group-sized output — the
+    2x2 eigen problem needs no iteration and no driver math."""
+    x = F.col(x_col).cast("long") if isinstance(x_col, str) else x_col.cast("long")
+    y = F.col(y_col).cast("long") if isinstance(y_col, str) else y_col.cast("long")
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)
+    disc = F.sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)
+    lam1 = (vx + vy + disc) / 2
+    lam2 = (vx + vy - disc) / 2
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(lam1 / (lam1 + lam2), 6).alias("var_explained"),
+        F.round(F.atan2(2 * cxy, vx - vy) / 2, 6).alias("theta"),
+    )
+
+
+def pca_2d_oracle_sql(
+    table: str, group_sql: str, x_sql: str, y_sql: str, group_alias: str = "g"
+) -> str:
+    """DuckDB mirror of `pca_2d_int`: identical integer sums and
+    closed-form eigen assembly."""
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST({x_sql} AS BIGINT)) AS sx,
+               sum(CAST({y_sql} AS BIGINT)) AS sy,
+               sum(CAST({x_sql} AS BIGINT) * CAST({x_sql} AS BIGINT)) AS sxx,
+               sum(CAST({y_sql} AS BIGINT) * CAST({y_sql} AS BIGINT)) AS syy,
+               sum(CAST({x_sql} AS BIGINT) * CAST({y_sql} AS BIGINT)) AS sxy
+        FROM {table} GROUP BY 1
+    ),
+    v AS (
+        SELECT grp, n,
+               (sxx - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS vx,
+               (syy - CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS vy,
+               (sxy - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS cxy
+        FROM g
+    ),
+    e AS (
+        SELECT grp, n, vx, vy, cxy,
+               sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy) AS disc
+        FROM v
+    )
+    SELECT grp AS {group_alias}, CAST(n AS BIGINT) AS n,
+           round(((vx + vy + disc) / 2)
+                 / (((vx + vy + disc) / 2) + ((vx + vy - disc) / 2)), 6)
+               AS var_explained,
+           round(atan2(2 * cxy, vx - vy) / 2, 6) AS theta
+    FROM e
+    """

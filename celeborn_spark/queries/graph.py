@@ -423,3 +423,38 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return harmonic_centrality_2hop(copurchase_edges(lineitem, min_qty=45))
+
+
+@query(
+    "q_personalized_pagerank",
+    oracle=graph_ops.personalized_pagerank_oracle_sql(
+        """el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    e AS (SELECT u AS src, v AS dst FROM el
+          UNION ALL SELECT v AS src, u AS dst FROM el)""",
+        seed_mod=50,
+        iters=3,
+    ),
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the supplier co-purchase graph,
+    restarting to the seed set (suppkey % 50 == 0) — relevance TO
+    THESE suppliers, where global q_pagerank ranks importance to the
+    whole graph (the related-item / local-influence primitive). Same
+    one-exchange-per-round plan as pagerank plus a node-sized restart
+    join; 6dp per round (operators/graph.personalized_pagerank)."""
+    from celeborn_spark.operators.graph import (
+        copurchase_edges,
+        personalized_pagerank,
+    )
+
+    el = copurchase_edges(load_table(spark, sf_dir, "lineitem"), min_qty=45)
+    edges = el.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        el.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return personalized_pagerank(edges, seed_mod=50, iters=3)

@@ -616,3 +616,161 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("x"),
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))
     return stats_ops.theil_sen(daily, "event_type", "x", "y")
+
+
+@query(
+    "q_g_test",
+    oracle=stats_ops.g_test_oracle_sql("documents", "lang", "source"),
+)
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of lang x source independence —
+    the ln-based sibling of q_chi_square, better calibrated on sparse
+    cells and additive across table partitions. Exact-integer ratios
+    through ln per observed cell (zero cells contribute exactly 0);
+    one count exchange, cell-relation sized downstream
+    (operators/stats.g_test)."""
+    d = load_table(spark, sf_dir, "documents")
+    return stats_ops.g_test(d, "lang", "source")
+
+
+@query(
+    "q_cohens_d",
+    oracle=stats_ops.cohens_d_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity", "'R'", "'A'"
+    ),
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between RETURNED and ACCEPTED quantities —
+    the how-big companion to q_ab_test_welch/q_mann_whitney's
+    is-it-real. Integer-valued metric -> exact BIGINT (n, sum, sum-sq)
+    accumulators, identical IEEE assembly, raw output
+    (operators/stats.cohens_d_int)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.cohens_d_int(li, "l_returnflag", "l_quantity", "R", "A")
+
+
+@query(
+    "q_jarque_bera",
+    oracle=stats_ops.jarque_bera_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity", group_alias="l_returnflag"
+    ),
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen per return flag over order
+    quantities — the distribution-shape gate before the parametric
+    tests (Welch/ANOVA assume near-normal groups). Raw power sums
+    s1..s4 as exact BIGINTs (Spark's built-in skewness/kurtosis can
+    never hash-match DuckDB's — population vs bias-corrected), moments
+    assembled with identical expression text, 6dp
+    (operators/stats.jarque_bera_int)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.jarque_bera_int(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_spearman",
+    oracle=stats_ops.spearman_oracle_sql(
+        "lineitem",
+        "l_returnflag",
+        "l_quantity",
+        "round(l_discount * 100, 0)",
+        group_alias="l_returnflag",
+    ),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount tier
+    per return flag — the monotone-association screen next to
+    q_corr_matrix (Pearson misses nonlinear-but-ordered structure).
+    Doubled average ranks from per-group VALUE HISTOGRAMS (exact
+    BIGINTs, ties included), joint-histogram sums, one IEEE assembly —
+    raw, never a row sort (operators/stats.spearman_rho_int). The
+    discount tier round(d*100) is ulp-safe: the product lands within
+    ulps of an integer, never at a .5 tie."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.spearman_rho_int(
+        li, "l_returnflag", F.col("l_quantity"), F.round(F.col("l_discount") * 100, 0)
+    )
+
+
+@query(
+    "q_kendall_tau",
+    oracle=stats_ops.kendall_oracle_sql(
+        "lineitem", "l_quantity", "round(l_discount * 100, 0)"
+    ),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and discount tier — concordance
+    probability from the JOINT VALUE HISTOGRAM's self-join (50 x 11
+    cells; cell-space squared, never row-squared) with exact-integer
+    concordant/discordant/tie counts and ONE final sqrt division, raw
+    (operators/stats.kendall_tau_b)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.kendall_tau_b(
+        li, F.col("l_quantity"), F.round(F.col("l_discount") * 100, 0)
+    )
+
+
+@query(
+    "q_pca_2d",
+    oracle=stats_ops.pca_2d_oracle_sql(
+        "lineitem",
+        "l_returnflag",
+        "l_quantity",
+        "round(l_discount * 100, 0)",
+        group_alias="l_returnflag",
+    ),
+)
+def q_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form 2D PCA of (quantity, discount tier) per return flag:
+    eigenvalues of the 2x2 covariance matrix + principal-axis angle —
+    the variance-split/direction readout a whitening or projection
+    step needs, with NO iteration and NO driver math (the 2x2 eigen
+    problem is a formula). Exact BIGINT sums, identical IEEE closed
+    form, 6dp (operators/stats.pca_2d_int)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.pca_2d_int(
+        li, "l_returnflag", F.col("l_quantity"), F.round(F.col("l_discount") * 100, 0)
+    )
+
+
+@query(
+    "q_fano_burstiness",
+    oracle="""
+    WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               sum(c) AS sc, sum(c * c) AS scc
+        FROM hc GROUP BY 1
+    )
+    SELECT event_type, n_hours,
+           ((scc - CAST(sc AS DOUBLE) * sc / CAST(n_hours AS DOUBLE))
+                / (CAST(n_hours AS DOUBLE) - 1))
+           / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS fano
+    FROM s
+    """,
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor: variance/mean of hourly event counts)
+    per event type — Fano ~ 1 is Poisson traffic, >> 1 is bursty (the
+    capacity-planning / anomaly-context readout next to
+    q_rolling_anomaly's per-point flags). Hourly counts are exact
+    integers, so (n, sum, sum-sq) are exact BIGINTs over the
+    calendar-bounded hour grid and the var/mean assembly is the
+    identical IEEE sequence — raw, no rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    nh = F.col("n_hours").cast("double")
+    sc_d = F.col("sc").cast("double")
+    fano = ((F.col("scc") - sc_d * F.col("sc") / nh) / (nh - 1)) / (sc_d / nh)
+    return s.select("event_type", "n_hours", fano.alias("fano"))

@@ -794,3 +794,124 @@ def q_funnel_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wilson_interval(steps, "step", "conv")
+
+
+@query(
+    "q_retention_matrix",
+    oracle="""
+    WITH uw AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events GROUP BY 1, 2
+    ),
+    cohort AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1),
+    sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+              FROM cohort GROUP BY 1),
+    act AS (
+        SELECT c.cw, CAST(date_diff('day', c.cw, uw.w) AS BIGINT) // 7
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM uw JOIN cohort c ON c.user_id = uw.user_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(a.cw AS VARCHAR) AS cohort_week, a.week_offset,
+           a.n_active, s.n_cohort,
+           CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
+    FROM act a JOIN sizes s ON s.cw = a.cw
+    """,
+)
+def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    fraction still active k weeks later — THE product-analytics
+    readout next to q_cohort_ltv (revenue) and q_user_growth (volume).
+    One (user, week) distinct exchange, then everything runs on the
+    user-week relation; retention is ONE division of exact integers,
+    raw. Weeks truncate Monday-start in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    act = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            F.floor(F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cw").select(
+        F.col("cw").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+@query(
+    "q_time_to_convert",
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS mv
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT user_id, min(epoch_us(ts)) AS mp
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    d AS (
+        SELECT v.user_id, p.mp - v.mv AS delay_us
+        FROM v JOIN p ON p.user_id = v.user_id
+        WHERE p.mp >= v.mv
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM v)
+    SELECT n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(count(*) AS DOUBLE) / n_viewers AS conv_rate,
+           CAST(sum(delay_us) AS DOUBLE) / count(*) AS avg_delay_us,
+           median(delay_us) AS median_delay_us
+    FROM d CROSS JOIN tot
+    GROUP BY n_viewers
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: time from a user's first view to their first
+    purchase — the how-long companion to q_funnel_conversion_ci's
+    how-many. Delays stay EXACT MICROSECOND BIGINTs end to end (never
+    divided by a decimal literal — the q17 lint class); conv_rate and
+    avg are single divisions of exact integers and the median of
+    exact integers averages the two middles identically in both
+    engines — all raw. Two min-aggregates + one user-keyed join."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts"))).alias("mv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros(F.col("ts"))).alias("mp"))
+    )
+    d = v.join(p, "user_id").filter(F.col("mp") >= F.col("mv")).select(
+        (F.col("mp") - F.col("mv")).alias("delay_us")
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n_viewers"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("n_viewers")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            (F.count(F.lit(1)).cast("double") / F.max("n_viewers")).alias(
+                "conv_rate"
+            ),
+            (F.sum("delay_us").cast("double") / F.count(F.lit(1))).alias(
+                "avg_delay_us"
+            ),
+            F.median("delay_us").alias("median_delay_us"),
+        )
+    )

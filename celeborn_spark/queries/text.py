@@ -1204,3 +1204,51 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), "word")
         .limit(20)
     )
+
+
+@query(
+    "q_type_token_richness",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM toks GROUP BY 1, 2)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(count(*) AS DOUBLE) / sum(c) AS ttr,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS hapax_frac
+    FROM wc GROUP BY source
+    """,
+)
+def q_type_token_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio and hapax-legomena
+    fraction — the vocabulary-diversity screen next to q_zipf_slope
+    (rank-frequency law) and q_vocab_coverage (cumulative mass). High
+    hapax_frac flags noisy/OCR text; low TTR flags templated spam.
+    One (source, token) count exchange; both ratios are single
+    divisions of exact integers, raw.
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+ while the oracle splits on ' ' — identical on the
+    single-space-normalized testdata word streams."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(T.tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("ttr"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_frac"),
+    )

@@ -280,3 +280,49 @@ def test_r8_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r9_ops():
+    from celeborn_spark.queries.graph import (
+        q_harmonic_centrality,
+        q_personalized_pagerank,
+    )
+    from celeborn_spark.queries.similarity import q_cluster_medoid
+    from celeborn_spark.queries.stats import (
+        q_anova,
+        q_fano_burstiness,
+        q_kendall_tau,
+        q_ks_test,
+        q_spearman,
+    )
+    from celeborn_spark.queries.temporal import (
+        q_retention_matrix,
+        q_time_to_convert,
+    )
+
+    return [
+        q_anova,                  # scalar moment assembly over layouts
+        q_ks_test,                # CDF window at 1 vs 32 partitions
+        q_spearman,               # two rank windows + joint-cell joins
+        q_kendall_tau,            # cell self-join forced to shuffle
+        q_fano_burstiness,        # hour-grid aggregate re-planned
+        q_retention_matrix,       # cohort join + broadcast sizes flipped
+        q_time_to_convert,        # min-aggregates + user join at 1 part
+        q_harmonic_centrality,    # wedge joins + anti-join re-planned
+        q_personalized_pagerank,  # per-round restart joins under AQE off
+        q_cluster_medoid,         # md5-capped pair join under strategy flips
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r9_ops(), ids=lambda f: f.__name__)
+def test_r9_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -1,9 +1,11 @@
-"""Known-answer tests for the round-9 operators (the seven committed
-unwired in the r8 snapshot, now registered — VERDICT r8 item 2): ANOVA,
-KS two-sample, Cramér's V, JS divergence, Theil-Sen, 2-hop harmonic
-centrality, and cluster medoid. Each pins hand-computed values on
-planted inputs; the oracle harness (tests/test_queries_vs_oracle.py)
-separately pins DuckDB parity on the real tables.
+"""Known-answer tests for the round-9 operators: the seven committed
+unwired in the r8 snapshot, now registered (ANOVA, KS two-sample,
+Cramér's V, JS divergence, Theil-Sen, 2-hop harmonic centrality,
+cluster medoid — VERDICT r8 item 2) plus the second r9 batch (G-test,
+Cohen's d, Jarque-Bera, Spearman, Kendall tau-b, 2D PCA, personalized
+PageRank). Each pins hand-computed values on planted inputs; the
+oracle harness (tests/test_queries_vs_oracle.py) separately pins
+DuckDB parity on the real tables.
 """
 
 from __future__ import annotations
@@ -197,3 +199,163 @@ def test_cluster_medoid_cap_bounds_sample(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     out = cluster_medoid(df, cap=4).collect()[0].asDict()
     assert out["n_sampled"] == 4
+
+
+# ---------- G-test ----------
+
+
+def test_g_test_known_value(spark):
+    # 2x2 [[10,5],[4,1]]: G = 2*sum o*ln(o*n/(rt*ct))
+    rows = (
+        [("r1", "c1")] * 10
+        + [("r1", "c2")] * 5
+        + [("r2", "c1")] * 4
+        + [("r2", "c2")] * 1
+    )
+    from celeborn_spark.operators.stats import g_test
+
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = g_test(df, "r", "c").collect()[0].asDict()
+    want = 2 * (
+        10 * math.log(10 * 20 / (15 * 14))
+        + 5 * math.log(5 * 20 / (15 * 6))
+        + 4 * math.log(4 * 20 / (5 * 14))
+        + 1 * math.log(1 * 20 / (5 * 6))
+    )
+    assert out["g_stat"] == round(want, 6)
+    assert out["dof"] == 1 and out["n"] == 20
+
+
+# ---------- Cohen's d ----------
+
+
+def test_cohens_d_known_value(spark):
+    # a=[1,2,3] (var 1), b=[4,6,8] (var 4): pooled sd = sqrt(2.5)
+    from celeborn_spark.operators.stats import cohens_d_int
+
+    rows = [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 6), ("b", 8)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = cohens_d_int(df, "g", "v", "a", "b").collect()[0].asDict()
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert abs(out["d"] - (2.0 - 6.0) / math.sqrt(2.5)) < 1e-12
+
+
+# ---------- Jarque-Bera ----------
+
+
+def test_jarque_bera_symmetric_uniform(spark):
+    # symmetric values -> skewness 0; uniform {1..5} excess kurtosis
+    # = m4/m2^2 - 3 = (34/5)/(2*2) - 3 = -1.3
+    from celeborn_spark.operators.stats import jarque_bera_int
+
+    df = spark.createDataFrame([("g", v) for v in (1, 2, 3, 4, 5)], ["g", "v"])
+    out = jarque_bera_int(df, "g", "v").collect()[0].asDict()
+    assert out["skewness"] == 0.0
+    assert out["ex_kurtosis"] == -1.3
+    assert out["jb"] == round(5 / 6 * (0.0 + 1.3 * 1.3 / 4), 6)
+
+
+# ---------- Spearman ----------
+
+
+def test_spearman_perfect_monotone(spark):
+    from celeborn_spark.operators.stats import spearman_rho_int
+
+    rows = [("g", x, x * x) for x in range(1, 6)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = spearman_rho_int(df, "g", "x", "y").collect()[0].asDict()
+    assert out["rho"] == 1.0 and out["n"] == 5
+
+
+def test_spearman_perfect_inverse_with_ties(spark):
+    from celeborn_spark.operators.stats import spearman_rho_int
+
+    # y = -x plus one tie pair in x
+    rows = [("g", 1, 9), ("g", 1, 9), ("g", 2, 5), ("g", 3, 1)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = spearman_rho_int(df, "g", "x", "y").collect()[0].asDict()
+    assert out["rho"] == -1.0
+
+
+# ---------- Kendall tau-b ----------
+
+
+def test_kendall_known_value(spark):
+    from celeborn_spark.operators.stats import kendall_tau_b
+    from pyspark.sql import functions as F
+
+    # x=[1,2,3,4], y=[1,3,2,4]: C=5, D=1, no ties -> tau = 4/6
+    rows = [(1, 1), (2, 3), (3, 2), (4, 4)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = kendall_tau_b(df, F.col("x"), F.col("y")).collect()[0].asDict()
+    assert out == {
+        "n": 4,
+        "concordant": 5,
+        "discordant": 1,
+        "tau_b": (5 - 1) / 6,
+    }
+
+
+def test_kendall_ties_shrink_denominator(spark):
+    from celeborn_spark.operators.stats import kendall_tau_b
+    from pyspark.sql import functions as F
+
+    # x ties: [1,1,2], y=[1,2,3]: C=2, D=0, n0=3, n1=1, n2=0
+    rows = [(1, 1), (1, 2), (2, 3)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = kendall_tau_b(df, F.col("x"), F.col("y")).collect()[0].asDict()
+    assert out["concordant"] == 2 and out["discordant"] == 0
+    assert out["tau_b"] == 2 / math.sqrt((3 - 1) * (3 - 0))
+
+
+# ---------- 2D PCA ----------
+
+
+def test_pca_2d_axis_aligned(spark):
+    from celeborn_spark.operators.stats import pca_2d_int
+    from pyspark.sql import functions as F
+
+    # all variance on x: var_explained = 1, theta = 0
+    rows = [("g", x, 0) for x in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = pca_2d_int(df, "g", F.col("x"), F.col("y")).collect()[0].asDict()
+    assert out["var_explained"] == 1.0 and out["theta"] == 0.0
+
+
+def test_pca_2d_diagonal(spark):
+    from celeborn_spark.operators.stats import pca_2d_int
+    from pyspark.sql import functions as F
+
+    # y = x exactly: principal axis at 45 deg, all variance explained
+    rows = [("g", x, x) for x in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = pca_2d_int(df, "g", F.col("x"), F.col("y")).collect()[0].asDict()
+    assert out["var_explained"] == 1.0
+    assert out["theta"] == round(math.pi / 4, 6)
+
+
+# ---------- personalized PageRank ----------
+
+
+def test_ppr_mass_concentrates_near_seed(spark):
+    from celeborn_spark.operators.graph import personalized_pagerank
+
+    # path 0-1-2-3 (undirected), seed = node 0 (mod 100)
+    el = [(0, 1), (1, 0), (1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    out = {r.node: r.ppr for r in personalized_pagerank(edges, 100, iters=5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # restart mass lives at/near the seed; far node gets the least
+    assert out[0] > out[2] and out[1] > out[3]
+    assert out[3] < out[0]
+
+
+def test_ppr_no_seed_reachability_zero(spark):
+    from celeborn_spark.operators.graph import personalized_pagerank
+
+    # two components: seeds only in {0,1}; {10,11} must stay at 0
+    el = [(0, 1), (1, 0), (10, 11), (11, 10)]
+    edges = spark.createDataFrame(el, ["src", "dst"])
+    out = {r.node: r.ppr for r in personalized_pagerank(edges, 100, iters=3).collect()}
+    assert out[10] == 0.0 and out[11] == 0.0
+    assert out[0] > 0 and out[1] > 0
