@@ -915,3 +915,51 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.median("delay_us").alias("median_delay_us"),
         )
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / t.tot AS prob
+    FROM c JOIN t ON t.from_type = c.from_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral-model readout behind q_seq_pattern_topk
+    (which mines the top trigrams; this gives the full one-step
+    dynamics a simulator or anomaly scorer consumes). One user-keyed
+    window exchange for the lead, then everything is (type x type)
+    sized; prob is ONE division of exact integers, raw. Ordering key
+    (ts, event_id) is unique per user, so the sequence is
+    deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("prob"),
+    )

@@ -359,3 +359,38 @@ def test_ppr_no_seed_reachability_zero(spark):
     out = {r.node: r.ppr for r in personalized_pagerank(edges, 100, iters=3).collect()}
     assert out[10] == 0.0 and out[11] == 0.0
     assert out[0] > 0 and out[1] > 0
+
+
+# ---------- Markov transitions ----------
+
+
+def test_markov_probs_sum_to_one(spark, sf_dir):
+    from celeborn_spark.queries.temporal import q_markov_transitions
+
+    rows = q_markov_transitions(spark, sf_dir).collect()
+    assert rows, "no transitions on testdata"
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for f, rs in by_from.items():
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-12, f
+        tot = sum(r.n for r in rs)
+        for r in rs:
+            assert r.prob == r.n / tot
+
+
+# ---------- NDCG eval ----------
+
+
+def test_ndcg_bounds_and_zero_hits(spark, sf_dir):
+    from celeborn_spark.queries.analytics import q_ndcg_eval
+
+    rows = q_ndcg_eval(spark, sf_dir).collect()
+    assert rows, "no purchasing users on testdata"
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0, r
+        assert (r.hits == 0) == (r.ndcg == 0.0), r
+        assert r.hits <= min(r.n_truth, 10)
+    # a user whose truth set contains the top rec would score > 0;
+    # the testdata's popularity recommender should hit SOMEONE
+    assert any(r.ndcg > 0 for r in rows)
