@@ -1272,7 +1272,16 @@ def personalized_pagerank(
     (checkpoint every 5th round only, for lineage depth)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
-    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # The edge input is often an EXPENSIVE subtree (co-purchase =
+    # lineitem self-join + distinct) referenced once per round PLUS by
+    # the node-universe and degree builds — lazy evaluation would
+    # recompute it ~(2*iters + 2) times (measured: 48 parquet scans at
+    # iters=3). Checkpoint it ONCE (the CLAUDE.md localCheckpoint-
+    # inputs rule); unlike HITS' broadcast-cheap edge build, this one
+    # is worth materializing.
+    raw = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     nodes = (
         raw.select(F.col("src").alias("node"))
         .union(raw.select(F.col("dst").alias("node")))

@@ -1885,11 +1885,15 @@ def spearman_rho_int(
 
     xe = F.col(x_col) if isinstance(x_col, str) else x_col
     ye = F.col(y_col) if isinstance(y_col, str) else y_col
+    # The joint histogram is referenced three times (cells + both
+    # marginals) — checkpoint the corpus-wide count aggregate once so
+    # the row mass really is touched once (the localCheckpoint-inputs
+    # rule; lazy evaluation would re-scan the table per reference).
     cells = df.groupBy(
         F.col(group_col).alias("grp"),
         xe.cast("long").alias("x"),
         ye.cast("long").alias("y"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy")).localCheckpoint()
     wx = W.partitionBy("grp").orderBy("x").rowsBetween(
         W.unboundedPreceding, -1
     )
@@ -2004,10 +2008,13 @@ def kendall_tau_b(df: DataFrame, x_col, y_col) -> DataFrame:
     aggregate."""
     xe = F.col(x_col) if isinstance(x_col, str) else x_col
     ye = F.col(y_col) if isinstance(y_col, str) else y_col
+    # Referenced five times (both self-join sides + two tie marginals
+    # + total) — checkpoint the corpus-wide count aggregate once
+    # (550 cells here; the localCheckpoint-inputs rule).
     cells = df.groupBy(
         xe.cast("long").alias("x"),
         ye.cast("long").alias("y"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_xy")).localCheckpoint()
     a, b = cells.alias("a"), cells.alias("b")
     pairs = a.join(
         F.broadcast(b), F.col("a.x") < F.col("b.x")

@@ -770,10 +770,13 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
     )
+    # truth is referenced twice (sizes + DCG join) — checkpoint the
+    # distinct once so the filtered events scan runs once.
     truth = (
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", item.alias("item"))
         .distinct()
+        .localCheckpoint()
     )
     nt = truth.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_truth")

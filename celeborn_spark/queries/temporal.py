@@ -827,11 +827,14 @@ def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-week relation; retention is ONE division of exact integers,
     raw. Weeks truncate Monday-start in both engines."""
     ev = load_table(spark, sf_dir, "events")
+    # uw is referenced twice (cohort build + activity join) — checkpoint
+    # the distinct once so the events table scans once, not twice.
     uw = (
         ev.select(
             "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
         )
         .distinct()
+        .localCheckpoint()
     )
     cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
     sizes = cohort.groupBy("cw").agg(
