@@ -323,3 +323,25 @@ def test_temporal_split_is_zero_shuffle_map(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = temporal_split(ev, "ts", "2024-01-20 00:00:00", embargo_hours=24)
     assert count_exchanges(out) == 0, physical_plan(out)[:2000]
+
+
+def test_r9_checkpoints_bound_plan_recompute(spark, sf_dir):
+    """The r9 operators materialize their multi-referenced subtrees
+    (the localCheckpoint-inputs rule): personalized_pagerank's edge
+    build (a lineitem self-join) must NOT appear once per round in the
+    final plan — before the fix the iters=3 plan held 48 parquet scans;
+    after, the scan count is ZERO (all inputs checkpointed) and the
+    exchange count is bounded by the per-round restart joins."""
+    from celeborn_spark.queries.graph import q_personalized_pagerank
+    from celeborn_spark.queries.stats import q_kendall_tau, q_spearman
+
+    for qfn, max_exchanges in (
+        (q_personalized_pagerank, 16),
+        (q_spearman, 8),
+        (q_kendall_tau, 12),
+    ):
+        plan = physical_plan(qfn(spark, sf_dir))
+        scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert scans == 0, f"{qfn.__name__}: {scans} scans leaked into the plan"
+        n_ex = count_exchanges(qfn(spark, sf_dir))
+        assert n_ex <= max_exchanges, f"{qfn.__name__}: {n_ex} exchanges"
