@@ -1354,3 +1354,100 @@ def personalized_pagerank_oracle_sql(
     )""")
         prev = cur
     return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, ppr FROM {prev}"
+
+
+def modularity(el: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over a canonical
+    undirected edge list ``el(u, v)`` (u < v, distinct) — the
+    partition-quality score that tells you whether a community
+    structure (label propagation, components, an external clustering)
+    actually beats random wiring: Q = sum_c (e_c/m - (d_c/(2m))^2).
+    One output row (m, n_communities, modularity).
+
+    Engine parity: e_c (intra-community edge counts), d_c (community
+    degree sums) and m are exact integers; each community term is the
+    identical IEEE expression and the community-sized sum rounds 6dp
+    (Q is O(1); the per-term squares make half-way ties
+    measure-zero).
+
+    Scale shape: two label joins keyed on the edge endpoints (the
+    label relation is node-sized — broadcast or co-partitioned), one
+    community-keyed aggregate; the edge mass is touched once.
+    ``labels`` is consumed three times — pass a materialized relation
+    (the callers checkpoint the LPA output)."""
+    lab = labels.select(F.col("node"), F.col("label"))
+    deg = (
+        el.select(F.col("u").alias("node"))
+        .unionAll(el.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    lu = lab.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    ec = (
+        el.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    m = el.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    terms = (
+        dc.join(ec, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "m",
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / F.col("m")
+                - (F.col("d_c").cast("double") / (2 * F.col("m")))
+                * (F.col("d_c").cast("double") / (2 * F.col("m")))
+            ).alias("term"),
+        )
+    )
+    return terms.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(F.sum("term"), 6).alias("modularity"),
+    ).select("m", "n_communities", "modularity")
+
+
+def modularity_oracle_sql(edges_cte: str, labels_cte: str) -> str:
+    """DuckDB mirror of `modularity`: ``edges_cte`` must define
+    `el(u, v)`; ``labels_cte`` must define `lfinal(node, label)`."""
+    return f"""
+    WITH {edges_cte},
+    {labels_cte},
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM el UNION ALL SELECT v FROM el)
+        GROUP BY 1
+    ),
+    dc AS (
+        SELECT l.label, sum(deg.deg) AS d_c
+        FROM deg JOIN lfinal l ON l.node = deg.node
+        GROUP BY 1
+    ),
+    ec AS (
+        SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
+        FROM el
+        JOIN lfinal lu ON lu.node = el.u
+        JOIN lfinal lv ON lv.node = el.v
+        WHERE lu.label = lv.label
+        GROUP BY 1
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM el),
+    terms AS (
+        SELECT m.m,
+               CAST(coalesce(ec.e_c, 0) AS DOUBLE) / m.m
+               - (CAST(dc.d_c AS DOUBLE) / (2 * m.m))
+                 * (CAST(dc.d_c AS DOUBLE) / (2 * m.m)) AS term
+        FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN m
+    )
+    SELECT m, CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(term), 6) AS modularity
+    FROM terms GROUP BY m
+    """

@@ -458,3 +458,75 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         el.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     return personalized_pagerank(edges, seed_mod=50, iters=3)
+
+
+def _lp_label_ctes(rounds: int = 3) -> str:
+    """Unrolled label-propagation CTE chain over `el(u, v)` ending in
+    `lfinal(node, label)` — the same per-round arithmetic as
+    operators/graph.label_propagation_oracle_sql, packaged as a CTE
+    fragment so downstream oracles (modularity) can consume the
+    partition."""
+    parts = [
+        "e AS (SELECT u AS src, v AS dst FROM el UNION ALL SELECT v, u FROM el)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    prev = "l0"
+    for i in range(rounds):
+        parts.append(
+            f"""c{i} AS (
+        SELECT e.dst, {prev}.label, count(*) AS cnt
+        FROM {prev} JOIN e ON {prev}.node = e.src
+        GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""l{i + 1} AS (
+        SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   row_number() OVER (
+                       PARTITION BY dst ORDER BY cnt DESC, label ASC
+                   ) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i + 1}"
+    parts.append(f"lfinal AS (SELECT node, label FROM {prev})")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "q_graph_modularity",
+    oracle=graph_ops.modularity_oracle_sql(
+        """el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    )""",
+        _lp_label_ctes(rounds=3),
+    ),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition over the
+    supplier co-purchase graph — the did-the-communities-beat-random
+    quality score closing the community-detection loop
+    (q_label_propagation finds the partition; this grades it). Exact
+    integer e_c/d_c/m; per-community terms identical IEEE, 6dp sum
+    (operators/graph.modularity). The LPA labels are checkpointed once
+    and consumed by the three label joins."""
+    from celeborn_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+        modularity,
+    )
+
+    el = copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"), min_qty=45
+    ).localCheckpoint()
+    e_sym = el.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        el.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = label_propagation(e_sym, rounds=3).localCheckpoint()
+    return modularity(el, labels)

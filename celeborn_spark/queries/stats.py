@@ -774,3 +774,78 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc_d = F.col("sc").cast("double")
     fano = ((F.col("scc") - sc_d * F.col("sc") / nh) / (nh - 1)) / (sc_d / nh)
     return s.select("event_type", "n_hours", fano.alias("fano"))
+
+
+@query(
+    "q_did_estimator",
+    oracle="""
+    WITH g AS (
+        SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS treated,
+               (o_orderdate >= TIMESTAMP '1998-01-01') AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS s_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT
+            max(CASE WHEN treated AND post THEN s_cents END) AS s_tp,
+            max(CASE WHEN treated AND post THEN n END) AS n_tp,
+            max(CASE WHEN treated AND NOT post THEN s_cents END) AS s_t0,
+            max(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+            max(CASE WHEN NOT treated AND post THEN s_cents END) AS s_cp,
+            max(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+            max(CASE WHEN NOT treated AND NOT post THEN s_cents END) AS s_c0,
+            max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0
+        FROM g
+    )
+    SELECT n_tp, n_t0, n_cp, n_c0,
+           (CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) / n_t0)
+           - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) / n_c0)
+               AS did_cents
+    FROM w
+    """,
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: change in mean order value
+    for high-priority orders vs the parallel trend of the rest across
+    the 1998-01-01 cutover — the causal-analytics readout next to
+    q_ab_test_welch (randomized) for observational before/after
+    questions. The four cell means are single divisions of exact
+    integer-cents sums; the DiD combination is the identical IEEE
+    sequence, raw. One map-combined 4-cell aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).alias(
+            "post"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("s_cents"),
+    )
+
+    def cell(t, p, c):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.max(F.when(cond, F.col(c)))
+
+    w = g.agg(
+        cell(True, True, "s_cents").alias("s_tp"),
+        cell(True, True, "n").alias("n_tp"),
+        cell(True, False, "s_cents").alias("s_t0"),
+        cell(True, False, "n").alias("n_t0"),
+        cell(False, True, "s_cents").alias("s_cp"),
+        cell(False, True, "n").alias("n_cp"),
+        cell(False, False, "s_cents").alias("s_c0"),
+        cell(False, False, "n").alias("n_c0"),
+    )
+    mean = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return w.select(
+        "n_tp",
+        "n_t0",
+        "n_cp",
+        "n_c0",
+        (
+            (mean("s_tp", "n_tp") - mean("s_t0", "n_t0"))
+            - (mean("s_cp", "n_cp") - mean("s_c0", "n_c0"))
+        ).alias("did_cents"),
+    )

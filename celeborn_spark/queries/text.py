@@ -1252,3 +1252,50 @@ def q_type_token_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("hapax_frac"),
     )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents
+    ),
+    cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+           FROM ch GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY 1)
+    SELECT cc.doc_id,
+           CAST(max(n.n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(-sum((CAST(k AS DOUBLE) / n.n)
+                      * ln(CAST(k AS DOUBLE) / n.n)), 6) AS entropy
+    FROM cc JOIN n ON n.doc_id = cc.doc_id
+    GROUP BY cc.doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the gibberish/
+    binary-junk screen next to q_text_repetition (low entropy =
+    template/repeated filler; implausibly high = random bytes or
+    wrong-charset text); a standard pretraining quality gate. Each
+    term is one exact-integer division through ln (bit-identical),
+    6dp per-doc sum; one (doc, char) count exchange bounded by
+    character mass, with the per-doc alphabet (<= charset size)
+    downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    n = cc.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )

@@ -394,3 +394,54 @@ def test_ndcg_bounds_and_zero_hits(spark, sf_dir):
     # a user whose truth set contains the top rec would score > 0;
     # the testdata's popularity recommender should hit SOMEONE
     assert any(r.ndcg > 0 for r in rows)
+
+
+# ---------- modularity ----------
+
+
+def test_modularity_two_cliques(spark):
+    from celeborn_spark.operators.graph import modularity
+
+    # two triangles joined by one bridge; partition = the two triangles
+    el = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    edges = spark.createDataFrame(el, ["u", "v"])
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)], ["node", "label"]
+    )
+    out = modularity(edges, labels).collect()[0].asDict()
+    # m=7; e_c=3 each; d_c=7 each: Q = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+    assert out["m"] == 7 and out["n_communities"] == 2
+    assert out["modularity"] == round(6 / 7 - 0.5, 6)
+
+
+def test_modularity_single_community_is_degree_bound(spark):
+    from celeborn_spark.operators.graph import modularity
+
+    # everything in one community: Q = m/m - (2m/2m)^2 = 0
+    el = [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(el, ["u", "v"])
+    labels = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], ["node", "label"])
+    out = modularity(edges, labels).collect()[0].asDict()
+    assert out["modularity"] == 0.0
+
+
+# ---------- DiD / char entropy (query-level sanity) ----------
+
+
+def test_did_four_cells_present(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_did_estimator
+
+    out = q_did_estimator(spark, sf_dir).collect()[0].asDict()
+    assert all(out[k] and out[k] > 0 for k in ("n_tp", "n_t0", "n_cp", "n_c0"))
+    assert out["did_cents"] is not None
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    from celeborn_spark.queries.text import q_char_entropy
+    import math as _m
+
+    rows = q_char_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert 0.0 <= r.entropy <= round(_m.log(r.n_distinct), 6) + 1e-6
+        assert r.n_distinct <= r.n_chars
