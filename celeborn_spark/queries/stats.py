@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import curriculum as C
 from celeborn_spark.operators import stats as stats_ops
 from celeborn_spark.operators.stats import (
     corr_matrix,
@@ -848,4 +849,262 @@ def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean("s_tp", "n_tp") - mean("s_t0", "n_t0"))
             - (mean("s_cp", "n_cp") - mean("s_c0", "n_c0"))
         ).alias("did_cents"),
+    )
+
+
+@query(
+    "q_trimmed_mean",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, v, c,
+               coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_lo,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM hist
+    ),
+    kept AS (
+        SELECT g, n, n * 5 // 100 AS k,
+               greatest(least(cum_lo + c, n - n * 5 // 100)
+                        - greatest(cum_lo, n * 5 // 100), 0) AS r,
+               v
+        FROM cum
+    )
+    SELECT g AS l_returnflag,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(max(k) AS BIGINT) AS n_trimmed_each_side,
+           CAST(sum(v * r) AS DOUBLE) / (max(n) - 2 * max(k)) AS trimmed_mean
+    FROM kept GROUP BY g
+    """,
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% two-sided trimmed mean of order quantity per return flag —
+    the outlier-robust location estimate between the mean (fragile)
+    and the median (throws away 98% of the data), computed ENTIRELY
+    from the per-group VALUE HISTOGRAM: retained-count per value cell
+    is exact integer clamp arithmetic, the trimmed sum is an exact
+    BIGINT, and the mean is ONE division, raw. No row is ever sorted
+    (the quantile_bins discipline)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    wn = W.partitionBy("g")
+    cum = hist.select(
+        "g",
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_lo"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    kept = cum.select(
+        "g",
+        "n",
+        F.floor(F.col("n") * 5 / 100).cast("long").alias("k"),
+        F.greatest(
+            F.least(F.col("cum_lo") + F.col("c"), F.col("n") - F.floor(F.col("n") * 5 / 100).cast("long"))
+            - F.greatest(F.col("cum_lo"), F.floor(F.col("n") * 5 / 100).cast("long")),
+            F.lit(0),
+        ).alias("r"),
+        "v",
+    )
+    return kept.groupBy(F.col("g").alias("l_returnflag")).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("n_trimmed_each_side"),
+        (
+            F.sum(F.col("v") * F.col("r")).cast("double")
+            / (F.max("n") - 2 * F.max("k"))
+        ).alias("trimmed_mean"),
+    )
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+               sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS wc
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, v, wc,
+               sum(wc) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(wc) OVER (PARTITION BY g) AS tw
+        FROM hist
+    )
+    SELECT g AS l_returnflag,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               AS weighted_median_qty,
+           CAST(max(tw) AS BIGINT) AS total_weight_cents
+    FROM cum GROUP BY g
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted median order quantity per return flag: the
+    quantity splitting the group's REVENUE mass in half (the unweighted
+    median splits row counts — wrong question when rows carry very
+    different economic weight). Lower-median rule on exact
+    integer-cents cumulative weights — a deterministic integer
+    comparison, no interpolation, engine-exact. Histogram windows
+    only; no row sort."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("long").alias("v"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("wc")
+    )
+    w = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("g")
+    cum = hist.select(
+        "g",
+        "v",
+        F.sum("wc").over(w).alias("cw"),
+        F.sum("wc").over(wn).alias("tw"),
+    )
+    return cum.groupBy(F.col("g").alias("l_returnflag")).agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("weighted_median_qty"),
+        F.max("tw").cast("long").alias("total_weight_cents"),
+    )
+
+
+# Poisson(1) inverse-CDF ladder thresholds: cdf_k = e^-1 * sum_{i<=k} 1/i!.
+# Written as repr'd double literals so Spark and DuckDB compare against
+# bit-identical constants.
+_POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 200)) AS b),
+    base AS (
+        SELECT r.b,
+               CAST(floor(e.value * 100) AS BIGINT) AS cents,
+               CAST(concat('0x', substr(md5(concat_ws(':', concat_ws('#', CAST(e.event_id AS VARCHAR), CAST(r.b AS VARCHAR)), '11')), 1, 8)) AS UBIGINT) / 4294967296.0 AS u
+        FROM events e CROSS JOIN reps r
+    ),
+    w AS (
+        SELECT b, cents,
+               CASE
+                   WHEN u < 0.36787944117144233 THEN 0
+                   WHEN u < 0.7357588823428847 THEN 1
+                   WHEN u < 0.9196986029286058 THEN 2
+                   WHEN u < 0.9810118431238462 THEN 3
+                   WHEN u < 0.9963401531726563 THEN 4
+                   WHEN u < 0.9994058151824183 THEN 5
+                   WHEN u < 0.9999167588507119 THEN 6
+                   ELSE 7
+               END AS wt
+        FROM base
+    ),
+    means AS (
+        SELECT b, CAST(sum(wt * cents) AS DOUBLE) / sum(wt) AS mean_b
+        FROM w GROUP BY b HAVING sum(wt) > 0
+    ),
+    ranked AS (
+        SELECT b, mean_b,
+               row_number() OVER (ORDER BY mean_b, b) AS rk,
+               count(*) OVER () AS nb
+        FROM means
+    ),
+    pt AS (SELECT CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS DOUBLE)
+                  / count(*) AS mean_cents
+           FROM events)
+    SELECT CAST(max(nb) AS BIGINT) AS n_replicates,
+           max(pt.mean_cents) AS mean_cents,
+           max(CASE WHEN rk = 5 THEN mean_b END) AS ci_lo_cents,
+           max(CASE WHEN rk = 196 THEN mean_b END) AS ci_hi_cents
+    FROM ranked CROSS JOIN pt
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean event value — the
+    distribution-free uncertainty readout that scales where classic
+    resampling cannot (per-row Poisson(1) weights replace per-replicate
+    row sampling, so the 200 replicates are ONE map over the data +
+    one 200-group combine; the standard big-data bootstrap form).
+
+    Engine parity end to end: the replicate weights come from the
+    repo's deterministic md5 u01 variate compared against repr'd
+    Poisson-CDF double literals (identical branch in both engines);
+    each replicate mean is one IEEE division of exact BIGINT sums; the
+    percentile picks are exact ranks (row 5 / row 196 of 200, tiebreak
+    on b) — raw output, no rounding anywhere.
+
+    Scale shape: the events x 200 fan-out is map-side (broadcast range
+    join, no pre-exchange); per-replicate sums combine map-side into a
+    200-row relation. At 100 TB the only wire traffic is
+    200 partial-sum rows per task."""
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(0, 200).select(F.col("id").alias("b"))
+    u = C.u01(
+        F.concat_ws(
+            "#", F.col("event_id").cast("string"), F.col("b").cast("string")
+        ),
+        salt=11,
+    )
+    wt = F.when(u < F.lit(_POISSON_CDF[0]), 0)
+    for i, c in enumerate(_POISSON_CDF[1:], start=1):
+        wt = wt.when(u < F.lit(c), i)
+    wt = wt.otherwise(7)
+    w = (
+        ev.select("event_id", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .crossJoin(F.broadcast(reps))
+        .select("b", "cents", wt.alias("wt"))
+    )
+    means = (
+        w.groupBy("b")
+        .agg(
+            (F.sum(F.col("wt") * F.col("cents")).cast("double") / F.sum("wt")).alias(
+                "mean_b"
+            ),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("b", "mean_b")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "mean_b",
+        F.row_number().over(W.orderBy("mean_b", "b")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nb"),
+    )
+    pt = ev.agg(
+        (
+            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_cents")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .agg(
+            F.max("nb").cast("long").alias("n_replicates"),
+            F.max("mean_cents").alias("mean_cents"),
+            F.max(F.when(F.col("rk") == 5, F.col("mean_b"))).alias("ci_lo_cents"),
+            F.max(F.when(F.col("rk") == 196, F.col("mean_b"))).alias("ci_hi_cents"),
+        )
     )

@@ -445,3 +445,52 @@ def test_char_entropy_bounds(spark, sf_dir):
     for r in rows[:200]:
         assert 0.0 <= r.entropy <= round(_m.log(r.n_distinct), 6) + 1e-6
         assert r.n_distinct <= r.n_chars
+
+
+# ---------- robust location estimators / bootstrap ----------
+
+
+def test_trimmed_mean_drops_tails(spark, sf_dir, monkeypatch):
+    # planted histogram through the real query path is covered by the
+    # oracle harness; here pin the arithmetic on a tiny frame via the
+    # same expressions: values 1..20 once each, 5% trim -> k=1, mean
+    # of 2..19 = 10.5
+    import celeborn_spark.queries.stats as qs
+    from celeborn_spark.catalog import load_table as real_load
+
+    df = spark.createDataFrame(
+        [("X", float(v), 100.0) for v in range(1, 21)],
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    monkeypatch.setattr(qs, "load_table", lambda s, d, t: df)
+    out = qs.q_trimmed_mean(spark, "ignored").collect()[0].asDict()
+    assert out == {
+        "l_returnflag": "X",
+        "n": 20,
+        "n_trimmed_each_side": 1,
+        "trimmed_mean": 10.5,
+    }
+
+
+def test_weighted_median_follows_weight_mass(spark, monkeypatch):
+    import celeborn_spark.queries.stats as qs
+
+    # v=1 carries 10 cents, v=9 carries 1000 cents -> weighted median 9
+    df = spark.createDataFrame(
+        [("X", 1.0, 0.10), ("X", 9.0, 10.00)],
+        ["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    monkeypatch.setattr(qs, "load_table", lambda s, d, t: df)
+    out = qs.q_weighted_median(spark, "ignored").collect()[0].asDict()
+    assert out["weighted_median_qty"] == 9
+    assert out["total_weight_cents"] == 10 + 1000
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_bootstrap_ci
+
+    out = q_bootstrap_ci(spark, sf_dir).collect()[0].asDict()
+    assert out["n_replicates"] == 200
+    assert out["ci_lo_cents"] < out["ci_hi_cents"]
+    # the 95% interval should bracket the point estimate on real data
+    assert out["ci_lo_cents"] <= out["mean_cents"] <= out["ci_hi_cents"]
