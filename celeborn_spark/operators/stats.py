@@ -1337,10 +1337,18 @@ def anova_oneway(
     )
     ssb = F.col("sqn") - F.col("stot") * F.col("stot") / F.col("nn")
     ssw = F.col("sstot") - F.col("sqn")
-    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k")))
+    # Degenerate-input guards (NULL, not a crash): Spark's ANSI mode
+    # raises DIVIDE_BY_ZERO even for double division, where DuckDB
+    # yields inf — a hypothesis differential found the k=1 / SSW=0
+    # edges. The oracle mirrors the same CASEs.
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("nn") > F.col("k")) & (ssw != 0),
+        (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))),
+    )
+    eta = F.when((ssb + ssw) != 0, ssb / (ssb + ssw))
     return tot.select(
         F.round(f_stat, dp).alias("f_stat"),
-        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+        F.round(eta, 6).alias("eta_sq"),
         (F.col("k") - 1).cast("long").alias("dof1"),
         (F.col("nn") - F.col("k")).cast("long").alias("dof2"),
         F.col("nn").cast("long").alias("n"),
@@ -1364,10 +1372,13 @@ def anova_oracle_sql(
                sum(s) AS stot, sum(s * s / n) AS sqn, sum(ss) AS sstot
         FROM g
     )
-    SELECT round(((sqn - stot * stot / nn) / (k - 1))
-                 / ((sstot - sqn) / (nn - k)), {dp}) AS f_stat,
-           round((sqn - stot * stot / nn)
-                 / ((sqn - stot * stot / nn) + (sstot - sqn)), 6) AS eta_sq,
+    SELECT round(CASE WHEN k > 1 AND nn > k AND (sstot - sqn) <> 0
+                 THEN ((sqn - stot * stot / nn) / (k - 1))
+                      / ((sstot - sqn) / (nn - k)) END, {dp}) AS f_stat,
+           round(CASE WHEN ((sqn - stot * stot / nn) + (sstot - sqn)) <> 0
+                 THEN (sqn - stot * stot / nn)
+                      / ((sqn - stot * stot / nn) + (sstot - sqn)) END, 6)
+               AS eta_sq,
            CAST(k - 1 AS BIGINT) AS dof1,
            CAST(nn - k AS BIGINT) AS dof2,
            CAST(nn AS BIGINT) AS n
@@ -1432,7 +1443,10 @@ def ks_two_sample(
             "n_a",
             "n_b",
             "ks_num",
-            (F.col("ks_num") / (F.col("n_a") * F.col("n_b"))).alias("ks_d"),
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("ks_num") / (F.col("n_a") * F.col("n_b")),
+            ).alias("ks_d"),
         )
     )
 
@@ -1461,8 +1475,9 @@ def ks_oracle_sql(
             FROM hist)
     SELECT n_a, n_b,
            CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
-           CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-               / (n_a * n_b) AS ks_d
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                     / (n_a * n_b) END AS ks_d
     FROM cum CROSS JOIN tot
     GROUP BY n_a, n_b
     """
@@ -1813,7 +1828,10 @@ def cohens_d_int(
     va = (F.col("ss_a") - F.col("s_a").cast("double") * F.col("s_a") / na) / (na - 1)
     vb = (F.col("ss_b") - F.col("s_b").cast("double") * F.col("s_b") / nb) / (nb - 1)
     pooled = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
-    d = (F.col("s_a") / na - F.col("s_b") / nb) / pooled
+    d = F.when(
+        (na > 1) & (nb > 1) & (pooled != 0),
+        (F.col("s_a") / na - F.col("s_b") / nb) / pooled,
+    )
     return wide.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
@@ -1846,6 +1864,14 @@ def cohens_d_oracle_sql(
         FROM g
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 1 AND n_b > 1
+                AND sqrt(((CAST(n_a AS DOUBLE) - 1)
+                       * ((ss_a - CAST(s_a AS DOUBLE) * s_a / CAST(n_a AS DOUBLE))
+                          / (CAST(n_a AS DOUBLE) - 1))
+                   + (CAST(n_b AS DOUBLE) - 1)
+                       * ((ss_b - CAST(s_b AS DOUBLE) * s_b / CAST(n_b AS DOUBLE))
+                          / (CAST(n_b AS DOUBLE) - 1)))
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) <> 0 THEN
            (s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
            / sqrt(((CAST(n_a AS DOUBLE) - 1)
                        * ((ss_a - CAST(s_a AS DOUBLE) * s_a / CAST(n_a AS DOUBLE))
@@ -1853,7 +1879,7 @@ def cohens_d_oracle_sql(
                    + (CAST(n_b AS DOUBLE) - 1)
                        * ((ss_b - CAST(s_b AS DOUBLE) * s_b / CAST(n_b AS DOUBLE))
                           / (CAST(n_b AS DOUBLE) - 1)))
-                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) AS d
+                  / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2)) END AS d
     FROM wide
     """
 
@@ -1941,7 +1967,7 @@ def spearman_rho_int(
     return s.select(
         F.col("grp").alias(group_col),
         F.col("n").cast("long").alias("n"),
-        (num / den).alias("rho"),
+        F.when(den != 0, num / den).alias("rho"),
     )
 
 
@@ -1979,9 +2005,12 @@ def spearman_oracle_sql(
         GROUP BY grp
     )
     SELECT grp AS {group_alias}, CAST(n AS BIGINT) AS n,
+           CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                     <> 0 THEN
            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
            / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END AS rho
     FROM s
     """
 
@@ -2053,12 +2082,13 @@ def kendall_tau_b(df: DataFrame, x_col, y_col) -> DataFrame:
             "n",
             "concordant",
             "discordant",
-            (
+            F.when(
+                (n0 > F.col("n1")) & (n0 > F.col("n2")),
                 (F.col("concordant") - F.col("discordant")).cast("double")
                 / F.sqrt(
                     (n0 - F.col("n1")).cast("double")
                     * (n0 - F.col("n2")).cast("double")
-                )
+                ),
             ).alias("tau_b"),
         )
     )
@@ -2086,9 +2116,11 @@ def kendall_oracle_sql(table: str, x_sql: str, y_sql: str) -> str:
            FROM (SELECT sum(n_xy) AS t FROM cells GROUP BY y)),
     tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells)
     SELECT n, concordant, discordant,
+           CASE WHEN CAST(n * (n - 1) / 2 AS BIGINT) > n1
+                 AND CAST(n * (n - 1) / 2 AS BIGINT) > n2 THEN
            CAST(concordant - discordant AS DOUBLE)
            / sqrt(CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n1 AS DOUBLE)
-                  * CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n2 AS DOUBLE)) AS tau_b
+                  * CAST(CAST(n * (n - 1) / 2 AS BIGINT) - n2 AS DOUBLE)) END AS tau_b
     FROM cd CROSS JOIN xt CROSS JOIN yt CROSS JOIN tot
     """
 
@@ -2128,8 +2160,8 @@ def jarque_bera_int(df: DataFrame, group_col: str, value_col) -> DataFrame:
         + 6 * mu * mu * (F.col("s2") / n)
         - 3 * mu * mu * mu * mu
     )
-    skew = m3 / F.pow(m2, F.lit(1.5))
-    exk = m4 / (m2 * m2) - 3
+    skew = F.when(m2 != 0, m3 / F.pow(m2, F.lit(1.5)))
+    exk = F.when(m2 != 0, m4 / (m2 * m2) - 3)
     jb = n / 6 * (skew * skew + exk * exk / 4)
     return g.select(
         F.col("grp").alias(group_col),
@@ -2175,8 +2207,8 @@ def jarque_bera_oracle_sql(
     ),
     sk AS (
         SELECT grp, n,
-               m3 / pow(m2, 1.5) AS skew,
-               m4 / (m2 * m2) - 3 AS exk
+               CASE WHEN m2 <> 0 THEN m3 / pow(m2, 1.5) END AS skew,
+               CASE WHEN m2 <> 0 THEN m4 / (m2 * m2) - 3 END AS exk
         FROM c
     )
     SELECT grp AS {group_alias}, CAST(n AS BIGINT) AS n,
@@ -2226,8 +2258,13 @@ def pca_2d_int(
     return g.select(
         F.col("grp").alias(group_col),
         F.col("n").cast("long").alias("n"),
-        F.round(lam1 / (lam1 + lam2), 6).alias("var_explained"),
-        F.round(F.atan2(2 * cxy, vx - vy) / 2, 6).alias("theta"),
+        F.round(
+            F.when((F.col("n") > 1) & ((lam1 + lam2) != 0), lam1 / (lam1 + lam2)),
+            6,
+        ).alias("var_explained"),
+        F.round(
+            F.when(F.col("n") > 1, F.atan2(2 * cxy, vx - vy) / 2), 6
+        ).alias("theta"),
     )
 
 
@@ -2263,9 +2300,11 @@ def pca_2d_oracle_sql(
         FROM v
     )
     SELECT grp AS {group_alias}, CAST(n AS BIGINT) AS n,
-           round(((vx + vy + disc) / 2)
-                 / (((vx + vy + disc) / 2) + ((vx + vy - disc) / 2)), 6)
+           round(CASE WHEN n > 1
+                       AND (((vx + vy + disc) / 2) + ((vx + vy - disc) / 2)) <> 0
+                 THEN ((vx + vy + disc) / 2)
+                      / (((vx + vy + disc) / 2) + ((vx + vy - disc) / 2)) END, 6)
                AS var_explained,
-           round(atan2(2 * cxy, vx - vy) / 2, 6) AS theta
+           round(CASE WHEN n > 1 THEN atan2(2 * cxy, vx - vy) / 2 END, 6) AS theta
     FROM e
     """
