@@ -118,9 +118,16 @@ def welch_t(
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
     bvar = (F.col("bss") - F.col("bs") * F.col("bs") / F.col("bn")) / (F.col("bn") - 1)
     se2a, se2b = var / F.col("n"), bvar / F.col("bn")
-    t = (mean - bmean) / F.sqrt(se2a + se2b)
-    dof = (se2a + se2b) * (se2a + se2b) / (
-        se2a * se2a / (F.col("n") - 1) + se2b * se2b / (F.col("bn") - 1)
+    # Degenerate guards (NULL, not an ANSI DIVIDE_BY_ZERO crash):
+    # single-row groups make var 0/0; zero variance BOTH sides makes
+    # the se sum (t denominator) and the dof denominator 0.
+    ok = (F.col("n") > 1) & (F.col("bn") > 1) & ((se2a + se2b) != 0)
+    t = F.when(ok, (mean - bmean) / F.sqrt(se2a + se2b))
+    dof = F.when(
+        ok,
+        (se2a + se2b) * (se2a + se2b) / (
+            se2a * se2a / (F.col("n") - 1) + se2b * se2b / (F.col("bn") - 1)
+        ),
     )
     return j.select(
         F.col("grp").alias("grp"),
@@ -140,18 +147,22 @@ def welch_t_oracle_sql(
                sum({value_col} * {value_col}) AS ss
         FROM {table} GROUP BY 1
     ),
-    b AS (SELECT n AS bn, s AS bs, ss AS bss FROM g WHERE grp = '{baseline}')
+    b AS (SELECT n AS bn, s AS bs, ss AS bss FROM g WHERE grp = '{baseline}'),
+    se AS (
+        SELECT grp, n, s, bn, bs,
+               ((ss - s * s / n) / (n - 1)) / n AS se2a,
+               ((bss - bs * bs / bn) / (bn - 1)) / bn AS se2b
+        FROM g CROSS JOIN b
+        WHERE grp <> '{baseline}'
+    )
     SELECT grp,
-           round(((s / n) - (bs / bn))
-                 / sqrt(((ss - s * s / n) / (n - 1)) / n
-                      + ((bss - bs * bs / bn) / (bn - 1)) / bn), {dp}) AS t_stat,
-           round(pow(((ss - s * s / n) / (n - 1)) / n
-                   + ((bss - bs * bs / bn) / (bn - 1)) / bn, 2)
-                 / (pow(((ss - s * s / n) / (n - 1)) / n, 2) / (n - 1)
-                  + pow(((bss - bs * bs / bn) / (bn - 1)) / bn, 2) / (bn - 1)),
+           round(CASE WHEN n > 1 AND bn > 1 AND (se2a + se2b) <> 0 THEN
+                 ((s / n) - (bs / bn)) / sqrt(se2a + se2b) END, {dp}) AS t_stat,
+           round(CASE WHEN n > 1 AND bn > 1 AND (se2a + se2b) <> 0 THEN
+                 pow(se2a + se2b, 2)
+                 / (pow(se2a, 2) / (n - 1) + pow(se2b, 2) / (bn - 1)) END,
                  {dp}) AS dof
-    FROM g CROSS JOIN b
-    WHERE grp <> '{baseline}'
+    FROM se
     """
 
 
@@ -1249,11 +1260,17 @@ def mann_whitney_u(
         / F.lit(12.0)
         * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1)))
     )
+    # Degenerate guards (NULL, not an ANSI DIVIDE_BY_ZERO crash): an
+    # empty group, n < 2, or an all-tied sample make sigma2 = 0.
+    z = F.when(
+        (na > 0) & (nb > 0) & (n > 1) & (sigma2 != 0),
+        (u - mu) / F.sqrt(sigma2),
+    )
     return agg.select(
         "n_a",
         "n_b",
         u.alias("u_stat"),
-        F.round((u - mu) / F.sqrt(sigma2), dp).alias("z"),
+        F.round(z, dp).alias("z"),
     )
 
 
@@ -1293,11 +1310,16 @@ def mann_whitney_oracle_sql(
     )
     SELECT n_a, n_b,
            ra - n_a * (n_a + 1) / 2.0 AS u_stat,
-           round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+           round(CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                       AND CAST(n_a * n_b AS DOUBLE) / 12.0
+                           * ((n_a + n_b + 1)
+                              - CAST(ties AS DOUBLE)
+                                / ((n_a + n_b) * (n_a + n_b - 1))) <> 0 THEN
+           (ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
                  / sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
                         * ((n_a + n_b + 1)
                            - CAST(ties AS DOUBLE)
-                             / ((n_a + n_b) * (n_a + n_b - 1)))), {dp}) AS z
+                             / ((n_a + n_b) * (n_a + n_b - 1)))) END, {dp}) AS z
     FROM agg
     """
 

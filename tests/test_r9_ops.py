@@ -517,3 +517,30 @@ def test_fano_single_hour_is_null(spark):
         F.when(F.col("n_hours") > 1, F.lit(1.0)).alias("fano")
     ).collect()[0]
     assert out.fano is None
+
+
+# ---------- degenerate-input hardening for the pre-r9 stats family ----------
+
+
+def test_welch_degenerate_inputs_yield_null(spark):
+    from celeborn_spark.operators.stats import welch_t
+
+    zero_var = spark.createDataFrame(
+        [("a", 1.0)] * 3 + [("b", 2.0)] * 3, ["g", "v"]
+    )
+    out = welch_t(zero_var, "g", "v", "a").collect()[0]
+    assert out.t_stat is None and out.dof is None
+    n1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["g", "v"])
+    out = welch_t(n1, "g", "v", "a").collect()[0]
+    assert out.t_stat is None
+
+
+def test_mann_whitney_degenerate_inputs_yield_null(spark):
+    from celeborn_spark.operators.stats import mann_whitney_u
+
+    tied = spark.createDataFrame([("a", 5), ("b", 5)], ["g", "v"])
+    out = mann_whitney_u(tied, "g", "v", "a", "b").collect()[0]
+    assert out.z is None and out.u_stat == 0.5
+    empty_b = spark.createDataFrame([("a", 1)] * 3, ["g", "v"])
+    out = mann_whitney_u(empty_b, "g", "v", "a", "b").collect()[0]
+    assert out.n_b == 0 and out.z is None
