@@ -62,7 +62,9 @@ def corr_matrix(df: DataFrame, cols: list[str], dp: int = 6) -> DataFrame:
                 F.struct(
                     F.lit(a).alias("col_x"),
                     F.lit(b).alias("col_y"),
-                    F.round(num / den, dp).alias("corr"),
+                    # constant column -> zero variance -> r undefined:
+                    # NULL, never an ANSI DIVIDE_BY_ZERO
+                    F.round(F.when(den != 0, num / den), dp).alias("corr"),
                 )
             )
     return stats.select(F.explode(F.array(*pair_rows)).alias("p")).select("p.*")
@@ -82,9 +84,11 @@ def corr_matrix_oracle_sql(table: str, cols: list[str], dp: int = 6) -> str:
     for a, b in pairs:
         unions.append(
             f"""SELECT '{a}' AS col_x, '{b}' AS col_y,
-               round((n * sp_{a}_{b} - s_{a} * s_{b})
+               round(CASE WHEN sqrt((n * ss_{a} - s_{a} * s_{a})
+                          * (n * ss_{b} - s_{b} * s_{b})) <> 0 THEN
+               (n * sp_{a}_{b} - s_{a} * s_{b})
                      / sqrt((n * ss_{a} - s_{a} * s_{a})
-                          * (n * ss_{b} - s_{b} * s_{b})), {dp}) AS corr
+                          * (n * ss_{b} - s_{b} * s_{b})) END, {dp}) AS corr
             FROM stats"""
         )
     return (

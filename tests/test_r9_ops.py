@@ -544,3 +544,11 @@ def test_mann_whitney_degenerate_inputs_yield_null(spark):
     empty_b = spark.createDataFrame([("a", 1)] * 3, ["g", "v"])
     out = mann_whitney_u(empty_b, "g", "v", "a", "b").collect()[0]
     assert out.n_b == 0 and out.z is None
+
+
+def test_corr_matrix_constant_column_yields_null(spark):
+    from celeborn_spark.operators.stats import corr_matrix
+
+    df = spark.createDataFrame([(1.0, 2.0)] * 4, ["a", "b"])
+    out = corr_matrix(df, ["a", "b"]).collect()[0]
+    assert out.corr is None
