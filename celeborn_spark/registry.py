@@ -61,14 +61,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rep: q17_small_quantity_revenue, whose r8 driver row hash-FAILED on
 # Spark's DECIMAL(38,6) division vs DuckDB's DOUBLE division and whose
 # fixed source (CAST ... AS DOUBLE on both sides) needs a green row.
-# This r9 window = the q17 rep + the q_cogroup_asof rep (source
-# rewritten this round: key-bucketed merge_asof, 10.6 -> 1.4 s) + the
-# 48 highest-value first-timers; the 11 deferred to r10 are
+# This r9 window = FOUR reps (q17; q_cogroup_asof, source rewritten:
+# key-bucketed merge_asof 10.6 -> 1.4 s; q_ab_test_welch and
+# q_correlation_matrix, whose sources gained degenerate-input guards)
+# + the 46 highest-value first-timers; the 13 deferred to r10 are
 # single-exchange scalar/aggregate shapes mechanically identical to
 # already-green rows (q_approx_stats, q_dataset_manifest, q_arg_minmax,
 # q_bitwise_agg, q_uniform_sample, q_dense_ids, q_mode_per_group,
 # q_compression_quality, q_text_fingerprint, q_bigram_topk,
-# q_market_hhi). Queries rotated OUT remain oracle-checked every pytest
+# q_market_hhi, q_user_growth, q_revenue_wow_growth — the last two
+# displaced by the welch/corr degenerate-guard reps, r8 precedent:
+# changed sources re-verify at driver scale before first-timers). Queries rotated OUT remain oracle-checked every pytest
 # run (tests/test_queries_vs_oracle.py parametrizes the whole
 # registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
@@ -76,6 +79,9 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     # --- rep: source rewritten this round (bucketed cogroup) (1) ---
     "q_cogroup_asof",
+    # --- reps: degenerate-input guards touched these sources (2) ---
+    "q_ab_test_welch",
+    "q_correlation_matrix",
     # --- r9 first-timers: the 7 newly wired snapshot operators ---
     "q_anova",
     "q_ks_test",
@@ -125,8 +131,6 @@ CORRECTNESS_WINDOW: tuple[str, ...] = (
     "q_per_group_sample",
     "q_rendezvous_routing",
     "q_incremental_quantiles",
-    "q_user_growth",
-    "q_revenue_wow_growth",
 )
 
 
