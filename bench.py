@@ -67,6 +67,8 @@ from celeborn_spark import registry
 # edit-distance — temporal/dedup families repped). All remain
 # registered, oracle-checked and driver-rotatable.
 HEAVY_EXTRAS = (
+    "q_bootstrap_ci",
+    "q_graph_modularity",
     "q_kcore",
     "q_dedup_groups",
     "q_pareto_frontier",
