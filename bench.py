@@ -64,8 +64,10 @@ from celeborn_spark import registry
 # represented elsewhere (unpivot/text_chunks/array_funcs/cube scalar+
 # reshape reps; simhash — the dedup family keeps jaccard/minhash/
 # incremental/groups; pmi — bm25 reps text ranking; resample_gapfill,
-# edit-distance — temporal/dedup families repped). All remain
-# registered, oracle-checked and driver-rotatable.
+# edit-distance — temporal/dedup families repped; PIT join — the asof
+# family is repped by the in-window cogroup form; q21 — the TPC-H
+# family keeps q18/q3 as its heavy reps). All remain registered,
+# oracle-checked and driver-rotatable.
 HEAVY_EXTRAS = (
     "q_bootstrap_ci",
     "q_graph_modularity",
@@ -75,9 +77,7 @@ HEAVY_EXTRAS = (
     "q_label_propagation",
     "q_pagerank_weighted",
     "q_shortest_path",
-    "q_point_in_time_join",
     "q_sparse_cosine_pairs",
-    "q21_waiting_supplier",
     "q_pagerank",
     "q_stream_stream_join",
     "q_dedup_jaccard_pairs",
