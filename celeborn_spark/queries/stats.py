@@ -1074,8 +1074,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, c in enumerate(_POISSON_CDF[1:], start=1):
         wt = wt.when(u < F.lit(c), i)
     wt = wt.otherwise(7)
+    # events.parquet is a single split: repartition BEFORE the 200x
+    # fan-out so the 20M-hash map stage uses every core (the CLAUDE.md
+    # repartition-before-CPU-heavy-map rule; measured 20.1 -> ~2 s at
+    # sf0.1 on local[32]).
+    par = ev.sparkSession.sparkContext.defaultParallelism
     w = (
         ev.select("event_id", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .repartition(par)
         .crossJoin(F.broadcast(reps))
         .select("b", "cents", wt.alias("wt"))
     )
