@@ -107,3 +107,24 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_event_id",
         "view_value",
     )
+
+
+@query(
+    "q_arrow_norms",
+    oracle=__import__(
+        "celeborn_spark.operators.arrow_ops", fromlist=["arrow_norms_oracle_sql"]
+    ).arrow_norms_oracle_sql(),
+)
+def q_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm through the ARROW-NATIVE batch tier
+    (mapInArrow: RecordBatch in, RecordBatch out, no pandas
+    materialization) — completing the Python-API surface matrix next
+    to applyInPandas (q_grouped_zscore differential), cogrouped pandas
+    (q_cogroup_asof) and applyInPandasWithState (streaming). The JVM
+    expression form (q_embedding_norms) stays the scale default for
+    this kernel; the tier exists for numpy/pyarrow-only kernels
+    (operators/arrow_ops.arrow_l2_norms)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from celeborn_spark.operators.arrow_ops import arrow_l2_norms
+
+    return arrow_l2_norms(emb, "vec_id", "embedding")

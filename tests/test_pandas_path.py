@@ -98,3 +98,30 @@ def test_cogroup_shared_lineage_keeps_right_ts(spark):
     ).collect()
     got = {r.ts: r.val for r in out}
     assert got[1] is None and got[10] == 9.9
+
+
+def test_arrow_norms_match_jvm_expression(spark, sf_dir):
+    """The mapInArrow L2-norm kernel equals the JVM aggregate
+    expression row for row (the Arrow-native tier's differential,
+    mirroring the grouped-zscore pandas differential)."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.operators.arrow_ops import arrow_l2_norms
+    from celeborn_spark.operators.similarity import as_double_array
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jvm = emb.select(
+        "vec_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(as_double_array("embedding"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+            ),
+            6,
+        ).alias("norm"),
+    )
+    arrow = arrow_l2_norms(emb, "vec_id", "embedding")
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
