@@ -1118,3 +1118,119 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rk") == 196, F.col("mean_b"))).alias("ci_hi_cents"),
         )
     )
+
+
+@query(
+    "q_sprt_ab",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (
+        SELECT f.user_id, f.t0,
+               CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+        FROM firsts f LEFT JOIN conv c ON c.user_id = f.user_id
+    ),
+    walk AS (
+        SELECT user_id, converted,
+               sum(CASE WHEN converted = 1 THEN ln(0.15 / 0.10)
+                        ELSE ln(0.85 / 0.90) END)
+                   OVER (ORDER BY t0, user_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS llr,
+               row_number() OVER (ORDER BY t0, user_id) AS idx
+        FROM obs
+    ),
+    bounds AS (SELECT ln((1 - 0.2) / 0.05) AS up, ln(0.2 / (1 - 0.05)) AS lo),
+    crossed AS (
+        SELECT min(CASE WHEN llr >= up THEN idx END) AS up_idx,
+               min(CASE WHEN llr <= lo THEN idx END) AS lo_idx,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               max(CASE WHEN idx = (SELECT max(idx) FROM walk)
+                        THEN llr END) AS llr_final
+        FROM walk CROSS JOIN bounds
+    )
+    SELECT n_obs,
+           CASE
+               WHEN up_idx IS NOT NULL
+                    AND (lo_idx IS NULL OR up_idx <= lo_idx) THEN 'accept_h1'
+               WHEN lo_idx IS NOT NULL THEN 'accept_h0'
+               ELSE 'continue'
+           END AS decision,
+           CAST(CASE
+               WHEN up_idx IS NOT NULL
+                    AND (lo_idx IS NULL OR up_idx <= lo_idx) THEN up_idx
+               WHEN lo_idx IS NOT NULL THEN lo_idx
+           END AS BIGINT) AS cross_idx,
+           round(llr_final, 6) AS llr_final
+    FROM crossed
+    """,
+)
+def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over the user conversion
+    stream: cumulative log-likelihood ratio of H1 (p=0.15) vs H0
+    (p=0.10) in first-touch order, with the alpha=0.05 / beta=0.2
+    decision boundaries — the EARLY-STOPPING companion to the
+    fixed-horizon q_ab_test_welch (a sequential test reads the data as
+    it arrives and stops at the first boundary crossing, at a fraction
+    of the fixed-n sample size). Output (n_obs, decision, cross_idx,
+    llr_final).
+
+    Engine parity: the per-observation terms ln(0.15/0.10) /
+    ln(0.85/0.90) are identical literal expressions; the cumulative
+    window sums them in the SAME deterministic (t0, user_id) order in
+    both engines, so the walk — and therefore the first crossing index
+    — is bit-identical; llr_final rounds 6dp. The walk runs over the
+    USER relation (one row per user after the first-touch aggregate),
+    a single-partition window bounded by entity count, never event
+    mass (the q_user_growth discipline)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("t0")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    obs = firsts.join(
+        conv.withColumn("c", F.lit(1)), "user_id", "left"
+    ).select(
+        "user_id", "t0", F.coalesce("c", F.lit(0)).alias("converted")
+    )
+    term = F.when(
+        F.col("converted") == 1, F.log(F.lit(0.15) / F.lit(0.10))
+    ).otherwise(F.log(F.lit(0.85) / F.lit(0.90)))
+    w = W.orderBy("t0", "user_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    walk = obs.select(
+        term.alias("term"),
+        F.sum(term).over(w).alias("llr"),
+        F.row_number().over(W.orderBy("t0", "user_id")).alias("idx"),
+    )
+    up = F.log((1 - F.lit(0.2)) / F.lit(0.05))
+    lo = F.log(F.lit(0.2) / (1 - F.lit(0.05)))
+    crossed = walk.agg(
+        F.min(F.when(F.col("llr") >= up, F.col("idx"))).alias("up_idx"),
+        F.min(F.when(F.col("llr") <= lo, F.col("idx"))).alias("lo_idx"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max(F.struct("idx", "llr"))["llr"].alias("llr_final"),
+    )
+    h1 = F.col("up_idx").isNotNull() & (
+        F.col("lo_idx").isNull() | (F.col("up_idx") <= F.col("lo_idx"))
+    )
+    return crossed.select(
+        "n_obs",
+        F.when(h1, F.lit("accept_h1"))
+        .when(F.col("lo_idx").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.when(h1, F.col("up_idx"))
+        .when(F.col("lo_idx").isNotNull(), F.col("lo_idx"))
+        .cast("long")
+        .alias("cross_idx"),
+        F.round("llr_final", 6).alias("llr_final"),
+    )

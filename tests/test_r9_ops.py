@@ -552,3 +552,50 @@ def test_corr_matrix_constant_column_yields_null(spark):
     df = spark.createDataFrame([(1.0, 2.0)] * 4, ["a", "b"])
     out = corr_matrix(df, ["a", "b"]).collect()[0]
     assert out.corr is None
+
+
+# ---------- SPRT ----------
+
+
+def test_sprt_known_walk(spark, monkeypatch):
+    import datetime as dt
+    import math as _m
+    import celeborn_spark.queries.stats as qs
+
+    # 30 users in t0 order, all converting: each step adds ln(1.5)
+    # ~0.405; upper bound ln(0.8/0.05) = ln(16) ~ 2.77 -> crossed at
+    # the 7th observation (7 * 0.4055 = 2.838 >= 2.773)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        ts = base + dt.timedelta(minutes=i)
+        rows.append((i, ts, i, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(qs, "load_table", lambda s, d, t: df)
+    out = qs.q_sprt_ab(spark, "ignored").collect()[0].asDict()
+    assert out["decision"] == "accept_h1"
+    want_idx = next(
+        k for k in range(1, 31) if k * _m.log(1.5) >= _m.log(0.8 / 0.05)
+    )
+    assert out["cross_idx"] == want_idx
+    assert out["n_obs"] == 30
+
+
+def test_sprt_all_nonconverting_accepts_h0(spark, monkeypatch):
+    import datetime as dt
+    import celeborn_spark.queries.stats as qs
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), i, "view", 1.0, "{}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(qs, "load_table", lambda s, d, t: df)
+    out = qs.q_sprt_ab(spark, "ignored").collect()[0].asDict()
+    assert out["decision"] == "accept_h0"
+    assert out["cross_idx"] is not None
