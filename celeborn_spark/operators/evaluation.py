@@ -1,0 +1,856 @@
+"""Model-evaluation + distribution-distance operators: ROC AUC,
+cumulative-gains/lift, calibration reliability (exact-integer ECE),
+PSI drift, Hellinger/Bhattacharyya, exact 1D Wasserstein, Pettitt
+change-point, and the Hodges-Lehmann shift estimator.
+
+These close the offline-evaluation loop around the in-engine models
+(operators/stats.logreg_fit, the NDCG recsys eval) and the
+distribution-divergence family (KL/JS/chi-square): a training-data
+pipeline that scores documents needs AUC/gains/calibration to grade
+the scorer, and drift (PSI / Wasserstein / Hellinger) to detect when
+the corpus moved under it.
+
+Reference analogue: Celeborn validates its data plane by running the
+same workload twice and comparing result maps
+(tests/spark-it/.../SparkTestBase.scala:111-150); here every operator
+has a DuckDB mirror built from IDENTICAL formula text.
+
+Engine-parity discipline (CLAUDE.md):
+- ranks/CDFs come from VALUE HISTOGRAMS (never a corpus sort); the
+  single-partition window input is bounded by |distinct values|;
+- everything stays exact-integer (BIGINT counts, floor-cents) until
+  ONE final IEEE division, which is bit-identical cross-engine;
+- irrational passes (ln/sqrt/exp) round 6 dp on BOTH sides;
+- no round() on per-row doubles — cents use floor(value*100).
+
+Scale shape (100 TB): each operator is one map-combined histogram
+aggregate + a histogram-sized window; nothing shuffles row mass more
+than once and nothing collects to the driver. The pairwise operator
+(Hodges-Lehmann) convolves VALUE-SPACE histograms (bounded grid),
+never row pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "roc_auc",
+    "roc_auc_oracle_sql",
+    "gains_table",
+    "gains_oracle_sql",
+    "calibration_bins",
+    "calibration_oracle_sql",
+    "psi_drift",
+    "psi_oracle_sql",
+    "hellinger_distance",
+    "hellinger_oracle_sql",
+    "wasserstein_1d",
+    "wasserstein_oracle_sql",
+    "pettitt_changepoint",
+    "pettitt_oracle_sql",
+    "hodges_lehmann_shift",
+    "hodges_lehmann_oracle_sql",
+]
+
+
+# --------------------------------------------------------------------------
+# ROC AUC (tie-corrected, histogram-exact)
+# --------------------------------------------------------------------------
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Area under the ROC curve of ``score_col`` ranking the binary
+    ``label_col`` (0/1 int) — the threshold-free grade of a scorer.
+    AUC = U / (n_pos * n_neg) with the tie-corrected Mann-Whitney U
+    (average ranks over tied score blocks), i.e. the probability a
+    random positive outscores a random negative, ties counting half.
+
+    NO row sort: average ranks come from the SCORE HISTOGRAM
+    (avg_rank of a tied block = cum_before + (t+1)/2 — halves are
+    exact IEEE doubles), so the rank sum, U, and the single final
+    division are bit-identical cross-engine and emitted RAW.
+
+    One output row: (n_pos, n_neg, u_stat, auc)."""
+    hist = df.groupBy(F.col(score_col).alias("v")).agg(
+        F.sum(F.col(label_col)).cast("long").alias("cp"),
+        F.sum(1 - F.col(label_col)).cast("long").alias("cn"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("cp") + F.col("cn")
+    ranked = hist.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0)),
+    ).withColumn("avg_rank", (2 * F.col("cum_before") + t + 1) / F.lit(2.0))
+    agg = ranked.agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        F.sum(F.col("cp") * F.col("avg_rank")).alias("r_pos"),
+    )
+    u = F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        u.alias("u_stat"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            u / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+    )
+
+
+def roc_auc_oracle_sql(table: str, score_sql: str, label_sql: str) -> str:
+    """DuckDB mirror of `roc_auc`: identical histogram average ranks,
+    exact U, one final division."""
+    return f"""
+    WITH hist AS (
+        SELECT {score_sql} AS v,
+               CAST(sum({label_sql}) AS BIGINT) AS cp,
+               CAST(sum(1 - ({label_sql})) AS BIGINT) AS cn
+        FROM {table}
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cp, cn,
+               coalesce(sum(cp + cn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before,
+               cp + cn AS t
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+               CAST(sum(cn) AS BIGINT) AS n_neg,
+               sum(cp * ((2 * cum_before + t + 1) / 2.0)) AS r_pos
+        FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           r_pos - n_pos * (n_pos + 1) / 2.0 AS u_stat,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               (r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+           END AS auc
+    FROM agg
+    """
+
+
+# --------------------------------------------------------------------------
+# Cumulative gains / lift table
+# --------------------------------------------------------------------------
+
+
+def gains_table(
+    df: DataFrame, score_col: str, label_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Cumulative-gains/lift table: rank the population by ``score_col``
+    descending, cut into ``n_buckets`` equal-population buckets, and
+    report per-bucket and cumulative positive capture — the campaign-
+    targeting readout ("top decile captures X% of converters").
+
+    Bucket boundaries come from the SCORE HISTOGRAM's cumulative
+    count (bucket = floor(n_buckets*cum_before/n)+1 — exact integers
+    through a double floor, valid below 2^53 rows), so a tied score
+    block lands wholly in one bucket: fully deterministic, no ntile
+    row-order dependence. capture_rate = cum_pos/tot_pos and
+    cum_lift = (cum_pos*tot_rows)/(cum_rows*tot_pos) are each ONE
+    division of exact BIGINT products (documented bound:
+    cum_pos*tot_rows < 2^63).
+
+    Output: one row per non-empty bucket (bucket, n_rows, n_pos,
+    cum_rows, cum_pos, capture_rate, cum_lift)."""
+    hist = df.groupBy(F.col(score_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col(label_col)).cast("long").alias("pos"),
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("tot_rows"),
+        F.sum("pos").cast("long").alias("tot_pos"),
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucketed = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(n_buckets),
+                (
+                    F.floor(
+                        F.lit(n_buckets) * F.col("cum_before") / F.col("tot_rows")
+                    )
+                    + 1
+                ).cast("long"),
+            ),
+        )
+    )
+    per_bucket = bucketed.groupBy("bucket", "tot_rows", "tot_pos").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.withColumn("cum_rows", F.sum("n_rows").over(wb).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(wb).cast("long"))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_pos",
+            "cum_rows",
+            "cum_pos",
+            F.when(
+                F.col("tot_pos") > 0, F.col("cum_pos") / F.col("tot_pos")
+            ).alias("capture_rate"),
+            F.when(
+                (F.col("tot_pos") > 0) & (F.col("cum_rows") > 0),
+                (F.col("cum_pos") * F.col("tot_rows"))
+                / (F.col("cum_rows") * F.col("tot_pos")),
+            ).alias("cum_lift"),
+        )
+    )
+
+
+def gains_oracle_sql(
+    table: str, score_sql: str, label_sql: str, n_buckets: int = 10
+) -> str:
+    """DuckDB mirror of `gains_table`: identical histogram bucketing
+    and exact-integer cumulative ratios."""
+    nb = n_buckets
+    return f"""
+    WITH hist AS (
+        SELECT {score_sql} AS v,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum({label_sql}) AS BIGINT) AS pos
+        FROM {table}
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS tot_rows,
+               CAST(sum(pos) AS BIGINT) AS tot_pos
+        FROM hist
+    ),
+    bucketed AS (
+        SELECT least({nb}, CAST(floor({nb} * coalesce(sum(cnt) OVER (
+                   ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / tot_rows) AS BIGINT) + 1) AS bucket,
+               cnt, pos, tot_rows, tot_pos
+        FROM hist CROSS JOIN tot
+    ),
+    per_bucket AS (
+        SELECT bucket, tot_rows, tot_pos,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM bucketed
+        GROUP BY bucket, tot_rows, tot_pos
+    )
+    SELECT bucket, n_rows, n_pos,
+           CAST(sum(n_rows) OVER (ORDER BY bucket) AS BIGINT) AS cum_rows,
+           CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+           CASE WHEN tot_pos > 0 THEN
+               CAST(sum(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / tot_pos
+           END AS capture_rate,
+           CASE WHEN tot_pos > 0 AND sum(n_rows) OVER (ORDER BY bucket) > 0 THEN
+               CAST(sum(n_pos) OVER (ORDER BY bucket) * tot_rows AS DOUBLE)
+               / (sum(n_rows) OVER (ORDER BY bucket) * tot_pos)
+           END AS cum_lift
+    FROM per_bucket
+    """
+
+
+# --------------------------------------------------------------------------
+# Calibration reliability table + exact-integer ECE
+# --------------------------------------------------------------------------
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom_cents: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table of a pseudo-probability score: bin
+    prob = floor(score*100)/denom_cents into ``n_bins`` fixed-width
+    bins and compare per-bin accuracy (positive rate) to confidence
+    (mean predicted prob) — the is-the-scorer-calibrated readout.
+
+    Exact-integer throughout: scores become floor-cents BIGINTs, so
+    acc = pos/n and conf = cents/(denom_cents*n) are single divisions
+    of exact integers, and the expected calibration error needs NO
+    double accumulation at all:
+        n_b * |acc_b - conf_b| = |denom_cents*pos_b - cents_b| / denom_cents
+    so ECE = sum(|denom_cents*pos_b - cents_b|) / (denom_cents * N) —
+    an all-BIGINT numerator and ONE division, bit-identical.
+
+    Output: one row per non-empty bin (bin, n, n_pos, acc, conf, ece —
+    ece repeated on every row by construction)."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    d = F.lit(denom_cents)
+    binned = df.select(
+        F.least(
+            F.lit(n_bins),
+            (F.floor(F.lit(n_bins) * s / d) + 1).cast("long"),
+        ).alias("bin"),
+        s.alias("s"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("s").cast("long").alias("cents"),
+    )
+    tot = per_bin.agg(
+        F.sum(F.abs(d * F.col("n_pos") - F.col("cents")))
+        .cast("long")
+        .alias("ece_num"),
+        F.sum("n").cast("long").alias("n_tot"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (F.col("n_pos") / F.col("n")).alias("acc"),
+            (F.col("cents") / (d * F.col("n"))).alias("conf"),
+            (F.col("ece_num") / (d * F.col("n_tot"))).alias("ece"),
+        )
+    )
+
+
+def calibration_oracle_sql(
+    table: str,
+    score_sql: str,
+    label_sql: str,
+    denom_cents: int,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB mirror of `calibration_bins`: floor-cents bins and the
+    all-integer ECE numerator."""
+    d = denom_cents
+    return f"""
+    WITH binned AS (
+        SELECT least({n_bins}, CAST(floor({n_bins}
+                   * CAST(floor(({score_sql}) * 100) AS BIGINT) / {d})
+                   AS BIGINT) + 1) AS bin,
+               CAST(floor(({score_sql}) * 100) AS BIGINT) AS s,
+               CAST({label_sql} AS BIGINT) AS label
+        FROM {table}
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(s) AS BIGINT) AS cents
+        FROM binned
+        GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(abs({d} * n_pos - cents)) AS BIGINT) AS ece_num,
+               CAST(sum(n) AS BIGINT) AS n_tot
+        FROM per_bin
+    )
+    SELECT bin, n, n_pos,
+           CAST(n_pos AS DOUBLE) / n AS acc,
+           CAST(cents AS DOUBLE) / ({d} * n) AS conf,
+           CAST(ece_num AS DOUBLE) / ({d} * n_tot) AS ece
+    FROM per_bin CROSS JOIN tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Population stability index (PSI) drift
+# --------------------------------------------------------------------------
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    cohort_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population stability index between cohort A (``cohort_col``=1)
+    and cohort B (=0) on ``value_col``, over ``n_bins`` fixed-width
+    bins spanning [lo, hi] — the model-monitoring drift score
+    (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Fixed-width bins (not quantiles) keep the binning deterministic
+    and engine-identical; p = ca/na and q = cb/nb are single exact
+    divisions; the (p-q)*ln(p/q) terms pass through ln (irrational)
+    so the <= n_bins-term sum rounds 6 dp on both sides. Bins empty
+    on either side are excluded (the standard PSI convention) and
+    counted in bins_used.
+
+    One output row: (psi, bins_used, n_a, n_b)."""
+    span = hi - lo
+    c = F.col(cohort_col)
+    binned = df.select(
+        F.least(
+            F.lit(n_bins),
+            (
+                F.floor(F.lit(n_bins) * (F.col(value_col) - F.lit(lo)) / F.lit(span))
+                + 1
+            ).cast("long"),
+        ).alias("bin"),
+        c.alias("c"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.col("c")).cast("long").alias("ca"),
+        F.sum(1 - F.col("c")).cast("long").alias("cb"),
+    )
+    tot = per_bin.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    p = F.col("ca") / F.col("n_a")
+    q = F.col("cb") / F.col("n_b")
+    term = (p - q) * F.log(p / q)
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), term)), 6
+            ).alias("psi"),
+            F.sum(
+                F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("bins_used"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+
+
+def psi_oracle_sql(
+    table: str,
+    value_sql: str,
+    cohort_sql: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB mirror of `psi_drift`: identical fixed-width bins and
+    6 dp-rounded ln-term sum."""
+    span = hi - lo
+    return f"""
+    WITH binned AS (
+        SELECT least({n_bins}, CAST(floor({n_bins}
+                   * (({value_sql}) - {lo}) / {span}) AS BIGINT) + 1) AS bin,
+               CAST({cohort_sql} AS BIGINT) AS c
+        FROM {table}
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(sum(c) AS BIGINT) AS ca,
+               CAST(sum(1 - c) AS BIGINT) AS cb
+        FROM binned
+        GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b
+        FROM per_bin
+    )
+    SELECT round(sum(CASE WHEN ca > 0 AND cb > 0 THEN
+               (CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)
+               * ln((CAST(ca AS DOUBLE) / n_a) / (CAST(cb AS DOUBLE) / n_b))
+           END), 6) AS psi,
+           CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bins_used,
+           max(n_a) AS n_a,
+           max(n_b) AS n_b
+    FROM per_bin CROSS JOIN tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Hellinger / Bhattacharyya categorical distance
+# --------------------------------------------------------------------------
+
+
+def hellinger_distance(
+    df: DataFrame, cat_col: str, cohort_col: str
+) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient/distance between
+    the categorical distributions of ``cat_col`` in cohort A
+    (``cohort_col``=1) vs cohort B (=0) — the bounded [0,1] sibling of
+    KL/JS that stays finite when a category is missing on one side.
+
+    BC = sum_cat sqrt(p*q); hellinger = sqrt(max(0, 1-BC));
+    bhattacharyya = -ln(BC). p and q are single exact divisions; the
+    sqrt terms are irrational so all three outputs round 6 dp (the
+    max(0,...) clamp guards the fp case BC marginally above 1).
+
+    One output row: (bc_coef, hellinger, bhattacharyya, n_a, n_b)."""
+    c = F.col(cohort_col)
+    per_cat = df.groupBy(F.col(cat_col).alias("cat")).agg(
+        F.sum(c).cast("long").alias("ca"),
+        F.sum(1 - c).cast("long").alias("cb"),
+    )
+    tot = per_cat.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    p = F.col("ca") / F.col("n_a")
+    q = F.col("cb") / F.col("n_b")
+    agg = (
+        per_cat.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.sqrt(p * q)).alias("bc_raw"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+    )
+    return agg.select(
+        F.round(F.col("bc_raw"), 6).alias("bc_coef"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), 1 - F.col("bc_raw"))), 6
+        ).alias("hellinger"),
+        F.round(
+            F.when(F.col("bc_raw") > 0, -F.log(F.col("bc_raw"))), 6
+        ).alias("bhattacharyya"),
+        "n_a",
+        "n_b",
+    )
+
+
+def hellinger_oracle_sql(table: str, cat_sql: str, cohort_sql: str) -> str:
+    """DuckDB mirror of `hellinger_distance`."""
+    return f"""
+    WITH per_cat AS (
+        SELECT {cat_sql} AS cat,
+               CAST(sum({cohort_sql}) AS BIGINT) AS ca,
+               CAST(sum(1 - ({cohort_sql})) AS BIGINT) AS cb
+        FROM {table}
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b
+        FROM per_cat
+    ),
+    agg AS (
+        SELECT sum(sqrt((CAST(ca AS DOUBLE) / n_a)
+                        * (CAST(cb AS DOUBLE) / n_b))) AS bc_raw,
+               max(n_a) AS n_a, max(n_b) AS n_b
+        FROM per_cat CROSS JOIN tot
+    )
+    SELECT round(bc_raw, 6) AS bc_coef,
+           round(sqrt(greatest(0.0, 1 - bc_raw)), 6) AS hellinger,
+           round(CASE WHEN bc_raw > 0 THEN -ln(bc_raw) END, 6)
+               AS bhattacharyya,
+           n_a, n_b
+    FROM agg
+    """
+
+
+# --------------------------------------------------------------------------
+# Exact 1D Wasserstein (earth mover's) distance
+# --------------------------------------------------------------------------
+
+
+def wasserstein_1d(
+    df: DataFrame, group_col: str, value_col: str, a: str, b: str
+) -> DataFrame:
+    """Exact 1D Wasserstein-1 (earth mover's) distance between the
+    ``value_col`` distributions of groups ``a`` and ``b`` — the
+    magnitude-aware drift metric (KS sees the largest CDF gap;
+    W1 integrates ALL of it: the average value-shift in value units).
+
+    W1 = integral |CDF_a - CDF_b| dv, computed EXACTLY on the
+    floor-cents value histogram: per distinct value, the integrand
+    numerator |cum_a*n_b - cum_b*n_a| and the gap to the next value
+    are both BIGINTs, so the whole integral is one exact integer sum
+    and ONE final division by (n_a*n_b*100) — bit-identical, emitted
+    raw, in dollar units. Documented bound: n_a*n_b*value_range_cents
+    < 2^63 (~13M rows per side at a $500 range).
+
+    One output row: (n_a, n_b, w1)."""
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin(a, b))
+        .groupBy(
+            F.floor(F.col(value_col) * 100).cast("long").alias("v")
+        )
+        .agg(
+            F.sum(F.when(g == a, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(g == b, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("v")
+    cum = hist.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        (F.lead("v").over(wl) - F.col("v")).alias("gap"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+                * F.col("gap")
+            )
+            .cast("long")
+            .alias("area_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0),
+                F.col("area_num") / (F.col("n_a") * F.col("n_b") * 100),
+            ).alias("w1"),
+        )
+    )
+
+
+def wasserstein_oracle_sql(
+    table: str, group_sql: str, value_sql: str, a_lit: str, b_lit: str
+) -> str:
+    """DuckDB mirror of `wasserstein_1d`: integer area numerator, one
+    final division."""
+    return f"""
+    WITH hist AS (
+        SELECT CAST(floor(({value_sql}) * 100) AS BIGINT) AS v,
+               CAST(sum(CASE WHEN {group_sql} = {a_lit} THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN {group_sql} = {b_lit} THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM {table}
+        WHERE {group_sql} IN ({a_lit}, {b_lit})
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+               sum(cb) OVER (ORDER BY v) AS cum_b,
+               lead(v) OVER (ORDER BY v) - v AS gap
+        FROM hist
+    ),
+    tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b
+            FROM hist)
+    SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+           CASE WHEN max(n_a) > 0 AND max(n_b) > 0 THEN
+               CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap) AS DOUBLE)
+               / (max(n_a) * max(n_b) * 100)
+           END AS w1
+    FROM cum CROSS JOIN tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Pettitt change-point test
+# --------------------------------------------------------------------------
+
+
+def pettitt_changepoint(
+    df: DataFrame, day_col: str, metric_col: str
+) -> DataFrame:
+    """Pettitt's nonparametric change-point test over a (day, metric)
+    series: finds the split day t maximizing |U_t| where
+    U_t = 2*R_t - t*(n+1) (R_t = sum of average ranks of the first t
+    metrics) — the rank-based single-change detector that needs no
+    distributional assumption, complementing CUSUM (which tracks mean
+    shifts against a known baseline).
+
+    Ranks come from the METRIC HISTOGRAM (average rank of a tied
+    block, halves exact); R_t accumulates them in day order, so every
+    U_t is an exactly-representable integer-valued double. The argmax
+    day ties to the EARLIEST day (min-day over rows attaining the
+    max — no max_by tie nondeterminism). p_approx =
+    2*exp(-6K^2/(n^3+n^2)) rounds 6 dp (exp is irrational).
+
+    One output row: (change_day, k_stat, n_days, p_approx)."""
+    daily = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(F.col(metric_col)).cast("long").alias("m")
+    )
+    hist = daily.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(wr), F.lit(0))
+    ).select(
+        "m",
+        ((2 * F.col("cum_before") + F.col("c") + 1) / F.lit(2.0)).alias(
+            "avg_rank"
+        ),
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    walked = (
+        daily.join(ranks, "m")
+        .withColumn("r_t", F.sum("avg_rank").over(wd))
+        .withColumn("t", F.count(F.lit(1)).over(wd).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "u_t", 2 * F.col("r_t") - F.col("t") * (F.col("n_days") + 1)
+        )
+        .filter(F.col("t") < F.col("n_days"))
+    )
+    kdf = walked.agg(F.max(F.abs(F.col("u_t"))).alias("k_stat"))
+    return (
+        walked.crossJoin(F.broadcast(kdf))
+        .filter(F.abs(F.col("u_t")) == F.col("k_stat"))
+        .groupBy("k_stat", "n_days")
+        .agg(F.min(F.col("day").cast("string")).alias("change_day"))
+        .select(
+            "change_day",
+            "k_stat",
+            "n_days",
+            F.round(
+                2
+                * F.exp(
+                    -6
+                    * F.col("k_stat")
+                    * F.col("k_stat")
+                    / (
+                        F.col("n_days") * F.col("n_days") * F.col("n_days")
+                        + F.col("n_days") * F.col("n_days")
+                    )
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+    )
+
+
+def pettitt_oracle_sql(daily_sql: str) -> str:
+    """DuckDB mirror of `pettitt_changepoint`. ``daily_sql`` is a CTE
+    body producing (day, m) with m a BIGINT metric."""
+    return f"""
+    WITH daily AS ({daily_sql}),
+    hist AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS c
+        FROM daily GROUP BY m
+    ),
+    ranks AS (
+        SELECT m,
+               (2 * coalesce(sum(c) OVER (ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + c + 1) / 2.0 AS avg_rank
+        FROM hist
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    walked AS (
+        SELECT day,
+               2 * sum(avg_rank) OVER (ORDER BY day)
+                 - (row_number() OVER (ORDER BY day)) * (n_days + 1) AS u_t,
+               row_number() OVER (ORDER BY day) AS t,
+               n_days
+        FROM daily JOIN ranks USING (m) CROSS JOIN tot
+    ),
+    capped AS (SELECT * FROM walked WHERE t < n_days),
+    kmax AS (SELECT max(abs(u_t)) AS k_stat FROM capped)
+    SELECT min(CAST(day AS VARCHAR)) AS change_day,
+           k_stat,
+           n_days,
+           round(2 * exp(-6 * k_stat * k_stat
+               / (n_days * n_days * n_days + n_days * n_days)), 6) AS p_approx
+    FROM capped CROSS JOIN kmax
+    WHERE abs(u_t) = k_stat
+    GROUP BY k_stat, n_days
+    """
+
+
+# --------------------------------------------------------------------------
+# Hodges-Lehmann shift estimator
+# --------------------------------------------------------------------------
+
+
+def hodges_lehmann_shift(
+    df: DataFrame, group_col: str, value_col: str, a: str, b: str
+) -> DataFrame:
+    """Hodges-Lehmann shift estimate between groups ``a`` and ``b``:
+    the median of all pairwise differences a_i - b_j — the robust
+    "how much bigger is A" companion to Mann-Whitney's "is A bigger"
+    (resistant to outliers where the mean difference is not).
+
+    The n_a*n_b pair space is NEVER materialized: both sides reduce
+    to dollar-floor VALUE HISTOGRAMS first, the difference
+    distribution is their convolution (a value-SPACE grid join,
+    bounded by range^2 cells — 491^2 here — independent of row
+    count), and the median comes from cumulative BIGINT weights with
+    the lower-weighted-median rule (smallest d with 2*cum >= W) —
+    all-integer, no interpolation, bit-identical.
+
+    One output row: (n_a, n_b, hl_shift) in whole dollars."""
+    g = F.col(group_col)
+    v = F.floor(F.col(value_col)).cast("long")
+    base = df.filter(g.isin(a, b)).select(
+        g.alias("grp"), v.alias("v")
+    )
+    ha = (
+        base.filter(F.col("grp") == a)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    hb = (
+        base.filter(F.col("grp") == b)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    diffs = (
+        ha.crossJoin(hb.select(F.col("v").alias("vb"), "cb"))
+        .groupBy((F.col("v") - F.col("vb")).alias("d"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("wt"))
+    )
+    tot = diffs.agg(F.sum("wt").cast("long").alias("w_tot"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    na = ha.agg(F.sum("ca").cast("long").alias("n_a"))
+    nb = hb.agg(F.sum("cb").cast("long").alias("n_b"))
+    return (
+        diffs.withColumn("cum", F.sum("wt").over(wd).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("w_tot"))
+        .agg(F.min("d").cast("long").alias("hl_shift"))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select("n_a", "n_b", "hl_shift")
+    )
+
+
+def hodges_lehmann_oracle_sql(
+    table: str, group_sql: str, value_sql: str, a_lit: str, b_lit: str
+) -> str:
+    """DuckDB mirror of `hodges_lehmann_shift`: histogram convolution
+    + lower weighted median."""
+    return f"""
+    WITH ha AS (
+        SELECT CAST(floor({value_sql}) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS ca
+        FROM {table} WHERE {group_sql} = {a_lit} GROUP BY 1
+    ),
+    hb AS (
+        SELECT CAST(floor({value_sql}) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cb
+        FROM {table} WHERE {group_sql} = {b_lit} GROUP BY 1
+    ),
+    diffs AS (
+        SELECT ha.v - hb.v AS d, CAST(sum(ca * cb) AS BIGINT) AS wt
+        FROM ha CROSS JOIN hb
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w_tot FROM diffs),
+    na AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a FROM ha),
+    nb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_b FROM hb),
+    cum AS (
+        SELECT d, sum(wt) OVER (ORDER BY d) AS cum, w_tot
+        FROM diffs CROSS JOIN tot
+    )
+    SELECT n_a, n_b,
+           CAST(min(d) AS BIGINT) AS hl_shift
+    FROM cum CROSS JOIN na CROSS JOIN nb
+    WHERE 2 * cum >= w_tot
+    GROUP BY n_a, n_b
+    """

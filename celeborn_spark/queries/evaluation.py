@@ -1,0 +1,222 @@
+"""Model-evaluation + drift queries (operators/evaluation.py): ROC
+AUC, gains/lift, calibration, PSI, Hellinger, Wasserstein, Pettitt,
+Hodges-Lehmann.
+
+These grade the engine's own in-engine scorers (logreg quality
+classifier, popularity recommender) and watch the corpus under them —
+the offline-eval half of a training-data pipeline. Reference analogue:
+Celeborn proves its data plane by differential comparison of the same
+workload's result maps (tests/spark-it/.../SparkTestBase.scala:111-150);
+every query here carries the DuckDB mirror of the same formula text.
+
+All plans are one map-combined histogram/category aggregate plus a
+histogram-sized window — row mass shuffles at most once, totals ride
+1-row broadcasts, and the only pairwise op (Hodges-Lehmann) convolves
+bounded value-space histograms, never row pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from celeborn_spark.catalog import load_table
+from celeborn_spark.operators.evaluation import (
+    calibration_bins,
+    calibration_oracle_sql,
+    gains_oracle_sql,
+    gains_table,
+    hellinger_distance,
+    hellinger_oracle_sql,
+    hodges_lehmann_oracle_sql,
+    hodges_lehmann_shift,
+    pettitt_changepoint,
+    pettitt_oracle_sql,
+    psi_drift,
+    psi_oracle_sql,
+    roc_auc,
+    roc_auc_oracle_sql,
+    wasserstein_1d,
+    wasserstein_oracle_sql,
+)
+from celeborn_spark.registry import query
+
+# Binary label for the ranking-eval family: does order value predict
+# urgency? (A deterministic stand-in for "does the quality score
+# predict the human label" — same shapes, same parity rules.)
+_URGENT = "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+
+
+@query(
+    "q_roc_auc",
+    oracle=roc_auc_oracle_sql("orders", "o_totalprice", _URGENT),
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC AUC of order value ranking the is-urgent
+    label — the threshold-free scorer grade. Histogram average ranks,
+    exact U, one final division (operators/evaluation.roc_auc)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return roc_auc(orders, "o_totalprice", "label")
+
+
+@query(
+    "q_gains_lift",
+    oracle=gains_oracle_sql("orders", "o_totalprice", _URGENT, n_buckets=10),
+)
+def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains/lift deciles of order value vs the is-urgent
+    label — "the top decile captures X% of urgent orders". Histogram
+    bucketing (no ntile row-order dependence), exact-integer
+    cumulative ratios (operators/evaluation.gains_table)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return gains_table(orders, "o_totalprice", "label", n_buckets=10)
+
+
+@query(
+    "q_calibration_bins",
+    oracle=calibration_oracle_sql(
+        "events",
+        "value",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+        denom_cents=50000,
+        n_bins=10,
+    ),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of value/500 as a pseudo-probability of
+    is-purchase, plus the exact-integer expected calibration error
+    (|D*pos - cents| BIGINT numerators, ONE division) —
+    operators/evaluation.calibration_bins."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return calibration_bins(
+        events, "value", "label", denom_cents=50000, n_bins=10
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle=psi_oracle_sql(
+        "(SELECT * FROM events WHERE event_type IN ('purchase', 'view'))",
+        "value",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    ),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between purchase and view value
+    distributions over 10 fixed-width bins — the model-monitoring
+    drift score (operators/evaluation.psi_drift). Fixed bins keep
+    the cut deterministic; the ln-term sum rounds 6 dp."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("cohort"),
+        )
+    )
+    return psi_drift(events, "value", "cohort", lo=0.0, hi=500.0, n_bins=10)
+
+
+@query(
+    "q_hellinger_langmix",
+    oracle=hellinger_oracle_sql(
+        "documents",
+        "lang",
+        "CASE WHEN length(source) = 4 THEN 1 ELSE 0 END",
+    ),
+)
+def q_hellinger_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger/Bhattacharyya distance between the language mixes of
+    the src0-9 and src10-19 source cohorts — the bounded [0,1]
+    corpus-mix drift gauge that stays finite on missing categories
+    (operators/evaluation.hellinger_distance)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.length("source") == 4, 1).otherwise(0).alias("cohort"),
+    )
+    return hellinger_distance(docs, "lang", "cohort")
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle=wasserstein_oracle_sql(
+        "events", "event_type", "value", "'click'", "'view'"
+    ),
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1D Wasserstein-1 distance between click and view value
+    distributions — the magnitude-aware drift metric (KS sees the
+    largest CDF gap; W1 integrates all of it). All-BIGINT area
+    numerator on the cents histogram, ONE division
+    (operators/evaluation.wasserstein_1d)."""
+    return wasserstein_1d(
+        load_table(spark, sf_dir, "events"), "event_type", "value", "click", "view"
+    )
+
+
+@query(
+    "q_pettitt_changepoint",
+    oracle=pettitt_oracle_sql(
+        """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+        """
+    ),
+)
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt change-point over daily purchase revenue — the
+    rank-based single-change detector next to CUSUM (which needs a
+    baseline). Ranks from the metric histogram, exact U_t walk,
+    earliest-day argmax tiebreak
+    (operators/evaluation.pettitt_changepoint)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return pettitt_changepoint(events, "day", "cents")
+
+
+@query(
+    "q_hodges_lehmann",
+    oracle=hodges_lehmann_oracle_sql(
+        "events", "event_type", "value", "'purchase'", "'click'"
+    ),
+)
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann shift (median of all pairwise differences)
+    between purchase and click values — the robust effect-size
+    companion to Mann-Whitney. The pair space is a dollar-grain
+    histogram convolution (range² grid cells, independent of row
+    count), median by cumulative BIGINT weights
+    (operators/evaluation.hodges_lehmann_shift)."""
+    return hodges_lehmann_shift(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        "purchase",
+        "click",
+    )

@@ -163,6 +163,7 @@ def _load_all() -> None:
         stats,
         analytics,
         sketches,
+        evaluation,
     )
 
 
