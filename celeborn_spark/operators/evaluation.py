@@ -600,9 +600,17 @@ def wasserstein_1d(
         .agg(
             F.max("n_a").alias("n_a"),
             F.max("n_b").alias("n_b"),
-            F.sum(
-                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
-                * F.col("gap")
+            # coalesce: a single distinct value has only NULL gaps ->
+            # the integral is an empty sum = 0, not NULL
+            F.coalesce(
+                F.sum(
+                    F.abs(
+                        F.col("cum_a") * F.col("n_b")
+                        - F.col("cum_b") * F.col("n_a")
+                    )
+                    * F.col("gap")
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("area_num"),
@@ -643,7 +651,8 @@ def wasserstein_oracle_sql(
             FROM hist)
     SELECT max(n_a) AS n_a, max(n_b) AS n_b,
            CASE WHEN max(n_a) > 0 AND max(n_b) > 0 THEN
-               CAST(sum(abs(cum_a * n_b - cum_b * n_a) * gap) AS DOUBLE)
+               CAST(coalesce(sum(abs(cum_a * n_b - cum_b * n_a) * gap), 0)
+                    AS DOUBLE)
                / (max(n_a) * max(n_b) * 100)
            END AS w1
     FROM cum CROSS JOIN tot
