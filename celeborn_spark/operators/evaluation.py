@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cuped_adjustment",
+    "cuped_oracle_sql",
     "roc_auc",
     "roc_auc_oracle_sql",
     "gains_table",
@@ -656,6 +658,80 @@ def wasserstein_oracle_sql(
                / (max(n_a) * max(n_b) * 100)
            END AS w1
     FROM cum CROSS JOIN tot
+    """
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction
+# --------------------------------------------------------------------------
+
+
+def cuped_adjustment(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): the
+    variance-reduction readout for A/B metrics. Given per-unit
+    (x = pre-period covariate, y = experiment metric), theta =
+    cov(x,y)/var(x) is the adjustment coefficient and rho^2 — the
+    fraction of metric variance the adjustment removes — is the
+    headline ("CUPED cuts this metric's CI width by sqrt(1-rho^2)").
+
+    x and y must be exact integers (cents): the five power sums
+    (Sx, Sy, Sxx, Sxy, Syy) are BIGINTs from ONE map-combined
+    aggregate, theta = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) is a single
+    division of exact integers, and rho^2 casts the three exact
+    BIGINTs to doubles with identical expression text — all
+    bit-identical cross-engine, emitted raw. Documented bound:
+    n * max|x*y| < 2^63. Degenerate guard: zero variance on either
+    side -> NULL (not an ANSI divide-by-zero crash).
+
+    One output row: (n_units, theta, rho_sq)."""
+    x, y = F.col(x_col), F.col(y_col)
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").alias("n_units"),
+        F.when(dx != 0, num / dx).alias("theta"),
+        F.when(
+            (dx != 0) & (dy != 0),
+            (num.cast("double") * num.cast("double"))
+            / (dx.cast("double") * dy.cast("double")),
+        ).alias("rho_sq"),
+    )
+
+
+def cuped_oracle_sql(per_unit_sql: str) -> str:
+    """DuckDB mirror of `cuped_adjustment`. ``per_unit_sql`` is a CTE
+    body producing (x, y) BIGINT columns, one row per unit."""
+    return f"""
+    WITH per_unit AS ({per_unit_sql}),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM per_unit
+    )
+    SELECT n AS n_units,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+           END AS theta,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                * CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS rho_sq
+    FROM agg
     """
 
 

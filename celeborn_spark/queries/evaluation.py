@@ -23,6 +23,8 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
     calibration_bins,
     calibration_oracle_sql,
+    cuped_adjustment,
+    cuped_oracle_sql,
     gains_oracle_sql,
     gains_table,
     hellinger_distance,
@@ -198,6 +200,51 @@ def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pettitt_changepoint(events, "day", "cents")
+
+
+@query(
+    "q_cuped",
+    oracle=cuped_oracle_sql(
+        """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' AND day(ts) <= 15
+                        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' AND day(ts) > 15
+                        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+        """
+    ),
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction readout: per-user pre-period view
+    spend (days 1-15) as the covariate x, post-period purchase spend
+    as the metric y; theta and the removed variance fraction rho²
+    from one BIGINT power-sum aggregate
+    (operators/evaluation.cuped_adjustment). The experiment-precision
+    companion to q_ab_test_welch/q_sprt_ab."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "view") & (F.dayofmonth("ts") <= 15),
+                cents,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.dayofmonth("ts") > 15),
+                cents,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return cuped_adjustment(per_user, "x", "y")
 
 
 @query(

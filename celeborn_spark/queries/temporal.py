@@ -966,3 +966,299 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("tot")).alias("prob"),
     )
+
+
+@query(
+    "q_attribution_ushaped",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, min(ts) AS conv_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               count(*) OVER (PARTITION BY e.user_id) AS k
+        FROM events e JOIN fp ON fp.user_id = e.user_id
+        WHERE e.event_type IN ('click', 'view') AND e.ts < fp.conv_ts
+    ),
+    credited AS (
+        SELECT event_type AS touch_type,
+               CAST(CASE
+                   WHEN k = 1 THEN 1000000
+                   WHEN k = 2 THEN 500000
+                   WHEN rn = 1 THEN 400000 + CAST(floor(
+                       (200000 - CAST(floor(200000 / (k - 2)) AS BIGINT) * (k - 2))
+                       / 2) AS BIGINT)
+                   WHEN rn = k THEN 400000
+                       + (200000 - CAST(floor(200000 / (k - 2)) AS BIGINT) * (k - 2))
+                       - CAST(floor(
+                       (200000 - CAST(floor(200000 / (k - 2)) AS BIGINT) * (k - 2))
+                       / 2) AS BIGINT)
+                   ELSE CAST(floor(200000 / (k - 2)) AS BIGINT)
+               END AS BIGINT) AS micro
+        FROM t
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS touches_n,
+           CAST(sum(micro) AS BIGINT) AS credit_micro,
+           CAST(sum(micro) AS DOUBLE) / 1000000 AS credit
+    FROM credited GROUP BY touch_type
+    """,
+)
+def q_attribution_ushaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each user's
+    first conversion distributes one unit of credit over the touches
+    preceding it — 40% first, 40% last, 20% across the middles (all
+    of it to the single/pair touch when k <= 2). Credit is allocated
+    in INTEGER MICRO-UNITS with a money-style remainder policy
+    (middles get floor(200000/(k-2)); the first touch gets half the
+    remainder rounded down, the last touch the rest), so per-channel
+    totals are exact BIGINTs — conservation holds to the micro: every
+    converting user with >= 1 touch contributes exactly 1_000_000 —
+    and the one division to `credit` is bit-identical cross-engine.
+    The multi-touch sibling of q_attribution_last_touch; users whose
+    conversion has no prior touch are excluded (last-touch reports
+    them as 'unattributed').
+
+    Scale shape: one user-keyed exchange for the window pair
+    (row_number + per-user count); credit arithmetic is map-side;
+    the final aggregate is channel-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = W.partitionBy("user_id")
+    t = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+        .select(
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wk).alias("k"),
+        )
+    )
+    k, rn = F.col("k"), F.col("rn")
+    mid = F.floor(200000 / (k - 2)).cast("long")
+    rem = 200000 - mid * (k - 2)
+    micro = (
+        F.when(k == 1, F.lit(1000000))
+        .when(k == 2, F.lit(500000))
+        .when(rn == 1, 400000 + F.floor(rem / 2).cast("long"))
+        .when(rn == k, 400000 + rem - F.floor(rem / 2).cast("long"))
+        .otherwise(mid)
+    ).cast("long")
+    return (
+        t.select(F.col("event_type").alias("touch_type"), micro.alias("micro"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("touches_n"),
+            F.sum("micro").cast("long").alias("credit_micro"),
+        )
+        .select(
+            "touch_type",
+            "touches_n",
+            "credit_micro",
+            (F.col("credit_micro").cast("double") / 1000000).alias("credit"),
+        )
+    )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM gaps
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, session_id
+    ),
+    counted AS (
+        SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path
+    )
+    SELECT path, n, rnk FROM (
+        SELECT path, n,
+               CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rnk
+        FROM counted
+    ) WHERE rnk <= 15
+    """,
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session journey paths: 30-minute-gap sessionization
+    (q_sessionize's exact cut), each session's event types joined in
+    (ts, event_id) order into a '>' path string, counted corpus-wide —
+    the navigation-pattern readout behind funnels. Path assembly is
+    deterministic in both engines: Spark sorts the collected
+    (ts, event_id, type) structs (array_sort orders by fields, and
+    (ts, event_id) is unique per user), DuckDB orders its string_agg;
+    ranking is count-desc with a path tiebreaker on exact integers.
+
+    Scale shape: one user-keyed exchange covers sessionization AND
+    path assembly (same partitioning); the count/rank relations are
+    path-space sized. The top-15 window runs on the path-count
+    relation, not row mass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_session).over(wsum)
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wr = W.orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 15)
+        .select("path", "n", "rnk")
+    )
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS a
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    scored AS (
+        SELECT day, a, lag(a, 7) OVER (ORDER BY day) AS f
+        FROM daily
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(CAST(abs(a - f) AS DOUBLE) / a), 6) AS mape,
+           round(avg(CAST(abs(a - f) AS DOUBLE) / ((a + f) / 2.0)), 6) AS smape,
+           round(sqrt(CAST(sum((a - f) * (a - f)) AS DOUBLE) / count(*)), 6)
+               AS rmse_cents
+    FROM scored WHERE f IS NOT NULL AND a > 0
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's purchase
+    revenue as the value 7 rows earlier on the daily grid and score
+    MAPE / sMAPE / RMSE over the scorable tail — the
+    is-this-series-even-forecastable baseline every fancier model must
+    beat (and the evaluation twin of q_seasonality_index). Daily
+    revenue is exact integer cents, so each day's APE terms are single
+    divisions of exact BIGINTs and the squared errors are exact
+    BIGINT sums; the <= n_days averages round 6 dp.
+
+    Scale shape: events reduce to the day grid in one map-combined
+    aggregate; everything after runs on <= |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).cast("long").alias("a"))
+    )
+    wd = W.orderBy("day")
+    scored = daily.withColumn("f", F.lag("a", 7).over(wd)).filter(
+        F.col("f").isNotNull() & (F.col("a") > 0)
+    )
+    a, f = F.col("a"), F.col("f")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(F.avg(F.abs(a - f).cast("double") / a), 6).alias("mape"),
+        F.round(F.avg(F.abs(a - f).cast("double") / ((a + f) / 2.0)), 6).alias(
+            "smape"
+        ),
+        F.round(
+            F.sqrt(F.sum((a - f) * (a - f)).cast("double") / F.count(F.lit(1))),
+            6,
+        ).alias("rmse_cents"),
+    )
+
+
+@query(
+    "q_markov_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    c AS (
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM c)
+    SELECT max(grand) AS n_transitions,
+           round(-sum((CAST(n AS DOUBLE) / grand)
+                      * ln(CAST(n AS DOUBLE) / tot)), 6) AS entropy_rate,
+           round(exp(-sum((CAST(n AS DOUBLE) / grand)
+                          * ln(CAST(n AS DOUBLE) / tot))), 6) AS perplexity
+    FROM c JOIN t USING (from_type) CROSS JOIN g
+    """,
+)
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the empirical event-type Markov chain (state
+    weights = observed from-state frequencies) and its perplexity —
+    the single-number "how predictable is user behavior" readout over
+    q_markov_transitions' matrix. p-ratios are single divisions of
+    exact BIGINTs; the (type x type)-term ln sum and its exp round
+    6 dp on both sides.
+
+    Scale shape: identical to q_markov_transitions — one user-keyed
+    window exchange, then (type x type)-sized relations only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    # c is referenced THREE times (terms + row totals + grand total);
+    # materialize the 25-row aggregate once or each reference re-runs
+    # the user-keyed window over full row mass (the r7/r9 lesson)
+    c = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    t = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    g = c.agg(F.sum("n").cast("long").alias("grand"))
+    n = F.col("n").cast("double")
+    term = (n / F.col("grand")) * F.log(n / F.col("tot"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.max("grand").alias("n_transitions"),
+            F.round(-F.sum(term), 6).alias("entropy_rate"),
+            F.round(F.exp(-F.sum(term)), 6).alias("perplexity"),
+        )
+    )
