@@ -264,6 +264,147 @@ def gains_oracle_sql(
 
 
 # --------------------------------------------------------------------------
+# Precision-recall curve + AUPRC (decile grid)
+# --------------------------------------------------------------------------
+
+
+def pr_curve(
+    df: DataFrame, score_col: str, label_col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Precision-recall curve on the same histogram-decile grid as
+    `gains_table`, plus the step-interpolated area under it (AUPRC) —
+    the rare-positive complement of ROC AUC (ROC flatters scorers
+    when negatives dominate; PR does not). precision_b =
+    cum_pos/cum_rows and recall_b = cum_pos/tot_pos are single
+    divisions of exact BIGINTs; AUPRC = sum_b (recall_b -
+    recall_{b-1}) * precision_b is a <= n_buckets-term product sum of
+    those exact-division doubles, rounded 6 dp on both sides. The
+    decile grid (not per-distinct-score steps) keeps the term count
+    bounded and the cross-engine sum safe at any scale.
+
+    Output: one row per non-empty bucket (bucket, cum_rows, cum_pos,
+    precision, recall, auprc — auprc repeated on every row)."""
+    hist = df.groupBy(F.col(score_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col(label_col)).cast("long").alias("pos"),
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("long").alias("tot_rows"),
+        F.sum("pos").cast("long").alias("tot_pos"),
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    per_bucket = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(n_buckets),
+                (
+                    F.floor(
+                        F.lit(n_buckets) * F.col("cum_before") / F.col("tot_rows")
+                    )
+                    + 1
+                ).cast("long"),
+            ),
+        )
+        .groupBy("bucket", "tot_pos")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("bucket")
+    curve = (
+        per_bucket.withColumn("cum_rows", F.sum("n_rows").over(wb).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(wb).cast("long"))
+        .withColumn(
+            "prev_pos", F.coalesce(F.lag("cum_pos").over(wl), F.lit(0))
+        )
+        .filter(F.col("tot_pos") > 0)
+        .select(
+            "bucket",
+            "cum_rows",
+            "cum_pos",
+            (F.col("cum_pos") / F.col("cum_rows")).alias("precision"),
+            (F.col("cum_pos") / F.col("tot_pos")).alias("recall"),
+            (
+                ((F.col("cum_pos") - F.col("prev_pos")) / F.col("tot_pos"))
+                * (F.col("cum_pos") / F.col("cum_rows"))
+            ).alias("term"),
+        )
+    )
+    area = curve.agg(F.round(F.sum("term"), 6).alias("auprc"))
+    return curve.crossJoin(F.broadcast(area)).select(
+        "bucket", "cum_rows", "cum_pos", "precision", "recall", "auprc"
+    )
+
+
+def pr_curve_oracle_sql(
+    table: str, score_sql: str, label_sql: str, n_buckets: int = 10
+) -> str:
+    """DuckDB mirror of `pr_curve`."""
+    nb = n_buckets
+    return f"""
+    WITH hist AS (
+        SELECT {score_sql} AS v,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum({label_sql}) AS BIGINT) AS pos
+        FROM {table}
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS tot_rows,
+               CAST(sum(pos) AS BIGINT) AS tot_pos
+        FROM hist
+    ),
+    per_bucket AS (
+        SELECT least({nb}, CAST(floor({nb} * coalesce(sum(cnt) OVER (
+                   ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / tot_rows) AS BIGINT) + 1) AS bucket,
+               cnt, pos, tot_pos
+        FROM hist CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT bucket, tot_pos,
+               CAST(sum(cnt) AS BIGINT) AS n_rows,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM per_bucket GROUP BY bucket, tot_pos
+    ),
+    cums AS (
+        SELECT bucket,
+               CAST(sum(n_rows) OVER (ORDER BY bucket) AS BIGINT) AS cum_rows,
+               CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+               tot_pos
+        FROM agg
+    ),
+    curve AS (
+        SELECT bucket, cum_rows, cum_pos,
+               coalesce(lag(cum_pos) OVER (ORDER BY bucket), 0) AS prev_pos,
+               tot_pos
+        FROM cums
+    ),
+    terms AS (
+        SELECT bucket, cum_rows, cum_pos,
+               CAST(cum_pos AS DOUBLE) / cum_rows AS precision,
+               CAST(cum_pos AS DOUBLE) / tot_pos AS recall,
+               (CAST(cum_pos - prev_pos AS DOUBLE) / tot_pos)
+                   * (CAST(cum_pos AS DOUBLE) / cum_rows) AS term
+        FROM curve WHERE tot_pos > 0
+    ),
+    area AS (SELECT round(sum(term), 6) AS auprc FROM terms)
+    SELECT bucket, cum_rows, cum_pos, precision, recall, auprc
+    FROM terms CROSS JOIN area
+    """
+
+
+# --------------------------------------------------------------------------
 # Calibration reliability table + exact-integer ECE
 # --------------------------------------------------------------------------
 

@@ -33,6 +33,8 @@ from celeborn_spark.operators.evaluation import (
     hodges_lehmann_shift,
     pettitt_changepoint,
     pettitt_oracle_sql,
+    pr_curve,
+    pr_curve_oracle_sql,
     psi_drift,
     psi_oracle_sql,
     roc_auc,
@@ -81,6 +83,24 @@ def q_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
     )
     return gains_table(orders, "o_totalprice", "label", n_buckets=10)
+
+
+@query(
+    "q_pr_curve",
+    oracle=pr_curve_oracle_sql("orders", "o_totalprice", _URGENT, n_buckets=10),
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + step AUPRC of order value vs the
+    is-urgent label on the gains-table decile grid — the rare-positive
+    complement of q_roc_auc (operators/evaluation.pr_curve). Exact
+    integer cumulative counts; the <= 10-term area sum rounds 6 dp."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return pr_curve(orders, "o_totalprice", "label", n_buckets=10)
 
 
 @query(

@@ -530,3 +530,107 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagation(e_sym, rounds=3).localCheckpoint()
     return modularity(el, labels)
+
+
+_RICH_EL_SQL = """
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+"""
+
+
+@query(
+    "q_rich_club",
+    oracle=f"""
+    WITH el AS ({_RICH_EL_SQL}),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT u AS node FROM el UNION ALL SELECT v AS node FROM el)
+        GROUP BY node
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY deg),
+    thr AS (
+        SELECT min(deg) AS k_thr FROM (
+            SELECT deg, sum(c) OVER (ORDER BY deg) AS cum, n_nodes
+            FROM hist CROSS JOIN tot
+        ) WHERE 4 * cum >= 3 * n_nodes
+    ),
+    rich AS (SELECT node FROM deg CROSS JOIN thr WHERE deg > k_thr),
+    nk AS (SELECT CAST(count(*) AS BIGINT) AS n_rich FROM rich),
+    ek AS (
+        SELECT CAST(count(*) AS BIGINT) AS e_rich
+        FROM el
+        WHERE u IN (SELECT node FROM rich) AND v IN (SELECT node FROM rich)
+    )
+    SELECT k_thr, n_rich, e_rich,
+           CASE WHEN n_rich > 1 THEN
+               CAST(2 * e_rich AS DOUBLE) / (n_rich * (n_rich - 1))
+           END AS phi
+    FROM thr CROSS JOIN nk CROSS JOIN ek
+    """,
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the supplier co-purchase graph: the
+    edge density among nodes whose degree exceeds the 75th-percentile
+    degree — "do the hubs preferentially trade with each other"
+    (assortativity's set-level sibling: that one is a correlation,
+    this is the density of the hub subgraph). The threshold comes
+    from the DEGREE HISTOGRAM with the lower-quantile rule (smallest
+    deg with 4*cum >= 3*n); counts are exact BIGINTs and phi =
+    2*e_rich/(n_rich*(n_rich-1)) is ONE division — bit-identical.
+
+    Scale shape: the edge list is built and checkpointed once; degrees
+    are one exchange; the hub set is node-sized and broadcast into two
+    semi-joins — edge mass is scanned, never paired."""
+    from celeborn_spark.operators.graph import copurchase_edges
+    from pyspark.sql import Window as W
+
+    el = copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"), min_qty=45
+    ).localCheckpoint()
+    deg = (
+        el.select(F.col("u").alias("node"))
+        .unionAll(el.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint()
+    )
+    tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W.orderBy("deg").rowsBetween(W.unboundedPreceding, 0)
+    thr = (
+        hist.withColumn("cum", F.sum("c").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .filter(4 * F.col("cum") >= 3 * F.col("n_nodes"))
+        .agg(F.min("deg").alias("k_thr"))
+    )
+    rich = (
+        deg.crossJoin(F.broadcast(thr))
+        .filter(F.col("deg") > F.col("k_thr"))
+        .select("node")
+    )
+    nk = rich.agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    ek = (
+        el.join(
+            F.broadcast(rich.select(F.col("node").alias("u"))), "u", "semi"
+        )
+        .join(F.broadcast(rich.select(F.col("node").alias("v"))), "v", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    return (
+        thr.crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(ek))
+        .select(
+            "k_thr",
+            "n_rich",
+            "e_rich",
+            F.when(
+                F.col("n_rich") > 1,
+                (2 * F.col("e_rich")).cast("double")
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+            ).alias("phi"),
+        )
+    )

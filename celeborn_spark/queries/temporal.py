@@ -1262,3 +1262,123 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-F.sum(term)), 6).alias("perplexity"),
         )
     )
+
+
+_CCF_DAILY_SQL = """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'click'
+                        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+"""
+
+
+def _ccf_branch_sql(lag: int) -> str:
+    if lag >= 0:
+        xs, ys = "x", f"lead(y, {lag}) OVER (ORDER BY day)"
+    else:
+        xs, ys = f"lead(x, {-lag}) OVER (ORDER BY day)", "y"
+    return f"""
+    SELECT CAST({lag} AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CASE WHEN count(*) > 1
+                      AND count(*) * sum(xs * xs) - sum(xs) * sum(xs) > 0
+                      AND count(*) * sum(ys * ys) - sum(ys) * sum(ys) > 0 THEN
+               CAST(count(*) * sum(xs * ys) - sum(xs) * sum(ys) AS DOUBLE)
+               / (sqrt(CAST(count(*) * sum(xs * xs) - sum(xs) * sum(xs)
+                            AS DOUBLE))
+                  * sqrt(CAST(count(*) * sum(ys * ys) - sum(ys) * sum(ys)
+                              AS DOUBLE)))
+           END, 6) AS ccf
+    FROM (SELECT {xs} AS xs, {ys} AS ys FROM daily) p
+    WHERE xs IS NOT NULL AND ys IS NOT NULL
+    """
+
+
+@query(
+    "q_cross_correlation",
+    oracle="WITH daily AS ("
+    + _CCF_DAILY_SQL
+    + ")\n"
+    + "\nUNION ALL\n".join(_ccf_branch_sql(lag) for lag in range(-3, 4)),
+)
+def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between daily click spend and daily
+    purchase revenue at lags -3..+3 — the does-traffic-lead-revenue
+    diagnostic (a positive peak at lag +l says clicks precede
+    purchases by l days). Each lag's Pearson r comes from BIGINT
+    cents power sums over the lead-shifted day grid (exact until the
+    final sqrt, 6 dp); the 30-row daily relation is materialized ONCE
+    and the 7 lag branches run on it (the multi-reference lesson —
+    without the checkpoint each branch re-aggregates full row mass).
+
+    Scale shape: events reduce to the day grid in one map-combined
+    aggregate; everything after is 7 aggregates over <= |days| rows.
+    Documented bound: n_days * max(x*y) < 2^63."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", cents).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+    wd = W.orderBy("day")
+    parts = []
+    for lag in range(-3, 4):
+        if lag >= 0:
+            pairs = daily.select(
+                F.col("x").alias("xs"), F.lead("y", lag).over(wd).alias("ys")
+            )
+        else:
+            pairs = daily.select(
+                F.lead("x", -lag).over(wd).alias("xs"), F.col("y").alias("ys")
+            )
+        pairs = pairs.filter(F.col("xs").isNotNull() & F.col("ys").isNotNull())
+        xs, ys = F.col("xs"), F.col("ys")
+        n = F.count(F.lit(1))
+        agg = pairs.agg(
+            F.lit(lag).cast("long").alias("lag"),
+            n.cast("long").alias("n_days"),
+            F.round(
+                F.when(
+                    (n > 1)
+                    & (n * F.sum(xs * xs) - F.sum(xs) * F.sum(xs) > 0)
+                    & (n * F.sum(ys * ys) - F.sum(ys) * F.sum(ys) > 0),
+                    (n * F.sum(xs * ys) - F.sum(xs) * F.sum(ys)).cast("double")
+                    / (
+                        F.sqrt(
+                            (n * F.sum(xs * xs) - F.sum(xs) * F.sum(xs)).cast(
+                                "double"
+                            )
+                        )
+                        * F.sqrt(
+                            (n * F.sum(ys * ys) - F.sum(ys) * F.sum(ys)).cast(
+                                "double"
+                            )
+                        )
+                    ),
+                ),
+                6,
+            ).alias("ccf"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

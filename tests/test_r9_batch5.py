@@ -145,3 +145,80 @@ def test_markov_entropy_bounds_and_consistency(spark, sf_dir):
     assert out["n_transitions"] == grand
     h = -sum((r["n"] / grand) * math.log(r["prob"]) for r in trans)
     assert abs(out["entropy_rate"] - h) < 1e-5
+
+
+# ---------- PR curve / AUPRC (sixth batch) ----------
+
+
+def test_pr_curve_known_values(spark):
+    from celeborn_spark.operators.evaluation import pr_curve
+
+    # scores 10..1, positives at 10, 9, 8; 5 buckets of 2:
+    # cum_pos = [2,3,3,3,3], cum_rows = [2,4,6,8,10]
+    # AUPRC = (2/3)*1.0 + (1/3)*0.75 = 0.916667
+    rows = [(float(s), 1 if s >= 8 else 0) for s in range(10, 0, -1)]
+    df = spark.createDataFrame(rows, ["s", "label"])
+    out = {
+        r["bucket"]: r.asDict()
+        for r in pr_curve(df, "s", "label", n_buckets=5).collect()
+    }
+    assert out[1]["precision"] == 1.0 and out[1]["recall"] == 2 / 3
+    assert out[2]["precision"] == 0.75 and out[2]["recall"] == 1.0
+    assert out[5]["precision"] == 0.3
+    assert out[1]["auprc"] == round(2 / 3 + 0.25, 6)
+
+
+def test_pr_curve_no_positives_is_empty(spark):
+    from celeborn_spark.operators.evaluation import pr_curve
+
+    df = spark.createDataFrame([(1.0, 0), (2.0, 0)], ["s", "label"])
+    assert pr_curve(df, "s", "label").count() == 0
+
+
+# ---------- cross-correlation function (sixth batch) ----------
+
+
+def test_ccf_bounds_and_pair_counts(spark, sf_dir):
+    from celeborn_spark.queries.temporal import q_cross_correlation
+
+    rows = {r["lag"]: r.asDict() for r in q_cross_correlation(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(-3, 4))
+    n0 = rows[0]["n_days"]
+    for lag, r in rows.items():
+        # each shift drops |lag| pairs off the grid
+        assert r["n_days"] == n0 - abs(lag)
+        if r["ccf"] is not None:
+            assert -1.0 <= r["ccf"] <= 1.0
+
+
+# ---------- rich club (sixth batch) ----------
+
+
+def test_rich_club_self_consistent(spark, sf_dir):
+    from celeborn_spark.operators.graph import copurchase_edges
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.queries.graph import q_rich_club
+
+    out = q_rich_club(spark, sf_dir).collect()[0].asDict()
+    el = copurchase_edges(load_table(spark, sf_dir, "lineitem"), min_qty=45)
+    degs = {}
+    for r in el.collect():
+        degs[r["u"]] = degs.get(r["u"], 0) + 1
+        degs[r["v"]] = degs.get(r["v"], 0) + 1
+    n = len(degs)
+    ordered = sorted(degs.values())
+    # lower 75th-percentile rule: smallest deg with 4*cum >= 3*n
+    cum = 0
+    k_thr = None
+    for d in ordered:
+        cum += 1
+        if 4 * cum >= 3 * n:
+            k_thr = d
+            break
+    rich = {v for v, d in degs.items() if d > k_thr}
+    e_rich = sum(1 for r in el.collect() if r["u"] in rich and r["v"] in rich)
+    assert out["k_thr"] == k_thr
+    assert out["n_rich"] == len(rich)
+    assert out["e_rich"] == e_rich
+    if len(rich) > 1:
+        assert out["phi"] == 2 * e_rich / (len(rich) * (len(rich) - 1))
