@@ -160,9 +160,15 @@ def gains_table(
 
     Output: one row per non-empty bucket (bucket, n_rows, n_pos,
     cum_rows, cum_pos, capture_rate, cum_lift)."""
-    hist = df.groupBy(F.col(score_col).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum(F.col(label_col)).cast("long").alias("pos"),
+    # hist is referenced twice (totals + the bucketing window);
+    # checkpoint the value-space relation once so row mass scans ONCE
+    hist = (
+        df.groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col(label_col)).cast("long").alias("pos"),
+        )
+        .localCheckpoint()
     )
     tot = hist.agg(
         F.sum("cnt").cast("long").alias("tot_rows"),
@@ -284,9 +290,16 @@ def pr_curve(
 
     Output: one row per non-empty bucket (bucket, cum_rows, cum_pos,
     precision, recall, auprc — auprc repeated on every row)."""
-    hist = df.groupBy(F.col(score_col).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"),
-        F.sum(F.col(label_col)).cast("long").alias("pos"),
+    # hist (totals + bucketing) and curve (area + output) are each
+    # referenced twice; checkpoint both bounded relations so row mass
+    # scans ONCE and the window runs ONCE
+    hist = (
+        df.groupBy(F.col(score_col).alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.col(label_col)).cast("long").alias("pos"),
+        )
+        .localCheckpoint()
     )
     tot = hist.agg(
         F.sum("cnt").cast("long").alias("tot_rows"),
@@ -338,7 +351,7 @@ def pr_curve(
                 * (F.col("cum_pos") / F.col("cum_rows"))
             ).alias("term"),
         )
-    )
+    ).localCheckpoint()
     area = curve.agg(F.round(F.sum("term"), 6).alias("auprc"))
     return curve.crossJoin(F.broadcast(area)).select(
         "bucket", "cum_rows", "cum_pos", "precision", "recall", "auprc"
@@ -441,10 +454,16 @@ def calibration_bins(
         s.alias("s"),
         F.col(label_col).cast("long").alias("label"),
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("label").cast("long").alias("n_pos"),
-        F.sum("s").cast("long").alias("cents"),
+    # per_bin is referenced twice (ECE totals + output rows);
+    # checkpoint the <= n_bins relation so row mass scans ONCE
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("s").cast("long").alias("cents"),
+        )
+        .localCheckpoint()
     )
     tot = per_bin.agg(
         F.sum(F.abs(d * F.col("n_pos") - F.col("cents")))
@@ -543,9 +562,15 @@ def psi_drift(
         ).alias("bin"),
         c.alias("c"),
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.sum(F.col("c")).cast("long").alias("ca"),
-        F.sum(1 - F.col("c")).cast("long").alias("cb"),
+    # per_bin feeds both the totals and the term sum; checkpoint the
+    # <= n_bins relation so row mass scans ONCE
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.col("c")).cast("long").alias("ca"),
+            F.sum(1 - F.col("c")).cast("long").alias("cb"),
+        )
+        .localCheckpoint()
     )
     tot = per_bin.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -633,9 +658,15 @@ def hellinger_distance(
 
     One output row: (bc_coef, hellinger, bhattacharyya, n_a, n_b)."""
     c = F.col(cohort_col)
-    per_cat = df.groupBy(F.col(cat_col).alias("cat")).agg(
-        F.sum(c).cast("long").alias("ca"),
-        F.sum(1 - c).cast("long").alias("cb"),
+    # per_cat feeds both the totals and the BC sum; checkpoint the
+    # category-sized relation so row mass scans ONCE
+    per_cat = (
+        df.groupBy(F.col(cat_col).alias("cat"))
+        .agg(
+            F.sum(c).cast("long").alias("ca"),
+            F.sum(1 - c).cast("long").alias("cb"),
+        )
+        .localCheckpoint()
     )
     tot = per_cat.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -726,6 +757,9 @@ def wasserstein_1d(
             F.sum(F.when(g == a, 1).otherwise(0)).cast("long").alias("ca"),
             F.sum(F.when(g == b, 1).otherwise(0)).cast("long").alias("cb"),
         )
+        # hist feeds both the CDF window and the totals; checkpoint
+        # the value-space relation so row mass scans ONCE
+        .localCheckpoint()
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     wl = Window.orderBy("v")
@@ -899,8 +933,12 @@ def pettitt_changepoint(
     2*exp(-6K^2/(n^3+n^2)) rounds 6 dp (exp is irrational).
 
     One output row: (change_day, k_stat, n_days, p_approx)."""
-    daily = df.groupBy(F.col(day_col).alias("day")).agg(
-        F.sum(F.col(metric_col)).cast("long").alias("m")
+    # daily is referenced three times (rank histogram, the day join,
+    # totals); checkpoint the day-grid relation so row mass scans ONCE
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
+        .localCheckpoint()
     )
     hist = daily.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wr = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
@@ -1016,20 +1054,26 @@ def hodges_lehmann_shift(
     base = df.filter(g.isin(a, b)).select(
         g.alias("grp"), v.alias("v")
     )
+    # ha/hb feed the convolution AND the totals, diffs feeds the
+    # cumulative window AND the grand total; checkpoint all three
+    # value-space relations so row mass scans ONCE per side
     ha = (
         base.filter(F.col("grp") == a)
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+        .localCheckpoint()
     )
     hb = (
         base.filter(F.col("grp") == b)
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .localCheckpoint()
     )
     diffs = (
         ha.crossJoin(hb.select(F.col("v").alias("vb"), "cb"))
         .groupBy((F.col("v") - F.col("vb")).alias("d"))
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("wt"))
+        .localCheckpoint()
     )
     tot = diffs.agg(F.sum("wt").cast("long").alias("w_tot"))
     wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)

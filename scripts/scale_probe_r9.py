@@ -83,6 +83,25 @@ rows are the ones that must touch every row's payload (bootstrap's
 char entropy's per-doc char histograms; modularity's edge build) —
 none super-linear, no silent caps.
 
+Batch-5/6 run (same conditions; experiment-analytics + behavioral +
+ranking/time-series/graph closers):
+
+    q_cuped                 1x  0.36  8x  0.33  32x  0.32   exp -0.02
+    q_attribution_ushaped   1x  0.60  8x  0.56  32x  0.73   exp 0.19
+    q_session_paths         1x  0.94  8x  0.94  32x  1.93   exp 0.52
+    q_forecast_backtest     1x  0.36  8x  0.37  32x  0.49   exp 0.20
+    q_markov_entropy        1x  0.70  8x  1.16  32x  1.03   exp -0.08
+    q_cross_correlation     1x  0.97  8x  1.03  32x  1.08   exp 0.04
+    q_pr_curve              1x  1.55  8x  1.64  32x  2.11   exp 0.18
+    q_rich_club             1x  0.87  8x  1.40  32x  2.67   exp 0.47
+
+Shifted user/custkey replicas multiply the unit population while
+per-unit path length stays fixed: the user-keyed window family
+(attribution, session paths) grows with row mass but stays well
+sublinear under local[32]; the day-grid and score-histogram family
+(CUPED, CCF, forecast, PR curve) is ~flat; rich-club's edge build is
+linear in disjoint replicas. No super-linear case.
+
 Interpretation: every probed operator is sublinear in time at 32x
 (local[32] absorbs part of the work growth below full saturation;
 rank stats ride fixed 50-value histograms, hence the ~flat
@@ -163,6 +182,24 @@ CASES_BATCH4 = [
     ("q_arrow_norms", ["embeddings"]),
 ]
 
+# Batch 5/6 (run with --batch5): experiment-analytics + behavioral +
+# the ranking/time-series/graph closers. Shifted user_id/custkey
+# means user paths, attribution cohorts, and CUPED units multiply
+# while per-user path length stays fixed (window work ~linear);
+# the day grid, score histograms, and lag branches stay fixed
+# (~flat); the rich-club edge list grows linearly in disjoint
+# replicas (hub set per replica unchanged).
+CASES_BATCH5 = [
+    ("q_cuped", ["events"]),
+    ("q_attribution_ushaped", ["events"]),
+    ("q_session_paths", ["events"]),
+    ("q_forecast_backtest", ["events"]),
+    ("q_markov_entropy", ["events"]),
+    ("q_cross_correlation", ["events"]),
+    ("q_pr_curve", ["orders"]),
+    ("q_rich_club", ["lineitem"]),
+]
+
 SHIFTS = {
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
     "lineitem": {
@@ -217,7 +254,13 @@ def timeit(label: str, fn) -> float:
 
 
 def main() -> None:
-    cases = CASES_BATCH4 if "--batch4" in sys.argv else CASES
+    cases = (
+        CASES_BATCH5
+        if "--batch5" in sys.argv
+        else CASES_BATCH4
+        if "--batch4" in sys.argv
+        else CASES
+    )
     spark = get_spark(app_name="scale_probe_r9")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()

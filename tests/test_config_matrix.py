@@ -326,3 +326,49 @@ def test_r9_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# --- the evaluation/drift + behavioral batches under the same matrix:
+# histogram windows at 1 vs 32 partitions, the HL convolution join and
+# rich-club semi-joins forced to shuffle, attribution's window pair
+# and session path assembly under AQE off — invariant results.
+
+
+def _r9_eval_ops():
+    from celeborn_spark.queries.evaluation import (
+        q_cuped,
+        q_gains_lift,
+        q_hodges_lehmann,
+        q_roc_auc,
+    )
+    from celeborn_spark.queries.graph import q_rich_club
+    from celeborn_spark.queries.temporal import (
+        q_attribution_ushaped,
+        q_cross_correlation,
+        q_session_paths,
+    )
+
+    return [
+        q_roc_auc,               # score-histogram rank window over layouts
+        q_gains_lift,            # decile bucketing + cumulative windows
+        q_hodges_lehmann,        # histogram convolution join forced to shuffle
+        q_cuped,                 # per-user reduce + scalar power sums
+        q_rich_club,             # hub semi-joins under strategy flips
+        q_attribution_ushaped,   # window pair at 1 vs 32 partitions
+        q_session_paths,         # struct-sort path assembly under AQE off
+        q_cross_correlation,     # 7 lag branches over the checkpointed grid
+    ]
+
+
+@pytest.mark.parametrize("conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS])
+@pytest.mark.parametrize("qfn", _r9_eval_ops(), ids=lambda f: f.__name__)
+def test_r9_eval_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -345,3 +345,61 @@ def test_r9_checkpoints_bound_plan_recompute(spark, sf_dir):
         assert scans == 0, f"{qfn.__name__}: {scans} scans leaked into the plan"
         n_ex = count_exchanges(qfn(spark, sf_dir))
         assert n_ex <= max_exchanges, f"{qfn.__name__}: {n_ex} exchanges"
+
+
+def test_eval_batch_checkpoints_bound_plan_recompute(spark, sf_dir):
+    """The evaluation-batch operators with multi-referenced subtrees
+    materialize them once (the localCheckpoint-inputs rule):
+    q_cross_correlation's 7 lag branches and q_markov_entropy's three
+    count references must run on checkpointed relations — zero parquet
+    scans in the final plan — and q_rich_club's edge/degree
+    checkpoints bound its exchanges."""
+    from celeborn_spark.queries.graph import q_rich_club
+    from celeborn_spark.queries.temporal import (
+        q_cross_correlation,
+        q_markov_entropy,
+    )
+
+    for qfn, max_exchanges in (
+        (q_cross_correlation, 14),
+        (q_markov_entropy, 4),
+        # rich-club's exchanges are all node/histogram-sized scalar
+        # assemblies (thr/nk/ek single-row aggregates); edge mass
+        # moves only in the checkpointed build
+        (q_rich_club, 16),
+    ):
+        plan = physical_plan(qfn(spark, sf_dir))
+        scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert scans == 0, f"{qfn.__name__}: {scans} scans leaked into the plan"
+        n_ex = count_exchanges(qfn(spark, sf_dir))
+        assert n_ex <= max_exchanges, f"{qfn.__name__}: {n_ex} exchanges"
+
+
+def test_histogram_family_single_scan_single_exchange(spark, sf_dir):
+    """The histogram-bounded evaluation statistics scan row mass
+    exactly ONCE: AUC's single-reference chain keeps one FileScan;
+    calibration/PSI/gains/W1 checkpoint their multi-referenced
+    histograms, so the final plan holds ZERO scans (everything runs
+    on the materialized value-space relation)."""
+    from celeborn_spark.queries.evaluation import (
+        q_calibration_bins,
+        q_gains_lift,
+        q_psi_drift,
+        q_roc_auc,
+        q_wasserstein_drift,
+    )
+
+    plan = physical_plan(q_roc_auc(spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan[:2000]
+    for qfn, max_exchanges in (
+        (q_calibration_bins, 3),
+        (q_psi_drift, 3),
+        (q_gains_lift, 6),
+        (q_wasserstein_drift, 4),
+    ):
+        df = qfn(spark, sf_dir)
+        plan = physical_plan(df)
+        scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert scans == 0, f"{qfn.__name__}: {scans} scans"
+        n_ex = count_exchanges(df)
+        assert n_ex <= max_exchanges, f"{qfn.__name__}: {n_ex} exchanges"
