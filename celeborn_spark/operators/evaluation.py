@@ -1124,3 +1124,381 @@ def hodges_lehmann_oracle_sql(
     WHERE 2 * cum >= w_tot
     GROUP BY n_a, n_b
     """
+
+
+# --------------------------------------------------------------------------
+# Brier decomposition (Murphy: reliability / resolution / uncertainty)
+# --------------------------------------------------------------------------
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom_cents: int,
+    n_bins: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Murphy decomposition of the binned Brier score over the same
+    floor-cents probability bins as `calibration_bins` — splits a
+    scorer's squared error into reliability (calibration gap: can be
+    FIXED by recalibration), resolution (discrimination: cannot), and
+    irreducible base-rate uncertainty. Output ONE row:
+    (n, rel, res, unc, brier_binned) with brier = rel - res + unc.
+
+    Exact-integer numerators per bin:
+        n_b*(conf_b-acc_b)^2 = ((cents_b - D*pos_b)/D)^2 / n_b
+        n_b*(acc_b-base)^2   = ((N*pos_b - P*n_b)/N)^2 / n_b
+    — identical-text double chains of BIGINTs, accumulated over the
+    ORDERED bin window (<= n_bins rows; sequential in both engines,
+    the pettitt walk discipline) and divided by N once, rounded dp.
+    unc = (P/N)*(1-P/N) is a deterministic two-term product, raw.
+
+    Scale shape: one map-combined bin aggregate; everything after is
+    an <= n_bins-row relation with 1-row broadcast totals."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    d = F.lit(denom_cents)
+    binned = df.select(
+        F.least(
+            F.lit(n_bins),
+            (F.floor(F.lit(n_bins) * s / d) + 1).cast("long"),
+        ).alias("bin"),
+        s.alias("s"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("label").cast("long").alias("pos"),
+            F.sum("s").cast("long").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    tot = per_bin.agg(
+        F.sum("n_b").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("p_tot"),
+        F.max("bin").alias("bin_max"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    dd = denom_cents
+    walked = (
+        per_bin.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rel_term",
+            F.expr(
+                f"(CAST(cents - {dd} * pos AS DOUBLE) / {dd})"
+                f" * (CAST(cents - {dd} * pos AS DOUBLE) / {dd}) / n_b"
+            ),
+        )
+        .withColumn(
+            "res_term",
+            F.expr(
+                "(CAST(n_tot * pos - p_tot * n_b AS DOUBLE) / n_tot)"
+                " * (CAST(n_tot * pos - p_tot * n_b AS DOUBLE) / n_tot) / n_b"
+            ),
+        )
+        .withColumn("rel_cum", F.sum("rel_term").over(w))
+        .withColumn("res_cum", F.sum("res_term").over(w))
+    )
+    return walked.filter(F.col("bin") == F.col("bin_max")).select(
+        F.col("n_tot").alias("n"),
+        F.round(F.col("rel_cum") / F.col("n_tot"), dp).alias("rel"),
+        F.round(F.col("res_cum") / F.col("n_tot"), dp).alias("res"),
+        F.expr(
+            "(CAST(p_tot AS DOUBLE) / n_tot)"
+            " * (1 - CAST(p_tot AS DOUBLE) / n_tot)"
+        ).alias("unc"),
+        F.round(
+            F.col("rel_cum") / F.col("n_tot")
+            - F.col("res_cum") / F.col("n_tot")
+            + F.expr(
+                "(CAST(p_tot AS DOUBLE) / n_tot)"
+                " * (1 - CAST(p_tot AS DOUBLE) / n_tot)"
+            ),
+            dp,
+        ).alias("brier_binned"),
+    )
+
+
+def brier_oracle_sql(
+    table: str,
+    score_sql: str,
+    label_sql: str,
+    denom_cents: int,
+    n_bins: int = 10,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `brier_decomposition`: identical bins, term
+    text, and ordered-window accumulation."""
+    d = denom_cents
+    return f"""
+    WITH binned AS (
+        SELECT least({n_bins}, CAST(floor({n_bins}
+                   * CAST(floor(({score_sql}) * 100) AS BIGINT) / {d})
+                   AS BIGINT) + 1) AS bin,
+               CAST(floor(({score_sql}) * 100) AS BIGINT) AS s,
+               CAST({label_sql} AS BIGINT) AS label
+        FROM {table}
+    ),
+    per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(label) AS BIGINT) AS pos,
+               CAST(sum(s) AS BIGINT) AS cents
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n_tot,
+               CAST(sum(pos) AS BIGINT) AS p_tot,
+               max(bin) AS bin_max
+        FROM per_bin
+    ),
+    walked AS (
+        SELECT bin, bin_max, n_tot, p_tot,
+               sum((CAST(cents - {d} * pos AS DOUBLE) / {d})
+                   * (CAST(cents - {d} * pos AS DOUBLE) / {d}) / n_b)
+                   OVER w AS rel_cum,
+               sum((CAST(n_tot * pos - p_tot * n_b AS DOUBLE) / n_tot)
+                   * (CAST(n_tot * pos - p_tot * n_b AS DOUBLE) / n_tot)
+                   / n_b) OVER w AS res_cum
+        FROM per_bin CROSS JOIN tot
+        WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT n_tot AS n,
+           round(rel_cum / n_tot, {dp}) AS rel,
+           round(res_cum / n_tot, {dp}) AS res,
+           (CAST(p_tot AS DOUBLE) / n_tot)
+               * (1 - CAST(p_tot AS DOUBLE) / n_tot) AS unc,
+           round(rel_cum / n_tot - res_cum / n_tot
+                 + (CAST(p_tot AS DOUBLE) / n_tot)
+                   * (1 - CAST(p_tot AS DOUBLE) / n_tot), {dp})
+               AS brier_binned
+    FROM walked WHERE bin = bin_max
+    """
+
+
+# --------------------------------------------------------------------------
+# Threshold sweep: confusion-matrix metrics per operating point
+# --------------------------------------------------------------------------
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom_cents: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Precision/recall/F1 at each of ``n_bins`` score thresholds (the
+    bin lower edges, in floor-cents space) — the operating-point picker
+    between the threshold-free grades (q_roc_auc, q_pr_curve): "which
+    cutoff do we actually deploy?". Output one row per threshold:
+    (thr_bin, thr_cents, tp, fp, fn, tn, precision, recall, f1).
+
+    Everything is exact-BIGINT suffix sums of the score-bin histogram
+    (predicted-positive = s >= threshold = bins >= k): tp/fp/fn/tn are
+    integers, and precision = tp/pp, recall = tp/p, f1 = 2*tp/(pp+p)
+    are SINGLE divisions — bit-identical cross-engine, raw, no
+    rounding anywhere. precision is NULL when nothing clears the bar.
+
+    Scale shape: one map-combined bin aggregate, then <= n_bins rows
+    with prefix windows and 1-row broadcast totals."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    d = F.lit(denom_cents)
+    binned = df.select(
+        F.least(
+            F.lit(n_bins),
+            (F.floor(F.lit(n_bins) * s / d) + 1).cast("long"),
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("label").cast("long").alias("pos"),
+    )
+    # a threshold row must exist for EVERY k=1..n_bins even when its
+    # bin is empty: build the grid and left-join the histogram
+    grid = (
+        per_bin.sparkSession.range(1, n_bins + 1)
+        .select(F.col("id").cast("long").alias("bin"))
+        .join(per_bin, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.coalesce("pos", F.lit(0)).cast("long").alias("pos"),
+        )
+    )
+    tot = grid.agg(
+        F.sum("n_b").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("p_tot"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    dd = denom_cents
+    rows = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pp", F.col("n_tot") - F.coalesce(F.sum("n_b").over(w), F.lit(0))
+        )
+        .withColumn(
+            "tp", F.col("p_tot") - F.coalesce(F.sum("pos").over(w), F.lit(0))
+        )
+    )
+    return rows.select(
+        F.col("bin").alias("thr_bin"),
+        F.expr(f"CAST((bin - 1) * {dd} AS BIGINT) div {n_bins}").alias(
+            "thr_cents"
+        ),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("p_tot") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("n_tot") - F.col("pp") - F.col("p_tot") + F.col("tp"))
+        .cast("long")
+        .alias("tn"),
+        F.when(
+            F.col("pp") > 0, F.expr("CAST(tp AS DOUBLE) / pp")
+        ).alias("precision"),
+        F.when(
+            F.col("p_tot") > 0, F.expr("CAST(tp AS DOUBLE) / p_tot")
+        ).alias("recall"),
+        F.when(
+            F.col("pp") + F.col("p_tot") > 0,
+            F.expr("CAST(2 * tp AS DOUBLE) / (pp + p_tot)"),
+        ).alias("f1"),
+    )
+
+
+def threshold_sweep_oracle_sql(
+    table: str,
+    score_sql: str,
+    label_sql: str,
+    denom_cents: int,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB mirror of `threshold_sweep`: identical bins and
+    exact-integer suffix algebra."""
+    d = denom_cents
+    return f"""
+    WITH binned AS (
+        SELECT least({n_bins}, CAST(floor({n_bins}
+                   * CAST(floor(({score_sql}) * 100) AS BIGINT) / {d})
+                   AS BIGINT) + 1) AS bin,
+               CAST({label_sql} AS BIGINT) AS label
+        FROM {table}
+    ),
+    per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM binned GROUP BY bin
+    ),
+    grid AS (
+        SELECT CAST(k AS BIGINT) AS bin,
+               CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+               CAST(coalesce(pos, 0) AS BIGINT) AS pos
+        FROM (SELECT unnest(range(1, {n_bins} + 1)) AS k)
+        LEFT JOIN per_bin ON per_bin.bin = k
+    ),
+    tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n_tot,
+               CAST(sum(pos) AS BIGINT) AS p_tot
+        FROM grid
+    ),
+    rows_ AS (
+        SELECT bin, n_tot, p_tot,
+               n_tot - coalesce(sum(n_b) OVER w, 0) AS pp,
+               p_tot - coalesce(sum(pos) OVER w, 0) AS tp
+        FROM grid CROSS JOIN tot
+        WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    )
+    SELECT bin AS thr_bin,
+           CAST((bin - 1) * {d} AS BIGINT) // {n_bins} AS thr_cents,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pp - tp AS BIGINT) AS fp,
+           CAST(p_tot - tp AS BIGINT) AS fn,
+           CAST(n_tot - pp - p_tot + tp AS BIGINT) AS tn,
+           CASE WHEN pp > 0 THEN CAST(tp AS DOUBLE) / pp END AS precision,
+           CASE WHEN p_tot > 0 THEN CAST(tp AS DOUBLE) / p_tot END AS recall,
+           CASE WHEN pp + p_tot > 0
+                THEN CAST(2 * tp AS DOUBLE) / (pp + p_tot) END AS f1
+    FROM rows_
+    """
+
+
+# --------------------------------------------------------------------------
+# UCB1 bandit arm scores
+# --------------------------------------------------------------------------
+
+
+def ucb1_scores(
+    df: DataFrame,
+    arm_col: str,
+    reward_col: str,
+    reward_max_cents: int,
+    dp: int = 6,
+) -> DataFrame:
+    """UCB1 upper-confidence scores per arm from logged rewards — the
+    explore/exploit readout the experiment family feeds ("given what
+    each variant earned so far, which does a bandit pull next?"),
+    next to the fixed-horizon (welch/CUPED) and sequential (SPRT)
+    tests. Rewards normalize to [0,1] by ``reward_max_cents``.
+    Output one row per arm: (arm, n_pulls, mean_reward, ucb).
+
+    mean_reward = cents/(max_cents*n) is a single division of exact
+    BIGINTs (raw); the exploration bonus sqrt(2*ln(N)/n) rounds dp
+    (ln is libm-correctness territory, the repo's ln/exp discipline).
+
+    Scale shape: ONE map-combined aggregate over the event mass;
+    the total rides a 1-row broadcast."""
+    cents = F.floor(F.col(reward_col) * 100).cast("long")
+    per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pulls"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    tot = per_arm.agg(F.sum("n_pulls").cast("long").alias("n_tot"))
+    m = reward_max_cents
+    return (
+        per_arm.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_pulls",
+            F.expr(f"CAST(cents AS DOUBLE) / (CAST({m} AS DOUBLE) * n_pulls)")
+            .alias("mean_reward"),
+            F.round(
+                F.expr(
+                    f"CAST(cents AS DOUBLE) / (CAST({m} AS DOUBLE) * n_pulls)"
+                    " + sqrt(2 * ln(CAST(n_tot AS DOUBLE)) / n_pulls)"
+                ),
+                dp,
+            ).alias("ucb"),
+        )
+    )
+
+
+def ucb1_oracle_sql(
+    table: str,
+    arm_sql: str,
+    reward_sql: str,
+    reward_max_cents: int,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `ucb1_scores`: identical cents aggregate and
+    formula text."""
+    m = reward_max_cents
+    return f"""
+    WITH per_arm AS (
+        SELECT {arm_sql} AS arm,
+               CAST(count(*) AS BIGINT) AS n_pulls,
+               CAST(sum(CAST(floor(({reward_sql}) * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n_tot FROM per_arm)
+    SELECT arm, n_pulls,
+           CAST(cents AS DOUBLE) / (CAST({m} AS DOUBLE) * n_pulls)
+               AS mean_reward,
+           round(CAST(cents AS DOUBLE) / (CAST({m} AS DOUBLE) * n_pulls)
+                 + sqrt(2 * ln(CAST(n_tot AS DOUBLE)) / n_pulls), {dp})
+               AS ucb
+    FROM per_arm CROSS JOIN tot
+    """

@@ -2334,3 +2334,242 @@ def pca_2d_oracle_sql(
            round(CASE WHEN n > 1 THEN atan2(2 * cxy, vx - vy) / 2 END, 6) AS theta
     FROM e
     """
+
+
+def log_rank_test(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    group_a,
+    group_b,
+    dp: int = 6,
+) -> DataFrame:
+    """Log-rank test comparing the survival curves of two cohorts —
+    "do purchasers stay active longer?" next to `km_survival`'s single
+    curve. Input: one row per subject with a group label and an
+    integer terminal duration (uncensored, the km_survival contract).
+    Output ONE row: (n_a, n_b, o_a, e_a, v_stat, chi2).
+
+    At each distinct duration t the at-risk counts n1/n2 come from the
+    DURATION HISTOGRAM prefix (never a subject sort): n1 = N1 -
+    cum(d1) + d1. The expected-events term d*n1/n and the variance
+    term (d*n1/n)*(n2/n)*((n-d)/(n-1)) are identical-text double
+    chains of exact BIGINTs, accumulated over the ORDERED duration
+    window (sequential, engine-order-free — the km/pettitt walk
+    discipline); chi2 = (O1-E1)^2/V rounds dp, NULL when V = 0 (all
+    events tied in one duration or a single subject).
+
+    Scale shape: one duration-count aggregate; every window runs over
+    DISTINCT durations (calendar-bounded), totals ride 1-row
+    broadcasts. Reference analogue: differential result-map checks
+    (tests/spark-it/.../SparkTestBase.scala:111-150)."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    durs = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("d1"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("d2"),
+    )
+    tot = durs.agg(
+        F.sum("d1").cast("long").alias("n1_tot"),
+        F.sum("d2").cast("long").alias("n2_tot"),
+        F.max("t").alias("t_max"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    cur = (
+        durs.crossJoin(F.broadcast(tot))
+        .withColumn("n1", F.col("n1_tot") - F.sum("d1").over(w) + F.col("d1"))
+        .withColumn("n2", F.col("n2_tot") - F.sum("d2").over(w) + F.col("d2"))
+        .withColumn("n", F.col("n1") + F.col("n2"))
+        .withColumn("d", F.col("d1") + F.col("d2"))
+        .withColumn(
+            "e1_term",
+            F.expr("CAST(d * n1 AS DOUBLE) / n"),
+        )
+        .withColumn(
+            "v_term",
+            F.expr(
+                "CASE WHEN n > 1 THEN (CAST(d * n1 AS DOUBLE) / n)"
+                " * (CAST(n2 AS DOUBLE) / n)"
+                " * (CAST(n - d AS DOUBLE) / (n - 1)) ELSE 0.0 END"
+            ),
+        )
+        .withColumn("o1_cum", F.sum("d1").over(w))
+        .withColumn("e1_cum", F.sum("e1_term").over(w))
+        .withColumn("v_cum", F.sum("v_term").over(w))
+    )
+    return cur.filter(F.col("t") == F.col("t_max")).select(
+        F.col("n1_tot").alias("n_a"),
+        F.col("n2_tot").alias("n_b"),
+        F.col("o1_cum").cast("long").alias("o_a"),
+        F.round("e1_cum", dp).alias("e_a"),
+        F.round("v_cum", dp).alias("v_stat"),
+        F.when(
+            F.col("v_cum") > 0,
+            F.round(
+                (F.col("o1_cum") - F.col("e1_cum"))
+                * (F.col("o1_cum") - F.col("e1_cum"))
+                / F.col("v_cum"),
+                dp,
+            ),
+        ).alias("chi2"),
+    )
+
+
+def log_rank_oracle_sql(subjects_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `log_rank_test` over ``subjects_sql`` yielding
+    (g, t) with g in (1, 2) group tags: identical histogram-prefix
+    algebra and formula text."""
+    return f"""
+    WITH subj AS ({subjects_sql}),
+    durs AS (
+        SELECT t,
+               CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        FROM subj GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(d1) AS n1_tot, sum(d2) AS n2_tot, max(t) AS t_max
+        FROM durs
+    ),
+    cur AS (
+        SELECT t, d1, d2, n1_tot, n2_tot, t_max,
+               n1_tot - sum(d1) OVER w + d1 AS n1,
+               n2_tot - sum(d2) OVER w + d2 AS n2
+        FROM durs CROSS JOIN tot
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    terms AS (
+        SELECT t, d1, n1_tot, n2_tot, t_max,
+               CAST((d1 + d2) * n1 AS DOUBLE) / (n1 + n2) AS e1_term,
+               CASE WHEN (n1 + n2) > 1
+                    THEN (CAST((d1 + d2) * n1 AS DOUBLE) / (n1 + n2))
+                         * (CAST(n2 AS DOUBLE) / (n1 + n2))
+                         * (CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+                            / ((n1 + n2) - 1))
+                    ELSE 0.0 END AS v_term
+        FROM cur
+    ),
+    walked AS (
+        SELECT t, n1_tot, n2_tot, t_max,
+               sum(d1) OVER w AS o1_cum,
+               sum(e1_term) OVER w AS e1_cum,
+               sum(v_term) OVER w AS v_cum
+        FROM terms
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(n1_tot AS BIGINT) AS n_a, CAST(n2_tot AS BIGINT) AS n_b,
+           CAST(o1_cum AS BIGINT) AS o_a,
+           round(e1_cum, {dp}) AS e_a,
+           round(v_cum, {dp}) AS v_stat,
+           CASE WHEN v_cum > 0
+                THEN round((o1_cum - e1_cum) * (o1_cum - e1_cum) / v_cum,
+                           {dp}) END AS chi2
+    FROM walked WHERE t = t_max
+    """
+
+
+def nelson_aalen(df: DataFrame, duration_col: str, dp: int = 6) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve over integer durations —
+    the hazard-space twin of `km_survival` (H(t) = sum d_u/n_u for
+    u <= t; survival ~= exp(-H)). Output one row per distinct duration
+    (t, n_at_risk, d_events, cum_hazard).
+
+    Each hazard increment is a single division of exact BIGINTs and
+    the curve accumulates over the ORDERED duration window (sequential
+    in both engines), rounded dp at the end. Same scale shape as
+    km_survival: one duration-count aggregate, distinct-duration
+    windows only."""
+    from pyspark.sql import Window as W
+
+    durs = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    total = durs.agg(F.sum("d").alias("total"))
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    cur = (
+        durs.crossJoin(F.broadcast(total))
+        .withColumn("n_at_risk", F.col("total") - F.sum("d").over(w) + F.col("d"))
+        .withColumn("hterm", F.expr("CAST(d AS DOUBLE) / n_at_risk"))
+        .withColumn("hsum", F.sum("hterm").over(w))
+    )
+    return cur.select(
+        "t",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.round("hsum", dp).alias("cum_hazard"),
+    )
+
+
+def nelson_aalen_oracle_sql(durations_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `nelson_aalen` over ``durations_sql`` (one
+    column t per subject)."""
+    return f"""
+    WITH subj AS ({durations_sql}),
+    durs AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM subj GROUP BY 1),
+    tot AS (SELECT sum(d) AS total FROM durs),
+    cur AS (
+        SELECT t, d,
+               total - sum(d) OVER w + d AS n_at_risk
+        FROM durs CROSS JOIN tot
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS d_events,
+           round(sum(CAST(d AS DOUBLE) / n_at_risk) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 {dp}) AS cum_hazard
+    FROM cur
+    """
+
+
+def mcnemar_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """McNemar's paired-proportion test (continuity-corrected) over
+    per-subject binary before/after outcomes — "did the same users'
+    behavior CHANGE between periods?", the paired complement of the
+    two-sample tests (welch/mann-whitney compare independent groups;
+    McNemar conditions on the discordant pairs of the SAME subjects).
+    Output ONE row: (b_disc, c_disc, chi2) where b = x=1,y=0 subjects,
+    c = x=0,y=1, chi2 = (|b-c|-1)^2/(b+c).
+
+    b and c are exact BIGINT counts from one map-combined aggregate;
+    chi2 is a single division — bit-identical cross-engine, raw. NULL
+    when b+c = 0 (no discordant pairs: the statistic is undefined)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.agg(
+        F.sum(x * (1 - y)).cast("long").alias("b_disc"),
+        F.sum((1 - x) * y).cast("long").alias("c_disc"),
+    )
+    return agg.select(
+        "b_disc",
+        "c_disc",
+        F.when(
+            F.col("b_disc") + F.col("c_disc") > 0,
+            F.expr(
+                "CAST((abs(b_disc - c_disc) - 1) * (abs(b_disc - c_disc) - 1)"
+                " AS DOUBLE) / (b_disc + c_disc)"
+            ),
+        ).alias("chi2"),
+    )
+
+
+def mcnemar_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of `mcnemar_test` over ``pairs_sql`` yielding
+    (x, y) binary columns per subject."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    agg AS (
+        SELECT CAST(sum(x * (1 - y)) AS BIGINT) AS b_disc,
+               CAST(sum((1 - x) * y) AS BIGINT) AS c_disc
+        FROM pairs
+    )
+    SELECT b_disc, c_disc,
+           CASE WHEN b_disc + c_disc > 0
+                THEN CAST((abs(b_disc - c_disc) - 1)
+                          * (abs(b_disc - c_disc) - 1) AS DOUBLE)
+                     / (b_disc + c_disc) END AS chi2
+    FROM agg
+    """

@@ -1223,3 +1223,105 @@ def coverage_select_oracle_sql(shingles_sql: str, k: int = 5) -> str:
     FROM sel{k}
     """
     )
+
+
+def rake_word_scores(
+    docs: DataFrame,
+    text_col: str,
+    stopwords: tuple[str, ...],
+    k: int = 20,
+    dp: int = 6,
+) -> DataFrame:
+    """RAKE-style keyword scores: split each document into candidate
+    phrases at stopword boundaries, then score each word by
+    degree/frequency — degree(w) sums the LENGTH of every phrase w
+    appears in (words co-occurring in long phrases score up), freq(w)
+    counts occurrences. The co-occurrence-structure keyword signal
+    next to q_tfidf_topk (document frequency) and q_textrank_keywords
+    (graph centrality). Top-``k`` rows (word, deg, freq, score).
+
+    deg and freq are exact BIGINTs; score = deg/freq is a SINGLE
+    division (raw); ranking follows the repo rule — row_number over
+    (round(score, dp) DESC, word) so the order column is engine-safe.
+
+    Scale shape: tokenize -> per-doc phrase-id prefix windows (token
+    mass shuffles once on doc_id) -> one word-keyed aggregate whose
+    output is vocabulary-bounded. Tokenization contract: Spark splits
+    \\s+, oracles split ' ' — identical on the single-space-normalized
+    testdata (the sparse_cosine_pairs discipline)."""
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).withColumn(
+        "stop", F.array_contains(stops, F.col("tok")).cast("long")
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    phrased = toks.withColumn("phrase_id", F.sum("stop").over(wdoc)).filter(
+        F.col("stop") == 0
+    )
+    plen = phrased.withColumn(
+        "plen",
+        F.count(F.lit(1)).over(W.partitionBy("doc_id", "phrase_id")),
+    )
+    scored = plen.groupBy(F.col("tok").alias("word")).agg(
+        F.sum("plen").cast("long").alias("deg"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    ranked = scored.select(
+        "word",
+        "deg",
+        "freq",
+        F.expr("CAST(deg AS DOUBLE) / freq").alias("score"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(
+                F.round(F.expr("CAST(deg AS DOUBLE) / freq"), dp).desc(),
+                F.col("word"),
+            )
+        ),
+    )
+    return ranked.filter(F.col("rn") <= k).drop("rn")
+
+
+def rake_oracle_sql(
+    stopwords: tuple[str, ...], k: int = 20, dp: int = 6
+) -> str:
+    """DuckDB mirror of `rake_word_scores` over the documents table:
+    identical phrase-boundary algebra and ranking."""
+    stoplist = ", ".join(f"'{s}'" for s in stopwords)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, t[i] AS tok,
+               CASE WHEN t[i] IN ({stoplist}) THEN 1 ELSE 0 END AS stop
+        FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+              FROM documents)
+    ),
+    phrased AS (
+        SELECT doc_id, pos, tok,
+               sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS phrase_id
+        FROM toks
+        QUALIFY stop = 0
+    ),
+    plens AS (
+        SELECT tok,
+               count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+        FROM phrased
+    ),
+    scored AS (
+        SELECT tok AS word,
+               CAST(sum(plen) AS BIGINT) AS deg,
+               CAST(count(*) AS BIGINT) AS freq
+        FROM plens GROUP BY 1
+    )
+    SELECT word, deg, freq, CAST(deg AS DOUBLE) / freq AS score
+    FROM scored
+    QUALIFY row_number() OVER (
+        ORDER BY round(CAST(deg AS DOUBLE) / freq, {dp}) DESC, word) <= {k}
+    """

@@ -787,3 +787,51 @@ def q_group_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy",
         )
     )
+
+
+L_DIVERSITY = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS distinct_sensitive,
+           CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000.0)
+                                         AS BIGINT)) < {L_DIVERSITY}
+                THEN 1 ELSE 0 END AS violates_l
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the quasi-identifier tuple (segment,
+    nation): quasi-groups whose SENSITIVE attribute (account-balance
+    thousand-dollar band) takes fewer than l=3 distinct values leak it
+    by homogeneity even when k-anonymous — the attribute-disclosure
+    complement of q_k_anonymity's group-size rule. Emits the FULL
+    per-group audit with a violation flag (a violations-only form goes
+    empty once groups grow past l distinct bands, which would make the
+    driver row trivially green at scale). One map-combined
+    count-distinct exchange over a segments-x-nations-bounded output."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        )
+        .cast("long")
+        .alias("distinct_sensitive"),
+        F.when(
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+            )
+            < L_DIVERSITY,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("violates_l"),
+    )

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
+    brier_decomposition,
+    brier_oracle_sql,
     calibration_bins,
     calibration_oracle_sql,
     cuped_adjustment,
@@ -39,6 +41,10 @@ from celeborn_spark.operators.evaluation import (
     psi_oracle_sql,
     roc_auc,
     roc_auc_oracle_sql,
+    threshold_sweep,
+    threshold_sweep_oracle_sql,
+    ucb1_oracle_sql,
+    ucb1_scores,
     wasserstein_1d,
     wasserstein_oracle_sql,
 )
@@ -286,4 +292,75 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "purchase",
         "click",
+    )
+
+
+_IS_PURCHASE = "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+
+
+@query(
+    "q_brier_decomposition",
+    oracle=brier_oracle_sql(
+        "events", "value", _IS_PURCHASE, denom_cents=50000, n_bins=10
+    ),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the binned Brier score of value/500 as
+    a pseudo-probability of is-purchase: reliability (fixable by
+    recalibration) vs resolution (real discrimination) vs base-rate
+    uncertainty — the diagnosis BEHIND q_calibration_bins' ECE.
+    Exact-integer per-bin numerators, ordered-bin-window accumulation
+    (operators/evaluation.brier_decomposition)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return brier_decomposition(
+        events, "value", "label", denom_cents=50000, n_bins=10
+    )
+
+
+@query(
+    "q_threshold_sweep",
+    oracle=threshold_sweep_oracle_sql(
+        "events", "value", _IS_PURCHASE, denom_cents=50000, n_bins=10
+    ),
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix sweep: precision/recall/F1 of "value >= t
+    predicts purchase" at each of 10 threshold operating points — the
+    deployment-cutoff picker between the threshold-free grades
+    (q_roc_auc, q_pr_curve). All counts are exact-BIGINT suffix sums
+    of the score histogram; the metrics are single divisions, raw
+    (operators/evaluation.threshold_sweep)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return threshold_sweep(
+        events, "value", "label", denom_cents=50000, n_bins=10
+    )
+
+
+@query(
+    "q_ucb1_bandit",
+    oracle=ucb1_oracle_sql(
+        "events", "event_type", "value", reward_max_cents=50000
+    ),
+)
+def q_ucb1_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit scores per event-type arm from logged value
+    rewards (normalized to [0,1] by the 500 value cap): which variant
+    does an explore/exploit policy pull next? The bandit-side readout
+    of the experiment family (welch/CUPED fixed-horizon, SPRT
+    sequential). One map-combined aggregate; the mean is a single
+    exact division, the sqrt(2 ln N / n) bonus rounds 6dp
+    (operators/evaluation.ucb1_scores)."""
+    events = load_table(spark, sf_dir, "events")
+    return ucb1_scores(
+        events, "event_type", "value", reward_max_cents=50000
     )

@@ -1234,3 +1234,97 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cross_idx"),
         F.round("llr_final", 6).alias("llr_final"),
     )
+
+
+@query(
+    "q_log_rank",
+    oracle=stats_ops.log_rank_oracle_sql(
+        """SELECT CASE WHEN max(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) = 1
+                       THEN 1 ELSE 2 END AS g,
+                  date_diff('day', CAST(min(ts) AS DATE),
+                            CAST(max(ts) AS DATE)) AS t
+           FROM events GROUP BY user_id"""
+    ),
+)
+def q_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do users who ever purchased have a different
+    lifetime (first-to-last-event days) survival curve than users who
+    never did? The two-cohort comparison OVER q_survival_curve's
+    curve. At-risk counts come from the duration-histogram prefix, the
+    E/V terms accumulate over the ORDERED duration window, chi2 =
+    (O-E)^2/V rounds 6dp (operators/stats.log_rank_test)."""
+    ev = load_table(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.when(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1,
+            1,
+        )
+        .otherwise(2)
+        .alias("g"),
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("t"),
+    )
+    return stats_ops.log_rank_test(subj, "g", "t", 1, 2)
+
+
+@query(
+    "q_nelson_aalen",
+    oracle=stats_ops.nelson_aalen_oracle_sql(
+        """SELECT date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS t
+           FROM events GROUP BY user_id"""
+    ),
+)
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve of user lifetimes — the
+    hazard-space twin of q_survival_curve (H(t) = sum d/n over the
+    duration prefix; S ~= exp(-H)). Exact-integer hazard increments
+    accumulated over the ordered distinct-duration window, 6dp
+    (operators/stats.nelson_aalen)."""
+    ev = load_table(spark, sf_dir, "events")
+    durs = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("t")
+    )
+    return stats_ops.nelson_aalen(durs, "t")
+
+
+@query(
+    "q_mcnemar",
+    oracle=stats_ops.mcnemar_oracle_sql(
+        """SELECT max(CASE WHEN epoch_us(ts) <= mid_us THEN 1 ELSE 0 END) AS x,
+                  max(CASE WHEN epoch_us(ts) > mid_us THEN 1 ELSE 0 END) AS y
+           FROM events CROSS JOIN (
+               SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+               FROM events)
+           GROUP BY user_id"""
+    ),
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: of the SAME users, how many were active
+    only in the first half of the observation window (b) vs only in
+    the second (c), and is the churn/arrival asymmetry significant?
+    The paired complement of q_ab_test_welch. The midpoint is exact
+    integer microseconds ((min+max) div 2); b, c are one map-combined
+    aggregate; chi2 = (|b-c|-1)^2/(b+c) is a single division, raw
+    (operators/stats.mcnemar_test)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    mid = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    pairs = ev.crossJoin(F.broadcast(mid)).groupBy("user_id").agg(
+        F.max(F.when(F.col("us") <= F.col("mid_us"), 1).otherwise(0)).alias(
+            "x"
+        ),
+        F.max(F.when(F.col("us") > F.col("mid_us"), 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    return stats_ops.mcnemar_test(pairs, "x", "y")

@@ -1299,3 +1299,26 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+_RAKE_STOPWORDS = ("a", "the")
+
+
+@query(
+    "q_rake_keywords",
+    oracle=T.rake_oracle_sql(_RAKE_STOPWORDS, k=20),
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases split at stopword
+    boundaries, words scored degree/frequency (long-phrase
+    co-occurrence boosts degree) — the phrase-structure keyword signal
+    next to q_tfidf_topk (document frequency) and q_textrank_keywords
+    (graph centrality). Exact-integer deg/freq, single-division score,
+    rank on the 6dp-rounded score with word tiebreak, top-20
+    (operators/textops.rake_word_scores).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+, the oracle splits ' ' — identical on the
+    single-space-normalized testdata word streams."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.rake_word_scores(d, "text", _RAKE_STOPWORDS, k=20)
