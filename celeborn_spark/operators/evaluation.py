@@ -1502,3 +1502,85 @@ def ucb1_oracle_sql(
                AS ucb
     FROM per_arm CROSS JOIN tot
     """
+
+
+# --------------------------------------------------------------------------
+# Matthews correlation coefficient at a fixed threshold
+# --------------------------------------------------------------------------
+
+
+def mcc_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold_cents: int,
+) -> DataFrame:
+    """Matthews correlation coefficient of "score >= threshold"
+    against the binary label — the single-number confusion-matrix
+    grade that stays honest under class imbalance (accuracy and F1
+    ignore TN; MCC is the full fourfold point-correlation). The
+    companion scalar to `threshold_sweep`'s per-threshold table.
+    Output ONE row: (tp, fp, fn, tn, mcc).
+
+    Counts are exact BIGINTs from one map-combined aggregate; the
+    numerator tp*tn - fp*fn stays BIGINT; the denominator evaluates
+    as sqrt((tp+fp)*(tp+fn)) * sqrt((tn+fp)*(tn+fn)) — each factor's
+    product is exact BIGINT below 2^63 and sqrt/mult/div are
+    correctly-rounded IEEE ops, so mcc is bit-identical raw. NULL
+    when any marginal is empty (the coefficient is undefined)."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    lab = F.col(label_col).cast("long")
+    pred = (s >= F.lit(threshold_cents)).cast("long")
+    agg = df.agg(
+        F.sum(pred * lab).cast("long").alias("tp"),
+        F.sum(pred * (1 - lab)).cast("long").alias("fp"),
+        F.sum((1 - pred) * lab).cast("long").alias("fn"),
+        F.sum((1 - pred) * (1 - lab)).cast("long").alias("tn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (F.col("tp") + F.col("fp") > 0)
+            & (F.col("tp") + F.col("fn") > 0)
+            & (F.col("tn") + F.col("fp") > 0)
+            & (F.col("tn") + F.col("fn") > 0),
+            F.expr(
+                "CAST(tp * tn - fp * fn AS DOUBLE)"
+                " / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))"
+                "    * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE)))"
+            ),
+        ).alias("mcc"),
+    )
+
+
+def mcc_oracle_sql(
+    table: str, score_sql: str, label_sql: str, threshold_cents: int
+) -> str:
+    """DuckDB mirror of `mcc_at_threshold`: identical counts and
+    split-sqrt denominator text."""
+    return f"""
+    WITH binned AS (
+        SELECT CASE WHEN CAST(floor(({score_sql}) * 100) AS BIGINT)
+                         >= {threshold_cents} THEN 1 ELSE 0 END AS pred,
+               CAST({label_sql} AS BIGINT) AS lab
+        FROM {table}
+    ),
+    agg AS (
+        SELECT CAST(sum(pred * lab) AS BIGINT) AS tp,
+               CAST(sum(pred * (1 - lab)) AS BIGINT) AS fp,
+               CAST(sum((1 - pred) * lab) AS BIGINT) AS fn,
+               CAST(sum((1 - pred) * (1 - lab)) AS BIGINT) AS tn
+        FROM binned
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+                 AND tn + fp > 0 AND tn + fn > 0
+                THEN CAST(tp * tn - fp * fn AS DOUBLE)
+                     / (sqrt(CAST((tp + fp) * (tp + fn) AS DOUBLE))
+                        * sqrt(CAST((tn + fp) * (tn + fn) AS DOUBLE))) END
+               AS mcc
+    FROM agg
+    """

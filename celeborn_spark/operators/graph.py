@@ -1451,3 +1451,128 @@ def modularity_oracle_sql(edges_cte: str, labels_cte: str) -> str:
            round(sum(term), 6) AS modularity
     FROM terms GROUP BY m
     """
+
+
+def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
+    """(u, v) edges surviving ``rounds`` rounds of k-truss pruning
+    (repeatedly delete edges supported by fewer than k-2 triangles in
+    the CURRENT subgraph) — the edge-level density filter one notch
+    stricter than k-core (a k-core keeps a sparse hub-and-spoke; a
+    k-truss demands every edge sit in k-2 closed wedges, isolating
+    genuinely cohesive communities). Bounded rounds keep it
+    oracle-checkable, exactly like kcore(rounds=...).
+
+    ``edges`` must be canonical undirected (u < v, distinct). Per
+    round, triangles enumerate once from DEGREE-ORDERED orientation
+    (the triangle_counts plan: every out-neighborhood is O(sqrt(m)),
+    hub-safe where the naive canonical wedge join is quadratic on the
+    lowest-id hub) and each triangle credits its three CANONICAL
+    edges; the support join then prunes the edge relation. The edge
+    relation is localCheckpoint'ed per round (it feeds the degree agg,
+    both wedge sides, the closing join, and the prune — five
+    references), and the triangle relation too (three union lanes)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    e = edges.select("u", "v").localCheckpoint()
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ed = e.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
+            "u",
+        ).join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            "v",
+        )
+        fwd = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        o = ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        ).localCheckpoint()
+        w = (
+            o.alias("o1")
+            .join(o.alias("o2"), "s")
+            .filter(F.col("o1.t") < F.col("o2.t"))
+            .select(
+                F.col("s").alias("a"),
+                F.col("o1.t").alias("x"),
+                F.col("o2.t").alias("y"),
+            )
+        )
+        tri = w.join(
+            e.select(F.col("u").alias("x"), F.col("v").alias("y")),
+            ["x", "y"],
+        ).localCheckpoint()
+        sup = (
+            tri.select(
+                F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v")
+            )
+            .unionAll(
+                tri.select(
+                    F.least("a", "y").alias("u"),
+                    F.greatest("a", "y").alias("v"),
+                )
+            )
+            .unionAll(tri.select(F.col("x").alias("u"), F.col("y").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        e = (
+            e.join(sup.filter(F.col("support") >= k - 2), ["u", "v"], "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return e
+
+
+def ktruss_oracle_sql(k: int, rounds: int = 2, min_qty: int = 45) -> str:
+    """DuckDB mirror of `ktruss` over the supplier co-purchase graph:
+    the same fixed pruning rounds unrolled as MATERIALIZED CTEs (each
+    e{r}/tri{r} is referenced several times per round — DuckDB inlines
+    multi-referenced CTEs, the r7 MMR lesson). The oracle enumerates
+    triangles in canonical (x < y < z) order — a different enumeration
+    of the SAME triangle set as the engine's degree-ordered plan, so
+    the per-edge support counts agree exactly."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= {min_qty} AND b.l_quantity >= {min_qty}
+    )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""tri{r} AS MATERIALIZED (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e{r} a
+        JOIN e{r} b ON a.u = b.u AND a.v < b.v
+        JOIN e{r} c ON c.u = a.v AND c.v = b.v
+    ),
+    sup{r} AS MATERIALIZED (
+        SELECT u, v, count(*) AS support FROM (
+            SELECT x AS u, y AS v FROM tri{r}
+            UNION ALL SELECT x, z FROM tri{r}
+            UNION ALL SELECT y, z FROM tri{r}
+        ) GROUP BY 1, 2
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r} e
+        JOIN sup{r} s ON s.u = e.u AND s.v = e.v
+        WHERE s.support >= {k - 2}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT u, v FROM e{rounds}
+    """
+    )

@@ -2573,3 +2573,457 @@ def mcnemar_oracle_sql(pairs_sql: str) -> str:
                      / (b_disc + c_disc) END AS chi2
     FROM agg
     """
+
+
+def cohens_kappa(df: DataFrame, r1_col: str, r2_col: str) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two binary
+    raters over the same items — "do these two labeling rules agree
+    beyond what their marginals force?", the inter-annotator/-heuristic
+    QA gate for labeled training data. Output ONE row:
+    (n, both_pos, r1_only, r2_only, both_neg, kappa).
+
+    All-integer algebra: with confusion counts a,b,c,d,
+        kappa = (N*(a+d) - [(a+b)*(a+c) + (c+d)*(b+d)])
+              / (N*N     - [(a+b)*(a+c) + (c+d)*(b+d)])
+    — the po/pe form cleared of denominators, so kappa is a SINGLE
+    division of exact BIGINTs (raw, bit-identical). NULL when the
+    denominator is 0 (a degenerate rater with no variation makes
+    chance agreement total)."""
+    r1 = F.col(r1_col).cast("long")
+    r2 = F.col(r2_col).cast("long")
+    agg = df.agg(
+        F.sum(r1 * r2).cast("long").alias("a"),
+        F.sum(r1 * (1 - r2)).cast("long").alias("b"),
+        F.sum((1 - r1) * r2).cast("long").alias("c"),
+        F.sum((1 - r1) * (1 - r2)).cast("long").alias("d"),
+    )
+    return agg.select(
+        F.expr("a + b + c + d").alias("n"),
+        F.col("a").alias("both_pos"),
+        F.col("b").alias("r1_only"),
+        F.col("c").alias("r2_only"),
+        F.col("d").alias("both_neg"),
+        F.expr(
+            "CASE WHEN (a + b + c + d) * (a + b + c + d)"
+            " - ((a + b) * (a + c) + (c + d) * (b + d)) <> 0"
+            " THEN CAST((a + b + c + d) * (a + d)"
+            "   - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)"
+            " / ((a + b + c + d) * (a + b + c + d)"
+            "   - ((a + b) * (a + c) + (c + d) * (b + d))) END"
+        ).alias("kappa"),
+    )
+
+
+def cohens_kappa_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of `cohens_kappa` over ``pairs_sql`` yielding
+    binary (r1, r2) per item — identical cleared-denominator text."""
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    agg AS (
+        SELECT CAST(sum(r1 * r2) AS BIGINT) AS a,
+               CAST(sum(r1 * (1 - r2)) AS BIGINT) AS b,
+               CAST(sum((1 - r1) * r2) AS BIGINT) AS c,
+               CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS d
+        FROM pairs
+    )
+    SELECT a + b + c + d AS n,
+           a AS both_pos, b AS r1_only, c AS r2_only, d AS both_neg,
+           CASE WHEN (a + b + c + d) * (a + b + c + d)
+                     - ((a + b) * (a + c) + (c + d) * (b + d)) <> 0
+                THEN CAST((a + b + c + d) * (a + d)
+                          - ((a + b) * (a + c) + (c + d) * (b + d))
+                          AS DOUBLE)
+                     / ((a + b + c + d) * (a + b + c + d)
+                        - ((a + b) * (a + c) + (c + d) * (b + d))) END
+               AS kappa
+    FROM agg
+    """
+
+
+def runs_test(df: DataFrame, day_col: str, metric_col: str, dp: int = 6) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of a daily metric's
+    above/below-median sign sequence — "is daily revenue drifting or
+    oscillating rather than fluctuating randomly?", the
+    no-parametric-model randomness gate next to the change-point
+    detectors (CUSUM finds WHERE it broke; the runs test asks IF the
+    sequence is exchangeable at all). Output ONE row:
+    (n_above, n_below, n_runs, z).
+
+    The median is the lower median of the DAY-METRIC HISTOGRAM
+    (exact-integer cumulative counts, the weighted_median rule);
+    median-equal days are excluded (standard). Runs count via one
+    lag() over the day order; z's mu/sigma are the textbook exact
+    forms evaluated as one identical-text chain, rounded dp. NULL z
+    when either side is empty or fewer than 2 days remain.
+
+    Scale shape: one day-grid aggregate; every window runs on the
+    calendar-bounded day relation."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
+        .localCheckpoint()  # feeds the median histogram AND the walk
+    )
+    hist = daily.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
+    med = (
+        hist.select(
+            "m",
+            F.sum("c").over(wcum).alias("cw"),
+            F.sum("c").over(W.partitionBy()).alias("tw"),
+        )
+        .groupBy()
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("m"))).alias(
+                "med"
+            )
+        )
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("m") != F.col("med"))
+        .select(
+            "day", (F.col("m") > F.col("med")).cast("long").alias("sgn")
+        )
+    )
+    wday = W.orderBy("day")
+    runs = signs.withColumn("prev", F.lag("sgn").over(wday)).agg(
+        F.sum("sgn").cast("long").alias("n1"),
+        F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+        (
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("prev") != F.col("sgn")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    return runs.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1),
+            F.round(
+                F.expr(
+                    "(r - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))"
+                    " / sqrt(CAST(2 * n1 * n2 AS DOUBLE)"
+                    "        * (2 * n1 * n2 - n1 - n2)"
+                    "        / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)"
+                    "           * (n1 + n2 - 1)))"
+                ),
+                dp,
+            ),
+        ).alias("z"),
+    )
+
+
+def runs_test_oracle_sql(daily_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `runs_test`. ``daily_sql`` yields (day, m)."""
+    return f"""
+    WITH daily AS ({daily_sql}),
+    hist AS (SELECT m, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY 1),
+    cum AS (
+        SELECT m,
+               sum(c) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               sum(c) OVER () AS tw
+        FROM hist
+    ),
+    med AS (SELECT min(CASE WHEN 2 * cw >= tw THEN m END) AS med FROM cum),
+    signs AS (
+        SELECT day, CASE WHEN m > med THEN 1 ELSE 0 END AS sgn
+        FROM daily CROSS JOIN med
+        WHERE m <> med
+    ),
+    lagged AS (
+        SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM signs
+    ),
+    agg AS (
+        SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+               CAST(sum(1 - sgn) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r
+        FROM lagged
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+                THEN round(
+                    (r - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+                    / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                           * (2 * n1 * n2 - n1 - n2)
+                           / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                              * (n1 + n2 - 1))), {dp}) END AS z
+    FROM agg
+    """
+
+
+def brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str, dp: int = 6
+) -> DataFrame:
+    """Brown-Forsythe variance-equality test (Levene with group
+    MEDIANS): are the groups' spreads equal? — the assumption check
+    BEFORE reaching for mean-comparison tests (welch relaxes equal
+    variance; this measures whether variances differ at all, robustly
+    via |x - median|). Requires an integer-valued value column so the
+    absolute deviations stay exact. Output ONE row:
+    (k_groups, n, f_stat).
+
+    Group medians are lower medians of per-group VALUE HISTOGRAMS
+    (exact-integer cumulative counts); deviations z = |v - med| are
+    exact BIGINTs, so the sums of squares reduce to single divisions
+    of exact integers accumulated over the ORDERED group window
+    (k-bounded):
+        SSB = sum_i S_i^2/n_i - S^2/N,  SSW = sum z^2 - sum_i S_i^2/n_i
+        F = (SSB / (k-1)) / (SSW / (N-k))
+    rounded dp; NULL when k < 2 or SSW = 0 (all deviations constant
+    within groups).
+
+    Scale shape: one (group, value) histogram aggregate; medians and
+    walks run on histogram-bounded relations; the deviation aggregate
+    map-combines."""
+    from pyspark.sql import Window as W
+
+    hist = df.groupBy(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint()
+    wcum = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    meds = (
+        hist.select(
+            "g",
+            "v",
+            F.sum("c").over(wcum).alias("cw"),
+            F.sum("c").over(W.partitionBy("g")).alias("tw"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "med"
+            )
+        )
+    )
+    devs = (
+        hist.join(meds, "g")
+        .select("g", F.abs(F.col("v") - F.col("med")).alias("z"), "c")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("z") * F.col("c")).cast("long").alias("s"),
+            F.sum(F.col("z") * F.col("z") * F.col("c"))
+            .cast("long")
+            .alias("q"),
+            F.sum("c").cast("long").alias("n_g"),
+        )
+    )
+    wg = W.orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    walked = (
+        devs.withColumn(
+            "cum_sb", F.sum(F.expr("CAST(s * s AS DOUBLE) / n_g")).over(wg)
+        )
+        .withColumn("cum_s", F.sum("s").over(wg))
+        .withColumn("cum_q", F.sum("q").over(wg))
+        .withColumn("cum_n", F.sum("n_g").over(wg))
+        .withColumn("k", F.count(F.lit(1)).over(wg))
+        .withColumn("k_tot", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    return walked.filter(F.col("k") == F.col("k_tot")).select(
+        F.col("k_tot").cast("long").alias("k_groups"),
+        F.col("cum_n").cast("long").alias("n"),
+        F.when(
+            (F.col("k_tot") > 1)
+            & (
+                F.expr("cum_q - cum_sb")
+                > 0
+            ),
+            F.round(
+                F.expr(
+                    "((cum_sb - CAST(cum_s * cum_s AS DOUBLE) / cum_n)"
+                    " / (k_tot - 1))"
+                    " / ((cum_q - cum_sb) / (cum_n - k_tot))"
+                ),
+                dp,
+            ),
+        ).alias("f_stat"),
+    )
+
+
+def brown_forsythe_oracle_sql(
+    table: str, group_sql: str, value_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `brown_forsythe`: identical histogram medians,
+    exact deviation sums, and ordered-group walk."""
+    return f"""
+    WITH hist AS (
+        SELECT {group_sql} AS g, CAST({value_sql} AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, v, c,
+               sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(c) OVER (PARTITION BY g) AS tw
+        FROM hist
+    ),
+    meds AS (
+        SELECT g, min(CASE WHEN 2 * cw >= tw THEN v END) AS med
+        FROM cum GROUP BY g
+    ),
+    devs AS (
+        SELECT h.g,
+               CAST(sum(abs(h.v - m.med) * h.c) AS BIGINT) AS s,
+               CAST(sum(abs(h.v - m.med) * abs(h.v - m.med) * h.c)
+                    AS BIGINT) AS q,
+               CAST(sum(h.c) AS BIGINT) AS n_g
+        FROM hist h JOIN meds m ON h.g = m.g
+        GROUP BY h.g
+    ),
+    walked AS (
+        SELECT g,
+               sum(CAST(s * s AS DOUBLE) / n_g) OVER w AS cum_sb,
+               sum(s) OVER w AS cum_s,
+               sum(q) OVER w AS cum_q,
+               sum(n_g) OVER w AS cum_n,
+               count(*) OVER w AS k,
+               count(*) OVER () AS k_tot
+        FROM devs
+        WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(k_tot AS BIGINT) AS k_groups,
+           CAST(cum_n AS BIGINT) AS n,
+           CASE WHEN k_tot > 1 AND cum_q - cum_sb > 0
+                THEN round(
+                    ((cum_sb - CAST(cum_s * cum_s AS DOUBLE) / cum_n)
+                     / (k_tot - 1))
+                    / ((cum_q - cum_sb) / (cum_n - k_tot)), {dp}) END
+               AS f_stat
+    FROM walked WHERE k = k_tot
+    """
+
+
+def interevent_exponential(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Exponential fit + memorylessness diagnostics of inter-event
+    gaps: MLE rate lambda = n/sum(gaps), the coefficient of variation
+    (exactly 1 for a Poisson process; > 1 bursty, < 1 regular — the
+    corpus-level twin of q_fano_burstiness's per-hour counts), and
+    median/mean (ln 2 ~ 0.693 under exponentiality). Output ONE row:
+    (n_gaps, mean_gap_s, lambda_per_s, cv, median_over_mean).
+
+    Gaps are exact BIGINT SECONDS (floor of the microsecond lag —
+    micro-grain second moments would overflow int64, which DuckDB
+    silently promotes to INT128 while Spark's ANSI mode raises; the
+    second grain keeps both engines in exact BIGINT with the
+    documented bound sum(gap_s)*max(gap_s) < 2^63, the Jarque-Bera /
+    W1 power-sum discipline) from ONE lag() over (user, ts, id) — the
+    session-paths deterministic-order rule. lambda, mean and
+    median/mean are single divisions of exact integers (raw); cv
+    routes through sqrt of a power-sum chain, rounded dp. The median
+    is the lower median of the GAP HISTOGRAM.
+
+    Scale shape: one user-keyed window pass over the event mass, then
+    a histogram aggregate; nothing row-sorts globally."""
+    from pyspark.sql import Window as W
+
+    gaps = (
+        df.select(
+            F.col(user_col),
+            F.col(id_col),
+            F.unix_micros(F.col(ts_col)).alias("us"),
+        )
+        .withColumn("prev", F.lag("us").over(
+            W.partitionBy(user_col).orderBy(F.col("us"), F.col(id_col))
+        ))
+        .filter(F.col("prev").isNotNull())
+        .select(F.expr("(us - prev) div 1000000").alias("gap"))
+        .localCheckpoint()  # feeds the moment aggregate AND the histogram
+    )
+    mom = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap").cast("long").alias("sx"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sxx"),
+    )
+    hist = gaps.groupBy("gap").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = W.orderBy("gap").rowsBetween(W.unboundedPreceding, 0)
+    med = (
+        hist.select(
+            "gap",
+            F.sum("c").over(wcum).alias("cw"),
+            F.sum("c").over(W.partitionBy()).alias("tw"),
+        )
+        .groupBy()
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("gap"))
+            ).alias("med_s")
+        )
+    )
+    return mom.crossJoin(F.broadcast(med)).select(
+        F.col("n").alias("n_gaps"),
+        F.expr("CAST(sx AS DOUBLE) / n").alias("mean_gap_s"),
+        F.expr("CAST(n AS DOUBLE) / sx").alias("lambda_per_s"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.expr(
+                    "sqrt((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
+                    " / (CAST(sx AS DOUBLE) / n)"
+                ),
+                dp,
+            ),
+        ).alias("cv"),
+        F.expr("CAST(med_s * n AS DOUBLE) / sx").alias("median_over_mean"),
+    )
+
+
+def interevent_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `interevent_exponential` over the events
+    table: identical lag, moments, histogram median, and formula
+    text."""
+    return f"""
+    WITH gaps AS (
+        SELECT (us - prev) // 1000000 AS gap FROM (
+            SELECT epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev
+            FROM events
+        ) WHERE prev IS NOT NULL
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(gap) AS BIGINT) AS sx,
+               CAST(sum(gap * gap) AS BIGINT) AS sxx
+        FROM gaps
+    ),
+    hist AS (SELECT gap, CAST(count(*) AS BIGINT) AS c FROM gaps GROUP BY 1),
+    cum AS (
+        SELECT gap,
+               sum(c) OVER (ORDER BY gap ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               sum(c) OVER () AS tw
+        FROM hist
+    ),
+    med AS (
+        SELECT min(CASE WHEN 2 * cw >= tw THEN gap END) AS med_s FROM cum
+    )
+    SELECT n AS n_gaps,
+           CAST(sx AS DOUBLE) / n AS mean_gap_s,
+           CAST(n AS DOUBLE) / sx AS lambda_per_s,
+           CASE WHEN n > 1
+                THEN round(sqrt((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))
+                           / (CAST(sx AS DOUBLE) / n), {dp}) END AS cv,
+           CAST(med_s * n AS DOUBLE) / sx AS median_over_mean
+    FROM mom CROSS JOIN med
+    """

@@ -1325,3 +1325,259 @@ def rake_oracle_sql(
     QUALIFY row_number() OVER (
         ORDER BY round(CAST(deg AS DOUBLE) / freq, {dp}) DESC, word) <= {k}
     """
+
+
+def good_turing(
+    docs: DataFrame, text_col: str, dp: int = 6
+) -> DataFrame:
+    """Good-Turing frequency smoothing over the corpus unigram counts:
+    for each observed frequency r, the count-of-counts N_r and the
+    smoothed estimate r* = (r+1) * N_{r+1} / N_r — the
+    unseen-mass/discounting table behind every n-gram LM (the engine's
+    q_bigram_lm_score uses fixed add-one smoothing; this measures what
+    the data says the discount SHOULD be). Also emits p_unseen =
+    N_1 / total-token-mass (the leave-one-out probability of a novel
+    token) on every row. Output per distinct r:
+    (r, n_r, r_star, p_unseen).
+
+    r* is a single division of exact BIGINTs ((r+1)*N_{r+1} exact),
+    raw; NULL where no tokens of frequency r+1 exist (the classic GT
+    gap — smoothing those needs a fitted S(r), out of scope). N_{r+1}
+    comes from lead() over the count-of-counts ordered by r, matched
+    only when the next row IS r+1.
+
+    Scale shape: token aggregate -> frequency histogram (vocab-sized)
+    -> count-of-counts (tiny); windows only ever see the
+    count-of-counts relation."""
+    from pyspark.sql.window import Window as WW
+
+    tok_counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    coc = tok_counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    p0 = coc.agg(
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("mass"),
+    ).select(F.expr("CAST(n_1 AS DOUBLE) / mass").alias("p_unseen"))
+    w = WW.orderBy("r")
+    return (
+        coc.withColumn("next_r", F.lead("r").over(w))
+        .withColumn("next_n", F.lead("n_r").over(w))
+        .crossJoin(F.broadcast(p0))
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("next_r") == F.col("r") + 1,
+                F.expr("CAST((r + 1) * next_n AS DOUBLE) / n_r"),
+            ).alias("r_star"),
+            "p_unseen",
+        )
+    )
+
+
+def good_turing_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `good_turing` over the documents table."""
+    return """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY 1),
+    coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY 1),
+    led AS (
+        SELECT r, n_r,
+               lead(r) OVER (ORDER BY r) AS next_r,
+               lead(n_r) OVER (ORDER BY r) AS next_n
+        FROM coc
+    ),
+    p0 AS (
+        SELECT CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS DOUBLE)
+                   / sum(r * n_r) AS p_unseen
+        FROM coc
+    )
+    SELECT r, n_r,
+           CASE WHEN next_r = r + 1
+                THEN CAST((r + 1) * next_n AS DOUBLE) / n_r END AS r_star,
+           p_unseen
+    FROM led CROSS JOIN p0
+    """
+
+
+def burrows_delta(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str,
+    m: int = 20,
+    dp: int = 6,
+) -> DataFrame:
+    """Burrows' Delta stylometric deviation per source: z-score each
+    source's relative frequency of the corpus's top-``m`` tokens
+    against the across-source mean/sd, then average |z| — the
+    authorship/provenance drift score ("which source writes most
+    unlike the rest of the corpus?") next to q_facet_mutual_information
+    (categorical association) and q_hellinger_langmix (distribution
+    distance). Output one row per source: (source, m_eff, delta).
+
+    Engine-parity discipline: relative frequencies are single
+    divisions of exact BIGINTs; the across-source mean/var and the
+    per-source |z| average accumulate over ORDERED windows (source
+    order within token, token order within source — sequential in
+    both engines, the pettitt walk rule); sd uses the population form
+    sqrt(sum_f2/S - mu*mu) (deterministic chain). Zero-variance
+    tokens (identical relative frequency everywhere) drop out of the
+    average; m_eff counts the survivors, delta rounds dp.
+
+    Scale shape: one token aggregate (vocab-bounded), top-m cut by
+    (count, token) rank, then everything runs on the m x n_sources
+    grid — row mass shuffles once."""
+    from pyspark.sql.window import Window as WW
+
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = tok.groupBy("src", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()  # feeds totals, top-m, and the grid
+    totals = counts.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    topm = (
+        counts.groupBy("tok")
+        .agg(F.sum("c").cast("long").alias("corpus_c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                WW.orderBy(F.col("corpus_c").desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("rn") <= m)
+        .select("tok")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(topm))
+        .join(counts, ["src", "tok"], "left")
+        .select(
+            "src",
+            "tok",
+            "tot",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+        .withColumn("f", F.expr("CAST(c AS DOUBLE) / tot"))
+    )
+    wtok = (
+        WW.partitionBy("tok")
+        .orderBy("src")
+        .rowsBetween(WW.unboundedPreceding, 0)
+    )
+    n_src = totals.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    stats = (
+        grid.withColumn("cum_f", F.sum("f").over(wtok))
+        .withColumn("cum_f2", F.sum(F.col("f") * F.col("f")).over(wtok))
+        .withColumn(
+            "rn", F.row_number().over(WW.partitionBy("tok").orderBy("src"))
+        )
+        .crossJoin(F.broadcast(n_src))
+        .filter(F.col("rn") == F.col("s"))
+        .select(
+            F.col("tok").alias("tok_s"),
+            F.expr("cum_f / s").alias("mu"),
+            F.expr("sqrt(cum_f2 / s - (cum_f / s) * (cum_f / s))").alias(
+                "sd"
+            ),
+        )
+    )
+    z = (
+        grid.join(stats, grid["tok"] == stats["tok_s"])
+        .filter(F.col("sd") > 0)
+        .select(
+            "src", "tok", F.expr("abs((f - mu) / sd)").alias("abs_z")
+        )
+    )
+    wsrc = (
+        WW.partitionBy("src")
+        .orderBy("tok")
+        .rowsBetween(WW.unboundedPreceding, 0)
+    )
+    walked = (
+        z.withColumn("cum_z", F.sum("abs_z").over(wsrc))
+        .withColumn(
+            "rn", F.row_number().over(WW.partitionBy("src").orderBy("tok"))
+        )
+        .withColumn(
+            "m_eff",
+            F.count(F.lit(1)).over(WW.partitionBy("src")),
+        )
+    )
+    return walked.filter(F.col("rn") == F.col("m_eff")).select(
+        F.col("src").alias("source"),
+        F.col("m_eff").cast("long").alias("m_eff"),
+        F.round(F.expr("cum_z / m_eff"), dp).alias("delta"),
+    )
+
+
+def burrows_oracle_sql(m: int = 20, dp: int = 6) -> str:
+    """DuckDB mirror of `burrows_delta` over the documents table:
+    identical top-m cut, grid, ordered-window statistics, and walks."""
+    return f"""
+    WITH tok AS (
+        SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    counts AS (
+        SELECT src, tok, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    totals AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot
+               FROM counts GROUP BY 1),
+    topm AS (
+        SELECT tok FROM (
+            SELECT tok,
+                   row_number() OVER (ORDER BY sum(c) DESC, tok) AS rn
+            FROM counts GROUP BY tok
+        ) WHERE rn <= {m}
+    ),
+    grid AS (
+        SELECT t.src, p.tok, t.tot,
+               CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+               CAST(coalesce(c.c, 0) AS DOUBLE) / t.tot AS f
+        FROM totals t CROSS JOIN topm p
+        LEFT JOIN counts c ON c.src = t.src AND c.tok = p.tok
+    ),
+    n_src AS (SELECT CAST(count(*) AS BIGINT) AS s FROM totals),
+    walked_tok AS (
+        SELECT tok, f, s,
+               sum(f) OVER w AS cum_f,
+               sum(f * f) OVER w AS cum_f2,
+               row_number() OVER (PARTITION BY tok ORDER BY src) AS rn
+        FROM grid CROSS JOIN n_src
+        WINDOW w AS (PARTITION BY tok ORDER BY src
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stats AS (
+        SELECT tok AS tok_s, cum_f / s AS mu,
+               sqrt(cum_f2 / s - (cum_f / s) * (cum_f / s)) AS sd
+        FROM walked_tok WHERE rn = s
+    ),
+    z AS (
+        SELECT g.src, g.tok, abs((g.f - st.mu) / st.sd) AS abs_z
+        FROM grid g JOIN stats st ON g.tok = st.tok_s
+        WHERE st.sd > 0
+    ),
+    walked_src AS (
+        SELECT src, tok,
+               sum(abs_z) OVER w AS cum_z,
+               row_number() OVER (PARTITION BY src ORDER BY tok) AS rn,
+               count(*) OVER (PARTITION BY src) AS m_eff
+        FROM z
+        WINDOW w AS (PARTITION BY src ORDER BY tok
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT src AS source, CAST(m_eff AS BIGINT) AS m_eff,
+           round(cum_z / m_eff, {dp}) AS delta
+    FROM walked_src WHERE rn = m_eff
+    """

@@ -33,6 +33,8 @@ from celeborn_spark.operators.evaluation import (
     hellinger_oracle_sql,
     hodges_lehmann_oracle_sql,
     hodges_lehmann_shift,
+    mcc_at_threshold,
+    mcc_oracle_sql,
     pettitt_changepoint,
     pettitt_oracle_sql,
     pr_curve,
@@ -363,4 +365,27 @@ def q_ucb1_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return ucb1_scores(
         events, "event_type", "value", reward_max_cents=50000
+    )
+
+
+@query(
+    "q_mcc",
+    oracle=mcc_oracle_sql(
+        "events", "value", _IS_PURCHASE, threshold_cents=25000
+    ),
+)
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of "value >= 250 predicts purchase" — the
+    imbalance-honest single-number confusion grade next to
+    q_threshold_sweep's per-threshold table. Exact-BIGINT counts, the
+    split-sqrt denominator keeps every product under 2^63, raw
+    (operators/evaluation.mcc_at_threshold)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return mcc_at_threshold(
+        events, "value", "label", threshold_cents=25000
     )

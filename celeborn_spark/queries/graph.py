@@ -634,3 +634,19 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phi"),
         )
     )
+
+
+@query("q_ktruss", oracle=graph_ops.ktruss_oracle_sql(k=4, rounds=2, min_qty=45))
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the supplier co-purchase graph (edges surviving 2
+    rounds of support-< 2 pruning): the edge-level cohesion filter one
+    notch stricter than q_kcore — an edge survives only inside >= 2
+    triangles of the CURRENT subgraph, so hub-and-spoke noise peels
+    away. Per round: degree-ordered triangle enumeration (the
+    q_triangle_count plan, hub-safe) + one support aggregate + a
+    semi-join prune; edge/triangle relations localCheckpoint at their
+    multi-reference points (operators/graph.ktruss)."""
+    from celeborn_spark.operators.graph import copurchase_edges, ktruss
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return ktruss(copurchase_edges(lineitem, min_qty=45), k=4, rounds=2)

@@ -1328,3 +1328,73 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return stats_ops.mcnemar_test(pairs, "x", "y")
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=stats_ops.cohens_kappa_oracle_sql(
+        """SELECT CASE WHEN o_totalprice >= 250000 THEN 1 ELSE 0 END AS r1,
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END AS r2
+           FROM orders"""
+    ),
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two order-labeling heuristics (high-value
+    = totalprice >= 250k vs high-priority = URGENT/HIGH): do the rules
+    agree beyond their marginals? The inter-annotator QA gate for
+    labeled data. Cleared-denominator all-BIGINT form, ONE division,
+    raw (operators/stats.cohens_kappa)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") >= 250000, 1).otherwise(0).alias("r1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("r2"),
+    )
+    return stats_ops.cohens_kappa(o, "r1", "r2")
+
+
+@query(
+    "q_runs_test",
+    oracle=stats_ops.runs_test_oracle_sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events WHERE event_type = 'purchase' GROUP BY 1"""
+    ),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily purchase revenue's
+    above/below-median sign sequence: is the series exchangeable, or
+    does it drift/oscillate? The randomness gate BEFORE the
+    change-point detectors (q_cusum_changepoint, q_pettitt_changepoint
+    ask WHERE it broke; this asks IF). Histogram lower-median, one
+    lag() over the day grid, exact-integer z chain 6dp
+    (operators/stats.runs_test)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return stats_ops.runs_test(events, "day", "cents")
+
+
+@query(
+    "q_brown_forsythe",
+    oracle=stats_ops.brown_forsythe_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity"
+    ),
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-equality test across return-flag groups
+    of order quantities — the robust (median-based Levene) spread
+    check that gates mean-comparison tests (q_ab_test_welch relaxes
+    equal variance; this measures whether spreads differ at all).
+    Histogram group medians, exact-BIGINT deviation sums, ordered
+    group walk, F 6dp (operators/stats.brown_forsythe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.brown_forsythe(li, "l_returnflag", "l_quantity")

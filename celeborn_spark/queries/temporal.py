@@ -16,7 +16,10 @@ from celeborn_spark.operators.resample import (
     merge_intervals,
     merge_intervals_oracle_sql,
 )
-from celeborn_spark.operators.stats import wilson_oracle_sql
+from celeborn_spark.operators.stats import (
+    interevent_oracle_sql,
+    wilson_oracle_sql,
+)
 from celeborn_spark.operators.asof import (
     asof_join,
     bucketed_range_self_join,
@@ -1382,3 +1385,20 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "q_interevent_exponential",
+    oracle=interevent_oracle_sql(),
+)
+def q_interevent_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential fit + memorylessness diagnostics of per-user
+    inter-event gaps: MLE rate, coefficient of variation (1 under a
+    Poisson process; the corpus-level twin of q_fano_burstiness), and
+    median/mean (ln 2 under exponentiality). Second-grain exact-BIGINT
+    gaps from one (user, ts, id)-ordered lag, histogram lower-median,
+    single-division readouts (operators/stats.interevent_exponential)."""
+    from celeborn_spark.operators.stats import interevent_exponential
+
+    ev = load_table(spark, sf_dir, "events")
+    return interevent_exponential(ev, "user_id", "ts", "event_id")

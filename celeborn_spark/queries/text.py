@@ -1322,3 +1322,34 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-space-normalized testdata word streams."""
     d = load_table(spark, sf_dir, "documents")
     return T.rake_word_scores(d, "text", _RAKE_STOPWORDS, k=20)
+
+
+@query("q_good_turing", oracle=T.good_turing_oracle_sql())
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing smoothing table over the corpus unigram counts:
+    count-of-counts N_r, smoothed r* = (r+1)N_{r+1}/N_r, and the
+    unseen-token mass N_1/total — what the data says an n-gram LM's
+    discount SHOULD be (q_bigram_lm_score hard-codes add-one). All
+    exact-BIGINT single divisions over the count-of-counts relation
+    (operators/textops.good_turing).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.good_turing(d, "text")
+
+
+@query("q_burrows_delta", oracle=T.burrows_oracle_sql(m=20))
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric deviation per source: mean |z| of
+    each source's top-20-token relative frequencies against the
+    across-source profile — "which source writes most unlike the
+    corpus", the provenance-drift signal next to
+    q_facet_mutual_information and q_hellinger_langmix. Exact-integer
+    frequencies; every multi-double accumulation rides an ORDERED
+    window (source within token, token within source)
+    (operators/textops.burrows_delta).
+
+    Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.burrows_delta(d, "text", "source", m=20)
