@@ -1328,6 +1328,7 @@ def threshold_sweep(
             F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
             F.coalesce("pos", F.lit(0)).cast("long").alias("pos"),
         )
+        .localCheckpoint()  # feeds the totals AND the threshold rows
     )
     tot = grid.agg(
         F.sum("n_b").cast("long").alias("n_tot"),
@@ -1451,10 +1452,11 @@ def ucb1_scores(
     Scale shape: ONE map-combined aggregate over the event mass;
     the total rides a 1-row broadcast."""
     cents = F.floor(F.col(reward_col) * 100).cast("long")
+    # per_arm feeds the total AND the output rows — checkpoint
     per_arm = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pulls"),
         F.sum(cents).cast("long").alias("cents"),
-    )
+    ).localCheckpoint()
     tot = per_arm.agg(F.sum("n_pulls").cast("long").alias("n_tot"))
     m = reward_max_cents
     return (

@@ -2366,10 +2366,13 @@ def log_rank_test(
     from pyspark.sql import Window as W
 
     g = F.col(group_col)
+    # durs feeds the totals aggregate AND the window chain — checkpoint
+    # the duration histogram so subject mass scans once (the
+    # localCheckpoint-inputs rule)
     durs = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("d1"),
         F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("d2"),
-    )
+    ).localCheckpoint()
     tot = durs.agg(
         F.sum("d1").cast("long").alias("n1_tot"),
         F.sum("d2").cast("long").alias("n2_tot"),
@@ -2484,9 +2487,10 @@ def nelson_aalen(df: DataFrame, duration_col: str, dp: int = 6) -> DataFrame:
     windows only."""
     from pyspark.sql import Window as W
 
+    # the duration histogram feeds the total AND the walk — checkpoint
     durs = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
-    )
+    ).localCheckpoint()
     total = durs.agg(F.sum("d").alias("total"))
     w = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
     cur = (

@@ -1356,9 +1356,11 @@ def good_turing(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("r"))
     )
+    # the count-of-counts feeds p0 AND the lead chain — checkpoint so
+    # the token mass aggregates once
     coc = tok_counts.groupBy("r").agg(
         F.count(F.lit(1)).cast("long").alias("n_r")
-    )
+    ).localCheckpoint()
     p0 = coc.agg(
         F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
         .cast("long")
@@ -1468,6 +1470,7 @@ def burrows_delta(
             F.coalesce("c", F.lit(0)).cast("long").alias("c"),
         )
         .withColumn("f", F.expr("CAST(c AS DOUBLE) / tot"))
+        .localCheckpoint()  # feeds the across-source stats AND the z join
     )
     wtok = (
         WW.partitionBy("tok")

@@ -1313,9 +1313,11 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds ((min+max) div 2); b, c are one map-combined
     aggregate; chi2 = (|b-c|-1)^2/(b+c) is a single division, raw
     (operators/stats.mcnemar_test)."""
+    # ev feeds the midpoint aggregate AND the pairs groupBy —
+    # checkpoint the 2-column projection so events scan once
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("us")
-    )
+    ).localCheckpoint()
     mid = ev.agg(
         F.expr("(min(us) + max(us)) div 2").alias("mid_us")
     )

@@ -200,6 +200,54 @@ CASES_BATCH5 = [
     ("q_rich_club", ["lineitem"]),
 ]
 
+# Batch 7/8 (run with --batch7): the survival/eval/agreement/keyword
+# closers. Shifted user_id means the log-rank/Nelson-Aalen duration
+# histograms stay calendar-bounded while subjects multiply (~flat
+# windows over distinct durations); the Brier/threshold/MCC/UCB1
+# score histograms are fixed-bin (~flat); RAKE/Good-Turing/Burrows
+# token scans are ~linear in the remapped token mass (vocabulary
+# grows with the r{i}_ prefix remap, keeping per-replica phrase
+# structure intact); k-truss edges grow linearly in disjoint
+# replicas (per-replica triangle structure unchanged); the
+# inter-event lag is one user-keyed window pass (~linear).
+# Batch-7/8 run (same conditions; idle host, min of 2 reps):
+#   q_log_rank            1x 0.68  8x 0.69  32x  0.67  exp -0.02
+#   q_nelson_aalen        1x 0.43  8x 0.37  32x  0.60  exp  0.35
+#   q_mcnemar             1x 0.30  8x 0.30  32x  0.32  exp  0.04
+#   q_brier_decomposition 1x 0.50  8x 0.51  32x  0.61  exp  0.14
+#   q_threshold_sweep     1x 0.64  8x 0.50  32x  0.55  exp  0.06
+#   q_ucb1_bandit         1x 0.43  8x 0.38  32x  0.42  exp  0.06
+#   q_rake_keywords       1x 1.05  8x 4.83  32x 10.11  exp  0.53
+#   q_good_turing         1x 3.61  8x 3.20  32x  4.73  exp  0.28
+#   q_burrows_delta       1x 5.60  8x 5.50  32x  6.58  exp  0.13
+#   q_ktruss              1x 7.79  8x 7.29  32x 16.19  exp  0.58
+#   q_cohens_kappa        1x 1.77  8x 1.71  32x  1.69  exp -0.01
+#   q_runs_test           1x 2.23  8x 2.73  32x  3.26  exp  0.13
+#   q_brown_forsythe      1x 1.99  8x 2.71  32x  3.49  exp  0.18
+#   q_interevent_expon.   1x 3.05  8x 3.31  32x  2.70  exp -0.15
+#   q_mcc                 1x 0.72  8x 0.79  32x  1.00  exp  0.17
+# All sublinear: the duration/score/arm histograms are ~flat; the
+# token/edge scans (~linear row mass) stay under exp 0.6 because
+# per-replica phrase/triangle structure is constant and the fixed
+# session floor amortizes.
+CASES_BATCH7 = [
+    ("q_log_rank", ["events"]),
+    ("q_nelson_aalen", ["events"]),
+    ("q_mcnemar", ["events"]),
+    ("q_brier_decomposition", ["events"]),
+    ("q_threshold_sweep", ["events"]),
+    ("q_ucb1_bandit", ["events"]),
+    ("q_rake_keywords", ["documents"]),
+    ("q_good_turing", ["documents"]),
+    ("q_burrows_delta", ["documents"]),
+    ("q_ktruss", ["lineitem"]),
+    ("q_cohens_kappa", ["orders"]),
+    ("q_runs_test", ["events"]),
+    ("q_brown_forsythe", ["lineitem"]),
+    ("q_interevent_exponential", ["events"]),
+    ("q_mcc", ["events"]),
+]
+
 SHIFTS = {
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
     "lineitem": {
@@ -255,7 +303,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH5
+        CASES_BATCH7
+        if "--batch7" in sys.argv
+        else CASES_BATCH5
         if "--batch5" in sys.argv
         else CASES_BATCH4
         if "--batch4" in sys.argv

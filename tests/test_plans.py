@@ -403,3 +403,54 @@ def test_histogram_family_single_scan_single_exchange(spark, sf_dir):
         assert scans == 0, f"{qfn.__name__}: {scans} scans"
         n_ex = count_exchanges(df)
         assert n_ex <= max_exchanges, f"{qfn.__name__}: {n_ex} exchanges"
+
+
+def test_batch7_checkpoints_bound_plan_recompute(spark, sf_dir):
+    """The batch-7/8 operators materialize their multi-referenced
+    subtrees (the localCheckpoint-inputs rule): duration/score/arm/
+    count-of-counts histograms and the Burrows grid feed two consumers
+    each, so the final plans hold ZERO parquet scans (everything runs
+    on the checkpointed value-space relation) with histogram-bounded
+    exchange counts."""
+    from celeborn_spark.queries.evaluation import (
+        q_threshold_sweep,
+        q_ucb1_bandit,
+    )
+    from celeborn_spark.queries.stats import (
+        q_log_rank,
+        q_mcnemar,
+        q_nelson_aalen,
+    )
+    from celeborn_spark.queries.text import q_burrows_delta, q_good_turing
+
+    for qfn, max_exchanges in (
+        (q_log_rank, 2),
+        (q_nelson_aalen, 2),
+        (q_mcnemar, 3),
+        (q_threshold_sweep, 4),
+        (q_ucb1_bandit, 2),
+        (q_good_turing, 3),
+        (q_burrows_delta, 8),
+    ):
+        df = qfn(spark, sf_dir)
+        plan = physical_plan(df)
+        scans = plan.count("FileScan") + plan.count("Scan parquet")
+        assert scans == 0, f"{qfn.__name__}: {scans} scans leaked into the plan"
+        n_ex = count_exchanges(df)
+        assert n_ex <= max_exchanges, f"{qfn.__name__}: {n_ex} exchanges"
+
+
+def test_ktruss_plan_is_checkpoint_bounded(spark, sf_dir):
+    """k-truss localCheckpoints the edge relation per round and the
+    oriented/triangle relations at their multi-reference points, so
+    the 2-round plan neither re-derives the co-purchase build (zero
+    parquet scans) nor doubles per round."""
+    from celeborn_spark.queries.graph import q_ktruss
+
+    df = q_ktruss(spark, sf_dir)
+    plan = physical_plan(df)
+    scans = plan.count("FileScan") + plan.count("Scan parquet")
+    assert scans == 0, f"{scans} scans leaked into the plan"
+    # final plan: the last round's support agg + semi-join over
+    # checkpointed relations
+    assert count_exchanges(df) <= 8, physical_plan(df)[:2000]
