@@ -372,3 +372,38 @@ def test_r9_eval_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _batch78_ops():
+    from celeborn_spark.queries.evaluation import q_threshold_sweep
+    from celeborn_spark.queries.graph import q_ktruss
+    from celeborn_spark.queries.stats import q_brown_forsythe, q_log_rank
+    from celeborn_spark.queries.text import q_burrows_delta, q_rake_keywords
+
+    return [
+        q_log_rank,        # ordered duration walk under partition flips
+        q_brown_forsythe,  # histogram medians + ordered group walk
+        q_threshold_sweep, # suffix sums over the threshold grid
+        q_ktruss,          # triangle joins under forced shuffle strategy
+        q_burrows_delta,   # grid windows at 1 vs 32 partitions
+        q_rake_keywords,   # phrase-id prefix windows + global rank
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", CONF_VARIANTS, ids=[str(c) for c in CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _batch78_ops(), ids=lambda f: f.__name__)
+def test_batch78_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    """Batch-7/8 operators under AQE-off / no-broadcast / 7-partition
+    confs: physical strategy must never change results (the
+    SkewJoinSuite loop pattern)."""
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
