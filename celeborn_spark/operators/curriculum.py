@@ -155,3 +155,110 @@ def mixture_sample(
     return df.join(F.broadcast(rates), stratum_col).filter(
         u01(key_col, salt) < F.col("rate")
     )
+
+
+def mixture_waterfill(
+    df: DataFrame, group_col: str, budget: int
+) -> DataFrame:
+    """Deterministic waterfill allocation of a document ``budget``
+    across groups targeting EQUAL shares — the mixture PLANNER in
+    front of `mixture_sample` (which executes given rates): each group
+    gets quota = budget/k (remainder to the first groups in key
+    order), capped by its actual size; leftover budget then refills
+    the unsaturated groups in key order. Output one row per group:
+    (group, n_docs, alloc, fill_rate).
+
+    All-integer algebra over the k-row group-count relation: quotas,
+    caps, and the leftover walk are BIGINT prefix windows ordered by
+    the group key; fill_rate = alloc/n is a single division, raw.
+    sum(alloc) = min(budget, sum(n)) by construction.
+
+    Scale shape: ONE map-combined count aggregate over row mass;
+    everything after runs on k rows."""
+    counts = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()  # feeds k/total AND the walk
+    )
+    tot = counts.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    wr = W.orderBy("grp")
+    wcum = W.orderBy("grp").rowsBetween(W.unboundedPreceding, -1)
+    b = F.lit(budget)
+    phase1 = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+        .withColumn(
+            "quota",
+            F.expr(f"{budget} div k")
+            + (F.col("rn") <= F.lit(budget) % F.col("k")).cast("long"),
+        )
+        .withColumn("alloc1", F.least(F.col("n_docs"), F.col("quota")))
+        .localCheckpoint()  # feeds the leftover total AND the refill walk
+    )
+    left = phase1.agg(
+        (b - F.sum("alloc1")).cast("long").alias("leftover")
+    )
+    return (
+        phase1.crossJoin(F.broadcast(left))
+        .withColumn(
+            "cum_spare_before",
+            F.coalesce(
+                F.sum(F.col("n_docs") - F.col("alloc1")).over(wcum), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "add2",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.col("n_docs") - F.col("alloc1"),
+                    F.col("leftover") - F.col("cum_spare_before"),
+                ),
+            ),
+        )
+        .select(
+            F.col("grp").alias("group"),
+            "n_docs",
+            (F.col("alloc1") + F.col("add2")).cast("long").alias("alloc"),
+            F.expr("CAST(alloc1 + add2 AS DOUBLE) / n_docs").alias(
+                "fill_rate"
+            ),
+        )
+    )
+
+
+def mixture_waterfill_oracle_sql(
+    table: str, group_sql: str, budget: int
+) -> str:
+    """DuckDB mirror of `mixture_waterfill`: identical quota,
+    remainder, and refill-walk algebra."""
+    return f"""
+    WITH counts AS (
+        SELECT {group_sql} AS grp, CAST(count(*) AS BIGINT) AS n_docs
+        FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS k FROM counts),
+    phase1 AS (
+        SELECT grp, n_docs,
+               least(n_docs,
+                     {budget} // k
+                     + CASE WHEN row_number() OVER (ORDER BY grp)
+                                 <= {budget} % k THEN 1 ELSE 0 END)
+                   AS alloc1
+        FROM counts CROSS JOIN tot
+    ),
+    left_ AS (
+        SELECT CAST({budget} - sum(alloc1) AS BIGINT) AS leftover
+        FROM phase1
+    )
+    SELECT grp AS "group", n_docs,
+           CAST(alloc1 + greatest(0, least(n_docs - alloc1,
+                leftover - coalesce(sum(n_docs - alloc1) OVER (
+                    ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0))) AS BIGINT) AS alloc,
+           CAST(alloc1 + greatest(0, least(n_docs - alloc1,
+                leftover - coalesce(sum(n_docs - alloc1) OVER (
+                    ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0))) AS DOUBLE) / n_docs AS fill_rate
+    FROM phase1 CROSS JOIN left_
+    """

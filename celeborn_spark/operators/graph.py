@@ -1576,3 +1576,94 @@ def ktruss_oracle_sql(k: int, rounds: int = 2, min_qty: int = 45) -> str:
     SELECT u, v FROM e{rounds}
     """
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame, attrs: DataFrame
+) -> DataFrame:
+    """Newman's discrete attribute assortativity (homophily
+    coefficient) of an undirected graph whose nodes carry a categorical
+    attribute — "do same-nation suppliers co-sell more than chance?",
+    the categorical sibling of `degree_assortativity`. ``edges`` is
+    canonical (u < v, distinct); ``attrs`` maps (node, attr). Output
+    ONE row: (n_edges, same_attr_edges, assortativity).
+
+    Integer-cleared form over DIRECTED stub counts (each edge counted
+    both ways, T = 2m): with C same-attribute directed edges and s_i
+    directed edges sourced from attribute i,
+        r = (C*T - sum_i s_i^2) / (T*T - sum_i s_i^2)
+    — sum_i s_i^2 is an order-free BIGINT sum, so r is a SINGLE
+    division of exact integers, raw. NULL when every node shares one
+    attribute (denominator 0).
+
+    Scale shape: two node-keyed attribute joins on the edge relation +
+    one attribute-keyed aggregate; nothing pairs beyond the existing
+    edges."""
+    a = attrs.select(F.col("node").alias("u"), F.col("attr").alias("attr_u"))
+    b = attrs.select(F.col("node").alias("v"), F.col("attr").alias("attr_v"))
+    lab = (
+        edges.join(a, "u")
+        .join(b, "v")
+        .select("attr_u", "attr_v")
+        .localCheckpoint()  # feeds the same-count, stub, and total aggs
+    )
+    tot = lab.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("t"),
+        (2 * F.sum((F.col("attr_u") == F.col("attr_v")).cast("long")))
+        .cast("long")
+        .alias("c"),
+    )
+    stubs = (
+        lab.select(F.col("attr_u").alias("attr"))
+        .unionAll(lab.select(F.col("attr_v").alias("attr")))
+        .groupBy("attr")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("s2"))
+    )
+    return tot.crossJoin(F.broadcast(stubs)).select(
+        F.expr("t div 2").alias("n_edges"),
+        F.expr("c div 2").alias("same_attr_edges"),
+        F.when(
+            F.expr("t * t - s2") != 0,
+            F.expr("CAST(c * t - s2 AS DOUBLE) / (t * t - s2)"),
+        ).alias("assortativity"),
+    )
+
+
+def homophily_oracle_sql(min_qty: int = 45) -> str:
+    """DuckDB mirror of `attribute_assortativity` over the supplier
+    co-purchase graph with supplier nation as the attribute."""
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= {min_qty} AND b.l_quantity >= {min_qty}
+    ),
+    lab AS (
+        SELECT sa.s_nationkey AS attr_u, sb.s_nationkey AS attr_v
+        FROM el
+        JOIN supplier sa ON sa.s_suppkey = el.u
+        JOIN supplier sb ON sb.s_suppkey = el.v
+    ),
+    tot AS (
+        SELECT CAST(2 * count(*) AS BIGINT) AS t,
+               CAST(2 * sum(CASE WHEN attr_u = attr_v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM lab
+    ),
+    stubs AS (
+        SELECT CAST(sum(s * s) AS BIGINT) AS s2 FROM (
+            SELECT attr, CAST(count(*) AS BIGINT) AS s FROM (
+                SELECT attr_u AS attr FROM lab
+                UNION ALL SELECT attr_v FROM lab
+            ) GROUP BY attr
+        )
+    )
+    SELECT t // 2 AS n_edges, c // 2 AS same_attr_edges,
+           CASE WHEN t * t - s2 <> 0
+                THEN CAST(c * t - s2 AS DOUBLE) / (t * t - s2) END
+               AS assortativity
+    FROM tot CROSS JOIN stubs
+    """

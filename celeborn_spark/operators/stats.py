@@ -3031,3 +3031,198 @@ def interevent_oracle_sql(dp: int = 6) -> str:
            CAST(med_s * n AS DOUBLE) / sx AS median_over_mean
     FROM mom CROSS JOIN med
     """
+
+
+def seasonal_strength(
+    df: DataFrame, day_col: str, metric_col: str, dp: int = 6
+) -> DataFrame:
+    """Seasonal strength of a daily metric: the fraction of day-level
+    variance explained by day-of-week means, 1 - SSW/SST — "is the
+    weekly cycle real signal or noise?", the variance-decomposition
+    companion to q_seasonality_index (which reports the per-DOW
+    indices themselves). Output ONE row: (n_days, strength).
+
+    SST and SSW reduce to exact-BIGINT power sums: per-DOW S_g, Q_g,
+    n_g, so SSB = sum_g S_g^2/n_g - S^2/N with the 7-term sum
+    accumulated over the ORDERED day-of-week window (sequential in
+    both engines) and strength = SSB/SST one division chain, rounded
+    dp. NULL when SST = 0 (constant series).
+
+    Scale shape: row mass reduces to the day grid in one aggregate;
+    everything after runs on <= 7 rows + broadcast totals."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
+        .select("day", "m", F.dayofweek("day").cast("long").alias("dow"))
+        .localCheckpoint()  # feeds the DOW groups AND the global moments
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.sum("m").cast("long").alias("s_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    glob = daily.agg(
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    wd = W.orderBy("dow").rowsBetween(W.unboundedPreceding, 0)
+    walked = (
+        per_dow.withColumn(
+            "cum_sb", F.sum(F.expr("CAST(s_g * s_g AS DOUBLE) / n_g")).over(wd)
+        )
+        .withColumn("rn", F.count(F.lit(1)).over(wd))
+        .withColumn("k", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    return (
+        walked.filter(F.col("rn") == F.col("k"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("n").alias("n_days"),
+            F.when(
+                F.expr("q - CAST(s AS DOUBLE) * s / n") > 0,
+                F.round(
+                    F.expr(
+                        "(cum_sb - CAST(s AS DOUBLE) * s / n)"
+                        " / (q - CAST(s AS DOUBLE) * s / n)"
+                    ),
+                    dp,
+                ),
+            ).alias("strength"),
+        )
+    )
+
+
+def seasonal_strength_oracle_sql(daily_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `seasonal_strength`. ``daily_sql`` yields
+    (day, m) with m BIGINT; DOW uses the ISO dayofweek+1 convention
+    matched to Spark's dayofweek (1 = Sunday)."""
+    return f"""
+    WITH daily0 AS ({daily_sql}),
+    daily AS (
+        SELECT day, m,
+               CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+        FROM daily0
+    ),
+    per_dow AS (
+        SELECT dow, CAST(sum(m) AS BIGINT) AS s_g,
+               CAST(count(*) AS BIGINT) AS n_g
+        FROM daily GROUP BY 1
+    ),
+    gmom AS (
+        SELECT CAST(sum(m) AS BIGINT) AS s,
+               CAST(sum(m * m) AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS n
+        FROM daily
+    ),
+    walked AS (
+        SELECT sum(CAST(s_g * s_g AS DOUBLE) / n_g) OVER w AS cum_sb,
+               count(*) OVER w AS rn,
+               count(*) OVER () AS k
+        FROM per_dow
+        WINDOW w AS (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT n AS n_days,
+           CASE WHEN q - CAST(s AS DOUBLE) * s / n > 0
+                THEN round((cum_sb - CAST(s AS DOUBLE) * s / n)
+                           / (q - CAST(s AS DOUBLE) * s / n), {dp}) END
+               AS strength
+    FROM walked CROSS JOIN gmom WHERE rn = k
+    """
+
+
+# z constants for the power planner, repr'd so Spark and DuckDB compare
+# bit-identical literals (the Poisson-CDF / Wilson discipline).
+_Z_ALPHA_025 = 1.959963984540054  # two-sided alpha = 0.05
+_Z_POWER_080 = 0.8416212335729143  # power = 0.8
+
+
+def ab_power_plan(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    control,
+    mde_frac: float = 0.05,
+    dp: int = 6,
+) -> DataFrame:
+    """A/B sample-size planner: units per arm to detect an
+    ``mde_frac`` relative lift over the control mean at two-sided
+    alpha 0.05 and power 0.8, using the control group's MEASURED
+    variance — the front end of the experiment family (welch/CUPED
+    test what ran; this sizes the next one):
+        n = ceil(2 * sigma^2 * (z_a + z_b)^2 / delta^2),
+        delta = mde_frac * mean.
+    Output ONE row: (n_control, mean_control, sd_control, delta_abs,
+    n_per_arm).
+
+    Mean is a single division of exact cents BIGINTs; sd routes
+    through the sample-variance power-sum chain (identical text,
+    rounded dp for the output column but used raw inside n); the z
+    constants are repr'd literals. NULL plan when the control mean or
+    variance is 0 (no detectable effect / nothing to size).
+
+    Scale shape: ONE map-combined aggregate over the control rows."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    agg = df.filter(F.col(group_col) == control).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("sx"),
+        F.sum(cents * cents).cast("long").alias("sxx"),
+    )
+    zz = f"({_Z_ALPHA_025!r} + {_Z_POWER_080!r})"
+    var = "((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
+    mean = "(CAST(sx AS DOUBLE) / n)"
+    delta = f"({mde_frac!r} * {mean})"
+    return agg.select(
+        F.col("n").alias("n_control"),
+        F.expr(f"{mean} / 100.0").alias("mean_control"),
+        F.when(
+            F.col("n") > 1, F.round(F.expr(f"sqrt({var}) / 100.0"), dp)
+        ).alias("sd_control"),
+        F.expr(f"{delta} / 100.0").alias("delta_abs"),
+        F.when(
+            (F.col("n") > 1) & (F.col("sx") > 0),
+            F.expr(
+                f"CAST(ceil(2 * {var} * {zz} * {zz}"
+                f" / ({delta} * {delta})) AS BIGINT)"
+            ),
+        ).alias("n_per_arm"),
+    )
+
+
+def ab_power_oracle_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    control_sql: str,
+    mde_frac: float = 0.05,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `ab_power_plan`: identical literals and
+    formula text."""
+    zz = f"({_Z_ALPHA_025!r} + {_Z_POWER_080!r})"
+    var = "((sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1))"
+    mean = "(CAST(sx AS DOUBLE) / n)"
+    delta = f"({mde_frac!r} * {mean})"
+    return f"""
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(({value_sql}) * 100) AS BIGINT))
+                    AS BIGINT) AS sx,
+               CAST(sum(CAST(floor(({value_sql}) * 100) AS BIGINT)
+                        * CAST(floor(({value_sql}) * 100) AS BIGINT))
+                    AS BIGINT) AS sxx
+        FROM {table} WHERE {group_sql} = {control_sql}
+    )
+    SELECT n AS n_control,
+           {mean} / 100.0 AS mean_control,
+           CASE WHEN n > 1 THEN round(sqrt({var}) / 100.0, {dp}) END
+               AS sd_control,
+           {delta} / 100.0 AS delta_abs,
+           CASE WHEN n > 1 AND sx > 0
+                THEN CAST(ceil(2 * {var} * {zz} * {zz}
+                               / ({delta} * {delta})) AS BIGINT) END
+               AS n_per_arm
+    FROM agg
+    """

@@ -1584,3 +1584,98 @@ def burrows_oracle_sql(m: int = 20, dp: int = 6) -> str:
            round(cum_z / m_eff, {dp}) AS delta
     FROM walked_src WHERE rn = m_eff
     """
+
+
+def bigram_conditional_entropy(
+    docs: DataFrame, text_col: str, dp: int = 6
+) -> DataFrame:
+    """Corpus bigram conditional entropy H(next | current) =
+    -(1/T) sum_uv c_uv * ln(c_uv / c_u) — how predictable the next
+    token is given the current one, in nats. The TOKEN-level
+    predictability scalar between q_char_entropy (characters),
+    q_bigram_lm_score (per-doc surprisal), and q_markov_entropy
+    (event types); low values flag templated/boilerplate corpora.
+    Also emits the perplexity exp(H). Output ONE row:
+    (n_bigrams, vocab, h_cond, perplexity).
+
+    Every ln term is a single division of exact BIGINTs (c_uv, c_u);
+    the vocab^2-bounded term sum accumulates over the ORDERED (u, v)
+    window (sequential in both engines); H and exp(H) round dp.
+
+    Scale shape: one bigram aggregate (vocab^2-bounded output); the
+    walk never touches row mass."""
+    from pyspark.sql.window import Window as WW
+
+    toks = docs.select(tokens(F.col(text_col)).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("u"),
+                        F.element_at("t", i + 2).alias("v"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_uv"))
+        .localCheckpoint()  # feeds the marginal AND the walk
+    )
+    marg = bi.groupBy("u").agg(F.sum("c_uv").cast("long").alias("c_u"))
+    w = WW.orderBy("u", "v").rowsBetween(WW.unboundedPreceding, 0)
+    walked = (
+        bi.join(marg, "u")
+        .withColumn(
+            "term",
+            F.expr("c_uv * ln(CAST(c_uv AS DOUBLE) / c_u)"),
+        )
+        .withColumn("cum", F.sum("term").over(w))
+        .withColumn("rn", F.count(F.lit(1)).over(w))
+        .withColumn("cells", F.count(F.lit(1)).over(WW.partitionBy()))
+        .withColumn("t_tot", F.sum("c_uv").over(WW.partitionBy()))
+        .withColumn(
+            "vocab",
+            F.size(F.collect_set("u").over(WW.partitionBy())),
+        )
+    )
+    return walked.filter(F.col("rn") == F.col("cells")).select(
+        F.col("t_tot").cast("long").alias("n_bigrams"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(F.expr("-cum / t_tot"), dp).alias("h_cond"),
+        F.round(F.expr("exp(-cum / t_tot)"), dp).alias("perplexity"),
+    )
+
+
+def bigram_entropy_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `bigram_conditional_entropy` over documents."""
+    return f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+        SELECT t[i] AS u, t[i + 1] AS v, CAST(count(*) AS BIGINT) AS c_uv
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+        GROUP BY 1, 2
+    ),
+    marg AS (SELECT u, CAST(sum(c_uv) AS BIGINT) AS c_u FROM bi GROUP BY 1),
+    walked AS (
+        SELECT sum(c_uv * ln(CAST(c_uv AS DOUBLE) / c_u)) OVER w AS cum,
+               row_number() OVER (ORDER BY u, v) AS rn,
+               count(*) OVER () AS cells,
+               sum(c_uv) OVER () AS t_tot,
+               (SELECT count(DISTINCT u) FROM bi) AS vocab
+        FROM bi JOIN marg USING (u)
+        WINDOW w AS (ORDER BY u, v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(t_tot AS BIGINT) AS n_bigrams,
+           CAST(vocab AS BIGINT) AS vocab,
+           round(-cum / t_tot, {dp}) AS h_cond,
+           round(exp(-cum / t_tot), {dp}) AS perplexity
+    FROM walked WHERE rn = cells
+    """

@@ -348,3 +348,19 @@ def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     return coverage_select(sh, k=5)
+
+
+@query(
+    "q_mixture_plan",
+    oracle=C.mixture_waterfill_oracle_sql("documents", "lang", budget=300),
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture waterfill plan: allocate a 300-doc budget across
+    languages targeting equal shares, quota-capped by each language's
+    actual size with deterministic leftover refill in key order — the
+    mixture PLANNER in front of q_mixture_sample (which executes
+    rates). All-integer prefix walks on the k-language relation;
+    sum(alloc) = min(budget, corpus) by construction
+    (operators/curriculum.mixture_waterfill)."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.mixture_waterfill(d, "lang", budget=300)

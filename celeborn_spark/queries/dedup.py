@@ -535,3 +535,58 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_join(
         d, "doc_id", "text", n=3, threshold_num=4, threshold_den=5
     )
+
+
+@query(
+    "q_component_size_histogram",
+    # singleton docs (no near-dup edge) are size-1 components; the
+    # recursive-CTE cc covers only edge-connected vertices, so the
+    # singleton row is total docs minus cc vertices
+    oracle=f"""
+    WITH RECURSIVE {_CC_ORACLE_CTES},
+    csizes AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+               FROM cc GROUP BY component),
+    hist AS (
+        SELECT group_size, CAST(count(*) AS BIGINT) AS n_components
+        FROM csizes GROUP BY group_size
+    ),
+    singles AS (
+        SELECT CAST(1 AS BIGINT) AS group_size,
+               (SELECT count(*) FROM documents)
+                   - (SELECT count(*) FROM cc) AS n_components
+    )
+    SELECT group_size, CAST(n_components AS BIGINT) AS n_components
+    FROM (SELECT * FROM hist UNION ALL
+          SELECT * FROM singles WHERE n_components > 0)
+    """,
+)
+def q_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size distribution: how much of the corpus
+    sits in duplicate clusters of each size — the dedup IMPACT
+    profile behind q_dedup_groups ("dedup removes sum((size-1) *
+    n_components) docs"). Composes the same Jaccard-pair + iterative
+    label-propagation pipeline, then reduces to a histogram; singleton
+    docs (never in a pair) report as size-1 components. Component
+    relations are vocabulary-of-sizes bounded after one aggregate."""
+    from celeborn_spark.operators.components import dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    groups = dedup_groups(pairs)
+    hist = (
+        groups.select("component", "group_size")
+        .distinct()
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    n_cc = groups.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    singles = (
+        n_docs.crossJoin(F.broadcast(n_cc))
+        .select(
+            F.lit(1).cast("long").alias("group_size"),
+            (F.col("nd") - F.col("nv")).cast("long").alias("n_components"),
+        )
+        .filter(F.col("n_components") > 0)
+    )
+    return hist.unionByName(singles)

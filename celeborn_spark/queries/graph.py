@@ -650,3 +650,25 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return ktruss(copurchase_edges(lineitem, min_qty=45), k=4, rounds=2)
+
+
+@query("q_homophily", oracle=graph_ops.homophily_oracle_sql(min_qty=45))
+def q_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation homophily of the supplier co-purchase graph: Newman's
+    discrete attribute assortativity — do same-nation suppliers co-sell
+    beyond what nation sizes force? The categorical sibling of
+    q_degree_assortativity. Integer-cleared single-division form over
+    directed stub counts (operators/graph.attribute_assortativity)."""
+    from celeborn_spark.operators.graph import (
+        attribute_assortativity,
+        copurchase_edges,
+    )
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("long").alias("attr"),
+    )
+    return attribute_assortativity(
+        copurchase_edges(lineitem, min_qty=45), sup
+    )

@@ -1400,3 +1400,47 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     group walk, F 6dp (operators/stats.brown_forsythe)."""
     li = load_table(spark, sf_dir, "lineitem")
     return stats_ops.brown_forsythe(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_seasonal_strength",
+    oracle=stats_ops.seasonal_strength_oracle_sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events WHERE event_type = 'purchase' GROUP BY 1"""
+    ),
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of daily purchase revenue: variance explained
+    by day-of-week means (1 - SSW/SST) — is q_seasonality_index's
+    weekly cycle real signal or noise? Exact-BIGINT power sums, the
+    7-term between-group sum accumulated over the ordered DOW window,
+    6dp (operators/stats.seasonal_strength)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return stats_ops.seasonal_strength(events, "day", "cents")
+
+
+@query(
+    "q_ab_power_plan",
+    oracle=stats_ops.ab_power_oracle_sql(
+        "events", "event_type", "value", "'click'", mde_frac=0.05
+    ),
+)
+def q_ab_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size plan from the click arm's measured variance:
+    units per arm to detect a 5% lift at alpha 0.05 / power 0.8 — the
+    front end of the experiment family (q_ab_test_welch/q_cuped grade
+    what ran; this sizes the next run). Exact cents power sums (value
+    <= 500 keeps sum(cents^2) far under 2^63), repr'd z literals, one
+    formula chain (operators/stats.ab_power_plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.ab_power_plan(
+        ev, "event_type", "value", "click", mde_frac=0.05
+    )

@@ -1353,3 +1353,16 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
     d = load_table(spark, sf_dir, "documents")
     return T.burrows_delta(d, "text", "source", m=20)
+
+
+@query("q_bigram_entropy", oracle=T.bigram_entropy_oracle_sql())
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy H(next|current) + perplexity:
+    token-level predictability between q_char_entropy (characters) and
+    q_markov_entropy (event types); low values flag boilerplate.
+    Exact-integer ln ratios accumulated over the ordered vocab^2 cell
+    window, 6dp (operators/textops.bigram_conditional_entropy).
+
+    Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.bigram_conditional_entropy(d, "text")
