@@ -1586,3 +1586,76 @@ def mcc_oracle_sql(
                AS mcc
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# AUC confidence interval (Hanley-McNeil)
+# --------------------------------------------------------------------------
+
+
+def auc_ci(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    z: float = 1.959963984540054,
+    dp: int = 6,
+) -> DataFrame:
+    """ROC AUC with its Hanley-McNeil standard error and normal CI —
+    "is AUC 0.71 on this sample actually better than 0.68?", the
+    uncertainty companion to `roc_auc` (which reports the point
+    estimate alone):
+        SE^2 = (A(1-A) + (n1-1)(Q1 - A^2) + (n2-1)(Q2 - A^2)) / (n1 n2)
+        Q1 = A/(2-A),  Q2 = 2A^2/(1+A)
+    Output ONE row: (n_pos, n_neg, auc, se, ci_lo, ci_hi).
+
+    A rides the same tie-corrected histogram-rank machinery as
+    roc_auc (raw single division); the SE/CI chain is identical text
+    in both engines with the z constant a repr'd literal; se/ci round
+    dp, with the CI clamped to [0, 1].
+
+    Scale shape: identical to roc_auc — one histogram aggregate."""
+    base = roc_auc(df, score_col, label_col)
+    a = "(CAST(u_stat AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg))"
+    se = (
+        f"sqrt(({a} * (1 - {a})"
+        f" + (n_pos - 1) * (({a} / (2 - {a})) - {a} * {a})"
+        f" + (n_neg - 1) * ((2 * {a} * {a} / (1 + {a})) - {a} * {a}))"
+        f" / (CAST(n_pos AS DOUBLE) * n_neg))"
+    )
+    return base.select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(F.expr(se), dp).alias("se"),
+        F.round(F.expr(f"greatest(0.0, {a} - {z!r} * {se})"), dp).alias(
+            "ci_lo"
+        ),
+        F.round(F.expr(f"least(1.0, {a} + {z!r} * {se})"), dp).alias(
+            "ci_hi"
+        ),
+    )
+
+
+def auc_ci_oracle_sql(
+    table: str,
+    score_sql: str,
+    label_sql: str,
+    z: float = 1.959963984540054,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `auc_ci`: roc_auc's oracle as a subquery with
+    the identical SE/CI text."""
+    a = "(CAST(u_stat AS DOUBLE) / (CAST(n_pos AS DOUBLE) * n_neg))"
+    se = (
+        f"sqrt(({a} * (1 - {a})"
+        f" + (n_pos - 1) * (({a} / (2 - {a})) - {a} * {a})"
+        f" + (n_neg - 1) * ((2 * {a} * {a} / (1 + {a})) - {a} * {a}))"
+        f" / (CAST(n_pos AS DOUBLE) * n_neg))"
+    )
+    return f"""
+    SELECT n_pos, n_neg, auc,
+           round({se}, {dp}) AS se,
+           round(greatest(0.0, {a} - {z!r} * {se}), {dp}) AS ci_lo,
+           round(least(1.0, {a} + {z!r} * {se}), {dp}) AS ci_hi
+    FROM ({roc_auc_oracle_sql(table, score_sql, label_sql)})
+    """

@@ -3226,3 +3226,301 @@ def ab_power_oracle_sql(
                AS n_per_arm
     FROM agg
     """
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_band,
+    dp: int = 6,
+) -> DataFrame:
+    """t-closeness audit: for each quasi-identifier group, the ordinal
+    earth-mover distance between the group's SENSITIVE-attribute
+    distribution and the global one (normalized cumulative-gap sum
+    over the ordered band grid, the standard ordinal-EMD form) —
+    completes the release-privacy triad (q_k_anonymity: group size;
+    q_l_diversity: value variety; this: value DISTRIBUTION — a group
+    can be k-anonymous and l-diverse yet still leak by skew). Output
+    one row per group: (*quasi_cols, n, t_close).
+
+    ``sensitive_band`` is a Column of ordered integer bands. Every
+    cumulative gap is |cum_g * N - cum * n_g| — an exact BIGINT
+    numerator over a single division — and the per-group gap sum
+    accumulates over the ORDERED band window partitioned by group
+    (sequential in both engines), divided by (m - 1) bands, rounded
+    dp. Groups with m = 1 global band report 0 (identical trivially).
+
+    Scale shape: one (group, band) count aggregate; the dense
+    group x band grid (privacy audits run on low-cardinality quasi
+    tuples by construction) hosts every window."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        df.select(*quasi_cols, sensitive_band.cast("long").alias("band"))
+        .groupBy(*quasi_cols, "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the global hist AND the grid
+    )
+    gband = cells.groupBy("band").agg(
+        F.sum("c").cast("long").alias("gc")
+    )
+    groups = cells.groupBy(*quasi_cols).agg(
+        F.sum("c").cast("long").alias("n_g")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(gband))
+        .join(cells, [*quasi_cols, "band"], "left")
+        .select(
+            *quasi_cols,
+            "band",
+            "n_g",
+            "gc",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wb = (
+        W.partitionBy(*quasi_cols)
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = gband.agg(
+        F.sum("gc").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).cast("long").alias("m_bands"),
+    )
+    walked = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn("cum_g", F.sum("c").over(wb))
+        .withColumn("cum", F.sum("gc").over(wb))
+        .withColumn("rn", F.count(F.lit(1)).over(wb))
+        # the LAST band's gap is always 0 (both CDFs hit 1) — include
+        # all m rows, gap text identical in both engines
+        .withColumn(
+            "gap",
+            F.expr(
+                "CAST(abs(cum_g * n_tot - cum * n_g) AS DOUBLE)"
+                " / (CAST(n_g AS DOUBLE) * n_tot)"
+            ),
+        )
+        .withColumn("cum_gap", F.sum("gap").over(wb))
+    )
+    return walked.filter(F.col("rn") == F.col("m_bands")).select(
+        *quasi_cols,
+        F.col("n_g").alias("n"),
+        F.when(F.col("m_bands") > 1, F.round(
+            F.expr("cum_gap / (m_bands - 1)"), dp
+        )).otherwise(F.lit(0.0)).alias("t_close"),
+    )
+
+
+def t_closeness_oracle_sql(
+    table: str,
+    quasi_sql: list[str],
+    band_sql: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `t_closeness`: identical grid, walk, and gap
+    text."""
+    q = ", ".join(quasi_sql)
+    return f"""
+    WITH cells AS (
+        SELECT {q}, CAST({band_sql} AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY ALL
+    ),
+    gband AS (SELECT band, CAST(sum(c) AS BIGINT) AS gc
+              FROM cells GROUP BY 1),
+    groups AS (SELECT {q}, CAST(sum(c) AS BIGINT) AS n_g
+               FROM cells GROUP BY ALL),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n_tot,
+                   CAST(count(*) AS BIGINT) AS m_bands FROM gband),
+    grid AS (
+        SELECT g.*, b.band, b.gc, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        FROM groups g CROSS JOIN gband b
+        LEFT JOIN cells c ON c.band = b.band
+            AND ({" AND ".join(f"c.{x} = g.{x}" for x in quasi_sql)})
+    ),
+    cums AS (
+        SELECT {q}, band, n_g, n_tot, m_bands,
+               sum(c) OVER w AS cum_g,
+               sum(gc) OVER w AS cum,
+               count(*) OVER w AS rn
+        FROM grid CROSS JOIN tot
+        WINDOW w AS (PARTITION BY {q} ORDER BY band
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    walked AS (
+        SELECT {q}, n_g, m_bands, rn,
+               sum(CAST(abs(cum_g * n_tot - cum * n_g) AS DOUBLE)
+                   / (CAST(n_g AS DOUBLE) * n_tot)) OVER w AS cum_gap
+        FROM cums
+        WINDOW w AS (PARTITION BY {q} ORDER BY band
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT {q}, n_g AS n,
+           CASE WHEN m_bands > 1 THEN round(cum_gap / (m_bands - 1), {dp})
+                ELSE 0.0 END AS t_close
+    FROM walked WHERE rn = m_bands
+    """
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage trend test: does a binary outcome's rate trend
+    MONOTONICALLY across ordered integer-scored groups? — the ordinal
+    complement of q_chi_square (which only detects SOME association)
+    and the categorical sibling of q_grouped_ols_trend. Output ONE
+    row: (n, k_groups, z).
+
+    Integer-cleared: with per-group scores s, sizes n_i, positives
+    r_i, total N/R:
+        Tn = N * sum(s*r) - R * sum(s*n)          (exact BIGINT)
+        z  = Tn * sqrt(N) / sqrt(R*(N-R) * (N*sum(s^2*n) - sum(s*n)^2))
+    — each sqrt argument is an exact BIGINT product cast to DOUBLE
+    before multiplying (keeps everything under 2^63), identical text,
+    rounded dp. NULL when the outcome or the scores are constant.
+
+    Scale shape: ONE map-combined (score)-group aggregate; the trend
+    algebra runs on the k-row relation via an order-free integer
+    aggregate (sums of products commute exactly)."""
+    g = df.groupBy(F.col(score_col).cast("long").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("r_i"),
+    )
+    agg = g.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("r_i").cast("long").alias("r"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s") * F.col("r_i")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n_i")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n_i"))
+        .cast("long")
+        .alias("s2n"),
+    )
+    return agg.select(
+        F.col("n"),
+        F.col("k").alias("k_groups"),
+        F.when(
+            (F.col("r") > 0)
+            & (F.col("r") < F.col("n"))
+            & (F.expr("n * s2n - sn * sn") > 0),
+            F.round(
+                F.expr(
+                    "(n * sr - r * sn) * sqrt(CAST(n AS DOUBLE))"
+                    " / sqrt(CAST(r * (n - r) AS DOUBLE)"
+                    "        * (n * s2n - sn * sn))"
+                ),
+                dp,
+            ),
+        ).alias("z"),
+    )
+
+
+def cochran_armitage_oracle_sql(
+    table: str, score_sql: str, label_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `cochran_armitage`: identical cleared-integer
+    trend algebra."""
+    return f"""
+    WITH g AS (
+        SELECT CAST({score_sql} AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(CAST({label_sql} AS BIGINT)) AS BIGINT) AS r_i
+        FROM {table} GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n,
+               CAST(sum(r_i) AS BIGINT) AS r,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(s * r_i) AS BIGINT) AS sr,
+               CAST(sum(s * n_i) AS BIGINT) AS sn,
+               CAST(sum(s * s * n_i) AS BIGINT) AS s2n
+        FROM g
+    )
+    SELECT n, k AS k_groups,
+           CASE WHEN r > 0 AND r < n AND n * s2n - sn * sn > 0
+                THEN round((n * sr - r * sn) * sqrt(CAST(n AS DOUBLE))
+                           / sqrt(CAST(r * (n - r) AS DOUBLE)
+                                  * (n * s2n - sn * sn)), {dp}) END AS z
+    FROM agg
+    """
+
+
+def theil_index(
+    df: DataFrame, unit_col: str, metric_col: str, dp: int = 6
+) -> DataFrame:
+    """Theil T inequality index of a metric across units (days,
+    sources, tenants): T = (1/N) sum (x_i/mu) ln(x_i/mu) — 0 when
+    every unit earns the same, ln(N) at total concentration. The
+    entropy-based member of the inequality family (q_lorenz_curve:
+    the curve; q_market_hhi: sum of squared shares; Theil decomposes
+    additively across subgroups, which they don't). Output ONE row:
+    (n_units, theil).
+
+    Each term is (x*N/S) ln(x*N/S) — exact BIGINT ratios through one
+    division (raw) and one ln; zero-metric units contribute the
+    x -> 0 limit 0 exactly. The unit-bounded term sum accumulates
+    over the ORDERED unit window, divided by N, rounded dp.
+
+    Scale shape: row mass reduces to the unit grid in one aggregate;
+    the walk runs on the unit-bounded relation."""
+    from pyspark.sql import Window as W
+
+    units = (
+        df.groupBy(F.col(unit_col).alias("unit"))
+        .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
+        .localCheckpoint()  # feeds the totals AND the walk
+    )
+    tot = units.agg(
+        F.sum("m").cast("long").alias("s_tot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = W.orderBy("unit").rowsBetween(W.unboundedPreceding, 0)
+    walked = (
+        units.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            F.when(
+                F.col("m") > 0,
+                F.expr(
+                    "(CAST(m * n AS DOUBLE) / s_tot)"
+                    " * ln(CAST(m * n AS DOUBLE) / s_tot)"
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("cum", F.sum("term").over(w))
+        .withColumn("rn", F.count(F.lit(1)).over(w))
+    )
+    return walked.filter(F.col("rn") == F.col("n")).select(
+        F.col("n").alias("n_units"),
+        F.when(
+            F.col("s_tot") > 0, F.round(F.expr("cum / n"), dp)
+        ).alias("theil"),
+    )
+
+
+def theil_oracle_sql(units_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `theil_index`. ``units_sql`` yields (unit, m)
+    with m BIGINT."""
+    return f"""
+    WITH units AS ({units_sql}),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS s_tot,
+                   CAST(count(*) AS BIGINT) AS n FROM units),
+    walked AS (
+        SELECT sum(CASE WHEN m > 0
+                        THEN (CAST(m * n AS DOUBLE) / s_tot)
+                             * ln(CAST(m * n AS DOUBLE) / s_tot)
+                        ELSE 0.0 END) OVER w AS cum,
+               count(*) OVER w AS rn,
+               n, s_tot
+        FROM units CROSS JOIN tot
+        WINDOW w AS (ORDER BY unit ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT n AS n_units,
+           CASE WHEN s_tot > 0 THEN round(cum / n, {dp}) END AS theil
+    FROM walked WHERE rn = n
+    """

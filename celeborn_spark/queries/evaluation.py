@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
+    auc_ci,
+    auc_ci_oracle_sql,
     brier_decomposition,
     brier_oracle_sql,
     calibration_bins,
@@ -389,3 +391,22 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcc_at_threshold(
         events, "value", "label", threshold_cents=25000
     )
+
+
+@query(
+    "q_auc_ci",
+    oracle=auc_ci_oracle_sql("orders", "o_totalprice", _URGENT),
+)
+def q_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC with Hanley-McNeil standard error and 95% CI — the
+    uncertainty companion to q_roc_auc's point estimate (is 0.71
+    really better than 0.68 on this sample?). Same histogram-rank
+    machinery; identical-text SE/CI chain with repr'd z, clamped to
+    [0,1], 6dp (operators/evaluation.auc_ci)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return auc_ci(orders, "o_totalprice", "label")

@@ -1444,3 +1444,83 @@ def q_ab_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.ab_power_plan(
         ev, "event_type", "value", "click", mde_frac=0.05
     )
+
+
+@query(
+    "q_t_closeness",
+    oracle=stats_ops.t_closeness_oracle_sql(
+        "customer",
+        ["c_mktsegment", "c_nationkey"],
+        "floor(c_acctbal / 1000.0)",
+    ),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the (segment, nation) quasi-groups:
+    ordinal earth-mover distance between each group's account-balance
+    band distribution and the global one — completes the release-
+    privacy triad (q_k_anonymity, q_l_diversity). Exact-BIGINT
+    cumulative-gap numerators over the ordered band grid, per-group
+    window walks, 6dp (operators/stats.t_closeness)."""
+    c = load_table(spark, sf_dir, "customer")
+    return stats_ops.t_closeness(
+        c,
+        ["c_mktsegment", "c_nationkey"],
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)),
+    )
+
+
+@query(
+    "q_cochran_armitage",
+    oracle=stats_ops.cochran_armitage_oracle_sql(
+        "events",
+        "least(10, CAST(floor(10 * CAST(floor(value * 100) AS BIGINT)"
+        " / 50000) AS BIGINT) + 1)",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+    ),
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does purchase propensity trend
+    monotonically across value deciles? The ordinal complement of
+    q_chi_square (any-association) and the categorical sibling of
+    q_grouped_ols_trend. Integer-cleared trend algebra, split-sqrt
+    denominator, 6dp (operators/stats.cochran_armitage)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(10),
+            (
+                F.floor(
+                    10 * F.floor(F.col("value") * 100).cast("long") / 50000
+                )
+                + 1
+            ).cast("long"),
+        ).alias("decile"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return stats_ops.cochran_armitage(ev, "decile", "label")
+
+
+@query(
+    "q_theil_index",
+    oracle=stats_ops.theil_oracle_sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS unit,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events WHERE event_type = 'purchase' GROUP BY 1"""
+    ),
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of daily purchase revenue across days — the
+    entropy member of the inequality family (q_lorenz_curve,
+    q_market_hhi); uniquely decomposes additively across subgroups.
+    Exact-integer share ratios through ln, ordered unit walk, 6dp
+    (operators/stats.theil_index)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return stats_ops.theil_index(events, "day", "cents")

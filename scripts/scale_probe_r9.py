@@ -248,7 +248,35 @@ CASES_BATCH7 = [
     ("q_mcc", ["events"]),
 ]
 
+# Batch 9 (run with --batch9): planner/graph/seasonality/entropy
+# closers. Group counts, DOW grids, and power-plan moments are ~flat;
+# homophily/bigram-entropy edge/cell scans are ~linear with
+# per-replica structure constant; the component histogram inherits
+# the jaccard-pair + label-propagation pipeline (probed r7) over the
+# remapped token space.
+# Batch-9 run (same conditions; supplier added to SHIFTS after the
+# first attempt crashed on the missing replica table):
+#   q_mixture_plan           1x 1.12  8x 0.86  32x  0.89  exp 0.03
+#   q_homophily              1x 1.20  8x 1.46  32x  3.38  exp 0.60
+#   q_seasonal_strength      1x 0.64  8x 0.72  32x  0.77  exp 0.04
+#   q_ab_power_plan          1x 0.27  8x 0.28  32x  0.32  exp 0.09
+#   q_bigram_entropy         1x 1.04  8x 1.26  32x  2.42  exp 0.47
+#   q_component_size_hist.   1x 4.93  8x 8.97  32x 31.05  exp 0.90
+# component_size_histogram is ~linear by design: it inherits the
+# jaccard-pair + label-propagation pipeline (probed r7) and the
+# remapped token space keeps cross-replica shingles disjoint, so the
+# pair space grows linearly with replicas, never quadratically.
+CASES_BATCH9 = [
+    ("q_mixture_plan", ["documents"]),
+    ("q_homophily", ["lineitem", "supplier"]),
+    ("q_seasonal_strength", ["events"]),
+    ("q_ab_power_plan", ["events"]),
+    ("q_bigram_entropy", ["documents"]),
+    ("q_component_size_histogram", ["documents"]),
+]
+
 SHIFTS = {
+    "supplier": {"s_suppkey": 10_000_000},
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
     "lineitem": {
         "l_orderkey": 1_000_000_000,
@@ -303,7 +331,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH7
+        CASES_BATCH9
+        if "--batch9" in sys.argv
+        else CASES_BATCH7
         if "--batch7" in sys.argv
         else CASES_BATCH5
         if "--batch5" in sys.argv
