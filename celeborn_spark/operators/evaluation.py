@@ -1659,3 +1659,264 @@ def auc_ci_oracle_sql(
            round(least(1.0, {a} + {z!r} * {se}), {dp}) AS ci_hi
     FROM ({roc_auc_oracle_sql(table, score_sql, label_sql)})
     """
+
+
+# --------------------------------------------------------------------------
+# Split-conformal interval for the seasonal-naive forecaster
+# --------------------------------------------------------------------------
+
+
+def conformal_interval(
+    df: DataFrame,
+    day_col: str,
+    metric_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    forecaster (prediction for day d = the value 7 days earlier):
+    qhat = the ceil((1-alpha)(n+1))-th smallest absolute residual, so
+    `forecast ± qhat` covers a fresh day with probability >= 1-alpha
+    under exchangeability — DISTRIBUTION-FREE uncertainty for
+    q_forecast_backtest's point scores (MAPE says how wrong on
+    average; this bounds how wrong, with a guarantee). alpha =
+    ``alpha_num/alpha_den`` is kept rational so the rank k =
+    ceil((1-a)(n+1)) is computed in EXACT integer arithmetic:
+    k = n + 1 - floor(alpha_num * (n + 1) / alpha_den). Output ONE
+    row: (n_scored, qhat_cents, target_coverage, empirical_coverage).
+
+    Residuals are exact BIGINT cents; qhat is an order statistic read
+    off the residual histogram's cumulative counts (no row sort);
+    empirical coverage is a single division of exact integers, raw.
+    NULL qhat when k > n (too few scored days for the target level).
+
+    Scale shape: row mass reduces to the day grid once; the lag join
+    and histogram walk run on calendar-bounded relations."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
+        .localCheckpoint()  # feeds both sides of the 7-day lag join
+    )
+    lagged = daily.alias("cur").join(
+        daily.alias("prev"),
+        F.col("cur.day") == F.date_add(F.col("prev.day"), 7),
+    )
+    resid = lagged.select(
+        F.abs(F.col("cur.m") - F.col("prev.m")).alias("r")
+    ).localCheckpoint()  # feeds the histogram AND the coverage count
+    hist = resid.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W.orderBy("r").rowsBetween(W.unboundedPreceding, 0)
+    tot = resid.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    k_expr = (
+        f"n + 1 - CAST(floor({alpha_num} * (n + 1) / {alpha_den})"
+        " AS BIGINT)"
+    )
+    qhat = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("c").over(wc))
+        .groupBy("n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr(k_expr), F.col("r"))
+            ).alias("qhat")
+        )
+    )
+    # CASE-style 0 on NULL qhat (matches the oracle's CASE WHEN; a
+    # bare boolean cast would propagate NULL instead)
+    cov = resid.crossJoin(F.broadcast(qhat)).agg(
+        F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cov")
+    )
+    return (
+        qhat.crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n").alias("n_scored"),
+            F.col("qhat").cast("long").alias("qhat_cents"),
+            F.expr(
+                f"1.0 - CAST({alpha_num} AS DOUBLE) / {alpha_den}"
+            ).alias("target_coverage"),
+            F.expr("CAST(n_cov AS DOUBLE) / n").alias(
+                "empirical_coverage"
+            ),
+        )
+    )
+
+
+def conformal_oracle_sql(
+    daily_sql: str, alpha_num: int = 1, alpha_den: int = 10, dp: int = 6
+) -> str:
+    """DuckDB mirror of `conformal_interval`. ``daily_sql`` yields
+    (day, m) with m BIGINT cents."""
+    k_expr = (
+        f"n + 1 - CAST(floor({alpha_num} * (n + 1) / {alpha_den})"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH daily AS ({daily_sql}),
+    resid AS (
+        SELECT abs(cur.m - prev.m) AS r
+        FROM daily cur JOIN daily prev ON cur.day = prev.day + 7
+    ),
+    hist AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM resid GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM resid),
+    qhat AS (
+        SELECT n, min(CASE WHEN cum >= {k_expr} THEN r END) AS qhat
+        FROM (
+            SELECT r, n,
+                   sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum
+            FROM hist CROSS JOIN tot
+        ) GROUP BY n
+    ),
+    cov AS (
+        SELECT CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cov
+        FROM resid CROSS JOIN qhat
+    )
+    SELECT n AS n_scored, CAST(qhat AS BIGINT) AS qhat_cents,
+           1.0 - CAST({alpha_num} AS DOUBLE) / {alpha_den}
+               AS target_coverage,
+           CAST(n_cov AS DOUBLE) / n AS empirical_coverage
+    FROM qhat CROSS JOIN cov
+    """
+
+
+# --------------------------------------------------------------------------
+# Daily category-mix drift series (Jensen-Shannon vs previous day)
+# --------------------------------------------------------------------------
+
+
+def mix_drift_series(
+    df: DataFrame, day_col: str, cat_col: str, dp: int = 6
+) -> DataFrame:
+    """Day-over-day Jensen-Shannon divergence of a categorical mix —
+    the drift TIME SERIES behind the pairwise drift scalars
+    (q_js_divergence compares two fixed cohorts; this walks the
+    calendar and surfaces WHEN the mix broke). Output one row per day
+    with a predecessor: (day, n_today, js_prev).
+
+    Per adjacent-day pair the category grid joins with coalesce-0
+    sides; each JS term is an identical-text chain of exact count
+    ratios (0 ln 0 = 0 handled by CASE), accumulated over the ORDERED
+    category window partitioned by day, rounded dp.
+
+    Scale shape: one (day, category) aggregate; everything after runs
+    on the days x categories grid."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        df.groupBy(
+            F.col(day_col).alias("day"), F.col(cat_col).alias("cat")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds both sides of the adjacent-day join
+    )
+    days = cells.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    # dense category union per adjacent-day pair: full outer on cat
+    cur = cells.select(
+        F.col("day"), F.col("cat"), F.col("c").alias("c_cur")
+    )
+    prv = cells.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("cat"),
+        F.col("c").alias("c_prev"),
+    )
+    paired = (
+        cur.join(prv, ["day", "cat"], "full")
+        .select(
+            "day",
+            "cat",
+            F.coalesce("c_cur", F.lit(0)).cast("long").alias("a"),
+            F.coalesce("c_prev", F.lit(0)).cast("long").alias("b"),
+        )
+        .join(days.select("day", F.col("n").alias("n_a")), "day")
+        .join(
+            days.select(
+                F.date_add(F.col("day"), 1).alias("day"),
+                F.col("n").alias("n_b"),
+            ),
+            "day",
+        )
+    )
+    # p = a/n_a, q = b/n_b, m = (p+q)/2; term = p*ln(p/m) + q*ln(q/m)
+    term = (
+        "CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / n_a)"
+        " * ln((CAST(a AS DOUBLE) / n_a)"
+        "      / ((CAST(a AS DOUBLE) / n_a + CAST(b AS DOUBLE) / n_b) / 2))"
+        " ELSE 0.0 END"
+        " + CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / n_b)"
+        " * ln((CAST(b AS DOUBLE) / n_b)"
+        "      / ((CAST(a AS DOUBLE) / n_a + CAST(b AS DOUBLE) / n_b) / 2))"
+        " ELSE 0.0 END"
+    )
+    wd = W.partitionBy("day").orderBy("cat").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    walked = (
+        paired.withColumn("term", F.expr(term))
+        .withColumn("cum", F.sum("term").over(wd))
+        .withColumn("rn", F.count(F.lit(1)).over(wd))
+        .withColumn("cats", F.count(F.lit(1)).over(W.partitionBy("day")))
+    )
+    return walked.filter(F.col("rn") == F.col("cats")).select(
+        F.col("day").cast("string").alias("day"),
+        F.col("n_a").alias("n_today"),
+        F.round(F.expr("cum / 2"), dp).alias("js_prev"),
+    )
+
+
+def mix_drift_oracle_sql(
+    table: str, day_sql: str, cat_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `mix_drift_series`: identical grid, term text,
+    and per-day walk."""
+    term = (
+        "CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / n_a)"
+        " * ln((CAST(a AS DOUBLE) / n_a)"
+        "      / ((CAST(a AS DOUBLE) / n_a + CAST(b AS DOUBLE) / n_b) / 2))"
+        " ELSE 0.0 END"
+        " + CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / n_b)"
+        " * ln((CAST(b AS DOUBLE) / n_b)"
+        "      / ((CAST(a AS DOUBLE) / n_a + CAST(b AS DOUBLE) / n_b) / 2))"
+        " ELSE 0.0 END"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT {day_sql} AS day, {cat_sql} AS cat,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    days AS (SELECT day, CAST(sum(c) AS BIGINT) AS n
+             FROM cells GROUP BY 1),
+    paired AS (
+        SELECT coalesce(cur.day, prev.day + 1) AS day,
+               coalesce(cur.cat, prev.cat) AS cat,
+               CAST(coalesce(cur.c, 0) AS BIGINT) AS a,
+               CAST(coalesce(prev.c, 0) AS BIGINT) AS b
+        FROM cells cur
+        FULL JOIN cells prev
+            ON cur.day = prev.day + 1 AND cur.cat = prev.cat
+    ),
+    sided AS (
+        SELECT p.day, p.cat, p.a, p.b, da.n AS n_a, db.n AS n_b
+        FROM paired p
+        JOIN days da ON da.day = p.day
+        JOIN days db ON db.day = p.day - 1
+    ),
+    walked AS (
+        SELECT day, n_a,
+               sum({term}) OVER w AS cum,
+               count(*) OVER w AS rn,
+               count(*) OVER (PARTITION BY day) AS cats
+        FROM sided
+        WINDOW w AS (PARTITION BY day ORDER BY cat
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_a AS n_today,
+           round(cum / 2, {dp}) AS js_prev
+    FROM walked WHERE rn = cats
+    """

@@ -3524,3 +3524,201 @@ def theil_oracle_sql(units_sql: str, dp: int = 6) -> str:
            CASE WHEN s_tot > 0 THEN round(cum / n, {dp}) END AS theil
     FROM walked WHERE rn = n
     """
+
+
+def ks_bh_screen(
+    df: DataFrame,
+    group_col: str,
+    band_col,
+    q: float = 0.10,
+    dp: int = 6,
+) -> DataFrame:
+    """Multiple-testing drift screen: a two-sample KS test of EVERY
+    group against the rest of the population (banded CDFs), Kolmogorov
+    p approximations, and Benjamini-Hochberg FDR control at level
+    ``q`` — "which segments' value distributions genuinely differ,
+    after correcting for testing all of them at once?". The
+    multiple-comparisons closer the per-test family (welch, KS,
+    chi-square) needs before anyone loops it over segments. Output one
+    row per group: (group, n_g, ks_d, p_approx, bh_rank, significant).
+
+    Engine-parity: D numerators are exact BIGINTs over the dense
+    group x band grid (|cum_g * n_rest - cum_rest * n_g|, the
+    ks_two_sample discipline); p = 2(e^{-2L^2} - e^{-8L^2} + e^{-18L^2})
+    with L = d*sqrt(n_g*n_rest/n) is an identical-text exp chain
+    clamped to [0,1] and rounded dp BEFORE the BH comparison, so the
+    rank decisions compare identical doubles. BH runs on the k-row
+    p-ordered walk: significant = rank <= max{i : p_(i) <= i*q/m}.
+
+    Scale shape: one (group, band) aggregate; the dense grid and
+    every walk are (groups x bands)-bounded."""
+    from pyspark.sql import Window as W
+
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"), band_col.cast("long").alias("band")
+        )
+        .groupBy("g", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the global hist AND the grid
+    )
+    gband = cells.groupBy("band").agg(F.sum("c").cast("long").alias("gc"))
+    groups = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    tot = gband.agg(F.sum("gc").cast("long").alias("n_tot"))
+    grid = (
+        groups.crossJoin(F.broadcast(gband))
+        .join(cells, ["g", "band"], "left")
+        .select(
+            "g",
+            "band",
+            "n_g",
+            "gc",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    wb = W.partitionBy("g").orderBy("band").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    stats = (
+        grid.crossJoin(F.broadcast(tot))
+        .withColumn("cum_g", F.sum("c").over(wb))
+        .withColumn("cum_all", F.sum("gc").over(wb))
+        .withColumn("n_rest", F.col("n_tot") - F.col("n_g"))
+        .withColumn(
+            "num",
+            F.abs(
+                F.col("cum_g") * F.col("n_rest")
+                - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+            ),
+        )
+        .groupBy("g", "n_g", "n_rest")
+        .agg(F.max("num").cast("long").alias("ks_num"))
+        .withColumn(
+            "ks_d",
+            F.expr("CAST(ks_num AS DOUBLE) / (CAST(n_g AS DOUBLE) * n_rest)"),
+        )
+        .withColumn(
+            "lam",
+            F.expr(
+                "ks_num / (CAST(n_g AS DOUBLE) * n_rest)"
+                " * sqrt(CAST(n_g AS DOUBLE) * n_rest / (n_g + n_rest))"
+            ),
+        )
+        # lam*lam, not pow(lam, 2): pow is not correctly-rounded
+        # across JVM Math.pow and C libm; multiply is IEEE-exact
+        .withColumn(
+            "p_approx",
+            F.round(
+                F.expr(
+                    "least(1.0, greatest(0.0,"
+                    " 2 * (exp(-2 * (lam * lam)) - exp(-8 * (lam * lam))"
+                    " + exp(-18 * (lam * lam)))))"
+                ),
+                dp,
+            ),
+        )
+        .drop("lam")
+    )
+    wp = W.orderBy("p_approx", "g")
+    wall = W.partitionBy()
+    ranked = (
+        stats.withColumn("bh_rank", F.row_number().over(wp).cast("long"))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "passes",
+            (
+                F.col("p_approx")
+                <= F.col("bh_rank") * F.lit(q) / F.col("m")
+            ).cast("long"),
+        )
+        .withColumn(
+            "max_pass_rank",
+            F.max(F.when(F.col("passes") == 1, F.col("bh_rank"))).over(wall),
+        )
+    )
+    return ranked.select(
+        F.col("g").alias("group"),
+        "n_g",
+        "ks_d",
+        "p_approx",
+        "bh_rank",
+        F.when(
+            F.col("bh_rank") <= F.coalesce(F.col("max_pass_rank"), F.lit(0)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("significant"),
+    )
+
+
+def ks_bh_oracle_sql(
+    table: str, group_sql: str, band_sql: str, q: float = 0.10, dp: int = 6
+) -> str:
+    """DuckDB mirror of `ks_bh_screen`: identical grid, D numerators,
+    exp chain, and BH walk."""
+    lam = (
+        "ks_num / (CAST(n_g AS DOUBLE) * n_rest)"
+        " * sqrt(CAST(n_g AS DOUBLE) * n_rest / (n_g + n_rest))"
+    )
+    return f"""
+    WITH cells AS (
+        SELECT {group_sql} AS g, CAST({band_sql} AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    gband AS (SELECT band, CAST(sum(c) AS BIGINT) AS gc
+              FROM cells GROUP BY 1),
+    groups AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g
+               FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(gc) AS BIGINT) AS n_tot FROM gband),
+    grid AS (
+        SELECT gr.g, b.band, gr.n_g, b.gc,
+               CAST(coalesce(c.c, 0) AS BIGINT) AS c
+        FROM groups gr CROSS JOIN gband b
+        LEFT JOIN cells c ON c.g = gr.g AND c.band = b.band
+    ),
+    cums AS (
+        SELECT g, n_g, n_tot - n_g AS n_rest,
+               abs(sum(c) OVER w * (n_tot - n_g)
+                   - (sum(gc) OVER w - sum(c) OVER w) * n_g) AS num
+        FROM grid CROSS JOIN tot
+        WINDOW w AS (PARTITION BY g ORDER BY band
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stats AS (
+        SELECT g, n_g, n_rest, CAST(max(num) AS BIGINT) AS ks_num
+        FROM cums GROUP BY 1, 2, 3
+    ),
+    lammed AS (
+        SELECT g, n_g,
+               CAST(ks_num AS DOUBLE) / (CAST(n_g AS DOUBLE) * n_rest)
+                   AS ks_d,
+               {lam} AS lam
+        FROM stats
+    ),
+    scored AS (
+        SELECT g, n_g, ks_d,
+               round(least(1.0, greatest(0.0,
+                   2 * (exp(-2 * (lam * lam)) - exp(-8 * (lam * lam))
+                        + exp(-18 * (lam * lam))))), {dp}) AS p_approx
+        FROM lammed
+    ),
+    ranked AS (
+        SELECT g, n_g, ks_d, p_approx,
+               CAST(row_number() OVER (ORDER BY p_approx, g) AS BIGINT)
+                   AS bh_rank,
+               count(*) OVER () AS m
+        FROM scored
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN p_approx <= bh_rank * {q!r} / m
+                       THEN bh_rank END AS pass_rank
+        FROM ranked
+    )
+    SELECT g AS "group", n_g, ks_d, p_approx, bh_rank,
+           CAST(CASE WHEN bh_rank <= coalesce(
+                    max(pass_rank) OVER (), 0) THEN 1 ELSE 0 END AS INT)
+               AS significant
+    FROM flagged
+    """

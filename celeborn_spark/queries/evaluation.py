@@ -23,6 +23,10 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
     auc_ci,
     auc_ci_oracle_sql,
+    conformal_interval,
+    conformal_oracle_sql,
+    mix_drift_oracle_sql,
+    mix_drift_series,
     brier_decomposition,
     brier_oracle_sql,
     calibration_bins,
@@ -410,3 +414,49 @@ def q_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
     )
     return auc_ci(orders, "o_totalprice", "label")
+
+
+@query(
+    "q_conformal_interval",
+    oracle=conformal_oracle_sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS m
+           FROM events WHERE event_type = 'purchase' GROUP BY 1"""
+    ),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval for the seasonal-naive revenue
+    forecaster: qhat = the ceil(0.9(n+1))-th smallest |residual|, so
+    forecast ± qhat covers a fresh day with >= 90% probability under
+    exchangeability — distribution-free uncertainty on top of
+    q_forecast_backtest's point scores. Exact-integer rank off the
+    residual histogram, rational alpha, single-division coverage
+    (operators/evaluation.conformal_interval)."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return conformal_interval(events, "day", "cents")
+
+
+@query(
+    "q_mix_drift_series",
+    oracle=mix_drift_oracle_sql(
+        "events", "CAST(date_trunc('day', ts) AS DATE)", "event_type"
+    ),
+)
+def q_mix_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day Jensen-Shannon drift of the event-type mix — the
+    drift TIME SERIES that surfaces WHEN the mix broke (q_js_divergence
+    compares two fixed cohorts). Adjacent-day category grids with
+    coalesce-0 sides, exact count-ratio terms, per-day ordered walks,
+    6dp (operators/evaluation.mix_drift_series)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.col("event_type"),
+    )
+    return mix_drift_series(ev, "day", "event_type")

@@ -1524,3 +1524,24 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stats_ops.theil_index(events, "day", "cents")
+
+
+@query(
+    "q_ks_bh_screen",
+    oracle=stats_ops.ks_bh_oracle_sql(
+        "customer", "c_mktsegment", "floor(c_acctbal / 100.0)", q=0.10
+    ),
+)
+def q_ks_bh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg drift screen: KS test of every market
+    segment's account-balance distribution against the rest, Kolmogorov
+    p approximations, FDR control at q=0.10 — which segments GENUINELY
+    differ after correcting for testing all of them (the
+    multiple-comparisons closer the per-test family needs). Exact
+    BIGINT D numerators over the segment x band grid, identical-text
+    exp chain (lam*lam, never pow), p-ordered BH walk
+    (operators/stats.ks_bh_screen)."""
+    c = load_table(spark, sf_dir, "customer")
+    return stats_ops.ks_bh_screen(
+        c, "c_mktsegment", F.floor(F.col("c_acctbal") / F.lit(100.0)), q=0.10
+    )

@@ -275,8 +275,19 @@ CASES_BATCH9 = [
     ("q_component_size_histogram", ["documents"]),
 ]
 
+# Batch 10 (run with --batch10): privacy/trend/inequality/uncertainty
+# closers — all value-space-histogram shapes (quasi x band grids,
+# decile counts, day grids, score histograms), expected ~flat.
+CASES_BATCH10 = [
+    ("q_t_closeness", ["customer"]),
+    ("q_cochran_armitage", ["events"]),
+    ("q_theil_index", ["events"]),
+    ("q_auc_ci", ["orders"]),
+]
+
 SHIFTS = {
     "supplier": {"s_suppkey": 10_000_000},
+    "customer": {"c_custkey": 10_000_000},
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
     "lineitem": {
         "l_orderkey": 1_000_000_000,
@@ -331,7 +342,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH9
+        CASES_BATCH10
+        if "--batch10" in sys.argv
+        else CASES_BATCH9
         if "--batch9" in sys.argv
         else CASES_BATCH7
         if "--batch7" in sys.argv
