@@ -3722,3 +3722,293 @@ def ks_bh_oracle_sql(
                AS significant
     FROM flagged
     """
+
+
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str, dp: int = 6
+) -> DataFrame:
+    """Kruskal-Wallis H test: do k groups' value distributions differ,
+    by ranks? — the k-group extension of `mann_whitney_u` and the
+    rank-based (outlier-robust) sibling of `anova_oneway`. Output ONE
+    row: (k_groups, n, h_stat) with the tie-corrected H.
+
+    NO row sort: average ranks come from the VALUE HISTOGRAM (avg
+    rank of a tied block = cum_before + (t+1)/2, halves exact); each
+    group's rank sum is an exact sum of count x half-exact doubles
+    accumulated per group over the ordered value window; H's
+    tie-correction divisor 1 - sum(t^3 - t)/(N^3 - N) is exact-BIGINT
+    rationals. H = [12/(N(N+1)) * sum R_g^2/n_g - 3(N+1)] / C rounds
+    dp. NULL when every value ties (C = 0) or k < 2.
+
+    Scale shape: one (group, value) histogram aggregate; every window
+    is histogram- or k-bounded."""
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.groupBy(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the value histogram AND group sums
+    )
+    vhist = hist.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranks = vhist.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(wv), F.lit(0))
+    ).select(
+        "v",
+        "t",
+        ((2 * F.col("cum_before") + F.col("t") + 1) / F.lit(2.0)).alias(
+            "avg_rank"
+        ),
+    )
+    gsum = (
+        hist.join(ranks.select("v", "avg_rank"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("c") * F.col("avg_rank")).alias("r_g"),
+            F.sum("c").cast("long").alias("n_g"),
+        )
+    )
+    ties = vhist.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_num"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    wg = W.orderBy("g").rowsBetween(W.unboundedPreceding, 0)
+    walked = (
+        gsum.withColumn(
+            "cum_r2n", F.sum(F.expr("r_g * r_g / n_g")).over(wg)
+        )
+        .withColumn("rn", F.count(F.lit(1)).over(wg))
+        .withColumn("k", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    return (
+        walked.filter(F.col("rn") == F.col("k"))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("k").cast("long").alias("k_groups"),
+            F.col("n"),
+            F.when(
+                (F.col("k") > 1)
+                & (
+                    F.expr(
+                        "1.0 - CAST(tie_num AS DOUBLE) / (n * n * n - n)"
+                    )
+                    > 0
+                ),
+                F.round(
+                    F.expr(
+                        "(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * cum_r2n"
+                        " - 3.0 * (n + 1))"
+                        " / (1.0 - CAST(tie_num AS DOUBLE)"
+                        "          / (n * n * n - n))"
+                    ),
+                    dp,
+                ),
+            ).alias("h_stat"),
+        )
+    )
+
+
+def kruskal_oracle_sql(
+    table: str, group_sql: str, value_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `kruskal_wallis`: identical histogram ranks,
+    group walk, and tie-corrected H text."""
+    return f"""
+    WITH hist AS (
+        SELECT {group_sql} AS g, CAST({value_sql} AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    vhist AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM hist GROUP BY 1),
+    ranks AS (
+        SELECT v, t,
+               (2 * coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1) / 2.0 AS avg_rank
+        FROM vhist
+    ),
+    gsum AS (
+        SELECT h.g, sum(h.c * r.avg_rank) AS r_g,
+               CAST(sum(h.c) AS BIGINT) AS n_g
+        FROM hist h JOIN ranks r ON h.v = r.v
+        GROUP BY h.g
+    ),
+    ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_num,
+               CAST(sum(t) AS BIGINT) AS n
+        FROM vhist
+    ),
+    walked AS (
+        SELECT sum(r_g * r_g / n_g) OVER w AS cum_r2n,
+               count(*) OVER w AS rn,
+               count(*) OVER () AS k
+        FROM gsum
+        WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, n,
+           CASE WHEN k > 1
+                 AND 1.0 - CAST(tie_num AS DOUBLE) / (n * n * n - n) > 0
+                THEN round(
+                    (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * cum_r2n
+                     - 3.0 * (n + 1))
+                    / (1.0 - CAST(tie_num AS DOUBLE) / (n * n * n - n)),
+                    {dp}) END AS h_stat
+    FROM walked CROSS JOIN ties WHERE rn = k
+    """
+
+
+def granger_leadlag(
+    df: DataFrame,
+    day_col: str,
+    x_col,
+    y_col,
+    dp: int = 6,
+) -> DataFrame:
+    """Granger-style lead-lag readout: regress today's y on
+    (yesterday's y, yesterday's x) in closed form and report how much
+    of y's residual variance yesterday's x explains BEYOND y's own
+    autoregression — "does click spend lead purchase revenue, or just
+    co-move?", the causal-direction sharpening of
+    q_cross_correlation's symmetric lags. Output ONE row:
+    (n_days, beta_x, r2_restricted, r2_full, granger_f).
+
+    The day grid reduces both metrics to exact cents; all five
+    second-moment sums are exact BIGINTs over the lag-joined grid, so
+    the 2-predictor OLS normal equations solve in one identical-text
+    determinant chain (single divisions of exact integers at the
+    leaves), rounded dp; F = (RSS_r - RSS_f)/(RSS_f/(n-3)). NULL when
+    the determinant vanishes (collinear predictors) or n < 4.
+
+    Scale shape: one day-grid aggregate + a self-join on day-1;
+    everything after is a 1-row moment relation."""
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(
+            F.sum(x_col).cast("long").alias("x"),
+            F.sum(y_col).cast("long").alias("y"),
+        )
+        .localCheckpoint()  # feeds both sides of the lag join
+    )
+    lagged = (
+        daily.alias("cur")
+        .join(
+            daily.alias("prev"),
+            F.col("cur.day") == F.date_add(F.col("prev.day"), 1),
+        )
+        .select(
+            F.col("cur.y").alias("yt"),
+            F.col("prev.y").alias("y1"),
+            F.col("prev.x").alias("x1"),
+        )
+    )
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yt").cast("long").alias("syt"),
+        F.sum("y1").cast("long").alias("sy1"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum(F.col("y1") * F.col("y1")).cast("long").alias("sy1y1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("y1") * F.col("x1")).cast("long").alias("sy1x1"),
+        F.sum(F.col("yt") * F.col("y1")).cast("long").alias("syty1"),
+        F.sum(F.col("yt") * F.col("x1")).cast("long").alias("sytx1"),
+        F.sum(F.col("yt") * F.col("yt")).cast("long").alias("sytyt"),
+    )
+    # centered moments (identical text both sides)
+    c = {
+        "a11": "(sy1y1 - CAST(sy1 AS DOUBLE) * sy1 / n)",
+        "a22": "(sx1x1 - CAST(sx1 AS DOUBLE) * sx1 / n)",
+        "a12": "(sy1x1 - CAST(sy1 AS DOUBLE) * sx1 / n)",
+        "b1": "(syty1 - CAST(syt AS DOUBLE) * sy1 / n)",
+        "b2": "(sytx1 - CAST(syt AS DOUBLE) * sx1 / n)",
+        "syy": "(sytyt - CAST(syt AS DOUBLE) * syt / n)",
+    }
+    det = f"({c['a11']} * {c['a22']} - {c['a12']} * {c['a12']})"
+    beta_y = f"(({c['b1']} * {c['a22']} - {c['b2']} * {c['a12']}) / {det})"
+    beta_x = f"(({c['b2']} * {c['a11']} - {c['b1']} * {c['a12']}) / {det})"
+    rss_f = (
+        f"({c['syy']} - ({beta_y}) * {c['b1']} - ({beta_x}) * {c['b2']})"
+    )
+    rss_r = f"({c['syy']} - {c['b1']} * {c['b1']} / {c['a11']})"
+    guard = (
+        f"(n > 3) AND ({det} <> 0) AND ({c['a11']} > 0)"
+        f" AND ({c['syy']} > 0) AND ({rss_f} > 0)"
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.when(F.expr(guard), F.round(F.expr(beta_x), dp)).alias("beta_x"),
+        F.when(
+            F.expr(guard),
+            F.round(F.expr(f"1.0 - {rss_r} / {c['syy']}"), dp),
+        ).alias("r2_restricted"),
+        F.when(
+            F.expr(guard),
+            F.round(F.expr(f"1.0 - {rss_f} / {c['syy']}"), dp),
+        ).alias("r2_full"),
+        F.when(
+            F.expr(guard),
+            F.round(
+                F.expr(f"({rss_r} - {rss_f}) / ({rss_f} / (n - 3))"), dp
+            ),
+        ).alias("granger_f"),
+    )
+
+
+def granger_oracle_sql(daily_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `granger_leadlag`. ``daily_sql`` yields
+    (day, x, y) BIGINT cents on the day grid."""
+    c = {
+        "a11": "(sy1y1 - CAST(sy1 AS DOUBLE) * sy1 / n)",
+        "a22": "(sx1x1 - CAST(sx1 AS DOUBLE) * sx1 / n)",
+        "a12": "(sy1x1 - CAST(sy1 AS DOUBLE) * sx1 / n)",
+        "b1": "(syty1 - CAST(syt AS DOUBLE) * sy1 / n)",
+        "b2": "(sytx1 - CAST(syt AS DOUBLE) * sx1 / n)",
+        "syy": "(sytyt - CAST(syt AS DOUBLE) * syt / n)",
+    }
+    det = f"({c['a11']} * {c['a22']} - {c['a12']} * {c['a12']})"
+    beta_y = f"(({c['b1']} * {c['a22']} - {c['b2']} * {c['a12']}) / {det})"
+    beta_x = f"(({c['b2']} * {c['a11']} - {c['b1']} * {c['a12']}) / {det})"
+    rss_f = (
+        f"({c['syy']} - ({beta_y}) * {c['b1']} - ({beta_x}) * {c['b2']})"
+    )
+    rss_r = f"({c['syy']} - {c['b1']} * {c['b1']} / {c['a11']})"
+    guard = (
+        f"n > 3 AND {det} <> 0 AND {c['a11']} > 0"
+        f" AND {c['syy']} > 0 AND {rss_f} > 0"
+    )
+    return f"""
+    WITH daily AS ({daily_sql}),
+    lagged AS (
+        SELECT cur.y AS yt, prev.y AS y1, prev.x AS x1
+        FROM daily cur JOIN daily prev ON cur.day = prev.day + 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(yt) AS BIGINT) AS syt,
+               CAST(sum(y1) AS BIGINT) AS sy1,
+               CAST(sum(x1) AS BIGINT) AS sx1,
+               CAST(sum(y1 * y1) AS BIGINT) AS sy1y1,
+               CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+               CAST(sum(y1 * x1) AS BIGINT) AS sy1x1,
+               CAST(sum(yt * y1) AS BIGINT) AS syty1,
+               CAST(sum(yt * x1) AS BIGINT) AS sytx1,
+               CAST(sum(yt * yt) AS BIGINT) AS sytyt
+        FROM lagged
+    )
+    SELECT n AS n_days,
+           CASE WHEN {guard} THEN round({beta_x}, {dp}) END AS beta_x,
+           CASE WHEN {guard}
+                THEN round(1.0 - {rss_r} / {c['syy']}, {dp}) END
+               AS r2_restricted,
+           CASE WHEN {guard}
+                THEN round(1.0 - {rss_f} / {c['syy']}, {dp}) END AS r2_full,
+           CASE WHEN {guard}
+                THEN round(({rss_r} - {rss_f}) / ({rss_f} / (n - 3)), {dp})
+                END AS granger_f
+    FROM mom
+    """

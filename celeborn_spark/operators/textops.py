@@ -1679,3 +1679,92 @@ def bigram_entropy_oracle_sql(dp: int = 6) -> str:
            round(exp(-cum / t_tot), {dp}) AS perplexity
     FROM walked WHERE rn = cells
     """
+
+
+def negative_sampling_table(
+    docs: DataFrame, text_col: str, power_num: int = 3, power_den: int = 4,
+    dp: int = 6,
+) -> DataFrame:
+    """word2vec-style negative-sampling distribution: token
+    probabilities proportional to count^(3/4) (the unigram power law
+    flattened so rare words get sampled), plus each token's cumulative
+    probability range [cum_lo, cum_hi) — the lookup table a
+    deterministic u01 variate samples against (the repo's md5
+    sampling discipline). Output one row per token:
+    (tok, c, weight, p_neg, cum_hi).
+
+    c^(3/4) evaluates as exp((3/4) * ln(c)) — identical text both
+    engines, rounded dp BEFORE normalization so the partition function
+    sums ROUNDED weights deterministically over the ordered vocab
+    walk; p_neg = weight/Z and the cumulative ranges are then single
+    divisions and ordered prefix sums of those fixed 6dp values.
+
+    Scale shape: one token aggregate; the walk runs on the
+    vocab-bounded relation."""
+    from pyspark.sql.window import Window as WW
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the weight walk AND the Z total
+    )
+    pw = f"{power_num}.0 / {power_den}"
+    weighted = counts.withColumn(
+        "weight",
+        F.round(F.expr(f"exp(({pw}) * ln(CAST(c AS DOUBLE)))"), dp),
+    )
+    w = WW.orderBy("tok").rowsBetween(WW.unboundedPreceding, 0)
+    wall = WW.partitionBy()
+    return (
+        weighted.withColumn("z", F.sum("weight").over(w))
+        .withColumn("rn", F.count(F.lit(1)).over(w))
+        .withColumn("v", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "z_tot",
+            F.max(F.when(F.col("rn") == F.col("v"), F.col("z"))).over(wall),
+        )
+        .select(
+            "tok",
+            "c",
+            "weight",
+            F.expr("weight / z_tot").alias("p_neg"),
+            F.expr("z / z_tot").alias("cum_hi"),
+        )
+    )
+
+
+def negative_sampling_oracle_sql(
+    power_num: int = 3, power_den: int = 4, dp: int = 6
+) -> str:
+    """DuckDB mirror of `negative_sampling_table` over documents."""
+    pw = f"{power_num}.0 / {power_den}"
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1),
+    weighted AS (
+        SELECT tok, c,
+               round(exp(({pw}) * ln(CAST(c AS DOUBLE))), {dp}) AS weight
+        FROM counts
+    ),
+    walked AS (
+        SELECT tok, c, weight,
+               sum(weight) OVER (ORDER BY tok ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS z,
+               count(*) OVER (ORDER BY tok ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS rn,
+               count(*) OVER () AS v
+        FROM weighted
+    ),
+    final_z AS (
+        SELECT max(CASE WHEN rn = v THEN z END) OVER () AS z_tot, *
+        FROM walked
+    )
+    SELECT tok, c, weight,
+           weight / z_tot AS p_neg,
+           z / z_tot AS cum_hi
+    FROM final_z
+    """

@@ -1545,3 +1545,60 @@ def q_ks_bh_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.ks_bh_screen(
         c, "c_mktsegment", F.floor(F.col("c_acctbal") / F.lit(100.0)), q=0.10
     )
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=stats_ops.kruskal_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity"
+    ),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across return-flag groups of order quantities:
+    the k-group rank test — extends q_mann_whitney beyond two groups
+    and is the outlier-robust sibling of q_anova. Histogram average
+    ranks, exact tie correction, ordered group walk, 6dp
+    (operators/stats.kruskal_wallis)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.kruskal_wallis(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_granger_leadlag",
+    oracle=stats_ops.granger_oracle_sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CAST(sum(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+                  CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+           FROM events GROUP BY 1"""
+    ),
+)
+def q_granger_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lead-lag: does yesterday's click spend explain
+    today's purchase revenue beyond revenue's own autoregression? —
+    the causal-direction sharpening of q_cross_correlation's symmetric
+    lags. Exact cents second moments, closed-form 2-predictor OLS
+    determinant chain, incremental-F readout, 6dp
+    (operators/stats.granger_leadlag)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.when(
+            F.col("event_type") == "click",
+            F.floor(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("xc"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("yc"),
+    )
+    return stats_ops.granger_leadlag(
+        daily, "day", F.col("xc"), F.col("yc")
+    )

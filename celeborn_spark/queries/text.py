@@ -1366,3 +1366,20 @@ def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
     d = load_table(spark, sf_dir, "documents")
     return T.bigram_conditional_entropy(d, "text")
+
+
+@query(
+    "q_negative_sampling",
+    oracle=T.negative_sampling_oracle_sql(),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: token probabilities
+    proportional to count^(3/4) with cumulative lookup ranges — the
+    embedding-training sampler next to q_good_turing's discounts.
+    exp((3/4) ln c) identical-text chain rounded 6dp BEFORE the
+    ordered-vocab normalization walk
+    (operators/textops.negative_sampling_table).
+
+    Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.negative_sampling_table(d, "text")
