@@ -809,3 +809,110 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+@query(
+    "q_rolling_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day — the windowed
+    distinct-count engagement metric between q_user_growth's DAU and
+    q_stickiness' monthly MAU. The day-user grid (one distinct pass
+    over row mass) range-joins the day grid over a 7-day band —
+    output and join both calendar x active-user bounded, never row
+    mass squared. Exact integer counts."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct().localCheckpoint()  # feeds the day grid AND the band join
+    days = du.select("day").distinct()
+    joined = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return (
+        joined.groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").cast("long").alias("wau"))
+        .select(F.col("day").cast("string").alias("day"), "wau")
+    )
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT date_trunc('month', ts) AS month,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               user_id
+        FROM events
+    ),
+    dau AS (
+        SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM du GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS days_active,
+               CAST(sum(dau) AS BIGINT) AS sum_dau
+        FROM dau GROUP BY 1
+    ),
+    mau AS (
+        SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM du GROUP BY 1
+    )
+    SELECT CAST(CAST(m.month AS DATE) AS VARCHAR) AS month,
+           m.days_active, mau.mau, m.sum_dau,
+           CAST(m.sum_dau AS DOUBLE) / (m.days_active * mau.mau)
+               AS stickiness
+    FROM m JOIN mau USING (month)
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly stickiness (avg DAU / MAU): what fraction of the
+    month's actives show up on an average day — the engagement-depth
+    ratio over q_user_growth's DAU and q_rolling_wau's WAU.
+    stickiness = sum(daily distinct)/(active_days * monthly distinct)
+    is a SINGLE division of exact integers, raw. One distinct pass
+    over row mass; everything after is month/day-grid bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct().localCheckpoint()  # feeds the DAU grid AND the MAU agg
+    dau = du.groupBy("month", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    m = dau.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("days_active"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    mau = du.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        m.join(mau, "month")
+        .select(
+            F.col("month").cast("date").cast("string").alias("month"),
+            "days_active",
+            "mau",
+            "sum_dau",
+            F.expr(
+                "CAST(sum_dau AS DOUBLE) / (days_active * mau)"
+            ).alias("stickiness"),
+        )
+    )
