@@ -1768,3 +1768,73 @@ def negative_sampling_oracle_sql(
            z / z_tot AS cum_hi
     FROM final_z
     """
+
+
+def token_burstiness(
+    docs: DataFrame, text_col: str, min_cf: int = 5, dp: int = 6
+) -> DataFrame:
+    """Church-Gale token burstiness: corpus frequency vs document
+    frequency per token — a word that appears 100 times in 3 documents
+    is topical/bursty ("adjacent repetition"), one spread over 90 is
+    functional; the Poisson null says df_expected =
+    N(1 - exp(-cf/N)), so df/df_expected < 1 flags burstiness that
+    q_text_repetition (within-doc) and q_heavy_hitters (global rate)
+    cannot see. Output one row per token with cf >= ``min_cf``:
+    (tok, cf, df, mean_per_doc, df_over_poisson).
+
+    cf/df are exact BIGINTs; mean_per_doc = cf/df is a single
+    division (raw); the Poisson ratio routes through one exp and
+    rounds dp. Scale shape: one (doc, token) aggregate then one
+    token aggregate — vocabulary-bounded output."""
+    per_doc = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("n"))
+    per_tok = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    return (
+        per_tok.filter(F.col("cf") >= min_cf)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "cf",
+            "df",
+            F.expr("CAST(cf AS DOUBLE) / df").alias("mean_per_doc"),
+            F.round(
+                F.expr(
+                    "df / (n * (1 - exp(-(CAST(cf AS DOUBLE) / n))))"
+                ),
+                dp,
+            ).alias("df_over_poisson"),
+        )
+    )
+
+
+def burstiness_oracle_sql(min_cf: int = 5, dp: int = 6) -> str:
+    """DuckDB mirror of `token_burstiness` over documents."""
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    n_docs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    per_tok AS (
+        SELECT tok, CAST(sum(c) AS BIGINT) AS cf,
+               CAST(count(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY 1
+    )
+    SELECT tok, cf, df,
+           CAST(cf AS DOUBLE) / df AS mean_per_doc,
+           round(df / (n * (1 - exp(-(CAST(cf AS DOUBLE) / n)))), {dp})
+               AS df_over_poisson
+    FROM per_tok CROSS JOIN n_docs
+    WHERE cf >= {min_cf}
+    """

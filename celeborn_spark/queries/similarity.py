@@ -577,3 +577,139 @@ def q_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.cluster_medoid)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cluster_medoid(emb)
+
+
+@query(
+    "q_quantized_recall",
+    oracle=f"""
+    WITH raw AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS valf
+        FROM embeddings
+    ),
+    v AS (SELECT vec_id, pos, CAST(valf AS DOUBLE) AS val FROM raw),
+    stats AS (
+        SELECT pos, min(val) AS minv, max(val) AS maxv FROM v GROUP BY pos
+    ),
+    deq AS (
+        SELECT v.vec_id, v.pos,
+               CASE WHEN maxv = minv THEN minv
+                    ELSE minv + floor(255 * (val - minv) / (maxv - minv)
+                                      + 0.5) * (maxv - minv) / 255
+               END AS val
+        FROM v JOIN stats USING (pos)
+    ),
+    vl AS (SELECT vec_id, list(val ORDER BY pos) AS vec
+           FROM v GROUP BY vec_id),
+    dl AS (SELECT vec_id, list(val ORDER BY pos) AS vec
+           FROM deq GROUP BY vec_id),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(v.vec, q.vec),
+                                      6) DESC, v.vec_id) AS rnk
+            FROM vl v CROSS JOIN vl q
+            WHERE q.vec_id < 5 AND v.vec_id != q.vec_id
+        ) WHERE rnk <= 10
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, v.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(v.vec, q.vec),
+                                      6) DESC, v.vec_id) AS rnk
+            FROM dl v CROSS JOIN dl q
+            WHERE q.vec_id < 5 AND v.vec_id != q.vec_id
+        ) WHERE rnk <= 10
+    )
+    SELECT e.query_id,
+           CAST(10 AS BIGINT) AS k,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 10 AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized search vs exact cosine search —
+    the compression-QA readout over q_embedding_quantize ("how much
+    retrieval quality does 4x compression cost?"), per query vector.
+    Both rankings use the SAME sequential-fold cosine rounded 6dp with
+    id tiebreaks (the q_cosine_topk discipline); the dequantized
+    vector minv + q*(maxv-minv)/255 is identical IEEE arithmetic in
+    both engines. Recall is |top10_exact ∩ top10_quantized| / 10 —
+    exact integers, one division.
+
+    Scale shape: the per-dim stats broadcast; both searches are the
+    brute_force_topk plan (fact side streams once, slim projections
+    shuffle); the corpus-side vector mass never shuffles."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = S.quantize_embeddings(emb)  # (vec_id, pos, q)
+    v = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    stats = v.groupBy("pos").agg(
+        F.min("val").alias("minv"), F.max("val").alias("maxv")
+    )
+    deq = (
+        codes.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.when(F.col("maxv") == F.col("minv"), F.col("minv"))
+            .otherwise(
+                F.col("minv")
+                + F.col("q") * (F.col("maxv") - F.col("minv")) / 255
+            )
+            .alias("val"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("val")))
+                ),
+                lambda s: s["val"],
+            ).alias("embedding")
+        )
+        .localCheckpoint()  # feeds both sides of the approx search
+    )
+    def _topk(df):
+        qs = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return S.brute_force_topk(df, qs, k=10).select("query_id", "vec_id")
+
+    exact = _topk(emb)
+    approx = _topk(deq)
+    return (
+        exact.join(
+            approx.withColumn("_hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(10).cast("long").alias("k"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match"),
+            (
+                F.sum(
+                    F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / 10
+            ).alias("recall_at_10"),
+        )
+    )

@@ -1383,3 +1383,17 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
     d = load_table(spark, sf_dir, "documents")
     return T.negative_sampling_table(d, "text")
+
+
+@query("q_token_burstiness", oracle=T.burstiness_oracle_sql(min_cf=5))
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale token burstiness: corpus frequency vs document
+    frequency against the Poisson null (df_expected = N(1-e^{-cf/N}))
+    — topical/boilerplate tokens concentrate in few documents, a
+    signal q_text_repetition (within-doc) and q_heavy_hitters (global
+    rate) cannot see. Exact cf/df integers, one exp chain 6dp
+    (operators/textops.token_burstiness).
+
+    Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.token_burstiness(d, "text", min_cf=5)

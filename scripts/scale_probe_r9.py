@@ -278,11 +278,34 @@ CASES_BATCH9 = [
 # Batch 10 (run with --batch10): privacy/trend/inequality/uncertainty
 # closers — all value-space-histogram shapes (quasi x band grids,
 # decile counts, day grids, score histograms), expected ~flat.
+# Batch-10 run (same conditions): t_closeness exp 0.12,
+# cochran_armitage 0.10, theil_index 0.15, auc_ci 0.04 — all ~flat
+# (quasi/band grids, decile counts, day grids, score histograms).
 CASES_BATCH10 = [
     ("q_t_closeness", ["customer"]),
     ("q_cochran_armitage", ["events"]),
     ("q_theil_index", ["events"]),
     ("q_auc_ci", ["orders"]),
+]
+
+# Batches 11-13 (run with --batch11): screen/uncertainty/drift-series,
+# rank/causality/sampler, and engagement closers — histogram/day-grid
+# shapes expected ~flat; the WAU band join and negative-sampling/
+# kruskal scans ~linear.
+# Batch-11/12/13 run (same conditions): ks_bh_screen exp 0.19,
+# conformal 0.00, mix_drift 0.25, kruskal 0.17, granger 0.09,
+# negative_sampling 0.32, rolling_wau 0.59, stickiness 0.31 — all
+# sublinear; the WAU band join is the expected linear-bounded
+# shape (7x day-user grid per replica).
+CASES_BATCH11 = [
+    ("q_ks_bh_screen", ["customer"]),
+    ("q_conformal_interval", ["events"]),
+    ("q_mix_drift_series", ["events"]),
+    ("q_kruskal_wallis", ["lineitem"]),
+    ("q_granger_leadlag", ["events"]),
+    ("q_negative_sampling", ["documents"]),
+    ("q_rolling_wau", ["events"]),
+    ("q_stickiness", ["events"]),
 ]
 
 SHIFTS = {
@@ -342,7 +365,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH10
+        CASES_BATCH11
+        if "--batch11" in sys.argv
+        else CASES_BATCH10
         if "--batch10" in sys.argv
         else CASES_BATCH9
         if "--batch9" in sys.argv
