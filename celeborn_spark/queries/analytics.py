@@ -916,3 +916,139 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+_SCREEN_FEATURES = [
+    ("hour", "date_part('hour', ts)"),
+    # Spark dayofweek is 1-7 (Sunday=1); DuckDB's is 0-6 -> +1 aligns
+    ("dow", "dayofweek(ts) + 1"),
+    ("value_band", "least(9, CAST(floor(value / 50.0) AS BIGINT))"),
+]
+
+
+@query(
+    "q_feature_screen",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{name}' AS feature, * FROM ({decision_stump_oracle_sql('events', feat_sql, chr(39) + 'purchase' + chr(39) + ' = event_type')})"
+        for name, feat_sql in _SCREEN_FEATURES
+    ),
+)
+def q_feature_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature predictiveness screen: the best depth-1 split of
+    each candidate feature (hour, day-of-week, value band) against the
+    is-purchase label, one row per feature — "which features are worth
+    a model at all", the k-feature extension of q_decision_stump. Each
+    stump is the all-integer |TP*TN-FP*FN| argmax; the union is
+    feature-tagged (operators/classify.decision_stump)."""
+    from celeborn_spark.operators.classify import decision_stump
+
+    ev = load_table(spark, sf_dir, "events")
+    label = F.col("event_type") == "purchase"
+    parts = []
+    for name, feat in [
+        ("hour", F.hour("ts")),
+        ("dow", F.dayofweek("ts").cast("long")),
+        (
+            "value_band",
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("long")),
+        ),
+    ]:
+        parts.append(
+            decision_stump(
+                ev.select(feat.alias("x"), "event_type"),
+                "x",
+                label,
+            ).select(F.lit(name).alias("feature"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "q_decayed_popularity",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(props->>'k' AS BIGINT) AS item,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY 1, 2
+    ),
+    mx AS (SELECT max(day) AS d_max FROM cells),
+    walked AS (
+        SELECT item,
+               sum(c * exp(-0.1 * date_diff('day', day, d_max))) OVER w
+                   AS score,
+               sum(c) OVER w AS n_events,
+               count(*) OVER w AS rn,
+               count(*) OVER (PARTITION BY item) AS days
+        FROM cells CROSS JOIN mx
+        WINDOW w AS (PARTITION BY item ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+        SELECT item, CAST(n_events AS BIGINT) AS n_events,
+               round(score, 6) AS decayed_score
+        FROM walked WHERE rn = days
+    )
+    SELECT item, n_events, decayed_score
+    FROM scored
+    QUALIFY row_number() OVER (
+        ORDER BY decayed_score DESC, item) <= 20
+    """,
+)
+def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed item popularity: per-item sum of e^(-0.1 * age
+    days) interaction mass — the freshness-aware ranking signal the
+    plain popularity counts (q_item_neighbors' basis) lack; yesterday's
+    fad decays, a steady seller endures. Exact (item, day) counts; the
+    decay terms accumulate over the ORDERED per-item day window
+    (sequential in both engines), rounded 6dp before the top-20 rank
+    with item tiebreak. One (item, day) aggregate; every window is
+    item x calendar bounded."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    cells = (
+        ev.select(
+            F.get_json_object(F.col("props"), "$.k")
+            .cast("long")
+            .alias("item"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .groupBy("item", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # feeds the max-day scalar AND the walk
+    )
+    mx = cells.agg(F.max("day").alias("d_max"))
+    wd = W.partitionBy("item").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    walked = (
+        cells.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "score",
+            F.sum(
+                F.expr("c * exp(-0.1 * datediff(d_max, day))")
+            ).over(wd),
+        )
+        .withColumn("n_events", F.sum("c").over(wd))
+        .withColumn("rn", F.count(F.lit(1)).over(wd))
+        .withColumn("days", F.count(F.lit(1)).over(W.partitionBy("item")))
+    )
+    scored = walked.filter(F.col("rn") == F.col("days")).select(
+        "item",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("score", 6).alias("decayed_score"),
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("decayed_score").desc(), F.col("item"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 20).drop("rnk")
