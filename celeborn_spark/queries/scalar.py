@@ -320,3 +320,61 @@ def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_replace("props", "[0-9]+", "#").alias("props_redacted"),
     )
+
+
+@query(
+    "q_map_funcs",
+    # the oracle replicates the SEMANTICS (token -> count map, filter,
+    # value transform) in plain SQL rows — maps themselves don't
+    # hash-compare across engines, so both sides emit the exploded
+    # sorted (doc_id, tok, n, n_sq) entry rows
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    entries AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, tok, n, n * n AS n_sq
+    FROM entries WHERE n >= 2
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function family: build a token->count MAP per document
+    (map_from_entries over collected pairs), transform_values to
+    squared counts, map_filter to the repeated tokens, then explode
+    back to entry rows — the MapType API surface next to q_array_funcs
+    (arrays) and q_json_funcs (nested strings). The exploded sorted
+    rows are the cross-engine comparison form (maps don't
+    hash-compare); all per-doc maps are vocabulary-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    )
+    counted = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mapped = counted.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("tok"), F.col("n")))
+        ).alias("m")
+    )
+    transformed = mapped.select(
+        "doc_id",
+        F.map_filter(
+            F.transform_values(
+                F.col("m"), lambda k, v: F.struct(v.alias("n"), (v * v).alias("n_sq"))
+            ),
+            lambda k, v: v["n"] >= 2,
+        ).alias("m2"),
+    )
+    return transformed.select(
+        "doc_id", F.explode(F.col("m2")).alias("tok", "entry")
+    ).select(
+        "doc_id",
+        "tok",
+        F.col("entry.n").alias("n"),
+        F.col("entry.n_sq").alias("n_sq"),
+    )

@@ -308,6 +308,20 @@ CASES_BATCH11 = [
     ("q_stickiness", ["events"]),
 ]
 
+# Batches 14-15 (run with --batch14): corpus-signal/ANN-QA/screen/
+# freshness closers — token scans ~linear, stump and item-day grids
+# ~flat, the recall QA is corpus x 5 queries (~linear).
+# Batch-14/15 run (same conditions): token_burstiness exp 0.11,
+# quantized_recall 0.18, feature_screen 0.39, decayed_popularity
+# 0.22 — all sublinear (token/event scans linear-bounded with flat
+# grids after the first aggregate).
+CASES_BATCH14 = [
+    ("q_token_burstiness", ["documents"]),
+    ("q_quantized_recall", ["embeddings"]),
+    ("q_feature_screen", ["events"]),
+    ("q_decayed_popularity", ["events"]),
+]
+
 SHIFTS = {
     "supplier": {"s_suppkey": 10_000_000},
     "customer": {"c_custkey": 10_000_000},
@@ -365,7 +379,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH11
+        CASES_BATCH14
+        if "--batch14" in sys.argv
+        else CASES_BATCH11
         if "--batch11" in sys.argv
         else CASES_BATCH10
         if "--batch10" in sys.argv
