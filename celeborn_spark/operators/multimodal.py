@@ -15,6 +15,7 @@ layout) real and testable.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -252,4 +253,62 @@ def chunk_payload(
         "offset",
         F.octet_length("_chunk").alias("n_bytes"),
         F.md5("_chunk").alias("chunk_md5"),
+    )
+
+
+ENERGY_SCHEMA = "doc_id long, frame_id int, n_bytes int, rms double"
+
+
+def fake_frame_energy(
+    df: DataFrame,
+    frame_bytes: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dp: int = 6,
+) -> DataFrame:
+    """Audio-style frame-energy extraction stand-in: window the binary
+    payload into fixed ``frame_bytes`` non-overlapping frames and emit
+    each frame's RMS byte energy through the Arrow mapInPandas loop —
+    the exact plumbing (binary in, framing, per-frame numeric kernel,
+    slim numeric rows out) of a real librosa/torchaudio energy or
+    mel-band featurizer, which would slot into the same iterator. Only
+    FULL frames are scored (a real hop-windowed featurizer drops the
+    tail the same way).
+
+    Parity: byte values are exact integers, the per-frame sum of
+    squares is an exact int (< 2^53), rms = sqrt(sum/frame_bytes)
+    rounds dp — bit-identical to the SQL mirror's
+    sqrt(sum(ascii^2)/N) on the ASCII payloads.
+
+    Scale shape: _spread repartitions the single-split parquet input
+    BEFORE the CPU-heavy kernel (the repo's map-stage rule); output is
+    (payload_bytes / frame_bytes) slim rows per doc."""
+    import numpy as np
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, sizes, rms = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = len(raw) // frame_bytes
+                for f in range(n_frames):
+                    frame = raw[f * frame_bytes : (f + 1) * frame_bytes]
+                    sq = int(
+                        np.sum(frame.astype(np.int64) * frame.astype(np.int64))
+                    )
+                    ids.append(doc_id)
+                    fids.append(f)
+                    sizes.append(frame_bytes)
+                    rms.append(round(math.sqrt(sq / frame_bytes), dp))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
+        energy_batches, schema=ENERGY_SCHEMA
     )

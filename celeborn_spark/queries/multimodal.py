@@ -161,3 +161,40 @@ def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.chunk_payload)."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.chunk_payload(d, "doc_id", "payload", chunk_bytes=64)
+
+
+@query(
+    "q_multimodal_energy",
+    # per-frame RMS byte energy: the payloads are ASCII word streams,
+    # so ascii(substr(...)) reproduces the kernel's byte values; the
+    # sum of squares is an exact BIGINT and sqrt(sum/32.0) rounds 6dp
+    # identically in numpy and SQL
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, text, CAST(unnest(range(0, n // 32)) AS INTEGER) AS f
+        FROM docs WHERE n >= 32
+    ),
+    vals AS (
+        SELECT doc_id, f,
+               CAST(ascii(substr(text, CAST(f * 32 + j AS INTEGER), 1))
+                    AS BIGINT) AS b
+        FROM frames, (SELECT unnest(range(1, 33)) AS j)
+    )
+    SELECT doc_id, f AS frame_id, CAST(32 AS INTEGER) AS n_bytes,
+           round(sqrt(sum(b * b) / 32.0), 6) AS rms
+    FROM vals GROUP BY doc_id, f
+    """,
+)
+def q_multimodal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style frame-energy extraction: 32-byte frames of the
+    binary payload -> per-frame RMS energy through the Arrow
+    mapInPandas loop (operators/multimodal.fake_frame_energy) — the
+    framing + numeric-kernel plumbing of a real librosa/torchaudio
+    featurizer, checkable byte-for-byte against SQL because the fake
+    codec is pure byte arithmetic."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.fake_frame_energy(d, frame_bytes=32)
