@@ -125,6 +125,16 @@ class CorpusPipeline:
         )
         return self._with(out.drop("rate", "_pipeline_tokens"))
 
+    def plan_mixture(
+        self, budget: int, group_col: str = "lang"
+    ) -> DataFrame:
+        """Diagnostic (non-transforming) step: the waterfill allocation
+        plan for `budget` docs targeting equal group shares
+        (operators/curriculum.py mixture_waterfill) — inspect what
+        sample_mixture WILL do before spending compute on it. Returns
+        the (group, n_docs, alloc, fill_rate) plan DataFrame."""
+        return _curriculum.mixture_waterfill(self._df, group_col, budget)
+
     def pack_shards(self, budget: int, stream_col: str = "lang") -> DataFrame:
         """Terminal step: token-budget shard layout per stream
         (operators/packing.py). Returns the (stream, id, n_tokens,

@@ -322,6 +322,17 @@ CASES_BATCH14 = [
     ("q_decayed_popularity", ["events"]),
 ]
 
+# Batches 16-17 (run with --batch16): nested-type + multimodal-audio
+# closers — map build and frame kernel both ~linear in payload mass.
+# Batch-16/17 run (same conditions): map_funcs exp 0.44,
+# multimodal_energy 0.77 — both the expected ~linear payload scans
+# (the energy kernel is per-byte Python-side work through Arrow,
+# linear by construction; _spread keeps it off a single split).
+CASES_BATCH16 = [
+    ("q_map_funcs", ["documents"]),
+    ("q_multimodal_energy", ["documents"]),
+]
+
 SHIFTS = {
     "supplier": {"s_suppkey": 10_000_000},
     "customer": {"c_custkey": 10_000_000},
@@ -379,7 +390,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH14
+        CASES_BATCH16
+        if "--batch16" in sys.argv
+        else CASES_BATCH14
         if "--batch14" in sys.argv
         else CASES_BATCH11
         if "--batch11" in sys.argv

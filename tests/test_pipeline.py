@@ -62,3 +62,18 @@ def test_pipeline_mixture_uses_token_weights(spark):
     # rate caps at 1.0 for 'en' -> every en doc kept, xx dropped
     assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 2, 3, 5, 6}
     assert "_pipeline_tokens" not in out.columns and "rate" not in out.columns
+
+
+def test_pipeline_plan_mixture_is_diagnostic(spark):
+    from celeborn_spark.pipeline import CorpusPipeline
+
+    df = spark.createDataFrame(
+        [(i, "a b c d", "en" if i % 2 else "zh") for i in range(10)],
+        ["doc_id", "text", "lang"],
+    )
+    plan = CorpusPipeline(df).plan_mixture(budget=6)
+    rows = {r["group"]: r for r in plan.collect()}
+    assert set(rows) == {"en", "zh"}
+    assert sum(r["alloc"] for r in rows.values()) == 6
+    # the pipeline itself is untouched (diagnostic, not a transform)
+    assert CorpusPipeline(df).plan_mixture(budget=6).count() == 2
