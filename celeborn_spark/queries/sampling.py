@@ -99,20 +99,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_epoch_shuffle",
-    oracle="""
-    WITH keyed AS (
-        SELECT doc_id,
-               substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR), '5')),
-                      1, 8) AS k
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(CAST(concat('0x', k) AS UBIGINT) % 16 AS BIGINT) AS shard_id,
-           row_number() OVER (
-               PARTITION BY CAST(concat('0x', k) AS UBIGINT) % 16
-               ORDER BY k, doc_id) - 1 AS pos
-    FROM keyed
-    """,
+    oracle=S_ops.epoch_shuffle_oracle_sql(
+        "documents", "doc_id", n_shards=16, epoch=5
+    ),
 )
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-5 global shuffle of the corpus into 16
