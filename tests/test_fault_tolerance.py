@@ -159,3 +159,71 @@ def test_stream_restart_resumes_from_checkpoint_exactly_once(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
     ).collect()[0]
     assert g.n == w.n and abs(g.s - w.s) < 1e-6, (g, w)
+
+
+_ARROW_RETRY_SCRIPT = textwrap.dedent(
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[4, 2]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .appName("fault_injection_arrow")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(4, "k")
+
+    def kernel(batches):
+        ctx = TaskContext.get()
+        if ctx.partitionId() == 2 and ctx.attemptNumber() == 0:
+            raise RuntimeError("injected first-attempt failure")
+        for b in batches:
+            ks = b.column("k")
+            ids = b.column("id")
+            import pyarrow.compute as pc
+            yield pa.RecordBatch.from_arrays(
+                [ks, pc.multiply(ids, pa.scalar(3, type=pa.int64()))],
+                names=["k", "v"],
+            )
+
+    out = df.mapInArrow(kernel, "k long, v long")
+    agg = {
+        r.k: r.s
+        for r in out.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    want = {
+        r.k: r.s
+        for r in df.select("k", (F.col("id") * 3).alias("v"))
+        .groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert agg == want, f"arrow retry changed results: {agg} != {want}"
+    print("ARROW_RETRY_OK")
+    spark.stop()
+    """
+)
+
+
+def test_task_retry_is_exactly_once_for_arrow_kernels():
+    """The mapInArrow tier (the RecordBatch-native path added with the
+    L2-norm kernel) under the same attempt-keyed failure injection:
+    a first-attempt crash on one partition must leave every aggregate
+    identical — RecordBatch kernels must be pure functions of their
+    input batches exactly like the pandas tiers."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _ARROW_RETRY_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ARROW_RETRY_OK" in proc.stdout, (
+        proc.stdout,
+        proc.stderr[-2000:],
+    )
