@@ -501,3 +501,47 @@ def q_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_types.cast("long").alias("n_types"),
         (F.expr("mask & 7L") == 7).alias("full_funnel"),
     )
+
+
+@query(
+    "q_stream_topk_items",
+    # batch-equivalence oracle (the q_stream_corpus_ingest pattern):
+    # a complete-mode streaming aggregation over the finite file
+    # stream must land exactly on the batch top-k
+    oracle="""
+    SELECT item, n_interactions FROM (
+        SELECT CAST(props->>'k' AS BIGINT) AS item,
+               CAST(count(*) AS BIGINT) AS n_interactions,
+               row_number() OVER (ORDER BY count(*) DESC,
+                                  CAST(props->>'k' AS BIGINT)) AS rnk
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY 1
+    ) WHERE rnk <= 10
+    """,
+)
+def q_stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k items: a complete-mode item-count aggregation
+    over the event stream (state store holds the per-item counts
+    across micro-batches) with the top-10 cut applied to the final
+    complete-mode table — the live leaderboard next to the windowed
+    counts (q_stream_tumbling_counts) and the stateful per-user
+    accumulators. The finite stream's answer must equal the batch
+    aggregate exactly (the A12/A30 exactly-once discipline); ranking
+    cuts on (count DESC, item) so ties are engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    counts = ev.select(
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("item")
+    ).groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_interactions"))
+    table = run_stream_to_table(counts, "stream_topk_items", "complete")
+    ranked = table.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("n_interactions").desc(), F.col("item"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 10).drop("rnk")
