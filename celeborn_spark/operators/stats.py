@@ -4012,3 +4012,164 @@ def granger_oracle_sql(daily_sql: str, dp: int = 6) -> str:
                 END AS granger_f
     FROM mom
     """
+
+
+def pairwise_welch(
+    df: DataFrame, group_col: str, value_col, dp: int = 6
+) -> DataFrame:
+    """All-pairs Welch t statistics between groups — the POST-HOC step
+    after an omnibus test fires (`anova_oneway` / `kruskal_wallis` say
+    "the groups differ"; this says WHICH pairs, with n_pairs emitted
+    so the caller applies Bonferroni/BH at their alpha). Output one
+    row per unordered pair: (group_a, group_b, n_a, n_b, t_stat, dof,
+    n_pairs).
+
+    One group-moment aggregate (exact-integer power sums of the cents
+    value), then a k x k self-join on the K-ROW relation — never on
+    row mass. The t/dof chains are identical text in both engines
+    (the welch_t discipline), rounded dp; NULL t when either side has
+    n < 2 or both variances vanish.
+
+    Scale shape: row mass reduces once; everything pairwise happens
+    on k rows."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value_col).cast("long").alias("s"),
+        F.sum(value_col * value_col).cast("long").alias("ss"),
+    ).localCheckpoint()  # feeds both sides of the pair join AND n_pairs
+    pairs = (
+        g.alias("a")
+        .crossJoin(g.alias("b"))
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .select(
+            F.col("a.grp").alias("group_a"),
+            F.col("b.grp").alias("group_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.col("a.s").alias("s_a"),
+            F.col("b.s").alias("s_b"),
+            F.col("a.ss").alias("ss_a"),
+            F.col("b.ss").alias("ss_b"),
+        )
+    )
+    tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    va = "((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a)"
+    vb = "((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b)"
+    t = (
+        f"(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        f" / sqrt({va} + {vb})"
+    )
+    dof = (
+        f"(({va} + {vb}) * ({va} + {vb}))"
+        f" / ({va} * {va} / (n_a - 1) + {vb} * {vb} / (n_b - 1))"
+    )
+    guard = f"n_a > 1 AND n_b > 1 AND {va} + {vb} > 0"
+    return pairs.crossJoin(F.broadcast(tot)).select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.when(F.expr(guard), F.round(F.expr(t), dp)).alias("t_stat"),
+        F.when(F.expr(guard), F.round(F.expr(dof), dp)).alias("dof"),
+        "n_pairs",
+    )
+
+
+def pairwise_welch_oracle_sql(
+    table: str, group_sql: str, value_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `pairwise_welch`: identical moments, pair
+    join, and t/dof text."""
+    va = "((ss_a - CAST(s_a AS DOUBLE) * s_a / n_a) / (n_a - 1) / n_a)"
+    vb = "((ss_b - CAST(s_b AS DOUBLE) * s_b / n_b) / (n_b - 1) / n_b)"
+    t = (
+        f"(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        f" / sqrt({va} + {vb})"
+    )
+    dof = (
+        f"(({va} + {vb}) * ({va} + {vb}))"
+        f" / ({va} * {va} / (n_a - 1) + {vb} * {vb} / (n_b - 1))"
+    )
+    guard = f"n_a > 1 AND n_b > 1 AND {va} + {vb} > 0"
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({value_sql}) AS BIGINT) AS s,
+               CAST(sum(({value_sql}) * ({value_sql})) AS BIGINT) AS ss
+        FROM {table} GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.grp AS group_a, b.grp AS group_b,
+               a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+               a.ss AS ss_a, b.ss AS ss_b
+        FROM g a CROSS JOIN g b WHERE a.grp < b.grp
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT group_a, group_b, n_a, n_b,
+           CASE WHEN {guard} THEN round({t}, {dp}) END AS t_stat,
+           CASE WHEN {guard} THEN round({dof}, {dp}) END AS dof,
+           n_pairs
+    FROM pairs CROSS JOIN tot
+    """
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    strength: int = 20,
+) -> DataFrame:
+    """Empirical-Bayes rate shrinkage: per-group success rates pulled
+    toward the GLOBAL rate by a fixed pseudo-count ``strength`` —
+    shrunk = (pos + m*p0)/(n + m), the small-sample stabilizer every
+    per-segment dashboard needs (a 2/3 segment shouldn't outrank a
+    4900/10000 one). The fixed-m form keeps the estimator a single
+    identical-text chain (a method-of-moments m would divide two
+    near-zero variance estimates — cross-engine poison); m is the
+    documented knob. Output per group:
+    (group, n, pos, raw_rate, shrunk_rate).
+
+    Both rates are deterministic chains of exact BIGINTs and the
+    global p0 double, raw. One map-combined aggregate; the global
+    scalar broadcasts."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long")).cast("long").alias("pos"),
+    ).localCheckpoint()  # feeds the global scalar AND the output rows
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("p_tot"),
+    )
+    m = strength
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias("group"),
+        "n",
+        "pos",
+        F.expr("CAST(pos AS DOUBLE) / n").alias("raw_rate"),
+        F.expr(
+            f"(pos + {m} * (CAST(p_tot AS DOUBLE) / n_tot)) / (n + {m})"
+        ).alias("shrunk_rate"),
+    )
+
+
+def eb_shrinkage_oracle_sql(
+    table: str, group_sql: str, success_sql: str, strength: int = 20
+) -> str:
+    """DuckDB mirror of `eb_shrunk_rates`: identical chain text."""
+    m = strength
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST({success_sql} AS BIGINT)) AS BIGINT) AS pos
+        FROM {table} GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+                   CAST(sum(pos) AS BIGINT) AS p_tot FROM g)
+    SELECT grp AS "group", n, pos,
+           CAST(pos AS DOUBLE) / n AS raw_rate,
+           (pos + {m} * (CAST(p_tot AS DOUBLE) / n_tot)) / (n + {m})
+               AS shrunk_rate
+    FROM g CROSS JOIN tot
+    """

@@ -1602,3 +1602,47 @@ def q_granger_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.granger_leadlag(
         daily, "day", F.col("xc"), F.col("yc")
     )
+
+
+@query(
+    "q_posthoc_pairwise",
+    oracle=stats_ops.pairwise_welch_oracle_sql(
+        "lineitem",
+        "l_returnflag",
+        "CAST(l_quantity AS BIGINT)",
+    ),
+)
+def q_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-hoc pairwise Welch t between all return-flag pairs — WHICH
+    groups differ once the omnibus (q_anova / q_kruskal_wallis) fires;
+    n_pairs is emitted for the caller's Bonferroni/BH correction.
+    Exact power sums, k x k pair join on the k-row relation, never row
+    mass (operators/stats.pairwise_welch)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return stats_ops.pairwise_welch(li, "l_returnflag", F.col("qty"))
+
+
+@query(
+    "q_eb_shrinkage",
+    oracle=stats_ops.eb_shrinkage_oracle_sql(
+        "orders",
+        "o_custkey % 100",
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END",
+        strength=20,
+    ),
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-cohort urgent-order rates
+    (customer-key cohorts, fixed pseudo-count m=20 toward the global
+    rate) — the small-sample stabilizer that stops a 2-of-3 cohort
+    outranking a 490-of-1000 one on a dashboard
+    (operators/stats.eb_shrunk_rates)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("cohort"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    return stats_ops.eb_shrunk_rates(o, "cohort", "urgent", strength=20)
