@@ -26,9 +26,21 @@ def _events_raw_schema(sf_dir: str):
     Spark job). TIMESTAMP(NANOS) arrives as long under nanosAsLong and
     needs div-1000 truncation; TIMESTAMP(MICROS, naive) arrives as NTZ
     and needs only a session-TZ cast (identity under pinned UTC)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    arrow_ts = pq.ParquetFile(table_path(sf_dir, "events")).schema_arrow.field("ts").type
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        # real-world events tables are DIRECTORIES of part files (any
+        # Spark-written layout, the scale-probe replicas included) —
+        # probe the first part's footer; all parts share one schema
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet parts under {path}")
+        path = parts[0]
+    arrow_ts = pq.ParquetFile(path).schema_arrow.field("ts").type
     nanos = getattr(arrow_ts, "unit", None) == "ns"
     ts_field = T.StructField("ts", T.LongType() if nanos else T.TimestampNTZType())
     schema = T.StructType(

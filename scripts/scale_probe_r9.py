@@ -333,6 +333,21 @@ CASES_BATCH16 = [
     ("q_multimodal_energy", ["documents"]),
 ]
 
+# Batches 18-19 (run with --batch18): streaming leaderboard +
+# post-hoc/shrinkage — the stream replays the replicated files
+# (~linear in file mass); the stats pair/cohort grids are ~flat.
+# Batch-18/19 run (same conditions; the FIRST attempt crashed —
+# read_events_stream's schema probe opened events.parquet as a single
+# file while the replicas are part-file DIRECTORIES; the loader now
+# footer-probes the first part, which is also the real-world layout):
+# stream_topk exp 0.00, posthoc_pairwise -0.06, eb_shrinkage 0.34 —
+# all flat/sublinear.
+CASES_BATCH18 = [
+    ("q_stream_topk_items", ["events"]),
+    ("q_posthoc_pairwise", ["lineitem"]),
+    ("q_eb_shrinkage", ["orders"]),
+]
+
 SHIFTS = {
     "supplier": {"s_suppkey": 10_000_000},
     "customer": {"c_custkey": 10_000_000},
@@ -390,7 +405,9 @@ def timeit(label: str, fn) -> float:
 
 def main() -> None:
     cases = (
-        CASES_BATCH16
+        CASES_BATCH18
+        if "--batch18" in sys.argv
+        else CASES_BATCH16
         if "--batch16" in sys.argv
         else CASES_BATCH14
         if "--batch14" in sys.argv
