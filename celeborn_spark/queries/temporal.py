@@ -1402,3 +1402,120 @@ def q_interevent_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return interevent_exponential(ev, "user_id", "ts", "event_id")
+
+
+@query(
+    "q_attribution_timedecay",
+    oracle="""
+    WITH fp AS (
+        SELECT user_id, min(ts) AS conv_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    t AS (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn,
+               (epoch_us(fp.conv_ts) - epoch_us(e.ts)) // 1000000 AS d_s
+        FROM events e JOIN fp ON fp.user_id = e.user_id
+        WHERE e.event_type IN ('click', 'view') AND e.ts < fp.conv_ts
+    ),
+    w AS (
+        SELECT user_id, event_type, rn,
+               CAST(floor(round(exp(-(CAST(d_s AS DOUBLE)) / 604800.0), 6)
+                          * 1000000 + 0.5) AS BIGINT) AS wm
+        FROM t
+    ),
+    sums AS (SELECT user_id, CAST(sum(wm) AS BIGINT) AS w_tot
+             FROM w GROUP BY 1),
+    based AS (
+        SELECT w.user_id, w.event_type, w.rn,
+               (1000000 * w.wm) // s.w_tot AS base,
+               (1000000 * w.wm) % s.w_tot AS frac
+        FROM w JOIN sums s ON s.user_id = w.user_id
+    ),
+    remd AS (
+        SELECT user_id, CAST(1000000 - sum(base) AS BIGINT) AS rem
+        FROM based GROUP BY 1
+    ),
+    extra AS (
+        SELECT b.user_id, b.event_type,
+               b.base + CASE WHEN row_number() OVER (
+                   PARTITION BY b.user_id
+                   ORDER BY b.frac DESC, b.rn) <= r.rem
+                   THEN 1 ELSE 0 END AS micro
+        FROM based b JOIN remd r ON r.user_id = b.user_id
+    )
+    SELECT event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS touches_n,
+           CAST(sum(micro) AS BIGINT) AS credit_micro,
+           CAST(sum(micro) AS DOUBLE) / 1000000 AS credit
+    FROM extra GROUP BY 1
+    """,
+)
+def q_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (1-week e-fold): each
+    pre-conversion touch earns credit proportional to e^(-age/7d),
+    integer-normalized to exactly 1,000,000 micro per converting user
+    by largest-remainder allocation — completes the attribution trio
+    (q_attribution_last_touch, q_attribution_ushaped). The decay
+    weight rounds exp to 6dp before the half-up micro quantization
+    (the ln/exp discipline), so the proportional split and the
+    remainder ordering ((frac DESC, rn)) are exact-BIGINT
+    deterministic; per-channel totals conserve to the micro.
+
+    Scale shape: one user-keyed window pass + per-user k-row
+    allocation windows; channel totals map-combine."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    t = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .join(fp, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.expr(
+                "(unix_micros(conv_ts) - unix_micros(ts)) div 1000000"
+            ).alias("d_s"),
+        )
+    )
+    w = t.withColumn(
+        "wm",
+        F.expr(
+            "CAST(floor(round(exp(-(CAST(d_s AS DOUBLE)) / 604800.0), 6)"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ),
+    )
+    wu = W.partitionBy("user_id")
+    based = (
+        w.withColumn("w_tot", F.sum("wm").over(wu))
+        .withColumn("base", F.expr("(1000000 * wm) div w_tot"))
+        .withColumn("frac", F.expr("(1000000 * wm) % w_tot"))
+    )
+    remd = based.withColumn("rem", F.lit(1000000) - F.sum("base").over(wu))
+    extra = remd.withColumn(
+        "micro",
+        F.col("base")
+        + (
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("frac").desc(), F.col("rn")
+                )
+            )
+            <= F.col("rem")
+        ).cast("long"),
+    )
+    return extra.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("touches_n"),
+        F.sum("micro").cast("long").alias("credit_micro"),
+        (F.sum("micro").cast("double") / 1000000).alias("credit"),
+    )
