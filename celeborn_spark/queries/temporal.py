@@ -1519,3 +1519,79 @@ def q_attribution_timedecay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("micro").cast("long").alias("credit_micro"),
         (F.sum("micro").cast("double") / 1000000).alias("credit"),
     )
+
+
+@query(
+    "q_daily_percentile_ladder",
+    # lower-percentile rule on exact integer ranks: the k-th order
+    # statistic with k = ceil(q * n) = (q_num * n + q_den - 1) // q_den
+    # read off the per-day cents-histogram cumulative counts
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hist AS (
+        SELECT day, cents, CAST(count(*) AS BIGINT) AS c
+        FROM vals GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT day, cents,
+               sum(c) OVER (PARTITION BY day ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(c) OVER (PARTITION BY day) AS n
+        FROM hist
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cw >= (50 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN cw >= (95 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p95_cents,
+           CAST(min(CASE WHEN cw >= (99 * n + 99) // 100 THEN cents END)
+                AS BIGINT) AS p99_cents
+    FROM cum GROUP BY day
+    """,
+)
+def q_daily_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95/p99 of event values — the tail-latency/SLO time
+    series behind every ops dashboard (q_percentiles reports one
+    global ladder; this walks the calendar, where regressions live).
+    Exact k-th order statistics (k = ceil(q*n) in pure integer
+    arithmetic) read off per-day cents histograms — no interpolation,
+    no row sort, engine-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).groupBy("day", "cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = W.partitionBy("day").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "day",
+        "cents",
+        F.sum("c").over(wc).alias("cw"),
+        F.sum("c").over(W.partitionBy("day")).alias("n"),
+    )
+    return cum.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("cw") >= F.expr("(50 * n + 99) div 100"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(
+            F.when(F.col("cw") >= F.expr("(95 * n + 99) div 100"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p95_cents"),
+        F.min(
+            F.when(F.col("cw") >= F.expr("(99 * n + 99) div 100"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p99_cents"),
+    )
