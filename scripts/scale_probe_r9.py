@@ -340,14 +340,16 @@ CASES_BATCH16 = [
 # read_events_stream's schema probe opened events.parquet as a single
 # file while the replicas are part-file DIRECTORIES; the loader now
 # footer-probes the first part, which is also the real-world layout):
-# stream_topk exp 0.00-0.13, posthoc_pairwise -0.06, eb_shrinkage
-# 0.31-0.34, attribution_timedecay 0.23 (second run with the decay
-# case added) — all flat/sublinear.
+# stream_topk exp 0.00-0.13, posthoc_pairwise -0.06..0.00,
+# eb_shrinkage 0.31-0.40, attribution_timedecay 0.23-0.25,
+# daily_percentile_ladder 0.16 (across three runs as late cases were
+# added) — all flat/sublinear.
 CASES_BATCH18 = [
     ("q_stream_topk_items", ["events"]),
     ("q_posthoc_pairwise", ["lineitem"]),
     ("q_eb_shrinkage", ["orders"]),
     ("q_attribution_timedecay", ["events"]),
+    ("q_daily_percentile_ladder", ["events"]),
 ]
 
 SHIFTS = {
