@@ -672,3 +672,90 @@ def q_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_assortativity(
         copurchase_edges(lineitem, min_qty=45), sup
     )
+
+
+@query(
+    "q_powerlaw_alpha",
+    # continuous-approximation MLE alpha = 1 + n / sum(ln(d / d_min))
+    # over degrees >= d_min = 2 (ln terms from the DEGREE HISTOGRAM,
+    # accumulated over the ordered degree window; one final division,
+    # 6dp). Degenerate guard: all observed degrees equal d_min makes
+    # the ln-sum 0 -> NULL.
+    oracle="""
+    WITH el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM el UNION ALL SELECT v FROM el
+        ) GROUP BY node
+    ),
+    hist AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS c
+        FROM deg WHERE d >= 2 GROUP BY d
+    ),
+    walked AS (
+        SELECT sum(c * ln(CAST(d AS DOUBLE) / 2)) OVER w AS lnsum,
+               sum(c) OVER w AS n,
+               count(*) OVER w AS rn,
+               count(*) OVER () AS cells
+        FROM hist
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(2 AS BIGINT) AS d_min,
+           CASE WHEN lnsum > 0
+                THEN round(1.0 + n / lnsum, 6) END AS alpha_hat
+    FROM walked WHERE rn = cells
+    """,
+)
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law degree exponent of the supplier co-purchase graph:
+    the continuous-approximation MLE alpha = 1 + n/sum(ln(d/d_min))
+    over nodes with degree >= d_min=2 — the is-this-scale-free
+    readout behind every hub-aware plan choice in the graph family
+    (alpha ~ 2-3 means hubs dominate; the degree-ordered triangle
+    plans exist precisely for that regime). ln terms come from the
+    DEGREE HISTOGRAM accumulated over the ordered degree window;
+    one final division, 6dp. NULL when every degree equals d_min."""
+    from pyspark.sql import Window as W
+
+    from celeborn_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"), min_qty=45
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = (
+        deg.filter(F.col("d") >= 2)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    walked = (
+        hist.withColumn(
+            "lnsum",
+            F.sum(F.expr("c * ln(CAST(d AS DOUBLE) / 2)")).over(w),
+        )
+        .withColumn("n", F.sum("c").over(w))
+        .withColumn("rn", F.count(F.lit(1)).over(w))
+        .withColumn("cells", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    return walked.filter(F.col("rn") == F.col("cells")).select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.lit(2).cast("long").alias("d_min"),
+        F.when(
+            F.col("lnsum") > 0,
+            F.round(F.expr("1.0 + n / lnsum"), 6),
+        ).alias("alpha_hat"),
+    )
