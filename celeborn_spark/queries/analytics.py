@@ -1052,3 +1052,70 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rnk") <= 20).drop("rnk")
+
+
+@query(
+    "q_gini_coefficient",
+    # tie-aware exact form: a block of c equal values starting after
+    # cumulative position p contributes v*c*(2p + c - n) to the
+    # numerator; G = num / (n * S) is ONE division of exact BIGINTs
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM customer GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS p,
+               sum(c) OVER () AS n,
+               sum(v * c) OVER () AS s
+        FROM hist
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(v * c * (2 * p + c - n)) AS BIGINT) AS gini_num,
+           CAST(sum(v * c * (2 * p + c - n)) AS DOUBLE) / (max(n) * max(s))
+               AS gini
+    FROM cum
+    """,
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer account balances — the
+    inequality SCALAR completing q_lorenz_curve (the curve) and
+    q_theil_index (the decomposable member). Tie-aware all-BIGINT
+    numerator from the cents-value histogram (a c-block after
+    cumulative position p contributes v*c*(2p + c - n)); G = num/(nS)
+    is a SINGLE division — no doubles anywhere before it. One
+    histogram aggregate; the walk runs on distinct values."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    hist = c.groupBy(
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    wall = W.partitionBy()
+    cum = hist.select(
+        "v",
+        "c",
+        F.coalesce(F.sum("c").over(wp), F.lit(0)).alias("p"),
+        F.sum("c").over(wall).alias("n"),
+        F.sum(F.col("v") * F.col("c")).over(wall).alias("s"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.col("v") * F.col("c") * (2 * F.col("p") + F.col("c") - F.col("n"))
+        )
+        .cast("long")
+        .alias("gini_num"),
+        (
+            F.sum(
+                F.col("v")
+                * F.col("c")
+                * (2 * F.col("p") + F.col("c") - F.col("n"))
+            ).cast("double")
+            / (F.max("n") * F.max("s"))
+        ).alias("gini"),
+    )
