@@ -70,3 +70,42 @@ def test_merge_intervals_keys_independent(spark):
     rows = [("a", 1, 5), ("b", 4, 8)]
     df = spark.createDataFrame(rows, ["key", "s", "e"])
     assert merge_intervals(df, "key", "s", "e").count() == 2
+
+
+def test_merge_intervals_duplicate_straddling_boundary(spark):
+    """Regression for VERDICT r9 item 1 (the supplier-26/1998-06-22
+    shape): two IDENTICAL intervals whose start sits exactly one unit
+    past the previous island's end. With raw-row windows ordered by the
+    non-total key (s, e), an engine may visit the tied twins in
+    opposite orders across its two window passes and sum the head=0
+    twin into the PREVIOUS island (DuckDB at sf0.1 merged two
+    non-touching islands). The deduped form must yield two islands with
+    multiplicity-preserving counts — in Spark AND in the oracle SQL."""
+    import duckdb
+
+    from celeborn_spark.operators.resample import (
+        merge_intervals,
+        merge_intervals_oracle_sql,
+    )
+
+    rows = [("k", 10, 17), ("k", 14, 21), ("k", 22, 29), ("k", 22, 29)]
+    df = spark.createDataFrame(rows, ["key", "s", "e"])
+    want = [(10, 21, 2), (22, 29, 2)]
+    got = sorted(
+        (r.island_start, r.island_end, r.n_merged)
+        for r in merge_intervals(df, "key", "s", "e").collect()
+    )
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (key VARCHAR, s INTEGER, e INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = merge_intervals_oracle_sql("SELECT key, s, e FROM t", "key")
+    oracle = sorted(
+        (int(a), int(b), int(n))
+        for a, b, n in con.execute(
+            f"SELECT island_start, island_end, n_merged FROM ({sql})"
+        ).fetchall()
+    )
+    con.close()
+    assert oracle == want
