@@ -68,7 +68,18 @@ from celeborn_spark import registry
 # family is repped by the in-window cogroup form; q21 — the TPC-H
 # family keeps q18/q3 as its heavy reps). All remain registered,
 # oracle-checked and driver-rotatable.
+# Round 10: the window rotation moved the r9-window heavies out of the
+# headline set, so the >1 s classes rotate HERE (embedding near-dup's
+# fast path — its recall guard was rebuilt fixed-size this round;
+# greedy max-coverage; the key-bucketed cogroup as-of; containment
+# pairs). q_neighbor_jaccard stays out on the 1.9 KB budget (the
+# jaccard family is repped by q_dedup_jaccard_pairs); bootstrap_ci and
+# graph_modularity moved INTO the window (graph_modularity listed once).
 HEAVY_EXTRAS = (
+    "q_embedding_near_dup",
+    "q_coverage_select",
+    "q_cogroup_asof",
+    "q_containment_pairs",
     "q_bootstrap_ci",
     "q_graph_modularity",
     "q_kcore",

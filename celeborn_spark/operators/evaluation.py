@@ -16,8 +16,11 @@ same workload twice and comparing result maps
 has a DuckDB mirror built from IDENTICAL formula text.
 
 Engine-parity discipline (CLAUDE.md):
-- ranks/CDFs come from VALUE HISTOGRAMS (never a corpus sort); the
-  single-partition window input is bounded by |distinct values|;
+- ranks/CDFs come from VALUE HISTOGRAMS (never a corpus sort); where
+  the histogram itself is unbounded (money-like scores are distinct
+  per row) its prefix sums use the two-stage bucket-offset form
+  (_bounded_cum_before), so the only partition-less window input is
+  the <= 1024-row bucket-count relation;
 - everything stays exact-integer (BIGINT counts, floor-cents) until
   ONE final IEEE division, which is bit-identical cross-engine;
 - irrational passes (ln/sqrt/exp) round 6 dp on BOTH sides;
@@ -58,6 +61,80 @@ __all__ = [
 
 
 # --------------------------------------------------------------------------
+# Bounded prefix sums over score histograms (the rank machinery shared
+# by roc_auc / auc_ci / gains_table / pr_curve)
+# --------------------------------------------------------------------------
+
+
+def _bounded_cum_before(
+    hist: DataFrame,
+    weight,
+    descending: bool = False,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Add ``cum_before`` to a score histogram: for each row, the
+    summed ``weight`` of all rows strictly before it in v-order —
+    WITHOUT a single-partition window over the histogram.
+
+    The histogram is bounded by |distinct scores|, which for money-like
+    scores (o_totalprice, 2dp) is effectively ROW-sized — an
+    unpartitioned ``Window.orderBy(v)`` over it serializes the whole
+    relation onto one task (VERDICT r9 item 3, the 100x scale-killer).
+    This is the two-stage bucket-offset prefix sum already proven in
+    operators/sampling.assign_dense_ids, adapted to VALUE order:
+
+    1. quantize v into ``n_buckets`` equal-width buckets between the
+       observed min/max (a 1-row broadcast). floor of a monotone IEEE
+       expression is monotone, so bucket order == value order and the
+       quantization error moves rows only BETWEEN buckets, never
+       changing any cum_before value;
+    2. per-bucket weight totals -> bucket offsets via a running sum
+       over the <= n_buckets-row count relation (the ONLY partition-
+       less window, cardinality-bounded by construction);
+    3. per bucket, a _b-partitioned local prefix sum + the broadcast
+       offset.
+
+    Results are EXACTLY the single-window values — same integers, same
+    order-independent half-sums. Equal-width buckets can skew when the
+    score mass concentrates in a narrow band; the partitions stay
+    distributed (worst case one bucket ~ the band's distinct values),
+    strictly better than the always-one-partition form. Contract:
+    ``v`` is numeric and non-null; callers localCheckpoint ``hist``
+    (this helper references it via bounds + bucketing, and multi-
+    referenced subtrees recompute per reference — CLAUDE.md)."""
+    vd = F.col("v").cast("double")
+    bounds = hist.agg(F.min(vd).alias("_lo"), F.max(vd).alias("_hi"))
+    span = F.col("_hi") - F.col("_lo")
+    pos = (F.col("_hi") - vd) if descending else (vd - F.col("_lo"))
+    b = F.when(
+        span > 0,
+        F.least(F.lit(n_buckets - 1), F.floor(pos / span * n_buckets)),
+    ).otherwise(F.lit(0))
+    h = hist.crossJoin(F.broadcast(bounds)).withColumn(
+        "_b", b.cast("long")
+    ).drop("_lo", "_hi")
+    counts = h.groupBy("_b").agg(F.sum(weight).alias("_n"))
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_b", "_off")
+    order = F.col("v").desc() if descending else F.col("v").asc()
+    wloc = (
+        Window.partitionBy("_b")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        h.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum(weight).over(wloc), F.lit(0)) + F.col("_off"),
+        )
+        .drop("_b", "_off")
+    )
+
+
+# --------------------------------------------------------------------------
 # ROC AUC (tie-corrected, histogram-exact)
 # --------------------------------------------------------------------------
 
@@ -72,18 +149,19 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     NO row sort: average ranks come from the SCORE HISTOGRAM
     (avg_rank of a tied block = cum_before + (t+1)/2 — halves are
     exact IEEE doubles), so the rank sum, U, and the single final
-    division are bit-identical cross-engine and emitted RAW.
+    division are bit-identical cross-engine and emitted RAW. The
+    cumulative counts use the two-stage bucket-offset prefix sum
+    (_bounded_cum_before): a money-like score makes the histogram
+    row-sized, so no single-partition window may run over it.
 
     One output row: (n_pos, n_neg, u_stat, auc)."""
     hist = df.groupBy(F.col(score_col).alias("v")).agg(
         F.sum(F.col(label_col)).cast("long").alias("cp"),
         F.sum(1 - F.col(label_col)).cast("long").alias("cn"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ).localCheckpoint()
     t = F.col("cp") + F.col("cn")
-    ranked = hist.withColumn(
-        "cum_before",
-        F.coalesce(F.sum(F.col("cp") + F.col("cn")).over(w), F.lit(0)),
+    ranked = _bounded_cum_before(
+        hist, F.col("cp") + F.col("cn"), descending=False
     ).withColumn("avg_rank", (2 * F.col("cum_before") + t + 1) / F.lit(2.0))
     agg = ranked.agg(
         F.sum("cp").cast("long").alias("n_pos"),
@@ -174,13 +252,8 @@ def gains_table(
         F.sum("cnt").cast("long").alias("tot_rows"),
         F.sum("pos").cast("long").alias("tot_pos"),
     )
-    w = Window.orderBy(F.col("v").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     bucketed = (
-        hist.withColumn(
-            "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
-        )
+        _bounded_cum_before(hist, F.col("cnt"), descending=True)
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "bucket",
@@ -305,13 +378,8 @@ def pr_curve(
         F.sum("cnt").cast("long").alias("tot_rows"),
         F.sum("pos").cast("long").alias("tot_pos"),
     )
-    w = Window.orderBy(F.col("v").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     per_bucket = (
-        hist.withColumn(
-            "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
-        )
+        _bounded_cum_before(hist, F.col("cnt"), descending=True)
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "bucket",

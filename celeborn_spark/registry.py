@@ -53,84 +53,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SURVEY.md §2. Everything NOT listed here stays registered (tests + bench
 # still cover it) and follows in registration order after the window.
 #
-# ROTATION PLAN (VERDICT r4 item 1; r9 drain per VERDICT r8 item 3):
-# entering r9 the never-driver-checked backlog is 59 queries (registry
-# 276 minus the union of CORRECTNESS_r01–r08 keys: the 35 pre-r8
-# residual + the 17 operators added after the r8 window sealed + the 7
-# formerly-unwired snapshot operators registered this round) plus ONE
-# rep: q17_small_quantity_revenue, whose r8 driver row hash-FAILED on
-# Spark's DECIMAL(38,6) division vs DuckDB's DOUBLE division and whose
-# fixed source (CAST ... AS DOUBLE on both sides) needs a green row.
-# This r9 window = FOUR reps (q17; q_cogroup_asof, source rewritten:
-# key-bucketed merge_asof 10.6 -> 1.4 s; q_ab_test_welch and
-# q_correlation_matrix, whose sources gained degenerate-input guards)
-# + the 46 highest-value first-timers; the 13 deferred to r10 are
-# single-exchange scalar/aggregate shapes mechanically identical to
-# already-green rows (q_approx_stats, q_dataset_manifest, q_arg_minmax,
-# q_bitwise_agg, q_uniform_sample, q_dense_ids, q_mode_per_group,
-# q_compression_quality, q_text_fingerprint, q_bigram_topk,
-# q_market_hhi, q_user_growth, q_revenue_wow_growth — the last two
-# displaced by the welch/corr degenerate-guard reps, r8 precedent:
-# changed sources re-verify at driver scale before first-timers). Queries rotated OUT remain oracle-checked every pytest
-# run (tests/test_queries_vs_oracle.py parametrizes the whole
-# registry).
+# ROTATION PLAN (VERDICT r4 item 1; r10 drain per VERDICT r9 item 2):
+# entering r10 the never-driver-checked backlog is 97 queries (registry
+# 360 minus the union of CORRECTNESS_r01-r09 keys), of which 95 are
+# oracle-backed — the 2 rows-only queries (q_approx_stats,
+# q_compression_quality) are EXCLUDED from driver windows permanently
+# (VERDICT r9 item 2: a rows-only slot can only ever return
+# err: no_oracle). Operator additions are FROZEN this round; the r10
+# window = TWO reps whose cross-engine contracts changed this round
+# (q_interval_merge — the r9 flake, rebuilt dedupe-before-window, its
+# green row is VERDICT r9 item 1's done-criterion; and
+# q_stream_session_window, whose oracle's session-id pass gained the
+# event_id tiebreaker the total-order sweep found missing) + the 48
+# highest-priority first-timers (the full evaluation loop — including
+# the 4 ROC-family queries whose rank machinery moved to the bounded
+# two-stage form this round, VERDICT r9 item 4 — the experiment desk,
+# the survival/agreement and privacy families, the graph closers, and
+# the 7 longest-waiting r9-deferred scalar shapes). The 47 oracle-
+# backed queries still without a driver row drain in r11. Queries
+# rotated OUT remain oracle-checked every pytest run
+# (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # --- rep: r8 driver FAIL, source fixed this round (1) ---
-    "q17_small_quantity_revenue",
-    # --- rep: source rewritten this round (bucketed cogroup) (1) ---
-    "q_cogroup_asof",
-    # --- reps: degenerate-input guards touched these sources (2) ---
-    "q_ab_test_welch",
-    "q_correlation_matrix",
-    # --- r9 first-timers: the 7 newly wired snapshot operators ---
-    "q_anova",
-    "q_ks_test",
-    "q_cramers_v",
-    "q_theil_sen",
-    "q_js_divergence",
-    "q_harmonic_centrality",
-    "q_cluster_medoid",
-    # --- post-r8-window additions (17) ---
-    "q_kl_divergence",
-    "q_chi_square",
-    "q_wilson_ci",
-    "q_survival_curve",
-    "q_neighbor_jaccard",
-    "q_rfm_segments",
-    "q_ngram_novelty",
-    "q_seq_pattern_topk",
-    "q_mann_whitney",
-    "q_coverage_select",
-    "q_textrank_keywords",
-    "q_seasonality_index",
-    "q_quantile_transform",
-    "q_srm_check",
-    "q_lorenz_curve",
-    "q_ohlc_hourly",
-    "q_funnel_conversion_ci",
-    # --- pre-r8 residual backlog (24 of 35) ---
-    "q_containment_pairs",
-    "q_corpus_clean_pipeline",
-    "q_text_stats_by_lang",
-    "q_facet_mutual_information",
-    "q_dedup_normalized",
-    "q_unigram_logprob",
-    "q_zipf_slope",
-    "q_embedding_near_dup",
-    "q_embedding_signature",
-    "q_embedding_project",
-    "q_silhouette",
-    "q_multimodal_resize",
-    "q_multimodal_features",
-    "q_stream_static_join",
-    "q_stream_corpus_ingest",
-    "q_stream_user_profile",
-    "q_temporal_cooccurrence",
-    "q_cohort_ltv",
-    "q_grouped_zscore",
-    "q_per_group_sample",
-    "q_rendezvous_routing",
-    "q_incremental_quantiles",
+    # --- reps: cross-engine contracts changed this round (2) ---
+    "q_interval_merge",
+    "q_stream_session_window",
+    # --- evaluation loop (17; ROC family sources rebuilt this round) ---
+    "q_roc_auc",
+    "q_gains_lift",
+    "q_pr_curve",
+    "q_auc_ci",
+    "q_calibration_bins",
+    "q_psi_drift",
+    "q_hellinger_langmix",
+    "q_wasserstein_drift",
+    "q_pettitt_changepoint",
+    "q_cuped",
+    "q_hodges_lehmann",
+    "q_brier_decomposition",
+    "q_threshold_sweep",
+    "q_ucb1_bandit",
+    "q_mcc",
+    "q_conformal_interval",
+    "q_mix_drift_series",
+    # --- experiment desk (10) ---
+    "q_sprt_ab",
+    "q_did_estimator",
+    "q_ab_power_plan",
+    "q_posthoc_pairwise",
+    "q_eb_shrinkage",
+    "q_granger_leadlag",
+    "q_ks_bh_screen",
+    "q_kruskal_wallis",
+    "q_cohens_d",
+    "q_g_test",
+    # --- survival / agreement (6) ---
+    "q_log_rank",
+    "q_nelson_aalen",
+    "q_mcnemar",
+    "q_cohens_kappa",
+    "q_runs_test",
+    "q_brown_forsythe",
+    # --- privacy (2) ---
+    "q_l_diversity",
+    "q_t_closeness",
+    # --- graph closers (6) ---
+    "q_personalized_pagerank",
+    "q_graph_modularity",
+    "q_rich_club",
+    "q_ktruss",
+    "q_homophily",
+    "q_powerlaw_alpha",
+    # --- longest-waiting r9-deferred scalar shapes (7) ---
+    "q_dataset_manifest",
+    "q_arg_minmax",
+    "q_bitwise_agg",
+    "q_uniform_sample",
+    "q_dense_ids",
+    "q_mode_per_group",
+    "q_text_fingerprint",
 )
 
 

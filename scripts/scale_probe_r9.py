@@ -352,6 +352,42 @@ CASES_BATCH18 = [
     ("q_daily_percentile_ladder", ["events"]),
 ]
 
+# Batch 20 (run with --batch20, round 10): re-probe of the two r9
+# perf findings AFTER their fixes, under the adversarial replica
+# design the r9 probes lacked:
+# - the ROC-AUC family (roc_auc/gains/pr_curve/auc_ci) moved from an
+#   unpartitioned histogram window to the two-stage bucket-offset
+#   prefix sum (_bounded_cum_before). The r9 batch-4 probe kept VALUE
+#   columns unchanged, so the score histogram stayed sf0.1-sized and
+#   the single-partition window looked flat (exp 0.08) — invisible.
+#   Batch 20 SHIFTS o_totalprice per replica (VALUE_SHIFTS below), so
+#   |distinct scores| grows with row mass exactly like a real corpus.
+# - q_embedding_near_dup's recall guard moved from a fixed-RATE
+#   (vec_id % 29 -> O(N^2/29)) to a fixed-SIZE sample (64 smallest
+#   md5(vec_id) -> O(64N)); guard cost should now be ~linear and the
+#   broadcast side constant.
+# Batch-20 run (idle host, local[32], SPARK_GRAFT_DRIVER_MEM=48g,
+# round 10; min of 2 reps; exponents log4(t32/t8)):
+#   q_roc_auc            1x 1.12  8x 1.16  32x  1.68  exp 0.27
+#   q_gains_lift         1x 1.42  8x 1.31  32x  2.23  exp 0.39
+#   q_pr_curve           1x 1.29  8x 1.38  32x  2.42  exp 0.41
+#   q_auc_ci             1x 0.78  8x 0.85  32x  1.27  exp 0.29
+#   q_embedding_near_dup 1x 3.03  8x 4.68  32x 12.85  exp 0.73
+# The ROC family stays sublinear WITH the score histogram growing 32x
+# alongside row mass (4.8M distinct scores at 32x) — the regime where
+# the r9 single-partition window form would have serialized the whole
+# histogram onto one task. near_dup's exp 0.73 is the production
+# bucket self-join growing with the corpus; the rebuilt guard itself
+# is O(64N) with a constant 64-row broadcast side (previously the
+# fixed-rate sample made the whole query quadratic-by-construction).
+CASES_BATCH20 = [
+    ("q_roc_auc", ["orders"]),
+    ("q_gains_lift", ["orders"]),
+    ("q_pr_curve", ["orders"]),
+    ("q_auc_ci", ["orders"]),
+    ("q_embedding_near_dup", ["embeddings"]),
+]
+
 SHIFTS = {
     "supplier": {"s_suppkey": 10_000_000},
     "customer": {"c_custkey": 10_000_000},
@@ -367,10 +403,18 @@ SHIFTS = {
 }
 TEXT_REMAP = {"documents"}
 
+# Applied ONLY under --batch20 (SHIFT_VALUES): grows |distinct scores|
+# with row mass. Other batches keep value columns unchanged — their
+# recorded flat-histogram claims depend on it.
+VALUE_SHIFTS = {"orders": {"o_totalprice": 1_000_000.0}}
+SHIFT_VALUES = False
+
 
 def replicate(spark, table: str, k: int, out_dir: str) -> None:
     df = load_table(spark, SF, table)
-    shifts = SHIFTS[table]
+    shifts = dict(SHIFTS[table])
+    if SHIFT_VALUES:
+        shifts.update(VALUE_SHIFTS.get(table, {}))
     parts = []
     for i in range(k):
         cols = []
@@ -408,8 +452,13 @@ def timeit(label: str, fn) -> float:
 
 
 def main() -> None:
+    global SHIFT_VALUES
+    if "--batch20" in sys.argv:
+        SHIFT_VALUES = True
     cases = (
-        CASES_BATCH18
+        CASES_BATCH20
+        if "--batch20" in sys.argv
+        else CASES_BATCH18
         if "--batch18" in sys.argv
         else CASES_BATCH16
         if "--batch16" in sys.argv

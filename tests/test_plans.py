@@ -454,3 +454,47 @@ def test_ktruss_plan_is_checkpoint_bounded(spark, sf_dir):
     # final plan: the last round's support agg + semi-join over
     # checkpointed relations
     assert count_exchanges(df) <= 8, physical_plan(df)[:2000]
+
+
+def test_roc_family_no_unbounded_single_partition_window(spark, sf_dir):
+    """The ROC-AUC family's rank machinery must never run a partition-
+    less window over the score histogram (VERDICT r9 item 3: a money
+    score makes the histogram row-sized, and Window.orderBy(v) with no
+    partitionBy serializes it onto ONE task). The two-stage bucket-
+    offset form pins as: the v-ordered prefix-sum window is partitioned
+    by the bucket column _b (windowspecdefinition(_b#.., v#..)), and
+    the only partition-less window orders _b itself — the <= 1024-row
+    bucket-count relation."""
+    import re
+
+    from celeborn_spark.queries.evaluation import (
+        q_gains_lift,
+        q_pr_curve,
+        q_roc_auc,
+    )
+
+    for q in (q_roc_auc, q_gains_lift):
+        plan = physical_plan(q(spark, sf_dir))
+        assert not re.search(r"windowspecdefinition\(v#", plan), (
+            q.__name__,
+            plan[:2000],
+        )
+        assert re.search(r"windowspecdefinition\(_b#\d+L?, v#", plan), (
+            q.__name__,
+            plan[:2000],
+        )
+
+    # pr_curve localCheckpoints its curve stage (the window is executed
+    # behind a Scan ExistingRDD), so pin the shared helper directly.
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    hist = (
+        spark.range(1000)
+        .select(F.col("id").cast("double").alias("v"), F.lit(1).alias("cnt"))
+        .localCheckpoint()
+    )
+    plan = physical_plan(_bounded_cum_before(hist, F.col("cnt")))
+    assert not re.search(r"windowspecdefinition\(v#", plan), plan[:2000]
+    assert re.search(r"windowspecdefinition\(_b#\d+L?, v#", plan), plan[:2000]
