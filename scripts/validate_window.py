@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Driver-window pre-validation: iterate CORRECTNESS_WINDOW under a
+VANILLA local[4] session (the driver does not use our tuned factory)
+and compare each query cell-by-cell EXACTLY (NaN == NaN) against its
+DuckDB oracle — the pytest harness (tests/oracle.py) tolerates 1e-9
+relative drift, but the driver VALUE-HASHES, so only exact equality
+predicts a green CORRECTNESS row (.claude/skills/verify/SKILL.md).
+
+Usage: python scripts/validate_window.py [sf_dir] [name_filter]
+Defaults to /root/testdata/sf0.01 (driver scale). Exit code = number
+of failed queries.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from celeborn_spark import registry
+from tests.oracle import duck_connection, _canon
+
+
+def exact_equal(got: pd.DataFrame, want: pd.DataFrame) -> str | None:
+    if list(got.columns) != list(want.columns):
+        return f"columns spark={list(got.columns)} oracle={list(want.columns)}"
+    if len(got) != len(want):
+        return f"rows spark={len(got)} oracle={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            for i, (a, b) in enumerate(zip(g, w)):
+                a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+                b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+                if a_nan and b_nan:
+                    continue
+                if a_nan != b_nan or float(a) != float(b):
+                    return f"col {c!r} row {i}: spark={a!r} oracle={b!r}"
+        else:
+            eq = (g == w) | (g.isna() & w.isna())
+            if not eq.all():
+                i = int((~eq).idxmax())
+                return f"col {c!r} row {i}: spark={g[i]!r} oracle={w[i]!r}"
+    return None
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.master("local[4]").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = registry.queries(), registry.oracles()
+    con = duck_connection(sf_dir)
+
+    failed = []
+    for name in registry.CORRECTNESS_WINDOW:
+        if name_filter and name_filter not in name:
+            continue
+        if name not in oracles:
+            print(f"{name:36s} SKIP (rows-only)")
+            continue
+        try:
+            got = _canon(qs[name](spark, sf_dir).toPandas())
+            want = _canon(con.execute(oracles[name]).fetchdf())
+            err = exact_equal(got, want)
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            err = f"EXCEPTION {exc}"
+        if err:
+            failed.append(name)
+            print(f"{name:36s} FAIL  {err}")
+        else:
+            print(f"{name:36s} exact-OK ({len(got)} rows)")
+    print(f"\n{len(failed)} failed of window at {sf_dir}")
+    sys.exit(len(failed))
+
+
+if __name__ == "__main__":
+    main()
