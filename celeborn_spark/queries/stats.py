@@ -1136,14 +1136,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts f LEFT JOIN conv c ON c.user_id = f.user_id
     ),
     walk AS (
-        SELECT user_id, converted,
-               sum(CASE WHEN converted = 1 THEN ln(0.15 / 0.10)
-                        ELSE ln(0.85 / 0.90) END)
-                   OVER (ORDER BY t0, user_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS llr,
-               row_number() OVER (ORDER BY t0, user_id) AS idx
-        FROM obs
+        SELECT idx, n1 * ln(0.15 / 0.10) + (idx - n1) * ln(0.85 / 0.90) AS llr
+        FROM (
+            SELECT sum(converted)
+                       OVER (ORDER BY t0, user_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS n1,
+                   row_number() OVER (ORDER BY t0, user_id) AS idx
+            FROM obs
+        )
     ),
     bounds AS (SELECT ln((1 - 0.2) / 0.05) AS up, ln(0.2 / (1 - 0.05)) AS lo),
     crossed AS (
@@ -1180,14 +1181,18 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the fixed-n sample size). Output (n_obs, decision, cross_idx,
     llr_final).
 
-    Engine parity: the per-observation terms ln(0.15/0.10) /
-    ln(0.85/0.90) are identical literal expressions; the cumulative
-    window sums them in the SAME deterministic (t0, user_id) order in
-    both engines, so the walk — and therefore the first crossing index
-    — is bit-identical; llr_final rounds 6dp. The walk runs over the
-    USER relation (one row per user after the first-touch aggregate),
-    a single-partition window bounded by entity count, never event
-    mass (the q_user_growth discipline)."""
+    Engine parity: the walk is EXACT-INTEGER until one shared formula —
+    llr(i) = n1(i) * ln(0.15/0.10) + (idx(i) - n1(i)) * ln(0.85/0.90),
+    where n1/idx are the inclusive prefix conversion-count and
+    row-number in (t0, user_id) order. The prefix counts are integers
+    (order-of-accumulation-free), so Spark computes them with the
+    two-stage bucket-offset form (time-quantized buckets -> <=1024-row
+    offset window -> bucket-local windows; the r10 _bounded_cum_before
+    discipline — the pre-r10 form summed float terms through ONE
+    unpartitioned user-sized window, the ROC-family scale-killer with
+    users ~ row mass) while the oracle keeps its single window; the
+    identical final formula text makes every llr — and therefore the
+    first crossing index — bit-identical; llr_final rounds 6dp."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -1201,15 +1206,43 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv.withColumn("c", F.lit(1)), "user_id", "left"
     ).select(
         "user_id", "t0", F.coalesce("c", F.lit(0)).alias("converted")
+    ).localCheckpoint()  # referenced by bounds + the bucketed walk
+    n_buckets = 1024
+    tb = obs.agg(F.min("t0").alias("_lo"), F.max("t0").alias("_hi"))
+    span = F.col("_hi") - F.col("_lo")
+    b = F.when(
+        span > 0,
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col("t0") - F.col("_lo")) * n_buckets / span),
+        ),
+    ).otherwise(F.lit(0))
+    h = (
+        obs.crossJoin(F.broadcast(tb))
+        .withColumn("_b", b.cast("long"))
+        .drop("_lo", "_hi")
     )
-    term = F.when(
-        F.col("converted") == 1, F.log(F.lit(0.15) / F.lit(0.10))
-    ).otherwise(F.log(F.lit(0.85) / F.lit(0.90)))
-    w = W.orderBy("t0", "user_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    walk = obs.select(
-        term.alias("term"),
-        F.sum(term).over(w).alias("llr"),
-        F.row_number().over(W.orderBy("t0", "user_id")).alias("idx"),
+    counts = h.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("converted").alias("_c")
+    )
+    woff = W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off1"),
+    )
+    wloc = W.partitionBy("_b").orderBy("t0", "user_id")
+    wcum = wloc.rowsBetween(W.unboundedPreceding, 0)
+    c1 = F.log(F.lit(0.15) / F.lit(0.10))
+    c0 = F.log(F.lit(0.85) / F.lit(0.90))
+    n1 = F.col("_off1") + F.sum("converted").over(wcum)
+    idx = F.col("_off") + F.row_number().over(wloc)
+    walk = (
+        h.join(F.broadcast(offsets), "_b")
+        .select(
+            idx.alias("idx"),
+            (n1 * c1 + (idx - n1) * c0).alias("llr"),
+        )
     )
     up = F.log((1 - F.lit(0.2)) / F.lit(0.05))
     lo = F.log(F.lit(0.2) / (1 - F.lit(0.05)))

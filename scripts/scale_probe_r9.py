@@ -380,6 +380,10 @@ CASES_BATCH18 = [
 # bucket self-join growing with the corpus; the rebuilt guard itself
 # is O(64N) with a constant 64-row broadcast side (previously the
 # fixed-rate sample made the whole query quadratic-by-construction).
+# Same-session follow-up: q_sprt_ab after its own bucket-offset
+# rewrite (the walk's prefix counts were the same unbounded class —
+# one row per USER through one unpartitioned window):
+#   q_sprt_ab            1x 1.24  8x 1.24  32x  1.71  exp 0.23
 CASES_BATCH20 = [
     ("q_roc_auc", ["orders"]),
     ("q_gains_lift", ["orders"]),

@@ -502,3 +502,18 @@ def test_roc_family_no_unbounded_single_partition_window(spark, sf_dir):
     plan = physical_plan(_bounded_cum_before(hist, F.col("cnt")))
     assert not re.search(r"windowspecdefinition\(v#", plan), plan[:2000]
     assert re.search(r"windowspecdefinition\(_b#\d+L?, v#", plan), plan[:2000]
+
+
+def test_sprt_walk_no_unbounded_single_partition_window(spark, sf_dir):
+    """q_sprt_ab's LLR walk runs over the USER relation (one row per
+    user — entity count scales WITH row mass), so its prefix counts
+    must ride the bucket-offset form, never a partition-less window
+    over (t0, user_id): the only partition-less window orders the
+    <=1024-row bucket-count relation."""
+    import re
+
+    from celeborn_spark.queries.stats import q_sprt_ab
+
+    plan = physical_plan(q_sprt_ab(spark, sf_dir))
+    assert not re.search(r"windowspecdefinition\(t0#", plan), plan[:2000]
+    assert re.search(r"windowspecdefinition\(_b#\d+L?, t0#", plan), plan[:2000]
