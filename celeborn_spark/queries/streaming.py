@@ -529,8 +529,6 @@ def q_stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulators. The finite stream's answer must equal the batch
     aggregate exactly (the A12/A30 exactly-once discipline); ranking
     cuts on (count DESC, item) so ties are engine-deterministic."""
-    from pyspark.sql import Window as W
-
     ev = read_events_stream(spark, sf_dir).filter(
         F.col("event_type").isin("view", "click", "purchase")
     )
@@ -538,10 +536,7 @@ def q_stream_topk_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("item")
     ).groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_interactions"))
     table = run_stream_to_table(counts, "stream_topk_items", "complete")
-    ranked = table.withColumn(
-        "rnk",
-        F.row_number().over(
-            W.orderBy(F.col("n_interactions").desc(), F.col("item"))
-        ),
-    )
-    return ranked.filter(F.col("rnk") <= 10).drop("rnk")
+    # heap-select the 10 (TakeOrderedAndProject — the item-count state
+    # scales with the catalog); the pre-r10 row_number-then-filter form
+    # serialized every item onto one partition (the q_bm25_topk lesson).
+    return table.orderBy(F.col("n_interactions").desc(), F.col("item")).limit(10)
