@@ -1448,16 +1448,13 @@ def burrows_delta(
         F.count(F.lit(1)).cast("long").alias("c")
     ).localCheckpoint()  # feeds totals, top-m, and the grid
     totals = counts.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
+    # heap-select the m (TakeOrderedAndProject) — the corpus vocabulary
+    # grows with the corpus, so no full-vocab single-partition window.
     topm = (
         counts.groupBy("tok")
         .agg(F.sum("c").cast("long").alias("corpus_c"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                WW.orderBy(F.col("corpus_c").desc(), F.col("tok"))
-            ),
-        )
-        .filter(F.col("rn") <= m)
+        .orderBy(F.col("corpus_c").desc(), F.col("tok"))
+        .limit(m)
         .select("tok")
     )
     grid = (

@@ -1045,13 +1045,10 @@ def q_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("score", 6).alias("decayed_score"),
     )
-    ranked = scored.withColumn(
-        "rnk",
-        F.row_number().over(
-            W.orderBy(F.col("decayed_score").desc(), F.col("item"))
-        ),
-    )
-    return ranked.filter(F.col("rnk") <= 20).drop("rnk")
+    # heap-select the 20 (TakeOrderedAndProject — the item set scales
+    # with the catalog); the pre-r10 row_number-then-filter form ranked
+    # every item through one partition (the q_bm25_topk lesson).
+    return scored.orderBy(F.col("decayed_score").desc(), F.col("item")).limit(20)
 
 
 @query(

@@ -1139,10 +1139,14 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # heap-select the 15 (TakeOrderedAndProject) then rank the bounded
+    # survivors — the distinct-path space grows with the event-type
+    # vocabulary, so no full-relation single-partition window.
     wr = W.orderBy(F.col("n").desc(), "path")
     return (
-        counted.withColumn("rnk", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rnk") <= 15)
+        counted.orderBy(F.col("n").desc(), "path")
+        .limit(15)
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .select("path", "n", "rnk")
     )
 

@@ -577,9 +577,15 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("total"))
+    # The output is the TOP-200 prefix of the desc sort, and prefix
+    # sums of a prefix only need the prefix: heap-select the 200
+    # (TakeOrderedAndProject) BEFORE the running-sum window, so the
+    # window input is 200 rows, not the whole (corpus-growing) vocab.
     w = W.orderBy(F.col("cnt").desc(), "token").rowsBetween(W.unboundedPreceding, 0)
     return (
-        counts.withColumn("cum", F.sum("cnt").over(w))
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(200)
+        .withColumn("cum", F.sum("cnt").over(w))
         .crossJoin(F.broadcast(total))
         .select(
             "token",

@@ -517,3 +517,19 @@ def test_sprt_walk_no_unbounded_single_partition_window(spark, sf_dir):
     plan = physical_plan(q_sprt_ab(spark, sf_dir))
     assert not re.search(r"windowspecdefinition\(t0#", plan), plan[:2000]
     assert re.search(r"windowspecdefinition\(_b#\d+L?, t0#", plan), plan[:2000]
+
+
+def test_topk_cuts_heap_select_before_ranking(spark, sf_dir):
+    """Top-k cuts over catalog/vocabulary-scaling relations must
+    heap-select (TakeOrderedAndProject) BEFORE any ranking window —
+    the q_bm25_topk lesson, re-found in r10 on four rank-then-filter
+    sites (session paths, decayed popularity, vocab coverage's
+    cumulative prefix, Burrows' top-m grid). Any window that remains
+    must consume the bounded post-limit relation."""
+    from celeborn_spark.queries.analytics import q_decayed_popularity
+    from celeborn_spark.queries.temporal import q_session_paths
+    from celeborn_spark.queries.text import q_vocab_coverage
+
+    for qfn in (q_session_paths, q_decayed_popularity, q_vocab_coverage):
+        plan = physical_plan(qfn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, (qfn.__name__, plan[:2000])
