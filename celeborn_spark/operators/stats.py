@@ -2691,6 +2691,7 @@ def runs_test(df: DataFrame, day_col: str, metric_col: str, dp: int = 6) -> Data
             "day", (F.col("m") > F.col("med")).cast("long").alias("sgn")
         )
     )
+    # calendar-bounded: signs has one row per DAY (daily grid)
     wday = W.orderBy("day")
     runs = signs.withColumn("prev", F.lag("sgn").over(wday)).agg(
         F.sum("sgn").cast("long").alias("n1"),
@@ -3619,6 +3620,8 @@ def ks_bh_screen(
         )
         .drop("lam")
     )
+    # group-bounded: stats has one row per GROUP (the BH rank runs
+    # over the tested-hypothesis count, never rows)
     wp = W.orderBy("p_approx", "g")
     wall = W.partitionBy()
     ranked = (

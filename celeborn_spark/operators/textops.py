@@ -1276,6 +1276,8 @@ def rake_word_scores(
         "freq",
         F.expr("CAST(deg AS DOUBLE) / freq").alias("score"),
     ).withColumn(
+        # vocab-bounded: one row per candidate WORD (stopword-split
+        # phrase vocabulary), never rows
         "rn",
         F.row_number().over(
             W.orderBy(
@@ -1367,6 +1369,8 @@ def good_turing(
         .alias("n_1"),
         F.sum(F.col("r") * F.col("n_r")).cast("long").alias("mass"),
     ).select(F.expr("CAST(n_1 AS DOUBLE) / mass").alias("p_unseen"))
+    # count-of-counts-bounded: coc has one row per frequency-of-
+    # frequency value r, never tokens
     w = WW.orderBy("r")
     return (
         coc.withColumn("next_r", F.lead("r").over(w))

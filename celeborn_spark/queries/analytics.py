@@ -547,6 +547,7 @@ def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    # calendar-bounded: one row per WEEK
     g = w.withColumn("prev_cents", F.lag("cents").over(W.orderBy("week")))
     return g.select(
         "week",

@@ -1098,6 +1098,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
+    # replicate-bounded: means has one row per bootstrap replicate
+    # (200 rows)
     ranked = means.select(
         "mean_b",
         F.row_number().over(W.orderBy("mean_b", "b")).alias("rk"),

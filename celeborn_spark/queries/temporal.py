@@ -1345,6 +1345,7 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    # calendar-bounded: daily has one row per DAY
     wd = W.orderBy("day")
     parts = []
     for lag in range(-3, 4):

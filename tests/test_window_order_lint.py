@@ -120,3 +120,39 @@ def test_window_order_keys_are_total_orders():
         "(add a tiebreaker, dedupe-before-window, or an audited "
         "ALLOWLIST entry):\n" + "\n".join(offenders)
     )
+
+
+# Spark-side companion: every PARTITION-LESS Window.orderBy in package
+# code serializes its input onto one task, so each site must carry its
+# boundedness argument in-line — a marker word within the 8 lines above
+# (how the input is cardinality-bounded: a value histogram/grid, a
+# calendar, a count-of-counts, a post-limit prefix, bucket offsets, a
+# replicate count). The r10 sweep fixed seven sites where the input
+# scaled with the catalog/corpus (ROC family, SPRT walk, streaming
+# leaderboard, decayed popularity, session paths, vocab coverage,
+# Burrows top-m); this lint keeps the next one from landing silently.
+SPARK_SITE_MARKERS = re.compile(
+    r"bounded|grid|histogram|<=|k-row|bucket|calendar|decile|offset|"
+    r"limit|distinct|vocab|prefix|replica|200|top-?m|top-?k|n_buckets|"
+    r"count-of-counts",
+    re.IGNORECASE,
+)
+SPARK_WINDOW_RE = re.compile(r"\b(?:Window|W|WW)\.orderBy\(")
+
+
+def test_partitionless_spark_windows_document_boundedness():
+    offenders = []
+    for p in sorted(PKG.rglob("*.py")):
+        rel = f"{p.parent.name}/{p.name}" if p.parent != PKG else p.name
+        lines = p.read_text().split("\n")
+        text = "\n".join(lines)
+        for m in SPARK_WINDOW_RE.finditer(text):
+            ln = text[: m.start()].count("\n")
+            ctx = "\n".join(lines[max(0, ln - 8):ln + 2])
+            if not SPARK_SITE_MARKERS.search(ctx):
+                offenders.append(f"{rel}:{ln + 1}")
+    assert not offenders, (
+        "partition-less Window.orderBy sites without an in-line "
+        "boundedness justification (document how the window input is "
+        "cardinality-bounded, or bound it):\n" + "\n".join(offenders)
+    )
