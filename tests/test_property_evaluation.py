@@ -192,3 +192,46 @@ def test_gains_conservation_laws(spark, rows):
         assert out[-1]["capture_rate"] == 1.0
         rates = [r["capture_rate"] for r in out]
         assert rates == sorted(rates)  # capture is monotone
+
+
+# duplicate-heavy score lists: small value domain forces tied blocks,
+# the adversarial input for prefix-sum machinery
+dup_scores = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=1, max_size=40
+)
+
+
+@given(xs=dup_scores, descending=st.booleans())
+@settings(**_SETTINGS)
+def test_bounded_cum_before_equals_single_window(spark, xs, descending):
+    """_bounded_cum_before (the two-stage bucket-offset prefix sum that
+    replaced the ROC family's unpartitioned histogram window, VERDICT
+    r9 item 4) must return EXACTLY the single-window values on any
+    histogram — including all-equal scores (span 0 -> one bucket) and
+    heavy tie blocks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    hist = (
+        spark.createDataFrame([(float(x),) for x in xs], ["v"])
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    got = {
+        r["v"]: r["cum_before"]
+        for r in _bounded_cum_before(
+            hist, F.col("cnt"), descending=descending, n_buckets=4
+        ).collect()
+    }
+    order = F.col("v").desc() if descending else F.col("v").asc()
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["v"]: r["ref"]
+        for r in hist.withColumn(
+            "ref", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
