@@ -25,7 +25,14 @@ def _events_raw_schema(sf_dir: str):
     parquet's actual physical ts flavor — derived from a footer read (no
     Spark job). TIMESTAMP(NANOS) arrives as long under nanosAsLong and
     needs div-1000 truncation; TIMESTAMP(MICROS, naive) arrives as NTZ
-    and needs only a session-TZ cast (identity under pinned UTC)."""
+    and needs only a session-TZ cast (identity under pinned UTC);
+    legacy INT96 (the Spark <4 writer default — any pre-existing
+    Spark-written events directory) reads natively as TimestampType.
+    INT96 must be tested on the PHYSICAL type: pyarrow's schema_arrow
+    surfaces INT96 as timestamp[ns], which the unit check alone would
+    misclassify as TIMESTAMP(NANOS) and pin LongType — the stream then
+    dies on PARQUET_COLUMN_DATA_TYPE_MISMATCH (caught by the r10
+    batch-21 probe on Spark-written replicas)."""
     import glob
     import os
 
@@ -40,9 +47,19 @@ def _events_raw_schema(sf_dir: str):
         if not parts:
             raise FileNotFoundError(f"no parquet parts under {path}")
         path = parts[0]
-    arrow_ts = pq.ParquetFile(path).schema_arrow.field("ts").type
-    nanos = getattr(arrow_ts, "unit", None) == "ns"
-    ts_field = T.StructField("ts", T.LongType() if nanos else T.TimestampNTZType())
+    pf = pq.ParquetFile(path)
+    ts_idx = next(
+        i for i in range(len(pf.schema)) if pf.schema.column(i).name == "ts"
+    )
+    int96 = pf.schema.column(ts_idx).physical_type == "INT96"
+    arrow_ts = pf.schema_arrow.field("ts").type
+    nanos = not int96 and getattr(arrow_ts, "unit", None) == "ns"
+    ts_field = T.StructField(
+        "ts",
+        T.LongType()
+        if nanos
+        else (T.TimestampType() if int96 else T.TimestampNTZType()),
+    )
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

@@ -392,7 +392,37 @@ CASES_BATCH20 = [
     ("q_embedding_near_dup", ["embeddings"]),
 ]
 
+# Batch 21 (run with --batch21, round 10): the 13 r10-window queries
+# no prior batch ever probed — the two r10 reps (interval merge after
+# the dedupe-before-window rebuild; the session-window oracle fix) and
+# the mechanically-simple scalar shapes. Expected: interval merge
+# ~linear (the dedupe exchange moves distinct intervals), the stream
+# replay ~linear in file mass, everything else histogram/manifest
+# ~flat. q_dataset_manifest reads EVERY catalog table (the CLAUDE.md
+# probe rule: replicate every table a query loads — region/nation/part
+# shifts added below for it).
+CASES_BATCH21 = [
+    ("q_interval_merge", ["lineitem"]),
+    ("q_stream_session_window", ["events"]),
+    ("q_cohens_d", ["lineitem"]),
+    ("q_g_test", ["documents"]),
+    ("q_l_diversity", ["customer"]),
+    ("q_powerlaw_alpha", ["lineitem"]),
+    ("q_dataset_manifest", ["region", "nation", "supplier", "customer",
+                            "part", "orders", "lineitem", "events",
+                            "documents", "embeddings"]),
+    ("q_arg_minmax", ["customer"]),
+    ("q_bitwise_agg", ["events"]),
+    ("q_uniform_sample", ["events"]),
+    ("q_dense_ids", ["lineitem"]),
+    ("q_mode_per_group", ["events"]),
+    ("q_text_fingerprint", ["documents"]),
+]
+
 SHIFTS = {
+    "region": {"r_regionkey": 1_000},
+    "nation": {"n_nationkey": 1_000, "n_regionkey": 1_000},
+    "part": {"p_partkey": 10_000_000},
     "supplier": {"s_suppkey": 10_000_000},
     "customer": {"c_custkey": 10_000_000},
     "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
@@ -460,7 +490,9 @@ def main() -> None:
     if "--batch20" in sys.argv:
         SHIFT_VALUES = True
     cases = (
-        CASES_BATCH20
+        CASES_BATCH21
+        if "--batch21" in sys.argv
+        else CASES_BATCH20
         if "--batch20" in sys.argv
         else CASES_BATCH18
         if "--batch18" in sys.argv
