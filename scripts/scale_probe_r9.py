@@ -401,6 +401,35 @@ CASES_BATCH20 = [
 # ~flat. q_dataset_manifest reads EVERY catalog table (the CLAUDE.md
 # probe rule: replicate every table a query loads — region/nation/part
 # shifts added below for it).
+# Batch-21 run (same conditions; the FIRST attempt crashed on the
+# footer probe misreading Spark-written INT96 replicas as
+# TIMESTAMP(NANOS) — fixed in streaming/events.py with an INT96
+# physical-type test + regression test, a real-world-layout bug the
+# probe bought us):
+#   q_interval_merge      1x 1.65  8x 2.10  32x  5.00  exp  0.63
+#   q_stream_session_win. 1x 1.21  8x 3.17  32x 19.13  exp  1.30*
+#   q_cohens_d            1x 0.34  8x 0.40  32x  0.38  exp -0.03
+#   q_g_test              1x 0.63  8x 0.63  32x  1.50  exp  0.62
+#   q_l_diversity         1x 0.51  8x 0.48  32x  1.02  exp  0.54
+#   q_powerlaw_alpha      1x 3.85  8x 5.92  32x  2.68  exp -0.57
+#   q_dataset_manifest    1x 0.96  8x 0.95  32x  1.30  exp  0.22
+#   q_arg_minmax          1x 0.46  8x 0.70  32x  0.93  exp  0.20
+#   q_bitwise_agg         1x 0.65  8x 0.81  32x  1.23  exp  0.31
+#   q_uniform_sample      1x 1.19  8x 1.08  32x  0.24  exp -1.09
+#   q_dense_ids           1x 4.10  8x 1.85  32x  3.53  exp  0.47
+#   q_mode_per_group      1x 0.31  8x 0.45  32x  0.92  exp  0.51
+#   q_text_fingerprint    1x 0.15  8x 0.19  32x  0.17  exp -0.09
+# (*) the session-window exp is a HARNESS artifact, verified by a
+# same-session re-measure sweep: the 32x cold run pays JVM/codegen
+# (min-of-2 still caught it); warm runs at 32x are 8.9-13.2 s across
+# state_partitions 4/16/32 (vs 3.17 s at 8x -> exp ~0.88, i.e. linear
+# in the 3.05M-session OUTPUT that complete-mode collects into the
+# driver memory sink each batch). The operator itself is Spark's
+# session_window state merge; a production deployment writes
+# update-mode to a real sink and sizes state partitions to volume
+# (run_stream_to_table docstring). The interval-merge 0.63 is the
+# dedupe exchange moving distinct intervals — linear-bounded as
+# designed; the negative exponents are AQE/noise on sub-second rows.
 CASES_BATCH21 = [
     ("q_interval_merge", ["lineitem"]),
     ("q_stream_session_window", ["events"]),
