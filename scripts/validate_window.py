@@ -6,9 +6,10 @@ DuckDB oracle — the pytest harness (tests/oracle.py) tolerates 1e-9
 relative drift, but the driver VALUE-HASHES, so only exact equality
 predicts a green CORRECTNESS row (.claude/skills/verify/SKILL.md).
 
-Usage: python scripts/validate_window.py [sf_dir] [name_filter]
-Defaults to /root/testdata/sf0.01 (driver scale). Exit code = number
-of failed queries.
+Usage: python scripts/validate_window.py [sf_dir] [name_filter|--all]
+Defaults to /root/testdata/sf0.01 (driver scale). --all checks EVERY
+oracle-backed registered query (the r11 pre-drain exactness sweep),
+not just the window. Exit code = number of failed queries.
 """
 
 from __future__ import annotations
@@ -58,9 +59,14 @@ def main() -> None:
     qs, oracles = registry.queries(), registry.oracles()
     con = duck_connection(sf_dir)
 
+    names = (
+        list(qs)
+        if name_filter == "--all"
+        else list(registry.CORRECTNESS_WINDOW)
+    )
     failed = []
-    for name in registry.CORRECTNESS_WINDOW:
-        if name_filter and name_filter not in name:
+    for name in names:
+        if name_filter not in ("", "--all") and name_filter not in name:
             continue
         if name not in oracles:
             print(f"{name:36s} SKIP (rows-only)")
