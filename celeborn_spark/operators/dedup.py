@@ -781,7 +781,8 @@ def set_similarity_join(
         )
 
     if strategy == "auto":
-        # two scalar stats over the checkpointed relation pick the plan
+        # Bounded collect: two 1-row scalar stats over the
+        # checkpointed relation pick the plan (A28 fallback)
         pref_cnt = (
             ordered.select(
                 "_id", F.explode(F.slice("st", F.lit(1), F.col("p"))).alias("s")
@@ -792,6 +793,10 @@ def set_similarity_join(
             .first()["est"]
             or 0
         )
+        # Bounded collect: this is the doc-LENGTH histogram — one row
+        # per distinct token count, cardinality <= max tokens per doc
+        # (a few thousand), NOT row data. The A28 strategy pick needs
+        # it driver-side to cost the length-band candidate count.
         hist = {
             r["n"]: r["c"]
             for r in ordered.groupBy("n").agg(F.count(F.lit(1)).alias("c")).collect()

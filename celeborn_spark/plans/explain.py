@@ -52,7 +52,8 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    # Under AQE codegen annotations exist only in the FINAL plan, and
+    # Diagnostic-only helper (test/debug path, never in an operator):
+    # under AQE codegen annotations exist only in the FINAL plan, and
     # only THIS df's own execution finalizes it (count() would build a
     # different plan) — collect, then inspect.
     df.collect()

@@ -128,20 +128,34 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_stats")  # rows-only: sketch internals are engine-specific
+@query(
+    "q_approx_stats",
+    # The raw sketch estimates are engine-specific, but the CONTRACT —
+    # exact values plus "the sketch landed inside its error bound" —
+    # is not: the oracle computes the exact side and states the bound
+    # booleans as TRUE. A broken sketch flips a Spark-side boolean and
+    # the driver hash goes red (VERDICT r10 item 2: this removes the
+    # permanent rows-only hole q_approx_stats used to be).
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_in_p45_p55
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB interactive profiling:
     approx_count_distinct (HLL, rsd=0.01) and percentile_approx
-    (KLL-ish). The raw estimates are engine-specific (hence rows-only),
-    so the output carries its own error-bound booleans (VERDICT r4
-    item 7): hll_within_5pct (~5 sigma headroom at rsd=0.01) and
-    median_in_p45_p55 (rank error ~n/10000 at default accuracy, far
-    inside the p45..p55 corridor). A broken sketch flips a boolean —
-    asserted in tests/test_advanced.py at every SF."""
+    (KLL-ish), emitted as BOUND CHECKS against the exact values
+    computed in the same pass: hll_within_5pct (~5 sigma headroom at
+    rsd=0.01) and median_in_p45_p55 (rank error ~n/10000 at default
+    accuracy, far inside the p45..p55 corridor). The exact distinct
+    count rides along so the oracle compare also validates the exact
+    side. Also asserted in tests/test_similarity.py at every SF."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
         (
             F.abs(
                 F.approx_count_distinct("l_orderkey", rsd=0.01)

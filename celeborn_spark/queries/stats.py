@@ -1138,7 +1138,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM firsts f LEFT JOIN conv c ON c.user_id = f.user_id
     ),
     walk AS (
-        SELECT idx, n1 * ln(0.15 / 0.10) + (idx - n1) * ln(0.85 / 0.90) AS llr
+        SELECT idx,
+               round(n1 * ln(0.15 / 0.10) + (idx - n1) * ln(0.85 / 0.90), 6)
+                   AS llr
         FROM (
             SELECT sum(converted)
                        OVER (ORDER BY t0, user_id
@@ -1148,7 +1150,8 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM obs
         )
     ),
-    bounds AS (SELECT ln((1 - 0.2) / 0.05) AS up, ln(0.2 / (1 - 0.05)) AS lo),
+    bounds AS (SELECT round(ln((1 - 0.2) / 0.05), 6) AS up,
+                      round(ln(0.2 / (1 - 0.05)), 6) AS lo),
     crossed AS (
         SELECT min(CASE WHEN llr >= up THEN idx END) AS up_idx,
                min(CASE WHEN llr <= lo THEN idx END) AS lo_idx,
@@ -1192,9 +1195,13 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset window -> bucket-local windows; the r10 _bounded_cum_before
     discipline — the pre-r10 form summed float terms through ONE
     unpartitioned user-sized window, the ROC-family scale-killer with
-    users ~ row mass) while the oracle keeps its single window; the
-    identical final formula text makes every llr — and therefore the
-    first crossing index — bit-identical; llr_final rounds 6dp."""
+    users ~ row mass) while the oracle keeps its single window; llr
+    AND the decision bounds round 6dp on BOTH sides before the
+    crossing comparison (r10 ADVICE: raw ln() parity between JVM
+    Math.log and libm is not guaranteed, and a 1-ulp divergence
+    scaled by n1 could flip cross_idx at a boundary), so the first
+    crossing index compares rounded-vs-rounded; llr_final is the same
+    rounded value."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -1212,11 +1219,20 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 1024
     tb = obs.agg(F.min("t0").alias("_lo"), F.max("t0").alias("_hi"))
     span = F.col("_hi") - F.col("_lo")
+    # Divide FIRST in double (the _bounded_cum_before form): micros *
+    # 1024 would silently wrap int64 for spans over ~285 years. floor
+    # of the monotone double expression is still monotone, and bucket
+    # boundaries only move rows BETWEEN buckets — the offset+local
+    # prefix counts are bucket-invariant, so values are unchanged.
     b = F.when(
         span > 0,
         F.least(
             F.lit(n_buckets - 1),
-            F.floor((F.col("t0") - F.col("_lo")) * n_buckets / span),
+            F.floor(
+                (F.col("t0") - F.col("_lo")).cast("double")
+                / span
+                * n_buckets
+            ),
         ),
     ).otherwise(F.lit(0))
     h = (
@@ -1239,15 +1255,21 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = F.log(F.lit(0.85) / F.lit(0.90))
     n1 = F.col("_off1") + F.sum("converted").over(wcum)
     idx = F.col("_off") + F.row_number().over(wloc)
+    # llr is rounded 6dp BEFORE the boundary comparison (and the
+    # bounds likewise) so the crossing predicate never rides on raw
+    # ln() parity between JVM Math.log and libm — a 1-ulp divergence
+    # scaled by n1 could flip cross_idx near a boundary. The operands
+    # are irrational multiples, so 6dp half-way ties are out of reach
+    # (the welch_t discipline).
     walk = (
         h.join(F.broadcast(offsets), "_b")
         .select(
             idx.alias("idx"),
-            (n1 * c1 + (idx - n1) * c0).alias("llr"),
+            F.round(n1 * c1 + (idx - n1) * c0, 6).alias("llr"),
         )
     )
-    up = F.log((1 - F.lit(0.2)) / F.lit(0.05))
-    lo = F.log(F.lit(0.2) / (1 - F.lit(0.05)))
+    up = F.round(F.log((1 - F.lit(0.2)) / F.lit(0.05)), 6)
+    lo = F.round(F.log(F.lit(0.2) / (1 - F.lit(0.05))), 6)
     crossed = walk.agg(
         F.min(F.when(F.col("llr") >= up, F.col("idx"))).alias("up_idx"),
         F.min(F.when(F.col("llr") <= lo, F.col("idx"))).alias("lo_idx"),

@@ -253,6 +253,9 @@ def q_stream_offset_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def done(t: DataFrame) -> bool:
+        # Bounded collect: a 1-row scalar (sum over the <=10-row
+        # bucket aggregate) polled as the stream's fixed-point check —
+        # never row data.
         got = t.agg(F.sum("n")).collect()[0][0]
         return got is not None and got >= _OFFSET_BOUND
 

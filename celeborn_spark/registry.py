@@ -53,84 +53,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # SURVEY.md §2. Everything NOT listed here stays registered (tests + bench
 # still cover it) and follows in registration order after the window.
 #
-# ROTATION PLAN (VERDICT r4 item 1; r10 drain per VERDICT r9 item 2):
-# entering r10 the never-driver-checked backlog is 97 queries (registry
-# 360 minus the union of CORRECTNESS_r01-r09 keys), of which 95 are
-# oracle-backed — the 2 rows-only queries (q_approx_stats,
-# q_compression_quality) are EXCLUDED from driver windows permanently
-# (VERDICT r9 item 2: a rows-only slot can only ever return
-# err: no_oracle). Operator additions are FROZEN this round; the r10
-# window = TWO reps whose cross-engine contracts changed this round
-# (q_interval_merge — the r9 flake, rebuilt dedupe-before-window, its
-# green row is VERDICT r9 item 1's done-criterion; and
-# q_stream_session_window, whose oracle's session-id pass gained the
-# event_id tiebreaker the total-order sweep found missing) + the 48
-# highest-priority first-timers (the full evaluation loop — including
-# the 4 ROC-family queries whose rank machinery moved to the bounded
-# two-stage form this round, VERDICT r9 item 4 — the experiment desk,
-# the survival/agreement and privacy families, the graph closers, and
-# the 7 longest-waiting r9-deferred scalar shapes). The 47 oracle-
-# backed queries still without a driver row drain in r11. Queries
-# rotated OUT remain oracle-checked every pytest run
+# ROTATION PLAN (VERDICT r4 item 1; backlog CLOSED in r11 per VERDICT
+# r10 item 1): the r11 window = the FULL 47-query never-driver-checked
+# oracle-backed backlog (registry 360 minus the union of
+# CORRECTNESS_r01-r10 keys — all 47 triple-exactness-sweep green at
+# sf0.01 AND sf0.1 before this rotation) + 3 reps: q_approx_stats
+# (oracle-IZED this round, VERDICT r10 item 2 — it now emits exact
+# values + bound booleans DuckDB can state, so its first REAL driver
+# row lands here), q_sprt_ab (its cross-engine contract changed this
+# round: llr and the decision bounds now round 6dp on BOTH sides
+# before the crossing comparison, r10 ADVICE), and q_interval_merge
+# (the r9 flake — second consecutive driver witness of the
+# dedupe-before-window rebuild). After this window every
+# oracle-backed query has a driver row; the only rows-only queries
+# are the 2 genuinely non-SQL-expressible ones below.
+#
+# PERMANENTLY WINDOW-EXCLUDED (rows-only — a driver slot can only
+# ever return err: no_oracle for them, VERDICT r9 item 2 / r10
+# what's-wrong item 1):
+#   - q_compression_quality: zlib ratios have no SQL-engine oracle;
+#     its differential test is the cover.
+#   - q_embedding_near_dup: engine-hash LSH banding; its driver
+#     witness is the oracle-backed twin q_embedding_near_dup_verified
+#     (driver-green since r04) plus the sampled_recall_ok bound column.
+# (q_approx_stats left this list in r11 — see above.)
+# Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # --- reps: cross-engine contracts changed this round (2) ---
-    "q_interval_merge",
-    "q_stream_session_window",
-    # --- evaluation loop (17; ROC family sources rebuilt this round) ---
-    "q_roc_auc",
-    "q_gains_lift",
-    "q_pr_curve",
-    "q_auc_ci",
-    "q_calibration_bins",
-    "q_psi_drift",
-    "q_hellinger_langmix",
-    "q_wasserstein_drift",
-    "q_pettitt_changepoint",
-    "q_cuped",
-    "q_hodges_lehmann",
-    "q_brier_decomposition",
-    "q_threshold_sweep",
-    "q_ucb1_bandit",
-    "q_mcc",
-    "q_conformal_interval",
-    "q_mix_drift_series",
-    # --- experiment desk (10) ---
+    # --- reps (3): contract changed / newly oracle-backed / flake watch ---
+    "q_approx_stats",
     "q_sprt_ab",
-    "q_did_estimator",
-    "q_ab_power_plan",
-    "q_posthoc_pairwise",
-    "q_eb_shrinkage",
-    "q_granger_leadlag",
-    "q_ks_bh_screen",
-    "q_kruskal_wallis",
-    "q_cohens_d",
-    "q_g_test",
-    # --- survival / agreement (6) ---
-    "q_log_rank",
-    "q_nelson_aalen",
-    "q_mcnemar",
-    "q_cohens_kappa",
-    "q_runs_test",
-    "q_brown_forsythe",
-    # --- privacy (2) ---
-    "q_l_diversity",
-    "q_t_closeness",
-    # --- graph closers (6) ---
-    "q_personalized_pagerank",
-    "q_graph_modularity",
-    "q_rich_club",
-    "q_ktruss",
-    "q_homophily",
-    "q_powerlaw_alpha",
-    # --- longest-waiting r9-deferred scalar shapes (7) ---
-    "q_dataset_manifest",
-    "q_arg_minmax",
-    "q_bitwise_agg",
-    "q_uniform_sample",
-    "q_dense_ids",
-    "q_mode_per_group",
-    "q_text_fingerprint",
+    "q_interval_merge",
+    # --- text/corpus closers (11) ---
+    "q_bigram_topk",
+    "q_type_token_richness",
+    "q_char_entropy",
+    "q_rake_keywords",
+    "q_good_turing",
+    "q_burrows_delta",
+    "q_bigram_entropy",
+    "q_negative_sampling",
+    "q_token_burstiness",
+    "q_component_size_histogram",
+    "q_map_funcs",
+    # --- behavioral / temporal (11) ---
+    "q_retention_matrix",
+    "q_time_to_convert",
+    "q_markov_transitions",
+    "q_attribution_ushaped",
+    "q_session_paths",
+    "q_forecast_backtest",
+    "q_markov_entropy",
+    "q_cross_correlation",
+    "q_interevent_exponential",
+    "q_attribution_timedecay",
+    "q_daily_percentile_ladder",
+    # --- stats closers (11) ---
+    "q_jarque_bera",
+    "q_spearman",
+    "q_kendall_tau",
+    "q_pca_2d",
+    "q_fano_burstiness",
+    "q_trimmed_mean",
+    "q_weighted_median",
+    "q_bootstrap_ci",
+    "q_seasonal_strength",
+    "q_cochran_armitage",
+    "q_theil_index",
+    # --- engagement / recsys (9) ---
+    "q_user_growth",
+    "q_revenue_wow_growth",
+    "q_market_hhi",
+    "q_ndcg_eval",
+    "q_rolling_wau",
+    "q_stickiness",
+    "q_feature_screen",
+    "q_decayed_popularity",
+    "q_gini_coefficient",
+    # --- embedding / stream / sampling reps (5) ---
+    "q_arrow_norms",
+    "q_quantized_recall",
+    "q_multimodal_energy",
+    "q_stream_topk_items",
+    "q_mixture_plan",
 )
 
 

@@ -83,7 +83,9 @@ def main() -> None:
         else:
             print(f"{name:36s} exact-OK ({len(got)} rows)")
     print(f"\n{len(failed)} failed of window at {sf_dir}")
-    sys.exit(len(failed))
+    # Exit codes truncate modulo 256 — 256 failures must not read as
+    # success to the caller (possible under --all over 350+ queries).
+    sys.exit(min(len(failed), 255))
 
 
 if __name__ == "__main__":

@@ -17,11 +17,12 @@ def test_headline_names_are_registered():
     assert not missing, missing
 
 
-# The 3 genuinely non-SQL-expressible queries carry self-checking bound
-# columns (hll_within_5pct, sampled_recall_ok, ordering bound), so their
-# rows-only driver row is meaningful — VERDICT r5 item 4 schedules them
-# into the r6 window for their first (weaker) driver rows.
-ROWS_ONLY_ALLOWED = {"q_approx_stats", "q_compression_quality", "q_embedding_near_dup"}
+# The 2 genuinely non-SQL-expressible queries carry self-checking bound
+# columns (zlib ratio differential test, sampled_recall_ok), so their
+# rows-only status is meaningful. q_approx_stats LEFT this set in r11:
+# it now emits exact values + bound booleans that DuckDB can state
+# (VERDICT r10 item 2), so it is oracle-backed like everything else.
+ROWS_ONLY_ALLOWED = {"q_compression_quality", "q_embedding_near_dup"}
 
 
 def test_correctness_window_is_oracle_backed():
@@ -46,6 +47,8 @@ def test_bench_line_fits_driver_tail_budget():
             "unit": "sec",
             "queries": fake,
             "sf": 0.1,
+            "load1": 99.99,
+            "jvms": 99,
         },
         separators=(",", ":"),
     )

@@ -17,13 +17,17 @@ from celeborn_spark.streaming.events import read_events_stream
 
 def test_stream_reads_int96_events_directory(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events.parquet")
+    # Restore whatever the suite had, not a hardcoded default — a
+    # hardcoded restore would leak config into the shared session if
+    # the suite ever pins a different value.
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     try:
         load_table(spark, sf_dir, "events").limit(200).write.mode(
             "overwrite"
         ).parquet(out)
     finally:
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
     import pyarrow.parquet as pq
     import glob
 

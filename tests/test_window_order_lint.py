@@ -40,17 +40,21 @@ OVER_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
-# Columns unique (within any partition the repo uses them under) by
-# data-model construction: event_id is the events PK; doc_id/vec_id the
-# documents/embeddings PKs; (l_orderkey, l_linenumber) the lineitem PK;
-# o_orderkey the orders PK. Grouped aliases (tok, label, item, path,
-# centroid_id, cb_id, g, b, k) are distinct because they name GROUP BY
-# outputs wherever they appear as final keys; rn names a row_number.
-UNIQUE_FINAL_KEYS = {
-    "event_id", "vec_id", "doc_id", "o_orderkey", "l_linenumber",
-    "user_id", "id", "item", "item_b", "tok", "token", "label", "cls",
-    "cb_id", "centroid_id", "g", "b", "k", "rn", "path",
-}
+# Columns unique by data-model construction REGARDLESS of the window
+# input relation — true per-relation primary keys only (r10 ADVICE:
+# the earlier suffix rule accepted ANY *_id/*key tail, so e.g.
+# ORDER BY ts, user_id over raw events — many rows per user — would
+# have passed, a false-negative path for the exact flake class this
+# lint was built to catch). event_id is the events PK; doc_id/vec_id
+# the documents/embeddings PKs; o_orderkey the orders PK; rn names a
+# row_number (unique within its own window's partition by
+# construction). l_linenumber is only unique WITHIN l_orderkey, so it
+# is handled pairwise in the test body, not here. Context-dependent
+# names (user_id, item, tok, g, b, ...) are unique only over
+# grouped/deduped inputs — they must pass the nearby-GROUP-BY
+# heuristic or carry a per-site ALLOWLIST entry naming the deduped
+# input relation.
+UNIQUE_FINAL_KEYS = {"event_id", "vec_id", "doc_id", "o_orderkey", "rn"}
 
 # (file, order-by text) pairs audited by hand in round 10. Each entry
 # documents WHY the key set is a total order even though neither the
@@ -78,6 +82,19 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("queries/windows.py", "l_shipdate, l_orderkey, l_linenumber, l_quantity"):
         "contains the lineitem PK (l_orderkey, l_linenumber) — total "
         "order regardless of the trailing l_quantity.",
+    # --- r11 audit: sites surfaced when the *_id/*key suffix rule was
+    # restricted to true per-relation PKs (r10 ADVICE item 1) ---
+    ("operators/sampling.py", "b, k"):
+        "dense_ids_oracle_sql: the window input is `kb`, built from "
+        "SELECT DISTINCT {key_sql} AS k — k is unique by construction "
+        "and b = md5(k) % n_buckets is a function of k, so (b, k) is "
+        "a total order over kb.",
+    ("queries/similarity.py", "sim desc, centroid_id"):
+        "IVF cell assignment (q_ann_ivf_topk / q_knn_join oracles): "
+        "the window input is `sims` = v CROSS JOIN c — exactly one "
+        "row per (vec_id, centroid_id), so within the PARTITION BY "
+        "vec_id partition centroid_id is unique; the trailing "
+        "centroid_id makes (sim, centroid_id) total.",
 }
 
 
@@ -96,7 +113,11 @@ def test_window_order_keys_are_total_orders():
         for m in OVER_RE.finditer(text):
             order = " ".join(m.group(2).split()).lower()
             last = _final_key(order)
-            if last in UNIQUE_FINAL_KEYS or last.endswith("_id") or last.endswith("key"):
+            if last in UNIQUE_FINAL_KEYS:
+                continue
+            # The lineitem PK is the PAIR (l_orderkey, l_linenumber):
+            # accept l_linenumber only when l_orderkey is also a key.
+            if last == "l_linenumber" and "l_orderkey" in order:
                 continue
             if (rel, order) in ALLOWLIST:
                 continue
@@ -155,4 +176,39 @@ def test_partitionless_spark_windows_document_boundedness():
         "partition-less Window.orderBy sites without an in-line "
         "boundedness justification (document how the window input is "
         "cardinality-bounded, or bound it):\n" + "\n".join(offenders)
+    )
+
+
+# Third companion (VERDICT r10 item 6): every driver-side collect() /
+# first() in package code pulls its input onto the driver, so each
+# site must say — within the 12 lines above (collects end long
+# builder chains) — WHY that input is
+# cardinality-bounded (a 1-row scalar, a length histogram, a
+# diagnostic/test-only path, a plan-time peek). A collect of row data
+# is the "operator isn't distributed" smell; this lint keeps the next
+# one from landing silently.
+COLLECT_SITE_MARKERS = re.compile(
+    r"bounded|scalar|1-row|one[- ]row|tiny|histogram|diagnostic|"
+    r"fixed-point|plan[- ]time|peek|footer|<=",
+    re.IGNORECASE,
+)
+COLLECT_RE = re.compile(r"\.(?:collect|first)\(\)")
+
+
+def test_driver_collect_sites_document_boundedness():
+    offenders = []
+    for p in sorted(PKG.rglob("*.py")):
+        rel = f"{p.parent.name}/{p.name}" if p.parent != PKG else p.name
+        lines = p.read_text().split("\n")
+        text = "\n".join(lines)
+        for m in COLLECT_RE.finditer(text):
+            ln = text[: m.start()].count("\n")
+            ctx = "\n".join(lines[max(0, ln - 12):ln + 1])
+            if not COLLECT_SITE_MARKERS.search(ctx):
+                offenders.append(f"{rel}:{ln + 1}")
+    assert not offenders, (
+        "driver-side collect()/first() sites without an in-line "
+        "boundedness justification (document why the collected "
+        "relation is cardinality-bounded, or keep it distributed):\n"
+        + "\n".join(offenders)
     )
