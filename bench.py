@@ -29,6 +29,14 @@ best time is reported — the reference's own benchmark convention
 (client/benchmarks/LZ4TPCDSDataBenchmark-jdk17-results.txt reports
 "best"/"avg"); the first run pays one-time whole-stage-codegen
 compilation that a steady-state engine amortizes.
+
+`--metrics` additionally captures per-query shuffle/spill bytes on the
+second rep and writes the full ledger to BENCH_METRICS.json (committed
+per-round so plan regressions diff as bytes, not just wall-clock).
+The JSON line also stamps a contention sentinel (pre-run 1-min loadavg
++ count of other live JVMs): driver-host contention produced recurring
+±20% phantom regressions, and the sentinel lets readers discount
+contaminated runs.
 """
 
 from __future__ import annotations
@@ -149,6 +157,14 @@ def _sf_from_dir(sf_dir: str) -> float:
 def main() -> None:
     from celeborn_spark.session import get_spark
 
+    # --metrics: also capture per-query shuffle-write/spill bytes via
+    # plans.metrics.measure_action on the second rep and write the
+    # full ledger (not line-budgeted) to BENCH_METRICS.json — plan
+    # regressions become diffable BYTES round over round, not just
+    # wall-clock (VERDICT r10 item 7; the reference's analogue is its
+    # WorkerSource metrics + committed benchmark artifacts).
+    metrics_mode = "--metrics" in sys.argv
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load1, jvms = _contention_sentinel()
     # 8 shuffle partitions for the single-node bench SF: AQE would
@@ -161,12 +177,26 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    bytes_ledger: dict[str, dict[str, float]] = {}
     for name in headline_names():
         best = None
         try:
-            for _ in range(2):
+            for rep in range(2):
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                if metrics_mode and rep == 1:
+                    from celeborn_spark.plans.metrics import measure_action
+
+                    m = measure_action(qs[name](spark, sf_dir))
+                    bytes_ledger[name] = {
+                        "shuffle_write_mb": round(m.shuffle_write_bytes / 1e6, 3),
+                        "shuffle_read_mb": round(m.shuffle_read_bytes / 1e6, 3),
+                        "spill_mb": round(
+                            (m.memory_spill_bytes + m.disk_spill_bytes) / 1e6, 3
+                        ),
+                        "n_stages": m.n_stages,
+                    }
+                else:
+                    qs[name](spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 2)
@@ -190,6 +220,24 @@ def main() -> None:
     if len(line) > 1900:
         print(f"bench: line too long ({len(line)} chars)", file=sys.stderr)
     print(line)
+    if metrics_mode:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_METRICS.json"
+        )
+        with open(path, "w") as fh:
+            json.dump(
+                {
+                    "sf": _sf_from_dir(sf_dir),
+                    "load1": load1,
+                    "jvms": jvms,
+                    "wall_sec": timings,
+                    "bytes": bytes_ledger,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"bench: metrics ledger written to {path}", file=sys.stderr)
     spark.stop()
 
 

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""sf1 heavy rung (VERDICT r10 item 4): a MATERIALIZED 10x parquet
+scale under the slowest bench queries.
+
+The in-memory/replica probes (scale_probe*.py) time plans over
+unioned DataFrames; this rung instead writes a real sf1-sized parquet
+directory (10x sf0.1 rows) and runs the REGISTERED query functions on
+it — paying real parquet scans, real AQE over real file statistics,
+and real spill, the things replica probes can mask (reference
+analogue: tests/spark-it/.../HugeDataTest.scala:40 materializes its
+large input rather than cloning in memory).
+
+Replica construction (one-time, `--materialize`): 10 disjoint copies
+of every sf0.1 table with shifted integer keys (users/orders/docs/
+vectors are NEW populations, so per-key group sizes stay realistic
+while key cardinality and row mass grow 10x), per-replica token
+prefixes for documents (the corpus vocabulary grows — no cross-replica
+text dups), and per-replica element-wise perturbation for embeddings
+(+((31*i + j) mod 7)/100 on dimension j of replica i): identical
+vectors across replicas would collide in the SAME near-dup signature
+buckets and grow candidate pairs QUADRATICALLY in the replica count —
+a pathology real sf1 data does not have. Graph queries see 10 disjoint
+copies of the co-purchase graph: same diameter, 10x nodes/edges —
+exactly the regime where a broadcast-sized or single-partition
+assumption would break.
+
+Usage:
+  python scripts/sf1_rung.py --materialize   # build .sf1/ (once)
+  python scripts/sf1_rung.py                 # run the rung, print ledger
+
+Ledger = per query at sf0.1 and sf1: wall (best of 2), exchange count
+from the AQE-final executed plan, shuffle-write bytes and spill from
+plans.metrics.measure_action. Pass/fail reading: wall growth <= ~10x
+per 10x rows and no spill explosion. Results are committed to
+COVERAGE.md (r11 "sf1 heavy rung" section).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from celeborn_spark import registry
+from celeborn_spark.catalog import TABLES, load_table
+from celeborn_spark.operators.textops import tokens
+from celeborn_spark.plans.explain import count_exchanges
+from celeborn_spark.plans.metrics import measure_action
+from celeborn_spark.session import get_spark
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1")
+K = 10
+
+# Key shifts per replica — same disjoint-population scheme the r9
+# probe uses (scripts/scale_probe_r9.py SHIFTS), all tables included
+# so any query runs (the r9 q_homophily lesson: a missing replica
+# table crashes the probe).
+SHIFTS = {
+    "region": {"r_regionkey": 1_000},
+    "nation": {"n_nationkey": 1_000, "n_regionkey": 1_000},
+    "part": {"p_partkey": 10_000_000},
+    "supplier": {"s_suppkey": 10_000_000},
+    "customer": {"c_custkey": 10_000_000},
+    "orders": {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 1_000_000_000,
+        "l_suppkey": 10_000_000,
+        "l_partkey": 10_000_000,
+    },
+    "events": {"event_id": 1_000_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000, "label": 1_000},
+}
+
+# The 10-slowest-bench set named in VERDICT r10 item 4, plus the
+# verified embedding twin (the oracle path) and the weighted pagerank
+# variant (its map-side-combine skew claim is the one to stress).
+HEAVIES = (
+    "q_hits",
+    "q_pagerank",
+    "q_pagerank_weighted",
+    "q_coverage_select",
+    "q_dedup_groups",
+    "q_label_propagation",
+    "q_shortest_path",
+    "q_ktruss",
+    "q_embedding_near_dup",
+    "q_embedding_near_dup_verified",
+    "q_interval_merge",
+    "q_stream_stream_left_join",
+)
+
+
+def _prefix_tokens(i: int):
+    return lambda x: F.concat(F.lit(f"r{i}_"), x)
+
+
+def _perturb_embedding(i: int):
+    # 2-arg lambda -> F.transform passes (element, index)
+    return lambda x, j: (
+        x + ((F.lit(31 * i) + j) % 7).cast("float") / 100.0
+    ).cast("float")
+
+
+def materialize(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for table in TABLES:
+        df = load_table(spark, SF01, table)
+        shifts = SHIFTS[table]
+        parts = []
+        for i in range(K):
+            cols = []
+            for c, dt in df.dtypes:
+                if c in shifts:
+                    cols.append(
+                        (F.col(c) + F.lit(i * shifts[c])).cast(dt).alias(c)
+                    )
+                elif table == "documents" and c == "text":
+                    cols.append(
+                        F.array_join(
+                            F.transform(tokens(F.col(c)), _prefix_tokens(i)),
+                            " ",
+                        ).alias(c)
+                    )
+                elif table == "embeddings" and c == "embedding":
+                    # decorrelate replicas (see module docstring)
+                    cols.append(
+                        F.transform(F.col(c), _perturb_embedding(i)).alias(c)
+                    )
+                else:
+                    cols.append(F.col(c))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        dest = f"{SF1}/{table}.parquet"
+        out.write.mode("overwrite").parquet(dest)
+        print(f"materialized {dest}", flush=True)
+
+
+def run_rung(spark) -> None:
+    qs = registry.queries()
+    print(f"{'query':34s} {'sf':5s} {'wall':>7s} {'exch':>5s} "
+          f"{'shuf_w MB':>10s} {'spill MB':>9s} {'rows':>9s}", flush=True)
+    for name in HEAVIES:
+        for label, sf_dir in (("0.1", SF01), ("1", SF1)):
+            walls = []
+            metrics = None
+            df = None
+            for rep in range(2):
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                if rep == 1:
+                    metrics = measure_action(df)
+                else:
+                    df.count()
+                walls.append(time.perf_counter() - t0)
+            exch = count_exchanges(df)
+            spill = metrics.memory_spill_bytes + metrics.disk_spill_bytes
+            print(
+                f"{name:34s} {label:5s} {min(walls):7.2f} {exch:5d} "
+                f"{metrics.shuffle_write_bytes / 1e6:10.2f} "
+                f"{spill / 1e6:9.2f} {metrics.n_rows:9d}",
+                flush=True,
+            )
+
+
+def main() -> None:
+    spark = get_spark(app_name="sf1_rung")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--materialize" in sys.argv:
+        materialize(spark)
+    else:
+        if not os.path.isdir(SF1):
+            sys.exit(f"{SF1} missing — run with --materialize first")
+        run_rung(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

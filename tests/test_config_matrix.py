@@ -407,3 +407,51 @@ def test_batch78_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11_ops():
+    """The bucket-offset prefix-sum machinery (rebuilt r10: ROC family
+    + SPRT) and the experiment desk under engine-config flips — the
+    two-stage form's bucket boundaries and offsets must be invariant
+    to partition count, AQE re-planning, and join strategy (VERDICT
+    r10 item 8: config-matrix breadth is where engine-config bugs
+    would hide at cluster scale)."""
+    from celeborn_spark.queries.evaluation import (
+        q_auc_ci,
+        q_calibration_bins,
+        q_pr_curve,
+    )
+    from celeborn_spark.queries.stats import (
+        q_did_estimator,
+        q_eb_shrinkage,
+        q_granger_leadlag,
+        q_ks_bh_screen,
+        q_sprt_ab,
+    )
+
+    return [
+        q_sprt_ab,           # time-bucketed exact-integer prefix walk
+        q_auc_ci,            # bucket-offset rank machinery + CI formula
+        q_pr_curve,          # cumulative TP/FP over the score histogram
+        q_calibration_bins,  # fixed-width probability bins + exact ECE
+        q_did_estimator,     # 2x2 group means under strategy flips
+        q_ks_bh_screen,      # per-facet KS + BH rank walk
+        q_granger_leadlag,   # lagged daily-grid joins under AQE off
+        q_eb_shrinkage,      # method-of-moments prior + per-key posterior
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11_ops(), ids=lambda f: f.__name__)
+def test_r11_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
