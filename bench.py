@@ -186,7 +186,13 @@ def main() -> None:
                 if metrics_mode and rep == 1:
                     from celeborn_spark.plans.metrics import measure_action
 
-                    m = measure_action(qs[name](spark, sf_dir))
+                    # the query BUILD runs inside the metric window:
+                    # iterative operators execute eager localCheckpoint
+                    # stages at build time, which a build-then-measure
+                    # form would miss from the byte totals.
+                    m = measure_action(
+                        None, action=lambda _df, n=name: qs[n](spark, sf_dir).count()
+                    )
                     bytes_ledger[name] = {
                         "shuffle_write_mb": round(m.shuffle_write_bytes / 1e6, 3),
                         "shuffle_read_mb": round(m.shuffle_read_bytes / 1e6, 3),

@@ -30,18 +30,28 @@ class ActionMetrics:
     n_rows: int
 
 
-def measure_action(df: DataFrame, action=None) -> ActionMetrics:
+def measure_action(df: DataFrame | None, action=None) -> ActionMetrics:
     """Run an action (default `df.count()`) and return the shuffle and
     spill byte totals its stages produced. Pass a custom `action`
     (e.g. a noop-sink write) when the default count would let Catalyst
-    elide the very columns you mean to measure.
+    elide the very columns you mean to measure. `df` may be None when
+    `action` builds its own DataFrame — the right form for iterative
+    operators whose eager localCheckpoint stages run at BUILD time and
+    must land inside the metric window.
 
     Implementation: diff the set of completed stage infos in the Spark
     status store before/after the action (the PySpark-visible face of
     the task-metrics system). Driver-side and test-oriented — the
     action itself is fully distributed.
     """
-    sc = df.sparkSession.sparkContext
+    if df is None and action is None:
+        raise ValueError("measure_action needs a DataFrame or an action")
+    if df is not None:
+        sc = df.sparkSession.sparkContext
+    else:
+        from pyspark.sql import SparkSession
+
+        sc = SparkSession.getActiveSession().sparkContext
     # Stage info via the JVM status store: AppStatusStore.stageList(
     #   statuses: JList, details: Boolean, withSummaries: Boolean,
     #   unsortedQuantiles: Array[Double], taskStatus: JList)

@@ -849,3 +849,58 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("violates_l"),
     )
+
+
+@query(
+    "q_dp_counts",
+    # Deterministic-noise DP: u is an exact dyadic rational (md5 top
+    # 32 bits / 2^32 — both engines parse the same hex digits), so
+    # 1 - 2*|u - 0.5| is exact and ln() of it is the only irrational
+    # step; the 6dp round on the noisy count is tie-safe. sign/abs/
+    # ln/scale is the inverse-CDF Laplace sampler.
+    oracle="""
+    WITH grp AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT event_type, n,
+               CAST(concat('0x', substr(md5(concat_ws(':', event_type,
+                                                       'dp0')), 1, 8))
+                    AS UBIGINT) / 4294967296.0 - 0.5 AS u
+        FROM grp
+    )
+    SELECT event_type,
+           1.0 AS epsilon,
+           round(n - (1.0 / 1.0) * sign(u) * ln(1 - 2 * abs(u)), 6)
+               AS noisy_count
+    FROM noised
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts: per-event-type counts +
+    Laplace(1/epsilon) noise at epsilon=1 via the inverse-CDF sampler,
+    seeded DETERMINISTICALLY from md5(group key) — reproducible
+    releases (the property a data-clean-room pipeline needs: the same
+    release query must publish the same number twice). Completes the
+    privacy desk next to q_k_anonymity / q_l_diversity / q_t_closeness
+    (those AUDIT; this RELEASES). The true count never appears in the
+    output. Zero shuffle beyond the count aggregate; noise is a
+    per-group scalar map."""
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("event_type"), F.lit("dp0"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    noise = (F.lit(1.0) / F.lit(1.0)) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return grp.select(
+        "event_type",
+        F.lit(1.0).alias("epsilon"),
+        F.round(F.col("n") - noise, 6).alias("noisy_count"),
+    )

@@ -1117,3 +1117,123 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("s"))
         ).alias("gini"),
     )
+
+
+@query(
+    "q_rank_eval",
+    # Exactness trick: every AP/MRR term i/pos has pos <= 10, and
+    # lcm(1..10) = 2520, so i * (2520 / pos) is an EXACT int64 — the
+    # per-user sums are integers (summation-order-free), and the final
+    # ap/mrr are ONE exact int64-over-int64 IEEE division each:
+    # bit-identical across engines with no rounding anywhere (the
+    # rational-ratio half-way rule).
+    oracle="""
+    WITH pop AS (
+        SELECT CAST(props->>'k' AS BIGINT) AS item,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    recs AS (
+        SELECT item,
+               CAST(row_number() OVER (ORDER BY c DESC, item) AS BIGINT) AS pos
+        FROM pop ORDER BY c DESC, item LIMIT 10
+    ),
+    truth AS (
+        SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS item
+        FROM events WHERE event_type = 'purchase'
+    ),
+    nt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY 1),
+    hit AS (
+        SELECT t.user_id, r.pos,
+               CAST(row_number() OVER (PARTITION BY t.user_id
+                                       ORDER BY r.pos) AS BIGINT) AS hit_rank
+        FROM truth t JOIN recs r ON r.item = t.item
+    ),
+    peruser AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS hits,
+               CAST(sum(hit_rank * (2520 / pos)) AS BIGINT) AS ap_num,
+               CAST(min(pos) AS BIGINT) AS first_pos
+        FROM hit GROUP BY 1
+    )
+    SELECT nt.user_id, nt.n_truth,
+           coalesce(p.hits, CAST(0 AS BIGINT)) AS hits,
+           CASE WHEN p.user_id IS NULL THEN 0.0
+                ELSE CAST(p.ap_num AS DOUBLE)
+                     / (2520.0 * least(nt.n_truth, 10)) END AS ap,
+           CASE WHEN p.user_id IS NULL THEN 0.0
+                ELSE CAST(2520 / p.first_pos AS DOUBLE) / 2520.0 END AS mrr
+    FROM nt LEFT JOIN peruser p ON p.user_id = nt.user_id
+    """,
+)
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + MRR@10 of the popularity recommender against each
+    user's purchases — the precision-oriented companions to
+    q_ndcg_eval's graded gain (AP rewards packing ALL relevant items
+    early; MRR scores only the first hit — the navigational metric).
+    Same shape: 10-row recs broadcast, truth shuffles once on user,
+    per-user windows bounded by the 10 rec positions."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    item = F.get_json_object(F.col("props"), "$.k").cast("long")
+    pop = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(item.alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    recs = (
+        pop.orderBy(F.col("c").desc(), "item")
+        .limit(10)
+        .select(
+            "item",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), "item"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    # truth is referenced twice (sizes + hit join) — checkpoint once
+    truth = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", item.alias("item"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nt = truth.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    # <=10 hit rows per user partition (positions of the 10-row recs)
+    wu = W.partitionBy("user_id").orderBy("pos")
+    hit = truth.join(F.broadcast(recs), "item").select(
+        "user_id",
+        "pos",
+        F.row_number().over(wu).cast("long").alias("hit_rank"),
+    )
+    peruser = hit.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits"),
+        F.sum(F.col("hit_rank") * (F.lit(2520) / F.col("pos")).cast("long"))
+        .cast("long")
+        .alias("ap_num"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+    joined = nt.join(peruser.withColumnRenamed("user_id", "u"),
+                     F.col("user_id") == F.col("u"), "left")
+    return joined.select(
+        "user_id",
+        "n_truth",
+        F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+        F.when(F.col("u").isNull(), F.lit(0.0))
+        .otherwise(
+            F.col("ap_num").cast("double")
+            / (F.lit(2520.0) * F.least(F.col("n_truth"), F.lit(10)))
+        )
+        .alias("ap"),
+        F.when(F.col("u").isNull(), F.lit(0.0))
+        .otherwise(
+            (F.lit(2520) / F.col("first_pos")).cast("long").cast("double")
+            / F.lit(2520.0)
+        )
+        .alias("mrr"),
+    )

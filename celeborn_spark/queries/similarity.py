@@ -719,3 +719,95 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_10"),
         )
     )
+
+
+@query(
+    "q_embedding_drift",
+    # Per-dim means round 6dp BEFORE the cosine (the q_label_centroids
+    # discipline: float-sum accumulation order differs between
+    # engines, 6dp absorbs it), so both engines feed the dot/norm
+    # sums IDENTICAL 64 operands; the final cosine rounds 6dp.
+    oracle="""
+    WITH halves AS (
+        SELECT label, vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, half, pos, round(avg(x), 6) AS m
+        FROM halves GROUP BY 1, 2, 3
+    ),
+    paired AS (
+        SELECT a.label, a.pos, a.m AS ma, b.m AS mb
+        FROM dims a JOIN dims b
+          ON b.label = a.label AND b.pos = a.pos
+        WHERE a.half = 0 AND b.half = 1
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings GROUP BY 1
+    )
+    SELECT c.label, c.n_a, c.n_b,
+           round(sum(p.ma * p.mb)
+                 / (sqrt(sum(p.ma * p.ma)) * sqrt(sum(p.mb * p.mb))), 6)
+               AS centroid_cosine
+    FROM paired p JOIN counts c ON c.label = p.label
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label cosine between the centroid
+    of one half of the corpus (even vec_id — in production, the
+    reference window) and the other (odd — the current window). PSI /
+    Wasserstein (q_psi_drift, q_wasserstein_drift) watch SCALAR score
+    drift; this is the vector-space analogue that catches an embedding
+    model or upstream-content shift: a healthy split has cosine ~1.0
+    per label. One posexplode + (label, half, pos) aggregate — the
+    vector mass shuffles once, centroids are a (labels x 64)-row
+    relation after."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = (F.col("vec_id") % 2).alias("half")
+    # referenced twice (half 0 / half 1 sides of the self-join) —
+    # checkpoint the tiny (labels x 2 x 64)-row centroid relation so
+    # the vector-mass posexplode aggregate runs ONCE
+    dims = (
+        emb.select("label", half, F.posexplode(S.as_double_array("embedding")).alias("pos", "x"))
+        .groupBy("label", "half", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .localCheckpoint()
+    )
+    a = dims.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma")
+    )
+    b = dims.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"), F.col("m").alias("mb")
+    )
+    paired = a.join(
+        b, (F.col("label") == F.col("lb")) & (F.col("pos") == F.col("pb"))
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    cos = paired.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("centroid_cosine")
+    )
+    return counts.join(cos, "label").select(
+        "label", "n_a", "n_b", "centroid_cosine"
+    )

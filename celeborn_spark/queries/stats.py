@@ -1703,3 +1703,282 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("urgent"),
     )
     return stats_ops.eb_shrunk_rates(o, "cohort", "urgent", strength=20)
+
+
+@query(
+    "q_cliffs_delta",
+    # Same dual-histogram rank machinery as q_mann_whitney: gt/lt are
+    # EXACT int64 pair counts from the value histogram (cum_before =
+    # #B-values strictly below each distinct v), and delta is ONE
+    # IEEE-exact division of two exact int64 operands — bit-identical
+    # across engines with NO rounding anywhere (a rational ratio can
+    # land on half-way digits where engines' round() rules differ).
+    oracle="""
+    WITH hist AS (
+        SELECT l_quantity AS v,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM lineitem
+        WHERE l_returnflag IN ('R', 'A')
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT ca, cb,
+               coalesce(sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS b_before
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(sum(ca * b_before) AS BIGINT) AS gt
+        FROM ranked
+    ),
+    lt_agg AS (
+        SELECT a.n_a, a.n_b, a.gt,
+               CAST((SELECT sum(ca * (a.n_b - b_before - cb))
+                     FROM ranked) AS BIGINT) AS lt
+        FROM agg a
+    )
+    SELECT n_a, n_b, gt, lt,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+           END AS delta
+    FROM lt_agg
+    """,
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta ordinal effect size between RETURNED ('R') and
+    ACCEPTED ('A') lineitem quantities: delta = (#(x>y) - #(x<y)) /
+    (n_a*n_b) — the magnitude companion to q_mann_whitney's
+    significance (U says WHETHER one group dominates; delta says BY
+    HOW MUCH, scale-free in [-1, 1]). Pair counts come from the value
+    HISTOGRAM (50 distinct l_quantity values), never an n_a x n_b
+    pair join: #(x>y) = sum_v ca(v) * #B-below(v), via one bounded
+    histogram window + one aggregate."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = F.col("l_returnflag")
+    hist = (
+        li.filter(g.isin(["R", "A"]))
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(
+            F.sum(F.when(g == "R", 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(g == "A", 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    # histogram-bounded windows: input is the 50-value quantity grid
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "b_before", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    ).withColumn("nb_total", F.sum("cb").over(W.partitionBy()))
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * F.col("b_before")).cast("long").alias("gt"),
+        F.sum(
+            F.col("ca") * (F.col("nb_total") - F.col("b_before") - F.col("cb"))
+        ).cast("long").alias("lt"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "gt",
+        "lt",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            (F.col("gt") - F.col("lt")).cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b")),
+        ).alias("delta"),
+    )
+
+
+@query(
+    "q_fisher_exact",
+    # Exactness design: the 2x2 table comes from a FIXED-SIZE
+    # deterministic sample (md5-order LIMIT 200 — constant work per
+    # r10's sample-size rule), so the log-factorial grid is a bounded
+    # 201-row relation. pmf comparisons run in LOG space with a 1e-7
+    # relative guard (R's fisher.test convention): mirror tables have
+    # EXACTLY equal pmf, and the guard absorbs both that equality and
+    # cross-engine ln/accumulation ulp drift; p rounds 6dp after the
+    # exp-sum. AS MATERIALIZED pins the 9-way-referenced lf CTE.
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS a_flag,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS b_flag
+        FROM events GROUP BY 1
+    ),
+    sample_u AS (
+        SELECT * FROM flags
+        ORDER BY md5(concat_ws(':', CAST(user_id AS VARCHAR), 'fx')),
+                 user_id
+        LIMIT 200
+    ),
+    cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a_flag) AS BIGINT) AS r1,
+               CAST(sum(b_flag) AS BIGINT) AS c1,
+               CAST(sum(a_flag * b_flag) AS BIGINT) AS a_obs
+        FROM sample_u
+    ),
+    lf AS MATERIALIZED (
+        SELECT i,
+               sum(CASE WHEN i <= 1 THEN 0.0
+                        ELSE ln(CAST(i AS DOUBLE)) END)
+                   OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS lfv
+        FROM (SELECT unnest(range(0, 201)) AS i)
+    ),
+    support AS (
+        SELECT c.n, c.r1, c.c1, c.a_obs,
+               unnest(range(greatest(0, c.c1 - (c.n - c.r1)),
+                            least(c.r1, c.c1) + 1)) AS k
+        FROM cells c
+    ),
+    lp AS (
+        SELECT s.n, s.r1, s.c1, s.a_obs, s.k,
+               (SELECT lfv FROM lf WHERE i = s.r1)
+             + (SELECT lfv FROM lf WHERE i = s.n - s.r1)
+             + (SELECT lfv FROM lf WHERE i = s.c1)
+             + (SELECT lfv FROM lf WHERE i = s.n - s.c1)
+             - (SELECT lfv FROM lf WHERE i = s.n)
+             - (SELECT lfv FROM lf WHERE i = s.k)
+             - (SELECT lfv FROM lf WHERE i = s.r1 - s.k)
+             - (SELECT lfv FROM lf WHERE i = s.c1 - s.k)
+             - (SELECT lfv FROM lf WHERE i = s.n - s.r1 - s.c1 + s.k)
+                   AS ln_pmf
+        FROM support s
+    ),
+    obs AS (SELECT ln_pmf AS ln_obs FROM lp WHERE k = a_obs)
+    SELECT max(lp.n) AS n, max(lp.r1) AS r1, max(lp.c1) AS c1,
+           max(lp.a_obs) AS a_obs,
+           round(sum(CASE WHEN lp.ln_pmf <= o.ln_obs + ln(1.0 + 1e-7)
+                          THEN exp(lp.ln_pmf) ELSE 0 END), 6) AS p_value
+    FROM lp CROSS JOIN obs o
+    """,
+)
+def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test (two-sided) of purchase x click
+    independence over a fixed 200-user sample — the SMALL-SAMPLE
+    contingency test the chi-square family (q_chi_square, q_g_test)
+    cannot give: those rely on asymptotics that break when expected
+    cell counts are small, exactly the regime of a fixed-size QA
+    sample. p = sum of hypergeometric pmfs <= the observed table's
+    (log-space compare, 1e-7 relative guard — R's convention).
+    Distributed shape: user flags reduce map-side; everything after
+    the LIMIT-200 cut runs on sample/grid relations of <= 201 rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "a_flag"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "b_flag"
+        ),
+    )
+    sample = flags.orderBy(
+        F.md5(F.concat_ws(":", F.col("user_id").cast("string"), F.lit("fx"))),
+        "user_id",
+    ).limit(200)
+    cells = sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a_flag").cast("long").alias("r1"),
+        F.sum("b_flag").cast("long").alias("c1"),
+        F.sum(F.col("a_flag") * F.col("b_flag")).cast("long").alias("a_obs"),
+    ).localCheckpoint()  # 1-row scalar table feeding support + output
+    # bounded 201-row log-factorial grid; the running window's input
+    # is the fixed integer grid, never data
+    lf = (
+        spark.range(0, 201)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            F.sum(
+                F.when(F.col("i") <= 1, F.lit(0.0)).otherwise(
+                    F.log(F.col("i").cast("double"))
+                )
+            )
+            .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
+            .alias("lfv"),
+        )
+        .localCheckpoint()  # 9 broadcast lookups reference it
+    )
+    support = cells.select(
+        "n",
+        "r1",
+        "c1",
+        "a_obs",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0).cast("long"), F.col("c1") - (F.col("n") - F.col("r1"))),
+                F.least(F.col("r1"), F.col("c1")),
+            )
+        ).alias("k"),
+    )
+    s = support
+    lookups = {
+        "lf_r1": F.col("r1"),
+        "lf_r2": F.col("n") - F.col("r1"),
+        "lf_c1": F.col("c1"),
+        "lf_nc1": F.col("n") - F.col("c1"),
+        "lf_n": F.col("n"),
+        "lf_k": F.col("k"),
+        "lf_r1k": F.col("r1") - F.col("k"),
+        "lf_c1k": F.col("c1") - F.col("k"),
+        "lf_r2k": F.col("n") - F.col("r1") - F.col("c1") + F.col("k"),
+    }
+    for alias, expr in lookups.items():
+        s = s.join(
+            F.broadcast(lf.select(F.col("i").alias("_i"), F.col("lfv").alias(alias))),
+            expr == F.col("_i"),
+        ).drop("_i")
+    lp = s.select(
+        "n",
+        "r1",
+        "c1",
+        "a_obs",
+        "k",
+        (
+            F.col("lf_r1")
+            + F.col("lf_r2")
+            + F.col("lf_c1")
+            + F.col("lf_nc1")
+            - F.col("lf_n")
+            - F.col("lf_k")
+            - F.col("lf_r1k")
+            - F.col("lf_c1k")
+            - F.col("lf_r2k")
+        ).alias("ln_pmf"),
+    ).localCheckpoint()  # referenced twice: obs row + the p-value sum
+    obs = lp.filter(F.col("k") == F.col("a_obs")).select(
+        F.col("ln_pmf").alias("ln_obs")
+    )
+    return (
+        lp.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r1").alias("r1"),
+            F.max("c1").alias("c1"),
+            F.max("a_obs").alias("a_obs"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("ln_pmf")
+                        <= F.col("ln_obs") + F.log(F.lit(1.0) + F.lit(1e-7)),
+                        F.exp(F.col("ln_pmf")),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("p_value"),
+        )
+    )

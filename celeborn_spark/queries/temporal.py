@@ -1600,3 +1600,56 @@ def q_daily_percentile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p99_cents"),
     )
+
+
+@query(
+    "q_interval_join",
+    # The range-join pattern that scales: NEVER a theta-join on
+    # ts BETWEEN lo AND hi (which Spark would execute as a broadcast
+    # nested loop). Events pre-aggregate to a CALENDAR-bounded per-day
+    # histogram; each order explodes into its 7 day keys; the join is
+    # a plain equi-join on day. Counts are exact integers.
+    oracle="""
+    WITH day_counts AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    order_days AS (
+        SELECT o_orderkey,
+               unnest(generate_series(CAST(o_orderdate AS DATE),
+                                      CAST(o_orderdate AS DATE)
+                                          + INTERVAL 6 DAY,
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM orders
+    )
+    SELECT od.o_orderkey,
+           CAST(coalesce(sum(dc.n), 0) AS BIGINT) AS n_events_7d
+    FROM order_days od
+    LEFT JOIN day_counts dc ON dc.day = od.day
+    GROUP BY 1
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval join: for every order, the count of platform
+    events inside [o_orderdate, o_orderdate + 7d) — the range-join
+    shape behind campaign attribution, promo-window analysis, and
+    before/after incident splits. Implemented as day-bucket
+    decomposition (7-lane bounded fan-out on the probe side, the
+    build side is a calendar-bounded day histogram), so it is one
+    shuffle on day — not an O(orders x events) theta join."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    day_counts = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    d0 = F.col("o_orderdate").cast("date")
+    order_days = o.select(
+        "o_orderkey",
+        F.explode(F.sequence(d0, F.date_add(d0, 6))).alias("day"),
+    )
+    return (
+        order_days.join(F.broadcast(day_counts), "day", "left")
+        .groupBy("o_orderkey")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events_7d"))
+    )

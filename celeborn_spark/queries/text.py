@@ -1403,3 +1403,148 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
     d = load_table(spark, sf_dir, "documents")
     return T.token_burstiness(d, "text", min_cf=5)
+
+
+@query(
+    "q_readability",
+    # All three counts are exact int64 sums per language; the Flesch
+    # formula then runs ONCE per group over exact operands — every
+    # IEEE op in the chain is correctly rounded on identical inputs,
+    # so the score is bit-identical with no rounding anywhere.
+    # Sentence rule: runs of [.!?] delimit sentences, floor 1 per doc
+    # (this synthetic corpus has no terminal punctuation, so each doc
+    # counts as one sentence — the formula degrades gracefully).
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(length(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+                   AS n_words,
+               CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS BIGINT) AS n_sents,
+               CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS BIGINT) AS n_syll
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS words,
+           CAST(sum(n_sents) AS BIGINT) AS sentences,
+           CAST(sum(n_syll) AS BIGINT) AS syllables,
+           206.835
+             - 1.015 * (CAST(sum(n_words) AS DOUBLE) / sum(n_sents))
+             - 84.6 * (CAST(sum(n_syll) AS DOUBLE) / sum(n_words))
+               AS flesch
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per language: 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with vowel-group syllable
+    counting — the classic corpus-quality screen next to
+    q_text_quality's ratio features (a training-data pipeline bins or
+    filters sources by readability band). Zero shuffle before the
+    5-group aggregate: the three counts are per-row regexp counts that
+    combine map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    per_doc = d.select(
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sents"),
+        n_syll.cast("long").alias("n_syll"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("words"),
+        F.sum("n_sents").cast("long").alias("sentences"),
+        F.sum("n_syll").cast("long").alias("syllables"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words"))
+        ).alias("flesch"),
+    )
+
+
+@query(
+    "q_hill_tail",
+    # Order statistics come from a deterministic top-101 cut
+    # (n_chars DESC, doc_id tiebreak — identical sets in both
+    # engines); the ln terms are irrational, so the 6dp round on
+    # alpha is tie-safe; the window input is the 101-row post-limit
+    # prefix.
+    oracle="""
+    WITH top AS (
+        SELECT n_chars, doc_id FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 101
+    ),
+    ranked AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        FROM top
+    ),
+    ref AS (SELECT n_chars AS x_ref FROM ranked WHERE rk = 101)
+    SELECT CAST(100 AS BIGINT) AS k,
+           CAST(r2.x_ref AS BIGINT) AS x_k,
+           round(100.0 / sum(ln(CAST(r.n_chars AS DOUBLE) / r2.x_ref)), 6)
+               AS alpha
+    FROM ranked r CROSS JOIN ref r2
+    WHERE r.rk <= 100
+    GROUP BY r2.x_ref
+    """,
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over document lengths: alpha =
+    k / sum_{i<=k} ln(x_(i)/x_(k+1)) for the k=100 largest n_chars —
+    the heavy-tail diagnostic (alpha < 2: infinite variance — expect
+    stragglers when partitioning by size; q_powerlaw_alpha does the
+    same for graph degrees, this covers payload size). Top-(k+1) via
+    TakeOrderedAndProject (heap-select, no global sort); everything
+    after runs on a 101-row relation."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    top = (
+        d.select("n_chars", "doc_id")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(101)
+    )
+    # 101-row post-limit prefix — bounded window
+    ranked = top.select(
+        "n_chars",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rk"),
+    ).localCheckpoint()  # referenced twice: ref row + the k-term sum
+    ref = ranked.filter(F.col("rk") == 101).select(
+        F.col("n_chars").alias("x_ref")
+    )
+    return (
+        ranked.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(ref))
+        .groupBy("x_ref")
+        .agg(
+            F.lit(100).cast("long").alias("k"),
+            F.round(
+                F.lit(100.0)
+                / F.sum(
+                    F.log(F.col("n_chars").cast("double") / F.col("x_ref"))
+                ),
+                6,
+            ).alias("alpha"),
+        )
+        .select("k", F.col("x_ref").cast("long").alias("x_k"), "alpha")
+    )
