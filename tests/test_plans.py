@@ -533,3 +533,50 @@ def test_topk_cuts_heap_select_before_ranking(spark, sf_dir):
     for qfn in (q_session_paths, q_decayed_popularity, q_vocab_coverage):
         plan = physical_plan(qfn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, (qfn.__name__, plan[:2000])
+
+
+def test_r11_operator_plan_shapes(spark, sf_dir):
+    """r11 additions' scale claims pinned: the interval join is a
+    BROADCAST equi-join on day buckets (never a theta/nested-loop
+    range join); hill-tail and fisher cut with heap-select
+    (TakeOrderedAndProject) before any bounded-relation math; the
+    rank-eval recs list broadcasts to the truth side."""
+    from celeborn_spark.queries.analytics import q_rank_eval
+    from celeborn_spark.queries.stats import q_fisher_exact
+    from celeborn_spark.queries.temporal import q_interval_join
+    from celeborn_spark.queries.text import q_hill_tail
+
+    plan = physical_plan(q_interval_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, (
+        plan[:2000]
+    )
+
+    # hill/fisher checkpoint their post-limit relations, so their
+    # RETURNED plans consume a bounded ExistingRDD; the heap-select
+    # claim pins on the cut fragment itself (same expressions the
+    # queries build before the checkpoint).
+    from celeborn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = (
+        d.select("n_chars", "doc_id")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(101)
+    )
+    assert "TakeOrderedAndProject" in physical_plan(cut)
+    ev = load_table(spark, sf_dir, "events")
+    sample_cut = (
+        ev.select("user_id")
+        .distinct()
+        .orderBy(F.md5(F.concat_ws(":", F.col("user_id").cast("string"), F.lit("fx"))), "user_id")
+        .limit(200)
+    )
+    assert "TakeOrderedAndProject" in physical_plan(sample_cut)
+    for qfn in (q_hill_tail, q_fisher_exact):
+        plan = physical_plan(qfn(spark, sf_dir))
+        assert "Scan ExistingRDD" in plan, (qfn.__name__, plan[:2000])
+
+    plan = physical_plan(q_rank_eval(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
