@@ -1982,3 +1982,85 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+@query(
+    "q_gumbel_maxima",
+    # Calendar-bounded: one row per month survives the first
+    # aggregate; maxima are exact integer cents, the moment sums are
+    # exact int64 (cents^2 * months << 2^63), and the only irrational
+    # steps (sqrt, ln) round 6dp tie-safe.
+    oracle="""
+    WITH monthly AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mth,
+               CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS mx
+        FROM orders GROUP BY 1
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(mx) AS BIGINT) AS s1,
+               CAST(sum(mx * mx) AS BIGINT) AS s2
+        FROM monthly
+    )
+    SELECT n_blocks,
+           round(CAST(s1 AS DOUBLE) / n_blocks / 100.0, 6) AS mean_max,
+           round(sqrt(6.0 * ((CAST(s2 AS DOUBLE)
+                              - CAST(s1 AS DOUBLE) * s1 / n_blocks)
+                             / (n_blocks - 1)))
+                 / pi() / 100.0, 6) AS gumbel_scale,
+           round((CAST(s1 AS DOUBLE) / n_blocks
+                  - 0.5772156649015329
+                    * (sqrt(6.0 * ((CAST(s2 AS DOUBLE)
+                                    - CAST(s1 AS DOUBLE) * s1 / n_blocks)
+                                   / (n_blocks - 1))) / pi())) / 100.0, 6)
+               AS gumbel_loc,
+           round((CAST(s1 AS DOUBLE) / n_blocks
+                  - 0.5772156649015329
+                    * (sqrt(6.0 * ((CAST(s2 AS DOUBLE)
+                                    - CAST(s1 AS DOUBLE) * s1 / n_blocks)
+                                   / (n_blocks - 1))) / pi())
+                  - (sqrt(6.0 * ((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * s1 / n_blocks)
+                                 / (n_blocks - 1))) / pi())
+                    * ln(-ln(0.99))) / 100.0, 6) AS return_level_p99
+    FROM mom
+    """,
+)
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit by the method of moments over MONTHLY
+    maxima of order value: scale = s*sqrt(6)/pi, loc = mean - gamma*
+    scale, plus the 100-month return level loc - scale*ln(-ln(0.99))
+    — the capacity-planning / anomaly-threshold readout (what peak
+    should we provision for?) that mean/percentile stats of the BULK
+    distribution cannot give; block maxima need EVT, not quantiles.
+    Row mass dies at the per-month max aggregate (calendar-bounded);
+    moments are exact integer-cents sums."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("mth")
+    ).agg(
+        F.max(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("mx")
+    )
+    mom = monthly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    nb = F.col("n_blocks")
+    mean_c = s1d / nb
+    var_c = (F.col("s2").cast("double") - s1d * F.col("s1") / nb) / (nb - 1)
+    scale_c = F.sqrt(F.lit(6.0) * var_c) / F.lit(3.141592653589793)
+    gamma = F.lit(0.5772156649015329)
+    loc_c = mean_c - gamma * scale_c
+    rl_c = loc_c - scale_c * F.log(-F.log(F.lit(0.99)))
+    return mom.select(
+        "n_blocks",
+        F.round(mean_c / 100.0, 6).alias("mean_max"),
+        F.round(scale_c / 100.0, 6).alias("gumbel_scale"),
+        F.round(loc_c / 100.0, 6).alias("gumbel_loc"),
+        F.round(rl_c / 100.0, 6).alias("return_level_p99"),
+    )

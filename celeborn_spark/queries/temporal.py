@@ -1653,3 +1653,122 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_events_7d"))
     )
+
+
+@query(
+    "q_shapley_attribution",
+    # Exactness: users reduce to a 16-row touched-bitmask histogram
+    # (4 channels), v(S) sums conversion counts over submasks, and the
+    # Shapley weights |S|!(3-|S|)! are scaled by 4!=24 so every
+    # marginal contribution is an exact int64; shapley = shap24/24.0
+    # is ONE exact IEEE division. The (S, m) enumeration is a 16x16
+    # literal grid — bounded, independent of row mass.
+    oracle="""
+    WITH touched AS (
+        SELECT user_id,
+               CAST(sum(DISTINCT CASE event_type
+                        WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'signup' THEN 4 WHEN 'error' THEN 8
+                        ELSE 0 END) AS BIGINT) AS m,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    mh AS (
+        SELECT m, CAST(sum(conv) AS BIGINT) AS conv_n
+        FROM touched GROUP BY 1
+    ),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+        SELECT s.s, CAST(coalesce(sum(mh.conv_n), 0) AS BIGINT) AS val
+        FROM subsets s LEFT JOIN mh ON (mh.m & s.s) = mh.m
+        GROUP BY 1
+    ),
+    channels AS (
+        SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                              ('signup', 4), ('error', 8))
+            AS t(channel, bit)
+    ),
+    marginals AS (
+        SELECT c.channel,
+               CAST(sum(
+                   CASE ((SELECT count(*) FROM channels c2
+                          WHERE (vs.s & c2.bit) > 0))
+                       WHEN 0 THEN 6 WHEN 1 THEN 2
+                       WHEN 2 THEN 2 WHEN 3 THEN 6 END
+                   * (vi.val - vs.val)) AS BIGINT) AS shap24
+        FROM channels c
+        JOIN v vs ON (vs.s & c.bit) = 0
+        JOIN v vi ON vi.s = vs.s + c.bit
+        GROUP BY 1
+    )
+    SELECT channel, shap24,
+           CAST(shap24 AS DOUBLE) / 24.0 AS shapley_conversions
+    FROM marginals
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution over the 4 touch channels
+    (view/click/signup/error), coalition value v(S) = conversions
+    whose full touched-set is covered by S — the game-theoretic
+    closer of the attribution desk (last-touch, U-shaped, time-decay
+    award positionally; Shapley awards each channel its average
+    marginal contribution over all orderings, the only scheme that is
+    efficient + symmetric). Row mass reduces to a 16-row bitmask
+    histogram before ANY combinatorics; the subset enumeration is a
+    16x16 literal grid."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    touched = ev.groupBy("user_id").agg(
+        F.sum_distinct(bit).cast("long").alias("m"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    mh = touched.groupBy("m").agg(F.sum("conv").cast("long").alias("conv_n"))
+    subsets = spark.range(0, 16).select(F.col("id").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mh), (F.col("m").bitwiseAND(F.col("s"))) == F.col("m"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("long").alias("val"))
+        .localCheckpoint()  # 16-row value table, referenced twice below
+    )
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        ["channel", "bit"],
+    )
+    # weight by |S| (popcount of s restricted to the other 3 channels)
+    popcnt = sum(
+        F.shiftright(F.col("s"), i).bitwiseAND(F.lit(1)) for i in range(4)
+    )
+    w = (
+        F.when(popcnt == 0, 6)
+        .when(popcnt == 1, 2)
+        .when(popcnt == 2, 2)
+        .otherwise(6)
+    )
+    vs = v.select(F.col("s"), F.col("val").alias("v_s"))
+    vi = v.select(F.col("s").alias("si"), F.col("val").alias("v_si"))
+    marg = (
+        channels.join(
+            F.broadcast(vs), (F.col("s").bitwiseAND(F.col("bit"))) == 0
+        )
+        .join(F.broadcast(vi), F.col("si") == F.col("s") + F.col("bit"))
+        .groupBy("channel")
+        .agg(F.sum(w * (F.col("v_si") - F.col("v_s"))).cast("long").alias("shap24"))
+    )
+    return marg.select(
+        "channel",
+        "shap24",
+        (F.col("shap24").cast("double") / F.lit(24.0)).alias(
+            "shapley_conversions"
+        ),
+    )
