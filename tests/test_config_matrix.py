@@ -455,3 +455,48 @@ def test_r11_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11b_ops():
+    """The r11 operator batch under engine-config flips: the Shapley
+    bitmask joins and interval-join day buckets under forced-shuffle /
+    AQE-off / 1-vs-32 partitions, the lcm-integer rank eval, the
+    dual-histogram effect size, the log-factorial Fisher grid, and
+    the split-half centroid drift."""
+    from celeborn_spark.queries.analytics import q_rank_eval
+    from celeborn_spark.queries.similarity import q_embedding_drift
+    from celeborn_spark.queries.stats import (
+        q_cliffs_delta,
+        q_fisher_exact,
+        q_gumbel_maxima,
+    )
+    from celeborn_spark.queries.temporal import (
+        q_interval_join,
+        q_shapley_attribution,
+    )
+
+    return [
+        q_shapley_attribution,
+        q_interval_join,
+        q_rank_eval,
+        q_cliffs_delta,
+        q_fisher_exact,
+        q_embedding_drift,
+        q_gumbel_maxima,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11b_ops(), ids=lambda f: f.__name__)
+def test_r11b_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
