@@ -1237,3 +1237,69 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mrr"),
     )
+
+
+@query(
+    "q_itemsets3",
+    # Pure-integer support counts; pair/triple generation self-joins
+    # on the BASKET key (per-basket item sets are small and bounded by
+    # order size — the cooccurrence_lift discipline, never
+    # corpus-quadratic); the final cut is a deterministic top-20 with
+    # full-key tiebreaks.
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ),
+    triples AS (
+        SELECT a.item AS i1, b.item AS i2, c.item AS i3,
+               CAST(count(*) AS BIGINT) AS support
+        FROM baskets a
+        JOIN baskets b ON b.basket = a.basket AND b.item > a.item
+        JOIN baskets c ON c.basket = a.basket AND c.item > b.item
+        GROUP BY 1, 2, 3
+    )
+    SELECT i1, i2, i3, support FROM triples
+    ORDER BY support DESC, i1, i2, i3 LIMIT 20
+    """,
+)
+def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (top-20 by support) —
+    the k=3 rung of market-basket mining above q_cooccurrence_lift's
+    pairs; three-way affinities drive bundle/placement decisions that
+    pairwise lift cannot see. Triple generation is two basket-keyed
+    self-joins with ordered-item predicates (each basket contributes
+    C(|basket|,3) rows, bounded by order size), then one exact-integer
+    count and a heap-selected top-20."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+        )
+        .distinct()
+        .localCheckpoint()  # three self-join sides read it
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    c = baskets.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("b.basket") == F.col("a.basket"))
+            & (F.col("b.item") > F.col("a.item")),
+        )
+        .join(
+            c,
+            (F.col("c.basket") == F.col("a.basket"))
+            & (F.col("c.item") > F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("i1"),
+            F.col("b.item").alias("i2"),
+            F.col("c.item").alias("i3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return triples.orderBy(
+        F.col("support").desc(), "i1", "i2", "i3"
+    ).limit(20)

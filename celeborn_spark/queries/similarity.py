@@ -811,3 +811,77 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(cos, "label").select(
         "label", "n_a", "n_b", "centroid_cosine"
     )
+
+
+@query(
+    "q_geometric_median",
+    # Engine parity across the iteration: each round's median vector
+    # is rounded 6dp per dimension BEFORE the next distance pass, so
+    # both engines feed identical constants into every sqrt — float
+    # accumulation drift cannot compound (the q_embedding_drift /
+    # q_label_centroids discipline, applied per Weiszfeld round).
+    # E and the distance relations are MATERIALIZED: multi-referenced
+    # CTEs inline per reference in DuckDB (CLAUDE.md r7 lesson).
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    m0 AS MATERIALIZED (
+        SELECT pos, round(avg(x), 6) AS m FROM e GROUP BY 1
+    ),
+    d1 AS MATERIALIZED (
+        SELECT e.vec_id, sqrt(sum((e.x - m0.m) * (e.x - m0.m))) AS d
+        FROM e JOIN m0 ON m0.pos = e.pos GROUP BY 1
+    ),
+    m1 AS MATERIALIZED (
+        SELECT e.pos, round(sum(e.x / d1.d) / sum(1.0 / d1.d), 6) AS m
+        FROM e JOIN d1 ON d1.vec_id = e.vec_id
+        WHERE d1.d > 0 GROUP BY 1
+    ),
+    d2 AS MATERIALIZED (
+        SELECT e.vec_id, sqrt(sum((e.x - m1.m) * (e.x - m1.m))) AS d
+        FROM e JOIN m1 ON m1.pos = e.pos GROUP BY 1
+    )
+    SELECT e.pos, round(sum(e.x / d2.d) / sum(1.0 / d2.d), 6) AS med
+    FROM e JOIN d2 ON d2.vec_id = e.vec_id
+    WHERE d2.d > 0 GROUP BY 1
+    """,
+)
+def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median of the embedding corpus (two Weiszfeld
+    iterations from the coordinate mean): the ROBUST centroid — the
+    mean chases outlier vectors, the per-cluster medoid
+    (q_cluster_medoid) is restricted to existing points; Weiszfeld's
+    L1-optimal point is the anomaly-resistant corpus summary used for
+    drift baselines and poisoning screens. Vector mass shuffles once
+    per round on pos/vec keys; each round's 64-value median relation
+    is checkpointed and re-broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
+    ).localCheckpoint()  # read by every distance/median pass
+    m = (
+        e.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m")).localCheckpoint()
+    )
+    for _ in range(2):
+        d = (
+            e.join(F.broadcast(m), "pos")
+            .groupBy("vec_id")
+            .agg(F.sqrt(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")))).alias("d"))
+        )
+        m = (
+            e.join(d, "vec_id")
+            .filter(F.col("d") > 0)
+            .groupBy("pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x") / F.col("d")) / F.sum(F.lit(1.0) / F.col("d")),
+                    6,
+                ).alias("m")
+            )
+            .localCheckpoint()  # next round (or output) re-reads it
+        )
+    return m.select("pos", F.col("m").alias("med"))

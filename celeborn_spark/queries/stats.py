@@ -2064,3 +2064,224 @@ def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(loc_c / 100.0, 6).alias("gumbel_loc"),
         F.round(rl_c / 100.0, 6).alias("return_level_p99"),
     )
+
+
+@query(
+    "q_cochran_q",
+    # All-integer identity: Q = (k-1)(k*sum(C_j^2) - N^2) /
+    # (k*N - sum(R_i^2)) with k=3 — numerator and denominator are
+    # exact int64 (no N/k fraction ever materializes), so Q is ONE
+    # exact division, bit-identical with zero rounding.
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+               max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f3
+        FROM events GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(f1) AS BIGINT) AS c1,
+               CAST(sum(f2) AS BIGINT) AS c2,
+               CAST(sum(f3) AS BIGINT) AS c3,
+               CAST(sum((f1 + f2 + f3) * (f1 + f2 + f3)) AS BIGINT) AS sr2
+        FROM flags
+    )
+    SELECT n_users, c1 AS c_view, c2 AS c_click, c3 AS c_signup,
+           CASE WHEN 3 * (c1 + c2 + c3) - sr2 > 0 THEN
+               CAST(2 * (3 * (c1*c1 + c2*c2 + c3*c3)
+                         - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+               / (3 * (c1 + c2 + c3) - sr2)
+           END AS q_stat
+    FROM agg
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: do the three binary engagement treatments
+    (viewed / clicked / signed-up, one trio per user) have equal
+    success rates? The k-related-proportions omnibus that McNemar
+    (k=2, q_mcnemar) generalizes to — the within-subject design the
+    independent-samples chi-square would get WRONG (each user
+    contributes all three flags). Row mass reduces at the per-user
+    flag aggregate; Q is computed from five exact int64 sums."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(t == "view", 1).otherwise(0)).alias("f1"),
+        F.max(F.when(t == "click", 1).otherwise(0)).alias("f2"),
+        F.max(F.when(t == "signup", 1).otherwise(0)).alias("f3"),
+    )
+    r = F.col("f1") + F.col("f2") + F.col("f3")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("f1").cast("long").alias("c1"),
+        F.sum("f2").cast("long").alias("c2"),
+        F.sum("f3").cast("long").alias("c3"),
+        F.sum(r * r).cast("long").alias("sr2"),
+    )
+    c1, c2, c3, sr2 = (F.col(c) for c in ("c1", "c2", "c3", "sr2"))
+    n_succ = c1 + c2 + c3
+    num = 2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - n_succ * n_succ)
+    den = 3 * n_succ - sr2
+    return agg.select(
+        "n_users",
+        c1.alias("c_view"),
+        c2.alias("c_click"),
+        c3.alias("c_signup"),
+        F.when(den > 0, num.cast("double") / den).alias("q_stat"),
+    )
+
+
+@query(
+    "q_bayes_ab",
+    # Same bounded-grid exactness design as q_fisher_exact: the A/B
+    # populations come from the md5-order LIMIT-200 sample, so Beta
+    # posterior parameters are <= 102 and every lnB() reduces to
+    # lookups in a fixed 421-row log-factorial grid; the closed-form
+    # P(A>B) sum has <= 102 positive terms and rounds 6dp (no
+    # set-inclusion branching anywhere, unlike Fisher).
+    oracle="""
+    WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    sample_u AS (
+        SELECT * FROM flags
+        ORDER BY md5(concat_ws(':', CAST(user_id AS VARCHAR), 'ab')),
+                 user_id
+        LIMIT 200
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+                    AS BIGINT) AS sb
+        FROM sample_u
+    ),
+    post AS (
+        SELECT na, sa, nb, sb,
+               sa + 1 AS a1, na - sa + 1 AS b1,
+               sb + 1 AS a2, nb - sb + 1 AS b2
+        FROM cells
+    ),
+    lf AS MATERIALIZED (
+        SELECT i,
+               sum(CASE WHEN i <= 1 THEN 0.0
+                        ELSE ln(CAST(i AS DOUBLE)) END)
+                   OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS lfv
+        FROM (SELECT unnest(range(0, 421)) AS i)
+    ),
+    terms AS (
+        SELECT p.na, p.sa, p.nb, p.sb,
+               exp(
+                   ((SELECT lfv FROM lf WHERE i = p.a2 + t.i - 1)
+                    + (SELECT lfv FROM lf WHERE i = p.b1 + p.b2 - 1)
+                    - (SELECT lfv FROM lf WHERE i = p.a2 + t.i + p.b1
+                                              + p.b2 - 1))
+                 - ln(CAST(p.b1 + t.i AS DOUBLE))
+                 - ((SELECT lfv FROM lf WHERE i = t.i)
+                    + (SELECT lfv FROM lf WHERE i = p.b1 - 1)
+                    - (SELECT lfv FROM lf WHERE i = t.i + p.b1))
+                 - ((SELECT lfv FROM lf WHERE i = p.a2 - 1)
+                    + (SELECT lfv FROM lf WHERE i = p.b2 - 1)
+                    - (SELECT lfv FROM lf WHERE i = p.a2 + p.b2 - 1))
+               ) AS term
+        FROM post p
+        JOIN (SELECT unnest(range(0, 421)) AS i) t ON t.i < p.a1
+    )
+    SELECT max(na) AS na, max(sa) AS sa, max(nb) AS nb, max(sb) AS sb,
+           round(sum(term), 6) AS p_a_beats_b
+    FROM terms
+    """,
+)
+def q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B: P(conversion_A > conversion_B) in closed form
+    under Beta(1,1) priors over the fixed 200-user sample (even
+    user_id = A, odd = B) — the decision-ready posterior probability
+    next to the frequentist desk (Welch p-values, SPRT boundaries,
+    Wilson intervals answer different questions; a launch decision
+    wants THIS number). Row mass reduces at the per-user flag
+    aggregate; the posterior sum runs over a <=102-row support against
+    a 421-row log-factorial grid."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        )
+    )
+    sample = flags.orderBy(
+        F.md5(F.concat_ws(":", F.col("user_id").cast("string"), F.lit("ab"))),
+        "user_id",
+    ).limit(200)
+    even = F.col("user_id") % 2 == 0
+    cells = sample.agg(
+        F.sum(F.when(even, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(even, F.col("conv")).otherwise(0)).cast("long").alias("sa"),
+        F.sum(F.when(~even, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(~even, F.col("conv")).otherwise(0)).cast("long").alias("sb"),
+    )
+    post = cells.select(
+        "na", "sa", "nb", "sb",
+        (F.col("sa") + 1).alias("a1"),
+        (F.col("na") - F.col("sa") + 1).alias("b1"),
+        (F.col("sb") + 1).alias("a2"),
+        (F.col("nb") - F.col("sb") + 1).alias("b2"),
+    ).localCheckpoint()  # 1-row scalar table feeding the support join
+    # bounded 421-row log-factorial grid (fixed integers, never data)
+    lf = (
+        spark.range(0, 421)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            F.sum(
+                F.when(F.col("i") <= 1, F.lit(0.0)).otherwise(
+                    F.log(F.col("i").cast("double"))
+                )
+            )
+            .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
+            .alias("lfv"),
+        )
+        .localCheckpoint()  # 9 broadcast lookups reference it
+    )
+    grid = spark.range(0, 421).select(F.col("id").alias("ti"))
+    support = post.join(F.broadcast(grid), F.col("ti") < F.col("a1"))
+    lookups = {
+        "lf_a2i": F.col("a2") + F.col("ti") - 1,
+        "lf_b12": F.col("b1") + F.col("b2") - 1,
+        "lf_den1": F.col("a2") + F.col("ti") + F.col("b1") + F.col("b2") - 1,
+        "lf_i": F.col("ti"),
+        "lf_b1m": F.col("b1") - 1,
+        "lf_ib1": F.col("ti") + F.col("b1"),
+        "lf_a2m": F.col("a2") - 1,
+        "lf_b2m": F.col("b2") - 1,
+        "lf_a2b2": F.col("a2") + F.col("b2") - 1,
+    }
+    s = support
+    for alias, expr in lookups.items():
+        s = s.join(
+            F.broadcast(lf.select(F.col("i").alias("_i"), F.col("lfv").alias(alias))),
+            expr == F.col("_i"),
+        ).drop("_i")
+    term = F.exp(
+        (F.col("lf_a2i") + F.col("lf_b12") - F.col("lf_den1"))
+        - F.log((F.col("b1") + F.col("ti")).cast("double"))
+        - (F.col("lf_i") + F.col("lf_b1m") - F.col("lf_ib1"))
+        - (F.col("lf_a2m") + F.col("lf_b2m") - F.col("lf_a2b2"))
+    )
+    return s.agg(
+        F.max("na").alias("na"),
+        F.max("sa").alias("sa"),
+        F.max("nb").alias("nb"),
+        F.max("sb").alias("sb"),
+        F.round(F.sum(term), 6).alias("p_a_beats_b"),
+    )
