@@ -128,3 +128,61 @@ def q_arrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.arrow_ops import arrow_l2_norms
 
     return arrow_l2_norms(emb, "vec_id", "embedding")
+
+
+@query(
+    "q_udtf_tokens",
+    # The UDTF is row-at-a-time Python (the slow tier — kept OFF the
+    # corpus hot path by the deterministic md5-order LIMIT-50 cut);
+    # its yielded (token, idx) stream is a pure function of the text,
+    # so the DuckDB split mirrors it exactly. Tokenization contract:
+    # Python str.split() on the single-space corpus == split(' ').
+    oracle="""
+    WITH sample_d AS (
+        SELECT doc_id, text FROM documents
+        ORDER BY md5(concat_ws(':', CAST(doc_id AS VARCHAR), 'udtf')),
+                 doc_id
+        LIMIT 50
+    )
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                AS BIGINT) AS idx,
+           unnest(string_split(text, ' ')) AS token
+    FROM sample_d
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ user-defined TABLE function) in a
+    LATERAL join: one input row fans out to a variable-length
+    (token, idx) stream — the missing tier of the Python API matrix
+    (scalar pandas_udf / applyInPandas / cogroup / mapInPandas /
+    mapInArrow / applyInPandasWithState are all registered; UDTF is
+    the table-valued one). The corpus never touches Python: a
+    deterministic 50-doc heap-selected sample bounds the slow tier."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, idx: bigint")
+    class SplitTokens:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split()):
+                    yield tok, i
+
+    spark.udtf.register("celeborn_split_tokens", SplitTokens)
+    d = load_table(spark, sf_dir, "documents")
+    sample = (
+        d.select("doc_id", "text")
+        .orderBy(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("udtf"))),
+            "doc_id",
+        )
+        .limit(50)
+    )
+    sample.createOrReplaceTempView("celeborn_udtf_sample")
+    return spark.sql(
+        """
+        SELECT s.doc_id, t.idx, t.token
+        FROM celeborn_udtf_sample s,
+             LATERAL celeborn_split_tokens(s.text) t
+        """
+    ).select("doc_id", "idx", "token")

@@ -378,3 +378,85 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entry.n").alias("n"),
         F.col("entry.n_sq").alias("n_sq"),
     )
+
+
+@query(
+    "q_variant_json",
+    # All outputs are exact integers extracted from the same JSON
+    # text both engines read; VARIANT is Spark's storage/accessor
+    # choice, not a value change.
+    oracle="""
+    SELECT event_type,
+           CAST(count(CASE WHEN props->>'k' IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type:
+    parse_json(props) once into the binary variant encoding, then
+    typed variant_get extraction — the engine-native path for
+    schema-on-read JSON at scale (variant decode is columnar and
+    shreds once; repeated get_json_object calls re-parse the string
+    per expression). Functionally identical to the string-path
+    q_json_funcs — the point is the VARIANT plumbing is wired and
+    oracle-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("vj")
+    )
+    k = F.expr("variant_get(vj, '$.k', 'bigint')")
+    return v.groupBy("event_type").agg(
+        F.count(F.when(k.isNotNull(), 1)).cast("long").alias("n_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+@query(
+    "q_collation_group",
+    # The engines agree because the OUTPUT key is explicitly
+    # lower-cased; the collation only drives GROUPING. The mixed-case
+    # key is synthesized deterministically (doc_id parity) since the
+    # corpus is all-lowercase.
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                   AS k
+        FROM documents
+    )
+    SELECT lower(k) AS lang_lc,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_case_variants
+    FROM keyed GROUP BY lower(k)
+    """,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): a
+    case-insensitive GROUP BY executed by the ENGINE's collation
+    machinery rather than a lower() rewrite — the correct way to
+    aggregate user-entered categorical text (emails, tags, locales)
+    where normalize-then-group loses the original forms. The output
+    proves the merge: each language groups its upper- and lower-case
+    variants together (n_case_variants = 2) while n_docs counts both."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.when(F.col("doc_id") % 2 == 0, F.upper("lang")).otherwise(
+        F.col("lang")
+    )
+    keyed = d.select(k.alias("k"))
+    return (
+        keyed.groupBy(F.expr("collate(k, 'UTF8_LCASE')").alias("kc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(F.col("k").cast("string"))
+            .cast("long")
+            .alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("kc")).cast("string").alias("lang_lc"),
+            "n_docs",
+            "n_case_variants",
+        )
+    )

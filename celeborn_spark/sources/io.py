@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARQUET_CODECS = ("zstd", "snappy", "gzip", "lz4", "none")
-FORMATS = ("parquet", "orc", "json", "csv", "text")
+FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
 
 
 def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode: str = "overwrite") -> None:
@@ -40,6 +40,11 @@ def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode
         # one string column per row — the raw-corpus interchange format
         writer = writer.option("compression", codec) if codec and codec != "none" else writer
         writer.text(path)
+    elif fmt == "avro":
+        # short name unregistered in this distro — see read_any
+        if codec:
+            writer = writer.option("compression", codec)
+        writer.format(_LAKE_SOURCE_CLASSES["avro"]).save(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
 
@@ -86,6 +91,16 @@ def read_any(
         # lookup push file pruning into the listing, and each file is
         # one row so partitioning follows the file layout.
         return spark.read.format("binaryFile").load(path)
+    if fmt == "avro":
+        # spark-avro CLASSES ship in this distro but the short name
+        # carries no META-INF data-source registration (the "external
+        # module since 2.4" error) — address the provider class
+        # directly; gate honestly if the class is truly absent.
+        if not lake_format_available(spark, "avro"):  # pragma: no cover
+            raise NotImplementedError(
+                "avro requires the spark-avro classes on the classpath"
+            )
+        return spark.read.format(_LAKE_SOURCE_CLASSES["avro"]).load(path)
     if fmt in ("delta", "iceberg", "hudi"):
         try:  # connector jars not shipped in this image
             return spark.read.format(fmt).load(path)
@@ -100,6 +115,7 @@ _LAKE_SOURCE_CLASSES = {
     "delta": "org.apache.spark.sql.delta.sources.DeltaDataSource",
     "iceberg": "org.apache.iceberg.spark.source.IcebergSource",
     "hudi": "org.apache.hudi.DefaultSource",
+    "avro": "org.apache.spark.sql.avro.AvroFileFormat",
 }
 
 

@@ -28,8 +28,30 @@ def test_lake_format_capability_detection(spark):
 
     for fmt in ("delta", "iceberg", "hudi"):
         assert lake_format_available(spark, fmt) is False
+    # avro's CLASSES ship in this distro (only the short-name
+    # registration is missing) — the capability check must see them
+    assert lake_format_available(spark, "avro") is True
     with pytest.raises(ValueError):
         lake_format_available(spark, "parquet")
+
+
+def test_avro_round_trip(spark, sf_dir, tmp_path):
+    """spark-avro's short name is unregistered here, but read_any/
+    write_any address the provider class directly — a full write/read
+    round-trip must preserve rows and schema (the row-based
+    interchange format Kafka/schema-registry pipelines emit)."""
+    from celeborn_spark.catalog import load_table
+    from celeborn_spark.sources.io import read_any, write_any
+
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation.avro")
+    write_any(src, path, fmt="avro")
+    back = read_any(spark, path, fmt="avro")
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    assert {r.n_nationkey for r in back.collect()} == {
+        r.n_nationkey for r in src.collect()
+    }
 
 
 def test_merge_into_path_parquet_fallback(spark, tmp_path):
