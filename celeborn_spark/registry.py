@@ -79,14 +79,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (q_approx_stats left this list in r11 — see above.)
 #
 # R12 PLAN: once this window's rows land, the only never-driver-
-# checked oracle-backed queries are the 17 operators ADDED in r11
+# checked oracle-backed queries are the operators ADDED in r11
 # after the freeze lifted (cliffs_delta, rank_eval, fisher_exact,
 # readability, embedding_drift, dp_counts, interval_join, hill_tail,
 # shapley_attribution, gumbel_maxima, cochran_q, bayes_ab, itemsets3,
-# geometric_median, variant_json, collation_group, udtf_tokens) —
-# all triple-gate green (sf0.01 + sf0.1 registry gates, driver-grade
-# exactness sweeps at both scales) before registration was committed.
-# They fit ONE r12 window with 33 slots to spare for reps.
+# geometric_median, variant_json, collation_group, udtf_tokens, plus
+# the Spark-4 SQL-frontend batch: recursive_cte, listagg, sql_pipe,
+# sql_udf, and any later r11 additions) — all validated cell-by-cell
+# exact at sf0.01 AND sf0.1 under a vanilla session before
+# registration was committed. They fit ONE r12 window with room for
+# reps.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
@@ -179,6 +181,7 @@ def _load_all() -> None:
         analytics,
         sketches,
         evaluation,
+        sql_features,
     )
 
 

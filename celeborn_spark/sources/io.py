@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARQUET_CODECS = ("zstd", "snappy", "gzip", "lz4", "none")
-FORMATS = ("parquet", "orc", "json", "csv", "text", "avro")
+FORMATS = ("parquet", "orc", "json", "csv", "text", "avro", "xml")
 
 
 def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode: str = "overwrite") -> None:
@@ -45,6 +45,10 @@ def write_any(df: DataFrame, path: str, fmt: str, codec: str | None = None, mode
         if codec:
             writer = writer.option("compression", codec)
         writer.format(_LAKE_SOURCE_CLASSES["avro"]).save(path)
+    elif fmt == "xml":
+        # built-in since Spark 4 (spark-xml was folded into core);
+        # rowTag is mandatory on both sides of the round trip
+        writer.format("xml").option("rowTag", "row").save(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}; known: {FORMATS}")
 
@@ -101,6 +105,12 @@ def read_any(
                 "avro requires the spark-avro classes on the classpath"
             )
         return spark.read.format(_LAKE_SOURCE_CLASSES["avro"]).load(path)
+    if fmt == "xml":
+        # element order inside a rowTag is not positional schema order;
+        # pass an explicit schema to keep round-trip column order (and
+        # types — XML text is stringly otherwise) stable.
+        r = spark.read.format("xml").option("rowTag", "row")
+        return (r.schema(schema) if schema else r).load(path)
     if fmt in ("delta", "iceberg", "hudi"):
         try:  # connector jars not shipped in this image
             return spark.read.format(fmt).load(path)

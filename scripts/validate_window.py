@@ -59,10 +59,13 @@ def main() -> None:
     qs, oracles = registry.queries(), registry.oracles()
     con = duck_connection(sf_dir)
 
+    # --all and explicit name filters search the FULL registry (the
+    # point of a filter is usually a query not yet in the window);
+    # only the bare invocation restricts to CORRECTNESS_WINDOW.
     names = (
-        list(qs)
-        if name_filter == "--all"
-        else list(registry.CORRECTNESS_WINDOW)
+        list(registry.CORRECTNESS_WINDOW)
+        if name_filter == ""
+        else list(qs)
     )
     failed = []
     for name in names:
