@@ -30,7 +30,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -4175,4 +4175,384 @@ def eb_shrinkage_oracle_sql(
            (pos + {m} * (CAST(p_tot AS DOUBLE) / n_tot)) / (n + {m})
                AS shrunk_rate
     FROM g CROSS JOIN tot
+    """
+
+
+def bradley_terry(
+    lineitem: DataFrame, n_teams: int = 16, rounds: int = 2
+) -> DataFrame:
+    """Bradley–Terry preference-strength fit via Hunter's MM updates —
+    THE model behind pairwise-preference ranking (RLHF comparison
+    data, match outcomes, A/B taste tests): P(i beats j) =
+    s_i/(s_i+s_j), solved by  s_i <- W_i / sum_j n_ij/(s_i+s_j),
+    strengths renormalized to mean 1 and rounded 6 dp after EVERY
+    round so float drift cannot compound (the q_geometric_median
+    discipline). ``rounds`` is fixed and small — MM converges
+    geometrically and the oracle unrolls the same two rounds.
+
+    Matches: consecutive line numbers within an order, team =
+    suppkey % n_teams, winner = higher extended price (price tie ->
+    lower team id; deterministic). Scale shape: ONE equi-join on
+    (orderkey, linenumber) builds matches, one map-combined aggregate
+    reduces them to the <= C(n_teams,2) pair table, and the MM rounds
+    run on that BOUNDED relation (checkpointed once — it feeds the
+    directed view, the wins view, and every round). Nothing
+    row-scaling is ever iterated. Output per team:
+    (team, strength, wins, matches)."""
+    li = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_suppkey") % n_teams).alias("team"),
+        "l_extendedprice",
+    )
+    # rename BOTH join keys on the right side: li and nxt share lineage,
+    # and same-name column equality on a self-join resolves through
+    # Spark's ambiguity special-case (warns "trivially true predicate")
+    nxt = li.select(
+        F.col("l_orderkey").alias("ok_b"),
+        (F.col("l_linenumber") - 1).alias("ln_prev"),
+        F.col("team").alias("team_b"),
+        F.col("l_extendedprice").alias("price_b"),
+    )
+    m = (
+        li.join(
+            nxt,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("l_linenumber") == F.col("ln_prev")),
+        )
+        .filter(F.col("team") != F.col("team_b"))
+        .select(
+            F.least("team", "team_b").alias("i"),
+            F.greatest("team", "team_b").alias("j"),
+            F.when(
+                F.col("l_extendedprice") > F.col("price_b"), F.col("team")
+            )
+            .when(F.col("l_extendedprice") < F.col("price_b"), F.col("team_b"))
+            .otherwise(F.least("team", "team_b"))
+            .alias("winner"),
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("winner") == F.col("i")).cast("long").alias("wi"),
+        )
+    )
+    pairs = (
+        m.groupBy("i", "j")
+        .agg(
+            F.sum("wi").cast("long").alias("w_i"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        # bounded (<= C(n_teams,2) rows) and referenced by the directed
+        # view, the wins view, and every MM round — checkpoint the
+        # INPUT of the iteration once (CLAUDE.md iterative-op rule)
+        .localCheckpoint()
+    )
+    directed = pairs.select(
+        F.col("i").alias("t"), F.col("j").alias("o"), "n"
+    ).unionAll(pairs.select(F.col("j").alias("t"), F.col("i").alias("o"), "n"))
+    wins = (
+        pairs.select(F.col("i").alias("t"), F.col("w_i").alias("w"))
+        .unionAll(
+            pairs.select(
+                F.col("j").alias("t"), (F.col("n") - F.col("w_i")).alias("w")
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum("w").cast("long").alias("wins"))
+    )
+    matches = directed.groupBy("t").agg(
+        F.sum("n").cast("long").alias("matches")
+    )
+    s = directed.select("t").distinct().withColumn("s", F.lit(1.0))
+    for _ in range(rounds):
+        so = s.select(F.col("t").alias("o"), F.col("s").alias("s_o"))
+        denom = (
+            directed.join(s, "t")
+            .join(so, "o")
+            .groupBy("t")
+            .agg(F.sum(F.col("n") / (F.col("s") + F.col("s_o"))).alias("d"))
+        )
+        raw = wins.join(denom, "t").select(
+            "t", (F.col("wins") / F.col("d")).alias("s_raw")
+        )
+        tot = raw.agg(
+            F.sum("s_raw").alias("s_tot"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        s = raw.crossJoin(F.broadcast(tot)).select(
+            "t",
+            F.round(
+                F.col("s_raw") * F.col("k") / F.col("s_tot"), 6
+            ).alias("s"),
+        )
+    return (
+        s.join(wins, "t")
+        .join(matches, "t")
+        .select(
+            F.col("t").cast("long").alias("team"),
+            F.col("s").alias("strength"),
+            "wins",
+            "matches",
+        )
+    )
+
+
+def bradley_terry_oracle_sql(n_teams: int = 16, rounds: int = 2) -> str:
+    """DuckDB mirror of `bradley_terry`: identical match derivation,
+    identical per-round expression text, rounds unrolled. Round
+    relations are referenced twice per round (s_t and s_o joins), so
+    every round CTE is AS MATERIALIZED (the r7 MMR lesson — DuckDB
+    inlines multiply-referenced CTEs otherwise)."""
+    prev = "s0"
+    round_ctes = []
+    for r in range(1, rounds + 1):
+        round_ctes.append(f"""
+    bt_r{r}raw AS MATERIALIZED (
+        SELECT d.t, w.wins / sum(d.n / (s1.s + s2.s)) AS s_raw
+        FROM bt_directed d
+        JOIN {prev} s1 ON d.t = s1.t
+        JOIN {prev} s2 ON d.o = s2.t
+        JOIN bt_wins w ON w.t = d.t
+        GROUP BY d.t, w.wins
+    ),
+    bt_r{r} AS MATERIALIZED (
+        SELECT t,
+               round(s_raw * (SELECT count(*) FROM bt_r{r}raw)
+                           / (SELECT sum(s_raw) FROM bt_r{r}raw), 6) AS s
+        FROM bt_r{r}raw
+    )""")
+        prev = f"bt_r{r}"
+    return f"""
+    WITH bt_m AS MATERIALIZED (
+        SELECT least(a, b) AS i, greatest(a, b) AS j,
+               CASE WHEN winner = least(a, b) THEN 1 ELSE 0 END AS wi
+        FROM (
+            SELECT l1.l_suppkey % {n_teams} AS a,
+                   l2.l_suppkey % {n_teams} AS b,
+                   CASE WHEN l1.l_extendedprice > l2.l_extendedprice
+                            THEN l1.l_suppkey % {n_teams}
+                        WHEN l1.l_extendedprice < l2.l_extendedprice
+                            THEN l2.l_suppkey % {n_teams}
+                        ELSE least(l1.l_suppkey % {n_teams},
+                                   l2.l_suppkey % {n_teams})
+                   END AS winner
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l2.l_linenumber = l1.l_linenumber + 1
+            WHERE l1.l_suppkey % {n_teams} <> l2.l_suppkey % {n_teams}
+        )
+    ),
+    bt_pairs AS MATERIALIZED (
+        SELECT i, j,
+               CAST(sum(wi) AS BIGINT)  AS w_i,
+               CAST(count(*) AS BIGINT) AS n
+        FROM bt_m GROUP BY i, j
+    ),
+    bt_directed AS MATERIALIZED (
+        SELECT i AS t, j AS o, n FROM bt_pairs
+        UNION ALL
+        SELECT j AS t, i AS o, n FROM bt_pairs
+    ),
+    bt_wins AS MATERIALIZED (
+        SELECT t, CAST(sum(w) AS BIGINT) AS wins FROM (
+            SELECT i AS t, w_i AS w FROM bt_pairs
+            UNION ALL
+            SELECT j AS t, n - w_i AS w FROM bt_pairs
+        ) GROUP BY t
+    ),
+    bt_matches AS (
+        SELECT t, CAST(sum(n) AS BIGINT) AS matches
+        FROM bt_directed GROUP BY t
+    ),
+    s0 AS (SELECT DISTINCT t, 1.0 AS s FROM bt_directed),
+    {",".join(round_ctes)}
+    SELECT CAST(f.t AS BIGINT) AS team, f.s AS strength,
+           w.wins, m.matches
+    FROM {prev} f
+    JOIN bt_wins w ON w.t = f.t
+    JOIN bt_matches m ON m.t = f.t
+    """
+
+
+def odds_ratio_2x2(
+    df: DataFrame, exposure: Column, outcome: Column, dp: int = 6
+) -> DataFrame:
+    """2x2 odds ratio + relative risk with Woolf log-CI — the
+    epidemiology/risk readout (is the outcome associated with the
+    exposure, with uncertainty?) that chi-square (q_chi_square) and
+    Cramer's V (q_cramers_v) summarize without direction. One
+    conditional aggregate produces the exact BIGINT cells; OR and RR
+    are short exact-int IEEE chains emitted raw; ln/exp/sqrt are the
+    only irrational steps, rounded {dp} dp on both sides (the repo's
+    libm-parity rule). Zero cells -> NULL (CASE-guarded; Spark ANSI
+    would raise where DuckDB yields inf). Output one row:
+    (a, b, c, d, odds_ratio, rel_risk, ln_or, or_ci_lo, or_ci_hi)."""
+    e = exposure.cast("long")
+    o = outcome.cast("long")
+    cells = df.agg(
+        F.sum(e * o).cast("long").alias("a"),
+        F.sum(e * (1 - o)).cast("long").alias("b"),
+        F.sum((1 - e) * o).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - o)).cast("long").alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    orr = (a * d) / (b * c)
+    rr = (a / (a + b)) / (c / (c + d))
+    ln_or = F.round(F.log(orr), dp)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        "a", "b", "c", "d",
+        F.when(ok, orr).alias("odds_ratio"),
+        F.when(ok, rr).alias("rel_risk"),
+        F.when(ok, ln_or).alias("ln_or"),
+        F.when(ok, F.round(F.log(orr) - 1.96 * se, dp)).alias("lo_ln"),
+        F.when(ok, F.round(F.log(orr) + 1.96 * se, dp)).alias("hi_ln"),
+    )
+
+
+def odds_ratio_oracle_sql(
+    table: str, exposure_sql: str, outcome_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `odds_ratio_2x2` (identical chains)."""
+    return f"""
+    WITH cells AS (
+        SELECT CAST(sum(e * o) AS BIGINT)             AS a,
+               CAST(sum(e * (1 - o)) AS BIGINT)       AS b,
+               CAST(sum((1 - e) * o) AS BIGINT)       AS c,
+               CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d
+        FROM (SELECT CAST({exposure_sql} AS BIGINT) AS e,
+                     CAST({outcome_sql} AS BIGINT)  AS o
+              FROM {table})
+    )
+    SELECT a, b, c, d,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                 / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))
+                 / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE)
+                                         + CAST(d AS DOUBLE))) END AS rel_risk,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), {dp})
+           END AS ln_or,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                   - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                 + 1.0 / CAST(b AS DOUBLE)
+                                 + 1.0 / CAST(c AS DOUBLE)
+                                 + 1.0 / CAST(d AS DOUBLE)), {dp})
+           END AS lo_ln,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+             round(ln((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                   + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                 + 1.0 / CAST(b AS DOUBLE)
+                                 + 1.0 / CAST(c AS DOUBLE)
+                                 + 1.0 / CAST(d AS DOUBLE)), {dp})
+           END AS hi_ln
+    FROM cells
+    """
+
+
+def bartlett_test(
+    df: DataFrame, group_col: str, cents_col: Column, dp: int = 4
+) -> DataFrame:
+    """Bartlett's test of variance homogeneity across k groups — the
+    are-the-variances-even-comparable gate in front of ANOVA
+    (q_anova assumes equal variances; Brown-Forsythe is the robust
+    sibling). ``cents_col`` must be an exact integer-quantized value
+    (the repo's cents idiom) so the per-group (n, sum, sum-sq) triple
+    is exact BIGINT arithmetic; sum-sq bounds int64 up to ~sf100 for
+    acctbal cents (|cents| <= ~1.1e6, squares <= 1.3e12, 7e18 at 5M
+    rows/group) — quantize coarser beyond that, same bound discipline
+    as the micro-grain second moments (CLAUDE.md r9). Variances and
+    the statistic assemble on the k-row relation; ln is the only
+    irrational step and T is rounded {dp} dp (the anova_oneway
+    cross-engine discipline: sums are doubles with ~1e-13 relative
+    accumulation noise, the rounded O(1) statistic is far above it).
+    Output (bartlett_t, dof, k, n)."""
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents_col.cast("long")).cast("long").alias("s"),
+        F.sum(
+            cents_col.cast("long") * cents_col.cast("long")
+        ).cast("long").alias("ss"),
+    )
+    # per-group variance: double from exact ints (s*s would overflow
+    # int64 — the cast rounding is deterministic and identical x-engine)
+    s2 = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    # s2 == 0 (a constant group) would hit ln(0): Spark yields NULL,
+    # DuckDB -inf — drop such groups identically on both sides
+    per = (
+        g.filter(F.col("n") > 1)
+        .select("n", s2.alias("s2"))
+        .filter(F.col("s2") > 0)
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("sw"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sinv"),
+    )
+    nk = (F.col("nn") - F.col("k")).cast("double")
+    sp2 = F.col("sw") / nk
+    t_num = nk * F.log(sp2) - F.col("sln")
+    c_corr = 1.0 + (F.col("sinv") - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    return tot.select(
+        F.when(F.col("k") > 1, F.round(t_num / c_corr, dp)).alias(
+            "bartlett_t"
+        ),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.col("k").cast("long").alias("k"),
+        F.col("nn").cast("long").alias("n"),
+    )
+
+
+def bartlett_oracle_sql(
+    table: str, group_sql: str, cents_sql: str, dp: int = 4
+) -> str:
+    """DuckDB mirror of `bartlett_test` (identical sums form)."""
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST({cents_sql} AS BIGINT)) AS BIGINT) AS s,
+               CAST(sum(CAST({cents_sql} AS BIGINT)
+                        * CAST({cents_sql} AS BIGINT)) AS BIGINT) AS ss
+        FROM {table} GROUP BY 1
+    ),
+    per AS (
+        SELECT n, s2 FROM (
+            SELECT n,
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       / (n - 1) AS s2
+            FROM g WHERE n > 1
+        ) WHERE s2 > 0
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT)   AS nn,
+               sum((n - 1) * s2)        AS sw,
+               sum((n - 1) * ln(s2))    AS sln,
+               sum(1.0 / (n - 1))       AS sinv
+        FROM per
+    )
+    SELECT CASE WHEN k > 1 THEN
+             round((CAST(nn - k AS DOUBLE) * ln(sw / CAST(nn - k AS DOUBLE))
+                    - sln)
+                   / (1.0 + (sinv - 1.0 / CAST(nn - k AS DOUBLE))
+                            / (3.0 * (k - 1))), {dp})
+           END AS bartlett_t,
+           CAST(k - 1 AS BIGINT) AS dof, k, nn AS n
+    FROM tot
     """

@@ -1839,3 +1839,201 @@ def burstiness_oracle_sql(min_cf: int = 5, dp: int = 6) -> str:
     FROM per_tok CROSS JOIN n_docs
     WHERE cf >= {min_cf}
     """
+
+
+def rouge_vs_reference(docs: DataFrame) -> DataFrame:
+    """ROUGE-1 precision/recall/F1 and ROUGE-2 F1 of every document
+    against its language's REFERENCE document (min doc_id per lang) —
+    the n-gram-overlap evaluation metric for generated text, as a
+    corpus operator: score a candidate pool against gold references
+    without an LLM in the loop. Clipped-count form (Lin 2004):
+    clip = sum_g min(count_cand(g), count_ref(g)).
+
+    Engine parity: every clip/total is an exact BIGINT; each metric is
+    a fixed per-row IEEE chain over those ints (identical text in the
+    oracle), so outputs are bit-stable unrounded. F1 guards clip=0
+    with CASE ... ELSE 0.0 (Spark NULL-comparison booleans propagate
+    NULL where SQL CASE yields the ELSE — r9 lesson).
+
+    Scale shape: one tokenize pass fans out to unigram+bigram count
+    relations (linear); the reference side is one doc per language
+    (langs x vocab rows — broadcast); per-doc clips are map-combined
+    aggregates keyed by doc_id. Nothing pairwise, nothing quadratic:
+    candidates never join each other, only the bounded reference."""
+    base = docs.select(
+        "doc_id",
+        "lang",
+        tokens(F.col("text")).alias("toks"),
+        bigrams(F.col("text")).alias("bgs"),
+    )
+    uni = (
+        base.select("doc_id", "lang", F.explode("toks").alias("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bg = (
+        base.select("doc_id", "lang", F.explode("bgs").alias("g"))
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    refs = docs.groupBy("lang").agg(F.min("doc_id").alias("ref_id"))
+
+    def ref_counts(counts: DataFrame) -> DataFrame:
+        return (
+            counts.join(
+                F.broadcast(refs),
+                (counts["doc_id"] == refs["ref_id"])
+                & (counts["lang"] == refs["lang"]),
+            )
+            .select(counts["lang"].alias("rlang"), "g", F.col("c").alias("rc"))
+        )
+
+    runi, rbg = ref_counts(uni), ref_counts(bg)
+
+    def clip_and_total(counts: DataFrame, rcounts: DataFrame, suffix: str):
+        total = counts.groupBy("doc_id").agg(
+            F.sum("c").cast("long").alias(f"t{suffix}")
+        )
+        clip = (
+            counts.join(
+                F.broadcast(rcounts),
+                (counts["lang"] == rcounts["rlang"])
+                & (counts["g"] == rcounts["g"]),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.least(counts["c"], rcounts["rc"]))
+                .cast("long")
+                .alias(f"c{suffix}")
+            )
+        )
+        rtot = rcounts.groupBy(F.col("rlang").alias("lang")).agg(
+            F.sum("rc").cast("long").alias(f"r{suffix}")
+        )
+        return total, clip, rtot
+
+    t1, c1, r1 = clip_and_total(uni, runi, "1")
+    t2, c2, r2 = clip_and_total(bg, rbg, "2")
+
+    cand = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(refs), "lang")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select("doc_id", "lang")
+    )
+    j = (
+        cand.join(t1, "doc_id", "left")
+        .join(c1, "doc_id", "left")
+        .join(t2, "doc_id", "left")
+        .join(c2, "doc_id", "left")
+        .join(F.broadcast(r1), "lang", "left")
+        .join(F.broadcast(r2), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("t1", F.lit(0)).alias("t1"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("r1", F.lit(0)).alias("r1"),
+            F.coalesce("t2", F.lit(0)).alias("t2"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+    )
+    # identical expression text in rouge_oracle_sql
+    def metrics(c: str, t: str, r: str, name: str):
+        p = F.col(c).cast("double") / F.col(t)
+        rr = F.col(c).cast("double") / F.col(r)
+        f = F.when(
+            F.col(c) > 0, 2.0 * p * rr / (p + rr)
+        ).otherwise(F.lit(0.0))
+        return p, rr, f
+
+    p1, rr1, f1 = metrics("c1", "t1", "r1", "1")
+    _, _, f2 = metrics("c2", "t2", "r2", "2")
+    return j.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("t1") > 0, p1).otherwise(F.lit(0.0)).alias("r1_p"),
+        rr1.alias("r1_r"),
+        f1.alias("r1_f"),
+        F.when(F.col("c2") > 0, f2).otherwise(F.lit(0.0)).alias("r2_f"),
+    )
+
+
+def rouge_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `rouge_vs_reference`: same clipped-count ints,
+    same per-row metric chains. Count relations are AS MATERIALIZED
+    (each feeds a total AND a clip join — the r7 CTE-inlining rule)."""
+    return f"""
+    WITH rg_t AS MATERIALIZED (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM {table}
+    ),
+    rg_refs AS (SELECT lang, min(doc_id) AS ref_id FROM {table} GROUP BY lang),
+    rg_uni AS MATERIALIZED (
+        SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, lang, unnest(toks) AS g FROM rg_t)
+        GROUP BY doc_id, lang, g
+    ),
+    rg_bg AS MATERIALIZED (
+        SELECT doc_id, lang, g, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1]))
+                         AS g
+              FROM rg_t WHERE len(toks) >= 2)
+        GROUP BY doc_id, lang, g
+    ),
+    rg_runi AS MATERIALIZED (
+        SELECT u.lang AS rlang, u.g, u.c AS rc
+        FROM rg_uni u JOIN rg_refs r ON u.doc_id = r.ref_id AND u.lang = r.lang
+    ),
+    rg_rbg AS MATERIALIZED (
+        SELECT u.lang AS rlang, u.g, u.c AS rc
+        FROM rg_bg u JOIN rg_refs r ON u.doc_id = r.ref_id AND u.lang = r.lang
+    ),
+    rg_t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t1
+              FROM rg_uni GROUP BY doc_id),
+    rg_c1 AS (SELECT u.doc_id, CAST(sum(least(u.c, r.rc)) AS BIGINT) AS c1
+              FROM rg_uni u JOIN rg_runi r ON u.lang = r.rlang AND u.g = r.g
+              GROUP BY u.doc_id),
+    rg_r1 AS (SELECT rlang AS lang, CAST(sum(rc) AS BIGINT) AS r1
+              FROM rg_runi GROUP BY rlang),
+    rg_t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t2
+              FROM rg_bg GROUP BY doc_id),
+    rg_c2 AS (SELECT u.doc_id, CAST(sum(least(u.c, r.rc)) AS BIGINT) AS c2
+              FROM rg_bg u JOIN rg_rbg r ON u.lang = r.rlang AND u.g = r.g
+              GROUP BY u.doc_id),
+    rg_r2 AS (SELECT rlang AS lang, CAST(sum(rc) AS BIGINT) AS r2
+              FROM rg_rbg GROUP BY rlang),
+    rg_j AS (
+        SELECT d.doc_id, d.lang,
+               coalesce(t1.t1, 0) AS t1, coalesce(c1.c1, 0) AS c1,
+               coalesce(r1.r1, 0) AS r1,
+               coalesce(t2.t2, 0) AS t2, coalesce(c2.c2, 0) AS c2,
+               coalesce(r2.r2, 0) AS r2
+        FROM {table} d
+        JOIN rg_refs rf ON d.lang = rf.lang AND d.doc_id <> rf.ref_id
+        LEFT JOIN rg_t1 t1 ON t1.doc_id = d.doc_id
+        LEFT JOIN rg_c1 c1 ON c1.doc_id = d.doc_id
+        LEFT JOIN rg_t2 t2 ON t2.doc_id = d.doc_id
+        LEFT JOIN rg_c2 c2 ON c2.doc_id = d.doc_id
+        LEFT JOIN rg_r1 r1 ON r1.lang = d.lang
+        LEFT JOIN rg_r2 r2 ON r2.lang = d.lang
+    )
+    SELECT doc_id, lang,
+           CASE WHEN t1 > 0 THEN CAST(c1 AS DOUBLE) / t1 ELSE 0.0 END AS r1_p,
+           CAST(c1 AS DOUBLE) / r1 AS r1_r,
+           CASE WHEN c1 > 0
+                THEN 2.0 * (CAST(c1 AS DOUBLE) / t1)
+                         * (CAST(c1 AS DOUBLE) / r1)
+                     / ((CAST(c1 AS DOUBLE) / t1)
+                        + (CAST(c1 AS DOUBLE) / r1))
+                ELSE 0.0 END AS r1_f,
+           CASE WHEN c2 > 0
+                THEN 2.0 * (CAST(c2 AS DOUBLE) / t2)
+                         * (CAST(c2 AS DOUBLE) / r2)
+                     / ((CAST(c2 AS DOUBLE) / t2)
+                        + (CAST(c2 AS DOUBLE) / r2))
+                ELSE 0.0 END AS r2_f
+    FROM rg_j
+    """

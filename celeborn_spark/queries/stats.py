@@ -2285,3 +2285,67 @@ def q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sb").alias("sb"),
         F.round(F.sum(term), 6).alias("p_a_beats_b"),
     )
+
+
+@query(
+    "q_bradley_terry",
+    oracle=stats_ops.bradley_terry_oracle_sql(n_teams=16, rounds=2),
+)
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths (Hunter MM, 2 rounds, 6 dp
+    per-round re-sync) over supplier "teams" (suppkey % 16) whose
+    matches are consecutive line numbers within an order, winner =
+    higher extended price — the pairwise-preference ranking model
+    behind RLHF comparison data and league tables, as a first-class
+    operator beside q_rank_eval's pointwise metrics. One equi-join
+    builds matches, one aggregate reduces to the bounded <=C(16,2)
+    pair table, and the MM rounds iterate ONLY that bounded relation
+    (operators/stats.bradley_terry)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.bradley_terry(li, n_teams=16, rounds=2)
+
+
+@query(
+    "q_odds_ratio",
+    oracle=stats_ops.odds_ratio_oracle_sql(
+        "(SELECT c_acctbal > 5000 AS e_col,"
+        "        o_orderpriority = '1-URGENT' AS o_col"
+        " FROM orders JOIN customer ON o_custkey = c_custkey)",
+        "e_col",
+        "o_col",
+    ),
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio + relative risk with Woolf log-CI: does a
+    high-balance customer (acctbal > 5000) place urgent orders at
+    different odds? The DIRECTIONAL association readout beside
+    q_chi_square/q_cramers_v (which only measure strength). One
+    conditional aggregate over the order-customer join; exact BIGINT
+    cells, ln/sqrt rounded 6dp (operators/stats.odds_ratio_2x2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+    return stats_ops.odds_ratio_2x2(
+        j,
+        exposure=F.col("c_acctbal") > 5000,
+        outcome=F.col("o_orderpriority") == "1-URGENT",
+    )
+
+
+@query(
+    "q_bartlett_test",
+    oracle=stats_ops.bartlett_oracle_sql(
+        "customer", "c_mktsegment", "floor(c_acctbal * 100)"
+    ),
+)
+def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity test across market segments on
+    account-balance cents — the equal-variances GATE in front of
+    q_anova (and the parametric sibling of q_brown_forsythe). One
+    map-combined exact-integer (n, sum, sum-sq) aggregate per group;
+    the statistic assembles on the 5-row relation
+    (operators/stats.bartlett_test)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return stats_ops.bartlett_test(
+        customer, "c_mktsegment", F.floor(F.col("c_acctbal") * 100)
+    )

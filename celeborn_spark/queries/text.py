@@ -1548,3 +1548,16 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", F.col("x_ref").cast("long").alias("x_k"), "alpha")
     )
+
+
+@query("q_rouge_overlap", oracle=T.rouge_oracle_sql("documents"))
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 P/R/F1 + ROUGE-2 F1 of every document against its
+    language's reference document (min doc_id per lang) — the n-gram
+    overlap eval metric (Lin 2004) as a corpus operator: score a
+    candidate pool against gold references with exact clipped counts,
+    no model in the loop. Linear tokenize->count passes; the
+    reference side is one doc per language and broadcasts; candidates
+    never join each other (operators/textops.rouge_vs_reference)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.rouge_vs_reference(docs)

@@ -500,3 +500,49 @@ def test_r11b_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11c_ops():
+    """The Spark-4-frontend + preference/eval batch under engine-config
+    flips: the recursive-CTE level joins, the pipe-lowered aggregate,
+    the MM-iterated Bradley-Terry pair joins, the broadcast ROUGE
+    reference joins, and the single-aggregate 2x2 / Bartlett stats."""
+    from celeborn_spark.queries.sql_features import (
+        q_listagg,
+        q_recursive_cte,
+        q_sql_pipe,
+        q_sql_udf,
+    )
+    from celeborn_spark.queries.stats import (
+        q_bartlett_test,
+        q_bradley_terry,
+        q_odds_ratio,
+    )
+    from celeborn_spark.queries.text import q_rouge_overlap
+
+    return [
+        q_recursive_cte,
+        q_listagg,
+        q_sql_pipe,
+        q_sql_udf,
+        q_bradley_terry,
+        q_rouge_overlap,
+        q_odds_ratio,
+        q_bartlett_test,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11c_ops(), ids=lambda f: f.__name__)
+def test_r11c_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

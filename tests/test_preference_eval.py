@@ -1,0 +1,74 @@
+"""Value invariants for the preference/eval batch (Bradley-Terry,
+ROUGE, odds ratio, Bartlett) — the oracle harness proves cross-engine
+equality; these pin the MATH (things a wrong-but-consistent
+implementation would violate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from celeborn_spark.queries.stats import (
+    q_bartlett_test,
+    q_bradley_terry,
+    q_odds_ratio,
+)
+from celeborn_spark.queries.text import q_rouge_overlap
+
+
+def test_bradley_terry_invariants(spark, sf_dir):
+    rows = q_bradley_terry(spark, sf_dir).collect()
+    # teams = distinct suppkey % 16 values — 16 once suppliers >= 16
+    # (sf0.001 ships only 10 suppliers)
+    assert 2 <= len(rows) <= 16
+    # normalized to mean 1 (up to the 6dp per-round rounding)
+    assert abs(sum(r.strength for r in rows) / len(rows) - 1.0) < 1e-4
+    assert all(r.strength >= 0 for r in rows)
+    # strengths must track wins directionally: the max-wins team is
+    # stronger than the min-wins team (matches are near-balanced by
+    # construction, so win counts dominate)
+    by_wins = sorted(rows, key=lambda r: (r.wins, r.team))
+    assert by_wins[-1].strength > by_wins[0].strength
+    # every team's matches = sum of its pair matches; symmetric totals
+    assert sum(r.wins for r in rows) * 2 == sum(r.matches for r in rows)
+
+
+def test_rouge_bounds_and_self_exclusion(spark, sf_dir):
+    rows = q_rouge_overlap(spark, sf_dir).collect()
+    assert rows, "candidates exist at every sf"
+    for r in rows:
+        for v in (r.r1_p, r.r1_r, r.r1_f, r.r2_f):
+            assert 0.0 <= v <= 1.0 + 1e-12, r
+        # F1 is between min and max of P and R (harmonic-mean bound)
+        if r.r1_f > 0:
+            assert min(r.r1_p, r.r1_r) - 1e-12 <= r.r1_f <= max(
+                r.r1_p, r.r1_r
+            ) + 1e-12
+    # the per-lang reference doc must not score itself
+    from celeborn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    refs = {
+        r.ref_id
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.min("doc_id").alias("ref_id"))
+        .collect()
+    }
+    assert refs.isdisjoint({r.doc_id for r in rows})
+
+
+def test_odds_ratio_consistency(spark, sf_dir):
+    row = q_odds_ratio(spark, sf_dir).collect()[0]
+    # OR recomputes from the emitted cells exactly
+    assert row.odds_ratio == (row.a * row.d) / (row.b * row.c)
+    # CI brackets the point estimate; ln_or consistent with OR
+    assert row.lo_ln < row.ln_or < row.hi_ln
+    assert abs(row.ln_or - math.log(row.odds_ratio)) < 1e-6
+
+
+def test_bartlett_nonnegative_and_dof(spark, sf_dir):
+    row = q_bartlett_test(spark, sf_dir).collect()[0]
+    assert row.k == 5  # mktsegment catalog
+    assert row.dof == row.k - 1
+    assert row.bartlett_t is not None and row.bartlett_t >= 0
