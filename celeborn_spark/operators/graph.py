@@ -1667,3 +1667,101 @@ def homophily_oracle_sql(min_qty: int = 45) -> str:
                AS assortativity
     FROM tot CROSS JOIN stubs
     """
+
+
+def eigenvector_centrality(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, score) after ``iters`` rounds of L1-normalized power
+    iteration on an UNDIRECTED edge relation (u < v, distinct) —
+    eigenvector centrality: a node matters when its neighbors matter.
+    The undirected companion of `pagerank` (no damping, no dangling
+    mass: influence flows along co-occurrence, not hyperlinks) and of
+    `hits` (one score, symmetric adjacency). Use it to rank suppliers/
+    domains inside an influence web where degree alone over-counts
+    leaf-heavy hubs.
+
+    Per round: raw(v) = sum of x(u) over neighbors (ONE node-keyed
+    exchange on the both-ways edge view), then x = round(raw / sum(raw),
+    6) — the L1 normalizer is a 1-row broadcast scalar, and the 6 dp
+    re-sync erases the ~1e-13 neighbor-sum accumulation noise so the
+    oracle unrolls bit-identical rounds (the `hits` discipline).
+    Isolated nodes cannot appear (every node comes off an edge).
+
+    Scale shape: the both-ways view is checkpointed ONCE (the edge
+    build is exchange-bearing — the pagerank-input regime, not the
+    cheap-rescan hits regime) and each round costs exactly one
+    exchange; each normalized x is eagerly checkpointed (raw is
+    referenced by the normalizer AND the join — lazy lineage doubles
+    per round otherwise, the r7 HITS lesson)."""
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        # exchange-bearing build (self-join + distinct upstream),
+        # referenced every round — materialize once
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(iters):
+        raw = (
+            und.join(x, und["a"] == x["node"])
+            .groupBy("b")
+            .agg(F.sum("x").alias("r"))
+        )
+        tot = raw.agg(F.sum("r").alias("tot"))
+        x = (
+            nodes.join(raw, nodes["node"] == raw["b"], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("r"), F.lit(0.0)) / F.col("tot"), 6
+                ).alias("x"),
+            )
+            .localCheckpoint()  # raw is referenced twice per round
+        )
+    return x.select("node", F.col("x").alias("score"))
+
+
+COPURCHASE_EDGES_ORACLE = """
+    el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= {min_qty} AND b.l_quantity >= {min_qty}
+    )"""
+
+
+def eigenvector_oracle_sql(min_qty: int = 45, iters: int = 3) -> str:
+    """DuckDB mirror of `eigenvector_centrality` over copurchase_edges:
+    the same raw-sum / L1-normalize / round-6dp rounds unrolled."""
+    ctes = [
+        COPURCHASE_EDGES_ORACLE.format(min_qty=min_qty).strip(),
+        "und AS (SELECT u AS a, v AS b FROM el"
+        " UNION ALL SELECT v AS a, u AS b FROM el)",
+        "evnodes AS (SELECT DISTINCT a AS node FROM und)",
+        "x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM evnodes)",
+    ]
+    px = "x0"
+    for i in range(iters):
+        ctes.append(
+            f"""evr{i} AS MATERIALIZED (
+        SELECT und.b, sum({px}.x) AS r
+        FROM {px} JOIN und ON {px}.node = und.a GROUP BY und.b
+    )"""
+        )
+        ctes.append(
+            f"""x{i + 1} AS MATERIALIZED (
+        SELECT evnodes.node,
+               round(coalesce(evr{i}.r, CAST(0 AS DOUBLE))
+                     / (SELECT sum(r) FROM evr{i}), 6) AS x
+        FROM evnodes LEFT JOIN evr{i} ON evnodes.node = evr{i}.b
+    )"""
+        )
+        px = f"x{i + 1}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, x AS score FROM {px}"""
+    )

@@ -4556,3 +4556,271 @@ def bartlett_oracle_sql(
            CAST(k - 1 AS BIGINT) AS dof, k, nn AS n
     FROM tot
     """
+
+
+def friedman_test(
+    df: DataFrame, block_col: str, treat_col: str
+) -> DataFrame:
+    """Friedman test: the WITHIN-subject nonparametric omnibus (do the
+    k treatments differ, controlling for per-block level?) — the
+    repeated-measures sibling of q_kruskal_wallis (independent groups)
+    and the k-treatment generalization of sign-test logic. Blocks =
+    distinct ``block_col`` values, treatment value = the block's COUNT
+    of each ``treat_col`` catalog value (0-filled), ranks with
+    average-rank ties.
+
+    Everything is EXACT integer arithmetic: ranks are half-integers
+    stored doubled (rank2 = 2 + 2*#less + #equal-others), so rank sums
+    and their squares are BIGINTs; with R_j = R2_j/2,
+      chi2_F = 3*sum R2_j^2/(n k (k+1)) - 3 n (k+1),
+    and the tie correction sums (t^3 - t) per tie group via
+    sum_j (t_j^2 - 1) — also exact. The statistic is a deterministic
+    chain over those ints, emitted raw; C == 0 (every block fully
+    tied) CASE-guards to NULL.
+
+    Scale shape: one count aggregate, a k-fan 0-fill (catalog k
+    broadcasts), a per-block kxk self-join (k bounded -> linear), and
+    two shrinking aggregates. Output one row:
+    (friedman_chi2, chi2_tie_corrected, k, n_blocks, tie_sum)."""
+    counts = df.groupBy(
+        F.col(block_col).alias("blk"), F.col(treat_col).alias("trt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    treats = df.select(F.col(treat_col).alias("trt")).distinct()
+    blocks = df.select(F.col(block_col).alias("blk")).distinct()
+    full = (
+        blocks.crossJoin(F.broadcast(treats))
+        .join(counts, ["blk", "trt"], "left")
+        .select("blk", "trt", F.coalesce("v", F.lit(0)).alias("v"))
+        # referenced by both sides of the rank self-join
+        .localCheckpoint()
+    )
+    o = full.select(
+        F.col("blk").alias("blk_o"),
+        F.col("trt").alias("trt_o"),
+        F.col("v").alias("v_o"),
+    )
+    ranked = (
+        full.join(o, full["blk"] == o["blk_o"])
+        .groupBy("blk", "trt")
+        .agg(
+            (
+                2
+                + 2 * F.sum((F.col("v_o") < F.col("v")).cast("long"))
+                + F.sum(
+                    (
+                        (F.col("v_o") == F.col("v"))
+                        & (F.col("trt_o") != F.col("trt"))
+                    ).cast("long")
+                )
+            ).cast("long").alias("rank2"),
+            # t_j = ties including self; sum_j (t_j^2 - 1) over a tie
+            # group of size t is exactly t^3 - t
+            F.sum((F.col("v_o") == F.col("v")).cast("long"))
+            .cast("long")
+            .alias("tj"),
+        )
+    )
+    per_treat = ranked.groupBy("trt").agg(
+        F.sum("rank2").cast("long").alias("r2sum")
+    )
+    ties = ranked.agg(
+        F.sum(F.col("tj") * F.col("tj") - 1).cast("long").alias("tie_sum")
+    )
+    tot = per_treat.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r2sum") * F.col("r2sum")).cast("long").alias("ssum"),
+    )
+    nb = blocks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = tot.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(ties))
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    chi2 = 3.0 * F.col("ssum") / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    c_corr = 1.0 - F.col("tie_sum") / (n * k * (k * k - 1))
+    return j.select(
+        chi2.alias("friedman_chi2"),
+        F.when(c_corr > 0, chi2 / c_corr).alias("chi2_tie_corrected"),
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n_blocks"),
+        "tie_sum",
+    )
+
+
+def friedman_oracle_sql(table: str, block_sql: str, treat_sql: str) -> str:
+    """DuckDB mirror of `friedman_test` (identical integer identities)."""
+    return f"""
+    WITH fr_counts AS (
+        SELECT {block_sql} AS blk, {treat_sql} AS trt,
+               CAST(count(*) AS BIGINT) AS v
+        FROM {table} GROUP BY 1, 2
+    ),
+    fr_treats AS (SELECT DISTINCT {treat_sql} AS trt FROM {table}),
+    fr_blocks AS (SELECT DISTINCT {block_sql} AS blk FROM {table}),
+    fr_full AS MATERIALIZED (
+        SELECT b.blk, t.trt, coalesce(c.v, 0) AS v
+        FROM fr_blocks b CROSS JOIN fr_treats t
+        LEFT JOIN fr_counts c ON c.blk = b.blk AND c.trt = t.trt
+    ),
+    fr_ranked AS MATERIALIZED (
+        SELECT a.blk, a.trt,
+               CAST(2 + 2 * sum(CASE WHEN o.v < a.v THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN o.v = a.v AND o.trt <> a.trt
+                               THEN 1 ELSE 0 END) AS BIGINT) AS rank2,
+               CAST(sum(CASE WHEN o.v = a.v THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tj
+        FROM fr_full a JOIN fr_full o ON o.blk = a.blk
+        GROUP BY a.blk, a.trt
+    ),
+    fr_per_treat AS (
+        SELECT trt, CAST(sum(rank2) AS BIGINT) AS r2sum
+        FROM fr_ranked GROUP BY trt
+    ),
+    fr_ties AS (
+        SELECT CAST(sum(tj * tj - 1) AS BIGINT) AS tie_sum FROM fr_ranked
+    ),
+    fr_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(r2sum * r2sum) AS BIGINT) AS ssum
+        FROM fr_per_treat
+    ),
+    fr_nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM fr_blocks)
+    SELECT 3.0 * ssum / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                         * (CAST(k AS DOUBLE) + 1))
+               - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1)
+               AS friedman_chi2,
+           CASE WHEN 1.0 - tie_sum / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                                      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                                         - 1)) > 0 THEN
+             (3.0 * ssum / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                            * (CAST(k AS DOUBLE) + 1))
+              - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1))
+             / (1.0 - tie_sum / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                                 * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                                    - 1)))
+           END AS chi2_tie_corrected,
+           k, n AS n_blocks, tie_sum
+    FROM fr_tot CROSS JOIN fr_nb CROSS JOIN fr_ties
+    """
+
+
+def ljung_box(
+    df: DataFrame,
+    date_col: str,
+    cents_col: Column,
+    max_lag: int = 7,
+    dp: int = 6,
+) -> DataFrame:
+    """Ljung–Box portmanteau test on the DAILY total series: are the
+    first ``max_lag`` autocorrelations jointly zero (is the series
+    white noise)? The multi-lag companion of q_autocorrelation (lag-1)
+    and the residual-whiteness check behind q_forecast_backtest.
+    Q(m) = n(n+2) sum_{k<=m} rho_k^2/(n-k), cumulative per lag.
+
+    Engine parity: rho_k numerator/denominator are double sums over
+    the CALENDAR-BOUNDED day series (accumulation noise ~1e-13), so
+    each rho rounds ``dp`` dp FIRST and Q is then a deterministic
+    prefix chain over the rounded values (ordered by lag — a total
+    order). Output per lag: (lag, rho, q_lb).
+
+    Scale shape: one map-combined day aggregate reduces row mass to
+    the calendar; the lag windows and the m-row prefix sum run on
+    bounded relations only."""
+    from pyspark.sql import Window as W
+
+    daily = df.groupBy(
+        F.to_date(F.col(date_col)).alias("d")
+    ).agg(F.sum(cents_col.cast("long")).cast("long").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    # calendar-bounded: one row per DAY, so the partition-less lag
+    # windows serialize only the day grid
+    w = W.orderBy("d")
+    m = F.col("s").cast("double") / F.col("n")
+    dd = daily.crossJoin(F.broadcast(tot))
+    lag_cols = [
+        F.lag("x", k).over(w).alias(f"x_{k}") for k in range(1, max_lag + 1)
+    ]
+    dd = dd.select("d", "x", "n", "s", *lag_cols)
+    aggs = [
+        F.sum((F.col("x") - m) * (F.col("x") - m)).alias("den"),
+        F.max("n").alias("n"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(
+                (F.col("x") - m) * (F.col(f"x_{k}") - m)
+            ).alias(f"num_{k}")
+        )
+    a = dd.agg(*aggs)
+    rho_exprs = ", ".join(
+        f"{k}L, CASE WHEN den > 0 THEN round(num_{k} / den, {dp}) END"
+        for k in range(1, max_lag + 1)
+    )
+    rows = a.select(
+        "n",
+        F.expr(f"stack({max_lag}, {rho_exprs}) AS (lag, rho)"),
+    )
+    # bounded: exactly max_lag rows feed this prefix window
+    wq = W.orderBy("lag").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return rows.select(
+        F.col("lag").cast("long").alias("lag"),
+        "rho",
+        F.round(
+            F.col("n")
+            * (F.col("n") + 2.0)
+            * F.sum(
+                F.col("rho") * F.col("rho") / (F.col("n") - F.col("lag"))
+            ).over(wq),
+            dp,
+        ).alias("q_lb"),
+    )
+
+
+def ljung_box_oracle_sql(
+    table: str, date_sql: str, cents_sql: str, max_lag: int = 7, dp: int = 6
+) -> str:
+    """DuckDB mirror of `ljung_box` (same rounded-rho prefix chain)."""
+    lag_defs = ",\n               ".join(
+        f"lag(x, {k}) OVER (ORDER BY d) AS x_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    num_defs = ",\n               ".join(
+        f"sum((x - m) * (x_{k} - m)) AS num_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rho_rows = "\n        UNION ALL\n".join(
+        f"        SELECT CAST({k} AS BIGINT) AS lag,"
+        f" CASE WHEN den > 0 THEN round(num_{k} / den, {dp}) END AS rho,"
+        f" n FROM lb_agg"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH lb_daily AS (
+        SELECT CAST({date_sql} AS DATE) AS d,
+               CAST(sum(CAST({cents_sql} AS BIGINT)) AS BIGINT) AS x
+        FROM {table} GROUP BY 1
+    ),
+    lb_tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS s FROM lb_daily),
+    lb_lagged AS (
+        SELECT d, x, n, CAST(s AS DOUBLE) / n AS m,
+               {lag_defs}
+        FROM lb_daily CROSS JOIN lb_tot
+    ),
+    lb_agg AS (
+        SELECT max(n) AS n,
+               sum((x - m) * (x - m)) AS den,
+               {num_defs}
+        FROM lb_lagged
+    ),
+    lb_rows AS (
+{rho_rows}
+    )
+    SELECT lag, rho,
+           round(n * (n + 2.0)
+                 * sum(rho * rho / (n - lag))
+                       OVER (ORDER BY lag
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), {dp}) AS q_lb
+    FROM lb_rows
+    """

@@ -1841,18 +1841,19 @@ def burstiness_oracle_sql(min_cf: int = 5, dp: int = 6) -> str:
     """
 
 
-def rouge_vs_reference(docs: DataFrame) -> DataFrame:
-    """ROUGE-1 precision/recall/F1 and ROUGE-2 F1 of every document
-    against its language's REFERENCE document (min doc_id per lang) —
-    the n-gram-overlap evaluation metric for generated text, as a
-    corpus operator: score a candidate pool against gold references
-    without an LLM in the loop. Clipped-count form (Lin 2004):
-    clip = sum_g min(count_cand(g), count_ref(g)).
+def _overlap_counts(docs: DataFrame) -> DataFrame:
+    """Shared clipped-count core for ROUGE/BLEU-vs-reference: per
+    candidate doc, the exact BIGINT sextuple (t1, c1, r1, t2, c2, r2)
+    = (candidate unigram total, clipped unigram overlap, reference
+    unigram total, and the bigram triple) against the doc's language
+    reference (min doc_id per lang). See rouge_vs_reference for the
+    scale argument (linear count passes, bounded broadcast reference,
+    nothing pairwise).
 
-    Engine parity: every clip/total is an exact BIGINT; each metric is
-    a fixed per-row IEEE chain over those ints (identical text in the
-    oracle), so outputs are bit-stable unrounded. F1 guards clip=0
-    with CASE ... ELSE 0.0 (Spark NULL-comparison booleans propagate
+    Engine parity: every clip/total is an exact BIGINT; downstream
+    metrics are fixed per-row IEEE chains over those ints (identical
+    text in the oracles), so outputs are bit-stable unrounded; clip=0
+    guards use CASE ... ELSE (Spark NULL-comparison booleans propagate
     NULL where SQL CASE yields the ELSE — r9 lesson).
 
     Scale shape: one tokenize pass fans out to unigram+bigram count
@@ -1939,6 +1940,20 @@ def rouge_vs_reference(docs: DataFrame) -> DataFrame:
             F.coalesce("r2", F.lit(0)).alias("r2"),
         )
     )
+    return j
+
+
+def rouge_vs_reference(docs: DataFrame) -> DataFrame:
+    """ROUGE-1 precision/recall/F1 and ROUGE-2 F1 of every document
+    against its language's REFERENCE document (min doc_id per lang) —
+    the n-gram-overlap evaluation metric for generated text, as a
+    corpus operator: score a candidate pool against gold references
+    without an LLM in the loop. Clipped-count form (Lin 2004):
+    clip = sum_g min(count_cand(g), count_ref(g)). Exact BIGINT
+    counts, fixed per-row IEEE chains (identical text in the oracle),
+    CASE-guarded zero clips. Linear count passes + bounded broadcast
+    reference (see _overlap_counts)."""
+    j = _overlap_counts(docs)
     # identical expression text in rouge_oracle_sql
     def metrics(c: str, t: str, r: str, name: str):
         p = F.col(c).cast("double") / F.col(t)
@@ -1960,10 +1975,11 @@ def rouge_vs_reference(docs: DataFrame) -> DataFrame:
     )
 
 
-def rouge_oracle_sql(table: str = "documents") -> str:
-    """DuckDB mirror of `rouge_vs_reference`: same clipped-count ints,
-    same per-row metric chains. Count relations are AS MATERIALIZED
-    (each feeds a total AND a clip join — the r7 CTE-inlining rule)."""
+def _overlap_ctes_sql(table: str) -> str:
+    """Shared CTE chain for the vs-reference overlap oracles (mirror
+    of `_overlap_counts`): ends with rg_j(doc_id, lang, t1..r2).
+    Count relations are AS MATERIALIZED (each feeds a total AND a
+    clip join — the r7 CTE-inlining rule)."""
     return f"""
     WITH rg_t AS MATERIALIZED (
         SELECT doc_id, lang, string_split(text, ' ') AS toks FROM {table}
@@ -2020,6 +2036,13 @@ def rouge_oracle_sql(table: str = "documents") -> str:
         LEFT JOIN rg_r1 r1 ON r1.lang = d.lang
         LEFT JOIN rg_r2 r2 ON r2.lang = d.lang
     )
+    """
+
+
+def rouge_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `rouge_vs_reference`: same clipped-count ints,
+    same per-row metric chains."""
+    return _overlap_ctes_sql(table) + """
     SELECT doc_id, lang,
            CASE WHEN t1 > 0 THEN CAST(c1 AS DOUBLE) / t1 ELSE 0.0 END AS r1_p,
            CAST(c1 AS DOUBLE) / r1 AS r1_r,
@@ -2035,5 +2058,52 @@ def rouge_oracle_sql(table: str = "documents") -> str:
                      / ((CAST(c2 AS DOUBLE) / t2)
                         + (CAST(c2 AS DOUBLE) / r2))
                 ELSE 0.0 END AS r2_f
+    FROM rg_j
+    """
+
+
+def bleu_vs_reference(docs: DataFrame, dp: int = 6) -> DataFrame:
+    """Sentence-BLEU (n<=2, no smoothing) of every document against
+    its language's reference document — the PRECISION-oriented dual of
+    rouge_vs_reference, with the brevity penalty that punishes short
+    candidates ROUGE-P would reward: BLEU-2 = BP * exp((ln p1 +
+    ln p2)/2), BP = min(1, exp(1 - ref_len/cand_len)). Zero clipped
+    counts -> 0.0 (unsmoothed; CASE-guarded so Spark never evaluates
+    ln(0)). exp/ln are the only irrational steps, rounded ``dp`` on
+    both sides. Same linear/broadcast scale shape as the shared
+    clipped-count core (_overlap_counts)."""
+    j = _overlap_counts(docs)
+    p1 = F.col("c1").cast("double") / F.col("t1")
+    p2 = F.col("c2").cast("double") / F.col("t2")
+    bp = F.when(
+        F.col("t1") >= F.col("r1"), F.lit(1.0)
+    ).otherwise(F.exp(1.0 - F.col("r1").cast("double") / F.col("t1")))
+    ok = (F.col("c1") > 0) & (F.col("c2") > 0) & (F.col("t1") > 0)
+    return j.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("t1") > 0, F.round(bp, dp))
+        .otherwise(F.lit(0.0))
+        .alias("bp"),
+        F.when(ok, F.round(bp * F.exp((F.log(p1) + F.log(p2)) / 2.0), dp))
+        .otherwise(F.lit(0.0))
+        .alias("bleu2"),
+    )
+
+
+def bleu_oracle_sql(table: str = "documents", dp: int = 6) -> str:
+    """DuckDB mirror of `bleu_vs_reference` (same chains over rg_j)."""
+    return _overlap_ctes_sql(table) + f"""
+    SELECT doc_id, lang,
+           CASE WHEN t1 > 0 THEN
+             round(CASE WHEN t1 >= r1 THEN 1.0
+                        ELSE exp(1.0 - CAST(r1 AS DOUBLE) / t1) END, {dp})
+           ELSE 0.0 END AS bp,
+           CASE WHEN c1 > 0 AND c2 > 0 AND t1 > 0 THEN
+             round((CASE WHEN t1 >= r1 THEN 1.0
+                         ELSE exp(1.0 - CAST(r1 AS DOUBLE) / t1) END)
+                   * exp((ln(CAST(c1 AS DOUBLE) / t1)
+                          + ln(CAST(c2 AS DOUBLE) / t2)) / 2.0), {dp})
+           ELSE 0.0 END AS bleu2
     FROM rg_j
     """

@@ -759,3 +759,23 @@ def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("1.0 + n / lnsum"), 6),
         ).alias("alpha_hat"),
     )
+
+
+@query(
+    "q_eigenvector_centrality",
+    oracle=graph_ops.eigenvector_oracle_sql(min_qty=45, iters=3),
+)
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (3 L1-normalized power-iteration rounds,
+    6dp per-round re-sync) over the supplier co-purchase graph — a
+    node matters when its NEIGHBORS matter: the influence ranking that
+    separates well-connected cores from leaf-heavy hubs degree alone
+    over-counts. Undirected companion of q_pagerank / q_hits on the
+    same graph family; one node-keyed exchange per round
+    (operators/graph.eigenvector_centrality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from celeborn_spark.operators.graph import copurchase_edges
+
+    return graph_ops.eigenvector_centrality(
+        copurchase_edges(li, min_qty=45), iters=3
+    )

@@ -2349,3 +2349,38 @@ def q_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.bartlett_test(
         customer, "c_mktsegment", F.floor(F.col("c_acctbal") * 100)
     )
+
+
+@query(
+    "q_friedman_test",
+    oracle=stats_ops.friedman_oracle_sql("events", "user_id", "event_type"),
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman within-subject omnibus: do the event types differ in
+    per-user frequency, controlling for each user's overall activity
+    level? Blocks = users, treatments = the event-type catalog,
+    values = 0-filled per-user counts, average-rank ties — the
+    repeated-measures sibling of q_kruskal_wallis. All-integer rank
+    identities (doubled half-ranks), exact tie correction
+    (operators/stats.friedman_test)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.friedman_test(ev, "user_id", "event_type")
+
+
+@query(
+    "q_ljung_box",
+    oracle=stats_ops.ljung_box_oracle_sql(
+        "orders", "o_orderdate", "floor(o_totalprice * 100)", max_lag=7
+    ),
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test (lags 1..7) on daily revenue cents —
+    are the short-horizon autocorrelations jointly zero, i.e. is
+    there any structure for a forecast to exploit? The multi-lag
+    companion of q_autocorrelation and the residual check behind
+    q_forecast_backtest. Row mass reduces to the calendar-bounded
+    day series before any window (operators/stats.ljung_box)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.ljung_box(
+        orders, "o_orderdate", F.floor(F.col("o_totalprice") * 100), max_lag=7
+    )

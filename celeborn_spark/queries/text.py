@@ -1561,3 +1561,15 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     never join each other (operators/textops.rouge_vs_reference)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.rouge_vs_reference(docs)
+
+
+@query("q_bleu_corpus", oracle=T.bleu_oracle_sql("documents"))
+def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-BLEU-2 (with brevity penalty, unsmoothed) of every
+    document against its language's reference — the precision-oriented
+    dual of q_rouge_overlap, sharing the same exact clipped-count core
+    (operators/textops.bleu_vs_reference): BP * geometric mean of
+    unigram/bigram precisions. Scores a generated-candidate pool
+    against gold references without a model in the loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bleu_vs_reference(docs)

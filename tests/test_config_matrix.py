@@ -546,3 +546,35 @@ def test_r11c_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11d_ops():
+    """Part-7 batch under engine-config flips: the shared clipped-count
+    BLEU core, the all-integer Friedman ranks, the calendar-bounded
+    Ljung-Box lags, and the power-iteration eigenvector rounds."""
+    from celeborn_spark.queries.graph import q_eigenvector_centrality
+    from celeborn_spark.queries.stats import q_friedman_test, q_ljung_box
+    from celeborn_spark.queries.text import q_bleu_corpus
+
+    return [
+        q_bleu_corpus,
+        q_friedman_test,
+        q_ljung_box,
+        q_eigenvector_centrality,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11d_ops(), ids=lambda f: f.__name__)
+def test_r11d_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -72,3 +72,46 @@ def test_bartlett_nonnegative_and_dof(spark, sf_dir):
     assert row.k == 5  # mktsegment catalog
     assert row.dof == row.k - 1
     assert row.bartlett_t is not None and row.bartlett_t >= 0
+
+
+def test_bleu_bounds_and_brevity(spark, sf_dir):
+    from celeborn_spark.queries.text import q_bleu_corpus
+
+    rows = q_bleu_corpus(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.bp <= 1.0 + 1e-12
+        assert 0.0 <= r.bleu2 <= 1.0 + 1e-12
+        # brevity penalty caps BLEU: bleu2 <= bp (precisions <= 1)
+        assert r.bleu2 <= r.bp + 1e-9
+
+
+def test_friedman_ranks_consistency(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_friedman_test
+
+    row = q_friedman_test(spark, sf_dir).collect()[0]
+    assert row.k == 5  # event_type catalog
+    assert row.friedman_chi2 >= 0
+    # tie correction only inflates the statistic
+    assert row.chi2_tie_corrected >= row.friedman_chi2 - 1e-9
+
+
+def test_ljung_box_monotone_cumulative(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_ljung_box
+
+    rows = sorted(q_ljung_box(spark, sf_dir).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.rho <= 1.0 + 1e-9
+    # Q is a cumulative sum of non-negative terms
+    qs = [r.q_lb for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(qs, qs[1:]))
+
+
+def test_eigenvector_centrality_invariants(spark, sf_dir):
+    from celeborn_spark.queries.graph import q_eigenvector_centrality
+
+    rows = q_eigenvector_centrality(spark, sf_dir).collect()
+    assert rows
+    assert all(r.score >= 0 for r in rows)
+    # L1-normalized: scores sum to 1 (up to 6dp rounding per node)
+    assert abs(sum(r.score for r in rows) - 1.0) < 5e-6 * len(rows)
