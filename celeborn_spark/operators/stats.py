@@ -4824,3 +4824,423 @@ def ljung_box_oracle_sql(
                                       AND CURRENT ROW), {dp}) AS q_lb
     FROM lb_rows
     """
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure: Column,
+    outcome: Column,
+    dp: int = 6,
+) -> DataFrame:
+    """Mantel–Haenszel common odds ratio across strata — the
+    confounder-adjusted version of `odds_ratio_2x2`: pool the 2x2
+    association over strata so a lurking stratum variable (Simpson's
+    paradox) cannot fake or hide the effect.
+    OR_MH = sum_i(a_i d_i/n_i) / sum_i(b_i c_i/n_i).
+
+    One conditional aggregate per stratum produces exact BIGINT cells;
+    the two cross-stratum sums are doubles over the BOUNDED stratum
+    catalog (k rows), so OR_MH rounds ``dp`` dp (the anova noise
+    discipline); the crude (pooled-cells) OR is emitted alongside —
+    the crude-vs-adjusted gap IS the confounding readout. Output one
+    row: (or_mh, or_crude, k_strata, n)."""
+    e = exposure.cast("long")
+    o = outcome.cast("long")
+    cells = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(e * o).cast("long").alias("a"),
+        F.sum(e * (1 - o)).cast("long").alias("b"),
+        F.sum((1 - e) * o).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - o)).cast("long").alias("d"),
+    )
+    n_i = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum(F.col("a") * F.col("d") / n_i).alias("num"),
+        F.sum(F.col("b") * F.col("c") / n_i).alias("den"),
+        F.sum("a").cast("long").alias("at"),
+        F.sum("b").cast("long").alias("bt"),
+        F.sum("c").cast("long").alias("ct"),
+        F.sum("d").cast("long").alias("dt"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("long")
+        .alias("n"),
+    )
+    crude_ok = (F.col("bt") > 0) & (F.col("ct") > 0)
+    return tot.select(
+        F.when(F.col("den") > 0, F.round(F.col("num") / F.col("den"), dp))
+        .alias("or_mh"),
+        F.when(
+            crude_ok,
+            F.round(
+                (F.col("at").cast("double") * F.col("dt"))
+                / (F.col("bt").cast("double") * F.col("ct")),
+                dp,
+            ),
+        ).alias("or_crude"),
+        "k_strata",
+        "n",
+    )
+
+
+def mantel_haenszel_oracle_sql(
+    table: str,
+    stratum_sql: str,
+    exposure_sql: str,
+    outcome_sql: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `mantel_haenszel` (identical chains)."""
+    return f"""
+    WITH mh_rows AS (
+        SELECT {stratum_sql} AS stratum,
+               CAST({exposure_sql} AS BIGINT) AS e,
+               CAST({outcome_sql} AS BIGINT)  AS o
+        FROM {table}
+    ),
+    mh_cells AS (
+        SELECT stratum,
+               CAST(sum(e * o) AS BIGINT)             AS a,
+               CAST(sum(e * (1 - o)) AS BIGINT)       AS b,
+               CAST(sum((1 - e) * o) AS BIGINT)       AS c,
+               CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d
+        FROM mh_rows GROUP BY stratum
+    ),
+    mh_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_strata,
+               sum(a * d / CAST(a + b + c + d AS DOUBLE)) AS num,
+               sum(b * c / CAST(a + b + c + d AS DOUBLE)) AS den,
+               CAST(sum(a) AS BIGINT) AS at, CAST(sum(b) AS BIGINT) AS bt,
+               CAST(sum(c) AS BIGINT) AS ct, CAST(sum(d) AS BIGINT) AS dt,
+               CAST(sum(a + b + c + d) AS BIGINT) AS n
+        FROM mh_cells
+    )
+    SELECT CASE WHEN den > 0 THEN round(num / den, {dp}) END AS or_mh,
+           CASE WHEN bt > 0 AND ct > 0 THEN
+             round((CAST(at AS DOUBLE) * dt) / (CAST(bt AS DOUBLE) * ct), {dp})
+           END AS or_crude,
+           k_strata, n
+    FROM mh_tot
+    """
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    rel_margin: float = 0.05,
+    dp: int = 6,
+) -> DataFrame:
+    """TOST equivalence test (two one-sided Welch t's): is group A's
+    mean PROVABLY WITHIN ±margin of group B's — the reversed burden of
+    proof q_ab_test_welch cannot give (failing to reject "different"
+    is not evidence of "same"; launch gates and A/A checks need this
+    direction). Margin = rel_margin * |mean_B| (data-derived,
+    deterministic).
+
+    Same sums-form variance machinery as `welch_t`; t_lo/t_hi round
+    ``dp`` dp and the equivalence verdict compares the ROUNDED t's to
+    the z=1.645 one-sided 5% critical value (dof is in the thousands
+    here; the z approximation is documented, not hidden). Output one
+    row: (mean_diff, margin, se, t_lo, t_hi, dof, equivalent)."""
+    g = df.filter(F.col(group_col).isin(group_a, group_b)).groupBy(
+        F.col(group_col).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("ss"),
+    )
+    a = g.filter(F.col("grp") == group_a).select(
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = g.filter(F.col("grp") == group_b).select(
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ma, mb = F.col("sa") / F.col("na"), F.col("sb") / F.col("nb")
+    va = (F.col("ssa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("ssb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    se2a, se2b = va / F.col("na"), vb / F.col("nb")
+    se = F.sqrt(se2a + se2b)
+    diff = ma - mb
+    margin = F.lit(rel_margin) * F.abs(mb)
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & ((se2a + se2b) != 0)
+    t_lo = F.round((diff + margin) / se, dp)
+    t_hi = F.round((diff - margin) / se, dp)
+    dof = (se2a + se2b) * (se2a + se2b) / (
+        se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)
+    )
+    return j.select(
+        F.round(diff, dp).alias("mean_diff"),
+        F.round(margin, dp).alias("margin"),
+        F.when(ok, F.round(se, dp)).alias("se"),
+        F.when(ok, t_lo).alias("t_lo"),
+        F.when(ok, t_hi).alias("t_hi"),
+        F.when(ok, F.round(dof, 2)).alias("dof"),
+        F.when(ok, (t_lo > 1.645) & (t_hi < -1.645))
+        .otherwise(F.lit(False))
+        .alias("equivalent"),
+    )
+
+
+def tost_oracle_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    group_a: str,
+    group_b: str,
+    rel_margin: float = 0.05,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `tost_equivalence` (identical chains)."""
+    return f"""
+    WITH g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS DOUBLE) AS n,
+               sum({value_sql}) AS s,
+               sum({value_sql} * {value_sql}) AS ss
+        FROM {table}
+        WHERE {group_sql} IN ('{group_a}', '{group_b}')
+        GROUP BY 1
+    ),
+    a AS (SELECT n AS na, s AS sa, ss AS ssa FROM g WHERE grp = '{group_a}'),
+    b AS (SELECT n AS nb, s AS sb, ss AS ssb FROM g WHERE grp = '{group_b}'),
+    c AS (
+        SELECT na, sa, ssa, nb, sb, ssb,
+               sa / na - sb / nb AS diff,
+               {rel_margin} * abs(sb / nb) AS margin,
+               ((ssa - sa * sa / na) / (na - 1)) / na AS se2a,
+               ((ssb - sb * sb / nb) / (nb - 1)) / nb AS se2b
+        FROM a CROSS JOIN b
+    )
+    SELECT round(diff, {dp}) AS mean_diff,
+           round(margin, {dp}) AS margin,
+           CASE WHEN na > 1 AND nb > 1 AND se2a + se2b <> 0 THEN
+             round(sqrt(se2a + se2b), {dp}) END AS se,
+           CASE WHEN na > 1 AND nb > 1 AND se2a + se2b <> 0 THEN
+             round((diff + margin) / sqrt(se2a + se2b), {dp}) END AS t_lo,
+           CASE WHEN na > 1 AND nb > 1 AND se2a + se2b <> 0 THEN
+             round((diff - margin) / sqrt(se2a + se2b), {dp}) END AS t_hi,
+           CASE WHEN na > 1 AND nb > 1 AND se2a + se2b <> 0 THEN
+             round((se2a + se2b) * (se2a + se2b)
+                   / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)), 2)
+           END AS dof,
+           CASE WHEN na > 1 AND nb > 1 AND se2a + se2b <> 0 THEN
+             round((diff + margin) / sqrt(se2a + se2b), {dp}) > 1.645
+             AND round((diff - margin) / sqrt(se2a + se2b), {dp}) < -1.645
+           ELSE FALSE END AS equivalent
+    FROM c
+    """
+
+
+def negative_binomial_fit(
+    df: DataFrame, group_col: str, unit_col: str
+) -> DataFrame:
+    """Method-of-moments negative-binomial fit of per-unit event
+    counts, per group — the overdispersion diagnostic (is variance >
+    mean, i.e. is a Poisson rate model wrong?) beside
+    q_fano_burstiness (time-axis) and q_interevent_exponential
+    (gap-axis): r = m^2/(v - m), p = m/v. Units with zero events of a
+    type COUNT (0-filled via the bounded group-catalog fan-out), or
+    the fit is censored.
+
+    All moments come from exact BIGINT (n, sum, sum-sq); m and v are
+    deterministic chains (emitted raw); v <= m censors r/p to NULL
+    via CASE. One count aggregate + k-fan 0-fill + one moment
+    aggregate per group. Output per group:
+    (group, n_units, mean_count, var_count, nb_r, nb_p,
+    overdispersed)."""
+    counts = df.groupBy(
+        F.col(unit_col).alias("unit"), F.col(group_col).alias("grp")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    units = df.select(F.col(unit_col).alias("unit")).distinct()
+    full = (
+        units.crossJoin(F.broadcast(groups))
+        .join(counts, ["unit", "grp"], "left")
+        .select("unit", "grp", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    g = full.groupBy(F.col("grp").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("n_units")
+    v = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n_units")
+    ) / (F.col("n_units") - 1)
+    return g.filter(F.col("n_units") > 1).select(
+        "group",
+        "n_units",
+        m.alias("mean_count"),
+        v.alias("var_count"),
+        F.when(v > m, m * m / (v - m)).alias("nb_r"),
+        F.when(v > 0, m / v).alias("nb_p"),
+        (v > m).alias("overdispersed"),
+    )
+
+
+def negative_binomial_oracle_sql(
+    table: str, group_sql: str, unit_sql: str
+) -> str:
+    """DuckDB mirror of `negative_binomial_fit` (identical chains)."""
+    return f"""
+    WITH nb_counts AS (
+        SELECT {unit_sql} AS unit, {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS y
+        FROM {table} GROUP BY 1, 2
+    ),
+    nb_groups AS (SELECT DISTINCT {group_sql} AS grp FROM {table}),
+    nb_units AS (SELECT DISTINCT {unit_sql} AS unit FROM {table}),
+    nb_full AS (
+        SELECT u.unit, g.grp, coalesce(c.y, 0) AS y
+        FROM nb_units u CROSS JOIN nb_groups g
+        LEFT JOIN nb_counts c ON c.unit = u.unit AND c.grp = g.grp
+    ),
+    nb_g AS (
+        SELECT grp AS "group",
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS ss
+        FROM nb_full GROUP BY 1
+    )
+    SELECT "group", n_units,
+           CAST(s AS DOUBLE) / n_units AS mean_count,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / n_units) / (n_units - 1) AS var_count,
+           CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                      * CAST(s AS DOUBLE) / n_units) / (n_units - 1)
+                     > CAST(s AS DOUBLE) / n_units THEN
+             (CAST(s AS DOUBLE) / n_units) * (CAST(s AS DOUBLE) / n_units)
+             / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / n_units) / (n_units - 1)
+                - CAST(s AS DOUBLE) / n_units)
+           END AS nb_r,
+           CASE WHEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                      * CAST(s AS DOUBLE) / n_units) / (n_units - 1) > 0 THEN
+             (CAST(s AS DOUBLE) / n_units)
+             / ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                      / n_units) / (n_units - 1))
+           END AS nb_p,
+           (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / n_units) / (n_units - 1)
+               > CAST(s AS DOUBLE) / n_units AS overdispersed
+    FROM nb_g WHERE n_units > 1
+    """
+
+
+def page_hinkley(
+    df: DataFrame,
+    date_col: str,
+    cents_col: Column,
+    lam_cents: int = 0,
+) -> DataFrame:
+    """Page–Hinkley drift detector on the daily total series — the
+    STREAMING-monitoring change detector (ML-drift dashboards) beside
+    q_cusum_changepoint (known target mean) and q_pettitt_changepoint
+    (retrospective rank test): m_t = sum_{i<=t}(x_i - xbar_i), with
+    xbar_i the RUNNING prefix mean, and PH_t = m_t - min_{s<=t} m_s;
+    drift when PH_t exceeds a threshold.
+
+    Engine parity: the per-day deviation x_i - S_i/i is a
+    deterministic chain over exact BIGINTs (prefix count/sum over the
+    unique-day total order), but a prefix FLOAT sum is NOT cross-engine
+    stable (DuckDB windows aggregate via a segment tree — pairwise
+    addition order — where Spark adds sequentially), so the deviation
+    is quantized to integer CENTS (floor, deterministic) and every
+    prefix sum/min downstream is exact BIGINT arithmetic, order-free.
+    PH resolution is therefore 1 cent; |dev| <= ~1e8 cents/day over a
+    bounded calendar keeps the running sum far inside int64 (~2.4e13
+    at sf100). Output per day: (d, x_cents, ph_cents).
+
+    Scale shape: row mass reduces to the calendar-bounded day series
+    before the three prefix windows (all ordered by the unique day)."""
+    from pyspark.sql import Window as W
+
+    daily = df.groupBy(
+        F.to_date(F.col(date_col)).alias("d")
+    ).agg(F.sum(cents_col.cast("long")).cast("long").alias("x"))
+    # calendar-bounded: one row per DAY feeds every prefix window
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    d1 = daily.select(
+        "d",
+        "x",
+        F.sum("x").over(w).cast("long").alias("s_t"),
+        F.count(F.lit(1)).over(w).cast("long").alias("t"),
+    )
+    d2 = d1.select(
+        "d",
+        "x",
+        F.floor(
+            F.col("x").cast("double")
+            - F.col("s_t").cast("double") / F.col("t")
+        ).cast("long").alias("dev_c"),
+    )
+    # calendar-bounded day series again: running sum then running min
+    d3 = d2.select(
+        "d", "x", F.sum("dev_c").over(w).cast("long").alias("m_t")
+    )
+    d4 = d3.select(
+        "d",
+        "x",
+        "m_t",
+        F.min("m_t").over(w).cast("long").alias("m_min"),
+    )
+    return d4.select(
+        F.col("d").cast("string").alias("d"),
+        F.col("x").alias("x_cents"),
+        (F.col("m_t") - F.col("m_min") - F.lit(lam_cents))
+        .cast("long")
+        .alias("ph_cents"),
+    )
+
+
+def page_hinkley_oracle_sql(
+    table: str, date_sql: str, cents_sql: str, lam_cents: int = 0
+) -> str:
+    """DuckDB mirror of `page_hinkley` (same prefix chains, same total
+    order)."""
+    return f"""
+    WITH ph_daily AS (
+        SELECT CAST({date_sql} AS DATE) AS d,
+               CAST(sum(CAST({cents_sql} AS BIGINT)) AS BIGINT) AS x
+        FROM {table} GROUP BY 1
+    ),
+    ph_d1 AS (
+        SELECT d, x,
+               CAST(sum(x) OVER w AS BIGINT) AS s_t,
+               CAST(count(*) OVER w AS BIGINT) AS t
+        FROM ph_daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ),
+    ph_d2 AS (
+        SELECT d, x,
+               CAST(floor(CAST(x AS DOUBLE) - CAST(s_t AS DOUBLE) / t)
+                    AS BIGINT) AS dev_c
+        FROM ph_d1
+    ),
+    ph_d3 AS (
+        SELECT d, x, CAST(sum(dev_c) OVER w AS BIGINT) AS m_t
+        FROM ph_d2
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    ),
+    ph_d4 AS (
+        SELECT d, x, m_t, CAST(min(m_t) OVER w AS BIGINT) AS m_min
+        FROM ph_d3
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+    )
+    SELECT CAST(d AS VARCHAR) AS d, x AS x_cents,
+           CAST(m_t - m_min - {lam_cents} AS BIGINT) AS ph_cents
+    FROM ph_d4
+    """

@@ -2384,3 +2384,85 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.ljung_box(
         orders, "o_orderdate", F.floor(F.col("o_totalprice") * 100), max_lag=7
     )
+
+
+@query(
+    "q_mantel_haenszel",
+    oracle=stats_ops.mantel_haenszel_oracle_sql(
+        "(SELECT c_mktsegment AS seg,"
+        "        c_acctbal > 5000 AS e_col,"
+        "        o_orderpriority = '1-URGENT' AS o_col"
+        " FROM orders JOIN customer ON o_custkey = c_custkey)",
+        "seg",
+        "e_col",
+        "o_col",
+    ),
+)
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio of urgent-order vs
+    high-balance, STRATIFIED by market segment — the
+    confounder-adjusted companion of q_odds_ratio (crude vs adjusted
+    gap = Simpson's-paradox readout). Exact per-stratum cells, two
+    bounded cross-stratum sums (operators/stats.mantel_haenszel)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+    return stats_ops.mantel_haenszel(
+        j,
+        "c_mktsegment",
+        exposure=F.col("c_acctbal") > 5000,
+        outcome=F.col("o_orderpriority") == "1-URGENT",
+    )
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=stats_ops.tost_oracle_sql(
+        "events", "event_type", "value", "view", "click", rel_margin=0.05
+    ),
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test: is the mean VIEW value provably within
+    ±5% of the mean CLICK value? The reversed-burden A/A-check
+    q_ab_test_welch cannot express (absence of significance is not
+    equivalence). Welch machinery, data-derived margin, z-critical
+    verdict on 6dp-rounded t's (operators/stats.tost_equivalence)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.tost_equivalence(
+        ev, "event_type", "value", "view", "click", rel_margin=0.05
+    )
+
+
+@query(
+    "q_negbin_fit",
+    oracle=stats_ops.negative_binomial_oracle_sql(
+        "events", "event_type", "user_id"
+    ),
+)
+def q_negbin_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of per-user counts per
+    event type — the overdispersion diagnostic (variance > mean ⇒ a
+    Poisson rate model under-predicts burstiness) beside
+    q_fano_burstiness. Exact integer moments, 0-filled units,
+    censored fit when v <= m (operators/stats.negative_binomial_fit)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.negative_binomial_fit(ev, "event_type", "user_id")
+
+
+@query(
+    "q_page_hinkley",
+    oracle=stats_ops.page_hinkley_oracle_sql(
+        "orders", "o_orderdate", "floor(o_totalprice * 100)"
+    ),
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift statistic per day on daily revenue cents —
+    the streaming-monitoring change detector beside q_cusum_changepoint
+    (needs a target mean) and q_pettitt_changepoint (retrospective):
+    running deviation from the RUNNING mean minus its running minimum.
+    Row mass reduces to the calendar before the prefix windows
+    (operators/stats.page_hinkley)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.page_hinkley(
+        orders, "o_orderdate", F.floor(F.col("o_totalprice") * 100)
+    )

@@ -578,3 +578,38 @@ def test_r11d_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11e_ops():
+    """Part-8 batch under engine-config flips: stratified MH cells,
+    the TOST two-sided Welch machinery, the 0-filled NB moments, and
+    the integer-cents Page-Hinkley prefix chain."""
+    from celeborn_spark.queries.stats import (
+        q_mantel_haenszel,
+        q_negbin_fit,
+        q_page_hinkley,
+        q_tost_equivalence,
+    )
+
+    return [
+        q_mantel_haenszel,
+        q_tost_equivalence,
+        q_negbin_fit,
+        q_page_hinkley,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11e_ops(), ids=lambda f: f.__name__)
+def test_r11e_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

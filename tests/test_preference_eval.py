@@ -115,3 +115,49 @@ def test_eigenvector_centrality_invariants(spark, sf_dir):
     assert all(r.score >= 0 for r in rows)
     # L1-normalized: scores sum to 1 (up to 6dp rounding per node)
     assert abs(sum(r.score for r in rows) - 1.0) < 5e-6 * len(rows)
+
+
+def test_mantel_haenszel_pools_strata(spark, sf_dir):
+    from celeborn_spark.queries.stats import (
+        q_mantel_haenszel,
+        q_odds_ratio,
+    )
+
+    mh = q_mantel_haenszel(spark, sf_dir).collect()[0]
+    crude = q_odds_ratio(spark, sf_dir).collect()[0]
+    assert mh.k_strata == 5
+    # or_crude must reproduce q_odds_ratio's pooled-cell OR
+    assert abs(mh.or_crude - round(crude.odds_ratio, 6)) < 1e-9
+    assert mh.or_mh is not None and mh.or_mh > 0
+
+
+def test_tost_direction(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_tost_equivalence
+
+    row = q_tost_equivalence(spark, sf_dir).collect()[0]
+    assert row.margin > 0
+    assert row.t_lo > row.t_hi  # +margin shifts the numerator up
+    assert row.equivalent in (True, False)
+
+
+def test_negbin_moments(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_negbin_fit
+
+    rows = q_negbin_fit(spark, sf_dir).collect()
+    assert len(rows) == 5  # event_type catalog
+    for r in rows:
+        assert r.mean_count > 0 and r.var_count >= 0
+        assert r.overdispersed == (r.var_count > r.mean_count)
+        if r.overdispersed:
+            # MoM identities: r > 0 and 0 < p <= 1
+            assert r.nb_r > 0 and 0 < r.nb_p <= 1
+
+
+def test_page_hinkley_nonnegative_and_resets(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_page_hinkley
+
+    rows = q_page_hinkley(spark, sf_dir).collect()
+    assert rows
+    # PH_t = m_t - running_min(m_t) >= 0 always, and = 0 at new minima
+    assert all(r.ph_cents >= 0 for r in rows)
+    assert any(r.ph_cents == 0 for r in rows)
