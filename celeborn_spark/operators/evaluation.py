@@ -1988,3 +1988,121 @@ def mix_drift_oracle_sql(
            round(cum / 2, {dp}) AS js_prev
     FROM walked WHERE rn = cats
     """
+
+
+def hosmer_lemeshow(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom_cents: int,
+    n_bins: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit over the same fixed-width
+    pseudo-probability bins as `calibration_bins`: per bin,
+    chi-square-style terms (O1-E1)^2/E1 + (O0-E0)^2/E0 with E1 = the
+    bin's SUMMED predicted probability — the significance-flavored
+    companion to ECE (is the miscalibration bigger than chance?).
+
+    Exact-integer core: with D = denom_cents, O1-E1 = (D*pos-cents)/D,
+    so term1 = (D*pos-cents)^2 / (D*cents) and
+    term0 = (D*pos-cents)^2 / (D*(n*D-cents)) — the numerator diff is
+    an exact BIGINT (cast to double before squaring; the square's
+    rounding is deterministic), each denominator is an exact BIGINT,
+    and every per-bin term is a fixed IEEE chain emitted raw. The
+    total chi2 sums <= n_bins such doubles (bounded, ~1e-13 noise)
+    and rounds ``dp`` dp, repeated per row (the ECE output pattern).
+    Degenerate bins (all-positive or all-zero expectation) CASE-guard
+    their term to NULL and drop from the total identically on both
+    sides.
+
+    Output: one row per non-empty bin
+    (bin, n, obs_pos, exp_cents, hl_term, hl_chi2, dof)."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    d = F.lit(denom_cents)
+    binned = df.select(
+        F.least(
+            F.lit(n_bins),
+            (F.floor(F.lit(n_bins) * s / d) + 1).cast("long"),
+        ).alias("bin"),
+        s.alias("s"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    per_bin = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("obs_pos"),
+            F.sum("s").cast("long").alias("exp_cents"),
+        )
+        # <= n_bins rows, referenced by the total AND the output
+        .localCheckpoint()
+    )
+    dd = (
+        F.lit(denom_cents) * F.col("obs_pos") - F.col("exp_cents")
+    ).cast("double")
+    den1 = (F.lit(denom_cents) * F.col("exp_cents")).cast("double")
+    den0 = (
+        F.lit(denom_cents)
+        * (F.col("n") * F.lit(denom_cents) - F.col("exp_cents"))
+    ).cast("double")
+    term = F.when(
+        (F.col("exp_cents") > 0)
+        & (F.col("n") * F.lit(denom_cents) > F.col("exp_cents")),
+        dd * dd / den1 + dd * dd / den0,
+    )
+    rows = per_bin.select("bin", "n", "obs_pos", "exp_cents", term.alias("hl_term"))
+    tot = rows.agg(
+        F.round(F.sum("hl_term"), dp).alias("hl_chi2"),
+        (F.count("hl_term") - 2).cast("long").alias("dof"),
+    )
+    return rows.crossJoin(F.broadcast(tot))
+
+
+def hosmer_lemeshow_oracle_sql(
+    table: str,
+    score_sql: str,
+    label_sql: str,
+    denom_cents: int,
+    n_bins: int = 10,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `hosmer_lemeshow` (identical integer core)."""
+    d = denom_cents
+    return f"""
+    WITH hl_binned AS (
+        SELECT least({n_bins},
+                     CAST(floor({n_bins} * CAST(floor({score_sql} * 100)
+                                               AS BIGINT) / {d}) + 1
+                          AS BIGINT)) AS bin,
+               CAST(floor({score_sql} * 100) AS BIGINT) AS s,
+               CAST({label_sql} AS BIGINT) AS label
+        FROM {table}
+    ),
+    hl_per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS obs_pos,
+               CAST(sum(s) AS BIGINT) AS exp_cents
+        FROM hl_binned GROUP BY bin
+    ),
+    hl_rows AS (
+        SELECT bin, n, obs_pos, exp_cents,
+               CASE WHEN exp_cents > 0 AND n * {d} > exp_cents THEN
+                 CAST({d} * obs_pos - exp_cents AS DOUBLE)
+                 * CAST({d} * obs_pos - exp_cents AS DOUBLE)
+                 / CAST({d} * exp_cents AS DOUBLE)
+                 + CAST({d} * obs_pos - exp_cents AS DOUBLE)
+                 * CAST({d} * obs_pos - exp_cents AS DOUBLE)
+                 / CAST({d} * (n * {d} - exp_cents) AS DOUBLE)
+               END AS hl_term
+        FROM hl_per_bin
+    ),
+    hl_tot AS (
+        SELECT round(sum(hl_term), {dp}) AS hl_chi2,
+               CAST(count(hl_term) - 2 AS BIGINT) AS dof
+        FROM hl_rows
+    )
+    SELECT bin, n, obs_pos, exp_cents, hl_term, hl_chi2, dof
+    FROM hl_rows CROSS JOIN hl_tot
+    """

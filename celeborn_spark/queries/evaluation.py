@@ -23,6 +23,8 @@ from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
     auc_ci,
     auc_ci_oracle_sql,
+    hosmer_lemeshow,
+    hosmer_lemeshow_oracle_sql,
     conformal_interval,
     conformal_oracle_sql,
     mix_drift_oracle_sql,
@@ -460,3 +462,33 @@ def q_mix_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
     )
     return mix_drift_series(ev, "day", "event_type")
+
+
+@query(
+    "q_hosmer_lemeshow",
+    oracle=hosmer_lemeshow_oracle_sql(
+        "(SELECT value,"
+        "        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        "            AS is_purchase FROM events)",
+        "value",
+        "is_purchase",
+        denom_cents=50000,
+        n_bins=10,
+    ),
+)
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow goodness-of-fit of the value/500
+    pseudo-probability against is-purchase, on q_calibration_bins'
+    exact fixed-width bins — the significance-flavored calibration
+    companion to ECE (how big is the miscalibration relative to
+    chance?). All-BIGINT term cores, one bounded-bin total
+    (operators/evaluation.hosmer_lemeshow)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    return hosmer_lemeshow(
+        events, "value", "label", denom_cents=50000, n_bins=10
+    )

@@ -885,3 +885,250 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # next round (or output) re-reads it
         )
     return m.select("pos", F.col("m").alias("med"))
+
+
+@query(
+    "q_davies_bouldin",
+    # mirrors q_silhouette's centroid machinery: 6dp per-dim means,
+    # 6dp distances, then every ratio is a chain over rounded values
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label AS clabel, pos, round(avg(x), 6) AS v
+        FROM dims GROUP BY label, pos
+    ),
+    d AS (
+        SELECT dims.vec_id, dims.label,
+               round(sqrt(sum((dims.x - c.v) * (dims.x - c.v))), 6) AS dist
+        FROM dims JOIN c ON dims.pos = c.pos AND dims.label = c.clabel
+        GROUP BY dims.vec_id, dims.label
+    ),
+    s AS (
+        SELECT label, round(avg(dist), 6) AS scatter,
+               CAST(count(*) AS BIGINT) AS n
+        FROM d GROUP BY label
+    ),
+    m AS (
+        SELECT c1.clabel AS i, c2.clabel AS j,
+               round(sqrt(sum((c1.v - c2.v) * (c1.v - c2.v))), 6) AS m_ij
+        FROM c c1 JOIN c c2 ON c1.pos = c2.pos AND c1.clabel <> c2.clabel
+        GROUP BY c1.clabel, c2.clabel
+    ),
+    r AS (
+        SELECT m.i AS label,
+               max(round((si.scatter + sj.scatter) / m.m_ij, 6))
+                   AS db_component
+        FROM m JOIN s si ON si.label = m.i JOIN s sj ON sj.label = m.j
+        WHERE m.m_ij > 0 GROUP BY m.i
+    )
+    SELECT s.label, s.n, s.scatter, r.db_component
+    FROM s JOIN r ON r.label = s.label
+    """,
+)
+def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin cluster-quality components per label: scatter
+    S_i (mean member-to-centroid distance) and the DB component
+    max_{j!=i}(S_i+S_j)/M_ij — the worst-separated-neighbor readout
+    beside q_silhouette (which averages per-point margins; DB punishes
+    the single most-confusable cluster pair, the failure mode that
+    matters when clusters gate mixture weights). Centroids are 6dp
+    per-dim means over one posexplode aggregate; the pairwise part
+    touches only the BOUNDED label catalog (k^2 rows). Row mass is
+    scanned twice (centroid pass + distance pass), never joined to
+    itself."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(S.as_double_array("embedding")).alias("pos", "x"),
+    )
+    c = dims.groupBy(F.col("label").alias("clabel"), F.col("pos").alias("cpos")).agg(
+        F.round(F.avg("x"), 6).alias("v")
+    )
+    d = (
+        dims.join(
+            F.broadcast(c),
+            (dims["pos"] == c["cpos"]) & (dims["label"] == c["clabel"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("x") - F.col("v")) * (F.col("x") - F.col("v")))
+                ),
+                6,
+            ).alias("dist")
+        )
+    )
+    s = d.groupBy("label").agg(
+        F.round(F.avg("dist"), 6).alias("scatter"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    c1 = c.select(
+        F.col("clabel").alias("i"), F.col("cpos").alias("p1"), F.col("v").alias("v1")
+    )
+    c2 = c.select(
+        F.col("clabel").alias("j"), F.col("cpos").alias("p2"), F.col("v").alias("v2")
+    )
+    m = (
+        c1.join(c2, (F.col("p1") == F.col("p2")) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("v1") - F.col("v2")) * (F.col("v1") - F.col("v2"))
+                    )
+                ),
+                6,
+            ).alias("m_ij")
+        )
+    )
+    si = s.select(F.col("label").alias("i"), F.col("scatter").alias("s_i"))
+    sj = s.select(F.col("label").alias("j"), F.col("scatter").alias("s_j"))
+    r = (
+        m.filter(F.col("m_ij") > 0)
+        .join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy(F.col("i").alias("rlabel"))
+        .agg(
+            F.max(
+                F.round((F.col("s_i") + F.col("s_j")) / F.col("m_ij"), 6)
+            ).alias("db_component")
+        )
+    )
+    return s.join(r, s["label"] == r["rlabel"]).select(
+        "label", "n", "scatter", "db_component"
+    )
+
+
+@query(
+    "q_embedding_whiten",
+    # exact-integer micros moments -> deterministic closed-form 2x2
+    # eigen -> per-row IEEE chains; no rounding needed anywhere
+    oracle="""
+    WITH ew_pts AS (
+        SELECT vec_id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xi,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS yi
+        FROM embeddings
+    ),
+    ew_m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xi) AS BIGINT) AS sx, CAST(sum(yi) AS BIGINT) AS sy,
+               CAST(sum(xi * xi) AS BIGINT) AS sxx,
+               CAST(sum(yi * yi) AS BIGINT) AS syy,
+               CAST(sum(xi * yi) AS BIGINT) AS sxy
+        FROM ew_pts
+    ),
+    ew_e AS (
+        SELECT n, CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+               (sxx - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS vx,
+               (syy - CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS vy,
+               (sxy - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1) AS cxy
+        FROM ew_m
+    ),
+    ew_q AS (
+        SELECT n, mx, my, cxy,
+               (vx + vy + sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)) / 2
+                   AS lam1,
+               (vx + vy - sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)) / 2
+                   AS lam2,
+               vx, vy
+        FROM ew_e
+    ),
+    ew_v AS (
+        SELECT n, mx, my, lam1, lam2,
+               CASE WHEN cxy <> 0 THEN
+                 cxy / sqrt(cxy * cxy + (lam1 - vx) * (lam1 - vx))
+               WHEN vx >= vy THEN 1.0 ELSE 0.0 END AS q1x,
+               CASE WHEN cxy <> 0 THEN
+                 (lam1 - vx) / sqrt(cxy * cxy + (lam1 - vx) * (lam1 - vx))
+               WHEN vx >= vy THEN 0.0 ELSE 1.0 END AS q1y
+        FROM ew_q
+    )
+    SELECT p.vec_id,
+           CASE WHEN v.lam1 > 0 THEN
+             ((p.xi - v.mx) * v.q1x + (p.yi - v.my) * v.q1y) / sqrt(v.lam1)
+           END AS w1,
+           CASE WHEN v.lam2 > 0 THEN
+             ((p.xi - v.mx) * (-v.q1y) + (p.yi - v.my) * v.q1x)
+                 / sqrt(v.lam2)
+           END AS w2
+    FROM ew_pts p CROSS JOIN ew_v v
+    """,
+)
+def q_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the first two embedding dimensions: rotate
+    onto the closed-form 2x2 eigenbasis and scale each axis to unit
+    variance — the decorrelation step in front of drift monitors and
+    distance thresholds (q_pca_2d gives the eigenstructure readout;
+    this APPLIES it per vector). Coordinates quantize to exact integer
+    micros so the moment matrix is all-BIGINT and the eigen chain is
+    deterministic — the per-row transform then needs no rounding at
+    all. One moment aggregate (broadcast scalar) + one map pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = S.as_double_array("embedding")
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.element_at(arr, 1) * 1000000).cast("long").alias("xi"),
+        F.floor(F.element_at(arr, 2) * 1000000).cast("long").alias("yi"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yi").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).cast("long").alias("syy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx").cast("double") / n, F.col("sy").cast("double") / n
+    vx = (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / n) / (n - 1)
+    disc = F.sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)
+    lam1, lam2 = (vx + vy + disc) / 2, (vx + vy - disc) / 2
+    q1norm = F.sqrt(cxy * cxy + (lam1 - vx) * (lam1 - vx))
+    q1x = (
+        F.when(cxy != 0, cxy / q1norm)
+        .when(vx >= vy, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    q1y = (
+        F.when(cxy != 0, (lam1 - vx) / q1norm)
+        .when(vx >= vy, F.lit(0.0))
+        .otherwise(F.lit(1.0))
+    )
+    basis = m.select(
+        mx.alias("mx"), my.alias("my"),
+        lam1.alias("lam1"), lam2.alias("lam2"),
+        q1x.alias("q1x"), q1y.alias("q1y"),
+    )
+    return pts.crossJoin(F.broadcast(basis)).select(
+        "vec_id",
+        F.when(
+            F.col("lam1") > 0,
+            (
+                (F.col("xi") - F.col("mx")) * F.col("q1x")
+                + (F.col("yi") - F.col("my")) * F.col("q1y")
+            ) / F.sqrt(F.col("lam1")),
+        ).alias("w1"),
+        F.when(
+            F.col("lam2") > 0,
+            (
+                (F.col("xi") - F.col("mx")) * (-F.col("q1y"))
+                + (F.col("yi") - F.col("my")) * F.col("q1x")
+            ) / F.sqrt(F.col("lam2")),
+        ).alias("w2"),
+    )

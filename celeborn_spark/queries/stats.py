@@ -2466,3 +2466,128 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.page_hinkley(
         orders, "o_orderdate", F.floor(F.col("o_totalprice") * 100)
     )
+
+
+_PT_B = 200
+_PT_KEY_SQL = (
+    "concat_ws('#', CAST(p.event_id AS VARCHAR), CAST(r.b AS VARCHAR))"
+)
+
+
+@query(
+    "q_permutation_test",
+    # every replicate diff is one IEEE division of exact BIGINT cents
+    # sums (deterministic, no rounding); the md5 u01 lane reproduces
+    # bit-for-bit in DuckDB (the repo's hash-lane idiom)
+    oracle=f"""
+    WITH pt_rows AS (
+        SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+               event_type = 'view' AS is_a
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pt_obs AS (
+        SELECT CAST(sum(CASE WHEN is_a THEN cents END) AS DOUBLE)
+               / sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN NOT is_a THEN cents END) AS DOUBLE)
+               / sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS obs_diff
+        FROM pt_rows
+    ),
+    pt_assign AS (
+        SELECT r.b, p.cents,
+               {{u01}} < 0.5 AS side
+        FROM pt_rows p CROSS JOIN range({_PT_B}) r(b)
+    ),
+    pt_diff AS (
+        SELECT b,
+               CAST(sum(CASE WHEN side THEN cents END) AS DOUBLE)
+               / sum(CASE WHEN side THEN 1 ELSE 0 END)
+             - CAST(sum(CASE WHEN NOT side THEN cents END) AS DOUBLE)
+               / sum(CASE WHEN NOT side THEN 1 ELSE 0 END) AS diff_b
+        FROM pt_assign
+        GROUP BY b
+        HAVING sum(CASE WHEN side THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN NOT side THEN 1 ELSE 0 END) > 0
+    )
+    SELECT o.obs_diff,
+           CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(sum(CASE WHEN abs(d.diff_b) >= abs(o.obs_diff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST(1 + sum(CASE WHEN abs(d.diff_b) >= abs(o.obs_diff)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / (1 + count(*)) AS p_value
+    FROM pt_diff d CROSS JOIN pt_obs o
+    GROUP BY o.obs_diff
+    """.replace("{u01}", C.u01_oracle_expr(_PT_KEY_SQL, salt=13)),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (approximate permutation) test for the view-vs-
+    click mean value difference: 200 deterministic md5 label
+    reshuffles build the null distribution, p = (1 + #extreme)/(B+1)
+    — the distribution-free SIGNIFICANCE companion to q_bootstrap_ci's
+    interval (same replicate fan-out pattern, Poisson weights swapped
+    for coin-flip sides). Every replicate diff is one division of
+    exact BIGINT cents sums — no float accumulation anywhere.
+    Scale shape: the rows x 200 fan-out is map-side after a
+    repartition (the bootstrap lesson); per-replicate sums combine
+    map-side into a 200-row relation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    rows = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "view").alias("is_a"),
+    )
+    obs = rows.agg(
+        (
+            F.sum(F.when(F.col("is_a"), F.col("cents"))).cast("double")
+            / F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            - F.sum(F.when(~F.col("is_a"), F.col("cents"))).cast("double")
+            / F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+        ).alias("obs_diff")
+    )
+    reps = spark.range(0, _PT_B).select(F.col("id").alias("b"))
+    u = C.u01(
+        F.concat_ws(
+            "#", F.col("event_id").cast("string"), F.col("b").cast("string")
+        ),
+        salt=13,
+    )
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    assign = (
+        rows.repartition(par)  # single-split input before the 200x map
+        .crossJoin(F.broadcast(reps))
+        .select("b", "cents", (u < 0.5).alias("side"))
+    )
+    diffs = (
+        assign.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("side"), F.col("cents"))).cast("double").alias("sa"),
+            F.sum(F.when(F.col("side"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(~F.col("side"), F.col("cents"))).cast("double").alias("sb"),
+            F.sum(F.when(~F.col("side"), 1).otherwise(0)).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "b",
+            (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")).alias(
+                "diff_b"
+            ),
+        )
+    )
+    extreme = (
+        F.abs(F.col("diff_b")) >= F.abs(F.col("obs_diff"))
+    ).cast("long")
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+            F.sum(extreme).cast("long").alias("n_extreme"),
+            (
+                (1 + F.sum(extreme)).cast("double")
+                / (1 + F.count(F.lit(1)))
+            ).alias("p_value"),
+        )
+        .select("obs_diff", "n_replicates", "n_extreme", "p_value")
+    )

@@ -613,3 +613,38 @@ def test_r11e_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11f_ops():
+    """Part-9 batch under engine-config flips: the bounded-catalog DB
+    pairwise joins, the 200-replicate md5 fan-out, the exact-bin HL
+    terms, and the broadcast whitening basis."""
+    from celeborn_spark.queries.evaluation import q_hosmer_lemeshow
+    from celeborn_spark.queries.similarity import (
+        q_davies_bouldin,
+        q_embedding_whiten,
+    )
+    from celeborn_spark.queries.stats import q_permutation_test
+
+    return [
+        q_davies_bouldin,
+        q_permutation_test,
+        q_hosmer_lemeshow,
+        q_embedding_whiten,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11f_ops(), ids=lambda f: f.__name__)
+def test_r11f_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -161,3 +161,46 @@ def test_page_hinkley_nonnegative_and_resets(spark, sf_dir):
     # PH_t = m_t - running_min(m_t) >= 0 always, and = 0 at new minima
     assert all(r.ph_cents >= 0 for r in rows)
     assert any(r.ph_cents == 0 for r in rows)
+
+
+def test_davies_bouldin_positive_and_bounded_labels(spark, sf_dir):
+    from celeborn_spark.queries.similarity import q_davies_bouldin
+
+    rows = q_davies_bouldin(spark, sf_dir).collect()
+    assert 2 <= len(rows) <= 16
+    for r in rows:
+        assert r.scatter >= 0 and r.db_component > 0
+
+
+def test_permutation_test_p_value_range(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_permutation_test
+
+    row = q_permutation_test(spark, sf_dir).collect()[0]
+    assert row.n_replicates == 200
+    assert 0 < row.p_value <= 1.0
+    assert row.p_value == (1 + row.n_extreme) / (1 + row.n_replicates)
+
+
+def test_hosmer_lemeshow_totals(spark, sf_dir):
+    from celeborn_spark.queries.evaluation import q_hosmer_lemeshow
+
+    rows = q_hosmer_lemeshow(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 10
+    chi2 = {r.hl_chi2 for r in rows}
+    assert len(chi2) == 1  # repeated total
+    assert chi2.pop() >= 0
+
+
+def test_embedding_whiten_unit_variance(spark, sf_dir):
+    from celeborn_spark.queries.similarity import q_embedding_whiten
+
+    rows = q_embedding_whiten(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 1
+    for col in ("w1", "w2"):
+        vals = [getattr(r, col) for r in rows]
+        m = sum(vals) / n
+        var = sum((v - m) ** 2 for v in vals) / (n - 1)
+        # whitened axes have mean ~0, variance ~1
+        assert abs(m) < 1e-6
+        assert abs(var - 1.0) < 1e-6
