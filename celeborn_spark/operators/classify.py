@@ -258,3 +258,137 @@ def decision_stump_oracle_sql(
            CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
     FROM best WHERE rn = 1
     """
+
+
+def classification_report(conf: DataFrame, dp: int = 6) -> DataFrame:
+    """Per-class precision/recall/F1 + support from a confusion-matrix
+    relation (actual, predicted, n_docs) — the sklearn-style
+    classifier report as a relational operator, with micro accuracy
+    and macro-F1 repeated on every row (the ECE output pattern).
+
+    All cells are exact BIGINTs; P/R/F1 are per-row chains of one or
+    two divisions (CASE-guarded zeros); accuracy is one exact
+    division; macro-F1 averages <= k deterministic doubles (bounded
+    class catalog) and rounds ``dp``. The confusion input is
+    checkpointed once — it feeds the per-class TP/FP/FN views and the
+    totals."""
+    c = conf.localCheckpoint()  # bounded k x k relation, referenced 4x
+    classes = (
+        c.select(F.col("actual").alias("cls"))
+        .unionAll(c.select(F.col("predicted").alias("cls")))
+        .distinct()
+    )
+    tp = c.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n_docs").alias("tp")
+    )
+    fp = (
+        c.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("cls"))
+        .agg(F.sum("n_docs").cast("long").alias("fp"))
+    )
+    fn = (
+        c.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n_docs").cast("long").alias("fn"))
+    )
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    p = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    )
+    r = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    rows = per.select(
+        "cls",
+        (F.col("tp") + F.col("fn")).cast("long").alias("support"),
+        p.alias("precision"),
+        r.alias("recall"),
+        f1.alias("f1"),
+    ).localCheckpoint()  # bounded class catalog; feeds totals + output
+    tot = (
+        rows.agg(F.round(F.avg("f1"), dp).alias("macro_f1"))
+        .crossJoin(
+            c.agg(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("actual") == F.col("predicted"),
+                            F.col("n_docs"),
+                        ).otherwise(F.lit(0))
+                    ).cast("double")
+                    / F.sum("n_docs")
+                ).alias("accuracy")
+            )
+        )
+    )
+    return rows.crossJoin(F.broadcast(tot))
+
+
+def classification_report_oracle_sql(confusion_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `classification_report` over a confusion-matrix
+    subquery (actual, predicted, n_docs) — the subquery may carry its
+    own WITH clause (wrapped, not inlined)."""
+    return f"""
+    WITH cr_conf AS MATERIALIZED (
+        SELECT * FROM ({confusion_sql})
+    ),
+    cr_classes AS (
+        SELECT DISTINCT cls FROM (
+            SELECT actual AS cls FROM cr_conf
+            UNION ALL SELECT predicted FROM cr_conf
+        )
+    ),
+    cr_tp AS (SELECT actual AS cls, n_docs AS tp FROM cr_conf
+              WHERE actual = predicted),
+    cr_fp AS (SELECT predicted AS cls, CAST(sum(n_docs) AS BIGINT) AS fp
+              FROM cr_conf WHERE actual <> predicted GROUP BY 1),
+    cr_fn AS (SELECT actual AS cls, CAST(sum(n_docs) AS BIGINT) AS fn
+              FROM cr_conf WHERE actual <> predicted GROUP BY 1),
+    cr_per AS (
+        SELECT c.cls,
+               coalesce(tp.tp, 0) AS tp,
+               coalesce(fp.fp, 0) AS fp,
+               coalesce(fn.fn, 0) AS fn
+        FROM cr_classes c
+        LEFT JOIN cr_tp tp ON tp.cls = c.cls
+        LEFT JOIN cr_fp fp ON fp.cls = c.cls
+        LEFT JOIN cr_fn fn ON fn.cls = c.cls
+    ),
+    cr_rows AS MATERIALIZED (
+        SELECT cls,
+               CAST(tp + fn AS BIGINT) AS support,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN 2.0 * tp / (2 * tp + fp + fn)
+                    ELSE 0.0 END AS f1
+        FROM cr_per
+    ),
+    cr_tot AS (
+        SELECT (SELECT round(avg(f1), {dp}) FROM cr_rows) AS macro_f1,
+               (SELECT CAST(sum(CASE WHEN actual = predicted
+                                     THEN n_docs ELSE 0 END) AS DOUBLE)
+                       / sum(n_docs)
+                FROM cr_conf) AS accuracy
+    )
+    SELECT cls, support, precision, recall, f1, macro_f1, accuracy
+    FROM cr_rows CROSS JOIN cr_tot
+    """

@@ -2107,3 +2107,92 @@ def bleu_oracle_sql(table: str = "documents", dp: int = 6) -> str:
            ELSE 0.0 END AS bleu2
     FROM rg_j
     """
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter battery (Rae et al. 2021,
+    reduced to oracle-expressible exact-integer predicates): per doc,
+    one boolean per rule plus the conjunction — the transparent
+    alternative to q_text_quality's blended score when a pipeline
+    needs to EXPLAIN each rejection. Rules: token count in [50, 1e5];
+    mean token length in [3, 10] (cross-multiplied — 3n <= chars <=
+    10n, no division); numeric-token ratio <= 20% (5*digits <= n);
+    top-token ratio <= 20% (5*max_count <= n, the repetition screen);
+    >= 2 distinct English stopword types for 'en' docs (coverage
+    screen, waived off-language).
+
+    Every predicate compares exact BIGINTs — zero float anywhere.
+    Scale shape: one explode -> (doc, token) count aggregate -> one
+    per-doc reduce; both map-side combined, output one row per doc."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    lvl1 = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stops = list(EN_STOPWORDS)
+    per = lvl1.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.length("tok")).cast("long").alias("chars"),
+        F.sum(
+            F.when(F.col("tok").rlike("^[0-9]+$"), F.col("c")).otherwise(0)
+        ).cast("long").alias("n_digit"),
+        F.max("c").cast("long").alias("max_c"),
+        F.sum(F.col("tok").isin(*stops).cast("long"))
+        .cast("long")
+        .alias("n_stop_types"),
+    )
+    r_len = (F.col("n") >= 50) & (F.col("n") <= 100000)
+    r_wordlen = (3 * F.col("n") <= F.col("chars")) & (
+        F.col("chars") <= 10 * F.col("n")
+    )
+    r_digit = 5 * F.col("n_digit") <= F.col("n")
+    r_rep = 5 * F.col("max_c") <= F.col("n")
+    r_stop = (F.col("lang") != "en") | (F.col("n_stop_types") >= 2)
+    return per.select(
+        "doc_id",
+        r_len.alias("r_len"),
+        r_wordlen.alias("r_wordlen"),
+        r_digit.alias("r_digit"),
+        r_rep.alias("r_rep"),
+        r_stop.alias("r_stop"),
+        (r_len & r_wordlen & r_digit & r_rep & r_stop).alias("pass_all"),
+    )
+
+
+def gopher_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `gopher_rules` (identical integer predicates)."""
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+    WITH gr_toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM {table}
+    ),
+    gr_lvl1 AS (
+        SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM gr_toks GROUP BY doc_id, lang, tok
+    ),
+    gr_per AS (
+        SELECT doc_id, lang,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * length(tok)) AS BIGINT) AS chars,
+               CAST(sum(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+                             THEN c ELSE 0 END) AS BIGINT) AS n_digit,
+               CAST(max(c) AS BIGINT) AS max_c,
+               CAST(sum(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_stop_types
+        FROM gr_lvl1 GROUP BY doc_id, lang
+    )
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS r_len,
+           3 * n <= chars AND chars <= 10 * n AS r_wordlen,
+           5 * n_digit <= n AS r_digit,
+           5 * max_c <= n AS r_rep,
+           lang <> 'en' OR n_stop_types >= 2 AS r_stop,
+           (n >= 50 AND n <= 100000)
+           AND (3 * n <= chars AND chars <= 10 * n)
+           AND (5 * n_digit <= n)
+           AND (5 * max_c <= n)
+           AND (lang <> 'en' OR n_stop_types >= 2) AS pass_all
+    FROM gr_per
+    """

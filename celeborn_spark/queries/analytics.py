@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.classify import (
+    classification_report_oracle_sql,
     naive_bayes_confusion,
     naive_bayes_oracle_sql,
 )
@@ -1303,3 +1304,25 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.orderBy(
         F.col("support").desc(), "i1", "i2", "i3"
     ).limit(20)
+
+
+@query(
+    "q_classifier_report",
+    oracle=classification_report_oracle_sql(
+        naive_bayes_oracle_sql("documents", "doc_id", "text", "lang")
+    ),
+)
+def q_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sklearn-style classification report (per-class P/R/F1/support +
+    micro accuracy + macro-F1) of the in-engine naive-Bayes language
+    classifier — the multi-class grading surface beside the binary
+    desk (q_mcc, q_roc_auc): which LANGUAGES does the classifier
+    confuse, not just how often. Derives entirely from the bounded
+    k x k confusion relation (operators/classify.classification_report
+    over naive_bayes_confusion)."""
+    from celeborn_spark.operators.classify import classification_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classification_report(
+        naive_bayes_confusion(docs, "doc_id", "text", "lang")
+    )

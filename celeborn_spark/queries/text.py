@@ -1573,3 +1573,16 @@ def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     against gold references without a model in the loop."""
     docs = load_table(spark, sf_dir, "documents")
     return T.bleu_vs_reference(docs)
+
+
+@query("q_gopher_rules", oracle=T.gopher_oracle_sql("documents"))
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter battery: per-doc boolean
+    verdicts (length band, mean word length, numeric ratio, top-token
+    repetition, stopword coverage) plus the conjunction — the
+    EXPLAINABLE rejection surface beside q_text_quality's blended
+    score. Every predicate compares exact integers via
+    cross-multiplication; two map-combined aggregates total
+    (operators/textops.gopher_rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_rules(docs)

@@ -648,3 +648,28 @@ def test_r11f_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11g_ops():
+    """Part-10 batch under engine-config flips: the kxk confusion
+    report joins and the all-integer Gopher predicate battery."""
+    from celeborn_spark.queries.analytics import q_classifier_report
+    from celeborn_spark.queries.text import q_gopher_rules
+
+    return [q_classifier_report, q_gopher_rules]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11g_ops(), ids=lambda f: f.__name__)
+def test_r11g_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -204,3 +204,32 @@ def test_embedding_whiten_unit_variance(spark, sf_dir):
         # whitened axes have mean ~0, variance ~1
         assert abs(m) < 1e-6
         assert abs(var - 1.0) < 1e-6
+
+
+def test_classifier_report_consistency(spark, sf_dir):
+    from celeborn_spark.queries.analytics import q_classifier_report
+
+    rows = q_classifier_report(spark, sf_dir).collect()
+    assert 2 <= len(rows) <= 5
+    total = sum(r.support for r in rows)
+    assert total > 0
+    for r in rows:
+        for v in (r.precision, r.recall, r.f1):
+            if v is not None:
+                assert 0.0 <= v <= 1.0 + 1e-12
+    accs = {r.accuracy for r in rows}
+    assert len(accs) == 1 and 0 <= accs.pop() <= 1
+
+
+def test_gopher_rules_conjunction(spark, sf_dir):
+    from celeborn_spark.queries.text import q_gopher_rules
+
+    rows = q_gopher_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pass_all == (
+            r.r_len and r.r_wordlen and r.r_digit and r.r_rep and r.r_stop
+        )
+    # the battery must actually discriminate on this corpus
+    verdicts = {r.pass_all for r in rows}
+    assert verdicts == {True, False} or len(rows) < 10
