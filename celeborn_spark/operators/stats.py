@@ -5244,3 +5244,398 @@ def page_hinkley_oracle_sql(
            CAST(m_t - m_min - {lam_cents} AS BIGINT) AS ph_cents
     FROM ph_d4
     """
+
+
+def gaussian_mixture_em_1d(
+    df: DataFrame, cents_col: Column, rounds: int = 2
+) -> DataFrame:
+    """Two-component 1D Gaussian mixture via EM (``rounds`` fixed
+    iterations) — the soft-clustering / latent-population primitive
+    (bimodal revenue? two latency regimes?) beside k-means' hard
+    assignments. Deterministic moment-based init (mu = mean -/+ sd,
+    equal weights), then per round: E-step responsibilities, M-step
+    weighted moments, parameters ROUNDED and re-synced (mu/sigma 2dp
+    cents — their ~1e-13 relative accumulation noise is ~1e-6 absolute
+    at 1e7-cent scale, far under the 0.005 half-step; weight 6dp) so
+    float drift cannot compound across rounds (the geometric-median
+    discipline).
+
+    The E-step uses the odds form r1 = 1/(1 + exp(e2 - e1) * w2/w1)
+    with e_i = -(x-mu_i)^2/(2 s_i^2) - ln(s_i): exp overflow gives
+    r1 -> 0 and underflow r1 -> 1 GRACEFULLY, so no NaN appears at
+    distribution tails (the naive N1/(N1+N2) form is 0/0 there).
+    Component death (sum r -> 0) CASE-guards to NULL on both sides.
+
+    Scale shape: one exact-integer moment aggregate for init, then one
+    map-combined weighted-moment aggregate per round over the cents
+    projection; parameters ride 1-row broadcast relations. Output one
+    row: (w1, mu1_cents, s1_cents, mu2_cents, s2_cents, n)."""
+    x = df.select(cents_col.cast("long").alias("x")).localCheckpoint()
+    m0 = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / n) / (n - 1)
+    sd = F.sqrt(var)
+    params = m0.select(
+        "n",
+        F.lit(0.5).alias("w1"),
+        F.round(mean - sd, 2).alias("mu1"),
+        F.round(sd, 2).alias("s1"),
+        F.round(mean + sd, 2).alias("mu2"),
+        F.round(sd, 2).alias("s2"),
+    )
+    for _ in range(rounds):
+        j = x.crossJoin(F.broadcast(params))
+        e1 = (
+            -(F.col("x") - F.col("mu1")) * (F.col("x") - F.col("mu1"))
+            / (2.0 * F.col("s1") * F.col("s1"))
+            - F.log("s1")
+        )
+        e2 = (
+            -(F.col("x") - F.col("mu2")) * (F.col("x") - F.col("mu2"))
+            / (2.0 * F.col("s2") * F.col("s2"))
+            - F.log("s2")
+        )
+        r1 = 1.0 / (
+            1.0
+            + F.exp(e2 - e1) * (1.0 - F.col("w1")) / F.col("w1")
+        )
+        est = j.select("n", r1.alias("r1"), F.col("x").cast("double").alias("xd"))
+        mstep = est.groupBy("n").agg(
+            F.sum("r1").alias("sr1"),
+            F.sum(F.col("r1") * F.col("xd")).alias("sx1"),
+            F.sum(F.col("r1") * F.col("xd") * F.col("xd")).alias("sxx1"),
+            F.sum(1.0 - F.col("r1")).alias("sr2"),
+            F.sum((1.0 - F.col("r1")) * F.col("xd")).alias("sx2"),
+            F.sum((1.0 - F.col("r1")) * F.col("xd") * F.col("xd")).alias(
+                "sxx2"
+            ),
+        )
+        nd = F.col("n").cast("double")
+        mu1n = F.col("sx1") / F.col("sr1")
+        mu2n = F.col("sx2") / F.col("sr2")
+        params = mstep.select(
+            "n",
+            F.when(
+                (F.col("sr1") > 0) & (F.col("sr2") > 0),
+                F.round(F.col("sr1") / nd, 6),
+            ).alias("w1"),
+            F.when(F.col("sr1") > 0, F.round(mu1n, 2)).alias("mu1"),
+            F.when(
+                F.col("sr1") > 0,
+                F.round(
+                    F.sqrt(F.col("sxx1") / F.col("sr1") - mu1n * mu1n), 2
+                ),
+            ).alias("s1"),
+            F.when(F.col("sr2") > 0, F.round(mu2n, 2)).alias("mu2"),
+            F.when(
+                F.col("sr2") > 0,
+                F.round(
+                    F.sqrt(F.col("sxx2") / F.col("sr2") - mu2n * mu2n), 2
+                ),
+            ).alias("s2"),
+        )
+    return params.select(
+        "w1",
+        F.col("mu1").alias("mu1_cents"),
+        F.col("s1").alias("s1_cents"),
+        F.col("mu2").alias("mu2_cents"),
+        F.col("s2").alias("s2_cents"),
+        "n",
+    )
+
+
+def gaussian_mixture_oracle_sql(
+    table: str, cents_sql: str, rounds: int = 2
+) -> str:
+    """DuckDB mirror of `gaussian_mixture_em_1d`: identical init,
+    identical odds-form E-step, rounds unrolled (round relations
+    AS MATERIALIZED — each is referenced by every E-step row)."""
+    ctes = [
+        f"""gm_x AS MATERIALIZED (
+        SELECT CAST({cents_sql} AS BIGINT) AS x FROM {table}
+    )""",
+        """gm_m0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               sum(CAST(x AS DOUBLE) * x) AS ss
+        FROM gm_x
+    )""",
+        """gm_p0 AS MATERIALIZED (
+        SELECT n, 0.5 AS w1,
+               round(CAST(s AS DOUBLE) / n
+                     - sqrt((ss - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1)), 2) AS mu1,
+               round(sqrt((ss - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1)), 2) AS s1,
+               round(CAST(s AS DOUBLE) / n
+                     + sqrt((ss - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                            / (CAST(n AS DOUBLE) - 1)), 2) AS mu2,
+               round(sqrt((ss - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1)), 2) AS s2
+        FROM gm_m0
+    )""",
+    ]
+    prev = "gm_p0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""gm_e{r} AS (
+        SELECT p.n,
+               1.0 / (1.0 + exp(
+                   (-(x.x - p.mu2) * (x.x - p.mu2) / (2.0 * p.s2 * p.s2)
+                    - ln(p.s2))
+                 - (-(x.x - p.mu1) * (x.x - p.mu1) / (2.0 * p.s1 * p.s1)
+                    - ln(p.s1))
+               ) * (1.0 - p.w1) / p.w1) AS r1,
+               CAST(x.x AS DOUBLE) AS xd
+        FROM gm_x x CROSS JOIN {prev} p
+    )""")
+        ctes.append(f"""gm_m{r} AS (
+        SELECT n, sum(r1) AS sr1, sum(r1 * xd) AS sx1,
+               sum(r1 * xd * xd) AS sxx1,
+               sum(1.0 - r1) AS sr2, sum((1.0 - r1) * xd) AS sx2,
+               sum((1.0 - r1) * xd * xd) AS sxx2
+        FROM gm_e{r} GROUP BY n
+    )""")
+        ctes.append(f"""gm_p{r} AS MATERIALIZED (
+        SELECT n,
+               CASE WHEN sr1 > 0 AND sr2 > 0
+                    THEN round(sr1 / CAST(n AS DOUBLE), 6) END AS w1,
+               CASE WHEN sr1 > 0 THEN round(sx1 / sr1, 2) END AS mu1,
+               CASE WHEN sr1 > 0 THEN
+                 round(sqrt(sxx1 / sr1 - (sx1 / sr1) * (sx1 / sr1)), 2)
+               END AS s1,
+               CASE WHEN sr2 > 0 THEN round(sx2 / sr2, 2) END AS mu2,
+               CASE WHEN sr2 > 0 THEN
+                 round(sqrt(sxx2 / sr2 - (sx2 / sr2) * (sx2 / sr2)), 2)
+               END AS s2
+        FROM gm_m{r}
+    )""")
+        prev = f"gm_p{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT w1, mu1 AS mu1_cents, s1 AS s1_cents,
+           mu2 AS mu2_cents, s2 AS s2_cents, n
+    FROM {prev}"""
+    )
+
+
+def capture_recapture(df: DataFrame, ts_col: str, unit_col: str) -> DataFrame:
+    """Chapman capture–recapture population estimate from two
+    observation windows (the event span split at its midpoint): how
+    many units EXIST, including the never-observed — the
+    under-coverage estimator (true user base, total defect count)
+    nothing else on the stats desk gives.
+      N_hat = (n1+1)(n2+1)/(m+1) - 1,
+      var   = (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)^2 (m+2)).
+
+    The window split is data-derived ((min+max) DIV 2 of the exact
+    epoch-micros span); n1/n2/m come from one per-unit flag aggregate
+    (seen-before / seen-after as max of booleans) + one sum — all
+    exact BIGINTs, N_hat is one exact division emitted raw, the CI is
+    the only sqrt and rounds 6dp. Output one row:
+    (n1, n2, m, n_hat, ci_lo, ci_hi)."""
+    mid = df.agg(
+        (
+            (F.min(F.unix_micros(F.col(ts_col)))
+             + F.max(F.unix_micros(F.col(ts_col)))) / F.lit(2)
+        ).cast("long").alias("mid_us")
+    )
+    flags = (
+        df.crossJoin(F.broadcast(mid))
+        .groupBy(F.col(unit_col).alias("unit"))
+        .agg(
+            F.max(
+                (F.unix_micros(F.col(ts_col)) < F.col("mid_us")).cast("long")
+            ).alias("in1"),
+            F.max(
+                (F.unix_micros(F.col(ts_col)) >= F.col("mid_us")).cast("long")
+            ).alias("in2"),
+        )
+    )
+    tot = flags.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+    )
+    n1, n2, m = (F.col(c).cast("double") for c in ("n1", "n2", "m"))
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    return tot.select(
+        "n1", "n2", "m",
+        n_hat.alias("n_hat"),
+        F.round(n_hat - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
+        F.round(n_hat + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
+    )
+
+
+def capture_recapture_oracle_sql(
+    table: str, ts_sql: str, unit_sql: str
+) -> str:
+    """DuckDB mirror of `capture_recapture` (identical chains)."""
+    return f"""
+    WITH cr2_mid AS (
+        SELECT CAST((min(epoch_us({ts_sql})) + max(epoch_us({ts_sql})))
+                    / 2 AS BIGINT) AS mid_us
+        FROM {table}
+    ),
+    cr2_flags AS (
+        SELECT {unit_sql} AS unit,
+               max(CASE WHEN epoch_us({ts_sql}) < mid_us
+                        THEN 1 ELSE 0 END) AS in1,
+               max(CASE WHEN epoch_us({ts_sql}) >= mid_us
+                        THEN 1 ELSE 0 END) AS in2
+        FROM {table} CROSS JOIN cr2_mid
+        GROUP BY 1
+    ),
+    cr2_tot AS (
+        SELECT CAST(sum(in1) AS BIGINT) AS n1,
+               CAST(sum(in2) AS BIGINT) AS n2,
+               CAST(sum(in1 * in2) AS BIGINT) AS m
+        FROM cr2_flags
+    )
+    SELECT n1, n2, m,
+           (CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+               / (CAST(m AS DOUBLE) + 1) - 1 AS n_hat,
+           round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                     / (CAST(m AS DOUBLE) + 1) - 1
+                 - 1.96 * sqrt((CAST(n1 AS DOUBLE) + 1)
+                               * (CAST(n2 AS DOUBLE) + 1)
+                               * (CAST(n1 AS DOUBLE) - m)
+                               * (CAST(n2 AS DOUBLE) - m)
+                               / ((CAST(m AS DOUBLE) + 1)
+                                  * (CAST(m AS DOUBLE) + 1)
+                                  * (CAST(m AS DOUBLE) + 2))), 6) AS ci_lo,
+           round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                     / (CAST(m AS DOUBLE) + 1) - 1
+                 + 1.96 * sqrt((CAST(n1 AS DOUBLE) + 1)
+                               * (CAST(n2 AS DOUBLE) + 1)
+                               * (CAST(n1 AS DOUBLE) - m)
+                               * (CAST(n2 AS DOUBLE) - m)
+                               / ((CAST(m AS DOUBLE) + 1)
+                                  * (CAST(m AS DOUBLE) + 1)
+                                  * (CAST(m AS DOUBLE) + 2))), 6) AS ci_hi
+    FROM cr2_tot
+    """
+
+
+def price_index(
+    lineitem: DataFrame, orders: DataFrame, dp: int = 6
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the FIRST and
+    LAST order year, over parts traded in both — the inflation /
+    price-drift readout (is revenue growth price or volume?) beside
+    q_revenue_wow_growth's nominal deltas. Per (year, part) the unit
+    price is an exact-cents / exact-quantity division; the four
+    cross-period sums p_t * q_b ride one bounded parts-keyed join.
+
+      L = sum(p1 q0)/sum(p0 q0),  P = sum(p1 q1)/sum(p0 q1),
+      F = sqrt(L * P).
+
+    The part-level sums are doubles (~1e-13 accumulation noise on
+    O(1) index ratios), so all three indices round ``dp`` dp (the
+    anova discipline). Output one row:
+    (base_year, curr_year, n_parts, laspeyres, paasche, fisher)."""
+    li = lineitem.join(
+        orders.select(
+            "o_orderkey", F.year("o_orderdate").alias("yr")
+        ),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "yr",
+        F.col("l_partkey").alias("part"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    yrs = li.agg(
+        F.min("yr").alias("y0"), F.max("yr").alias("y1")
+    )
+    per = (
+        li.crossJoin(F.broadcast(yrs))
+        .filter((F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1")))
+        .groupBy("part", "yr", "y0", "y1")
+        .agg(
+            F.sum("cents").cast("long").alias("c"),
+            F.sum("qty").cast("long").alias("q"),
+        )
+    )
+    base = per.filter(F.col("yr") == F.col("y0")).select(
+        "part", "y0", "y1",
+        (F.col("c").cast("double") / F.col("q")).alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    curr = per.filter(F.col("yr") == F.col("y1")).select(
+        F.col("part").alias("part_c"),
+        (F.col("c").cast("double") / F.col("q")).alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    j = base.join(curr, base["part"] == curr["part_c"])
+    agg = j.groupBy("y0", "y1").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return agg.select(
+        F.col("y0").cast("long").alias("base_year"),
+        F.col("y1").cast("long").alias("curr_year"),
+        "n_parts",
+        F.round(lasp, dp).alias("laspeyres"),
+        F.round(paas, dp).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), dp).alias("fisher"),
+    )
+
+
+def price_index_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `price_index` (identical chains)."""
+    return f"""
+    WITH pi_li AS (
+        SELECT year(o.o_orderdate) AS yr, l.l_partkey AS part,
+               CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l.l_quantity AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pi_yrs AS (SELECT min(yr) AS y0, max(yr) AS y1 FROM pi_li),
+    pi_per AS (
+        SELECT part, yr, y0, y1,
+               CAST(sum(cents) AS BIGINT) AS c,
+               CAST(sum(qty) AS BIGINT) AS q
+        FROM pi_li CROSS JOIN pi_yrs
+        WHERE yr = y0 OR yr = y1
+        GROUP BY part, yr, y0, y1
+    ),
+    pi_base AS (
+        SELECT part, y0, y1, CAST(c AS DOUBLE) / q AS p0, q AS q0
+        FROM pi_per WHERE yr = y0
+    ),
+    pi_curr AS (
+        SELECT part AS part_c, CAST(c AS DOUBLE) / q AS p1, q AS q1
+        FROM pi_per WHERE yr = y1
+    ),
+    pi_agg AS (
+        SELECT y0, y1,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               sum(p1 * q0) AS l_num, sum(p0 * q0) AS l_den,
+               sum(p1 * q1) AS p_num, sum(p0 * q1) AS p_den
+        FROM pi_base b JOIN pi_curr c ON b.part = c.part_c
+        GROUP BY y0, y1
+    )
+    SELECT CAST(y0 AS BIGINT) AS base_year,
+           CAST(y1 AS BIGINT) AS curr_year,
+           n_parts,
+           round(l_num / l_den, {dp}) AS laspeyres,
+           round(p_num / p_den, {dp}) AS paasche,
+           round(sqrt((l_num / l_den) * (p_num / p_den)), {dp}) AS fisher
+    FROM pi_agg
+    """

@@ -1861,7 +1861,11 @@ def _overlap_counts(docs: DataFrame) -> DataFrame:
     (langs x vocab rows — broadcast); per-doc clips are map-combined
     aggregates keyed by doc_id. Nothing pairwise, nothing quadratic:
     candidates never join each other, only the bounded reference."""
-    base = docs.select(
+    # repartition BEFORE the tokenize+bigram map fan-out: documents
+    # parquet often arrives as few splits, and this is the CPU-heavy
+    # stage (the CLAUDE.md repartition-before-heavy-map rule)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par).select(
         "doc_id",
         "lang",
         tokens(F.col("text")).alias("toks"),

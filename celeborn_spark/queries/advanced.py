@@ -904,3 +904,129 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0).alias("epsilon"),
         F.round(F.col("n") - noise, 6).alias("noisy_count"),
     )
+
+
+_DPQ_B = 256
+_DPQ_EPS = 1.0
+
+
+@query(
+    "q_dp_quantile",
+    oracle=f"""
+    WITH dpq_x AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    dpq_b AS (SELECT min(cents) AS lo, max(cents) AS hi,
+                     CAST(count(*) AS BIGINT) AS n FROM dpq_x),
+    dpq_h AS (
+        SELECT least({_DPQ_B - 1},
+                     CAST(floor((cents - lo) * 1.0 / (hi - lo) * {_DPQ_B})
+                          AS BIGINT)) AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM dpq_x CROSS JOIN dpq_b
+        WHERE hi > lo
+        GROUP BY 1
+    ),
+    dpq_r AS (
+        SELECT b, c,
+               CAST(2 * coalesce(sum(c) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) + c AS BIGINT) AS r2
+        FROM dpq_h
+    ),
+    dpq_s AS (
+        SELECT b, c,
+               round({_DPQ_EPS} * -abs(CAST(r2 AS DOUBLE) - n) / 4.0
+                     - ln(-ln({{u01}})), 6) AS score,
+               lo, hi, n
+        FROM dpq_r CROSS JOIN dpq_b
+    )
+    SELECT CAST({_DPQ_EPS} AS DOUBLE) AS epsilon,
+           CAST(b AS BIGINT) AS bucket,
+           lo + (b + 0.5) * (CAST(hi - lo AS DOUBLE) / {_DPQ_B})
+               AS dp_median_cents
+    FROM dpq_s
+    ORDER BY score DESC, b LIMIT 1
+    """.replace(
+        "{u01}",
+        "CAST(concat('0x', substr(md5(concat_ws(':', "
+        "concat_ws('#', 'dpq', CAST(b AS VARCHAR)), '17')), 1, 8)) "
+        "AS UBIGINT) / 4294967296.0",
+    ),
+)
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN of event-value cents via the
+    exponential mechanism over a 256-bucket value grid — the privacy
+    desk's quantile release beside q_dp_counts' Laplace counts (the
+    exponential mechanism is THE tool when the released value is a
+    choice, not a number to perturb). Utility = -|doubled-rank(bucket
+    midpoint) - n| (sensitivity 2 in doubled units -> eps*u/4), noise
+    = md5-seeded Gumbel, winner = deterministic argmax over the
+    bounded grid — reproducible releases, true median never emitted.
+
+    All ranks are exact BIGINTs off the bounded histogram (grid-
+    bounded prefix window); the Gumbel double-ln chain rounds into the
+    6dp score before the argmax so a 1-ulp libm divergence cannot
+    flip the winner (bucket id breaks residual ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    b = x.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    h = (
+        x.crossJoin(F.broadcast(b))
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            F.least(
+                F.lit(_DPQ_B - 1),
+                F.floor(
+                    (F.col("cents") - F.col("lo"))
+                    * 1.0
+                    / (F.col("hi") - F.col("lo"))
+                    * _DPQ_B
+                ).cast("long"),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    # grid-bounded: <= 256 bucket rows feed this prefix window
+    wo = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    r = h.select(
+        "b",
+        "c",
+        (2 * F.coalesce(F.sum("c").over(wo), F.lit(0)) + F.col("c"))
+        .cast("long")
+        .alias("r2"),
+    )
+    from celeborn_spark.operators.curriculum import u01
+
+    g = -F.log(-F.log(u01(F.concat_ws("#", F.lit("dpq"), F.col("b").cast("string")), salt=17)))
+    s = r.crossJoin(F.broadcast(b)).select(
+        "b",
+        F.col("lo"),
+        F.col("hi"),
+        F.round(
+            F.lit(_DPQ_EPS)
+            * -F.abs(F.col("r2").cast("double") - F.col("n"))
+            / 4.0
+            + g,
+            6,
+        ).alias("score"),
+    )
+    # grid-bounded argmax: <= 256 rows
+    return (
+        s.orderBy(F.col("score").desc(), "b")
+        .limit(1)
+        .select(
+            F.lit(float(_DPQ_EPS)).alias("epsilon"),
+            F.col("b").cast("long").alias("bucket"),
+            (
+                F.col("lo")
+                + (F.col("b") + 0.5)
+                * ((F.col("hi") - F.col("lo")).cast("double") / _DPQ_B)
+            ).alias("dp_median_cents"),
+        )
+    )

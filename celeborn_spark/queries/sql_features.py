@@ -55,8 +55,17 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     <100 ancestor groups — no path explosion, no driver loop; the
     engine's native recursion operator replaces the hand-rolled
     iterative-join pattern of q_bfs_reachability where the hierarchy
-    is tree-shaped."""
+    is tree-shaped. Total recursion mass is rows x depth = N log10 N —
+    linear per level but above Spark's conservative 1M-row default
+    safety cap from ~150k parts (found by the sf1 rung), so the
+    operator declares its own budget: 64x the input row count (depth
+    <= 19 digits covers any BIGINT key), a runtime conf the driver's
+    vanilla session accepts at call time."""
     register_views(spark, sf_dir)
+    n_parts = spark.table("part").count()  # parquet footer count — cheap
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 64 * n_parts))
+    )
     return spark.sql(
         """
         WITH RECURSIVE anc(node, anc, cents) AS (

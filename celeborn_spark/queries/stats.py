@@ -2591,3 +2591,50 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("obs_diff", "n_replicates", "n_extreme", "p_value")
     )
+
+
+@query(
+    "q_mixture_em",
+    oracle=stats_ops.gaussian_mixture_oracle_sql(
+        "orders", "floor(o_totalprice * 100)", rounds=2
+    ),
+)
+def q_mixture_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component Gaussian mixture over order-value cents via EM
+    (2 rounds, parameters rounded and re-synced per round) — the
+    soft-clustering / latent-population primitive beside q_kmeans'
+    hard assignments: is revenue bimodal, and what are the regimes?
+    Underflow-safe odds-form E-step (tails give r->0/1, never NaN);
+    one weighted-moment aggregate per round
+    (operators/stats.gaussian_mixture_em_1d)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.gaussian_mixture_em_1d(
+        orders, F.floor(F.col("o_totalprice") * 100), rounds=2
+    )
+
+
+@query(
+    "q_capture_recapture",
+    oracle=stats_ops.capture_recapture_oracle_sql("events", "ts", "user_id"),
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the TRUE user population
+    from two observation windows (event span split at its midpoint) —
+    the under-coverage estimator: how many users exist, including the
+    never-seen (no other operator on the desk extrapolates beyond the
+    observed). Exact per-user flag aggregate, one exact division,
+    6dp CI (operators/stats.capture_recapture)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.capture_recapture(ev, "ts", "user_id")
+
+
+@query("q_price_index", oracle=stats_ops.price_index_oracle_sql())
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres/Paasche/Fisher price indices between the first and
+    last order year over parts traded in both — is revenue growth
+    price or volume? (the economics companion to
+    q_revenue_wow_growth's nominal deltas). Exact-cents unit prices,
+    one parts-keyed join, 6dp indices (operators/stats.price_index)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.price_index(li, orders)

@@ -673,3 +673,56 @@ def test_r11g_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11h_ops():
+    """Part-11 batch under engine-config flips: the EM rounds'
+    broadcast-param crossJoins and weighted-moment aggregates."""
+    from celeborn_spark.queries.stats import q_mixture_em
+
+    return [q_mixture_em]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11h_ops(), ids=lambda f: f.__name__)
+def test_r11h_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _r11i_ops():
+    """Part-12 batch under engine-config flips: the Chapman flag
+    aggregate, the parts-keyed price-index join, and the DP
+    exponential-mechanism grid."""
+    from celeborn_spark.queries.advanced import q_dp_quantile
+    from celeborn_spark.queries.stats import (
+        q_capture_recapture,
+        q_price_index,
+    )
+
+    return [q_capture_recapture, q_price_index, q_dp_quantile]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11i_ops(), ids=lambda f: f.__name__)
+def test_r11i_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

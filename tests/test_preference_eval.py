@@ -233,3 +233,54 @@ def test_gopher_rules_conjunction(spark, sf_dir):
     # the battery must actually discriminate on this corpus
     verdicts = {r.pass_all for r in rows}
     assert verdicts == {True, False} or len(rows) < 10
+
+
+def test_mixture_em_component_order_and_weights(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_mixture_em
+
+    row = q_mixture_em(spark, sf_dir).collect()[0]
+    assert 0 < row.w1 < 1
+    assert row.s1_cents > 0 and row.s2_cents > 0
+    # init places mu1 below mu2 (mean -/+ sd); EM preserves the order
+    # on a unimodal-ish distribution
+    assert row.mu1_cents < row.mu2_cents
+    assert row.n > 0
+
+
+def test_capture_recapture_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_capture_recapture
+
+    row = q_capture_recapture(spark, sf_dir).collect()[0]
+    assert row.m <= min(row.n1, row.n2)
+    # the estimate can never be below the union lower bound
+    assert row.n_hat >= max(row.n1, row.n2) - 1e-9
+    assert row.ci_lo <= row.n_hat <= row.ci_hi
+
+
+def test_price_index_fisher_between(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_price_index
+
+    row = q_price_index(spark, sf_dir).collect()[0]
+    assert row.base_year < row.curr_year
+    assert row.n_parts > 0
+    lo, hi = sorted((row.laspeyres, row.paasche))
+    # Fisher is the geometric mean of the two
+    assert lo - 1e-6 <= row.fisher <= hi + 1e-6
+
+
+def test_dp_quantile_in_range(spark, sf_dir):
+    from celeborn_spark.queries.advanced import q_dp_quantile
+    from celeborn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    row = q_dp_quantile(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.floor(F.col("value") * 100)).alias("lo"),
+        F.max(F.floor(F.col("value") * 100)).alias("hi"),
+    ).collect()[0]
+    assert b.lo <= row.dp_median_cents <= b.hi
+    assert 0 <= row.bucket <= 255
+    # deterministic release: same query, same answer
+    again = q_dp_quantile(spark, sf_dir).collect()[0]
+    assert again.dp_median_cents == row.dp_median_cents
