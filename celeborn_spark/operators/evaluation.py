@@ -2106,3 +2106,147 @@ def hosmer_lemeshow_oracle_sql(
     SELECT bin, n, obs_pos, exp_cents, hl_term, hl_chi2, dof
     FROM hl_rows CROSS JOIN hl_tot
     """
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration (PAVA over bounded score buckets)
+# --------------------------------------------------------------------------
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom_cents: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a
+    pseudo-probability score, fit by pool-adjacent-violators over
+    ``n_buckets`` fixed-width score buckets — the nonparametric
+    recalibrator next to `calibration_bins`' diagnosis: bins SHOW the
+    miscalibration, the isotonic fit is the monotone map that repairs
+    it (and the one Platt scaling can't give without a parametric
+    form). Output one row per non-empty bucket:
+    (bin, n, n_pos, raw_rate, iso_rate), iso_rate monotone in bin.
+
+    PAVA is computed via the exact minimax characterization
+        iso[i] = max_{j<=i} min_{k>=i} (cpos_k - cpos_{j-1})
+                                       / (cn_k - cn_{j-1})
+    over bucket prefix sums — O(B^3) pairs on a <= ``n_buckets``-row
+    relation, never row pairs (the Hodges-Lehmann bounded-grid
+    discipline). Every candidate average is a single IEEE division of
+    exact BIGINT prefix sums, so the min/max winners are bit-identical
+    cross-engine and both rates emit RAW (no rounding anywhere).
+
+    Scale shape (100 TB): row mass reduces once to the B-bucket
+    histogram (map-combined); the cubic minimax runs on B rows. The
+    bucket window orders by `bin`, unique post-groupBy."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    binned = df.select(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.lit(n_buckets) * s / F.lit(denom_cents)).cast("long"),
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    # referenced by the i / j / k lanes of the minimax; checkpoint the
+    # <= n_buckets-row histogram so row mass scans ONCE
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.sum("n").over(w).alias("cn"),
+            F.sum("pos").over(w).alias("cp"),
+        )
+        .localCheckpoint()
+    )
+    lane_i = pre.select(
+        F.col("bin").alias("i"), F.col("n").alias("n_i"), F.col("pos").alias("pos_i")
+    )
+    lane_j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cnj"),
+        (F.col("cp") - F.col("pos")).alias("cpj"),
+    )
+    lane_k = pre.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cnk"), F.col("cp").alias("cpk")
+    )
+    trip = (
+        lane_i.join(lane_j, F.col("j") <= F.col("i"))
+        .join(lane_k, F.col("k") >= F.col("i"))
+        .select(
+            "i",
+            "j",
+            "n_i",
+            "pos_i",
+            ((F.col("cpk") - F.col("cpj")) / (F.col("cnk") - F.col("cnj"))).alias(
+                "avg_jk"
+            ),
+        )
+    )
+    inner = trip.groupBy("i", "j", "n_i", "pos_i").agg(
+        F.min("avg_jk").alias("mn")
+    )
+    return (
+        inner.groupBy("i", "n_i", "pos_i")
+        .agg(F.max("mn").alias("iso_rate"))
+        .select(
+            F.col("i").alias("bin"),
+            F.col("n_i").alias("n"),
+            F.col("pos_i").alias("n_pos"),
+            (F.col("pos_i") / F.col("n_i")).alias("raw_rate"),
+            "iso_rate",
+        )
+    )
+
+
+def isotonic_oracle_sql(
+    table_sql: str,
+    score_sql: str,
+    label_sql: str,
+    denom_cents: int,
+    n_buckets: int = 32,
+) -> str:
+    """DuckDB mirror of `isotonic_calibration`: identical bucket cut,
+    prefix sums, and minimax average chains."""
+    return f"""
+    WITH iso_binned AS (
+        SELECT least({n_buckets - 1},
+                     CAST(floor({n_buckets} * floor(({score_sql}) * 100)
+                                / {denom_cents}) AS BIGINT)) AS bin,
+               CAST({label_sql} AS BIGINT) AS label
+        FROM {table_sql}
+    ),
+    iso_pre AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS pos,
+               CAST(sum(count(*)) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cn,
+               CAST(sum(sum(label)) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cp
+        FROM iso_binned GROUP BY bin
+    ),
+    iso_inner AS (
+        SELECT i.bin AS i, j.bin AS j, i.n AS n_i, i.pos AS pos_i,
+               min(CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                   / (k.cn - (j.cn - j.n))) AS mn
+        FROM iso_pre i
+        JOIN iso_pre j ON j.bin <= i.bin
+        JOIN iso_pre k ON k.bin >= i.bin
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT i AS bin, n_i AS n, pos_i AS n_pos,
+           CAST(pos_i AS DOUBLE) / n_i AS raw_rate,
+           max(mn) AS iso_rate
+    FROM iso_inner
+    GROUP BY i, n_i, pos_i
+    """

@@ -5639,3 +5639,374 @@ def price_index_oracle_sql(dp: int = 6) -> str:
            round(sqrt((l_num / l_den) * (p_num / p_den)), {dp}) AS fisher
     FROM pi_agg
     """
+
+
+# --------------------------------------------------------------------------
+# Periodogram cycle scan (fixed trig table, exact-integer DFT sums)
+# --------------------------------------------------------------------------
+
+
+def _trig_table(periods: tuple[int, ...]) -> list[tuple[int, int, int, int]]:
+    """(p, k, c6, s6) rows for every phase k < p: cos/sin of 2*pi*k/p
+    quantized to 1e-6 via floor(x*1e6 + 0.5) — computed ONCE in
+    Python, so neither engine evaluates trig at all (the angle grid is
+    data-independent; injecting one shared literal table removes the
+    JVM-vs-libm 1-ulp parity question entirely)."""
+    import math
+
+    rows = []
+    for p in periods:
+        for k in range(p):
+            th = 2.0 * math.pi * k / p
+            rows.append(
+                (
+                    p,
+                    k,
+                    int(math.floor(math.cos(th) * 1_000_000 + 0.5)),
+                    int(math.floor(math.sin(th) * 1_000_000 + 0.5)),
+                )
+            )
+    return rows
+
+
+def periodogram(
+    df: DataFrame,
+    day_col: str,
+    periods: tuple[int, ...] = tuple(range(2, 15)),
+    dp: int = 6,
+) -> DataFrame:
+    """Mean-centered periodogram of the daily row-count series at
+    candidate cycle lengths ``periods`` (days): amplitude of the
+    DFT component at each period — WHICH cycle dominates, the
+    frequency-domain companion to q_seasonal_strength (that one
+    assumes the weekly grid; this one scans for it). Output one row
+    per period: (p, n_days, amp), amp in rows/day.
+
+    Exact-integer throughout: daily counts m_t (BIGINT) join the
+    shared Python-built trig table on (p, t mod p); mean-centering
+    multiplies through by N so every product stays integer:
+        scs = sum_t (N*m_t - S) * c6(t mod p, p)   (BIGINT, exact)
+    and amp = sqrt(scs^2 + sss^2) / (1e6 * N^2) rounds ``dp`` at the
+    single irrational step. |scs| <= 1e6 * N * sum|m - mean| — safe to
+    ~1e5 days x 1e6 rows/day; beyond that quantize m to a coarser
+    grain (the micro-grain second-moment bound discipline).
+
+    Scale shape (100 TB): row mass reduces once to the calendar-
+    bounded daily histogram (map-combined count); the |periods| x 365
+    trig join and the per-period aggregate run on the day grid."""
+    spark = df.sparkSession
+    trig = spark.createDataFrame(
+        _trig_table(periods), schema="p long, k long, c6 long, s6 long"
+    )
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    span = daily0.agg(
+        F.min("day").alias("d0"),
+        F.sum("m").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dd = (
+        daily0.crossJoin(F.broadcast(span))
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+            (F.col("n") * F.col("m") - F.col("s")).alias("mc"),
+            "n",
+        )
+    )
+    terms = dd.join(
+        F.broadcast(trig), (F.col("t") % F.col("p")) == F.col("k"), "inner"
+    )
+    per = terms.groupBy("p", "n").agg(
+        F.sum(F.col("mc") * F.col("c6")).cast("long").alias("scs"),
+        F.sum(F.col("mc") * F.col("s6")).cast("long").alias("sss"),
+    )
+    amp = F.sqrt(
+        F.col("scs").cast("double") * F.col("scs")
+        + F.col("sss").cast("double") * F.col("sss")
+    ) / (F.lit(1_000_000.0) * F.col("n") * F.col("n"))
+    return per.select(
+        "p", F.col("n").alias("n_days"), F.round(amp, dp).alias("amp")
+    )
+
+
+def periodogram_oracle_sql(
+    table: str,
+    day_sql: str,
+    periods: tuple[int, ...] = tuple(range(2, 15)),
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `periodogram`: the SAME Python-built trig
+    literals ride in as a VALUES table; identical integer chains."""
+    vals = ", ".join(
+        f"({p}, {k}, {c6}, {s6})" for p, k, c6, s6 in _trig_table(periods)
+    )
+    return f"""
+    WITH pg_trig(p, k, c6, s6) AS (VALUES {vals}),
+    pg_daily AS (
+        SELECT {day_sql} AS day, CAST(count(*) AS BIGINT) AS m
+        FROM {table} GROUP BY 1
+    ),
+    pg_span AS (
+        SELECT min(day) AS d0, CAST(sum(m) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pg_daily
+    ),
+    pg_dd AS (
+        SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t,
+               n * m - s AS mc, n
+        FROM pg_daily CROSS JOIN pg_span
+    ),
+    pg_per AS (
+        SELECT p, n,
+               CAST(sum(mc * c6) AS BIGINT) AS scs,
+               CAST(sum(mc * s6) AS BIGINT) AS sss
+        FROM pg_dd JOIN pg_trig ON (t % p) = k
+        GROUP BY 1, 2
+    )
+    SELECT p, n AS n_days,
+           round(sqrt(CAST(scs AS DOUBLE) * scs + CAST(sss AS DOUBLE) * sss)
+                 / (1000000.0 * n * n), {dp}) AS amp
+    FROM pg_per
+    """
+
+
+# --------------------------------------------------------------------------
+# Durbin-Watson residual autocorrelation (all-moment closed form)
+# --------------------------------------------------------------------------
+
+
+def durbin_watson(
+    df: DataFrame, day_col: str, cents_col, dp: int = 6
+) -> DataFrame:
+    """Durbin-Watson statistic of the residuals of a daily linear
+    trend — IS the OLS trend model adequate, or do residuals trail
+    each other (positive autocorrelation, dw << 2)? The model-
+    diagnostics companion to q_grouped_ols_trend (which reports the
+    slope) and q_autocorrelation (raw series lag-1; this one asks it
+    of the DETRENDED series). Output ONE row:
+    (n_days, slope, dw, rho) with rho = 1 - dw/2.
+
+    NO per-row residual is ever materialized: both quadratic forms
+    expand in exact-BIGINT moments over the CALENDAR-FILLED daily
+    series y_t (value grain: hundred-dollar units, floor(cents/1e4) —
+    keeps sum(y^2) inside int64 to ~1e5 days x ~1e9 $/day; coarser
+    grain beyond, the documented-bound discipline):
+        sum e^2      = Syy + n a^2 + b^2 Stt - 2a Sy - 2b Sty + 2ab St
+        sum (de)^2   = Sdd - 2b Sd + (n-1) b^2
+    (consecutive-day differences d_t = y_t - y_{t-1} exist because the
+    calendar fill makes t consecutive). a, b and both forms are fixed
+    double expression TREES over exact moments — deterministic
+    cross-engine; dw rounds ``dp``.
+
+    Scale shape (100 TB): one map-combined day aggregate; the moment
+    pass and the lag window run on the calendar-bounded day grid."""
+    from pyspark.sql import Window as W
+
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(cents_col).cast("long").alias("cents")
+    )
+    span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        "d0",
+    )
+    daily = (
+        cal.join(daily0, "day", "left")
+        .select(
+            F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+            F.floor(F.coalesce(F.col("cents"), F.lit(0)) / F.lit(10000.0))
+            .cast("long")
+            .alias("y"),
+            "day",
+        )
+        .localCheckpoint()  # feeds the moment pass AND the lag window
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    wlag = W.orderBy("day")  # day unique: one row per calendar day
+    d = (F.col("y") - F.lag("y").over(wlag)).alias("d")
+    difmom = (
+        daily.select(d)
+        .filter(F.col("d").isNotNull())
+        .agg(
+            F.sum("d").cast("long").alias("sd"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        )
+    )
+    formula = """
+        CASE WHEN sse > 0 THEN round(ssd / sse, {dp}) END
+    """
+    out = (
+        mom.crossJoin(F.broadcast(difmom))
+        .withColumn(
+            "b",
+            F.expr(
+                "(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+            ),
+        )
+        .withColumn("a", F.expr("(sy - b * st) / n"))
+        .withColumn(
+            "sse",
+            F.expr(
+                "syy + n * a * a + b * b * stt"
+                " - 2 * a * sy - 2 * b * sty + 2 * a * b * st"
+            ),
+        )
+        .withColumn("ssd", F.expr("sdd - 2 * b * sd + (n - 1) * b * b"))
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b"), dp).alias("slope"),
+        F.expr(formula.format(dp=dp)).alias("dw"),
+        F.expr(
+            f"CASE WHEN sse > 0 THEN round(1 - round(ssd / sse, {dp}) / 2,"
+            f" {dp}) END"
+        ).alias("rho"),
+    )
+
+
+def durbin_watson_oracle_sql(
+    table: str, day_sql: str, cents_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `durbin_watson`: identical calendar fill,
+    moment expansion, and formula text."""
+    return f"""
+    WITH dw_daily0 AS (
+        SELECT {day_sql} AS day, CAST(sum({cents_sql}) AS BIGINT) AS cents
+        FROM {table} GROUP BY 1
+    ),
+    dw_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dw_daily0),
+    dw_cal AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day, d0
+        FROM dw_span
+    ),
+    dw_daily AS (
+        SELECT CAST(date_diff('day', c.d0, c.day) AS BIGINT) AS t,
+               CAST(floor(COALESCE(d.cents, 0) / 10000.0) AS BIGINT) AS y,
+               c.day
+        FROM dw_cal c LEFT JOIN dw_daily0 d ON c.day = d.day
+    ),
+    dw_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * y) AS BIGINT) AS sty
+        FROM dw_daily
+    ),
+    dw_lag AS (
+        SELECT y - lag(y) OVER (ORDER BY day) AS d
+        FROM dw_daily
+    ),
+    dw_dif AS (
+        SELECT CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(d * d) AS BIGINT) AS sdd
+        FROM dw_lag WHERE d IS NOT NULL
+    ),
+    dw_ab AS (
+        SELECT *,
+               (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b
+        FROM dw_mom CROSS JOIN dw_dif
+    ),
+    dw_a AS (SELECT *, (sy - b * st) / n AS a FROM dw_ab),
+    dw_forms AS (
+        SELECT *,
+               syy + n * a * a + b * b * stt
+                   - 2 * a * sy - 2 * b * sty + 2 * a * b * st AS sse,
+               sdd - 2 * b * sd + (n - 1) * b * b AS ssd
+        FROM dw_a
+    )
+    SELECT n AS n_days, round(b, {dp}) AS slope,
+           CASE WHEN sse > 0 THEN round(ssd / sse, {dp}) END AS dw,
+           CASE WHEN sse > 0
+                THEN round(1 - round(ssd / sse, {dp}) / 2, {dp}) END AS rho
+    FROM dw_forms
+    """
+
+
+# --------------------------------------------------------------------------
+# Restricted mean survival time (integral of the KM curve)
+# --------------------------------------------------------------------------
+
+
+def rmst(df: DataFrame, duration_col: str, dp: int = 6) -> DataFrame:
+    """Restricted mean survival time over the observed span: the area
+    under `km_survival`'s step curve up to tau = the longest observed
+    duration — the ONE-NUMBER summary of the whole survival curve
+    (expected active days per user within the window; the curve
+    family's q_trimmed_mean analogue). Output ONE row:
+    (tau_days, n_steps, rmst_days).
+
+      rmst = t_1 * 1  +  sum_i S(t_i) * (t_{i+1} - t_i)
+    (the head segment rides at S = 1 until the first event time).
+    S is km_survival's 6dp-rounded value, recovered as an exact
+    micro-unit BIGINT (floor(S*1e6 + 0.5) of a 6dp double is exact),
+    so the area accumulates as BIGINT micro-day products and divides
+    ONCE — bit-identical cross-engine, no double accumulation.
+
+    Scale shape (100 TB): inherits km_survival's one duration-count
+    aggregate; the lead/area pass runs on DISTINCT durations
+    (calendar-bounded)."""
+    from pyspark.sql import Window as W
+
+    km = km_survival(df, duration_col, dp=dp)
+    wl = W.orderBy("t")  # t: one row per DISTINCT duration
+    stepped = km.select(
+        "t",
+        "d_events",
+        F.floor(F.col("survival") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("s6"),
+        F.lead("t").over(wl).alias("t_next"),
+        F.min("t").over(W.partitionBy()).alias("t_first"),
+    )
+    return stepped.agg(
+        F.max("t").cast("long").alias("tau_days"),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        (
+            (
+                F.max("t_first") * F.lit(1_000_000)
+                + F.sum(
+                    F.when(
+                        F.col("t_next").isNotNull(),
+                        F.col("s6") * (F.col("t_next") - F.col("t")),
+                    ).otherwise(F.lit(0))
+                )
+            ).cast("long")
+            / F.lit(1_000_000.0)
+        ).alias("rmst_days"),
+    )
+
+
+def rmst_oracle_sql(durations_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `rmst`: km_survival's oracle embedded as a
+    CTE (its own WITH nests inside), identical micro-unit area walk."""
+    km_sql = km_survival_oracle_sql(durations_sql, dp=dp)
+    return f"""
+    WITH rmst_km AS ({km_sql}),
+    rmst_step AS (
+        SELECT t,
+               CAST(floor(survival * 1000000 + 0.5) AS BIGINT) AS s6,
+               lead(t) OVER (ORDER BY t) AS t_next,
+               min(t) OVER () AS t_first
+        FROM rmst_km
+    )
+    SELECT CAST(max(t) AS BIGINT) AS tau_days,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(max(t_first) * 1000000
+                + sum(CASE WHEN t_next IS NOT NULL
+                           THEN s6 * (t_next - t) ELSE 0 END) AS BIGINT)
+               / 1000000.0 AS rmst_days
+    FROM rmst_step
+    """

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
+    isotonic_calibration,
+    isotonic_oracle_sql,
     auc_ci,
     auc_ci_oracle_sql,
     hosmer_lemeshow,
@@ -491,4 +493,32 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hosmer_lemeshow(
         events, "value", "label", denom_cents=50000, n_bins=10
+    )
+
+
+@query(
+    "q_isotonic_calibration",
+    oracle=isotonic_oracle_sql(
+        "events",
+        "value",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+        denom_cents=50000,
+        n_buckets=32,
+    ),
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) recalibration of value/500 as a probability of
+    is-purchase over 32 score buckets — the monotone map that REPAIRS
+    what q_calibration_bins diagnoses. Fit by the exact minimax
+    characterization on bucket prefix sums (O(B^3) on 32 rows, never
+    row pairs); every rate is one IEEE division of exact BIGINTs,
+    emitted raw (operators/evaluation.isotonic_calibration)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    return isotonic_calibration(
+        events, "value", "label", denom_cents=50000, n_buckets=32
     )

@@ -2638,3 +2638,72 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     return stats_ops.price_index(li, orders)
+
+
+@query(
+    "q_periodogram",
+    oracle=stats_ops.periodogram_oracle_sql(
+        "orders", "CAST(o_orderdate AS DATE)"
+    ),
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-centered periodogram of daily order volume at candidate
+    cycle lengths 2..14 days — WHICH cycle dominates the ordering
+    series (the frequency-domain scan beside q_seasonal_strength's
+    weekly-grid variance split). The trig table is built ONCE in
+    Python and injected into both engines as literals, so the DFT
+    sums are exact BIGINTs end-to-end; amp rounds 6dp at the single
+    sqrt (operators/stats.periodogram)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.periodogram(
+        orders.select(F.col("o_orderdate").cast("date").alias("day")), "day"
+    )
+
+
+@query(
+    "q_durbin_watson",
+    oracle=stats_ops.durbin_watson_oracle_sql(
+        "orders",
+        "CAST(o_orderdate AS DATE)",
+        "floor(o_totalprice * 100)",
+    ),
+)
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic of daily-revenue
+    residuals around the OLS trend — is the linear trend an adequate
+    model, or do shocks persist day-over-day? Both quadratic forms
+    expand in exact-BIGINT moments over the calendar-filled series
+    (hundred-dollar grain, documented bound) — no per-row residual
+    exists anywhere (operators/stats.durbin_watson)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.durbin_watson(
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        ),
+        "day",
+        F.col("cents"),
+    )
+
+
+@query(
+    "q_rmst",
+    oracle=stats_ops.rmst_oracle_sql(
+        """SELECT date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS t
+           FROM events GROUP BY user_id"""
+    ),
+)
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time of user lifetimes: the area
+    under q_survival_curve's KM step curve up to the longest observed
+    lifetime — expected active days per user in ONE number. The
+    6dp survival values are recovered as exact micro-unit BIGINTs, so
+    the area accumulates integer and divides once
+    (operators/stats.rmst)."""
+    ev = load_table(spark, sf_dir, "events")
+    durs = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts")).cast("date"), F.min(F.col("ts")).cast("date")
+        ).alias("t")
+    )
+    return stats_ops.rmst(durs, "t")

@@ -85,7 +85,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # shapley_attribution, gumbel_maxima, cochran_q, bayes_ab, itemsets3,
 # geometric_median, variant_json, collation_group, udtf_tokens, plus
 # the Spark-4 SQL-frontend batch: recursive_cte, listagg, sql_pipe,
-# sql_udf, and any later r11 additions) — all validated cell-by-cell
+# sql_udf, plus the later r11 parts: bleu/rouge/odds_ratio/bartlett,
+# bradley_terry/friedman/ljung_box/eigenvector_centrality,
+# mantel_haenszel/tost/negbin/page_hinkley, davies_bouldin/
+# permutation_test/hosmer_lemeshow/embedding_whiten,
+# classifier_report/gopher_rules, mixture_em/capture_recapture/
+# price_index/dp_quantile, and isotonic_calibration/periodogram/
+# durbin_watson/rmst) — all validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for
 # reps.

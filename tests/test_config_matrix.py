@@ -726,3 +726,33 @@ def test_r11i_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11j_ops():
+    """Part-13 batch under engine-config flips: the PAVA bucket
+    minimax, the literal-trig DFT join, the calendar-filled moment
+    expansion, and the KM-area walk."""
+    from celeborn_spark.queries.evaluation import q_isotonic_calibration
+    from celeborn_spark.queries.stats import (
+        q_durbin_watson,
+        q_periodogram,
+        q_rmst,
+    )
+
+    return [q_isotonic_calibration, q_periodogram, q_durbin_watson, q_rmst]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11j_ops(), ids=lambda f: f.__name__)
+def test_r11j_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -284,3 +284,61 @@ def test_dp_quantile_in_range(spark, sf_dir):
     # deterministic release: same query, same answer
     again = q_dp_quantile(spark, sf_dir).collect()[0]
     assert again.dp_median_cents == row.dp_median_cents
+
+
+# --- r11 batch 13: isotonic / periodogram / Durbin-Watson / RMST ---
+
+
+def test_isotonic_monotone_and_mean_preserving(spark, sf_dir):
+    from celeborn_spark.queries.evaluation import q_isotonic_calibration
+
+    rows = sorted(
+        q_isotonic_calibration(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-12
+    for r in rows:
+        assert 0.0 <= r.iso_rate <= 1.0
+        assert abs(r.raw_rate - r.n_pos / r.n) < 1e-12
+    # PAVA preserves the weighted mean: sum n*iso == sum pos
+    fit_mass = sum(r.n * r.iso_rate for r in rows)
+    pos_mass = sum(r.n_pos for r in rows)
+    assert abs(fit_mass - pos_mass) < 1e-6 * max(1, pos_mass)
+
+
+def test_periodogram_grid_and_nonnegative(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_periodogram
+
+    rows = q_periodogram(spark, sf_dir).collect()
+    assert sorted(r.p for r in rows) == list(range(2, 15))
+    n_days = {r.n_days for r in rows}
+    assert len(n_days) == 1 and n_days.pop() > 0
+    for r in rows:
+        assert r.amp >= 0.0
+
+
+def test_durbin_watson_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_durbin_watson
+
+    row = q_durbin_watson(spark, sf_dir).collect()[0]
+    assert row.n_days > 0
+    assert 0.0 <= row.dw <= 4.0
+    assert abs(row.rho - round(1 - row.dw / 2, 6)) < 1e-9
+
+
+def test_rmst_within_curve_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_rmst, q_survival_curve
+
+    row = q_rmst(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.rmst_days <= row.tau_days
+    km = sorted(
+        q_survival_curve(spark, sf_dir).collect(), key=lambda r: r.t
+    )
+    assert row.n_steps == len(km)
+    assert row.tau_days == km[-1].t
+    # recompute the step-curve area at full precision
+    area = km[0].t * 1.0
+    for a, b in zip(km, km[1:]):
+        area += a.survival * (b.t - a.t)
+    assert abs(area - row.rmst_days) < 1e-5

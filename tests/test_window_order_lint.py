@@ -89,6 +89,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "SELECT DISTINCT {key_sql} AS k — k is unique by construction "
         "and b = md5(k) % n_buckets is a function of k, so (b, k) is "
         "a total order over kb.",
+    ("operators/stats.py", "t"):
+        "rmst_oracle_sql / km_survival_oracle_sql: the window input is "
+        "the distinct-duration KM table (durs GROUPs BY t; rmst_km is "
+        "km's output) — one row per duration t by construction.",
     ("queries/similarity.py", "sim desc, centroid_id"):
         "IVF cell assignment (q_ann_ivf_topk / q_knn_join oracles): "
         "the window input is `sims` = v CROSS JOIN c — exactly one "
