@@ -6010,3 +6010,452 @@ def rmst_oracle_sql(durations_sql: str, dp: int = 6) -> str:
                / 1000000.0 AS rmst_days
     FROM rmst_step
     """
+
+
+# --------------------------------------------------------------------------
+# Atkinson inequality index (histogram-grain, ln on buckets only)
+# --------------------------------------------------------------------------
+
+
+def atkinson_index(
+    df: DataFrame, cents_col: str, n_buckets: int = 1024, dp: int = 6
+) -> DataFrame:
+    """Atkinson inequality index (inequality-aversion eps = 1) of a
+    positive money-like value: A = 1 - geomean/mean — the WELFARE-
+    weighted inequality readout beside q_gini_coefficient (Gini counts
+    rank swaps; Atkinson says what fraction of total income society
+    could discard and be equally well off under log utility). Output
+    ONE row: (n_units, mean_cents, atkinson).
+
+    Money-like values are distinct-per-row, so the geometric mean is
+    computed at HISTOGRAM GRAIN (the DP-quantile 256-grid discipline):
+    values bucket into ``n_buckets`` equal-width cells, each cell's
+    exact mean (BIGINT sum / BIGINT count) passes through ln ONCE, and
+    the ln quantizes to micro-units via floor(x*1e6 + 0.5) — a <=
+    ``n_buckets``-row irrational surface (never per row), accumulated
+    as exact BIGINT mass-weighted sums. The single exp rounds ``dp``.
+
+    Scale shape (100 TB): one map-combined histogram aggregate over
+    row mass; everything after runs on the bucket relation."""
+    lohi = df.agg(
+        F.min(F.col(cents_col)).cast("long").alias("lo"),
+        F.max(F.col(cents_col)).cast("long").alias("hi"),
+    )
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            F.lit(n_buckets)
+            * (F.col(cents_col) - F.col("lo"))
+            / (F.col("hi") - F.col("lo") + 1)
+        ).cast("long"),
+    )
+    hist = (
+        df.crossJoin(F.broadcast(lohi))
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum(F.col(cents_col)).cast("long").alias("s_b"),
+        )
+    )
+    l6 = F.floor(
+        F.log(F.col("s_b").cast("double") / F.col("n_b")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    tot = hist.agg(
+        F.sum("n_b").cast("long").alias("n"),
+        F.sum("s_b").cast("long").alias("s"),
+        F.sum(F.col("n_b") * l6).cast("long").alias("lmass"),
+    )
+    return tot.select(
+        F.col("n").alias("n_units"),
+        (F.col("s").cast("double") / F.col("n")).alias("mean_cents"),
+        F.round(
+            F.lit(1.0)
+            - F.exp(
+                F.col("lmass").cast("double") / F.col("n") / F.lit(1_000_000.0)
+            )
+            / (F.col("s").cast("double") / F.col("n")),
+            dp,
+        ).alias("atkinson"),
+    )
+
+
+def atkinson_oracle_sql(
+    table_sql: str, cents_sql: str, n_buckets: int = 1024, dp: int = 6
+) -> str:
+    """DuckDB mirror of `atkinson_index`: identical bucket cut,
+    micro-quantized ln, and mass-weighted BIGINT chains."""
+    return f"""
+    WITH atk_vals AS (SELECT {cents_sql} AS c FROM {table_sql}),
+    atk_lohi AS (
+        SELECT CAST(min(c) AS BIGINT) AS lo, CAST(max(c) AS BIGINT) AS hi
+        FROM atk_vals
+    ),
+    atk_hist AS (
+        SELECT least({n_buckets - 1},
+                     CAST(floor({n_buckets} * (c - lo)
+                                / (hi - lo + 1)) AS BIGINT)) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_b,
+               CAST(sum(c) AS BIGINT) AS s_b
+        FROM atk_vals CROSS JOIN atk_lohi
+        GROUP BY 1
+    ),
+    atk_tot AS (
+        SELECT CAST(sum(n_b) AS BIGINT) AS n,
+               CAST(sum(s_b) AS BIGINT) AS s,
+               CAST(sum(n_b * CAST(floor(ln(CAST(s_b AS DOUBLE) / n_b)
+                                         * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS lmass
+        FROM atk_hist
+    )
+    SELECT n AS n_units,
+           CAST(s AS DOUBLE) / n AS mean_cents,
+           round(1.0 - exp(CAST(lmass AS DOUBLE) / n / 1000000.0)
+                     / (CAST(s AS DOUBLE) / n), {dp}) AS atkinson
+    FROM atk_tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Cronbach's alpha (internal consistency, exact item moments)
+# --------------------------------------------------------------------------
+
+
+def cronbach_alpha(
+    df: DataFrame, item_cols: tuple[str, ...], dp: int = 6
+) -> DataFrame:
+    """Cronbach's alpha over k integer item scores per subject — do
+    the items measure ONE underlying trait (a composite "engagement
+    score" is only honest if its components covary)? The reliability
+    gate in front of any composite metric the curriculum/quality desks
+    build. Output ONE row: (n_subjects, k_items, alpha).
+
+        alpha = k/(k-1) * (1 - sum_i SS_i / SS_total),
+        SS = n*sum(x^2) - sum(x)^2  (unnormalized variance: the 1/n^2
+    factors cancel in the ratio), with every moment an exact BIGINT
+    and the combination a fixed double tree — bit-identical
+    cross-engine, rounded ``dp`` once. Item values must keep
+    n * sum(x^2) inside int64 (quantize money items to k$ grain — the
+    documented-bound discipline).
+
+    Scale shape (100 TB): ONE map-combined aggregate over subjects;
+    the formula runs on a 1-row relation."""
+    k = len(item_cols)
+    total = None
+    for c in item_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for idx, c in enumerate(item_cols):
+        aggs.append(F.sum(F.col(c)).cast("long").alias(f"s{idx}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("long").alias(f"q{idx}")
+        )
+    base = df.withColumn("tt", total)
+    aggs.append(F.sum("tt").cast("long").alias("st"))
+    aggs.append(F.sum(F.col("tt") * F.col("tt")).cast("long").alias("qt"))
+    mom = base.agg(*aggs)
+    ss_items = " + ".join(
+        f"(CAST(n AS DOUBLE) * q{i} - CAST(s{i} AS DOUBLE) * s{i})"
+        for i in range(k)
+    )
+    return mom.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.round(
+            F.expr(
+                f"{k} / ({k} - 1.0) * (1 - ({ss_items})"
+                " / (CAST(n AS DOUBLE) * qt - CAST(st AS DOUBLE) * st))"
+            ),
+            dp,
+        ).alias("alpha"),
+    )
+
+
+def cronbach_oracle_sql(
+    subjects_sql: str, item_sqls: tuple[str, ...], dp: int = 6
+) -> str:
+    """DuckDB mirror of `cronbach_alpha`. ``subjects_sql`` yields one
+    row per subject with the item columns; identical moment algebra."""
+    k = len(item_sqls)
+    total = " + ".join(f"({s})" for s in item_sqls)
+    moment_cols = ", ".join(
+        f"CAST(sum({s}) AS BIGINT) AS s{i}, "
+        f"CAST(sum(({s}) * ({s})) AS BIGINT) AS q{i}"
+        for i, s in enumerate(item_sqls)
+    )
+    ss_items = " + ".join(
+        f"(CAST(n AS DOUBLE) * q{i} - CAST(s{i} AS DOUBLE) * s{i})"
+        for i in range(k)
+    )
+    return f"""
+    WITH cba_subj AS ({subjects_sql}),
+    cba_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, {moment_cols},
+               CAST(sum({total}) AS BIGINT) AS st,
+               CAST(sum(({total}) * ({total})) AS BIGINT) AS qt
+        FROM cba_subj
+    )
+    SELECT n AS n_subjects, CAST({k} AS BIGINT) AS k_items,
+           round({k} / ({k} - 1.0) * (1 - ({ss_items})
+                 / (CAST(n AS DOUBLE) * qt - CAST(st AS DOUBLE) * st)),
+                 {dp}) AS alpha
+    FROM cba_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Fleiss' kappa (multi-rater agreement, all-integer)
+# --------------------------------------------------------------------------
+
+
+def fleiss_kappa(
+    df: DataFrame, cat_cols: tuple[str, ...], n_categories: int, dp: int = 6
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement of r raters
+    assigning each subject one of k categories — Cohen's kappa
+    (q_cohens_kappa) handles exactly TWO raters; this is the
+    multi-rater generalization (rule-based labeler ensembles, n-way
+    annotation QA). ``cat_cols`` hold each rater's category per
+    subject. Output ONE row:
+    (n_subjects, n_raters, k_categories, p_bar, p_e, kappa).
+
+    All-integer: n_ij (votes for category j on subject i) is a sum of
+    equality flags computed IN-ROW (no rater fan-out, no explode);
+        A   = sum_i (sum_j n_ij^2 - r)        (BIGINT)
+        C_j = sum_i n_ij                      (BIGINT)
+        p_bar = A / (N r (r-1)),  p_e = sum_j C_j^2 / (N r)^2
+    and kappa = (p_bar - p_e)/(1 - p_e) — exact divisions of exact
+    integers, kappa rounds ``dp``. sum C_j^2 needs (N*r)^2 inside
+    int64: fine to ~3e9 rated subjects x 3 raters.
+
+    Scale shape (100 TB): ONE map-combined aggregate over subjects;
+    no join, no window, no row fan-out."""
+    r = len(cat_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    sum_sq = None
+    for j in range(n_categories):
+        nj = None
+        for c in cat_cols:
+            flag = (F.col(c) == j).cast("long")
+            nj = flag if nj is None else nj + flag
+        term = nj * nj
+        sum_sq = term if sum_sq is None else sum_sq + term
+        aggs.append(F.sum(nj).cast("long").alias(f"c{j}"))
+    aggs.append(F.sum(sum_sq - F.lit(r)).cast("long").alias("a"))
+    mom = df.agg(*aggs)
+    ce = " + ".join(
+        f"CAST(c{j} AS DOUBLE) * c{j}" for j in range(n_categories)
+    )
+    return mom.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(r).cast("long").alias("n_raters"),
+        F.lit(n_categories).cast("long").alias("k_categories"),
+        F.expr(f"a / (CAST(n AS DOUBLE) * {r} * {r - 1})").alias("p_bar"),
+        F.expr(
+            f"({ce}) / (CAST(n AS DOUBLE) * {r} * n * {r})"
+        ).alias("p_e"),
+        F.round(
+            F.expr(
+                f"(a / (CAST(n AS DOUBLE) * {r} * {r - 1})"
+                f" - ({ce}) / (CAST(n AS DOUBLE) * {r} * n * {r}))"
+                f" / (1 - ({ce}) / (CAST(n AS DOUBLE) * {r} * n * {r}))"
+            ),
+            dp,
+        ).alias("kappa"),
+    )
+
+
+def fleiss_oracle_sql(
+    subjects_sql: str,
+    cat_sqls: tuple[str, ...],
+    n_categories: int,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `fleiss_kappa`: identical in-row vote flags
+    and integer moment algebra."""
+    r = len(cat_sqls)
+    nj_defs = []
+    for j in range(n_categories):
+        flags = " + ".join(
+            f"(CASE WHEN ({c}) = {j} THEN 1 ELSE 0 END)" for c in cat_sqls
+        )
+        nj_defs.append(f"CAST({flags} AS BIGINT) AS n{j}")
+    sum_sq = " + ".join(f"n{j} * n{j}" for j in range(n_categories))
+    cj_aggs = ", ".join(
+        f"CAST(sum(n{j}) AS BIGINT) AS c{j}" for j in range(n_categories)
+    )
+    ce = " + ".join(
+        f"CAST(c{j} AS DOUBLE) * c{j}" for j in range(n_categories)
+    )
+    return f"""
+    WITH flk_subj AS ({subjects_sql}),
+    flk_votes AS (SELECT {", ".join(nj_defs)} FROM flk_subj),
+    flk_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, {cj_aggs},
+               CAST(sum({sum_sq} - {r}) AS BIGINT) AS a
+        FROM flk_votes
+    )
+    SELECT n AS n_subjects, CAST({r} AS BIGINT) AS n_raters,
+           CAST({n_categories} AS BIGINT) AS k_categories,
+           a / (CAST(n AS DOUBLE) * {r} * {r - 1}) AS p_bar,
+           ({ce}) / (CAST(n AS DOUBLE) * {r} * n * {r}) AS p_e,
+           round((a / (CAST(n AS DOUBLE) * {r} * {r - 1})
+                  - ({ce}) / (CAST(n AS DOUBLE) * {r} * n * {r}))
+                 / (1 - ({ce}) / (CAST(n AS DOUBLE) * {r} * n * {r})),
+                 {dp}) AS kappa
+    FROM flk_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Chow structural-break test (per-segment centered-moment SSE)
+# --------------------------------------------------------------------------
+
+
+def chow_test(df: DataFrame, day_col: str, cents_col, dp: int = 6) -> DataFrame:
+    """Chow test for a structural break in the daily linear trend at
+    the series midpoint: did the data-generating regime CHANGE, or is
+    one line adequate? The regression-flavored sibling of the
+    change-point family (CUSUM/Pettitt/Page-Hinkley locate a shift in
+    LEVEL; Chow tests whether slope+intercept themselves split).
+    Output ONE row: (n_days, break_t, f_stat, sse_pooled, sse_split).
+
+        F = ((SSE_p - SSE_1 - SSE_2)/2) / ((SSE_1 + SSE_2)/(n-4)),
+    with every SSE in centered-moment closed form
+        SSE = (Syy - Sy^2/n) - (Sty - St*Sy/n)^2 / (Stt - St^2/n)
+    over exact-BIGINT per-segment moments (value grain: k$ units,
+    floor(cents/1e5) — keeps sum(y^2) inside int64 to ~1e5 days x
+    ~1e9 $/day; coarser beyond, the documented-bound discipline).
+    Pooled moments are the exact integer sums of the two segments.
+    The F combination is a fixed double tree, rounded ``dp``.
+
+    Scale shape (100 TB): one map-combined day aggregate; the split
+    and formulas run on a 2-row segment relation."""
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(cents_col).cast("long").alias("cents")
+    )
+    span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    daily = daily0.crossJoin(F.broadcast(span)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        F.floor(F.col("cents") / F.lit(100000.0)).cast("long").alias("y"),
+        F.datediff(F.col("d1"), F.col("d0")).cast("long").alias("tmax"),
+    )
+    seg = (F.col("t") > F.floor(F.col("tmax") / 2).cast("long")).cast("long")
+    per = daily.withColumn("seg", seg).groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.max(F.floor(F.col("tmax") / 2).cast("long")).alias("tmid"),
+    )
+    # conditional 1-row pivot of the 2-segment relation
+    one = per.agg(
+        *[
+            F.sum(F.when(F.col("seg") == s, F.col(c)).otherwise(0))
+            .cast("long")
+            .alias(f"{c}{s}")
+            for s in (0, 1)
+            for c in ("n", "sy", "syy", "st", "stt", "sty")
+        ],
+        F.max("tmid").alias("break_t"),
+    )
+    sse = (
+        "((syy{s} - CAST(sy{s} AS DOUBLE) * sy{s} / n{s})"
+        " - (sty{s} - CAST(st{s} AS DOUBLE) * sy{s} / n{s})"
+        " * (sty{s} - CAST(st{s} AS DOUBLE) * sy{s} / n{s})"
+        " / (stt{s} - CAST(st{s} AS DOUBLE) * st{s} / n{s}))"
+    )
+    pooled = (
+        one.withColumn("n", F.col("n0") + F.col("n1"))
+        .withColumn("sy", F.col("sy0") + F.col("sy1"))
+        .withColumn("syy", F.col("syy0") + F.col("syy1"))
+        .withColumn("st", F.col("st0") + F.col("st1"))
+        .withColumn("stt", F.col("stt0") + F.col("stt1"))
+        .withColumn("sty", F.col("sty0") + F.col("sty1"))
+        .withColumn("ssep", F.expr(sse.format(s="")))
+        .withColumn("sse1", F.expr(sse.format(s="0")))
+        .withColumn("sse2", F.expr(sse.format(s="1")))
+    )
+    return pooled.select(
+        F.col("n").alias("n_days"),
+        F.col("break_t").cast("long").alias("break_t"),
+        F.round(
+            F.expr(
+                "((ssep - sse1 - sse2) / 2)"
+                " / ((sse1 + sse2) / (n - 4.0))"
+            ),
+            dp,
+        ).alias("f_stat"),
+        F.round(F.col("ssep"), dp).alias("sse_pooled"),
+        F.round(F.col("sse1") + F.col("sse2"), dp).alias("sse_split"),
+    )
+
+
+def chow_oracle_sql(
+    table: str, day_sql: str, cents_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `chow_test`: identical segment split, moment
+    pivot, and centered-SSE formula text."""
+    sse = (
+        "((syy{s} - CAST(sy{s} AS DOUBLE) * sy{s} / n{s})"
+        " - (sty{s} - CAST(st{s} AS DOUBLE) * sy{s} / n{s})"
+        " * (sty{s} - CAST(st{s} AS DOUBLE) * sy{s} / n{s})"
+        " / (stt{s} - CAST(st{s} AS DOUBLE) * st{s} / n{s}))"
+    )
+    piv = ", ".join(
+        f"CAST(sum(CASE WHEN seg = {s} THEN {c} ELSE 0 END) AS BIGINT)"
+        f" AS {c}{s}"
+        for s in (0, 1)
+        for c in ("n", "sy", "syy", "st", "stt", "sty")
+    )
+    return f"""
+    WITH chw_daily0 AS (
+        SELECT {day_sql} AS day, CAST(sum({cents_sql}) AS BIGINT) AS cents
+        FROM {table} GROUP BY 1
+    ),
+    chw_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM chw_daily0),
+    chw_daily AS (
+        SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t,
+               CAST(floor(cents / 100000.0) AS BIGINT) AS y,
+               CAST(date_diff('day', d0, d1) AS BIGINT) AS tmax
+        FROM chw_daily0 CROSS JOIN chw_span
+    ),
+    chw_per AS (
+        SELECT CASE WHEN t > CAST(floor(tmax / 2) AS BIGINT)
+                    THEN 1 ELSE 0 END AS seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * y) AS BIGINT) AS sty,
+               CAST(max(CAST(floor(tmax / 2) AS BIGINT)) AS BIGINT) AS tmid
+        FROM chw_daily
+        GROUP BY 1
+    ),
+    chw_one AS (
+        SELECT {piv}, CAST(max(tmid) AS BIGINT) AS break_t
+        FROM chw_per
+    ),
+    chw_pool AS (
+        SELECT *,
+               n0 + n1 AS n, sy0 + sy1 AS sy, syy0 + syy1 AS syy,
+               st0 + st1 AS st, stt0 + stt1 AS stt, sty0 + sty1 AS sty
+        FROM chw_one
+    ),
+    chw_sse AS (
+        SELECT *,
+               {sse.format(s="")} AS ssep,
+               {sse.format(s="0")} AS sse1,
+               {sse.format(s="1")} AS sse2
+        FROM chw_pool
+    )
+    SELECT n AS n_days, break_t,
+           round(((ssep - sse1 - sse2) / 2)
+                 / ((sse1 + sse2) / (n - 4.0)), {dp}) AS f_stat,
+           round(ssep, {dp}) AS sse_pooled,
+           round(sse1 + sse2, {dp}) AS sse_split
+    FROM chw_sse
+    """

@@ -2707,3 +2707,141 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t")
     )
     return stats_ops.rmst(durs, "t")
+
+
+@query(
+    "q_atkinson_index",
+    oracle=stats_ops.atkinson_oracle_sql(
+        """(SELECT o_custkey, CAST(sum(floor(o_totalprice * 100)) AS BIGINT)
+               AS cents
+            FROM orders GROUP BY 1)""",
+        "cents",
+    ),
+)
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (eps = 1) of per-customer total
+    spend: what fraction of total revenue could be discarded if spend
+    were equal under log utility — the welfare-weighted companion to
+    q_gini_coefficient. Money values are distinct-per-row, so the
+    geometric mean runs at HISTOGRAM GRAIN: 1024 equal-width buckets,
+    ln of each bucket's exact mean quantized to micro-units, exact
+    BIGINT mass sums, one exp rounded 6dp
+    (operators/stats.atkinson_index)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    return stats_ops.atkinson_index(spend, "cents")
+
+
+@query(
+    "q_cronbach_alpha",
+    oracle=stats_ops.cronbach_oracle_sql(
+        """SELECT o_custkey,
+                  CAST(count(*) AS BIGINT) AS x0,
+                  CAST(floor(sum(floor(o_totalprice * 100)) / 100000.0)
+                       AS BIGINT) AS x1,
+                  CAST(count(DISTINCT CAST(date_trunc('month',
+                       CAST(o_orderdate AS DATE)) AS DATE)) AS BIGINT) AS x2
+           FROM orders GROUP BY 1""",
+        ("x0", "x1", "x2"),
+    ),
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over three per-customer engagement items
+    (order count, spend in k$, active months): do they measure ONE
+    underlying loyalty trait — the reliability gate in front of any
+    composite engagement score (q_rfm_segments composes exactly these
+    axes). Exact BIGINT item moments, one fixed double tree, 6dp
+    (operators/stats.cronbach_alpha)."""
+    orders = load_table(spark, sf_dir, "orders")
+    subj = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x0"),
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100)) / F.lit(100000.0)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.countDistinct(
+            F.trunc(F.col("o_orderdate").cast("date"), "month")
+        )
+        .cast("long")
+        .alias("x2"),
+    )
+    return stats_ops.cronbach_alpha(subj, ("x0", "x1", "x2"))
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle=stats_ops.fleiss_oracle_sql(
+        """SELECT o.o_orderkey,
+                  CASE WHEN o.o_totalprice < 150000 THEN 0
+                       WHEN o.o_totalprice < 300000 THEN 1 ELSE 2 END AS c0,
+                  CASE WHEN q.qty < 60 THEN 0
+                       WHEN q.qty < 120 THEN 1 ELSE 2 END AS c1,
+                  CASE WHEN q.ln <= 2 THEN 0
+                       WHEN q.ln <= 4 THEN 1 ELSE 2 END AS c2
+           FROM orders o
+           JOIN (SELECT l_orderkey,
+                        CAST(sum(l_quantity) AS BIGINT) AS qty,
+                        CAST(count(*) AS BIGINT) AS ln
+                 FROM lineitem GROUP BY 1) q
+             ON q.l_orderkey = o.o_orderkey""",
+        ("c0", "c1", "c2"),
+        n_categories=3,
+    ),
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa agreement of three rule-based order-size
+    labelers (price bands / total-quantity bands / line-count bands)
+    — the multi-rater generalization of q_cohens_kappa: do
+    independent sizing heuristics agree beyond chance? In-row vote
+    flags (no rater fan-out), all-integer moments, exact divisions,
+    6dp kappa (operators/stats.fleiss_kappa)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").cast("long").alias("qty"),
+        F.count(F.lit(1)).cast("long").alias("ln"),
+    )
+    subj = orders.join(per_order, "o_orderkey").select(
+        F.when(F.col("o_totalprice") < 150000, 0)
+        .when(F.col("o_totalprice") < 300000, 1)
+        .otherwise(2)
+        .alias("c0"),
+        F.when(F.col("qty") < 60, 0)
+        .when(F.col("qty") < 120, 1)
+        .otherwise(2)
+        .alias("c1"),
+        F.when(F.col("ln") <= 2, 0)
+        .when(F.col("ln") <= 4, 1)
+        .otherwise(2)
+        .alias("c2"),
+    )
+    return stats_ops.fleiss_kappa(subj, ("c0", "c1", "c2"), n_categories=3)
+
+
+@query(
+    "q_chow_test",
+    oracle=stats_ops.chow_oracle_sql(
+        "orders",
+        "CAST(o_orderdate AS DATE)",
+        "floor(o_totalprice * 100)",
+    ),
+)
+def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue linear
+    trend at the series midpoint — did the regime CHANGE, or is one
+    line adequate (the regression sibling of CUSUM/Pettitt level
+    shifts)? Exact per-segment BIGINT moments at k$ grain, pooled by
+    integer addition, centered-SSE closed forms, 6dp F
+    (operators/stats.chow_test)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.chow_test(
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        ),
+        "day",
+        F.col("cents"),
+    )

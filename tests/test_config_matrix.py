@@ -756,3 +756,33 @@ def test_r11j_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11k_ops():
+    """Part-14 batch under engine-config flips: the histogram-grain
+    geometric mean, the item-moment aggregate, the in-row vote flags,
+    and the 2-segment moment pivot."""
+    from celeborn_spark.queries.stats import (
+        q_atkinson_index,
+        q_chow_test,
+        q_cronbach_alpha,
+        q_fleiss_kappa,
+    )
+
+    return [q_atkinson_index, q_cronbach_alpha, q_fleiss_kappa, q_chow_test]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11k_ops(), ids=lambda f: f.__name__)
+def test_r11k_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -342,3 +342,51 @@ def test_rmst_within_curve_bounds(spark, sf_dir):
     for a, b in zip(km, km[1:]):
         area += a.survival * (b.t - a.t)
     assert abs(area - row.rmst_days) < 1e-5
+
+
+# --- r11 batch 14: Atkinson / Cronbach / Fleiss / Chow ---
+
+
+def test_atkinson_in_unit_interval(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_atkinson_index
+
+    row = q_atkinson_index(spark, sf_dir).collect()[0]
+    assert row.n_units > 0
+    assert 0.0 <= row.atkinson < 1.0
+    assert row.mean_cents > 0
+
+
+def test_cronbach_alpha_bounds_and_subjects(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_cronbach_alpha
+    from celeborn_spark.catalog import load_table
+
+    row = q_cronbach_alpha(spark, sf_dir).collect()[0]
+    assert row.k_items == 3
+    assert row.alpha <= 1.0
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert row.n_subjects == n_cust
+
+
+def test_fleiss_kappa_agreeing_raters(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_fleiss_kappa
+
+    row = q_fleiss_kappa(spark, sf_dir).collect()[0]
+    assert row.n_raters == 3 and row.k_categories == 3
+    assert 0.0 <= row.p_bar <= 1.0
+    assert 0.0 < row.p_e < 1.0
+    assert -1.0 <= row.kappa <= 1.0
+    # the three size heuristics genuinely correlate on TPC-H orders
+    assert row.kappa > 0.0
+
+
+def test_chow_split_never_fits_worse(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_chow_test
+
+    row = q_chow_test(spark, sf_dir).collect()[0]
+    assert row.n_days > 4
+    assert 0 < row.break_t
+    # split regression can only reduce SSE (F >= 0 up to rounding)
+    assert row.sse_split <= row.sse_pooled + 1e-6
+    assert row.f_stat >= -1e-6
