@@ -6459,3 +6459,470 @@ def chow_oracle_sql(
            round(sse1 + sse2, {dp}) AS sse_split
     FROM chw_sse
     """
+
+
+# --------------------------------------------------------------------------
+# Mood's median test (pooled-median 2xk table, quantized term sum)
+# --------------------------------------------------------------------------
+
+
+def mood_median_test(
+    df: DataFrame, group_col: str, value_col: str, dp: int = 6
+) -> DataFrame:
+    """Mood's median test: do the groups share a common median? Counts
+    above/below the POOLED median per group and chi-squares the 2xk
+    table — the k-group median-location omnibus beside Kruskal-Wallis
+    (KW compares mean ranks and is sensitive to shape; Mood's only
+    asks which side of the shared median each row falls on — maximally
+    robust, minimally powered). Ties count as "below" (<= median, the
+    documented convention). Output ONE row:
+    (med, k_groups, n, a_total, chi2, dof).
+
+    The pooled median comes from the VALUE HISTOGRAM (min value whose
+    cumulative count reaches ceil(N/2) — never a row sort); per-group
+    cell deviations stay exact BIGINT via cross-multiplication
+    (d_a = N*a_g - n_g*A), each group's chi-square term is a fixed
+    double tree quantized to micro-units (floor(t*1e6 + 0.5)) so the
+    k-term sum accumulates as exact BIGINT — portable regardless of
+    either engine's aggregation order/tree.
+
+    Scale shape (100 TB): one value-histogram aggregate + one group
+    aggregate over row mass; the window runs over DISTINCT values."""
+    from pyspark.sql import Window as W
+
+    hist = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    med = (
+        hist.withColumn("cum", F.sum("c").over(wv))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .agg(F.min("v").alias("med"))
+    )
+    grp = (
+        df.crossJoin(F.broadcast(med))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum((F.col(value_col) > F.col("med")).cast("long"))
+            .cast("long")
+            .alias("a_g"),
+            F.max("med").alias("med_g"),
+        )
+    )
+    gtot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("a_g").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    terms = grp.crossJoin(F.broadcast(gtot)).select(
+        "med_g",
+        "n",
+        "a",
+        "k",
+        F.expr(
+            "CAST(floor(("
+            "  CAST(n * a_g - n_g * a AS DOUBLE) * (n * a_g - n_g * a)"
+            "    / (CAST(n AS DOUBLE) * n_g * a)"
+            "  + CAST(n * (n_g - a_g) - n_g * (n - a) AS DOUBLE)"
+            "    * (n * (n_g - a_g) - n_g * (n - a))"
+            "    / (CAST(n AS DOUBLE) * n_g * (n - a))"
+            ") * 1000000 + 0.5) AS BIGINT)"
+        ).alias("t6"),
+    )
+    return terms.groupBy("med_g", "n", "a", "k").agg(
+        (F.sum("t6").cast("long") / F.lit(1_000_000.0)).alias("chi2")
+    ).select(
+        F.col("med_g").alias("med"),
+        F.col("k").alias("k_groups"),
+        "n",
+        F.col("a").alias("a_total"),
+        "chi2",
+        (F.col("k") - 1).cast("long").alias("dof"),
+    )
+
+
+def mood_median_oracle_sql(
+    table: str, group_sql: str, value_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `mood_median_test`: identical histogram
+    median, cross-multiplied cells, and micro-quantized term sum."""
+    return f"""
+    WITH mmt_hist AS (
+        SELECT {value_sql} AS v, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+    ),
+    mmt_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM mmt_hist),
+    mmt_med AS (
+        SELECT min(v) AS med FROM (
+            SELECT v, sum(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n
+            FROM mmt_hist CROSS JOIN mmt_tot
+        ) WHERE cum >= ceil(n / 2)
+    ),
+    mmt_grp AS (
+        SELECT {group_sql} AS g, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(CASE WHEN {value_sql} > med THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a_g,
+               max(med) AS med_g
+        FROM {table} CROSS JOIN mmt_med
+        GROUP BY 1
+    ),
+    mmt_gtot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(a_g) AS BIGINT) AS a,
+               CAST(count(*) AS BIGINT) AS k
+        FROM mmt_grp
+    ),
+    mmt_terms AS (
+        SELECT med_g, n, a, k,
+               CAST(floor((
+                 CAST(n * a_g - n_g * a AS DOUBLE) * (n * a_g - n_g * a)
+                   / (CAST(n AS DOUBLE) * n_g * a)
+                 + CAST(n * (n_g - a_g) - n_g * (n - a) AS DOUBLE)
+                   * (n * (n_g - a_g) - n_g * (n - a))
+                   / (CAST(n AS DOUBLE) * n_g * (n - a))
+               ) * 1000000 + 0.5) AS BIGINT) AS t6
+        FROM mmt_grp CROSS JOIN mmt_gtot
+    )
+    SELECT med_g AS med, k AS k_groups, n, a AS a_total,
+           CAST(sum(t6) AS BIGINT) / 1000000.0 AS chi2,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM mmt_terms
+    GROUP BY med_g, n, a, k
+    """
+
+
+# --------------------------------------------------------------------------
+# Grubbs' outlier test (exact integer moments + extreme deviations)
+# --------------------------------------------------------------------------
+
+
+def grubbs_test(df: DataFrame, units_col: str, dp: int = 6) -> DataFrame:
+    """Grubbs' test statistic for a single outlier:
+    G = max|x - mean| / sd — IS the most extreme value suspicious,
+    the formal one-value sibling of q_mad_outliers' per-row screen
+    (MAD flags many; Grubbs grades THE extreme against the normal
+    assumption). Output ONE row: (n, outlier_units, g_stat).
+
+    Everything multiplies through by n so the extreme deviation is
+    exact: max_dev_n = greatest(S - n*min, n*max - S) (BIGINT), the
+    outlier value is whichever side wins (exact comparison), and
+        G = max_dev_n / (n * sqrt((n*Q - S^2) / (n * (n-1))))
+    is one fixed double tree over exact moments, rounded ``dp``.
+    ``units_col`` must keep n * sum(x^2) inside int64 (quantize money
+    to dollars — the documented-bound discipline).
+
+    Scale shape (100 TB): ONE map-combined aggregate; the formula
+    runs on a 1-row relation."""
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(units_col)).cast("long").alias("s"),
+        F.sum(F.col(units_col) * F.col(units_col)).cast("long").alias("q"),
+        F.min(F.col(units_col)).cast("long").alias("mn"),
+        F.max(F.col(units_col)).cast("long").alias("mx"),
+    )
+    return mom.select(
+        "n",
+        F.expr(
+            "CAST(CASE WHEN (s - n * mn) > (n * mx - s) THEN mn ELSE mx END"
+            " AS BIGINT)"
+        ).alias("outlier_units"),
+        F.round(
+            F.expr(
+                "greatest(CAST(s - n * mn AS DOUBLE), CAST(n * mx - s AS DOUBLE))"
+                " / (n * sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+                "             / (CAST(n AS DOUBLE) * (n - 1))))"
+            ),
+            dp,
+        ).alias("g_stat"),
+    )
+
+
+def grubbs_oracle_sql(table_sql: str, units_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `grubbs_test`: identical moment and extreme
+    algebra."""
+    return f"""
+    WITH grb_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({units_sql}) AS BIGINT) AS s,
+               CAST(sum(({units_sql}) * ({units_sql})) AS BIGINT) AS q,
+               CAST(min({units_sql}) AS BIGINT) AS mn,
+               CAST(max({units_sql}) AS BIGINT) AS mx
+        FROM {table_sql}
+    )
+    SELECT n,
+           CAST(CASE WHEN (s - n * mn) > (n * mx - s) THEN mn ELSE mx END
+                AS BIGINT) AS outlier_units,
+           round(greatest(CAST(s - n * mn AS DOUBLE),
+                          CAST(n * mx - s AS DOUBLE))
+                 / (n * sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                             / (CAST(n AS DOUBLE) * (n - 1)))), {dp})
+               AS g_stat
+    FROM grb_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Horvitz-Thompson estimator (size-banded md5 sample, exact reweights)
+# --------------------------------------------------------------------------
+
+
+def horvitz_thompson(
+    df: DataFrame,
+    key_col: str,
+    cents_col: str,
+    hi_cents: int,
+    mid_cents: int,
+    salt: int = 11,
+) -> DataFrame:
+    """Horvitz-Thompson total estimate from an unequal-probability
+    sample: large units enter with pi = 1, mid with pi = 1/5, small
+    with pi = 1/20 (deterministic md5-uniform inclusion), and the
+    estimator reweights each sampled value by 1/pi — read the WHOLE
+    corpus total off a fraction of it, with the size-biased design
+    every telemetry pipeline actually runs (q_uniform_sample draws
+    equal-probability rows; HT makes a BIASED design unbiased).
+    Output ONE row:
+    (n_pop, n_sample, true_cents, ht_cents, ht_ratio).
+
+    The 1/pi weights are INTEGER (1, 5, 20), so the estimate is an
+    exact BIGINT sum of cents * weight — no float reweighting at all;
+    ht_ratio is one exact division. Inclusion uses the shared
+    md5-uniform variate (curriculum.u01), identical in both engines.
+
+    Scale shape (100 TB): one map-side band+hash filter, two
+    map-combined aggregates; nothing shuffles but 1-row totals."""
+    from celeborn_spark.operators.curriculum import u01
+
+    c = F.col(cents_col)
+    w = (
+        F.when(c >= hi_cents, 1)
+        .when(c >= mid_cents, 5)
+        .otherwise(20)
+        .cast("long")
+    )
+    pi = (
+        F.when(c >= hi_cents, F.lit(1.0))
+        .when(c >= mid_cents, F.lit(0.2))
+        .otherwise(F.lit(0.05))
+    )
+    base = df.select(
+        c.alias("cents"),
+        w.alias("w"),
+        (u01(F.col(key_col).cast("string"), salt) < pi).alias("take"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum(F.col("take").cast("long")).cast("long").alias("n_sample"),
+        F.sum("cents").cast("long").alias("true_cents"),
+        F.sum(F.when(F.col("take"), F.col("cents") * F.col("w")).otherwise(0))
+        .cast("long")
+        .alias("ht_cents"),
+    ).withColumn(
+        "ht_ratio",
+        F.col("ht_cents").cast("double") / F.col("true_cents"),
+    )
+
+
+def horvitz_thompson_oracle_sql(
+    table: str,
+    key_sql: str,
+    cents_sql: str,
+    hi_cents: int,
+    mid_cents: int,
+    salt: int = 11,
+) -> str:
+    """DuckDB mirror of `horvitz_thompson`: identical bands, the
+    shared md5-uniform inclusion variate, exact integer reweights."""
+    from celeborn_spark.operators.curriculum import u01_oracle_expr
+
+    u = u01_oracle_expr(f"CAST({key_sql} AS VARCHAR)", salt)
+    return f"""
+    WITH ht_base AS (
+        SELECT {cents_sql} AS cents,
+               CAST(CASE WHEN {cents_sql} >= {hi_cents} THEN 1
+                         WHEN {cents_sql} >= {mid_cents} THEN 5
+                         ELSE 20 END AS BIGINT) AS w,
+               ({u}) < (CASE WHEN {cents_sql} >= {hi_cents} THEN 1.0
+                             WHEN {cents_sql} >= {mid_cents} THEN 0.2
+                             ELSE 0.05 END) AS take
+        FROM {table}
+    ),
+    ht_agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(CASE WHEN take THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sample,
+               CAST(sum(cents) AS BIGINT) AS true_cents,
+               CAST(sum(CASE WHEN take THEN cents * w ELSE 0 END) AS BIGINT)
+                   AS ht_cents
+        FROM ht_base
+    )
+    SELECT n_pop, n_sample, true_cents, ht_cents,
+           CAST(ht_cents AS DOUBLE) / true_cents AS ht_ratio
+    FROM ht_agg
+    """
+
+
+# --------------------------------------------------------------------------
+# ACF/PACF lags 1-3 (exact lag moments + Durbin-Levinson closed form)
+# --------------------------------------------------------------------------
+
+
+def pacf_3(df: DataFrame, day_col: str, dp: int = 6) -> DataFrame:
+    """Autocorrelation and PARTIAL autocorrelation of the daily
+    row-count series at lags 1-3 (Durbin-Levinson closed form) — the
+    model-identification readout beside q_autocorrelation's single
+    lag and q_ljung_box's omnibus: ACF says WHETHER memory exists,
+    PACF says which AR order generates it (phi22 ~ 0 means lag-2
+    correlation is just propagated lag-1). Output ONE row:
+    (n_days, r1, r2, r3, pacf1, pacf2, pacf3).
+
+    Lag cross-moments are exact BIGINTs over the CALENDAR-FILLED
+    series (lag-k adjacency requires consecutive t): C_k = sum y_t
+    y_{t-k}, plus head/tail window sums; r_k assembles in one fixed
+    double tree and rounds ``dp`` BEFORE Durbin-Levinson, so the
+    recursion runs on identical 6dp operands in both engines.
+
+    Scale shape (100 TB): one map-combined day aggregate; the three
+    lag windows run on the calendar-bounded day grid."""
+    from pyspark.sql import Window as W
+
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = (
+        cal.join(daily0, "day", "left")
+        .select("day", F.coalesce("m", F.lit(0)).cast("long").alias("y"))
+        .localCheckpoint()  # calendar-bounded; feeds moments + 3 lag windows
+    )
+    wd = W.orderBy("day")  # one row per calendar day (filled grid)
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(wd).alias("y1"),
+        F.lag("y", 2).over(wd).alias("y2"),
+        F.lag("y", 3).over(wd).alias("y3"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    ]
+    for k in (1, 2, 3):
+        yk = F.col(f"y{k}")
+        nn = yk.isNotNull()
+        aggs += [
+            F.sum(F.when(nn, F.col("y") * yk)).cast("long").alias(f"c{k}"),
+            F.sum(F.when(nn, F.col("y"))).cast("long").alias(f"h{k}"),
+            F.sum(F.when(nn, yk)).cast("long").alias(f"t{k}"),
+            F.sum(nn.cast("long")).cast("long").alias(f"n{k}"),
+        ]
+    mom = lagged.agg(*aggs)
+    r = {
+        k: (
+            f"round((c{k} - CAST(s AS DOUBLE) / n * h{k}"
+            f" - CAST(s AS DOUBLE) / n * t{k}"
+            f" + n{k} * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+            f" / (q - CAST(s AS DOUBLE) * s / n), {dp})"
+        )
+        for k in (1, 2, 3)
+    }
+    out = (
+        mom.withColumn("r1", F.expr(r[1]))
+        .withColumn("r2", F.expr(r[2]))
+        .withColumn("r3", F.expr(r[3]))
+        .withColumn("p2", F.expr(f"round((r2 - r1 * r1) / (1 - r1 * r1), {dp})"))
+        .withColumn("p21", F.expr("r1 - p2 * r1"))
+        .withColumn(
+            "p3",
+            F.expr(
+                f"round((r3 - p21 * r2 - p2 * r1)"
+                f" / (1 - p21 * r1 - p2 * r2), {dp})"
+            ),
+        )
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        "r1",
+        "r2",
+        "r3",
+        F.col("r1").alias("pacf1"),
+        F.col("p2").alias("pacf2"),
+        F.col("p3").alias("pacf3"),
+    )
+
+
+def pacf_oracle_sql(table: str, day_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `pacf_3`: identical calendar fill, lag
+    moments, rounded ACF, and Durbin-Levinson text."""
+    lag_cols = []
+    for k in (1, 2, 3):
+        lag_cols += [
+            f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN y * y{k} END)"
+            f" AS BIGINT) AS c{k}",
+            f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN y END)"
+            f" AS BIGINT) AS h{k}",
+            f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN y{k} END)"
+            f" AS BIGINT) AS t{k}",
+            f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n{k}",
+        ]
+    r = {
+        k: (
+            f"round((c{k} - CAST(s AS DOUBLE) / n * h{k}"
+            f" - CAST(s AS DOUBLE) / n * t{k}"
+            f" + n{k} * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))"
+            f" / (q - CAST(s AS DOUBLE) * s / n), {dp})"
+        )
+        for k in (1, 2, 3)
+    }
+    return f"""
+    WITH pcf_daily0 AS (
+        SELECT {day_sql} AS day, CAST(count(*) AS BIGINT) AS m
+        FROM {table} GROUP BY 1
+    ),
+    pcf_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM pcf_daily0),
+    pcf_cal AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM pcf_span
+    ),
+    pcf_daily AS (
+        SELECT c.day, CAST(COALESCE(d.m, 0) AS BIGINT) AS y
+        FROM pcf_cal c LEFT JOIN pcf_daily0 d ON c.day = d.day
+    ),
+    pcf_lag AS (
+        SELECT y,
+               lag(y, 1) OVER (ORDER BY day) AS y1,
+               lag(y, 2) OVER (ORDER BY day) AS y2,
+               lag(y, 3) OVER (ORDER BY day) AS y3
+        FROM pcf_daily
+    ),
+    pcf_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS q,
+               {", ".join(lag_cols)}
+        FROM pcf_lag
+    ),
+    pcf_r AS (
+        SELECT n, {r[1]} AS r1, {r[2]} AS r2, {r[3]} AS r3 FROM pcf_mom
+    ),
+    pcf_p2 AS (
+        SELECT *, round((r2 - r1 * r1) / (1 - r1 * r1), {dp}) AS p2
+        FROM pcf_r
+    ),
+    pcf_p3 AS (
+        SELECT *, r1 - p2 * r1 AS p21 FROM pcf_p2
+    )
+    SELECT n AS n_days, r1, r2, r3,
+           r1 AS pacf1, p2 AS pacf2,
+           round((r3 - p21 * r2 - p2 * r1)
+                 / (1 - p21 * r1 - p2 * r2), {dp}) AS pacf3
+    FROM pcf_p3
+    """

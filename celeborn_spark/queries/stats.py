@@ -2845,3 +2845,91 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("cents"),
     )
+
+
+@query(
+    "q_mood_median",
+    oracle=stats_ops.mood_median_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity"
+    ),
+)
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: do returned/accepted/neither lineitems
+    share a common quantity median? The k-group median-location
+    omnibus beside q_kruskal_wallis' rank test — maximally robust,
+    counts only which side of the POOLED median each row falls on.
+    Histogram median (never a row sort), cross-multiplied exact
+    cells, micro-quantized term sum
+    (operators/stats.mood_median_test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.mood_median_test(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_grubbs_test",
+    oracle=stats_ops.grubbs_oracle_sql(
+        "orders", "floor(o_totalprice)"
+    ),
+)
+def q_grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' single-outlier test on order totals (dollar grain):
+    is THE most extreme order suspicious under normality — the formal
+    one-value verdict beside q_mad_outliers' bulk screen. Deviations
+    multiply through by n so the extreme stays exact BIGINT; one
+    fixed double tree, 6dp (operators/stats.grubbs_test)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.grubbs_test(
+        orders.select(
+            F.floor(F.col("o_totalprice")).cast("long").alias("dollars")
+        ),
+        "dollars",
+    )
+
+
+@query(
+    "q_horvitz_thompson",
+    oracle=stats_ops.horvitz_thompson_oracle_sql(
+        "orders",
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100) AS BIGINT)",
+        hi_cents=40_000_000,
+        mid_cents=20_000_000,
+    ),
+)
+def q_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimate of total revenue from a
+    size-stratified md5 sample (big orders always in, mid at 1/5,
+    small at 1/20): the unbiased read of a BIASED sampling design —
+    the telemetry-pipeline estimator beside q_uniform_sample's
+    equal-probability draw. Integer 1/pi reweights keep the estimate
+    an exact BIGINT cents sum; ht_ratio is one exact division
+    (operators/stats.horvitz_thompson)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return stats_ops.horvitz_thompson(
+        orders,
+        "o_orderkey",
+        "cents",
+        hi_cents=40_000_000,
+        mid_cents=20_000_000,
+    )
+
+
+@query(
+    "q_pacf",
+    oracle=stats_ops.pacf_oracle_sql("orders", "CAST(o_orderdate AS DATE)"),
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF + partial autocorrelation (lags 1-3, Durbin-Levinson) of
+    daily order volume — WHICH AR order generates the memory, the
+    model-identification readout beside q_autocorrelation (single
+    lag) and q_ljung_box (omnibus whiteness). Exact BIGINT lag
+    moments over the calendar-filled grid; ACF rounds 6dp BEFORE the
+    recursion so both engines recur on identical operands
+    (operators/stats.pacf_3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.pacf_3(
+        orders.select(F.col("o_orderdate").cast("date").alias("day")), "day"
+    )

@@ -91,7 +91,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # permutation_test/hosmer_lemeshow/embedding_whiten,
 # classifier_report/gopher_rules, mixture_em/capture_recapture/
 # price_index/dp_quantile, and isotonic_calibration/periodogram/
-# durbin_watson/rmst, atkinson/cronbach/fleiss/chow) — all validated cell-by-cell
+# durbin_watson/rmst, atkinson/cronbach/fleiss/chow,
+# mood_median/grubbs/horvitz_thompson/pacf) — all validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for
 # reps.

@@ -786,3 +786,33 @@ def test_r11k_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11l_ops():
+    """Part-15 batch under engine-config flips: the histogram median
+    + quantized term sum, the exact extreme deviations, the md5
+    size-banded sample, and the calendar lag moments."""
+    from celeborn_spark.queries.stats import (
+        q_grubbs_test,
+        q_horvitz_thompson,
+        q_mood_median,
+        q_pacf,
+    )
+
+    return [q_mood_median, q_grubbs_test, q_horvitz_thompson, q_pacf]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11l_ops(), ids=lambda f: f.__name__)
+def test_r11l_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

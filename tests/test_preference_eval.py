@@ -390,3 +390,57 @@ def test_chow_split_never_fits_worse(spark, sf_dir):
     # split regression can only reduce SSE (F >= 0 up to rounding)
     assert row.sse_split <= row.sse_pooled + 1e-6
     assert row.f_stat >= -1e-6
+
+
+# --- r11 batch 15: Mood / Grubbs / Horvitz-Thompson / PACF ---
+
+
+def test_mood_median_counts_and_dof(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_mood_median
+
+    row = q_mood_median(spark, sf_dir).collect()[0]
+    assert row.k_groups == 3 and row.dof == 2
+    assert 0 < row.a_total < row.n
+    assert row.chi2 >= 0.0
+    assert 1 <= row.med <= 50
+
+
+def test_grubbs_outlier_is_an_extreme(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_grubbs_test
+    from celeborn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    row = q_grubbs_test(spark, sf_dir).collect()[0]
+    assert row.g_stat > 0
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.min(F.floor("o_totalprice")).alias("lo"),
+            F.max(F.floor("o_totalprice")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert row.outlier_units in (b.lo, b.hi)
+
+
+def test_horvitz_thompson_near_truth(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_horvitz_thompson
+
+    row = q_horvitz_thompson(spark, sf_dir).collect()[0]
+    assert 0 < row.n_sample < row.n_pop
+    # the design is unbiased; on 15k+ orders the realized estimate
+    # should land well within 20% of truth
+    assert 0.8 < row.ht_ratio < 1.2
+    # deterministic sampling: same query, same answer
+    again = q_horvitz_thompson(spark, sf_dir).collect()[0]
+    assert again.ht_cents == row.ht_cents
+
+
+def test_pacf_lag1_identity_and_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_pacf
+
+    row = q_pacf(spark, sf_dir).collect()[0]
+    assert row.n_days > 10
+    assert row.pacf1 == row.r1
+    for v in (row.r1, row.r2, row.r3, row.pacf2, row.pacf3):
+        assert -1.0 <= v <= 1.0
