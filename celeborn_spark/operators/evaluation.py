@@ -2250,3 +2250,250 @@ def isotonic_oracle_sql(
     FROM iso_inner
     GROUP BY i, n_i, pos_i
     """
+
+
+# --------------------------------------------------------------------------
+# Kuiper two-sample test (exact integer CDF extremes)
+# --------------------------------------------------------------------------
+
+
+def kuiper_test(
+    df: DataFrame, group_col: str, cents_col: str, group_a, group_b
+) -> DataFrame:
+    """Kuiper two-sample statistic V = D+ + D- between the value
+    distributions of two groups — the rotation-invariant sibling of
+    q_ks_test: KS sees only the single largest CDF gap, Kuiper adds
+    the largest gap in EACH direction, catching cyclic/two-sided
+    shifts (one tail fatter, the other thinner) that cancel in KS.
+    Output ONE row: (n_a, n_b, d_plus, d_minus, v_stat).
+
+    Fully exact: over the merged value histogram, the scaled CDF gap
+    d(v) = M*cumA(v) - N*cumB(v) is an exact BIGINT, so
+    D+ = max(d)/(N*M), D- = max(-d)/(N*M) and V are single IEEE
+    divisions of exact integers — no rounding anywhere. |d| <= N*M
+    must fit int64 (fine to ~3e9 rows per side).
+
+    Scale shape (100 TB): one conditional histogram aggregate over
+    row mass; the cumulative window runs over DISTINCT values."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(cents_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    # window input: the DISTINCT-value histogram (value-space bounded)
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n_a",
+            "n_b",
+            (F.col("n_b") * F.col("cuma") - F.col("n_a") * F.col("cumb"))
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.greatest(F.max("d"), F.lit(0)).cast("long").alias("dp_n"),
+            F.greatest(F.max(-F.col("d")), F.lit(0)).cast("long").alias("dm_n"),
+        )
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        (F.col("dp_n").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+            "d_plus"
+        ),
+        (F.col("dm_n").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+            "d_minus"
+        ),
+        (
+            (F.col("dp_n") + F.col("dm_n")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("v_stat"),
+    )
+
+
+def kuiper_oracle_sql(
+    table_sql: str, group_sql: str, cents_sql: str, ga: str, gb: str
+) -> str:
+    """DuckDB mirror of `kuiper_test`: identical histogram, scaled
+    gaps, and integer extremes."""
+    return f"""
+    WITH kpr_hist AS (
+        SELECT {cents_sql} AS v,
+               CAST(sum(CASE WHEN {group_sql} = {ga} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN {group_sql} = {gb} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM {table_sql}
+        WHERE {group_sql} IN ({ga}, {gb})
+        GROUP BY 1
+    ),
+    kpr_cum AS (
+        SELECT sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        FROM kpr_hist
+    ),
+    kpr_tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        FROM kpr_hist
+    ),
+    kpr_d AS (
+        SELECT n_a, n_b,
+               CAST(greatest(max(n_b * cuma - n_a * cumb), 0) AS BIGINT)
+                   AS dp_n,
+               CAST(greatest(max(-(n_b * cuma - n_a * cumb)), 0) AS BIGINT)
+                   AS dm_n
+        FROM kpr_cum CROSS JOIN kpr_tot
+        GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           CAST(dp_n AS DOUBLE) / (n_a * n_b) AS d_plus,
+           CAST(dm_n AS DOUBLE) / (n_a * n_b) AS d_minus,
+           CAST(dp_n + dm_n AS DOUBLE) / (n_a * n_b) AS v_stat
+    FROM kpr_d
+    """
+
+
+# --------------------------------------------------------------------------
+# Cramér-von Mises two-sample (quantized squared-gap mass)
+# --------------------------------------------------------------------------
+
+
+def cramer_von_mises(
+    df: DataFrame, group_col: str, cents_col: str, group_a, group_b,
+    dp: int = 6,
+) -> DataFrame:
+    """Cramér-von Mises two-sample statistic: the OBSERVATION-
+    weighted integral of the squared CDF gap — where KS/Kuiper grade
+    the worst point, CvM grades the WHOLE curve (many small
+    persistent gaps beat one spike), the right drift score for broad
+    mild shifts. T = N*M/(N+M)^2 * sum_obs (F_N - G_M)^2. Output ONE
+    row: (n_a, n_b, t_stat).
+
+    Over the merged value histogram the scaled gap d(v) = M*cumA -
+    N*cumB is exact BIGINT; each value's term c_v * (d/(N*M))^2 is a
+    fixed double tree quantized to nano-units (floor(x*1e9 + 0.5)) so
+    the cross-value sum accumulates as exact BIGINT (portable
+    regardless of either engine's aggregation tree); the final
+    assembly rounds ``dp``.
+
+    Scale shape (100 TB): one conditional histogram aggregate; the
+    cumulative window runs over DISTINCT values."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(cents_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    # window input: the DISTINCT-value histogram (value-space bounded)
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.sum("ca").over(wv).alias("cuma"),
+        F.sum("cb").over(wv).alias("cumb"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    t9 = F.expr(
+        "CAST(floor(c * (CAST(n_b * cuma - n_a * cumb AS DOUBLE)"
+        " / n_a / n_b)"
+        " * (CAST(n_b * cuma - n_a * cumb AS DOUBLE) / n_a / n_b)"
+        " * 1000000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select("n_a", "n_b", t9.alias("t9"))
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("t9").cast("long").alias("s9"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.expr(
+                    "CAST(n_a AS DOUBLE) * n_b"
+                    " / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b))"
+                    " * (s9 / 1000000000.0)"
+                ),
+                dp,
+            ).alias("t_stat"),
+        )
+    )
+
+
+def cvm_oracle_sql(
+    table_sql: str, group_sql: str, cents_sql: str, ga: str, gb: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `cramer_von_mises`: identical histogram,
+    nano-quantized term mass, and assembly text."""
+    return f"""
+    WITH cvm_hist AS (
+        SELECT {cents_sql} AS v,
+               CAST(sum(CASE WHEN {group_sql} = {ga} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN {group_sql} = {gb} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM {table_sql}
+        WHERE {group_sql} IN ({ga}, {gb})
+        GROUP BY 1
+    ),
+    cvm_cum AS (
+        SELECT ca + cb AS c,
+               sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        FROM cvm_hist
+    ),
+    cvm_tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        FROM cvm_hist
+    ),
+    cvm_terms AS (
+        SELECT n_a, n_b,
+               CAST(floor(c * (CAST(n_b * cuma - n_a * cumb AS DOUBLE)
+                               / n_a / n_b)
+                            * (CAST(n_b * cuma - n_a * cumb AS DOUBLE)
+                               / n_a / n_b)
+                            * 1000000000 + 0.5) AS BIGINT) AS t9
+        FROM cvm_cum CROSS JOIN cvm_tot
+    )
+    SELECT n_a, n_b,
+           round(CAST(n_a AS DOUBLE) * n_b
+                 / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b))
+                 * (CAST(sum(t9) AS BIGINT) / 1000000000.0), {dp}) AS t_stat
+    FROM cvm_terms
+    GROUP BY n_a, n_b
+    """

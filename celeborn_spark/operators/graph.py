@@ -1765,3 +1765,90 @@ def eigenvector_oracle_sql(min_qty: int = 45, iters: int = 3) -> str:
         + f"""
     SELECT node, x AS score FROM {px}"""
     )
+
+
+def katz_centrality(
+    edges: DataFrame, alpha: float = 0.1, iters: int = 3
+) -> DataFrame:
+    """(node, score) after ``iters`` rounds of the Katz recurrence
+    x' = alpha * A x + 1 on an UNDIRECTED edge relation (u < v,
+    distinct) — Katz centrality: influence with a baseline, counting
+    walks of every length damped by alpha. The third member of the
+    influence desk: eigenvector centrality zeroes out nodes outside
+    the dominant component's core, PageRank redistributes via random
+    jumps; Katz gives every node its +1 floor and rewards reachable
+    volume — the ranking of choice for sparse co-occurrence graphs
+    with many near-isolated nodes.
+
+    Per round: raw(v) = sum of x(u) over neighbors (ONE node-keyed
+    exchange on the both-ways edge view), then
+    x = round(alpha * raw + 1, 6) — the 6 dp re-sync erases the
+    ~1e-13 neighbor-sum accumulation noise so the oracle unrolls
+    bit-identical rounds (the eigenvector/hits discipline).
+
+    Scale shape: both-ways view checkpointed ONCE (exchange-bearing
+    build); each round costs exactly one exchange; each x is eagerly
+    checkpointed (the r7 lazy-lineage-doubling lesson)."""
+    und = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    x = nodes.select("node", F.lit(1.0).alias("x"))
+    for _ in range(iters):
+        raw = (
+            und.join(x, und["a"] == x["node"])
+            .groupBy("b")
+            .agg(F.sum("x").alias("r"))
+        )
+        x = (
+            nodes.join(raw, nodes["node"] == raw["b"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(alpha) * F.coalesce(F.col("r"), F.lit(0.0))
+                    + F.lit(1.0),
+                    6,
+                ).alias("x"),
+            )
+            .localCheckpoint()  # keep per-round lineage flat
+        )
+    return x.select("node", F.col("x").alias("score"))
+
+
+def katz_oracle_sql(
+    min_qty: int = 45, alpha: float = 0.1, iters: int = 3
+) -> str:
+    """DuckDB mirror of `katz_centrality` over copurchase_edges: the
+    same raw-sum / alpha-damp / +1 / round-6dp rounds unrolled."""
+    ctes = [
+        COPURCHASE_EDGES_ORACLE.format(min_qty=min_qty).strip(),
+        "kund AS (SELECT u AS a, v AS b FROM el"
+        " UNION ALL SELECT v AS a, u AS b FROM el)",
+        "knodes AS (SELECT DISTINCT a AS node FROM kund)",
+        "kx0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS x FROM knodes)",
+    ]
+    px = "kx0"
+    for i in range(iters):
+        ctes.append(
+            f"""kr{i} AS MATERIALIZED (
+        SELECT kund.b, sum({px}.x) AS r
+        FROM {px} JOIN kund ON {px}.node = kund.a GROUP BY kund.b
+    )"""
+        )
+        ctes.append(
+            f"""kx{i + 1} AS MATERIALIZED (
+        SELECT knodes.node,
+               round({alpha!r} * coalesce(kr{i}.r, CAST(0 AS DOUBLE))
+                     + 1.0, 6) AS x
+        FROM knodes LEFT JOIN kr{i} ON knodes.node = kr{i}.b
+    )"""
+        )
+        px = f"kx{i + 1}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, x AS score FROM {px}"""
+    )

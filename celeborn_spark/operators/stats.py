@@ -6926,3 +6926,123 @@ def pacf_oracle_sql(table: str, day_sql: str, dp: int = 6) -> str:
                  / (1 - p21 * r1 - p2 * r2), {dp}) AS pacf3
     FROM pcf_p3
     """
+
+
+# --------------------------------------------------------------------------
+# Stratified ATT estimator (quantized stratum-term sum)
+# --------------------------------------------------------------------------
+
+
+def stratified_att(
+    df: DataFrame,
+    stratum_col: str,
+    treated_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Stratified average-treatment-effect-on-the-treated: within
+    each stratum compare treated vs control means, then average the
+    per-stratum gaps weighted by TREATED mass — the observational
+    estimator that removes stratum-level confounding
+    (q_did_estimator needs a before/after panel; this needs only a
+    cross-section plus a blocking variable). Output ONE row:
+    (n_strata, n_treated, n_control, naive_diff_cents, att_cents).
+
+    Per-stratum sums/counts are exact BIGINTs; each stratum term
+    st_s/NT - nt_s*sc_s/(NT*nc_s) is a fixed double tree quantized to
+    micro-cents (floor(x*1e6 + 0.5)) so the cross-stratum sum
+    accumulates as exact BIGINT (portable under any aggregation
+    tree); strata missing either arm drop identically in both
+    engines. naive_diff is the unadjusted gap — the confounding
+    readout is naive vs ATT.
+
+    Scale shape (100 TB): ONE group-keyed aggregate over row mass;
+    everything after runs on the stratum catalog."""
+    t = F.col(treated_col).cast("long")
+    per = df.groupBy(F.col(stratum_col).alias("s")).agg(
+        F.sum(t).cast("long").alias("nt"),
+        F.sum(F.lit(1) - t).cast("long").alias("nc"),
+        F.sum(F.when(t == 1, F.col(cents_col)).otherwise(0))
+        .cast("long")
+        .alias("st"),
+        F.sum(F.when(t == 0, F.col(cents_col)).otherwise(0))
+        .cast("long")
+        .alias("sc"),
+    ).localCheckpoint()  # stratum catalog; feeds totals AND terms
+    tot = per.agg(
+        F.sum("nt").cast("long").alias("ntt"),
+        F.sum("nc").cast("long").alias("nct"),
+        F.sum("st").cast("long").alias("stt"),
+        F.sum("sc").cast("long").alias("sct"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    terms = (
+        per.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ntt",
+            "nct",
+            "stt",
+            "sct",
+            "n_strata",
+            F.expr(
+                "CAST(floor((CAST(st AS DOUBLE) / ntt"
+                " - CAST(nt AS DOUBLE) * sc / (CAST(ntt AS DOUBLE) * nc))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("t6"),
+        )
+    )
+    return terms.groupBy("ntt", "nct", "stt", "sct", "n_strata").agg(
+        (F.sum("t6").cast("long") / F.lit(1_000_000.0)).alias("att_cents")
+    ).select(
+        "n_strata",
+        F.col("ntt").alias("n_treated"),
+        F.col("nct").alias("n_control"),
+        F.expr(
+            "CAST(stt AS DOUBLE) / ntt - CAST(sct AS DOUBLE) / nct"
+        ).alias("naive_diff_cents"),
+        "att_cents",
+    )
+
+
+def stratified_att_oracle_sql(
+    subjects_sql: str, stratum_sql: str, treated_sql: str, cents_sql: str
+) -> str:
+    """DuckDB mirror of `stratified_att`: identical stratum moments,
+    micro-quantized terms, and assembly."""
+    return f"""
+    WITH att_subj AS ({subjects_sql}),
+    att_per AS (
+        SELECT {stratum_sql} AS s,
+               CAST(sum({treated_sql}) AS BIGINT) AS nt,
+               CAST(sum(1 - ({treated_sql})) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN ({treated_sql}) = 1 THEN {cents_sql}
+                             ELSE 0 END) AS BIGINT) AS st,
+               CAST(sum(CASE WHEN ({treated_sql}) = 0 THEN {cents_sql}
+                             ELSE 0 END) AS BIGINT) AS sc
+        FROM att_subj
+        GROUP BY 1
+    ),
+    att_tot AS (
+        SELECT CAST(sum(nt) AS BIGINT) AS ntt,
+               CAST(sum(nc) AS BIGINT) AS nct,
+               CAST(sum(st) AS BIGINT) AS stt,
+               CAST(sum(sc) AS BIGINT) AS sct,
+               CAST(count(*) AS BIGINT) AS n_strata
+        FROM att_per
+    ),
+    att_terms AS (
+        SELECT ntt, nct, stt, sct, n_strata,
+               CAST(floor((CAST(st AS DOUBLE) / ntt
+                           - CAST(nt AS DOUBLE) * sc
+                             / (CAST(ntt AS DOUBLE) * nc))
+                          * 1000000 + 0.5) AS BIGINT) AS t6
+        FROM att_per CROSS JOIN att_tot
+        WHERE nt > 0 AND nc > 0
+    )
+    SELECT n_strata, ntt AS n_treated, nct AS n_control,
+           CAST(stt AS DOUBLE) / ntt - CAST(sct AS DOUBLE) / nct
+               AS naive_diff_cents,
+           CAST(sum(t6) AS BIGINT) / 1000000.0 AS att_cents
+    FROM att_terms
+    GROUP BY ntt, nct, stt, sct, n_strata
+    """

@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
+    kuiper_test,
+    kuiper_oracle_sql,
+    cramer_von_mises,
+    cvm_oracle_sql,
     isotonic_calibration,
     isotonic_oracle_sql,
     auc_ci,
@@ -522,3 +526,43 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibration(
         events, "value", "label", denom_cents=50000, n_buckets=32
     )
+
+
+@query(
+    "q_kuiper_test",
+    oracle=kuiper_oracle_sql(
+        "events",
+        "event_type",
+        "CAST(floor(value * 100) AS BIGINT)",
+        "'purchase'",
+        "'view'",
+    ),
+)
+def q_kuiper_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuiper two-sample statistic V = D+ + D- between purchase and
+    view value distributions — the rotation-invariant sibling of
+    q_ks_test: it adds the largest CDF gap in EACH direction, so
+    two-sided shifts that cancel in KS still register. Fully exact:
+    integer scaled gaps, integer extremes, single divisions
+    (operators/evaluation.kuiper_test)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return kuiper_test(events, "event_type", "cents", "purchase", "view")
+
+
+@query(
+    "q_cramer_von_mises",
+    oracle=cvm_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity", "'R'", "'A'"
+    ),
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample statistic between returned and
+    accepted lineitem quantity distributions — grades the WHOLE CDF
+    gap curve where KS/Kuiper grade the worst point (broad mild
+    drift beats one spike). Exact integer scaled gaps; per-value
+    terms nano-quantized so the cross-value sum is exact BIGINT
+    (operators/evaluation.cramer_von_mises)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return cramer_von_mises(li, "l_returnflag", "l_quantity", "R", "A")

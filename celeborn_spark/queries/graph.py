@@ -779,3 +779,23 @@ def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.eigenvector_centrality(
         copurchase_edges(li, min_qty=45), iters=3
     )
+
+
+@query(
+    "q_katz_centrality",
+    oracle=graph_ops.katz_oracle_sql(min_qty=45, alpha=0.1, iters=3),
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (3 rounds of x' = 0.1*Ax + 1, 6dp per-round
+    re-sync) over the supplier co-purchase graph — influence with a
+    baseline: every node keeps its +1 floor and walk volume damps by
+    alpha per hop, the ranking of choice for sparse graphs with many
+    near-isolated nodes where eigenvector centrality zeroes out
+    everything off the core. One node-keyed exchange per round
+    (operators/graph.katz_centrality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from celeborn_spark.operators.graph import copurchase_edges
+
+    return graph_ops.katz_centrality(
+        copurchase_edges(li, min_qty=45), alpha=0.1, iters=3
+    )

@@ -2933,3 +2933,45 @@ def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_ops.pacf_3(
         orders.select(F.col("o_orderdate").cast("date").alias("day")), "day"
     )
+
+
+@query(
+    "q_stratified_att",
+    oracle=stats_ops.stratified_att_oracle_sql(
+        """SELECT c.c_nationkey AS s0,
+                  CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                      AS tr,
+                  COALESCE(o.cents, 0) AS cents
+           FROM customer c
+           LEFT JOIN (SELECT o_custkey,
+                             CAST(sum(floor(o_totalprice * 100)) AS BIGINT)
+                                 AS cents
+                      FROM orders GROUP BY 1) o
+             ON o.o_custkey = c.c_custkey""",
+        "s0",
+        "tr",
+        "cents",
+    ),
+)
+def q_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-stratified treatment-effect estimate: does the
+    AUTOMOBILE market segment spend more, once nation-level
+    confounding is blocked out? Per-stratum treated/control gaps
+    weighted by treated mass, reported beside the naive unadjusted
+    gap (the confounding readout) — the cross-sectional companion to
+    q_did_estimator. Exact BIGINT stratum moments; terms
+    micro-quantized so the cross-stratum sum is exact
+    (operators/stats.stratified_att)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    subj = c.join(spend, c["c_custkey"] == spend["o_custkey"], "left").select(
+        F.col("c_nationkey").alias("s0"),
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
+    )
+    return stats_ops.stratified_att(subj, "s0", "tr", "cents")

@@ -92,7 +92,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # classifier_report/gopher_rules, mixture_em/capture_recapture/
 # price_index/dp_quantile, and isotonic_calibration/periodogram/
 # durbin_watson/rmst, atkinson/cronbach/fleiss/chow,
-# mood_median/grubbs/horvitz_thompson/pacf) — all validated cell-by-cell
+# mood_median/grubbs/horvitz_thompson/pacf,
+# kuiper/cramer_von_mises/katz/stratified_att) — all validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for
 # reps.

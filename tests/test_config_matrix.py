@@ -816,3 +816,33 @@ def test_r11l_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11m_ops():
+    """Part-16 batch under engine-config flips: the integer CDF
+    extremes, the nano-quantized gap mass, the Katz rounds, and the
+    stratum-term sum."""
+    from celeborn_spark.queries.evaluation import (
+        q_cramer_von_mises,
+        q_kuiper_test,
+    )
+    from celeborn_spark.queries.graph import q_katz_centrality
+    from celeborn_spark.queries.stats import q_stratified_att
+
+    return [q_kuiper_test, q_cramer_von_mises, q_katz_centrality, q_stratified_att]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11m_ops(), ids=lambda f: f.__name__)
+def test_r11m_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -444,3 +444,52 @@ def test_pacf_lag1_identity_and_bounds(spark, sf_dir):
     assert row.pacf1 == row.r1
     for v in (row.r1, row.r2, row.r3, row.pacf2, row.pacf3):
         assert -1.0 <= v <= 1.0
+
+
+# --- r11 batch 16: Kuiper / CvM / Katz / stratified ATT ---
+
+
+def test_kuiper_dominates_ks_components(spark, sf_dir):
+    from celeborn_spark.queries.evaluation import q_kuiper_test
+
+    row = q_kuiper_test(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0.0 <= row.d_plus <= 1.0 and 0.0 <= row.d_minus <= 1.0
+    assert abs(row.v_stat - (row.d_plus + row.d_minus)) < 1e-12
+    # V >= the one-sided max, i.e. >= the KS statistic
+    assert row.v_stat >= max(row.d_plus, row.d_minus)
+
+
+def test_cvm_nonnegative_and_bounded(spark, sf_dir):
+    from celeborn_spark.queries.evaluation import q_cramer_von_mises
+
+    row = q_cramer_von_mises(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert row.t_stat >= 0.0
+    # T is at most N*M/(N+M) (gap <= 1 at every observation)
+    assert row.t_stat <= row.n_a * row.n_b / (row.n_a + row.n_b) + 1e-9
+
+
+def test_katz_floor_and_ordering(spark, sf_dir):
+    from celeborn_spark.queries.graph import q_katz_centrality
+
+    rows = q_katz_centrality(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every node keeps the +1 baseline
+        assert r.score >= 1.0
+    # somebody has neighbors: at least one score above the floor
+    assert max(r.score for r in rows) > 1.0
+
+
+def test_stratified_att_mass_and_strata(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_stratified_att
+    from celeborn_spark.catalog import load_table
+
+    row = q_stratified_att(spark, sf_dir).collect()[0]
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert row.n_treated + row.n_control == n_cust
+    assert 1 <= row.n_strata <= 25
+    # adjusted and naive estimates live on the same cents scale
+    assert abs(row.att_cents) < 1e10
+    assert abs(row.naive_diff_cents) < 1e10
