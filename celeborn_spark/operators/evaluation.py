@@ -2497,3 +2497,136 @@ def cvm_oracle_sql(
     FROM cvm_terms
     GROUP BY n_a, n_b
     """
+
+
+# --------------------------------------------------------------------------
+# Anderson-Darling two-sample (tail-weighted quantized gap mass)
+# --------------------------------------------------------------------------
+
+
+def anderson_darling(
+    df: DataFrame, group_col: str, cents_col: str, group_a, group_b,
+    dp: int = 6,
+) -> DataFrame:
+    """Anderson-Darling two-sample statistic: the squared CDF gap
+    weighted by 1/(H(1-H)) of the pooled CDF — the TAIL-sensitive
+    member of the EDF family (KS/Kuiper grade the worst point, CvM
+    the whole curve equally; AD up-weights the tails, where risk
+    lives). Output ONE row: (n_a, n_b, a2_stat).
+
+        A2 = (1/(n_a*n_b)) * sum_j c_j * (N*cumA_j - n_a*H_j)^2
+                                        / (H_j * (N - H_j))
+    over the merged value histogram (H = pooled cumulative count,
+    the last value excluded identically in both engines — its weight
+    divides by zero). The scaled gap and H are exact BIGINTs; each
+    value's term is a fixed double tree quantized to MICRO-units so
+    the cross-value sum accumulates as exact BIGINT (micro grain is
+    ample: A2 divides the mass by ~N/4, so the quantization error in
+    a2_stat is O(values * 5e-7 / N) — far below 6dp at any scale —
+    while keeping edge-value terms, which reach ~c^2 * 1e6/4, inside
+    int64 to ~1e7-row ties; coarsen the grain beyond).
+
+    Scale shape (100 TB): one conditional histogram aggregate; the
+    cumulative window runs over DISTINCT values."""
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    hist = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(cents_col).alias("v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    # window input: the DISTINCT-value histogram (value-space bounded)
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.sum("ca").over(wv).alias("cuma"),
+        (F.sum("ca").over(wv) + F.sum("cb").over(wv)).alias("h"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    t9 = F.expr(
+        "CAST(floor(c"
+        " * (CAST((n_a + n_b) * cuma - n_a * h AS DOUBLE)"
+        "    * ((n_a + n_b) * cuma - n_a * h))"
+        " / (CAST(h AS DOUBLE) * ((n_a + n_b) - h))"
+        " * 1000000 / (CAST(n_a AS DOUBLE) + n_b) + 0.5) AS BIGINT)"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("h") < F.col("n_a") + F.col("n_b"))
+        .select("n_a", "n_b", t9.alias("t9"))
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("t9").cast("long").alias("s9"))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.expr(
+                    "(s9 / 1000000.0)"
+                    " / (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))"
+                ),
+                dp,
+            ).alias("a2_stat"),
+        )
+    )
+
+
+def anderson_darling_oracle_sql(
+    table_sql: str, group_sql: str, cents_sql: str, ga: str, gb: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `anderson_darling`: identical histogram,
+    tail weights, micro-quantized term mass, and assembly."""
+    return f"""
+    WITH ad_hist AS (
+        SELECT {cents_sql} AS v,
+               CAST(sum(CASE WHEN {group_sql} = {ga} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN {group_sql} = {gb} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM {table_sql}
+        WHERE {group_sql} IN ({ga}, {gb})
+        GROUP BY 1
+    ),
+    ad_cum AS (
+        SELECT ca + cb AS c,
+               sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+               sum(ca) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               + sum(cb) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        FROM ad_hist
+    ),
+    ad_tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+        FROM ad_hist
+    ),
+    ad_terms AS (
+        SELECT n_a, n_b,
+               CAST(floor(c
+                 * (CAST((n_a + n_b) * cuma - n_a * h AS DOUBLE)
+                    * ((n_a + n_b) * cuma - n_a * h))
+                 / (CAST(h AS DOUBLE) * ((n_a + n_b) - h))
+                 * 1000000 / (CAST(n_a AS DOUBLE) + n_b) + 0.5)
+                 AS BIGINT) AS t9
+        FROM ad_cum CROSS JOIN ad_tot
+        WHERE h < n_a + n_b
+    )
+    SELECT n_a, n_b,
+           round((CAST(sum(t9) AS BIGINT) / 1000000.0)
+                 / (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), {dp})
+               AS a2_stat
+    FROM ad_terms
+    GROUP BY n_a, n_b
+    """

@@ -7046,3 +7046,313 @@ def stratified_att_oracle_sql(
     FROM att_terms
     GROUP BY ntt, nct, stt, sct, n_strata
     """
+
+
+# --------------------------------------------------------------------------
+# Cohen's h (arcsine effect size for two proportions)
+# --------------------------------------------------------------------------
+
+
+def cohens_h(
+    df: DataFrame, group_col: str, success_col, group_a, group_b,
+    dp: int = 6,
+) -> DataFrame:
+    """Cohen's h effect size for two proportions:
+    h = 2*asin(sqrt(p1)) - 2*asin(sqrt(p2)) — the MAGNITUDE companion
+    to the two-proportion significance tests (chi-square/Wilson/SRM
+    say whether rates differ; h says by how much on a scale where
+    0.2/0.5/0.8 mean small/medium/large regardless of base rate —
+    the property a raw rate difference lacks near 0 or 1). Output ONE
+    row: (n_a, pos_a, n_b, pos_b, phi_a, phi_b, h).
+
+    Counts are exact BIGINTs, each p an exact division; each
+    arcsine transform rounds ``dp`` separately, so h is an exact
+    subtraction of two 6dp values.
+
+    Scale shape (100 TB): ONE conditional aggregate; the formula
+    runs on a 1-row relation."""
+    g = F.col(group_col)
+    s = success_col if not isinstance(success_col, str) else F.col(success_col)
+    mom = df.filter(g.isin([group_a, group_b])).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(g == group_a, s.cast("long")).otherwise(0))
+        .cast("long")
+        .alias("pos_a"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(g == group_b, s.cast("long")).otherwise(0))
+        .cast("long")
+        .alias("pos_b"),
+    )
+    phi_a = F.round(
+        2 * F.asin(F.sqrt(F.col("pos_a").cast("double") / F.col("n_a"))), dp
+    )
+    phi_b = F.round(
+        2 * F.asin(F.sqrt(F.col("pos_b").cast("double") / F.col("n_b"))), dp
+    )
+    return mom.select(
+        "n_a",
+        "pos_a",
+        "n_b",
+        "pos_b",
+        phi_a.alias("phi_a"),
+        phi_b.alias("phi_b"),
+        (phi_a - phi_b).alias("h"),
+    )
+
+
+def cohens_h_oracle_sql(
+    table_sql: str, group_sql: str, success_sql: str, ga: str, gb: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `cohens_h`: identical counts and arcsine
+    rounding."""
+    return f"""
+    WITH chh_mom AS (
+        SELECT CAST(sum(CASE WHEN {group_sql} = {ga} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN {group_sql} = {ga} THEN {success_sql}
+                             ELSE 0 END) AS BIGINT) AS pos_a,
+               CAST(sum(CASE WHEN {group_sql} = {gb} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN {group_sql} = {gb} THEN {success_sql}
+                             ELSE 0 END) AS BIGINT) AS pos_b
+        FROM {table_sql}
+        WHERE {group_sql} IN ({ga}, {gb})
+    )
+    SELECT n_a, pos_a, n_b, pos_b,
+           round(2 * asin(sqrt(CAST(pos_a AS DOUBLE) / n_a)), {dp}) AS phi_a,
+           round(2 * asin(sqrt(CAST(pos_b AS DOUBLE) / n_b)), {dp}) AS phi_b,
+           round(2 * asin(sqrt(CAST(pos_a AS DOUBLE) / n_a)), {dp})
+           - round(2 * asin(sqrt(CAST(pos_b AS DOUBLE) / n_b)), {dp}) AS h
+    FROM chh_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Seasonal decomposition (7-day MA trend + DOW seasonal indices)
+# --------------------------------------------------------------------------
+
+
+def seasonal_decompose(df: DataFrame, day_col: str, dp: int = 6) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily
+    row-count series: trend = centered 7-day moving average, seasonal
+    = day-of-week mean of the detrended series — the DECOMPOSITION
+    the seasonal-strength family only summarizes (q_seasonal_strength
+    gives one variance fraction; this gives the seasonal PROFILE a
+    forecaster subtracts). Output one row per day-of-week:
+    (dow, n_days, seasonal).
+
+    The trend MA is an exact division (BIGINT 7-day window sum / 7)
+    on full windows only (edges dropped identically); the detrended
+    value quantizes to micro-units (floor(x*1e6 + 0.5)) so per-DOW
+    means are exact BIGINT sums with two exact divisions.
+
+    Scale shape (100 TB): one map-combined day aggregate; the MA
+    window and DOW grouping run on the calendar-bounded grid."""
+    from pyspark.sql import Window as W
+
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = cal.join(daily0, "day", "left").select(
+        "day", F.coalesce("m", F.lit(0)).cast("long").alias("y")
+    )
+    # calendar-bounded filled grid: one row per day
+    wma = W.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "day",
+            "y",
+            F.sum("y").over(wma).cast("long").alias("s7"),
+            F.count(F.lit(1)).over(wma).cast("long").alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .select(
+            F.dayofweek("day").cast("long").alias("dow"),
+            F.floor(
+                (F.col("y") - F.col("s7") / F.lit(7.0)) * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("d6"),
+        )
+    )
+    return det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("d6").cast("long") / F.count(F.lit(1)) / F.lit(1_000_000.0),
+            dp,
+        ).alias("seasonal"),
+    )
+
+
+def seasonal_decompose_oracle_sql(
+    table: str, day_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `seasonal_decompose`: identical calendar
+    fill, MA window, micro quantization, and DOW means (dayofweek
+    matched to Spark's 1 = Sunday convention)."""
+    return f"""
+    WITH sdc_daily0 AS (
+        SELECT {day_sql} AS day, CAST(count(*) AS BIGINT) AS m
+        FROM {table} GROUP BY 1
+    ),
+    sdc_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM sdc_daily0),
+    sdc_cal AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM sdc_span
+    ),
+    sdc_daily AS (
+        SELECT c.day, CAST(COALESCE(d.m, 0) AS BIGINT) AS y
+        FROM sdc_cal c LEFT JOIN sdc_daily0 d ON c.day = d.day
+    ),
+    sdc_ma AS (
+        SELECT day, y,
+               CAST(sum(y) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+               CAST(count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS c7
+        FROM sdc_daily
+    ),
+    sdc_det AS (
+        SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+               CAST(floor((y - s7 / 7.0) * 1000000 + 0.5) AS BIGINT) AS d6
+        FROM sdc_ma WHERE c7 = 7
+    )
+    SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(d6) AS BIGINT) / count(*) / 1000000.0, {dp})
+               AS seasonal
+    FROM sdc_det
+    GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# Variance inflation factors (3 regressors, closed form from 6dp r's)
+# --------------------------------------------------------------------------
+
+
+def vif_3(df: DataFrame, item_cols: tuple[str, str, str], dp: int = 6) -> DataFrame:
+    """Variance inflation factors for three integer regressors via
+    the closed form over pairwise correlations — the collinearity
+    diagnostic in front of any multi-feature fit (q_logreg_quality /
+    q_grouped_ols_trend report coefficients; VIF says whether they
+    are individually meaningful or shared variance in disguise):
+        R2_1 = (r12^2 + r13^2 - 2 r12 r13 r23) / (1 - r23^2),
+        VIF_1 = 1 / (1 - R2_1)  (cyclic for 2, 3).
+    Output ONE row: (n, r12, r13, r23, vif1, vif2, vif3).
+
+    All moments (sums, squares, cross products) are exact BIGINTs;
+    each correlation rounds ``dp`` BEFORE the closed form, so both
+    engines evaluate identical operand trees; VIFs round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined aggregate; the formula
+    runs on a 1-row relation."""
+    c0, c1, c2 = (F.col(c) for c in item_cols)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c0).cast("long").alias("s0"),
+        F.sum(c1).cast("long").alias("s1"),
+        F.sum(c2).cast("long").alias("s2"),
+        F.sum(c0 * c0).cast("long").alias("q0"),
+        F.sum(c1 * c1).cast("long").alias("q1"),
+        F.sum(c2 * c2).cast("long").alias("q2"),
+        F.sum(c0 * c1).cast("long").alias("s01"),
+        F.sum(c0 * c2).cast("long").alias("s02"),
+        F.sum(c1 * c2).cast("long").alias("s12"),
+    )
+    def corr(i: int, j: int) -> str:
+        return (
+            f"round((CAST(n AS DOUBLE) * s{'' if i * 10 + j in (1, 2, 12) else ''}"
+            f"{i}{j} - CAST(s{i} AS DOUBLE) * s{j})"
+            f" / sqrt((CAST(n AS DOUBLE) * q{i} - CAST(s{i} AS DOUBLE) * s{i})"
+            f" * (CAST(n AS DOUBLE) * q{j} - CAST(s{j} AS DOUBLE) * s{j})),"
+            f" {dp})"
+        )
+
+    r2 = "((r{a}{b} * r{a}{b} + r{a}{c} * r{a}{c}" \
+         " - 2 * r{a}{b} * r{a}{c} * r{b}{c}) / (1 - r{b}{c} * r{b}{c}))"
+    out = (
+        mom.withColumn("r01", F.expr(corr(0, 1)))
+        .withColumn("r02", F.expr(corr(0, 2)))
+        .withColumn("r12", F.expr(corr(1, 2)))
+    )
+    vifs = {}
+    for name, (a, b, c) in (
+        ("vif1", (0, 1, 2)),
+        ("vif2", (1, 0, 2)),
+        ("vif3", (2, 0, 1)),
+    ):
+        def rr(x, y):
+            return f"r{min(x, y)}{max(x, y)}"
+
+        expr = (
+            f"round(1 / (1 - (({rr(a,b)} * {rr(a,b)} + {rr(a,c)} * {rr(a,c)}"
+            f" - 2 * {rr(a,b)} * {rr(a,c)} * {rr(b,c)})"
+            f" / (1 - {rr(b,c)} * {rr(b,c)}))), {dp})"
+        )
+        vifs[name] = expr
+    return out.select(
+        "n",
+        F.col("r01").alias("r12"),
+        F.col("r02").alias("r13"),
+        F.col("r12").alias("r23"),
+        F.expr(vifs["vif1"]).alias("vif1"),
+        F.expr(vifs["vif2"]).alias("vif2"),
+        F.expr(vifs["vif3"]).alias("vif3"),
+    )
+
+
+def vif_oracle_sql(
+    subjects_sql: str, item_sqls: tuple[str, str, str], dp: int = 6
+) -> str:
+    """DuckDB mirror of `vif_3`: identical moments, 6dp-rounded
+    correlations, and closed-form text."""
+    a, b, c = item_sqls
+    def corr(qi, qj, si, sj, sij):
+        return (
+            f"round((CAST(n AS DOUBLE) * {sij} - CAST({si} AS DOUBLE) * {sj})"
+            f" / sqrt((CAST(n AS DOUBLE) * {qi} - CAST({si} AS DOUBLE) * {si})"
+            f" * (CAST(n AS DOUBLE) * {qj} - CAST({sj} AS DOUBLE) * {sj})),"
+            f" {dp})"
+        )
+
+    def vif(ab, ac, bc):
+        return (
+            f"round(1 / (1 - (({ab} * {ab} + {ac} * {ac}"
+            f" - 2 * {ab} * {ac} * {bc}) / (1 - {bc} * {bc}))), {dp})"
+        )
+
+    return f"""
+    WITH vif_subj AS ({subjects_sql}),
+    vif_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({a}) AS BIGINT) AS s0,
+               CAST(sum({b}) AS BIGINT) AS s1,
+               CAST(sum({c}) AS BIGINT) AS s2,
+               CAST(sum(({a}) * ({a})) AS BIGINT) AS q0,
+               CAST(sum(({b}) * ({b})) AS BIGINT) AS q1,
+               CAST(sum(({c}) * ({c})) AS BIGINT) AS q2,
+               CAST(sum(({a}) * ({b})) AS BIGINT) AS s01,
+               CAST(sum(({a}) * ({c})) AS BIGINT) AS s02,
+               CAST(sum(({b}) * ({c})) AS BIGINT) AS s12
+        FROM vif_subj
+    ),
+    vif_r AS (
+        SELECT n,
+               {corr("q0", "q1", "s0", "s1", "s01")} AS r01,
+               {corr("q0", "q2", "s0", "s2", "s02")} AS r02,
+               {corr("q1", "q2", "s1", "s2", "s12")} AS r12x
+        FROM vif_mom
+    )
+    SELECT n, r01 AS r12, r02 AS r13, r12x AS r23,
+           {vif("r01", "r02", "r12x")} AS vif1,
+           {vif("r01", "r12x", "r02")} AS vif2,
+           {vif("r02", "r12x", "r01")} AS vif3
+    FROM vif_r
+    """

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
+    anderson_darling,
+    anderson_darling_oracle_sql,
     kuiper_test,
     kuiper_oracle_sql,
     cramer_von_mises,
@@ -566,3 +568,27 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/evaluation.cramer_von_mises)."""
     li = load_table(spark, sf_dir, "lineitem")
     return cramer_von_mises(li, "l_returnflag", "l_quantity", "R", "A")
+
+
+@query(
+    "q_anderson_darling",
+    oracle=anderson_darling_oracle_sql(
+        "events",
+        "event_type",
+        "CAST(floor(value * 100) AS BIGINT)",
+        "'purchase'",
+        "'view'",
+    ),
+)
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling two-sample statistic between purchase and
+    view value distributions — the TAIL-sensitive member of the EDF
+    family (q_ks_test worst point, q_kuiper_test both directions,
+    q_cramer_von_mises whole curve, AD up-weights the tails where
+    risk lives). Exact integer gaps and pooled weights; per-value
+    terms micro-quantized to an exact BIGINT sum
+    (operators/evaluation.anderson_darling)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return anderson_darling(events, "event_type", "cents", "purchase", "view")

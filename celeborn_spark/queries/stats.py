@@ -2975,3 +2975,92 @@ def q_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cents"), F.lit(0)).alias("cents"),
     )
     return stats_ops.stratified_att(subj, "s0", "tr", "cents")
+
+
+@query(
+    "q_cohens_h",
+    oracle=stats_ops.cohens_h_oracle_sql(
+        """(SELECT year(l_shipdate)
+              - (SELECT min(year(l_shipdate)) FROM lineitem) AS yr,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+            FROM lineitem)""",
+        "yr",
+        "ret",
+        "1",
+        "2",
+    ),
+)
+def q_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size for the return-rate difference between
+    the second and third ship years (derived from the data's own min
+    year — robust to testdata regeneration) — the MAGNITUDE companion
+    to the two-proportion significance desk (chi-square/Wilson/SRM):
+    0.2 is small regardless of base rate, which a raw rate gap can't
+    claim near 0 or 1. Exact counts, exact divisions, arcsine
+    transforms rounded 6dp each (operators/stats.cohens_h)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y0 = li.agg(F.min(F.year("l_shipdate")).alias("y0"))
+    rel = li.crossJoin(F.broadcast(y0)).select(
+        (F.year(F.col("l_shipdate")) - F.col("y0")).cast("long").alias("yr"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    return stats_ops.cohens_h(rel, "yr", F.col("ret"), 1, 2)
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=stats_ops.seasonal_decompose_oracle_sql(
+        "orders", "CAST(o_orderdate AS DATE)"
+    ),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily order volume:
+    centered 7-day moving-average trend, then day-of-week means of
+    the detrended series — the seasonal PROFILE a forecaster
+    subtracts, where q_seasonal_strength reports only the variance
+    fraction and q_seasonality_index the raw per-DOW level. Exact MA
+    divisions; detrended values micro-quantized so DOW means are
+    exact BIGINT sums (operators/stats.seasonal_decompose)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.seasonal_decompose(
+        orders.select(F.col("o_orderdate").cast("date").alias("day")), "day"
+    )
+
+
+@query(
+    "q_vif",
+    oracle=stats_ops.vif_oracle_sql(
+        """SELECT o_custkey,
+                  CAST(count(*) AS BIGINT) AS x0,
+                  CAST(floor(sum(floor(o_totalprice * 100)) / 100000.0)
+                       AS BIGINT) AS x1,
+                  CAST(count(DISTINCT CAST(date_trunc('month',
+                       CAST(o_orderdate AS DATE)) AS DATE)) AS BIGINT) AS x2
+           FROM orders GROUP BY 1""",
+        ("x0", "x1", "x2"),
+    ),
+)
+def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the three per-customer
+    engagement items (order count, k$ spend, active months) — the
+    collinearity diagnostic in front of multi-feature fits: are the
+    coefficients individually meaningful or shared variance in
+    disguise? (q_cronbach_alpha asks if the items agree; VIF asks if
+    they are REDUNDANT as regressors.) Exact BIGINT moments;
+    correlations round 6dp BEFORE the closed form
+    (operators/stats.vif_3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    subj = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x0"),
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100)) / F.lit(100000.0)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.countDistinct(
+            F.trunc(F.col("o_orderdate").cast("date"), "month")
+        )
+        .cast("long")
+        .alias("x2"),
+    )
+    return stats_ops.vif_3(subj, ("x0", "x1", "x2"))

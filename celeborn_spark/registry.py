@@ -93,7 +93,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # price_index/dp_quantile, and isotonic_calibration/periodogram/
 # durbin_watson/rmst, atkinson/cronbach/fleiss/chow,
 # mood_median/grubbs/horvitz_thompson/pacf,
-# kuiper/cramer_von_mises/katz/stratified_att) — all validated cell-by-cell
+# kuiper/cramer_von_mises/katz/stratified_att,
+# anderson_darling/cohens_h/seasonal_decompose/vif) — all validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for
 # reps.

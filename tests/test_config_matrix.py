@@ -846,3 +846,33 @@ def test_r11m_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11n_ops():
+    """Part-17 batch under engine-config flips: the tail-weighted gap
+    mass, the arcsine transforms, the MA/DOW decomposition, and the
+    correlation closed form."""
+    from celeborn_spark.queries.evaluation import q_anderson_darling
+    from celeborn_spark.queries.stats import (
+        q_cohens_h,
+        q_seasonal_decompose,
+        q_vif,
+    )
+
+    return [q_anderson_darling, q_cohens_h, q_seasonal_decompose, q_vif]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11n_ops(), ids=lambda f: f.__name__)
+def test_r11n_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -493,3 +493,49 @@ def test_stratified_att_mass_and_strata(spark, sf_dir):
     # adjusted and naive estimates live on the same cents scale
     assert abs(row.att_cents) < 1e10
     assert abs(row.naive_diff_cents) < 1e10
+
+
+# --- r11 batch 17: Anderson-Darling / Cohen's h / seasonal / VIF ---
+
+
+def test_anderson_darling_nonnegative(spark, sf_dir):
+    from celeborn_spark.queries.evaluation import q_anderson_darling
+
+    row = q_anderson_darling(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert row.a2_stat >= 0.0
+
+
+def test_cohens_h_is_phi_difference(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_cohens_h
+
+    row = q_cohens_h(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    assert 0 <= row.pos_a <= row.n_a and 0 <= row.pos_b <= row.n_b
+    import math
+
+    assert abs(row.h - (row.phi_a - row.phi_b)) < 1e-12
+    assert abs(row.h) <= math.pi
+
+
+def test_seasonal_decompose_profile_sums_small(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_seasonal_decompose
+
+    rows = q_seasonal_decompose(spark, sf_dir).collect()
+    assert sorted(r.dow for r in rows) == list(range(1, 8))
+    # an additive seasonal profile is mean-free up to edge effects
+    mass = sum(r.n_days * r.seasonal for r in rows)
+    total = sum(r.n_days for r in rows)
+    assert abs(mass / total) < 1.0
+
+
+def test_vif_at_least_one(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_vif
+
+    row = q_vif(spark, sf_dir).collect()[0]
+    for v in (row.vif1, row.vif2, row.vif3):
+        assert v >= 1.0 - 1e-9
+    for r in (row.r12, row.r13, row.r23):
+        assert -1.0 <= r <= 1.0
+    # count and spend genuinely correlate on TPC-H customers
+    assert row.r12 > 0.3
