@@ -7356,3 +7356,323 @@ def vif_oracle_sql(
            {vif("r02", "r12x", "r01")} AS vif3
     FROM vif_r
     """
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (calendar-bounded pairwise signs)
+# --------------------------------------------------------------------------
+
+
+def mann_kendall(df: DataFrame, day_col: str, dp: int = 6) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily row-count
+    series: S = sum of sign(y_j - y_i) over all day pairs i < j —
+    the nonparametric IS-there-a-trend verdict beside the parametric
+    OLS slope (q_grouped_ols_trend) and the robust slope estimate
+    (q_theil_sen): no linearity or normality assumed, ties handled
+    exactly. Output ONE row: (n_days, s_stat, var_s, z).
+
+    S is an exact BIGINT over the CALENDAR-BOUNDED day-pair join
+    (days^2 pairs — constant in row mass, the theta-join stays on the
+    day grid, never rows). The tie-corrected variance
+        Var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18
+    reads tie sizes off the daily-value histogram (exact BIGINTs, one
+    division); z applies the continuity correction and rounds ``dp``.
+
+    Scale shape (100 TB): one map-combined day aggregate; the pair
+    join and histogram run on the bounded day grid."""
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint()  # day grid; feeds pair join, ties, moments
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("y").alias("y2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_sum"),
+            F.sum("t").cast("long").alias("n"),
+        )
+    )
+    out = s.crossJoin(F.broadcast(ties)).withColumn(
+        "var_s",
+        F.expr(
+            "(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_sum) / 18"
+        ),
+    )
+    return out.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s",
+        F.round(
+            F.expr(
+                "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)"
+                " WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)"
+                " ELSE 0.0 END"
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def mann_kendall_oracle_sql(table: str, day_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `mann_kendall`: identical day grid, pairwise
+    signs, tie correction, and continuity-corrected z."""
+    return f"""
+    WITH mk_daily AS (
+        SELECT {day_sql} AS day, CAST(count(*) AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+    ),
+    mk_s AS (
+        SELECT CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+        FROM mk_daily a JOIN mk_daily b ON a.day < b.day
+    ),
+    mk_ties AS (
+        SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum,
+               CAST(sum(t) AS BIGINT) AS n
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM mk_daily GROUP BY y)
+    ),
+    mk_v AS (
+        SELECT s_stat, n,
+               (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_sum) / 18
+                   AS var_s
+        FROM mk_s CROSS JOIN mk_ties
+    )
+    SELECT n AS n_days, s_stat, var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, {dp}) AS z
+    FROM mk_v
+    """
+
+
+# --------------------------------------------------------------------------
+# Two-rate Poisson comparison (exact counts, Wald log-ratio CI)
+# --------------------------------------------------------------------------
+
+
+def poisson_two_rate(
+    df: DataFrame, group_col: str, group_a, group_b, dp: int = 6
+) -> DataFrame:
+    """Two-rate Poisson comparison under equal exposure: are events
+    of kind A arriving faster than kind B? The count-data sibling of
+    the two-proportion desk (rates, not shares): conditional z =
+    (c1 - c2)/sqrt(c1 + c2), rate ratio with the Wald log CI
+    exp(ln(c1/c2) +/- 1.96*sqrt(1/c1 + 1/c2)). Output ONE row:
+    (c1, c2, rate_ratio, z, rr_lo, rr_hi).
+
+    Counts are exact BIGINTs; rate_ratio is one exact division; z
+    and the CI pass through sqrt/ln/exp and round ``dp``.
+
+    Scale shape (100 TB): ONE conditional aggregate."""
+    g = F.col(group_col)
+    mom = df.filter(g.isin([group_a, group_b])).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    return mom.select(
+        "c1",
+        "c2",
+        (F.col("c1").cast("double") / F.col("c2")).alias("rate_ratio"),
+        F.round(
+            F.expr("(c1 - c2) / sqrt(CAST(c1 AS DOUBLE) + c2)"), dp
+        ).alias("z"),
+        F.round(
+            F.expr(
+                "exp(ln(CAST(c1 AS DOUBLE) / c2)"
+                " - 1.96 * sqrt(1.0 / c1 + 1.0 / c2))"
+            ),
+            dp,
+        ).alias("rr_lo"),
+        F.round(
+            F.expr(
+                "exp(ln(CAST(c1 AS DOUBLE) / c2)"
+                " + 1.96 * sqrt(1.0 / c1 + 1.0 / c2))"
+            ),
+            dp,
+        ).alias("rr_hi"),
+    )
+
+
+def poisson_two_rate_oracle_sql(
+    table: str, group_sql: str, ga: str, gb: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `poisson_two_rate`: identical counts and
+    formula text."""
+    return f"""
+    WITH p2r_mom AS (
+        SELECT CAST(sum(CASE WHEN {group_sql} = {ga} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN {group_sql} = {gb} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM {table}
+        WHERE {group_sql} IN ({ga}, {gb})
+    )
+    SELECT c1, c2,
+           CAST(c1 AS DOUBLE) / c2 AS rate_ratio,
+           round((c1 - c2) / sqrt(CAST(c1 AS DOUBLE) + c2), {dp}) AS z,
+           round(exp(ln(CAST(c1 AS DOUBLE) / c2)
+                     - 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), {dp}) AS rr_lo,
+           round(exp(ln(CAST(c1 AS DOUBLE) / c2)
+                     + 1.96 * sqrt(1.0 / c1 + 1.0 / c2)), {dp}) AS rr_hi
+    FROM p2r_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Diversity profile (Simpson / Berger-Parker / richness, all exact)
+# --------------------------------------------------------------------------
+
+
+def diversity_profile(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Ecological diversity profile of a categorical mix per group:
+    Simpson's concentration lambda = sum n_j(n_j-1) / (N(N-1)) (the
+    probability two draws match), Berger-Parker dominance max n_j/N,
+    and richness — the concentration triad beside q_group_entropy's
+    Shannon view (entropy weights rare classes; Simpson the common;
+    BP only the top). Output one row per group:
+    (g, n, richness, simpson, berger_parker).
+
+    ALL exact: category counts are BIGINTs and both indices are
+    single IEEE divisions of exact integers — no rounding anywhere.
+    n_j(n_j-1) sums need N^2 inside int64 (fine to ~3e9 rows/group).
+
+    Scale shape (100 TB): one two-key aggregate over row mass, one
+    group-keyed reduce over the category catalog."""
+    cells = df.groupBy(
+        F.col(group_col).alias("g"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_j"))
+    per = cells.groupBy("g").agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("richness"),
+        F.sum(F.col("n_j") * (F.col("n_j") - 1)).cast("long").alias("pp"),
+        F.max("n_j").cast("long").alias("nmax"),
+    )
+    return per.select(
+        "g",
+        "n",
+        "richness",
+        F.expr("pp / (CAST(n AS DOUBLE) * (n - 1))").alias("simpson"),
+        (F.col("nmax").cast("double") / F.col("n")).alias("berger_parker"),
+    )
+
+
+def diversity_oracle_sql(table: str, group_sql: str, cat_sql: str) -> str:
+    """DuckDB mirror of `diversity_profile`: identical cell counts
+    and exact index divisions."""
+    return f"""
+    WITH dvp_cells AS (
+        SELECT {group_sql} AS g, {cat_sql} AS cat,
+               CAST(count(*) AS BIGINT) AS n_j
+        FROM {table} GROUP BY 1, 2
+    ),
+    dvp_per AS (
+        SELECT g, CAST(sum(n_j) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS richness,
+               CAST(sum(n_j * (n_j - 1)) AS BIGINT) AS pp,
+               CAST(max(n_j) AS BIGINT) AS nmax
+        FROM dvp_cells GROUP BY 1
+    )
+    SELECT g, n, richness,
+           pp / (CAST(n AS DOUBLE) * (n - 1)) AS simpson,
+           CAST(nmax AS DOUBLE) / n AS berger_parker
+    FROM dvp_per
+    """
+
+
+# --------------------------------------------------------------------------
+# Quadratic-weighted kappa (ONE exact integer division)
+# --------------------------------------------------------------------------
+
+
+def weighted_kappa(
+    df: DataFrame, rater1_col: str, rater2_col: str, n_categories: int
+) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa between two ORDINAL raters:
+    disagreement is charged (i-j)^2, so adjacent-band disputes cost
+    little and opposite-end calls cost everything — the ordinal
+    upgrade of q_cohens_kappa (nominal agreement) for graded labels
+    (quality bands, size classes, star ratings). Output ONE row:
+    (n, d_obs, d_exp_num, kappa_w).
+
+    The quadratic identity collapses the whole confusion matrix:
+        sum_ij (i-j)^2 O_ij  =  sum (r1 - r2)^2        (one aggregate)
+        kappa_w = 1 - N * sum(r1-r2)^2 / sum_ij (i-j)^2 R_i C_j
+    with marginals R_i, C_j from the same pass — every quantity an
+    exact BIGINT, kappa ONE exact IEEE division, zero rounding.
+    Needs N * sum(d^2) inside int64 (fine to ~1e9 subjects at k=3).
+
+    Scale shape (100 TB): ONE map-combined aggregate; the marginal
+    cross terms expand on a 1-row relation."""
+    r1, r2 = F.col(rater1_col), F.col(rater2_col)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((r1 - r2) * (r1 - r2)).cast("long").alias("d_obs"),
+    ]
+    for i in range(n_categories):
+        aggs.append(F.sum((r1 == i).cast("long")).cast("long").alias(f"r{i}"))
+        aggs.append(F.sum((r2 == i).cast("long")).cast("long").alias(f"c{i}"))
+    mom = df.agg(*aggs)
+    exp_terms = " + ".join(
+        f"{(i - j) * (i - j)} * r{i} * c{j}"
+        for i in range(n_categories)
+        for j in range(n_categories)
+        if i != j
+    )
+    return mom.select(
+        "n",
+        "d_obs",
+        F.expr(f"CAST({exp_terms} AS BIGINT)").alias("d_exp_num"),
+        F.expr(
+            f"1 - CAST(n * d_obs AS DOUBLE) / ({exp_terms})"
+        ).alias("kappa_w"),
+    )
+
+
+def weighted_kappa_oracle_sql(
+    subjects_sql: str, r1_sql: str, r2_sql: str, n_categories: int
+) -> str:
+    """DuckDB mirror of `weighted_kappa`: identical collapsed
+    quadratic identity and marginal cross terms."""
+    marg = ", ".join(
+        f"CAST(sum(CASE WHEN ({r1_sql}) = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS r{i}, "
+        f"CAST(sum(CASE WHEN ({r2_sql}) = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i in range(n_categories)
+    )
+    exp_terms = " + ".join(
+        f"{(i - j) * (i - j)} * r{i} * c{j}"
+        for i in range(n_categories)
+        for j in range(n_categories)
+        if i != j
+    )
+    return f"""
+    WITH wkp_subj AS ({subjects_sql}),
+    wkp_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((({r1_sql}) - ({r2_sql}))
+                        * (({r1_sql}) - ({r2_sql}))) AS BIGINT) AS d_obs,
+               {marg}
+        FROM wkp_subj
+    )
+    SELECT n, d_obs,
+           CAST({exp_terms} AS BIGINT) AS d_exp_num,
+           1 - CAST(n * d_obs AS DOUBLE) / ({exp_terms}) AS kappa_w
+    FROM wkp_mom
+    """

@@ -3064,3 +3064,103 @@ def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x2"),
     )
     return stats_ops.vif_3(subj, ("x0", "x1", "x2"))
+
+
+@query(
+    "q_mann_kendall",
+    oracle=stats_ops.mann_kendall_oracle_sql(
+        "orders", "CAST(o_orderdate AS DATE)"
+    ),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend verdict on daily order volume —
+    the assumption-free IS-there-a-trend test beside the parametric
+    OLS slope and the Theil-Sen robust slope. Exact BIGINT pairwise
+    signs over the calendar-bounded day grid (never row pairs),
+    exact tie correction from the daily-value histogram, 6dp z
+    (operators/stats.mann_kendall)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.mann_kendall(
+        orders.select(F.col("o_orderdate").cast("date").alias("day")), "day"
+    )
+
+
+@query(
+    "q_poisson_2rate",
+    oracle=stats_ops.poisson_two_rate_oracle_sql(
+        "events", "event_type", "'click'", "'error'"
+    ),
+)
+def q_poisson_2rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-rate Poisson comparison: do clicks arrive faster than
+    errors over the same observation window? The count-data sibling
+    of the two-proportion desk — conditional z plus the Wald
+    log-scale rate-ratio CI. Exact counts, one exact division,
+    sqrt/ln/exp rounded 6dp (operators/stats.poisson_two_rate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.poisson_two_rate(ev, "event_type", "click", "error")
+
+
+@query(
+    "q_diversity_profile",
+    oracle=stats_ops.diversity_oracle_sql(
+        "customer", "CAST(c_nationkey AS BIGINT)", "c_mktsegment"
+    ),
+)
+def q_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation market-segment diversity profile: Simpson's
+    concentration (two random customers match segments), Berger-
+    Parker dominance (top segment's share), and richness — the
+    concentration triad beside q_group_entropy's Shannon view. ALL
+    exact: BIGINT cell counts, single IEEE divisions, zero rounding
+    (operators/stats.diversity_profile)."""
+    c = load_table(spark, sf_dir, "customer")
+    return stats_ops.diversity_profile(
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nat"), "c_mktsegment"
+        ),
+        "nat",
+        "c_mktsegment",
+    )
+
+
+@query(
+    "q_weighted_kappa",
+    oracle=stats_ops.weighted_kappa_oracle_sql(
+        """SELECT CASE WHEN o.o_totalprice < 150000 THEN 0
+                       WHEN o.o_totalprice < 300000 THEN 1 ELSE 2 END AS c0,
+                  CASE WHEN q.qty < 60 THEN 0
+                       WHEN q.qty < 120 THEN 1 ELSE 2 END AS c1
+           FROM orders o
+           JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+                 FROM lineitem GROUP BY 1) q
+             ON q.l_orderkey = o.o_orderkey""",
+        "c0",
+        "c1",
+        n_categories=3,
+    ),
+)
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between the price-band and
+    quantity-band order-size raters: adjacent-band disputes cost
+    (1/4)^2 of an opposite-end call — the ORDINAL agreement grade
+    beside q_cohens_kappa (nominal) and q_fleiss_kappa (multi-rater).
+    The quadratic identity collapses the confusion matrix to ONE
+    aggregate; kappa is a single exact integer division, zero
+    rounding (operators/stats.weighted_kappa)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    subj = orders.join(per_order, "o_orderkey").select(
+        F.when(F.col("o_totalprice") < 150000, 0)
+        .when(F.col("o_totalprice") < 300000, 1)
+        .otherwise(2)
+        .alias("c0"),
+        F.when(F.col("qty") < 60, 0)
+        .when(F.col("qty") < 120, 1)
+        .otherwise(2)
+        .alias("c1"),
+    )
+    return stats_ops.weighted_kappa(subj, "c0", "c1", n_categories=3)

@@ -94,7 +94,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # durbin_watson/rmst, atkinson/cronbach/fleiss/chow,
 # mood_median/grubbs/horvitz_thompson/pacf,
 # kuiper/cramer_von_mises/katz/stratified_att,
-# anderson_darling/cohens_h/seasonal_decompose/vif) — all validated cell-by-cell
+# anderson_darling/cohens_h/seasonal_decompose/vif,
+# mann_kendall/poisson_2rate/diversity_profile/weighted_kappa) — all
+# validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for
 # reps.

@@ -876,3 +876,33 @@ def test_r11n_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11o_ops():
+    """Part-18 batch under engine-config flips: the day-pair sign
+    join, the count comparison, the exact diversity divisions, and
+    the collapsed quadratic kappa."""
+    from celeborn_spark.queries.stats import (
+        q_diversity_profile,
+        q_mann_kendall,
+        q_poisson_2rate,
+        q_weighted_kappa,
+    )
+
+    return [q_mann_kendall, q_poisson_2rate, q_diversity_profile, q_weighted_kappa]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11o_ops(), ids=lambda f: f.__name__)
+def test_r11o_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -539,3 +539,53 @@ def test_vif_at_least_one(spark, sf_dir):
         assert -1.0 <= r <= 1.0
     # count and spend genuinely correlate on TPC-H customers
     assert row.r12 > 0.3
+
+
+# --- r11 batch 18: Mann-Kendall / Poisson 2-rate / diversity / wkappa ---
+
+
+def test_mann_kendall_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_mann_kendall
+
+    row = q_mann_kendall(spark, sf_dir).collect()[0]
+    n = row.n_days
+    assert abs(row.s_stat) <= n * (n - 1) // 2
+    assert row.var_s > 0
+    # tie correction can only SHRINK the no-tie variance
+    assert row.var_s <= n * (n - 1) * (2 * n + 5) / 18
+
+
+def test_poisson_2rate_ci_brackets_ratio(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_poisson_2rate
+
+    row = q_poisson_2rate(spark, sf_dir).collect()[0]
+    assert row.c1 > 0 and row.c2 > 0
+    assert row.rr_lo <= row.rate_ratio <= row.rr_hi
+    assert abs(row.rate_ratio - row.c1 / row.c2) < 1e-12
+
+
+def test_diversity_indices_consistent(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_diversity_profile
+
+    rows = q_diversity_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.richness <= 5  # five market segments
+        assert 0.0 <= r.simpson <= 1.0
+        # Berger-Parker dominance is at least 1/richness
+        assert r.berger_parker >= 1.0 / r.richness - 1e-12
+        # exact lower bound: the dominant class alone contributes
+        # nmax(nmax-1)/(n(n-1)) to the two-draw match probability
+        nmax = round(r.berger_parker * r.n)
+        assert r.simpson >= nmax * (nmax - 1) / (r.n * (r.n - 1)) - 1e-12
+
+
+def test_weighted_kappa_vs_chance(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_weighted_kappa
+
+    row = q_weighted_kappa(spark, sf_dir).collect()[0]
+    assert row.n > 0 and row.d_exp_num > 0
+    assert -1.0 <= row.kappa_w <= 1.0
+    # price and quantity bands are weakly related; at sf0.001 the
+    # 150-order sample can dip just below chance — bound the noise
+    assert row.kappa_w > -0.3
