@@ -7676,3 +7676,450 @@ def weighted_kappa_oracle_sql(
            1 - CAST(n * d_obs AS DOUBLE) / ({exp_terms}) AS kappa_w
     FROM wkp_mom
     """
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) revenue classification — value-threshold semantics
+# --------------------------------------------------------------------------
+
+
+def abc_analysis(
+    df: DataFrame,
+    key_col: str,
+    cents_col,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification of revenue concentration: class A
+    = the top items carrying the first ``a_pct``% of revenue, B the
+    next tier to ``b_pct``%, C the tail — the assortment-management
+    readout beside q_lorenz_curve (the curve shows concentration;
+    ABC turns it into an actionable 3-way split). Output one row per
+    class: (abc_class, n_items, cents, revenue_share).
+
+    VALUE-threshold semantics: an item's class depends on the summed
+    revenue of items with STRICTLY greater revenue, so ties share a
+    class and no rank tiebreaker exists to drift (the r10 total-order
+    lesson). The strict-above sum runs over the per-item revenue
+    HISTOGRAM via the two-stage bucket-offset prefix sum
+    (evaluation._bounded_cum_before, descending) — never a single-
+    partition window over the item catalog; class cuts are exact
+    integer comparisons (20*cum < (20-k)*tot forms).
+
+    Scale shape (100 TB): one item aggregate + one value-histogram
+    aggregate over row mass; the prefix machinery runs bucketed."""
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    per_item = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(cents_col).cast("long").alias("cents")
+    )
+    hist = (
+        per_item.groupBy(F.col("cents").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("vtot"),
+        )
+        .localCheckpoint()  # value histogram; bounds + bucketing re-read it
+    )
+    cb = _bounded_cum_before(hist, F.col("vtot"), descending=True)
+    tot = hist.agg(F.sum("vtot").cast("long").alias("tot"))
+    classed = cb.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            100 * F.col("cum_before") < F.lit(a_pct) * F.col("tot"), "A"
+        )
+        .when(100 * F.col("cum_before") < F.lit(b_pct) * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_items",
+        "vtot",
+        "tot",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.sum("n_items").cast("long").alias("n_items"),
+        F.sum("vtot").cast("long").alias("cents"),
+        (F.sum("vtot").cast("double") / F.max("tot")).alias("revenue_share"),
+    )
+
+
+def abc_oracle_sql(
+    items_sql: str, a_pct: int = 80, b_pct: int = 95
+) -> str:
+    """DuckDB mirror of `abc_analysis`. ``items_sql`` yields one row
+    per item with a BIGINT ``cents``; the strict-above sum is a plain
+    descending window over the DISTINCT-value histogram (value
+    identical to the bucketed Spark form)."""
+    return f"""
+    WITH abc_items AS ({items_sql}),
+    abc_hist AS (
+        SELECT cents AS v, CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(cents) AS BIGINT) AS vtot
+        FROM abc_items GROUP BY 1
+    ),
+    abc_cum AS (
+        SELECT v, n_items, vtot,
+               CAST(COALESCE(sum(vtot) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM abc_hist
+    ),
+    abc_tot AS (SELECT CAST(sum(vtot) AS BIGINT) AS tot FROM abc_hist)
+    SELECT CASE WHEN 100 * cum_before < {a_pct} * tot THEN 'A'
+                WHEN 100 * cum_before < {b_pct} * tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           CAST(sum(vtot) AS BIGINT) AS cents,
+           CAST(sum(vtot) AS DOUBLE) / max(tot) AS revenue_share
+    FROM abc_cum CROSS JOIN abc_tot
+    GROUP BY 1
+    """
+
+
+# --------------------------------------------------------------------------
+# Cook's distance screen (closed-form leverage over the day grid)
+# --------------------------------------------------------------------------
+
+
+def cooks_distance_top(
+    df: DataFrame, day_col: str, cents_col, top_k: int = 5, dp: int = 6
+) -> DataFrame:
+    """Top-``top_k`` most INFLUENTIAL days of the daily-revenue OLS
+    trend by Cook's distance — which single days, if dropped, would
+    move the fitted line most (the influence companion to
+    q_durbin_watson's adequacy and q_chow_test's break verdict):
+        D_t = e_t^2 h_t / (2 s^2 (1 - h_t)^2),
+        h_t = 1/n + (t - St/n)^2 / (Stt - St^2/n).
+    Output ``top_k`` rows: (day, d_stat), ranked (d_stat desc, day).
+
+    The day grid is calendar-bounded, so per-day residuals are a
+    bounded double surface: e_t, h_t, s^2 all assemble from exact
+    BIGINT moments (k$ value grain) in fixed double trees; D rounds
+    ``dp`` BEFORE the ranking and the day tiebreaks it (rank on
+    rounded values with id tiebreakers — CLAUDE.md), cut by
+    TakeOrderedAndProject.
+
+    Scale shape (100 TB): one map-combined day aggregate; formulas
+    and the heap-select run on the day grid."""
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(cents_col).cast("long").alias("cents"))
+        .select(
+            "day",
+            F.floor(F.col("cents") / F.lit(100000.0)).cast("long").alias("y"),
+        )
+        .localCheckpoint()  # day grid; feeds moments AND the per-day pass
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    dd = daily.crossJoin(F.broadcast(d0)).select(
+        "day",
+        "y",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+    )
+    mom = dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+    )
+    full = (
+        dd.crossJoin(F.broadcast(mom))
+        .withColumn(
+            "b",
+            F.expr(
+                "(CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+            ),
+        )
+        .withColumn("a", F.expr("(sy - b * st) / n"))
+        .withColumn(
+            "s2",
+            F.expr(
+                "((syy - CAST(sy AS DOUBLE) * sy / n)"
+                " - (sty - CAST(st AS DOUBLE) * sy / n)"
+                " * (sty - CAST(st AS DOUBLE) * sy / n)"
+                " / (stt - CAST(st AS DOUBLE) * st / n)) / (n - 2)"
+            ),
+        )
+        .withColumn("e", F.expr("y - a - b * t"))
+        .withColumn(
+            "h",
+            F.expr(
+                "1.0 / n + (t - CAST(st AS DOUBLE) / n)"
+                " * (t - CAST(st AS DOUBLE) / n)"
+                " / (stt - CAST(st AS DOUBLE) * st / n)"
+            ),
+        )
+        .withColumn(
+            "d_stat",
+            F.round(
+                F.expr("e * e * h / (2 * s2 * (1 - h) * (1 - h))"), dp
+            ),
+        )
+    )
+    return (
+        full.select("day", "d_stat")
+        .orderBy(F.col("d_stat").desc(), F.col("day"))
+        .limit(top_k)
+    )
+
+
+def cooks_oracle_sql(
+    table: str, day_sql: str, cents_sql: str, top_k: int = 5, dp: int = 6
+) -> str:
+    """DuckDB mirror of `cooks_distance_top`: identical moments,
+    leverage/residual formula text, rounded ranking, day tiebreak."""
+    return f"""
+    WITH ckd_daily AS (
+        SELECT {day_sql} AS day,
+               CAST(floor(CAST(sum({cents_sql}) AS BIGINT) / 100000.0)
+                    AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+    ),
+    ckd_d0 AS (SELECT min(day) AS d0 FROM ckd_daily),
+    ckd_dd AS (
+        SELECT day, y, CAST(date_diff('day', d0, day) AS BIGINT) AS t
+        FROM ckd_daily CROSS JOIN ckd_d0
+    ),
+    ckd_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * y) AS BIGINT) AS sty
+        FROM ckd_dd
+    ),
+    ckd_b AS (
+        SELECT *,
+               (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS b
+        FROM ckd_dd CROSS JOIN ckd_mom
+    ),
+    ckd_a AS (
+        SELECT *, (sy - b * st) / n AS a,
+               ((syy - CAST(sy AS DOUBLE) * sy / n)
+                - (sty - CAST(st AS DOUBLE) * sy / n)
+                * (sty - CAST(st AS DOUBLE) * sy / n)
+                / (stt - CAST(st AS DOUBLE) * st / n)) / (n - 2) AS s2
+        FROM ckd_b
+    ),
+    ckd_eh AS (
+        SELECT day, y - a - b * t AS e,
+               1.0 / n + (t - CAST(st AS DOUBLE) / n)
+               * (t - CAST(st AS DOUBLE) / n)
+               / (stt - CAST(st AS DOUBLE) * st / n) AS h,
+               s2
+        FROM ckd_a
+    )
+    SELECT day, round(e * e * h / (2 * s2 * (1 - h) * (1 - h)), {dp})
+               AS d_stat
+    FROM ckd_eh
+    ORDER BY d_stat DESC, day
+    LIMIT {top_k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Cross-group log-log price elasticity (ln only on group means)
+# --------------------------------------------------------------------------
+
+
+def price_elasticity(
+    li: DataFrame, part: DataFrame, dp: int = 6
+) -> DataFrame:
+    """Cross-brand log-log price elasticity of demand: the OLS slope
+    of ln(mean quantity per order-line) on ln(mean unit price) across
+    part brands — do cheaper brands move proportionally more units
+    (elasticity < -1 = elastic)? The economics companion to
+    q_price_index (indices track price LEVELS over time; elasticity
+    reads the demand RESPONSE across the assortment). Output ONE row:
+    (n_groups, elasticity, mean_ln_price).
+
+    ln touches ONLY the <= |brand| group means (exact cents/count
+    divisions), quantized to micro-units — so the OLS moments over
+    groups are exact BIGINTs and the slope is one fixed double tree,
+    rounded ``dp``. No per-row irrational surface anywhere.
+
+    Scale shape (100 TB): one brand-keyed join + aggregate over row
+    mass; the regression runs on the brand catalog."""
+    per = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 / F.col("l_quantity")))
+            .cast("long")
+            .alias("price_cents"),
+            F.sum(F.col("l_quantity")).cast("long").alias("qty"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    lp = F.floor(
+        F.log(F.col("price_cents").cast("double") / F.col("n_lines"))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    lq = F.floor(
+        F.log(F.col("qty").cast("double") / F.col("n_lines")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    mom = per.select(lp.alias("x"), lq.alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").alias("n_groups"),
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            ),
+            dp,
+        ).alias("elasticity"),
+        F.round(
+            F.expr("CAST(sx AS DOUBLE) / n / 1000000.0"), dp
+        ).alias("mean_ln_price"),
+    )
+
+
+def price_elasticity_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `price_elasticity`: identical brand means,
+    micro-quantized logs, and slope text."""
+    return f"""
+    WITH pel_per AS (
+        SELECT p_brand,
+               CAST(sum(floor(l_extendedprice * 100 / l_quantity))
+                    AS BIGINT) AS price_cents,
+               CAST(sum(l_quantity) AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    ),
+    pel_xy AS (
+        SELECT CAST(floor(ln(CAST(price_cents AS DOUBLE) / n_lines)
+                          * 1000000 + 0.5) AS BIGINT) AS x,
+               CAST(floor(ln(CAST(qty AS DOUBLE) / n_lines)
+                          * 1000000 + 0.5) AS BIGINT) AS y
+        FROM pel_per
+    ),
+    pel_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pel_xy
+    )
+    SELECT n AS n_groups,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 {dp}) AS elasticity,
+           round(CAST(sx AS DOUBLE) / n / 1000000.0, {dp}) AS mean_ln_price
+    FROM pel_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Reorder-gap percentiles (exact, from the gap histogram)
+# --------------------------------------------------------------------------
+
+
+def order_gap_percentiles(
+    df: DataFrame, unit_col: str, day_col: str, key_col: str
+) -> DataFrame:
+    """Reorder-cadence distribution: days between a unit's
+    consecutive orders, summarized as exact p50/p90 plus the mean —
+    the purchase-rhythm readout beside q_interevent_exponential
+    (that one fits a model to event gaps; this reads the raw order
+    quantiles a replenishment planner acts on). Output ONE row:
+    (n_gaps, p50_days, p90_days, mean_days).
+
+    Gaps come from a per-unit lag over (day, key) — key makes the
+    order total (the r10 tie lesson); percentiles are
+    percentile_disc-style reads off the GAP HISTOGRAM (min gap whose
+    cumulative count reaches ceil(q*N)) — gap values are calendar-
+    bounded, so no row-sized window exists; the mean is one exact
+    division.
+
+    Scale shape (100 TB): one unit-keyed window over row mass (the
+    natural per-entity partition), then histogram-sized reads."""
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy(unit_col).orderBy(F.col(day_col), F.col(key_col))
+    gaps = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            F.datediff(
+                F.col(day_col), F.lag(F.col(day_col)).over(wu)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .groupBy("gap")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # gap histogram (calendar-bounded values)
+    )
+    tot = gaps.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).cast("long").alias("s"),
+    )
+    # cumulative over the calendar-bounded gap histogram
+    wg = W.orderBy("gap").rowsBetween(W.unboundedPreceding, 0)
+    cum = gaps.select(
+        "gap", F.sum("c").over(wg).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    p50 = cum.filter(F.col("cum") >= F.ceil(F.col("n") / 2)).agg(
+        F.min("gap").alias("p50")
+    )
+    p90 = cum.filter(
+        10 * F.col("cum") >= 9 * F.col("n")
+    ).agg(F.min("gap").alias("p90"))
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            F.col("n").alias("n_gaps"),
+            F.col("p50").cast("long").alias("p50_days"),
+            F.col("p90").cast("long").alias("p90_days"),
+            (F.col("s").cast("double") / F.col("n")).alias("mean_days"),
+        )
+    )
+
+
+def order_gap_oracle_sql(
+    table: str, unit_sql: str, day_sql: str, key_sql: str
+) -> str:
+    """DuckDB mirror of `order_gap_percentiles`: identical per-unit
+    lag, gap histogram, and threshold reads."""
+    return f"""
+    WITH ogp_lag AS (
+        SELECT date_diff('day',
+                   lag({day_sql}) OVER (PARTITION BY {unit_sql}
+                       ORDER BY {day_sql}, {key_sql}),
+                   {day_sql}) AS gap
+        FROM {table}
+    ),
+    ogp_hist AS (
+        SELECT CAST(gap AS BIGINT) AS gap, CAST(count(*) AS BIGINT) AS c
+        FROM ogp_lag WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    ogp_tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(gap * c) AS BIGINT) AS s
+        FROM ogp_hist
+    ),
+    ogp_cum AS (
+        SELECT gap, sum(c) OVER (ORDER BY gap
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n
+        FROM ogp_hist CROSS JOIN ogp_tot
+    )
+    SELECT n AS n_gaps,
+           (SELECT CAST(min(gap) AS BIGINT) FROM ogp_cum
+             WHERE cum >= ceil(n / 2)) AS p50_days,
+           (SELECT CAST(min(gap) AS BIGINT) FROM ogp_cum
+             WHERE 10 * cum >= 9 * n) AS p90_days,
+           CAST(s AS DOUBLE) / n AS mean_days
+    FROM ogp_tot
+    """

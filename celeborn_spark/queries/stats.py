@@ -3164,3 +3164,96 @@ def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c1"),
     )
     return stats_ops.weighted_kappa(subj, "c0", "c1", n_categories=3)
+
+
+@query(
+    "q_abc_analysis",
+    oracle=stats_ops.abc_oracle_sql(
+        """SELECT l_partkey AS k,
+                  CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1"""
+    ),
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: class A
+    carries the first 80% of revenue, B to 95%, C the tail — the
+    assortment split q_lorenz_curve's concentration curve implies.
+    VALUE-threshold semantics (ties share a class, no rank
+    tiebreaker to drift); the strict-above sum runs via the
+    two-stage bucket-offset prefix machinery, never a
+    single-partition window over the part catalog
+    (operators/stats.abc_analysis)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.abc_analysis(
+        li.select(
+            "l_partkey", F.floor(F.col("l_extendedprice") * 100).alias("c")
+        ),
+        "l_partkey",
+        F.col("c"),
+    )
+
+
+@query(
+    "q_cooks_distance",
+    oracle=stats_ops.cooks_oracle_sql(
+        "orders", "CAST(o_orderdate AS DATE)", "floor(o_totalprice * 100)"
+    ),
+)
+def q_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most influential days of the daily-revenue trend by
+    Cook's distance — which single days, if dropped, would move the
+    fitted line most (the influence member of the regression-
+    diagnostics desk beside q_durbin_watson and q_chow_test). Exact
+    BIGINT moments, closed-form leverage, D rounded 6dp BEFORE the
+    day-tiebroken heap-select (operators/stats.cooks_distance_top)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.cooks_distance_top(
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        ),
+        "day",
+        F.col("cents"),
+    )
+
+
+@query(
+    "q_price_elasticity",
+    oracle=stats_ops.price_elasticity_oracle_sql(),
+)
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-brand log-log price elasticity of demand: OLS slope of
+    ln(mean line quantity) on ln(mean unit price) across part brands
+    — do cheaper brands move proportionally more units? ln touches
+    ONLY the 25 brand means (micro-quantized), so the regression
+    moments are exact BIGINTs (operators/stats.price_elasticity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return stats_ops.price_elasticity(li, part)
+
+
+@query(
+    "q_order_gaps",
+    oracle=stats_ops.order_gap_oracle_sql(
+        "orders", "o_custkey", "CAST(o_orderdate AS DATE)", "o_orderkey"
+    ),
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cadence distribution: days between a customer's
+    consecutive orders, as exact p50/p90 off the gap histogram plus
+    the mean — the replenishment-planning readout beside
+    q_interevent_exponential's fitted model. Per-customer lag with
+    the o_orderkey tiebreaker (total order); gap values are
+    calendar-bounded so no row-sized window exists
+    (operators/stats.order_gap_percentiles)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.order_gap_percentiles(
+        orders.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("day"),
+            "o_orderkey",
+        ),
+        "o_custkey",
+        "day",
+        "o_orderkey",
+    )

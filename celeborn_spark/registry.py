@@ -95,7 +95,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # mood_median/grubbs/horvitz_thompson/pacf,
 # kuiper/cramer_von_mises/katz/stratified_att,
 # anderson_darling/cohens_h/seasonal_decompose/vif,
-# mann_kendall/poisson_2rate/diversity_profile/weighted_kappa) — all
+# mann_kendall/poisson_2rate/diversity_profile/weighted_kappa,
+# abc/cooks_distance/price_elasticity/order_gaps) — all
 # validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for

@@ -906,3 +906,33 @@ def test_r11o_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11p_ops():
+    """Part-19 batch under engine-config flips: the bucket-offset ABC
+    cut, the leverage heap-select, the brand-mean regression, and the
+    gap-histogram percentiles."""
+    from celeborn_spark.queries.stats import (
+        q_abc_analysis,
+        q_cooks_distance,
+        q_order_gaps,
+        q_price_elasticity,
+    )
+
+    return [q_abc_analysis, q_cooks_distance, q_price_elasticity, q_order_gaps]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11p_ops(), ids=lambda f: f.__name__)
+def test_r11p_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

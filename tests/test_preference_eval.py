@@ -589,3 +589,47 @@ def test_weighted_kappa_vs_chance(spark, sf_dir):
     # price and quantity bands are weakly related; at sf0.001 the
     # 150-order sample can dip just below chance — bound the noise
     assert row.kappa_w > -0.3
+
+
+# --- r11 batch 19: ABC / Cook's D / elasticity / order gaps ---
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_abc_analysis
+
+    rows = {r.abc_class: r for r in q_abc_analysis(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    shares = sum(r.revenue_share for r in rows.values())
+    assert abs(shares - 1.0) < 1e-9
+    # A-class items are fewer but carry more revenue per item
+    if "C" in rows:
+        a, c = rows["A"], rows["C"]
+        assert a.cents / a.n_items > c.cents / c.n_items
+
+
+def test_cooks_top5_sorted_nonnegative(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_cooks_distance
+
+    rows = q_cooks_distance(spark, sf_dir).collect()
+    assert len(rows) == 5
+    ds = [r.d_stat for r in rows]
+    assert ds == sorted(ds, reverse=True)
+    assert all(d >= 0.0 for d in ds)
+
+
+def test_price_elasticity_shape(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_price_elasticity
+
+    row = q_price_elasticity(spark, sf_dir).collect()[0]
+    assert row.n_groups >= 2
+    assert row.mean_ln_price > 0
+    assert abs(row.elasticity) < 100
+
+
+def test_order_gaps_percentile_order(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_order_gaps
+
+    row = q_order_gaps(spark, sf_dir).collect()[0]
+    assert row.n_gaps > 0
+    assert 0 <= row.p50_days <= row.p90_days
+    assert 0 < row.mean_days
