@@ -8123,3 +8123,535 @@ def order_gap_oracle_sql(
            CAST(s AS DOUBLE) / n AS mean_days
     FROM ogp_tot
     """
+
+
+# --------------------------------------------------------------------------
+# Kendall's W concordance (via pairwise Spearman on normalized ranks)
+# --------------------------------------------------------------------------
+
+
+def kendall_w(
+    df: DataFrame, cat_cols: tuple[str, str, str], n_categories: int,
+    dp: int = 6,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W for three ordinal
+    raters — DO the raters rank the subjects the same way overall,
+    the concordance summary completing the agreement desk (Cohen's =
+    2 nominal, weighted = 2 ordinal, Fleiss = n nominal, W = n
+    ordinal-by-rank). Uses the identity W = ((k-1)*rho_bar + 1)/k
+    over the three pairwise tie-corrected Spearman correlations.
+    Output ONE row: (n, rho01, rho02, rho12, w).
+
+    Each rater's tied average rank per category comes off its
+    category histogram (avg2 = 2*cum_before + t + 1, an exact
+    integer), NORMALIZED to u = avg2/(2n) and quantized to
+    micro-units — a <= 3*k-value bounded surface — so the pairwise
+    Pearson moments over subjects stay exact BIGINTs at any scale
+    (raw rank cross-moments are O(n^3) and overflow; normalized
+    micro-ranks cap at 1e6). rho rounds ``dp`` before the W identity.
+
+    Scale shape (100 TB): one triple-histogram aggregate over row
+    mass (27 cells); ranks and moments run on the cell relation."""
+    from pyspark.sql import Window as W
+
+    c0, c1, c2 = (F.col(c) for c in cat_cols)
+    cells = df.groupBy(
+        c0.alias("a"), c1.alias("b"), c2.alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint()
+    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+
+    def rank_map(col: str):
+        # per-rater category histogram: <= n_categories rows (bounded)
+        h = cells.groupBy(F.col(col).alias("cat")).agg(
+            F.sum("cnt").cast("long").alias("t")
+        )
+        wv = W.orderBy("cat").rowsBetween(W.unboundedPreceding, -1)
+        return h.select(
+            "cat",
+            (
+                2 * F.coalesce(F.sum("t").over(wv), F.lit(0))
+                + F.col("t")
+                + 1
+            ).alias("avg2"),
+        )
+
+    j = cells.crossJoin(F.broadcast(tot))
+    for col, nm in (("a", "ra"), ("b", "rb"), ("c", "rc")):
+        rm = rank_map(col).withColumnRenamed("cat", col).withColumnRenamed(
+            "avg2", nm
+        )
+        j = j.join(F.broadcast(rm), col)
+    u = lambda nm: F.floor(
+        F.col(nm).cast("double") / (2 * F.col("n")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+    ranked = j.select(
+        "cnt",
+        "n",
+        u("ra").alias("ua"),
+        u("rb").alias("ub"),
+        u("rc").alias("uc"),
+    )
+    mom = ranked.groupBy("n").agg(
+        *[
+            F.sum(F.col("cnt") * F.col(x)).cast("long").alias(f"s_{x}")
+            for x in ("ua", "ub", "uc")
+        ],
+        *[
+            F.sum(F.col("cnt") * F.col(x) * F.col(x))
+            .cast("long")
+            .alias(f"q_{x}")
+            for x in ("ua", "ub", "uc")
+        ],
+        F.sum(F.col("cnt") * F.col("ua") * F.col("ub"))
+        .cast("long")
+        .alias("p_ab"),
+        F.sum(F.col("cnt") * F.col("ua") * F.col("uc"))
+        .cast("long")
+        .alias("p_ac"),
+        F.sum(F.col("cnt") * F.col("ub") * F.col("uc"))
+        .cast("long")
+        .alias("p_bc"),
+    )
+    def rho(p, x, y):
+        return (
+            f"round((CAST(n AS DOUBLE) * {p} - CAST(s_{x} AS DOUBLE) * s_{y})"
+            f" / sqrt((CAST(n AS DOUBLE) * q_{x} - CAST(s_{x} AS DOUBLE) * s_{x})"
+            f" * (CAST(n AS DOUBLE) * q_{y} - CAST(s_{y} AS DOUBLE) * s_{y})),"
+            f" {dp})"
+        )
+
+    out = (
+        mom.withColumn("rho01", F.expr(rho("p_ab", "ua", "ub")))
+        .withColumn("rho02", F.expr(rho("p_ac", "ua", "uc")))
+        .withColumn("rho12", F.expr(rho("p_bc", "ub", "uc")))
+    )
+    return out.select(
+        "n",
+        "rho01",
+        "rho02",
+        "rho12",
+        F.round(
+            F.expr("(2 * (rho01 + rho02 + rho12) / 3 + 1) / 3"), dp
+        ).alias("w"),
+    )
+
+
+def kendall_w_oracle_sql(
+    subjects_sql: str, cat_sqls: tuple[str, str, str], n_categories: int,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `kendall_w`: identical cell histogram, tied
+    micro-ranks, pairwise Spearman moments, and the W identity."""
+    a, b, c = cat_sqls
+
+    def rho(p, x, y):
+        return (
+            f"round((CAST(n AS DOUBLE) * {p} - CAST(s_{x} AS DOUBLE) * s_{y})"
+            f" / sqrt((CAST(n AS DOUBLE) * q_{x} - CAST(s_{x} AS DOUBLE) * s_{x})"
+            f" * (CAST(n AS DOUBLE) * q_{y} - CAST(s_{y} AS DOUBLE) * s_{y})),"
+            f" {dp})"
+        )
+
+    return f"""
+    WITH kdw_subj AS ({subjects_sql}),
+    kdw_cells AS (
+        SELECT ({a}) AS a, ({b}) AS b, ({c}) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM kdw_subj GROUP BY 1, 2, 3
+    ),
+    kdw_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM kdw_cells),
+    kdw_ra AS (
+        SELECT cat, 2 * cb + t + 1 AS avg2 FROM (
+            SELECT a AS cat, CAST(sum(cnt) AS BIGINT) AS t,
+                   CAST(COALESCE(sum(sum(cnt)) OVER (ORDER BY a
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cb
+            FROM kdw_cells GROUP BY a
+        )
+    ),
+    kdw_rb AS (
+        SELECT cat, 2 * cb + t + 1 AS avg2 FROM (
+            SELECT b AS cat, CAST(sum(cnt) AS BIGINT) AS t,
+                   CAST(COALESCE(sum(sum(cnt)) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cb
+            FROM kdw_cells GROUP BY b
+        )
+    ),
+    kdw_rc AS (
+        SELECT cat, 2 * cb + t + 1 AS avg2 FROM (
+            SELECT c AS cat, CAST(sum(cnt) AS BIGINT) AS t,
+                   CAST(COALESCE(sum(sum(cnt)) OVER (ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cb
+            FROM kdw_cells GROUP BY c
+        )
+    ),
+    kdw_ranked AS (
+        SELECT cnt, n,
+               CAST(floor(CAST(ra.avg2 AS DOUBLE) / (2 * n) * 1000000 + 0.5)
+                    AS BIGINT) AS ua,
+               CAST(floor(CAST(rb.avg2 AS DOUBLE) / (2 * n) * 1000000 + 0.5)
+                    AS BIGINT) AS ub,
+               CAST(floor(CAST(rc.avg2 AS DOUBLE) / (2 * n) * 1000000 + 0.5)
+                    AS BIGINT) AS uc
+        FROM kdw_cells CROSS JOIN kdw_tot
+        JOIN kdw_ra ra ON ra.cat = kdw_cells.a
+        JOIN kdw_rb rb ON rb.cat = kdw_cells.b
+        JOIN kdw_rc rc ON rc.cat = kdw_cells.c
+    ),
+    kdw_mom AS (
+        SELECT n,
+               CAST(sum(cnt * ua) AS BIGINT) AS s_ua,
+               CAST(sum(cnt * ub) AS BIGINT) AS s_ub,
+               CAST(sum(cnt * uc) AS BIGINT) AS s_uc,
+               CAST(sum(cnt * ua * ua) AS BIGINT) AS q_ua,
+               CAST(sum(cnt * ub * ub) AS BIGINT) AS q_ub,
+               CAST(sum(cnt * uc * uc) AS BIGINT) AS q_uc,
+               CAST(sum(cnt * ua * ub) AS BIGINT) AS p_ab,
+               CAST(sum(cnt * ua * uc) AS BIGINT) AS p_ac,
+               CAST(sum(cnt * ub * uc) AS BIGINT) AS p_bc
+        FROM kdw_ranked GROUP BY n
+    ),
+    kdw_rho AS (
+        SELECT n,
+               {rho("p_ab", "ua", "ub")} AS rho01,
+               {rho("p_ac", "ua", "uc")} AS rho02,
+               {rho("p_bc", "ub", "uc")} AS rho12
+        FROM kdw_mom
+    )
+    SELECT n, rho01, rho02, rho12,
+           round((2 * (rho01 + rho02 + rho12) / 3 + 1) / 3, {dp}) AS w
+    FROM kdw_rho
+    """
+
+
+# --------------------------------------------------------------------------
+# Stuart-Maxwell marginal homogeneity (3x3, closed-form 2x2 inverse)
+# --------------------------------------------------------------------------
+
+
+def stuart_maxwell(
+    df: DataFrame, rater1_col: str, rater2_col: str
+) -> DataFrame:
+    """Stuart-Maxwell test of marginal homogeneity for two PAIRED
+    3-category raters: do the two labelers use the categories at the
+    same overall rates (drift in the marginals), regardless of
+    per-subject agreement? The k-category generalization of
+    q_mcnemar (which only handles 2x2). Output ONE row:
+    (n, d0, d1, chi2, dof).
+
+    With k = 3 the statistic reduces to a closed 2x2 inverse over the
+    first two marginal differences d_i = row_i - col_i:
+        chi2 = (S11 d0^2 - 2 S01 d0 d1 + S00 d1^2)
+               / (S00 S11 - S01^2),
+        S_ii = row_i + col_i - 2 O_ii,  S_01 = -(O_01 + O_10).
+    Every cell, marginal, and product is an exact BIGINT (bounded by
+    ~n^3 — fine to ~1e6 subjects, quantize beyond); chi2 is ONE exact
+    IEEE division, dof = k-1 = 2.
+
+    Scale shape (100 TB): ONE map-combined aggregate (9 conditional
+    cells); the closed form runs on a 1-row relation."""
+    r1, r2 = F.col(rater1_col), F.col(rater2_col)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(3):
+        for jx in range(3):
+            aggs.append(
+                F.sum(((r1 == i) & (r2 == jx)).cast("long"))
+                .cast("long")
+                .alias(f"o{i}{jx}")
+            )
+    mom = df.agg(*aggs)
+    pre = (
+        mom.withColumn("d0", F.expr("(o00 + o01 + o02) - (o00 + o10 + o20)"))
+        .withColumn("d1", F.expr("(o10 + o11 + o12) - (o01 + o11 + o21)"))
+        .withColumn(
+            "s00", F.expr("(o00 + o01 + o02) + (o00 + o10 + o20) - 2 * o00")
+        )
+        .withColumn(
+            "s11", F.expr("(o10 + o11 + o12) + (o01 + o11 + o21) - 2 * o11")
+        )
+        .withColumn("s01", F.expr("-(o01 + o10)"))
+    )
+    return pre.select(
+        "n",
+        "d0",
+        "d1",
+        F.expr(
+            "CAST(s11 * d0 * d0 - 2 * s01 * d0 * d1 + s00 * d1 * d1"
+            " AS DOUBLE) / (s00 * s11 - s01 * s01)"
+        ).alias("chi2"),
+        F.lit(2).cast("long").alias("dof"),
+    )
+
+
+def stuart_maxwell_oracle_sql(
+    subjects_sql: str, r1_sql: str, r2_sql: str
+) -> str:
+    """DuckDB mirror of `stuart_maxwell`: identical cells and closed
+    form."""
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN ({r1_sql}) = {i} AND ({r2_sql}) = {j}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS o{i}{j}"
+        for i in range(3)
+        for j in range(3)
+    )
+    return f"""
+    WITH smx_subj AS ({subjects_sql}),
+    smx_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, {cells}
+        FROM smx_subj
+    ),
+    smx_pre AS (
+        SELECT *,
+               (o00 + o01 + o02) - (o00 + o10 + o20) AS d0,
+               (o10 + o11 + o12) - (o01 + o11 + o21) AS d1,
+               (o00 + o01 + o02) + (o00 + o10 + o20) - 2 * o00 AS s00,
+               (o10 + o11 + o12) + (o01 + o11 + o21) - 2 * o11 AS s11,
+               -(o01 + o10) AS s01
+        FROM smx_mom
+    )
+    SELECT n, d0, d1,
+           CAST(s11 * d0 * d0 - 2 * s01 * d0 * d1 + s00 * d1 * d1
+                AS DOUBLE) / (s00 * s11 - s01 * s01) AS chi2,
+           CAST(2 AS BIGINT) AS dof
+    FROM smx_pre
+    """
+
+
+# --------------------------------------------------------------------------
+# Indirect standardization (SMR per stratum, quantized expected mass)
+# --------------------------------------------------------------------------
+
+
+def indirect_standardization(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    event_col,
+    dp: int = 6,
+) -> DataFrame:
+    """Indirectly standardized event ratios: each group's OBSERVED
+    event count against the count EXPECTED if the global per-stratum
+    rates applied to its exposure mix — the SMR/epidemiology reading
+    of "is this group's rate high, or is its mix just different?"
+    (the rate-side sibling of q_stratified_att's mean gaps and
+    q_mantel_haenszel's common OR). Output one row per group:
+    (g, exposure, observed, expected, smr).
+
+    Per-(group, stratum) exposures and events are exact BIGINTs; the
+    global stratum rates are exact divisions; each group's expected
+    mass accumulates as micro-quantized BIGINTs (floor(x*1e6 + 0.5)
+    per stratum cell — portable under any aggregation tree); SMR
+    rounds ``dp``.
+
+    Scale shape (100 TB): one two-key aggregate over row mass; rates
+    broadcast on the stratum catalog."""
+    cells = df.groupBy(
+        F.col(group_col).alias("g"), F.col(stratum_col).alias("s")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("expo"),
+        F.sum(event_col).cast("long").alias("ev"),
+    ).localCheckpoint()  # (group x stratum) catalog; feeds rates AND groups
+    rates = cells.groupBy("s").agg(
+        (
+            F.sum("ev").cast("double") / F.sum("expo")
+        ).alias("rate")
+    )
+    joined = cells.join(F.broadcast(rates), "s").select(
+        "g",
+        "expo",
+        "ev",
+        F.floor(F.col("expo") * F.col("rate") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("e6"),
+    )
+    per = joined.groupBy("g").agg(
+        F.sum("expo").cast("long").alias("exposure"),
+        F.sum("ev").cast("long").alias("observed"),
+        F.sum("e6").cast("long").alias("e6"),
+    )
+    return per.select(
+        "g",
+        "exposure",
+        "observed",
+        F.round(F.col("e6") / F.lit(1_000_000.0), dp).alias("expected"),
+        F.round(
+            F.col("observed") * F.lit(1_000_000.0) / F.col("e6"), dp
+        ).alias("smr"),
+    )
+
+
+def indirect_standardization_oracle_sql(
+    table_sql: str, group_sql: str, stratum_sql: str, event_sql: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `indirect_standardization`: identical cells,
+    rates, micro-quantized expected mass."""
+    return f"""
+    WITH ist_cells AS (
+        SELECT {group_sql} AS g, {stratum_sql} AS s,
+               CAST(count(*) AS BIGINT) AS expo,
+               CAST(sum({event_sql}) AS BIGINT) AS ev
+        FROM {table_sql}
+        GROUP BY 1, 2
+    ),
+    ist_rates AS (
+        SELECT s, CAST(sum(ev) AS DOUBLE) / sum(expo) AS rate
+        FROM ist_cells GROUP BY 1
+    ),
+    ist_joined AS (
+        SELECT g, expo, ev,
+               CAST(floor(expo * rate * 1000000 + 0.5) AS BIGINT) AS e6
+        FROM ist_cells JOIN ist_rates USING (s)
+    ),
+    ist_per AS (
+        SELECT g, CAST(sum(expo) AS BIGINT) AS exposure,
+               CAST(sum(ev) AS BIGINT) AS observed,
+               CAST(sum(e6) AS BIGINT) AS e6
+        FROM ist_joined GROUP BY 1
+    )
+    SELECT g, exposure, observed,
+           round(e6 / 1000000.0, {dp}) AS expected,
+           round(observed * 1000000.0 / e6, {dp}) AS smr
+    FROM ist_per
+    """
+
+
+# --------------------------------------------------------------------------
+# Fisher z comparison of two correlations
+# --------------------------------------------------------------------------
+
+
+def fisher_z_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    group_a,
+    group_b,
+    dp: int = 6,
+) -> DataFrame:
+    """Fisher z-test comparing the SAME correlation measured in two
+    groups: did the x-y relationship itself change between cohorts —
+    the second-order question the correlation matrix can't answer
+    (q_correlation_matrix gives each r; this says whether r1 != r2
+    is real): z = (atanh(r1) - atanh(r2)) / sqrt(1/(n1-3)+1/(n2-3)),
+    atanh(r) = 0.5*ln((1+r)/(1-r)). Output ONE row:
+    (n_a, r_a, n_b, r_b, z).
+
+    Per-group Pearson moments are exact BIGINTs; each r rounds ``dp``
+    BEFORE atanh, each atanh rounds ``dp``, and z rounds ``dp`` —
+    identical operand trees in both engines.
+
+    Scale shape (100 TB): ONE conditional aggregate; the formula
+    runs on a 1-row relation."""
+    g = F.col(group_col)
+    x, y = F.col(x_col), F.col(y_col)
+
+    def gmoms(tag, grp):
+        cond = g == grp
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(cond, x)).cast("long").alias(f"sx_{tag}"),
+            F.sum(F.when(cond, y)).cast("long").alias(f"sy_{tag}"),
+            F.sum(F.when(cond, x * x)).cast("long").alias(f"qx_{tag}"),
+            F.sum(F.when(cond, y * y)).cast("long").alias(f"qy_{tag}"),
+            F.sum(F.when(cond, x * y)).cast("long").alias(f"p_{tag}"),
+        ]
+
+    mom = df.filter(g.isin([group_a, group_b])).agg(
+        *gmoms("a", group_a), *gmoms("b", group_b)
+    )
+
+    def r(tag):
+        return (
+            f"round((CAST(n_{tag} AS DOUBLE) * p_{tag}"
+            f" - CAST(sx_{tag} AS DOUBLE) * sy_{tag})"
+            f" / sqrt((CAST(n_{tag} AS DOUBLE) * qx_{tag}"
+            f" - CAST(sx_{tag} AS DOUBLE) * sx_{tag})"
+            f" * (CAST(n_{tag} AS DOUBLE) * qy_{tag}"
+            f" - CAST(sy_{tag} AS DOUBLE) * sy_{tag})), {dp})"
+        )
+
+    out = (
+        mom.withColumn("r_a", F.expr(r("a")))
+        .withColumn("r_b", F.expr(r("b")))
+        .withColumn(
+            "za", F.expr(f"round(0.5 * ln((1 + r_a) / (1 - r_a)), {dp})")
+        )
+        .withColumn(
+            "zb", F.expr(f"round(0.5 * ln((1 + r_b) / (1 - r_b)), {dp})")
+        )
+    )
+    return out.select(
+        "n_a",
+        "r_a",
+        "n_b",
+        "r_b",
+        F.round(
+            F.expr(
+                "(za - zb) / sqrt(1.0 / (n_a - 3) + 1.0 / (n_b - 3))"
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def fisher_z_oracle_sql(
+    table_sql: str,
+    group_sql: str,
+    x_sql: str,
+    y_sql: str,
+    ga: str,
+    gb: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `fisher_z_corr`: identical moments and
+    rounded atanh chain."""
+    def gmoms(tag, grp):
+        return (
+            f"CAST(sum(CASE WHEN {group_sql} = {grp} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_{tag}, "
+            f"CAST(sum(CASE WHEN {group_sql} = {grp} THEN {x_sql} END)"
+            f" AS BIGINT) AS sx_{tag}, "
+            f"CAST(sum(CASE WHEN {group_sql} = {grp} THEN {y_sql} END)"
+            f" AS BIGINT) AS sy_{tag}, "
+            f"CAST(sum(CASE WHEN {group_sql} = {grp} THEN ({x_sql}) * ({x_sql})"
+            f" END) AS BIGINT) AS qx_{tag}, "
+            f"CAST(sum(CASE WHEN {group_sql} = {grp} THEN ({y_sql}) * ({y_sql})"
+            f" END) AS BIGINT) AS qy_{tag}, "
+            f"CAST(sum(CASE WHEN {group_sql} = {grp} THEN ({x_sql}) * ({y_sql})"
+            f" END) AS BIGINT) AS p_{tag}"
+        )
+
+    def r(tag):
+        return (
+            f"round((CAST(n_{tag} AS DOUBLE) * p_{tag}"
+            f" - CAST(sx_{tag} AS DOUBLE) * sy_{tag})"
+            f" / sqrt((CAST(n_{tag} AS DOUBLE) * qx_{tag}"
+            f" - CAST(sx_{tag} AS DOUBLE) * sx_{tag})"
+            f" * (CAST(n_{tag} AS DOUBLE) * qy_{tag}"
+            f" - CAST(sy_{tag} AS DOUBLE) * sy_{tag})), {dp})"
+        )
+
+    return f"""
+    WITH fzc_mom AS (
+        SELECT {gmoms("a", ga)}, {gmoms("b", gb)}
+        FROM {table_sql}
+        WHERE {group_sql} IN ({ga}, {gb})
+    ),
+    fzc_r AS (
+        SELECT n_a, n_b, {r("a")} AS r_a, {r("b")} AS r_b FROM fzc_mom
+    ),
+    fzc_z AS (
+        SELECT *,
+               round(0.5 * ln((1 + r_a) / (1 - r_a)), {dp}) AS za,
+               round(0.5 * ln((1 + r_b) / (1 - r_b)), {dp}) AS zb
+        FROM fzc_r
+    )
+    SELECT n_a, r_a, n_b, r_b,
+           round((za - zb) / sqrt(1.0 / (n_a - 3) + 1.0 / (n_b - 3)), {dp})
+               AS z
+    FROM fzc_z
+    """

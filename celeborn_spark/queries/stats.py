@@ -3257,3 +3257,141 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "o_orderkey",
     )
+
+
+_SIZE_BANDS_SQL = """SELECT o.o_orderkey,
+                  CASE WHEN o.o_totalprice < 150000 THEN 0
+                       WHEN o.o_totalprice < 300000 THEN 1 ELSE 2 END AS c0,
+                  CASE WHEN q.qty < 60 THEN 0
+                       WHEN q.qty < 120 THEN 1 ELSE 2 END AS c1,
+                  CASE WHEN q.ln <= 2 THEN 0
+                       WHEN q.ln <= 4 THEN 1 ELSE 2 END AS c2
+           FROM orders o
+           JOIN (SELECT l_orderkey,
+                        CAST(sum(l_quantity) AS BIGINT) AS qty,
+                        CAST(count(*) AS BIGINT) AS ln
+                 FROM lineitem GROUP BY 1) q
+             ON q.l_orderkey = o.o_orderkey"""
+
+
+def _size_band_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ordinal order-size raters shared by the agreement
+    desk (fleiss/weighted-kappa/kendall-w/stuart-maxwell)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").cast("long").alias("qty"),
+        F.count(F.lit(1)).cast("long").alias("ln"),
+    )
+    return orders.join(per_order, "o_orderkey").select(
+        F.when(F.col("o_totalprice") < 150000, 0)
+        .when(F.col("o_totalprice") < 300000, 1)
+        .otherwise(2)
+        .alias("c0"),
+        F.when(F.col("qty") < 60, 0)
+        .when(F.col("qty") < 120, 1)
+        .otherwise(2)
+        .alias("c1"),
+        F.when(F.col("ln") <= 2, 0)
+        .when(F.col("ln") <= 4, 1)
+        .otherwise(2)
+        .alias("c2"),
+    )
+
+
+@query(
+    "q_kendall_w",
+    oracle=stats_ops.kendall_w_oracle_sql(
+        _SIZE_BANDS_SQL, ("c0", "c1", "c2"), n_categories=3
+    ),
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance of the three ordinal order-size
+    raters — do price, quantity, and line-count bands RANK orders
+    the same way overall? Completes the agreement desk (Cohen's /
+    weighted / Fleiss / W). Tied micro-ranks off bounded category
+    histograms keep the pairwise Spearman moments exact BIGINT at
+    any scale (raw rank cross-moments are O(n^3) and overflow)
+    (operators/stats.kendall_w)."""
+    return stats_ops.kendall_w(
+        _size_band_subjects(spark, sf_dir), ("c0", "c1", "c2"), 3
+    )
+
+
+@query(
+    "q_stuart_maxwell",
+    oracle=stats_ops.stuart_maxwell_oracle_sql(
+        _SIZE_BANDS_SQL, "c0", "c1"
+    ),
+)
+def q_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuart-Maxwell marginal-homogeneity test between the price
+    and quantity order-size raters: do the two labelers use the
+    small/mid/large bands at the same overall rates — the 3-category
+    generalization of q_mcnemar. Exact BIGINT cells, closed-form 2x2
+    inverse, chi2 as ONE exact division
+    (operators/stats.stuart_maxwell)."""
+    return stats_ops.stuart_maxwell(
+        _size_band_subjects(spark, sf_dir), "c0", "c1"
+    )
+
+
+@query(
+    "q_indirect_standardization",
+    oracle=stats_ops.indirect_standardization_oracle_sql(
+        """(SELECT s.s_nationkey AS nat,
+                   year(l.l_shipdate) AS yr,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey)""",
+        "nat",
+        "yr",
+        "ret",
+    ),
+)
+def q_indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirectly standardized return ratios per supplier nation
+    (SMR): observed returns vs the returns expected if the GLOBAL
+    per-ship-year return rates applied to each nation's shipment mix
+    — is a nation's return rate high, or is its year mix just
+    different? Exact cell counts, exact global rates, micro-quantized
+    expected mass (operators/stats.indirect_standardization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    base = li.join(sup, li["l_suppkey"] == sup["s_suppkey"]).select(
+        F.col("s_nationkey").alias("nat"),
+        F.year("l_shipdate").alias("yr"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    return stats_ops.indirect_standardization(base, "nat", "yr", F.col("ret"))
+
+
+@query(
+    "q_fisher_z_corr",
+    oracle=stats_ops.fisher_z_oracle_sql(
+        """(SELECT year(l_shipdate)
+              - (SELECT min(year(l_shipdate)) FROM lineitem) AS yr,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem)""",
+        "yr",
+        "x",
+        "y",
+        "1",
+        "2",
+    ),
+)
+def q_fisher_z_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher z-test: did the quantity-price correlation CHANGE
+    between the second and third ship years (data-relative years,
+    regeneration-robust)? The second-order question the correlation
+    matrix can't answer. Exact per-group moments (dollar-grain
+    price); r and atanh round 6dp before the comparison
+    (operators/stats.fisher_z_corr)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y0 = li.agg(F.min(F.year("l_shipdate")).alias("y0"))
+    base = li.crossJoin(F.broadcast(y0)).select(
+        (F.year(F.col("l_shipdate")) - F.col("y0")).cast("long").alias("yr"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    return stats_ops.fisher_z_corr(base, "yr", "x", "y", 1, 2)

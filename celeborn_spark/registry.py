@@ -96,7 +96,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # kuiper/cramer_von_mises/katz/stratified_att,
 # anderson_darling/cohens_h/seasonal_decompose/vif,
 # mann_kendall/poisson_2rate/diversity_profile/weighted_kappa,
-# abc/cooks_distance/price_elasticity/order_gaps) — all
+# abc/cooks_distance/price_elasticity/order_gaps,
+# kendall_w/stuart_maxwell/indirect_standardization/fisher_z) — all
 # validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for

@@ -936,3 +936,38 @@ def test_r11p_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11q_ops():
+    """Part-20 batch under engine-config flips: the micro-rank
+    Spearman moments, the closed 2x2 inverse, the quantized expected
+    mass, and the per-group correlation chains."""
+    from celeborn_spark.queries.stats import (
+        q_fisher_z_corr,
+        q_indirect_standardization,
+        q_kendall_w,
+        q_stuart_maxwell,
+    )
+
+    return [
+        q_kendall_w,
+        q_stuart_maxwell,
+        q_indirect_standardization,
+        q_fisher_z_corr,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11q_ops(), ids=lambda f: f.__name__)
+def test_r11q_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -633,3 +633,52 @@ def test_order_gaps_percentile_order(spark, sf_dir):
     assert row.n_gaps > 0
     assert 0 <= row.p50_days <= row.p90_days
     assert 0 < row.mean_days
+
+
+# --- r11 batch 20: Kendall W / Stuart-Maxwell / SMR / Fisher z ---
+
+
+def test_kendall_w_from_pairwise_rhos(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_kendall_w
+
+    row = q_kendall_w(spark, sf_dir).collect()[0]
+    for r in (row.rho01, row.rho02, row.rho12):
+        assert -1.0 <= r <= 1.0
+    assert 0.0 <= row.w <= 1.0 + 1e-9
+    expect = round((2 * (row.rho01 + row.rho02 + row.rho12) / 3 + 1) / 3, 6)
+    assert abs(row.w - expect) < 1e-9
+
+
+def test_stuart_maxwell_margins(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_stuart_maxwell
+
+    row = q_stuart_maxwell(spark, sf_dir).collect()[0]
+    assert row.dof == 2
+    assert row.chi2 >= 0.0
+    assert abs(row.d0) <= row.n and abs(row.d1) <= row.n
+
+
+def test_smr_mass_balance(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_indirect_standardization
+
+    rows = q_indirect_standardization(spark, sf_dir).collect()
+    assert rows
+    # indirect standardization preserves total mass: sum expected ==
+    # sum observed (up to micro quantization)
+    obs = sum(r.observed for r in rows)
+    exp = sum(r.expected for r in rows)
+    assert abs(obs - exp) < 0.01 * obs
+    for r in rows:
+        assert r.smr > 0
+
+
+def test_fisher_z_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_fisher_z_corr
+
+    row = q_fisher_z_corr(spark, sf_dir).collect()[0]
+    assert row.n_a > 3 and row.n_b > 3
+    assert -1.0 < row.r_a < 1.0 and -1.0 < row.r_b < 1.0
+    # two ~independent-year samples of the same pair: z is a finite,
+    # modest standardized gap (this synthetic price is independent of
+    # quantity, so r itself sits near 0 — the TEST is about r_a vs r_b)
+    assert abs(row.z) < 50
