@@ -2630,3 +2630,97 @@ def anderson_darling_oracle_sql(
     FROM ad_terms
     GROUP BY n_a, n_b
     """
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap of two top-k lists (Python-built weight table)
+# --------------------------------------------------------------------------
+
+
+def _rbo_weights(k: int, p: float) -> list[tuple[int, int]]:
+    """(depth, w9) rows: w9 = floor((1-p) * p^(d-1) / d * 1e9 + 0.5),
+    computed ONCE in Python (the trig-table discipline: pow parity
+    between JVM and libm never enters either engine)."""
+    import math
+
+    return [
+        (d, int(math.floor((1 - p) * p ** (d - 1) / d * 1e9 + 0.5)))
+        for d in range(1, k + 1)
+    ]
+
+
+def rbo_overlap(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (lower bound at depth ``k``) between two
+    ranked key lists — HOW MUCH do two rankers agree, weighted toward
+    the top (RBO@k = sum_d (1-p) p^(d-1) |A_d cap B_d| / d): the
+    list-level agreement grade the pointwise metrics (NDCG vs a gold
+    label) can't give when comparing two RANKERS to each other.
+    ``list_a``/``list_b`` carry (key, rank) with rank 1..k. Output
+    ONE row: (k, n_common, rbo).
+
+    The depth weights are Python-built literals shared by both
+    engines; per-depth overlaps are exact integers off the joined
+    rank pairs (overlap_d = #{key: max(ra, rb) <= d}); each
+    contribution quantizes to nano-units so the depth sum is an
+    exact BIGINT; rbo divides once.
+
+    Scale shape (100 TB): both lists are top-k heap-selected before
+    this operator (k rows each); everything here is k x k bounded."""
+    spark = list_a.sparkSession
+    w = spark.createDataFrame(_rbo_weights(k, p), schema="d long, w9 long")
+    m = list_a.select(F.col("key"), F.col("rank").alias("ra")).join(
+        list_b.select(F.col("key"), F.col("rank").alias("rb")), "key"
+    )
+    m = m.select("key", F.greatest("ra", "rb").alias("dmin"))
+    per_depth = (
+        F.broadcast(w)
+        .join(m, m["dmin"] <= w["d"], "left")
+        .groupBy("d", "w9")
+        .agg(F.count(F.col("key")).cast("long").alias("ov"))
+    )
+    tot = m.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    return (
+        per_depth.select(
+            (F.col("ov") * F.col("w9")).alias("c9")
+        )
+        .agg(F.sum("c9").cast("long").alias("s9"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "n_common",
+            (F.col("s9") / F.lit(1_000_000_000.0)).alias("rbo"),
+        )
+    )
+
+
+def rbo_oracle_sql(
+    list_a_sql: str, list_b_sql: str, k: int = 20, p: float = 0.9
+) -> str:
+    """DuckDB mirror of `rbo_overlap`: the SAME Python-built weight
+    literals; identical overlap counting and nano-unit sum.
+    ``list_*_sql`` yield (key, rank) with rank 1..k."""
+    vals = ", ".join(f"({d}, {w9})" for d, w9 in _rbo_weights(k, p))
+    return f"""
+    WITH rbo_w(d, w9) AS (VALUES {vals}),
+    rbo_a AS ({list_a_sql}),
+    rbo_b AS ({list_b_sql}),
+    rbo_m AS (
+        SELECT a.key, greatest(a.rank, b.rank) AS dmin
+        FROM rbo_a a JOIN rbo_b b ON a.key = b.key
+    ),
+    rbo_per AS (
+        SELECT w.d, w.w9, CAST(count(m.key) AS BIGINT) AS ov
+        FROM rbo_w w LEFT JOIN rbo_m m ON m.dmin <= w.d
+        GROUP BY 1, 2
+    ),
+    rbo_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM rbo_m)
+    SELECT CAST({k} AS BIGINT) AS k, n_common,
+           CAST(sum(ov * w9) AS BIGINT) / 1000000000.0 AS rbo
+    FROM rbo_per CROSS JOIN rbo_tot
+    GROUP BY n_common
+    """

@@ -312,3 +312,191 @@ def fake_frame_energy(
     return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
         energy_batches, schema=ENERGY_SCHEMA
     )
+
+
+AHASH_SCHEMA = "doc_id long, n_bytes int, hash_hi long, hash_lo long"
+
+
+def fake_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash perceptual signature stand-in over Arrow batches
+    (mapInPandas): the leading 64 payload bytes act as the 8x8 luma
+    grid a real aHash would get from resize+grayscale (PIL absent —
+    the grid REPLACES the decode step, the honest-stub discipline),
+    bit_j = (64 * b_j > sum(b)) — exact integer comparisons, no
+    division. Emitted as two 32-bit halves (hash_hi = bits 0-31,
+    hash_lo = bits 32-63) so downstream XOR/bit_count algebra never
+    touches the int64 sign bit. Payloads under 64 bytes are skipped
+    (a real pipeline drops undecodable assets the same way).
+
+    Scale shape: _spread repartitions before the kernel; output is
+    one slim row per asset. A real pHash/aHash (PIL resize + DCT)
+    slots into the same iterator with the same schema."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, his, los = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(raw) < 64:
+                    continue
+                grid = raw[:64].astype(np.int64)
+                s = int(grid.sum())
+                bits = (64 * grid > s).astype(np.int64)
+                hi = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                lo = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                ids.append(doc_id)
+                sizes.append(len(raw))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
+        hash_batches, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_near_dup(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Hamming near-duplicate pairs over 64-bit perceptual hashes via
+    4x16-bit band buckets — the binary-code LSH: any pair within
+    Hamming distance 6 agrees exactly on at least one of the four
+    bands (pigeonhole), so candidates come from four band-keyed
+    equi-joins, NEVER an all-pairs scan; the exact bit_count(XOR)
+    filter then removes false candidates. The image-near-dup
+    companion of the MinHash text pipeline. Output:
+    (a, b, hamming) with a < b, distinct.
+
+    Scale shape (100 TB of assets): the band value is the SHUFFLE
+    key; candidate mass is bounded by bucket collisions (64-bit
+    hashes spread), the r5 incremental-LSH regime."""
+    h = hashes.select(
+        F.col("doc_id"),
+        "hash_hi",
+        "hash_lo",
+        (F.col("hash_hi") % 65536).alias("b0"),
+        (F.col("hash_hi") / 65536).cast("long").alias("b1"),
+        (F.col("hash_lo") % 65536).alias("b2"),
+        (F.col("hash_lo") / 65536).cast("long").alias("b3"),
+    ).localCheckpoint()  # referenced by all four band lanes
+    lanes = None
+    for i in range(4):
+        lane = h.select(
+            F.lit(i).alias("lane"),
+            F.col(f"b{i}").alias("bv"),
+            F.col("doc_id"),
+            "hash_hi",
+            "hash_lo",
+        )
+        lanes = lane if lanes is None else lanes.unionAll(lane)
+    left = lanes.select(
+        "lane",
+        "bv",
+        F.col("doc_id").alias("a"),
+        F.col("hash_hi").alias("ha_hi"),
+        F.col("hash_lo").alias("ha_lo"),
+    )
+    right = lanes.select(
+        "lane",
+        "bv",
+        F.col("doc_id").alias("b"),
+        F.col("hash_hi").alias("hb_hi"),
+        F.col("hash_lo").alias("hb_lo"),
+    )
+    pairs = (
+        left.join(right, ["lane", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                F.expr("bit_count(ha_hi ^ hb_hi)")
+                + F.expr("bit_count(ha_lo ^ hb_lo)")
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+AHASH_ORACLE_CORE = """
+    ah_docs AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    ah_vals AS (
+        SELECT doc_id, n, j,
+               CAST(ascii(substr(text, CAST(j + 1 AS INTEGER), 1))
+                    AS BIGINT) AS b
+        FROM ah_docs, (SELECT unnest(range(0, 64)) AS j)
+        WHERE n >= 64
+    ),
+    ah_tot AS (
+        SELECT doc_id, CAST(max(n) AS INTEGER) AS n_bytes,
+               CAST(sum(b) AS BIGINT) AS s
+        FROM ah_vals GROUP BY doc_id
+    ),
+    ah_bits AS (
+        SELECT v.doc_id, t.n_bytes, v.j,
+               CASE WHEN 64 * v.b > t.s THEN 1 ELSE 0 END AS bit
+        FROM ah_vals v JOIN ah_tot t ON v.doc_id = t.doc_id
+    ),
+    ah_hash AS (
+        SELECT doc_id, max(n_bytes) AS n_bytes,
+               CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                             ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_lo
+        FROM ah_bits GROUP BY doc_id
+    )"""
+
+
+def ahash_oracle_sql() -> str:
+    """DuckDB mirror of `fake_ahash` over the documents payloads."""
+    return f"""
+    WITH {AHASH_ORACLE_CORE}
+    SELECT doc_id, n_bytes, hash_hi, hash_lo FROM ah_hash
+    """
+
+
+def ahash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+    """DuckDB mirror of `ahash_near_dup` (band-join candidates,
+    exact xor/bit_count filter; DuckDB spells XOR as xor())."""
+    return f"""
+    WITH {AHASH_ORACLE_CORE},
+    ah_bands AS (
+        SELECT doc_id, hash_hi, hash_lo,
+               CAST(hash_hi % 65536 AS BIGINT) AS b0,
+               CAST(hash_hi // 65536 AS BIGINT) AS b1,
+               CAST(hash_lo % 65536 AS BIGINT) AS b2,
+               CAST(hash_lo // 65536 AS BIGINT) AS b3
+        FROM ah_hash
+    ),
+    ah_lanes AS (
+        SELECT 0 AS lane, b0 AS bv, doc_id, hash_hi, hash_lo FROM ah_bands
+        UNION ALL
+        SELECT 1, b1, doc_id, hash_hi, hash_lo FROM ah_bands
+        UNION ALL
+        SELECT 2, b2, doc_id, hash_hi, hash_lo FROM ah_bands
+        UNION ALL
+        SELECT 3, b3, doc_id, hash_hi, hash_lo FROM ah_bands
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           CAST(bit_count(xor(l.hash_hi, r.hash_hi))
+                + bit_count(xor(l.hash_lo, r.hash_lo)) AS BIGINT) AS hamming
+    FROM ah_lanes l JOIN ah_lanes r
+      ON l.lane = r.lane AND l.bv = r.bv AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.hash_hi, r.hash_hi))
+          + bit_count(xor(l.hash_lo, r.hash_lo)) <= {max_hamming}
+    """

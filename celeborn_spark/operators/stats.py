@@ -8655,3 +8655,131 @@ def fisher_z_oracle_sql(
                AS z
     FROM fzc_z
     """
+
+
+# --------------------------------------------------------------------------
+# Variance-ratio random-walk test (exact lag-difference moments)
+# --------------------------------------------------------------------------
+
+
+def variance_ratio(
+    df: DataFrame, day_col: str, cents_col, ks: tuple[int, ...] = (2, 5, 10),
+    dp: int = 6,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistics of the daily series:
+    VR(k) = Var(k-day change) / (k * Var(1-day change)) — the
+    random-walk diagnostic (VR ~ 1 = random walk; < 1 mean-reverting;
+    > 1 trending) beside q_autocorrelation/q_pacf's correlation view.
+    Output one row per k: (k, n_diffs, vr).
+
+    k-day changes come from lag-k windows over the CALENDAR-FILLED
+    day grid (k$ value grain); their centered second moments are
+    exact BIGINT combinations in fixed double trees; vr rounds
+    ``dp``.
+
+    Scale shape (100 TB): one map-combined day aggregate; lags and
+    moments run on the day grid."""
+    from pyspark.sql import Window as W
+
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.sum(cents_col).cast("long").alias("cents")
+    )
+    span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cal = span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    daily = (
+        cal.join(daily0, "day", "left")
+        .select(
+            "day",
+            F.floor(F.coalesce(F.col("cents"), F.lit(0)) / F.lit(100000.0))
+            .cast("long")
+            .alias("y"),
+        )
+        .localCheckpoint()  # calendar-filled grid; feeds every lag
+    )
+    wd = W.orderBy("day")  # one row per calendar day
+    lags = [1] + [k for k in ks if k != 1]
+    lagged = daily.select(
+        "y", *[F.lag("y", k).over(wd).alias(f"y{k}") for k in lags]
+    )
+    aggs = []
+    for k in lags:
+        d = F.col("y") - F.col(f"y{k}")
+        nn = F.col(f"y{k}").isNotNull()
+        aggs += [
+            F.sum(F.when(nn, d)).cast("long").alias(f"sd{k}"),
+            F.sum(F.when(nn, d * d)).cast("long").alias(f"qd{k}"),
+            F.sum(nn.cast("long")).cast("long").alias(f"nd{k}"),
+        ]
+    mom = lagged.agg(*aggs)
+    rows = []
+    for k in ks:
+        vr = (
+            f"round(((qd{k} - CAST(sd{k} AS DOUBLE) * sd{k} / nd{k}) / nd{k})"
+            f" / ({k} * ((qd1 - CAST(sd1 AS DOUBLE) * sd1 / nd1) / nd1)),"
+            f" {dp})"
+        )
+        rows.append(
+            mom.select(
+                F.lit(k).cast("long").alias("k"),
+                F.col(f"nd{k}").alias("n_diffs"),
+                F.expr(vr).alias("vr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def variance_ratio_oracle_sql(
+    table: str, day_sql: str, cents_sql: str,
+    ks: tuple[int, ...] = (2, 5, 10), dp: int = 6,
+) -> str:
+    """DuckDB mirror of `variance_ratio`: identical fill, lags, and
+    centered-moment ratio text."""
+    lags = [1] + [k for k in ks if k != 1]
+    lag_cols = ", ".join(
+        f"lag(y, {k}) OVER (ORDER BY day) AS y{k}" for k in lags
+    )
+    moms = ", ".join(
+        f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN y - y{k} END) AS BIGINT)"
+        f" AS sd{k}, "
+        f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN (y - y{k}) * (y - y{k})"
+        f" END) AS BIGINT) AS qd{k}, "
+        f"CAST(sum(CASE WHEN y{k} IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nd{k}"
+        for k in lags
+    )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k, nd{k} AS n_diffs,"
+        f" round(((qd{k} - CAST(sd{k} AS DOUBLE) * sd{k} / nd{k}) / nd{k})"
+        f" / ({k} * ((qd1 - CAST(sd1 AS DOUBLE) * sd1 / nd1) / nd1)),"
+        f" {dp}) AS vr FROM vrt_mom"
+        for k in ks
+    )
+    return f"""
+    WITH vrt_daily0 AS (
+        SELECT {day_sql} AS day, CAST(sum({cents_sql}) AS BIGINT) AS cents
+        FROM {table} GROUP BY 1
+    ),
+    vrt_span AS (SELECT min(day) AS d0, max(day) AS d1 FROM vrt_daily0),
+    vrt_cal AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM vrt_span
+    ),
+    vrt_daily AS (
+        SELECT c.day,
+               CAST(floor(COALESCE(d.cents, 0) / 100000.0) AS BIGINT) AS y
+        FROM vrt_cal c LEFT JOIN vrt_daily0 d ON c.day = d.day
+    ),
+    vrt_lag AS (
+        SELECT y, {lag_cols} FROM vrt_daily
+    ),
+    vrt_mom AS (
+        SELECT {moms} FROM vrt_lag
+    )
+    {selects}
+    """

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
 from celeborn_spark.operators.evaluation import (
+    rbo_overlap,
+    rbo_oracle_sql,
     anderson_darling,
     anderson_darling_oracle_sql,
     kuiper_test,
@@ -592,3 +594,55 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
     )
     return anderson_darling(events, "event_type", "cents", "purchase", "view")
+
+
+_RBO_LIST_A_SQL = """
+    SELECT key, rank FROM (
+        SELECT l_partkey AS key,
+               row_number() OVER (ORDER BY cents DESC, l_partkey) AS rank
+        FROM (SELECT l_partkey,
+                     CAST(sum(floor(l_extendedprice * 100)) AS BIGINT)
+                         AS cents
+              FROM lineitem GROUP BY 1)
+    ) WHERE rank <= 20"""
+
+_RBO_LIST_B_SQL = """
+    SELECT key, rank FROM (
+        SELECT l_partkey AS key,
+               row_number() OVER (ORDER BY qty DESC, l_partkey) AS rank
+        FROM (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+              FROM lineitem GROUP BY 1)
+    ) WHERE rank <= 20"""
+
+
+@query(
+    "q_rbo_overlap",
+    oracle=rbo_oracle_sql(_RBO_LIST_A_SQL, _RBO_LIST_B_SQL, k=20, p=0.9),
+)
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the revenue-top-20 and
+    quantity-top-20 part rankings — do the two rankers agree where it
+    matters (the top), the list-vs-list agreement grade NDCG-style
+    gold-label metrics can't give. Both lists heap-select
+    (TakeOrderedAndProject) on exact integers with partkey
+    tiebreaks; depth weights are Python-built literals shared by
+    both engines (operators/evaluation.rbo_overlap)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def top20(agg_col, alias):
+        per = li.groupBy("l_partkey").agg(agg_col.alias(alias))
+        cut = per.orderBy(F.col(alias).desc(), "l_partkey").limit(20)
+        # rank over the post-limit 20-row relation (bounded)
+        wr = W.orderBy(F.col(alias).desc(), "l_partkey")
+        return cut.select(
+            F.col("l_partkey").alias("key"),
+            F.row_number().over(wr).alias("rank"),
+        )
+
+    a = top20(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long"), "cents"
+    )
+    b = top20(F.sum(F.col("l_quantity")).cast("long"), "qty")
+    return rbo_overlap(a, b, k=20, p=0.9)

@@ -198,3 +198,28 @@ def q_multimodal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec is pure byte arithmetic."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.fake_frame_energy(d, frame_bytes=32)
+
+
+@query("q_multimodal_ahash", oracle=M.ahash_oracle_sql())
+def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash perceptual signatures of the binary payloads
+    through the Arrow mapInPandas loop: the leading 64 bytes act as
+    the 8x8 luma grid a real aHash gets from resize+grayscale (the
+    decode step is the honest stub; the framing, batch shape, and
+    bit algebra are real and byte-checkable against SQL). Emitted as
+    two 32-bit halves so XOR/bit_count algebra never touches the
+    sign bit (operators/multimodal.fake_ahash)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.fake_ahash(d)
+
+
+@query("q_ahash_near_dup", oracle=M.ahash_near_dup_oracle_sql(max_hamming=6))
+def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-duplicate asset pairs over the aHash signatures
+    via 4x16-bit band buckets — the binary-code LSH completing the
+    image side of the near-dup desk (MinHash covers text): any pair
+    within Hamming 6 shares at least one exact band (pigeonhole), so
+    candidates come from four band-keyed equi-joins, never an
+    all-pairs scan (operators/multimodal.ahash_near_dup)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.ahash_near_dup(M.fake_ahash(d), max_hamming=6)

@@ -3395,3 +3395,27 @@ def q_fisher_z_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice")).cast("long").alias("y"),
     )
     return stats_ops.fisher_z_corr(base, "yr", "x", "y", 1, 2)
+
+
+@query(
+    "q_variance_ratio",
+    oracle=stats_ops.variance_ratio_oracle_sql(
+        "orders", "CAST(o_orderdate AS DATE)", "floor(o_totalprice * 100)"
+    ),
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance ratios VR(2/5/10) of daily revenue —
+    the random-walk diagnostic (VR ~ 1 random walk, < 1 mean
+    reversion, > 1 trending) beside the correlation view of
+    q_autocorrelation/q_pacf. Exact BIGINT lag-difference moments
+    over the calendar-filled grid, k$ grain, 6dp ratios
+    (operators/stats.variance_ratio)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.variance_ratio(
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        ),
+        "day",
+        F.col("cents"),
+    )

@@ -97,7 +97,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # anderson_darling/cohens_h/seasonal_decompose/vif,
 # mann_kendall/poisson_2rate/diversity_profile/weighted_kappa,
 # abc/cooks_distance/price_elasticity/order_gaps,
-# kendall_w/stuart_maxwell/indirect_standardization/fisher_z) — all
+# kendall_w/stuart_maxwell/indirect_standardization/fisher_z,
+# multimodal_ahash/ahash_near_dup/variance_ratio/rbo_overlap) — all
 # validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for

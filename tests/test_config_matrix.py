@@ -971,3 +971,33 @@ def test_r11q_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11r_ops():
+    """Part-21 batch under engine-config flips: the Arrow aHash
+    kernel, the band-bucket Hamming join, the lag-difference
+    moments, and the weighted list overlap."""
+    from celeborn_spark.queries.evaluation import q_rbo_overlap
+    from celeborn_spark.queries.multimodal import (
+        q_ahash_near_dup,
+        q_multimodal_ahash,
+    )
+    from celeborn_spark.queries.stats import q_variance_ratio
+
+    return [q_multimodal_ahash, q_ahash_near_dup, q_variance_ratio, q_rbo_overlap]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11r_ops(), ids=lambda f: f.__name__)
+def test_r11r_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -682,3 +682,59 @@ def test_fisher_z_bounds(spark, sf_dir):
     # modest standardized gap (this synthetic price is independent of
     # quantity, so r itself sits near 0 — the TEST is about r_a vs r_b)
     assert abs(row.z) < 50
+
+
+# --- r11 batch 21: aHash / Hamming LSH / variance ratio / RBO ---
+
+
+def test_ahash_halves_in_32_bits(spark, sf_dir):
+    from celeborn_spark.queries.multimodal import q_multimodal_ahash
+
+    rows = q_multimodal_ahash(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hash_hi < 2**32 and 0 <= r.hash_lo < 2**32
+        assert r.n_bytes >= 64
+
+
+def test_ahash_near_dup_pairs_sound(spark, sf_dir):
+    from celeborn_spark.queries.multimodal import (
+        q_ahash_near_dup,
+        q_multimodal_ahash,
+    )
+
+    pairs = q_ahash_near_dup(spark, sf_dir).collect()
+    hashes = {
+        r.doc_id: (r.hash_hi, r.hash_lo)
+        for r in q_multimodal_ahash(spark, sf_dir).collect()
+    }
+    for pr in pairs:
+        assert pr.a < pr.b
+        hi_a, lo_a = hashes[pr.a]
+        hi_b, lo_b = hashes[pr.b]
+        ham = bin((hi_a ^ hi_b)).count("1") + bin((lo_a ^ lo_b)).count("1")
+        assert ham == pr.hamming <= 6
+    # the corpus contains planted near-duplicates: pairs must exist
+    assert pairs
+
+
+def test_variance_ratio_grid(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_variance_ratio
+
+    rows = {r.k: r for r in q_variance_ratio(spark, sf_dir).collect()}
+    assert set(rows) == {2, 5, 10}
+    for k, r in rows.items():
+        assert r.vr > 0
+        assert r.n_diffs > 0
+        # longer differencing has fewer observations
+    assert rows[10].n_diffs < rows[2].n_diffs
+
+
+def test_rbo_bounds(spark, sf_dir):
+    from celeborn_spark.queries.evaluation import q_rbo_overlap
+
+    row = q_rbo_overlap(spark, sf_dir).collect()[0]
+    assert row.k == 20
+    assert 0 <= row.n_common <= 20
+    # RBO@k lower bound lives in [0, 1)
+    assert 0.0 <= row.rbo < 1.0
