@@ -8783,3 +8783,503 @@ def variance_ratio_oracle_sql(
     )
     {selects}
     """
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled range (literal ln(s) grid)
+# --------------------------------------------------------------------------
+
+
+def hurst_rs(
+    df: DataFrame, day_col: str, sizes: tuple[int, ...] = (8, 16, 32, 64),
+    dp: int = 6,
+) -> DataFrame:
+    """Hurst exponent of the daily row-count series by rescaled-range
+    analysis: slope of mean ln(R/S) on ln(window size) — the
+    LONG-memory diagnostic (H ~ 0.5 random, > 0.5 persistent,
+    < 0.5 anti-persistent) beside the short-lag ACF/variance-ratio
+    views. Output ONE row: (n_days, n_blocks, hurst).
+
+    Per size s, full blocks of the calendar grid get their
+    within-block cumulative deviations as exact micro-quantized
+    BIGINTs (range R includes the 0 baseline), S from exact block
+    moments; ln(R/S) quantizes per block (block count is
+    calendar-bounded) and ln(s) rides in as Python-built literals
+    (the trig-table discipline). The final slope is an OLS over the
+    size grid with exact micro moments, rounded ``dp``.
+
+    Scale shape (100 TB): one map-combined day aggregate; blocks,
+    ranges, and the fit run on the bounded day grid."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    lns = spark.createDataFrame(
+        [(s, int(math.floor(math.log(s) * 1_000_000 + 0.5))) for s in sizes],
+        schema="s long, lns6 long",
+    )
+    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    span = daily0.agg(F.min("day").alias("d0"))
+    cal = daily0.crossJoin(F.broadcast(span)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
+        F.col("m").alias("y"),
+    )
+    # observed-day grid indexed by t; missing days simply shorten runs
+    grid = cal.localCheckpoint()
+    nt = grid.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    blocks = (
+        grid.crossJoin(F.broadcast(lns))
+        .select(
+            "s",
+            "lns6",
+            "t",
+            "y",
+            F.floor(F.col("t") / F.col("s")).cast("long").alias("blk"),
+        )
+    )
+    bstats = blocks.groupBy("s", "lns6", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("qy"),
+    )
+    full = bstats.filter(F.col("cnt") == F.col("s"))
+    # within-block cumulative deviation walk (block length <= max(sizes))
+    wb = W.partitionBy("s", "blk").orderBy("t")
+    dev = (
+        blocks.join(
+            full.select("s", "blk", "sy", "qy"), ["s", "blk"], "inner"
+        )
+        .withColumn(
+            "d6",
+            F.floor(
+                (F.col("y") - F.col("sy").cast("double") / F.col("s"))
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumn(
+            "cum", F.sum("d6").over(wb.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    ranges = dev.groupBy("s", "lns6", "blk", "sy", "qy").agg(
+        (
+            F.greatest(F.max("cum"), F.lit(0))
+            - F.least(F.min("cum"), F.lit(0))
+        ).alias("r6")
+    )
+    lrs = ranges.select(
+        "s",
+        "lns6",
+        F.expr(
+            "CAST(floor(ln((r6 / 1000000.0)"
+            " / sqrt((qy - CAST(sy AS DOUBLE) * sy / s) / s))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("l6"),
+        F.expr("qy - CAST(sy AS DOUBLE) * sy / s").alias("ssq"),
+        "r6",
+    ).filter((F.col("ssq") > 0) & (F.col("r6") > 0))
+    per_size = lrs.groupBy("s", "lns6").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("l6").cast("long").alias("sl6"),
+    )
+    fit = per_size.select(
+        "nb",
+        F.col("lns6").alias("x"),
+        F.floor(F.col("sl6").cast("double") / F.col("nb") + F.lit(0.5))
+        .cast("long")
+        .alias("yv"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum("nb").cast("long").alias("n_blocks"),
+    )
+    return fit.crossJoin(F.broadcast(nt)).select(
+        "n_days",
+        "n_blocks",
+        F.expr(
+            # degenerate size grids (sparse calendars leave < 2 sizes
+            # with full blocks) yield NULL rather than 0/0
+            f"CASE WHEN np >= 2"
+            f" AND CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0"
+            f" THEN round((CAST(np AS DOUBLE) * sxy"
+            f" - CAST(sx AS DOUBLE) * sy)"
+            f" / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),"
+            f" {dp}) END"
+        ).alias("hurst"),
+    )
+
+
+def hurst_oracle_sql(
+    table: str, day_sql: str, sizes: tuple[int, ...] = (8, 16, 32, 64),
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `hurst_rs`: identical block walks and the
+    SAME Python-built ln(s) literals."""
+    import math
+
+    vals = ", ".join(
+        f"({s}, {int(math.floor(math.log(s) * 1_000_000 + 0.5))})"
+        for s in sizes
+    )
+    return f"""
+    WITH hst_lns(s, lns6) AS (VALUES {vals}),
+    hst_daily0 AS (
+        SELECT {day_sql} AS day, CAST(count(*) AS BIGINT) AS m
+        FROM {table} GROUP BY 1
+    ),
+    hst_span AS (SELECT min(day) AS d0 FROM hst_daily0),
+    hst_grid AS (
+        SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t, m AS y
+        FROM hst_daily0 CROSS JOIN hst_span
+    ),
+    hst_nt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM hst_grid),
+    hst_blocks AS (
+        SELECT s, lns6, t, y, CAST(floor(t / s) AS BIGINT) AS blk
+        FROM hst_grid CROSS JOIN hst_lns
+    ),
+    hst_bstats AS (
+        SELECT s, lns6, blk, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS qy
+        FROM hst_blocks GROUP BY 1, 2, 3
+    ),
+    hst_dev AS (
+        SELECT b.s, b.lns6, b.blk, f.sy, f.qy,
+               sum(CAST(floor((b.y - CAST(f.sy AS DOUBLE) / b.s)
+                              * 1000000 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY b.s, b.blk ORDER BY b.t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM hst_blocks b
+        JOIN (SELECT s, blk, sy, qy FROM hst_bstats WHERE cnt = s) f
+          ON b.s = f.s AND b.blk = f.blk
+    ),
+    hst_ranges AS (
+        SELECT s, lns6, blk, sy, qy,
+               greatest(max(cum), 0) - least(min(cum), 0) AS r6
+        FROM hst_dev GROUP BY 1, 2, 3, 4, 5
+    ),
+    hst_lrs AS (
+        SELECT s, lns6,
+               CAST(floor(ln((r6 / 1000000.0)
+                    / sqrt((qy - CAST(sy AS DOUBLE) * sy / s) / s))
+                    * 1000000 + 0.5) AS BIGINT) AS l6
+        FROM hst_ranges
+        WHERE qy - CAST(sy AS DOUBLE) * sy / s > 0 AND r6 > 0
+    ),
+    hst_per AS (
+        SELECT s, lns6, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(l6) AS BIGINT) AS sl6
+        FROM hst_lrs GROUP BY 1, 2
+    ),
+    hst_xy AS (
+        SELECT nb, CAST(lns6 AS BIGINT) AS x,
+               CAST(floor(CAST(sl6 AS DOUBLE) / nb + 0.5) AS BIGINT) AS yv
+        FROM hst_per
+    ),
+    hst_fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(yv) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * yv) AS BIGINT) AS sxy,
+               CAST(sum(nb) AS BIGINT) AS n_blocks
+        FROM hst_xy
+    )
+    SELECT n_days, n_blocks,
+           CASE WHEN np >= 2
+                AND CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                THEN round((CAST(np AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(np AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx), {dp}) END AS hurst
+    FROM hst_fit CROSS JOIN hst_nt
+    """
+
+
+# --------------------------------------------------------------------------
+# Logistic adoption-curve fit (linearized, capped at 1.05 * N_max)
+# --------------------------------------------------------------------------
+
+
+def logistic_growth(df: DataFrame, day_col: str, unit_col: str, dp: int = 6) -> DataFrame:
+    """Logistic (S-curve) fit of cumulative adoption: first-touch
+    days build the cumulative adopter curve N_d, capped at
+    m = ceil(1.05 * N_max) (the standard linearization convention),
+    and ln(N/(m-N)) regresses on the day index — growth rate r and
+    midpoint t0 = -a/r fall out of the line. The adoption-forecast
+    companion to q_user_growth's raw curve (WHEN does growth
+    saturate?). Output ONE row: (n_days, m_cap, r_rate, t0_day).
+
+    Adopters-per-day and the cumulative N are exact BIGINTs on the
+    calendar-bounded first-touch grid; the logit transform quantizes
+    to micro-units per day (bounded irrational surface), and the OLS
+    moments over days are exact BIGINTs; r and t0 round ``dp``.
+
+    Scale shape (100 TB): one per-unit min aggregate over row mass;
+    curve, transform, and fit run on the day grid."""
+    from pyspark.sql import Window as W
+
+    firsts = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(F.col(day_col)).alias("fday")
+    )
+    span = firsts.agg(F.min("fday").alias("d0"))
+    daily = (
+        firsts.crossJoin(F.broadcast(span))
+        .groupBy(
+            F.datediff(F.col("fday"), F.col("d0")).cast("long").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint()  # first-touch day grid (calendar-bounded)
+    )
+    wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    curve = daily.select(
+        "t", F.sum("a").over(wt).cast("long").alias("nn")
+    )
+    cap = curve.agg(
+        F.ceil(F.max("nn") * F.lit(1.05)).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    z = (
+        curve.crossJoin(F.broadcast(cap))
+        .filter((F.col("nn") > 0) & (F.col("nn") < F.col("m")))
+        .select(
+            "m",
+            "n_days",
+            "t",
+            F.floor(
+                F.log(
+                    F.col("nn").cast("double") / (F.col("m") - F.col("nn"))
+                )
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("z6"),
+        )
+    )
+    mom = z.groupBy("m", "n_days").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("z6").cast("long").alias("sz"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("z6")).cast("long").alias("stz"),
+    )
+    return mom.select(
+        "n_days",
+        F.col("m").alias("m_cap"),
+        F.round(
+            F.expr(
+                "(CAST(np AS DOUBLE) * stz - CAST(st AS DOUBLE) * sz)"
+                " / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+                " / 1000000.0"
+            ),
+            dp,
+        ).alias("r_rate"),
+        F.round(
+            F.expr(
+                "-((CAST(sz AS DOUBLE) / np"
+                "   - ((CAST(np AS DOUBLE) * stz - CAST(st AS DOUBLE) * sz)"
+                "      / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st))"
+                "     * st / np) / 1000000.0)"
+                " / ((CAST(np AS DOUBLE) * stz - CAST(st AS DOUBLE) * sz)"
+                "    / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+                "    / 1000000.0)"
+            ),
+            dp,
+        ).alias("t0_day"),
+    )
+
+
+def logistic_growth_oracle_sql(
+    table: str, unit_sql: str, day_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `logistic_growth`: identical curve, cap,
+    micro logit, and slope/midpoint text."""
+    return f"""
+    WITH lgr_firsts AS (
+        SELECT {unit_sql} AS u, min({day_sql}) AS fday
+        FROM {table} GROUP BY 1
+    ),
+    lgr_span AS (SELECT min(fday) AS d0 FROM lgr_firsts),
+    lgr_daily AS (
+        SELECT CAST(date_diff('day', d0, fday) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS a
+        FROM lgr_firsts CROSS JOIN lgr_span
+        GROUP BY 1
+    ),
+    lgr_curve AS (
+        SELECT t, CAST(sum(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS nn
+        FROM lgr_daily
+    ),
+    lgr_cap AS (
+        SELECT CAST(ceil(max(nn) * 1.05) AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM lgr_curve
+    ),
+    lgr_z AS (
+        SELECT m, n_days, t,
+               CAST(floor(ln(CAST(nn AS DOUBLE) / (m - nn)) * 1000000 + 0.5)
+                    AS BIGINT) AS z6
+        FROM lgr_curve CROSS JOIN lgr_cap
+        WHERE nn > 0 AND nn < m
+    ),
+    lgr_mom AS (
+        SELECT m, n_days,
+               CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(z6) AS BIGINT) AS sz,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * z6) AS BIGINT) AS stz
+        FROM lgr_z GROUP BY 1, 2
+    )
+    SELECT n_days, m AS m_cap,
+           round((CAST(np AS DOUBLE) * stz - CAST(st AS DOUBLE) * sz)
+                 / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                 / 1000000.0, {dp}) AS r_rate,
+           round(-((CAST(sz AS DOUBLE) / np
+                    - ((CAST(np AS DOUBLE) * stz - CAST(st AS DOUBLE) * sz)
+                       / (CAST(np AS DOUBLE) * stt
+                          - CAST(st AS DOUBLE) * st))
+                      * st / np) / 1000000.0)
+                 / ((CAST(np AS DOUBLE) * stz - CAST(st AS DOUBLE) * sz)
+                    / (CAST(np AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)
+                    / 1000000.0), {dp}) AS t0_day
+    FROM lgr_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Customer growth accounting (new / retained / resurrected / churned)
+# --------------------------------------------------------------------------
+
+
+def growth_accounting(
+    df: DataFrame, unit_col: str, day_col: str
+) -> DataFrame:
+    """Monthly growth accounting of active units: every
+    active-month decomposes into NEW (first month ever), RETAINED
+    (also active last month), or RESURRECTED (active before, skipped
+    last month), and CHURNED counts last month's actives who left —
+    the growth-decomposition readout behind every "up and to the
+    right" chart (q_user_growth shows the total; this says WHY it
+    moved). Output one row per month index (calendar-bounded):
+    (month_idx, new_units, retained, resurrected, churned).
+
+    All exact integer counts over the deduplicated (unit, month)
+    activity relation; the per-unit lag/lead windows ride the
+    natural entity partition with a unique month key.
+
+    Scale shape (100 TB): one two-key dedup aggregate over row mass;
+    windows per unit; the output is the month catalog."""
+    from pyspark.sql import Window as W
+
+    span = df.agg(F.min(F.col(day_col)).alias("d0"))
+    um = (
+        df.crossJoin(F.broadcast(span))
+        .select(
+            F.col(unit_col).alias("u"),
+            (
+                (F.year(F.col(day_col)) - F.year("d0")) * 12
+                + (F.month(F.col(day_col)) - F.month("d0"))
+            )
+            .cast("long")
+            .alias("mi"),
+        )
+        .distinct()
+        .localCheckpoint()  # (unit, month) activity; feeds both windows
+    )
+    wu = W.partitionBy("u").orderBy("mi")
+    maxm = um.agg(F.max("mi").alias("max_mi"))
+    flagged = um.select(
+        "u",
+        "mi",
+        F.lag("mi").over(wu).alias("prev"),
+        F.lead("mi").over(wu).alias("nxt"),
+    )
+    status = flagged.select(
+        "mi",
+        F.when(F.col("prev").isNull(), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev") == F.col("mi") - 1, 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            F.col("prev").isNotNull() & (F.col("prev") < F.col("mi") - 1), 1
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+    )
+    per_month = status.groupBy("mi").agg(
+        F.sum("is_new").cast("long").alias("new_units"),
+        F.sum("is_retained").cast("long").alias("retained"),
+        F.sum("is_resurrected").cast("long").alias("resurrected"),
+    )
+    churn = (
+        flagged.crossJoin(F.broadcast(maxm))
+        .filter(
+            (F.col("nxt").isNull() | (F.col("nxt") > F.col("mi") + 1))
+            & (F.col("mi") < F.col("max_mi"))
+        )
+        .groupBy((F.col("mi") + 1).alias("mi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        per_month.join(churn, "mi", "left")
+        .select(
+            F.col("mi").alias("month_idx"),
+            "new_units",
+            "retained",
+            "resurrected",
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+        )
+    )
+
+
+def growth_accounting_oracle_sql(
+    table: str, unit_sql: str, day_sql: str
+) -> str:
+    """DuckDB mirror of `growth_accounting`: identical month index,
+    activity dedup, lag/lead status flags, and churn attribution."""
+    return f"""
+    WITH gac_span AS (SELECT min({day_sql}) AS d0 FROM {table}),
+    gac_um AS (
+        SELECT DISTINCT {unit_sql} AS u,
+               CAST((year({day_sql}) - year(d0)) * 12
+                    + (month({day_sql}) - month(d0)) AS BIGINT) AS mi
+        FROM {table} CROSS JOIN gac_span
+    ),
+    gac_max AS (SELECT max(mi) AS max_mi FROM gac_um),
+    gac_flag AS (
+        SELECT u, mi,
+               lag(mi) OVER (PARTITION BY u ORDER BY mi) AS prev,
+               lead(mi) OVER (PARTITION BY u ORDER BY mi) AS nxt
+        FROM gac_um
+    ),
+    gac_per AS (
+        SELECT mi,
+               CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_units,
+               CAST(sum(CASE WHEN prev = mi - 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS retained,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev < mi - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM gac_flag GROUP BY 1
+    ),
+    gac_churn AS (
+        SELECT mi + 1 AS mi, CAST(count(*) AS BIGINT) AS churned
+        FROM gac_flag CROSS JOIN gac_max
+        WHERE (nxt IS NULL OR nxt > mi + 1) AND mi < max_mi
+        GROUP BY 1
+    )
+    SELECT p.mi AS month_idx, p.new_units, p.retained, p.resurrected,
+           CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
+    FROM gac_per p LEFT JOIN gac_churn c ON p.mi = c.mi
+    """

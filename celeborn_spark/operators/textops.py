@@ -2200,3 +2200,167 @@ def gopher_oracle_sql(table: str = "documents") -> str:
            AND (lang <> 'en' OR n_stop_types >= 2) AS pass_all
     FROM gr_per
     """
+
+
+# --------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit (id-slice checkpoints)
+# --------------------------------------------------------------------------
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_slices: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Heaps' law fit V = K * N^beta of vocabulary growth: distinct
+    token types V against total token count N measured at
+    ``n_slices`` corpus prefixes — the how-fast-does-vocabulary-grow
+    exponent (beta ~ 0.4-0.6 for natural text; near 1 flags
+    synthetic/id-like tokens) beside q_zipf_slope's frequency view
+    and q_vocab_coverage's fixed-vocab reading. Output ONE row:
+    (n_slices_used, beta, ln_k).
+
+    Prefixes are doc-ID VALUE slices (lo + i*span/n_slices — a
+    broadcast threshold grid, NEVER a corpus-ordered row_number):
+    each token type contributes to slice i iff its MINIMUM doc id
+    falls under the threshold — one token-level min aggregate, then
+    ``n_slices`` exact conditional counts. V and N per slice are
+    exact BIGINTs; ln quantizes to micro per slice (bounded surface)
+    and the log-log OLS runs on exact micro moments, rounded ``dp``.
+
+    Scale shape (100 TB): one tokenize+explode pass, one token-keyed
+    aggregate (the vocabulary relation), slice counts map-combined."""
+    bounds = df.agg(
+        F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    )
+    tok = (
+        df.select(F.col(id_col).alias("d"), F.col(text_col).alias("txt"))
+        .select("d", F.explode(tokens(F.col("txt"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    firsts = tok.groupBy("w").agg(
+        F.min("d").alias("fd"), F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_tok = firsts.crossJoin(F.broadcast(bounds))
+    per_doc = tok.crossJoin(F.broadcast(bounds))
+
+    def thr(i: int):
+        return F.col("lo") + (F.col("hi") - F.col("lo")) * i / n_slices
+
+    # ONE pass per relation: all slice counts as conditional sums
+    vs = per_tok.agg(
+        *[
+            F.sum((F.col("fd") <= thr(i)).cast("long"))
+            .cast("long")
+            .alias(f"v{i}")
+            for i in range(1, n_slices + 1)
+        ]
+    )
+    ns = per_doc.agg(
+        *[
+            F.sum((F.col("d") <= thr(i)).cast("long"))
+            .cast("long")
+            .alias(f"n{i}")
+            for i in range(1, n_slices + 1)
+        ]
+    )
+    wide = vs.crossJoin(ns)
+    # micro-quantized log pairs as FIXED columns; the 8-term moment
+    # sums below are fixed expression trees (no aggregation order)
+    for i in range(1, n_slices + 1):
+        wide = wide.withColumn(
+            f"x{i}",
+            F.floor(
+                F.log(F.col(f"n{i}").cast("double")) * 1_000_000 + F.lit(0.5)
+            ).cast("long"),
+        ).withColumn(
+            f"y{i}",
+            F.floor(
+                F.log(F.col(f"v{i}").cast("double")) * 1_000_000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    idx = list(range(1, n_slices + 1))
+    mom = wide.select(
+        F.lit(len(idx)).cast("long").alias("np"),
+        sum((F.col(f"x{i}") for i in idx), F.lit(0)).cast("long").alias("sx"),
+        sum((F.col(f"y{i}") for i in idx), F.lit(0)).cast("long").alias("sy"),
+        sum((F.col(f"x{i}") * F.col(f"x{i}") for i in idx), F.lit(0))
+        .cast("long")
+        .alias("sxx"),
+        sum((F.col(f"x{i}") * F.col(f"y{i}") for i in idx), F.lit(0))
+        .cast("long")
+        .alias("sxy"),
+    )
+    beta = (
+        "(CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    )
+    return mom.select(
+        F.col("np").alias("n_slices_used"),
+        F.round(F.expr(beta), dp).alias("beta"),
+        F.round(
+            F.expr(
+                f"(CAST(sy AS DOUBLE) / np - ({beta}) * sx / np) / 1000000.0"
+            ),
+            dp,
+        ).alias("ln_k"),
+    )
+
+
+def heaps_oracle_sql(n_slices: int = 8, dp: int = 6) -> str:
+    """DuckDB mirror of `heaps_law` over documents: identical slice
+    thresholds, token firsts, micro logs, and fit text."""
+    slice_selects = "\n        UNION ALL\n        ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS i,
+               (SELECT CAST(sum(CASE WHEN fd <= lo + (hi - lo) * {i} / {n_slices}
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM hpl_firsts CROSS JOIN hpl_bounds) AS v,
+               (SELECT CAST(sum(CASE WHEN d <= lo + (hi - lo) * {i} / {n_slices}
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM hpl_tok CROSS JOIN hpl_bounds) AS nt"""
+        for i in range(1, n_slices + 1)
+    )
+    return f"""
+    WITH hpl_bounds AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+               CAST(max(doc_id) AS BIGINT) AS hi
+        FROM documents
+    ),
+    hpl_tok AS (
+        SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    hpl_tok2 AS (SELECT d, w FROM hpl_tok WHERE w <> ''),
+    hpl_firsts AS (
+        SELECT w, CAST(min(d) AS BIGINT) AS fd FROM hpl_tok2 GROUP BY 1
+    ),
+    hpl_slices AS (
+        {slice_selects}
+    ),
+    hpl_xy AS (
+        SELECT CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS x,
+               CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                   AS y
+        FROM hpl_slices WHERE v > 0 AND nt > 0
+    ),
+    hpl_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM hpl_xy
+    )
+    SELECT np AS n_slices_used,
+           round((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 {dp}) AS beta,
+           round((CAST(sy AS DOUBLE) / np
+                  - ((CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * sx / np) / 1000000.0, {dp}) AS ln_k
+    FROM hpl_mom
+    """

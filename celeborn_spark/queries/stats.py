@@ -3419,3 +3419,65 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.col("cents"),
     )
+
+
+@query(
+    "q_hurst_rs",
+    oracle=stats_ops.hurst_oracle_sql("orders", "CAST(o_orderdate AS DATE)"),
+)
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily order volume by rescaled-range
+    analysis over 8/16/32/64-day blocks — the LONG-memory diagnostic
+    (H ~ 0.5 random, > 0.5 persistent) beside the short-lag
+    ACF/PACF/variance-ratio views. Exact micro-quantized block walks;
+    ln(s) grid built once in Python (operators/stats.hurst_rs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.hurst_rs(
+        orders.select(F.col("o_orderdate").cast("date").alias("day")), "day"
+    )
+
+
+@query(
+    "q_logistic_growth",
+    oracle=stats_ops.logistic_growth_oracle_sql(
+        "orders", "o_custkey", "CAST(o_orderdate AS DATE)"
+    ),
+)
+def q_logistic_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic S-curve fit of cumulative customer adoption (first
+    orders): growth rate r and saturation midpoint t0 from the
+    linearized logit regression, cap m = 1.05 * observed max — WHEN
+    does acquisition saturate, the forecast companion to
+    q_user_growth's raw curve. Exact adopter grid; micro-quantized
+    logit; exact OLS moments (operators/stats.logistic_growth)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.logistic_growth(
+        orders.select(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+        ),
+        "day",
+        "o_custkey",
+    )
+
+
+@query(
+    "q_growth_accounting",
+    oracle=stats_ops.growth_accounting_oracle_sql(
+        "orders", "o_custkey", "CAST(o_orderdate AS DATE)"
+    ),
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly customer growth accounting: every active month
+    decomposes into new / retained / resurrected, with churn
+    attributed to the month after the lapse — WHY the active-customer
+    curve moved (q_user_growth shows only that it did). All exact
+    counts over the deduped (customer, month) relation; entity-
+    partitioned windows (operators/stats.growth_accounting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.growth_accounting(
+        orders.select(
+            "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+        ),
+        "o_custkey",
+        "day",
+    )

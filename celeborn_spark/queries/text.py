@@ -1586,3 +1586,16 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textops.gopher_rules)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.gopher_rules(docs)
+
+
+@query("q_heaps_law", oracle=T.heaps_oracle_sql(n_slices=8))
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V = K * N^beta of vocabulary growth over 8
+    doc-id corpus slices — how fast does vocabulary grow with corpus
+    size (beta ~ 0.4-0.6 for natural text; ~1 flags id-like tokens),
+    beside q_zipf_slope's frequency view. One tokenize pass, one
+    token-min aggregate; slice counts are conditional sums against a
+    broadcast threshold grid — no corpus ordering anywhere
+    (operators/textops.heaps_law)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.heaps_law(docs, "doc_id", "text", n_slices=8)

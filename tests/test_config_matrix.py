@@ -1001,3 +1001,33 @@ def test_r11r_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11s_ops():
+    """Part-22 batch under engine-config flips: the block R/S walks,
+    the logit fit, the lag/lead growth decomposition, and the
+    one-pass slice counts."""
+    from celeborn_spark.queries.stats import (
+        q_growth_accounting,
+        q_hurst_rs,
+        q_logistic_growth,
+    )
+    from celeborn_spark.queries.text import q_heaps_law
+
+    return [q_hurst_rs, q_logistic_growth, q_growth_accounting, q_heaps_law]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11s_ops(), ids=lambda f: f.__name__)
+def test_r11s_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

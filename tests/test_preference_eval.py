@@ -738,3 +738,67 @@ def test_rbo_bounds(spark, sf_dir):
     assert 0 <= row.n_common <= 20
     # RBO@k lower bound lives in [0, 1)
     assert 0.0 <= row.rbo < 1.0
+
+
+# --- r11 batch 22: Hurst / logistic growth / growth accounting / Heaps ---
+
+
+def test_hurst_in_unit_interval(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_hurst_rs
+
+    row = q_hurst_rs(spark, sf_dir).collect()[0]
+    assert row.n_days > 0
+    # sf0.001's sparse calendar can leave < 2 sizes with full blocks,
+    # in which case the fit is declared NULL rather than 0/0
+    if row.hurst is not None:
+        assert 0.0 < row.hurst < 1.2
+
+
+def test_logistic_growth_cap_and_rate(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_logistic_growth
+    from celeborn_spark.catalog import load_table
+
+    row = q_logistic_growth(spark, sf_dir).collect()[0]
+    n_cust = (
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert row.m_cap >= n_cust
+    # adoption accumulates: the fitted rate must be positive
+    assert row.r_rate > 0
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_growth_accounting
+    from celeborn_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        q_growth_accounting(spark, sf_dir).collect(), key=lambda r: r.month_idx
+    )
+    assert rows
+    # actives(m) = new + retained + resurrected; actives(m) =
+    # actives(m-1) + new(m) + resurrected(m) - churned(m)
+    prev_active = None
+    for r in rows:
+        active = r.new_units + r.retained + r.resurrected
+        if prev_active is not None:
+            assert active == prev_active + r.new_units + r.resurrected - r.churned
+        prev_active = active
+    total_new = sum(r.new_units for r in rows)
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total_new == n_cust
+
+
+def test_heaps_beta_in_range(spark, sf_dir):
+    from celeborn_spark.queries.text import q_heaps_law
+
+    row = q_heaps_law(spark, sf_dir).collect()[0]
+    assert row.n_slices_used == 8
+    # this synthetic corpus has a ~31-type vocabulary, so V saturates
+    # in slice 1 and beta legitimately sits at 0 — assert the range
+    assert 0.0 <= row.beta <= 1.0
