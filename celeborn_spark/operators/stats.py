@@ -9283,3 +9283,472 @@ def growth_accounting_oracle_sql(
            CAST(COALESCE(c.churned, 0) AS BIGINT) AS churned
     FROM gac_per p LEFT JOIN gac_churn c ON p.mi = c.mi
     """
+
+
+# --------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend (doubled-integer U's)
+# --------------------------------------------------------------------------
+
+
+def jonckheere_terpstra(
+    df: DataFrame, ord_col: str, value_col: str, dp: int = 6
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative: do the
+    group distributions shift monotonically with the group's a-priori
+    order (dose-response across priority/severity levels)? Kruskal-
+    Wallis asks "any difference"; JT asks the directional question
+    and gains power when the order is real. J = sum over ordered
+    pairs of Mann-Whitney U's. Output ONE row:
+    (n, j2_stat, e2_mean, z).
+
+    Histogram-exact: the (group x value) grid is bounded by
+    |groups| x |distinct values|; per-group cumulative-before counts
+    come from group-partitioned windows over the grid, and every
+    pairwise U doubles into the exact BIGINT
+    U2 = sum_v n_jv * (2*cb_iv + n_iv). The z uses the no-tie
+    variance (n^2(2n+3) - sum n_i^2(2n_i+3))/72 (documented
+    approximation under heavy ties) and rounds ``dp``.
+
+    Scale shape (100 TB): one two-key histogram aggregate over row
+    mass; pairs run on the bounded grid."""
+    from pyspark.sql import Window as W
+
+    hist = df.groupBy(
+        F.col(ord_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # bounded grid relation referenced 4x (vals/grps/grid/sizes)
+    hist = hist.localCheckpoint()
+    vals = hist.select("v").distinct()
+    grps = hist.select("g").distinct()
+    grid = (
+        grps.crossJoin(vals)
+        .join(hist, ["g", "v"], "left")
+        .select("g", "v", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    wg = W.partitionBy("g").orderBy("v").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cumg = grid.select(
+        "g", "v", "c", F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cb")
+    ).localCheckpoint()  # bounded (groups x values) grid, used twice
+    pairs = (
+        cumg.alias("i")
+        .join(cumg.alias("j"), F.col("i.v") == F.col("j.v"))
+        .filter(F.col("i.g") < F.col("j.g"))
+        .agg(
+            F.sum(
+                F.col("j.c") * (2 * F.col("i.cb") + F.col("i.c"))
+            )
+            .cast("long")
+            .alias("j2_stat")
+        )
+    )
+    sizes = hist.groupBy("g").agg(F.sum("c").cast("long").alias("ng"))
+    mom = sizes.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(F.col("ng") * F.col("ng")).cast("long").alias("sn2"),
+        F.sum(
+            F.col("ng") * F.col("ng") * (2 * F.col("ng") + 3)
+        )
+        .cast("long")
+        .alias("sn23"),
+    )
+    return pairs.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "j2_stat",
+        F.expr("(CAST(n AS DOUBLE) * n - sn2) / 2").alias("e2_mean"),
+        F.round(
+            F.expr(
+                "(j2_stat - (CAST(n AS DOUBLE) * n - sn2) / 2) / 2"
+                " / sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3) - sn23)"
+                "        / 72)"
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def jonckheere_oracle_sql(
+    table: str, ord_sql: str, value_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `jonckheere_terpstra`: identical grid,
+    doubled U's, and no-tie variance text."""
+    return f"""
+    WITH jt_hist AS (
+        SELECT {ord_sql} AS g, {value_sql} AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    jt_grid AS (
+        SELECT gs.g, vs.v, CAST(COALESCE(h.c, 0) AS BIGINT) AS c
+        FROM (SELECT DISTINCT g FROM jt_hist) gs
+        CROSS JOIN (SELECT DISTINCT v FROM jt_hist) vs
+        LEFT JOIN jt_hist h ON h.g = gs.g AND h.v = vs.v
+    ),
+    jt_cum AS (
+        SELECT g, v, c,
+               CAST(COALESCE(sum(c) OVER (PARTITION BY g ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+        FROM jt_grid
+    ),
+    jt_pairs AS (
+        SELECT CAST(sum(j.c * (2 * i.cb + i.c)) AS BIGINT) AS j2_stat
+        FROM jt_cum i JOIN jt_cum j ON i.v = j.v AND i.g < j.g
+    ),
+    jt_sizes AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM jt_hist GROUP BY 1
+    ),
+    jt_mom AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(ng * ng) AS BIGINT) AS sn2,
+               CAST(sum(ng * ng * (2 * ng + 3)) AS BIGINT) AS sn23
+        FROM jt_sizes
+    )
+    SELECT n, j2_stat,
+           (CAST(n AS DOUBLE) * n - sn2) / 2 AS e2_mean,
+           round((j2_stat - (CAST(n AS DOUBLE) * n - sn2) / 2) / 2
+                 / sqrt((CAST(n AS DOUBLE) * n * (2 * n + 3) - sn23)
+                        / 72), {dp}) AS z
+    FROM jt_pairs CROSS JOIN jt_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Dunn post-hoc pairwise rank test (pooled histogram ranks)
+# --------------------------------------------------------------------------
+
+
+def dunn_test(df: DataFrame, group_col: str, value_col: str, dp: int = 6) -> DataFrame:
+    """Dunn's post-hoc test: which PAIRS of groups differ, after
+    q_kruskal_wallis' omnibus says some do — pairwise z's on pooled
+    mean ranks with the tie-corrected variance. Output one row per
+    pair: (g_a, g_b, n_a, n_b, z).
+
+    Pooled doubled avg-ranks come off the value histogram
+    (avg2 = 2*cum_before + t + 1); per-group doubled rank sums are
+    exact BIGINTs; sigma^2 = (N(N+1)/12 - tie_sum/(12(N-1))) with
+    tie_sum = sum(t^3 - t) per distinct value — t^3 must fit int64
+    (fine to ~2e6 rows per distinct value; quantize the value grain
+    beyond). z rounds ``dp``.
+
+    Scale shape (100 TB): one two-key histogram aggregate; ranks and
+    pairs run on the bounded (groups x values) grid."""
+    from pyspark.sql import Window as W
+
+    hist = df.groupBy(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # bounded histogram referenced by the pooled ranks AND group sums
+    hist = hist.localCheckpoint()
+    pooled = hist.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    # pooled DISTINCT-value histogram (bounded)
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    pooled = pooled.select(
+        "v",
+        "t",
+        (
+            2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1
+        ).alias("avg2"),
+    )
+    tots = pooled.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    gr = (
+        hist.join(pooled.select("v", "avg2"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c") * F.col("avg2")).cast("long").alias("r2"),
+        )
+        .localCheckpoint()  # group catalog, self-joined for pairs
+    )
+    pairs = (
+        gr.alias("a")
+        .join(gr.alias("b"), F.col("a.g") < F.col("b.g"))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            F.col("a.g").alias("g_a"),
+            F.col("b.g").alias("g_b"),
+            F.col("a.ng").alias("n_a"),
+            F.col("b.ng").alias("n_b"),
+            F.col("a.r2").alias("r2a"),
+            F.col("b.r2").alias("r2b"),
+            "n",
+            "tie_sum",
+        )
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.expr(
+                "(CAST(r2a AS DOUBLE) / (2 * n_a)"
+                " - CAST(r2b AS DOUBLE) / (2 * n_b))"
+                " / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12"
+                "         - tie_sum / (12.0 * (n - 1)))"
+                "        * (1.0 / n_a + 1.0 / n_b))"
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def dunn_oracle_sql(
+    table: str, group_sql: str, value_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `dunn_test`: identical pooled ranks, tie
+    correction, and pairwise z text."""
+    return f"""
+    WITH dnn_hist AS (
+        SELECT {group_sql} AS g, {value_sql} AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+    ),
+    dnn_pooled AS (
+        SELECT v, t,
+               2 * CAST(COALESCE(sum(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + t + 1 AS avg2
+        FROM (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM dnn_hist GROUP BY 1)
+    ),
+    dnn_tots AS (
+        SELECT CAST(sum(t) AS BIGINT) AS n,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        FROM dnn_pooled
+    ),
+    dnn_gr AS (
+        SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+               CAST(sum(c * avg2) AS BIGINT) AS r2
+        FROM dnn_hist h JOIN dnn_pooled p ON h.v = p.v
+        GROUP BY 1
+    )
+    SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+           round((CAST(a.r2 AS DOUBLE) / (2 * a.ng)
+                  - CAST(b.r2 AS DOUBLE) / (2 * b.ng))
+                 / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12
+                         - tie_sum / (12.0 * (n - 1)))
+                        * (1.0 / a.ng + 1.0 / b.ng)), {dp}) AS z
+    FROM dnn_gr a JOIN dnn_gr b ON a.g < b.g
+    CROSS JOIN dnn_tots
+    """
+
+
+# --------------------------------------------------------------------------
+# Partial correlations (closed form over 6dp pairwise r's)
+# --------------------------------------------------------------------------
+
+
+def partial_correlation(
+    df: DataFrame, item_cols: tuple[str, str, str], dp: int = 6
+) -> DataFrame:
+    """First-order partial correlations among three integer items:
+    r_xy.z = (r_xy - r_xz r_yz) / sqrt((1-r_xz^2)(1-r_yz^2)) — does
+    the x-y link survive once z is held fixed, the confounder-
+    controlled reading the raw matrix can't give (the correlation
+    sibling of q_vif's redundancy view, same moment machinery).
+    Output ONE row: (n, r01_g2, r02_g1, r12_g0).
+
+    Exact BIGINT moments (including cross products); pairwise r's
+    round ``dp`` BEFORE the closed form; partials round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined aggregate."""
+    c0, c1, c2 = (F.col(c) for c in item_cols)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(c0).cast("long").alias("s0"),
+        F.sum(c1).cast("long").alias("s1"),
+        F.sum(c2).cast("long").alias("s2"),
+        F.sum(c0 * c0).cast("long").alias("q0"),
+        F.sum(c1 * c1).cast("long").alias("q1"),
+        F.sum(c2 * c2).cast("long").alias("q2"),
+        F.sum(c0 * c1).cast("long").alias("s01"),
+        F.sum(c0 * c2).cast("long").alias("s02"),
+        F.sum(c1 * c2).cast("long").alias("s12"),
+    )
+
+    def corr(i, j):
+        return (
+            f"round((CAST(n AS DOUBLE) * s{i}{j}"
+            f" - CAST(s{i} AS DOUBLE) * s{j})"
+            f" / sqrt((CAST(n AS DOUBLE) * q{i} - CAST(s{i} AS DOUBLE) * s{i})"
+            f" * (CAST(n AS DOUBLE) * q{j} - CAST(s{j} AS DOUBLE) * s{j})),"
+            f" {dp})"
+        )
+
+    out = (
+        mom.withColumn("r01", F.expr(corr(0, 1)))
+        .withColumn("r02", F.expr(corr(0, 2)))
+        .withColumn("r12", F.expr(corr(1, 2)))
+    )
+
+    def part(xy, xz, yz):
+        return (
+            f"round(({xy} - {xz} * {yz})"
+            f" / sqrt((1 - {xz} * {xz}) * (1 - {yz} * {yz})), {dp})"
+        )
+
+    return out.select(
+        "n",
+        F.expr(part("r01", "r02", "r12")).alias("r01_g2"),
+        F.expr(part("r02", "r01", "r12")).alias("r02_g1"),
+        F.expr(part("r12", "r01", "r02")).alias("r12_g0"),
+    )
+
+
+def partial_corr_oracle_sql(
+    subjects_sql: str, item_sqls: tuple[str, str, str], dp: int = 6
+) -> str:
+    """DuckDB mirror of `partial_correlation`: identical moments and
+    closed-form text."""
+    a, b, c = item_sqls
+
+    def corr(qi, qj, si, sj, sij):
+        return (
+            f"round((CAST(n AS DOUBLE) * {sij} - CAST({si} AS DOUBLE) * {sj})"
+            f" / sqrt((CAST(n AS DOUBLE) * {qi} - CAST({si} AS DOUBLE) * {si})"
+            f" * (CAST(n AS DOUBLE) * {qj} - CAST({sj} AS DOUBLE) * {sj})),"
+            f" {dp})"
+        )
+
+    def part(xy, xz, yz):
+        return (
+            f"round(({xy} - {xz} * {yz})"
+            f" / sqrt((1 - {xz} * {xz}) * (1 - {yz} * {yz})), {dp})"
+        )
+
+    return f"""
+    WITH pcr_subj AS ({subjects_sql}),
+    pcr_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({a}) AS BIGINT) AS s0,
+               CAST(sum({b}) AS BIGINT) AS s1,
+               CAST(sum({c}) AS BIGINT) AS s2,
+               CAST(sum(({a}) * ({a})) AS BIGINT) AS q0,
+               CAST(sum(({b}) * ({b})) AS BIGINT) AS q1,
+               CAST(sum(({c}) * ({c})) AS BIGINT) AS q2,
+               CAST(sum(({a}) * ({b})) AS BIGINT) AS s01,
+               CAST(sum(({a}) * ({c})) AS BIGINT) AS s02,
+               CAST(sum(({b}) * ({c})) AS BIGINT) AS s12
+        FROM pcr_subj
+    ),
+    pcr_r AS (
+        SELECT n,
+               {corr("q0", "q1", "s0", "s1", "s01")} AS r01,
+               {corr("q0", "q2", "s0", "s2", "s02")} AS r02,
+               {corr("q1", "q2", "s1", "s2", "s12")} AS r12
+        FROM pcr_mom
+    )
+    SELECT n,
+           {part("r01", "r02", "r12")} AS r01_g2,
+           {part("r02", "r01", "r12")} AS r02_g1,
+           {part("r12", "r01", "r02")} AS r12_g0
+    FROM pcr_r
+    """
+
+
+# --------------------------------------------------------------------------
+# Tukey IQR fences (bounded-cum quantiles, doubled-integer fences)
+# --------------------------------------------------------------------------
+
+
+def iqr_outliers(df: DataFrame, cents_col: str) -> DataFrame:
+    """Tukey fence outlier screen: counts outside
+    [Q1 - 1.5 IQR, Q3 + 1.5 IQR] — THE boxplot rule, the
+    distribution-free screen beside q_mad_outliers (median-based) and
+    q_grubbs_test (normal-based). Output ONE row:
+    (n, q1_units, q3_units, n_low, n_high).
+
+    Quantiles are percentile_disc reads (min value whose cumulative
+    count reaches ceil(q*N)) off the VALUE histogram; money-like
+    values make that histogram row-sized, so the cumulative uses the
+    two-stage bucket-offset machinery (_bounded_cum_before), never a
+    single-partition window. Fences double through (lo2 = 5Q1 - 3Q3,
+    hi2 = 5Q3 - 3Q1, compare 2v) so 1.5x stays exact integer.
+
+    Scale shape (100 TB): one histogram aggregate + bucketed prefix
+    machinery + one map-combined fence count."""
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    hist = (
+        df.groupBy(F.col(cents_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # value histogram; bounds + bucketing re-read
+    )
+    cb = _bounded_cum_before(hist, F.col("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    cum = cb.crossJoin(F.broadcast(tot)).select(
+        "v", "n", (F.col("cum_before") + F.col("c")).alias("cum")
+    )
+    q1 = cum.filter(4 * F.col("cum") >= F.col("n")).agg(
+        F.min("v").cast("long").alias("q1")
+    )
+    q3 = cum.filter(4 * F.col("cum") >= 3 * F.col("n")).agg(
+        F.min("v").cast("long").alias("q3")
+    )
+    fences = (
+        tot.crossJoin(F.broadcast(q1))
+        .crossJoin(F.broadcast(q3))
+        .select(
+            "n",
+            "q1",
+            "q3",
+            (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
+            (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
+        )
+    )
+    counts = (
+        df.crossJoin(F.broadcast(fences))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1").alias("q1_units"),
+            F.max("q3").alias("q3_units"),
+            F.sum((2 * F.col(cents_col) < F.col("lo2")).cast("long"))
+            .cast("long")
+            .alias("n_low"),
+            F.sum((2 * F.col(cents_col) > F.col("hi2")).cast("long"))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+    return counts
+
+
+def iqr_oracle_sql(table_sql: str, cents_sql: str) -> str:
+    """DuckDB mirror of `iqr_outliers`: identical percentile_disc
+    reads (plain histogram window — value-identical to the bucketed
+    Spark form) and doubled fences."""
+    return f"""
+    WITH iqr_vals AS (SELECT {cents_sql} AS v FROM {table_sql}),
+    iqr_hist AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c FROM iqr_vals GROUP BY 1
+    ),
+    iqr_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM iqr_hist),
+    iqr_cum AS (
+        SELECT v, n, CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM iqr_hist CROSS JOIN iqr_tot
+    ),
+    iqr_q AS (
+        SELECT n,
+               (SELECT CAST(min(v) AS BIGINT) FROM iqr_cum
+                 WHERE 4 * cum >= n) AS q1,
+               (SELECT CAST(min(v) AS BIGINT) FROM iqr_cum
+                 WHERE 4 * cum >= 3 * n) AS q3
+        FROM iqr_tot
+    )
+    SELECT n, q1 AS q1_units, q3 AS q3_units,
+           (SELECT CAST(sum(CASE WHEN 2 * v < 5 * q1 - 3 * q3
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM iqr_vals) AS n_low,
+           (SELECT CAST(sum(CASE WHEN 2 * v > 5 * q3 - 3 * q1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM iqr_vals) AS n_high
+    FROM iqr_q
+    """

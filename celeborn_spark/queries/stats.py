@@ -3481,3 +3481,107 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "day",
     )
+
+
+@query(
+    "q_jonckheere",
+    oracle=stats_ops.jonckheere_oracle_sql(
+        """(SELECT o.o_orderkey,
+                   CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS pri,
+                   q.qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+                  FROM lineitem GROUP BY 1) q
+              ON q.l_orderkey = o.o_orderkey)""",
+        "pri",
+        "qty",
+    ),
+)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test: does total
+    order quantity shift monotonically with order PRIORITY (the
+    a-priori 1-URGENT..5-LOW order)? The directional power upgrade
+    over q_kruskal_wallis when the group order is real. Doubled
+    exact-integer pairwise U's over the bounded (priority x quantity)
+    grid (operators/stats.jonckheere_terpstra)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").cast("long").alias("qty")
+    )
+    subj = orders.join(per, "o_orderkey").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("pri"), "qty"
+    )
+    return stats_ops.jonckheere_terpstra(subj, "pri", "qty")
+
+
+@query(
+    "q_dunn_test",
+    oracle=stats_ops.dunn_oracle_sql(
+        "lineitem", "l_returnflag", "l_quantity"
+    ),
+)
+def q_dunn_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc pairwise rank comparisons of quantity between
+    the three return-flag groups — WHICH pairs differ, after
+    q_kruskal_wallis' omnibus. Pooled doubled avg-ranks off the value
+    histogram, exact tie correction, 6dp z per pair
+    (operators/stats.dunn_test)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.dunn_test(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_partial_correlation",
+    oracle=stats_ops.partial_corr_oracle_sql(
+        """SELECT o_custkey,
+                  CAST(count(*) AS BIGINT) AS x0,
+                  CAST(floor(sum(floor(o_totalprice * 100)) / 100000.0)
+                       AS BIGINT) AS x1,
+                  CAST(count(DISTINCT CAST(date_trunc('month',
+                       CAST(o_orderdate AS DATE)) AS DATE)) AS BIGINT) AS x2
+           FROM orders GROUP BY 1""",
+        ("x0", "x1", "x2"),
+    ),
+)
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlations among the per-customer
+    engagement items (order count, k$ spend, active months): does
+    the count-spend link survive once tenure is held fixed — the
+    confounder-controlled reading beside q_vif's redundancy view.
+    Exact moments; pairwise r's round 6dp before the closed form
+    (operators/stats.partial_correlation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    subj = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x0"),
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100)) / F.lit(100000.0)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.countDistinct(
+            F.trunc(F.col("o_orderdate").cast("date"), "month")
+        )
+        .cast("long")
+        .alias("x2"),
+    )
+    return stats_ops.partial_correlation(subj, ("x0", "x1", "x2"))
+
+
+@query(
+    "q_iqr_outliers",
+    oracle=stats_ops.iqr_oracle_sql("orders", "floor(o_totalprice)"),
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences on order totals (dollar grain): how many
+    orders sit outside [Q1 - 1.5 IQR, Q3 + 1.5 IQR] — THE standard
+    distribution-free screen beside q_mad_outliers (median) and
+    q_grubbs_test (normal). Quantiles ride the two-stage
+    bucket-offset machinery (money values are row-sized histograms);
+    fences double through so 1.5x stays exact integer
+    (operators/stats.iqr_outliers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.iqr_outliers(
+        orders.select(F.floor("o_totalprice").cast("long").alias("dollars")),
+        "dollars",
+    )

@@ -1031,3 +1031,33 @@ def test_r11s_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11t_ops():
+    """Part-23 batch under engine-config flips: the ordered-pair U
+    grid, pooled-rank pairs, the moment closed form, and the bucketed
+    quantile fences."""
+    from celeborn_spark.queries.stats import (
+        q_dunn_test,
+        q_iqr_outliers,
+        q_jonckheere,
+        q_partial_correlation,
+    )
+
+    return [q_jonckheere, q_dunn_test, q_partial_correlation, q_iqr_outliers]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11t_ops(), ids=lambda f: f.__name__)
+def test_r11t_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -802,3 +802,45 @@ def test_heaps_beta_in_range(spark, sf_dir):
     # this synthetic corpus has a ~31-type vocabulary, so V saturates
     # in slice 1 and beta legitimately sits at 0 — assert the range
     assert 0.0 <= row.beta <= 1.0
+
+
+# --- r11 batch 23: Jonckheere / Dunn / partial corr / IQR fences ---
+
+
+def test_jonckheere_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_jonckheere
+
+    row = q_jonckheere(spark, sf_dir).collect()[0]
+    assert row.n > 0
+    # J2 lies in [0, 2 * sum_{i<j} n_i n_j] = [0, n^2 - sum n_i^2]
+    assert 0 <= row.j2_stat
+    assert row.e2_mean > 0
+    # under no ordered effect z is modest; bound the statistic
+    assert abs(row.z) < 100
+
+
+def test_dunn_pairs_shape(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_dunn_test
+
+    rows = q_dunn_test(spark, sf_dir).collect()
+    assert len(rows) == 3  # C(3,2) return-flag pairs
+    for r in rows:
+        assert r.g_a < r.g_b
+        assert r.n_a > 0 and r.n_b > 0
+
+
+def test_partial_corr_bounds(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_partial_correlation
+
+    row = q_partial_correlation(spark, sf_dir).collect()[0]
+    for v in (row.r01_g2, row.r02_g1, row.r12_g0):
+        assert -1.0 - 1e-9 <= v <= 1.0 + 1e-9
+
+
+def test_iqr_fences_contain_bulk(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_iqr_outliers
+
+    row = q_iqr_outliers(spark, sf_dir).collect()[0]
+    assert row.q1_units <= row.q3_units
+    # Tukey fences flag at most a modest share of any distribution
+    assert row.n_low + row.n_high < 0.25 * row.n
