@@ -2444,7 +2444,7 @@ def cramer_von_mises(
                 F.expr(
                     "CAST(n_a AS DOUBLE) * n_b"
                     " / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b))"
-                    " * (s9 / 1000000000.0)"
+                    " * (CAST(s9 AS DOUBLE) / 1000000000.0)"
                 ),
                 dp,
             ).alias("t_stat"),
@@ -2493,7 +2493,7 @@ def cvm_oracle_sql(
     SELECT n_a, n_b,
            round(CAST(n_a AS DOUBLE) * n_b
                  / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b))
-                 * (CAST(sum(t9) AS BIGINT) / 1000000000.0), {dp}) AS t_stat
+                 * (CAST(sum(t9) AS DOUBLE) / 1000000000.0), {dp}) AS t_stat
     FROM cvm_terms
     GROUP BY n_a, n_b
     """
@@ -2572,7 +2572,7 @@ def anderson_darling(
             "n_b",
             F.round(
                 F.expr(
-                    "(s9 / 1000000.0)"
+                    "(CAST(s9 AS DOUBLE) / 1000000.0)"
                     " / (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))"
                 ),
                 dp,
@@ -2624,7 +2624,7 @@ def anderson_darling_oracle_sql(
         WHERE h < n_a + n_b
     )
     SELECT n_a, n_b,
-           round((CAST(sum(t9) AS BIGINT) / 1000000.0)
+           round((CAST(sum(t9) AS DOUBLE) / 1000000.0)
                  / (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)), {dp})
                AS a2_stat
     FROM ad_terms
@@ -2720,7 +2720,7 @@ def rbo_oracle_sql(
     ),
     rbo_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM rbo_m)
     SELECT CAST({k} AS BIGINT) AS k, n_common,
-           CAST(sum(ov * w9) AS BIGINT) / 1000000000.0 AS rbo
+           CAST(sum(ov * w9) AS DOUBLE) / 1000000000.0 AS rbo
     FROM rbo_per CROSS JOIN rbo_tot
     GROUP BY n_common
     """

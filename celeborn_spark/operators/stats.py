@@ -6006,7 +6006,7 @@ def rmst_oracle_sql(durations_sql: str, dp: int = 6) -> str:
            CAST(count(*) AS BIGINT) AS n_steps,
            CAST(max(t_first) * 1000000
                 + sum(CASE WHEN t_next IS NOT NULL
-                           THEN s6 * (t_next - t) ELSE 0 END) AS BIGINT)
+                           THEN s6 * (t_next - t) ELSE 0 END) AS DOUBLE)
                / 1000000.0 AS rmst_days
     FROM rmst_step
     """
@@ -6587,7 +6587,7 @@ def mood_median_oracle_sql(
         FROM mmt_grp CROSS JOIN mmt_gtot
     )
     SELECT med_g AS med, k AS k_groups, n, a AS a_total,
-           CAST(sum(t6) AS BIGINT) / 1000000.0 AS chi2,
+           CAST(sum(t6) AS DOUBLE) / 1000000.0 AS chi2,
            CAST(k - 1 AS BIGINT) AS dof
     FROM mmt_terms
     GROUP BY med_g, n, a, k
@@ -7042,7 +7042,7 @@ def stratified_att_oracle_sql(
     SELECT n_strata, ntt AS n_treated, nct AS n_control,
            CAST(stt AS DOUBLE) / ntt - CAST(sct AS DOUBLE) / nct
                AS naive_diff_cents,
-           CAST(sum(t6) AS BIGINT) / 1000000.0 AS att_cents
+           CAST(sum(t6) AS DOUBLE) / 1000000.0 AS att_cents
     FROM att_terms
     GROUP BY ntt, nct, stt, sct, n_strata
     """
@@ -7872,8 +7872,8 @@ def cooks_oracle_sql(
     return f"""
     WITH ckd_daily AS (
         SELECT {day_sql} AS day,
-               CAST(floor(CAST(sum({cents_sql}) AS BIGINT) / 100000.0)
-                    AS BIGINT) AS y
+               CAST(floor(CAST(sum({cents_sql})
+                    AS BIGINT) / 100000.0) AS BIGINT) AS y
         FROM {table} GROUP BY 1
     ),
     ckd_d0 AS (SELECT min(day) AS d0 FROM ckd_daily),
@@ -8512,8 +8512,8 @@ def indirect_standardization_oracle_sql(
         FROM ist_joined GROUP BY 1
     )
     SELECT g, exposure, observed,
-           round(e6 / 1000000.0, {dp}) AS expected,
-           round(observed * 1000000.0 / e6, {dp}) AS smr
+           round(CAST(e6 AS DOUBLE) / 1000000.0, {dp}) AS expected,
+           round(CAST(observed AS DOUBLE) * 1000000.0 / e6, {dp}) AS smr
     FROM ist_per
     """
 
