@@ -9752,3 +9752,336 @@ def iqr_oracle_sql(table_sql: str, cents_sql: str) -> str:
             FROM iqr_vals) AS n_high
     FROM iqr_q
     """
+
+
+# --------------------------------------------------------------------------
+# Paired first-vs-last inference desk (shared pair builder)
+# --------------------------------------------------------------------------
+
+
+def _paired_first_last(
+    df: DataFrame, unit_col: str, key_col, units_col
+) -> DataFrame:
+    """(unit, d) with d = last value - first value per unit (units
+    with >= 2 observations), via min_by/max_by on a UNIQUE composite
+    order key — deterministic in both engines, no window needed."""
+    per = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min_by(units_col, key_col).cast("long").alias("first_v"),
+        F.max_by(units_col, key_col).cast("long").alias("last_v"),
+    )
+    return per.filter(F.col("cnt") >= 2).select(
+        "u", (F.col("last_v") - F.col("first_v")).alias("d")
+    )
+
+
+_PAIRED_ORACLE_CORE = """
+    prd_pairs AS (
+        SELECT u, last_v - first_v AS d FROM (
+            SELECT {unit_sql} AS u, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(arg_min({units_sql}, {key_sql}) AS BIGINT) AS first_v,
+                   CAST(arg_max({units_sql}, {key_sql}) AS BIGINT) AS last_v
+            FROM {table} GROUP BY 1
+        ) WHERE cnt >= 2
+    )"""
+
+
+def paired_t_test(
+    df: DataFrame, unit_col: str, key_col, units_col, dp: int = 6
+) -> DataFrame:
+    """Paired t-test on last-vs-first values per unit: did the SAME
+    units' values move — the within-subject design the unpaired desk
+    (Welch/TOST) can't give, with each unit as its own control.
+    Output ONE row: (n_pairs, mean_diff, t_stat).
+
+    Differences are exact BIGINTs (caller supplies a grain keeping
+    sum(d^2) inside int64 — dollars for money); moments are exact;
+    mean_diff is one exact division and t rounds ``dp``.
+
+    Scale shape (100 TB): one unit-keyed min_by/max_by aggregate
+    (no window, no self-join); the formula runs on one row."""
+    pairs = _paired_first_last(df, unit_col, key_col, units_col)
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("qd"),
+    )
+    return mom.select(
+        F.col("n").alias("n_pairs"),
+        (F.col("sd").cast("double") / F.col("n")).alias("mean_diff"),
+        F.round(
+            F.expr(
+                "(CAST(sd AS DOUBLE) / n)"
+                " / sqrt(((qd - CAST(sd AS DOUBLE) * sd / n) / (n - 1)) / n)"
+            ),
+            dp,
+        ).alias("t_stat"),
+    )
+
+
+def paired_t_oracle_sql(
+    table: str, unit_sql: str, key_sql: str, units_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `paired_t_test`."""
+    core = _PAIRED_ORACLE_CORE.format(
+        table=table, unit_sql=unit_sql, key_sql=key_sql, units_sql=units_sql
+    )
+    return f"""
+    WITH {core},
+    prd_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(d * d) AS BIGINT) AS qd
+        FROM prd_pairs
+    )
+    SELECT n AS n_pairs,
+           CAST(sd AS DOUBLE) / n AS mean_diff,
+           round((CAST(sd AS DOUBLE) / n)
+                 / sqrt(((qd - CAST(sd AS DOUBLE) * sd / n) / (n - 1)) / n),
+                 {dp}) AS t_stat
+    FROM prd_mom
+    """
+
+
+def sign_test(
+    df: DataFrame, unit_col: str, key_col, units_col, dp: int = 6
+) -> DataFrame:
+    """Paired sign test on last-vs-first values: counts upward vs
+    downward movers (zeros dropped) — the assumption-free floor of
+    the paired desk (paired t needs rough normality; the sign test
+    needs nothing). Output ONE row: (n_pos, n_neg, n_zero, z).
+
+    All exact integer counts; z = (n_pos - n_neg)/sqrt(n_pos + n_neg)
+    rounds ``dp``.
+
+    Scale shape (100 TB): one unit-keyed aggregate + one count."""
+    pairs = _paired_first_last(df, unit_col, key_col, units_col)
+    mom = pairs.agg(
+        F.sum((F.col("d") > 0).cast("long")).cast("long").alias("n_pos"),
+        F.sum((F.col("d") < 0).cast("long")).cast("long").alias("n_neg"),
+        F.sum((F.col("d") == 0).cast("long")).cast("long").alias("n_zero"),
+    )
+    return mom.select(
+        "n_pos",
+        "n_neg",
+        "n_zero",
+        F.round(
+            F.expr(
+                "(n_pos - n_neg) / sqrt(CAST(n_pos AS DOUBLE) + n_neg)"
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def sign_test_oracle_sql(
+    table: str, unit_sql: str, key_sql: str, units_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `sign_test`."""
+    core = _PAIRED_ORACLE_CORE.format(
+        table=table, unit_sql=unit_sql, key_sql=key_sql, units_sql=units_sql
+    )
+    return f"""
+    WITH {core},
+    sgn_mom AS (
+        SELECT CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+               CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM prd_pairs
+    )
+    SELECT n_pos, n_neg, n_zero,
+           round((n_pos - n_neg) / sqrt(CAST(n_pos AS DOUBLE) + n_neg),
+                 {dp}) AS z
+    FROM sgn_mom
+    """
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, unit_col: str, key_col, units_col, dp: int = 6
+) -> DataFrame:
+    """Wilcoxon signed-rank test on last-vs-first values: ranks the
+    |differences| and asks whether the big moves lean one way — the
+    magnitude-aware middle of the paired desk (sign test ignores
+    size, paired t assumes normality). Output ONE row:
+    (n_used, w2_plus, z).
+
+    Doubled pooled avg-ranks come off the |d| VALUE histogram via the
+    two-stage bucket-offset machinery (money-like |d| is a row-sized
+    histogram); W2+ = sum over positive-diff values of
+    count * avg2 is an exact BIGINT; z uses the standard no-tie
+    variance n(n+1)(2n+1)/24 (documented approximation under ties)
+    and rounds ``dp``.
+
+    Scale shape (100 TB): one unit-keyed aggregate, one histogram
+    aggregate, bucketed prefix machinery — no row-sized window."""
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    pairs = _paired_first_last(df, unit_col, key_col, units_col).filter(
+        F.col("d") != 0
+    )
+    hist = (
+        pairs.groupBy(F.abs(F.col("d")).alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum((F.col("d") > 0).cast("long")).cast("long").alias("cpos"),
+        )
+        .localCheckpoint()  # |d| histogram; bounds + bucketing re-read
+    )
+    cb = _bounded_cum_before(hist, F.col("c"))
+    ranked = cb.select(
+        "v",
+        "cpos",
+        (2 * F.col("cum_before") + F.col("c") + 1).alias("avg2"),
+    )
+    mom = ranked.agg(
+        F.sum(F.col("cpos") * F.col("avg2")).cast("long").alias("w2p"),
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    return mom.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_used"),
+        F.col("w2p").alias("w2_plus"),
+        F.round(
+            F.expr(
+                "(w2p / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4)"
+                " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24)"
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def wilcoxon_oracle_sql(
+    table: str, unit_sql: str, key_sql: str, units_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `wilcoxon_signed_rank`: plain histogram
+    window (value-identical to the bucketed Spark form)."""
+    core = _PAIRED_ORACLE_CORE.format(
+        table=table, unit_sql=unit_sql, key_sql=key_sql, units_sql=units_sql
+    )
+    return f"""
+    WITH {core},
+    wsr_hist AS (
+        SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cpos
+        FROM prd_pairs WHERE d <> 0
+        GROUP BY 1
+    ),
+    wsr_rank AS (
+        SELECT v, cpos,
+               2 * CAST(COALESCE(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) + c + 1 AS avg2
+        FROM wsr_hist
+    ),
+    wsr_mom AS (
+        SELECT CAST(sum(cpos * avg2) AS BIGINT) AS w2p FROM wsr_rank
+    ),
+    wsr_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wsr_hist)
+    SELECT n AS n_used, w2p AS w2_plus,
+           round((w2p / 2.0 - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24),
+                 {dp}) AS z
+    FROM wsr_mom CROSS JOIN wsr_tot
+    """
+
+
+# --------------------------------------------------------------------------
+# md5-sampler uniformity QA (all-exact chi-square and KS-D)
+# --------------------------------------------------------------------------
+
+
+def hash_uniformity(
+    df: DataFrame, key_col: str, n_buckets: int = 256, salt: int = 7
+) -> DataFrame:
+    """Uniformity QA of the engine's own md5 sampling variate: bucket
+    u01(key) into ``n_buckets`` cells and grade the fit to uniform
+    with an ALL-EXACT chi-square and KS-D — the self-audit in front
+    of every md5-driven operator (uniform/weighted/epoch samples,
+    permutation test, bootstrap, DP noise): a biased variate silently
+    biases them all. Output ONE row:
+    (n, n_buckets, chi2, ks_d).
+
+        chi2 = (B * sum o_b^2 - n^2) / n          (exact identity)
+        ks_d = max|B * cum_b - (b+1) * n| / (B*n)
+    — both single IEEE divisions of exact BIGINTs, zero rounding.
+
+    Scale shape (100 TB): one map-side hash + bucket count; the
+    cumulative runs over the fixed B-row bucket grid."""
+    from pyspark.sql import Window as W
+
+    from celeborn_spark.operators.curriculum import u01
+
+    b = F.floor(
+        u01(F.col(key_col).cast("string"), salt) * n_buckets
+    ).cast("long")
+    counts = df.select(b.alias("b")).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    counts = counts.localCheckpoint()  # fixed n_buckets-row grid
+    tot = counts.agg(F.sum("o").cast("long").alias("n"))
+    # fixed n_buckets-row grid (bounded)
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        "b", "o", F.sum("o").over(wb).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    mom = cum.groupBy("n").agg(
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
+        F.max(
+            F.abs(
+                F.lit(n_buckets) * F.col("cum")
+                - (F.col("b") + 1) * F.col("n")
+            )
+        )
+        .cast("long")
+        .alias("dnum"),
+    )
+    return mom.select(
+        "n",
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
+        F.expr(
+            f"CAST({n_buckets} * so2 - n * n AS DOUBLE) / n"
+        ).alias("chi2"),
+        F.expr(
+            f"CAST(dnum AS DOUBLE) / ({n_buckets} * CAST(n AS DOUBLE))"
+        ).alias("ks_d"),
+    )
+
+
+def hash_uniformity_oracle_sql(
+    table: str, key_sql: str, n_buckets: int = 256, salt: int = 7
+) -> str:
+    """DuckDB mirror of `hash_uniformity`: the shared md5-uniform
+    variate, identical exact identities."""
+    from celeborn_spark.operators.curriculum import u01_oracle_expr
+
+    u = u01_oracle_expr(f"CAST({key_sql} AS VARCHAR)", salt)
+    return f"""
+    WITH hsu_counts AS (
+        SELECT CAST(floor(({u}) * {n_buckets}) AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS o
+        FROM {table}
+        GROUP BY 1
+    ),
+    hsu_cum AS (
+        SELECT b, o, CAST(sum(o) OVER (ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(sum(o) OVER () AS BIGINT) AS n_all
+        FROM hsu_counts
+    ),
+    hsu_mom AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(sum(o * o) AS BIGINT) AS so2,
+               CAST(max(abs({n_buckets} * cum - (b + 1) * n_all)) AS BIGINT)
+                   AS dnum
+        FROM hsu_cum
+    )
+    SELECT n, CAST({n_buckets} AS BIGINT) AS n_buckets,
+           CAST({n_buckets} * so2 - n * n AS DOUBLE) / n AS chi2,
+           CAST(dnum AS DOUBLE) / ({n_buckets} * CAST(n AS DOUBLE)) AS ks_d
+    FROM hsu_mom
+    """

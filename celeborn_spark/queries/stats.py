@@ -3585,3 +3585,89 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.floor("o_totalprice").cast("long").alias("dollars")),
         "dollars",
     )
+
+
+_PAIRED_ARGS = dict(
+    table="orders",
+    unit_sql="o_custkey",
+    key_sql="CAST(date_diff('day', DATE '1970-01-01',"
+    " CAST(o_orderdate AS DATE)) AS BIGINT) * 10000000000 + o_orderkey",
+    units_sql="floor(o_totalprice)",
+)
+
+
+def _paired_spark_inputs(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_custkey",
+            (
+                F.datediff(
+                    F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+                ).cast("long")
+                * 10_000_000_000
+                + F.col("o_orderkey")
+            ).alias("ok"),
+            F.floor("o_totalprice").cast("long").alias("dollars"),
+        ),
+        "o_custkey",
+        F.col("ok"),
+        F.col("dollars"),
+    )
+
+
+@query(
+    "q_paired_t",
+    oracle=stats_ops.paired_t_oracle_sql(**_PAIRED_ARGS),
+)
+def q_paired_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test: did the SAME customers' order values move
+    between their first and last orders — the within-subject design
+    the unpaired Welch/TOST desk can't give (each customer is their
+    own control). Dollar-grain exact differences via min_by/max_by on
+    a unique composite key (no window, no self-join)
+    (operators/stats.paired_t_test)."""
+    df, u, k, v = _paired_spark_inputs(spark, sf_dir)
+    return stats_ops.paired_t_test(df, u, k, v)
+
+
+@query(
+    "q_sign_test",
+    oracle=stats_ops.sign_test_oracle_sql(**_PAIRED_ARGS),
+)
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test on first-vs-last order values: upward vs
+    downward movers, zeros dropped — the assumption-free floor of
+    the paired desk. All-exact counts, one 6dp z
+    (operators/stats.sign_test)."""
+    df, u, k, v = _paired_spark_inputs(spark, sf_dir)
+    return stats_ops.sign_test(df, u, k, v)
+
+
+@query(
+    "q_wilcoxon",
+    oracle=stats_ops.wilcoxon_oracle_sql(**_PAIRED_ARGS),
+)
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on first-vs-last order values —
+    the magnitude-aware middle of the paired desk (sign test ignores
+    size; paired t assumes normality). Doubled |d| ranks via the
+    bucket-offset machinery (money differences are row-sized
+    histograms); exact BIGINT W+
+    (operators/stats.wilcoxon_signed_rank)."""
+    df, u, k, v = _paired_spark_inputs(spark, sf_dir)
+    return stats_ops.wilcoxon_signed_rank(df, u, k, v)
+
+
+@query(
+    "q_hash_uniformity",
+    oracle=stats_ops.hash_uniformity_oracle_sql("orders", "o_orderkey"),
+)
+def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniformity QA of the engine's own md5 sampling variate over
+    256 buckets: ALL-EXACT chi-square and KS-D against uniform — the
+    self-audit in front of every md5-driven operator (samplers,
+    permutation test, bootstrap, DP noise): a biased variate silently
+    biases them all (operators/stats.hash_uniformity)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.hash_uniformity(orders, "o_orderkey")

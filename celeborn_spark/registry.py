@@ -100,7 +100,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # kendall_w/stuart_maxwell/indirect_standardization/fisher_z,
 # multimodal_ahash/ahash_near_dup/variance_ratio/rbo_overlap,
 # hurst/logistic_growth/growth_accounting/heaps_law,
-# jonckheere/dunn/partial_correlation/iqr_outliers) — all
+# jonckheere/dunn/partial_correlation/iqr_outliers,
+# paired_t/sign_test/wilcoxon/hash_uniformity) — all
 # validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for

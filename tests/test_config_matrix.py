@@ -1061,3 +1061,33 @@ def test_r11t_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11u_ops():
+    """Part-24 batch under engine-config flips: the min_by/max_by
+    pair builder, the bucket-offset signed ranks, and the exact
+    uniformity identities."""
+    from celeborn_spark.queries.stats import (
+        q_hash_uniformity,
+        q_paired_t,
+        q_sign_test,
+        q_wilcoxon,
+    )
+
+    return [q_paired_t, q_sign_test, q_wilcoxon, q_hash_uniformity]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11u_ops(), ids=lambda f: f.__name__)
+def test_r11u_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

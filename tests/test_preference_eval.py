@@ -844,3 +844,37 @@ def test_iqr_fences_contain_bulk(spark, sf_dir):
     assert row.q1_units <= row.q3_units
     # Tukey fences flag at most a modest share of any distribution
     assert row.n_low + row.n_high < 0.25 * row.n
+
+
+# --- r11 batch 24: paired desk / hash uniformity ---
+
+
+def test_paired_desk_consistency(spark, sf_dir):
+    from celeborn_spark.queries.stats import (
+        q_paired_t,
+        q_sign_test,
+        q_wilcoxon,
+    )
+
+    t = q_paired_t(spark, sf_dir).collect()[0]
+    s = q_sign_test(spark, sf_dir).collect()[0]
+    w = q_wilcoxon(spark, sf_dir).collect()[0]
+    assert t.n_pairs > 0
+    # the three tests see the same pair set (wilcoxon drops zeros)
+    assert s.n_pos + s.n_neg + s.n_zero == t.n_pairs
+    assert w.n_used == s.n_pos + s.n_neg
+    # W+ is bounded by the total doubled rank mass n(n+1)
+    assert 0 <= w.w2_plus <= w.n_used * (w.n_used + 1)
+
+
+def test_hash_uniformity_is_uniform(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_hash_uniformity
+
+    row = q_hash_uniformity(spark, sf_dir).collect()[0]
+    assert row.n_buckets == 256
+    assert row.chi2 >= 0.0
+    assert 0.0 <= row.ks_d <= 1.0
+    # the md5 variate IS uniform: chi2 stays near its 255 dof mean
+    # (generous x3 bound) and KS-D decays with n
+    assert row.chi2 < 3 * 255
+    assert row.ks_d < 0.1
