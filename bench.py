@@ -112,6 +112,16 @@ HEAVY_EXTRAS = (
     "q_hits",
     "q_item_neighbors",
     "q_mmr_select",
+    # r11-continuation additions whose DuckDB baseline exceeds the
+    # ~100 ms rule at sf0.1 (measured 0.10-0.17 s best-of-2)
+    "q_katz_centrality",
+    "q_ahash_near_dup",
+    "q_jonckheere",
+    "q_kendall_w",
+    "q_order_gaps",
+    "q_fleiss_kappa",
+    "q_fisher_z_corr",
+    "q_heaps_law",
 )
 
 

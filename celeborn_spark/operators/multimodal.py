@@ -368,33 +368,55 @@ def fake_ahash(
 def ahash_near_dup(
     hashes: DataFrame, max_hamming: int = 6
 ) -> DataFrame:
-    """Hamming near-duplicate pairs over 64-bit perceptual hashes via
-    4x16-bit band buckets — the binary-code LSH: any pair within
-    Hamming distance 6 agrees exactly on at least one of the four
-    bands (pigeonhole), so candidates come from four band-keyed
+    """Hamming near-duplicate SIGNATURE pairs over 64-bit perceptual
+    hashes via 4x16-bit band buckets — the binary-code LSH: any pair
+    within Hamming distance 6 agrees exactly on at least one of the
+    four bands (pigeonhole), so candidates come from four band-keyed
     equi-joins, NEVER an all-pairs scan; the exact bit_count(XOR)
-    filter then removes false candidates. The image-near-dup
-    companion of the MinHash text pipeline. Output:
-    (a, b, hamming) with a < b, distinct.
+    filter removes false candidates. The image-near-dup companion of
+    the MinHash text pipeline. Output one row per DISTINCT-signature
+    pair: (rep_a, rep_b, n_a, n_b, hamming) with rep = the group's
+    min doc id and n = its multiplicity; rep_a < rep_b.
 
-    Scale shape (100 TB of assets): the band value is the SHUFFLE
-    key; candidate mass is bounded by bucket collisions (64-bit
-    hashes spread), the r5 incremental-LSH regime."""
-    h = hashes.select(
-        F.col("doc_id"),
+    DEDUPE-BEFORE-PAIRING (the r11 sf1-rung lesson): low-entropy
+    payloads (small vocabularies, templated assets) repeat signatures
+    heavily, and banding the RAW corpus made one 16-bit bucket hold
+    12k+ docs at sf1 (~3e8 candidates in one band, 37x wall growth
+    for 10x rows). Identical signatures are exact perceptual dups —
+    the exact-dedup desk's job — so this operator first collapses to
+    the signature CATALOG (vocabulary-bounded, NOT corpus-bounded:
+    4.5k distinct sigs at both sf0.1 and sf1 here) and bands THAT;
+    multiplicities ride along. Candidate mass is now bounded by
+    catalog collisions at any corpus size; hamming-0 mass lives in
+    the n columns, not in quadratic pair output.
+
+    Scale shape (100 TB of assets): one signature-keyed dedup over
+    row mass; band values key the catalog-sized shuffle."""
+    sig = (
+        hashes.groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep"),
+        )
+        .localCheckpoint()  # signature catalog, referenced by 4 lanes
+    )
+    h = sig.select(
+        "rep",
+        "n_docs",
         "hash_hi",
         "hash_lo",
         (F.col("hash_hi") % 65536).alias("b0"),
         (F.col("hash_hi") / 65536).cast("long").alias("b1"),
         (F.col("hash_lo") % 65536).alias("b2"),
         (F.col("hash_lo") / 65536).cast("long").alias("b3"),
-    ).localCheckpoint()  # referenced by all four band lanes
+    )
     lanes = None
     for i in range(4):
         lane = h.select(
             F.lit(i).alias("lane"),
             F.col(f"b{i}").alias("bv"),
-            F.col("doc_id"),
+            "rep",
+            "n_docs",
             "hash_hi",
             "hash_lo",
         )
@@ -402,23 +424,27 @@ def ahash_near_dup(
     left = lanes.select(
         "lane",
         "bv",
-        F.col("doc_id").alias("a"),
+        F.col("rep").alias("rep_a"),
+        F.col("n_docs").alias("n_a"),
         F.col("hash_hi").alias("ha_hi"),
         F.col("hash_lo").alias("ha_lo"),
     )
     right = lanes.select(
         "lane",
         "bv",
-        F.col("doc_id").alias("b"),
+        F.col("rep").alias("rep_b"),
+        F.col("n_docs").alias("n_b"),
         F.col("hash_hi").alias("hb_hi"),
         F.col("hash_lo").alias("hb_lo"),
     )
     pairs = (
         left.join(right, ["lane", "bv"])
-        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("rep_a") < F.col("rep_b"))
         .select(
-            "a",
-            "b",
+            "rep_a",
+            "rep_b",
+            "n_a",
+            "n_b",
             (
                 F.expr("bit_count(ha_hi ^ hb_hi)")
                 + F.expr("bit_count(ha_lo ^ hb_lo)")
@@ -471,32 +497,39 @@ def ahash_oracle_sql() -> str:
 
 
 def ahash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
-    """DuckDB mirror of `ahash_near_dup` (band-join candidates,
-    exact xor/bit_count filter; DuckDB spells XOR as xor())."""
+    """DuckDB mirror of `ahash_near_dup` (signature-catalog band
+    join, exact xor/bit_count filter; DuckDB spells XOR as xor())."""
     return f"""
     WITH {AHASH_ORACLE_CORE},
+    ah_sig AS (
+        SELECT hash_hi, hash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS rep
+        FROM ah_hash GROUP BY 1, 2
+    ),
     ah_bands AS (
-        SELECT doc_id, hash_hi, hash_lo,
+        SELECT rep, n_docs, hash_hi, hash_lo,
                CAST(hash_hi % 65536 AS BIGINT) AS b0,
                CAST(hash_hi // 65536 AS BIGINT) AS b1,
                CAST(hash_lo % 65536 AS BIGINT) AS b2,
                CAST(hash_lo // 65536 AS BIGINT) AS b3
-        FROM ah_hash
+        FROM ah_sig
     ),
     ah_lanes AS (
-        SELECT 0 AS lane, b0 AS bv, doc_id, hash_hi, hash_lo FROM ah_bands
+        SELECT 0 AS lane, b0 AS bv, rep, n_docs, hash_hi, hash_lo
+        FROM ah_bands
         UNION ALL
-        SELECT 1, b1, doc_id, hash_hi, hash_lo FROM ah_bands
+        SELECT 1, b1, rep, n_docs, hash_hi, hash_lo FROM ah_bands
         UNION ALL
-        SELECT 2, b2, doc_id, hash_hi, hash_lo FROM ah_bands
+        SELECT 2, b2, rep, n_docs, hash_hi, hash_lo FROM ah_bands
         UNION ALL
-        SELECT 3, b3, doc_id, hash_hi, hash_lo FROM ah_bands
+        SELECT 3, b3, rep, n_docs, hash_hi, hash_lo FROM ah_bands
     )
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+    SELECT DISTINCT l.rep AS rep_a, r.rep AS rep_b,
+           l.n_docs AS n_a, r.n_docs AS n_b,
            CAST(bit_count(xor(l.hash_hi, r.hash_hi))
                 + bit_count(xor(l.hash_lo, r.hash_lo)) AS BIGINT) AS hamming
     FROM ah_lanes l JOIN ah_lanes r
-      ON l.lane = r.lane AND l.bv = r.bv AND l.doc_id < r.doc_id
+      ON l.lane = r.lane AND l.bv = r.bv AND l.rep < r.rep
     WHERE bit_count(xor(l.hash_hi, r.hash_hi))
           + bit_count(xor(l.hash_lo, r.hash_lo)) <= {max_hamming}
     """

@@ -215,11 +215,14 @@ def q_multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ahash_near_dup", oracle=M.ahash_near_dup_oracle_sql(max_hamming=6))
 def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming near-duplicate asset pairs over the aHash signatures
+    """Hamming near-duplicate SIGNATURE pairs over the aHash space
     via 4x16-bit band buckets — the binary-code LSH completing the
-    image side of the near-dup desk (MinHash covers text): any pair
-    within Hamming 6 shares at least one exact band (pigeonhole), so
-    candidates come from four band-keyed equi-joins, never an
-    all-pairs scan (operators/multimodal.ahash_near_dup)."""
+    image side of the near-dup desk (MinHash covers text). DEDUPES to
+    the signature catalog BEFORE banding (the r11 sf1-rung lesson:
+    low-entropy payloads repeat signatures, and banding the raw
+    corpus put 12k docs in one bucket at sf1 — 37x wall growth;
+    the catalog is vocabulary-bounded, so candidate mass no longer
+    grows with corpus size) and carries group multiplicities in
+    n_a/n_b (operators/multimodal.ahash_near_dup)."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.ahash_near_dup(M.fake_ahash(d), max_hamming=6)

@@ -709,11 +709,13 @@ def test_ahash_near_dup_pairs_sound(spark, sf_dir):
         for r in q_multimodal_ahash(spark, sf_dir).collect()
     }
     for pr in pairs:
-        assert pr.a < pr.b
-        hi_a, lo_a = hashes[pr.a]
-        hi_b, lo_b = hashes[pr.b]
+        assert pr.rep_a < pr.rep_b
+        assert pr.n_a >= 1 and pr.n_b >= 1
+        hi_a, lo_a = hashes[pr.rep_a]
+        hi_b, lo_b = hashes[pr.rep_b]
         ham = bin((hi_a ^ hi_b)).count("1") + bin((lo_a ^ lo_b)).count("1")
-        assert ham == pr.hamming <= 6
+        # distinct signatures: hamming is 1..6 by construction
+        assert ham == pr.hamming and 1 <= pr.hamming <= 6
     # the corpus contains planted near-duplicates: pairs must exist
     assert pairs
 
