@@ -10085,3 +10085,324 @@ def hash_uniformity_oracle_sql(
            CAST(dnum AS DOUBLE) / ({n_buckets} * CAST(n AS DOUBLE)) AS ks_d
     FROM hsu_mom
     """
+
+
+# --------------------------------------------------------------------------
+# Benford second-digit audit (Python-built expected table)
+# --------------------------------------------------------------------------
+
+
+def _benford2_probs() -> list[tuple[int, int]]:
+    """(digit, p6) with p6 = floor(P(d)*1e6 + 0.5),
+    P(d) = sum_{k=1..9} log10(1 + 1/(10k + d)) — computed ONCE in
+    Python (the trig-table discipline)."""
+    import math
+
+    return [
+        (
+            d,
+            int(
+                math.floor(
+                    sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))
+                    * 1e6
+                    + 0.5
+                )
+            ),
+        )
+        for d in range(10)
+    ]
+
+
+def benford_second_digit(df: DataFrame, value_col: str, dp: int = 6) -> DataFrame:
+    """SECOND-significant-digit distribution vs Benford's law — the
+    forensic escalation of q_benford_audit: first digits survive
+    naive fabrication (people know big numbers start small), second
+    digits rarely do, and rounding/price-point policies show up here
+    first. Output per digit 0..9:
+    (digit, n_d, observed_share, expected_share, abs_dev).
+
+    The digit comes from the INTEGER cents string (no float
+    formatting); expected shares are Python-built micro literals
+    shared by both engines; observed share is one exact division and
+    abs_dev subtracts two deterministic doubles, rounded ``dp``.
+
+    Scale shape (100 TB): one map-combined 10-group aggregate."""
+    spark = df.sparkSession
+    probs = spark.createDataFrame(
+        _benford2_probs(), schema="digit int, p6 long"
+    )
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 2, 1).cast("int")
+    base = df.filter(cents >= 10).select(digit.alias("digit"))
+    counts = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d")
+    )
+    tot = counts.agg(F.sum("n_d").cast("long").alias("n"))
+    return (
+        F.broadcast(probs)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+            (F.coalesce("n_d", F.lit(0)).cast("double") / F.col("n")).alias(
+                "observed_share"
+            ),
+            (F.col("p6").cast("double") / F.lit(1_000_000.0)).alias(
+                "expected_share"
+            ),
+            F.round(
+                F.abs(
+                    F.coalesce("n_d", F.lit(0)).cast("double") / F.col("n")
+                    - F.col("p6").cast("double") / F.lit(1_000_000.0)
+                ),
+                dp,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+def benford_second_oracle_sql(table: str, value_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `benford_second_digit`: the SAME Python-built
+    expected literals; identical digit extraction and shares."""
+    vals = ", ".join(f"({d}, {p6})" for d, p6 in _benford2_probs())
+    return f"""
+    WITH bf2_probs(digit, p6) AS (VALUES {vals}),
+    bf2_base AS (
+        SELECT CAST(substr(CAST(CAST(floor(({value_sql}) * 100) AS BIGINT)
+                               AS VARCHAR), 2, 1) AS INTEGER) AS digit
+        FROM {table}
+        WHERE CAST(floor(({value_sql}) * 100) AS BIGINT) >= 10
+    ),
+    bf2_counts AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_d
+        FROM bf2_base GROUP BY 1
+    ),
+    bf2_tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM bf2_counts)
+    SELECT p.digit,
+           CAST(COALESCE(c.n_d, 0) AS BIGINT) AS n_d,
+           CAST(COALESCE(c.n_d, 0) AS DOUBLE) / n AS observed_share,
+           CAST(p.p6 AS DOUBLE) / 1000000.0 AS expected_share,
+           round(abs(CAST(COALESCE(c.n_d, 0) AS DOUBLE) / n
+                     - CAST(p.p6 AS DOUBLE) / 1000000.0), {dp}) AS abs_dev
+    FROM bf2_probs p
+    LEFT JOIN bf2_counts c ON p.digit = c.digit
+    CROSS JOIN bf2_tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Price-ending audit (exact uniform chi-square + top endings)
+# --------------------------------------------------------------------------
+
+
+def price_endings(df: DataFrame, cents_col, top_k: int = 10) -> DataFrame:
+    """Price-ending audit: the cents-mod-100 distribution's top
+    endings plus the ALL-EXACT uniform chi-square — the psychological-
+    pricing / fabrication detector (real pricing policy concentrates
+    on .99/.00/.50 endings; uniform endings suggest generated values).
+    Output ``top_k`` rows ranked (n desc, ending):
+    (ending, n, share, chi2_uniform) — chi2 repeated per row.
+
+        chi2 = (100 * sum o_e^2 - n^2) / n   (exact identity).
+
+    Scale shape (100 TB): one map-combined 100-group aggregate; the
+    heap-select runs on the 100-row ending grid."""
+    e = (F.col(cents_col) % 100).cast("long")
+    counts = (
+        df.select(e.alias("ending"))
+        .groupBy("ending")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_e"))
+        .localCheckpoint()  # fixed 100-row grid, referenced twice
+    )
+    tot = counts.agg(
+        F.sum("n_e").cast("long").alias("n"),
+        F.sum(F.col("n_e") * F.col("n_e")).cast("long").alias("so2"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "ending",
+            F.col("n_e").alias("n"),
+            (F.col("n_e").cast("double") / F.col("n")).alias("share"),
+            F.expr("CAST(100 * so2 - n * n AS DOUBLE) / n").alias(
+                "chi2_uniform"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "ending")
+        .limit(top_k)
+    )
+
+
+def price_endings_oracle_sql(
+    table: str, cents_sql: str, top_k: int = 10
+) -> str:
+    """DuckDB mirror of `price_endings`."""
+    return f"""
+    WITH pe_counts AS (
+        SELECT CAST(({cents_sql}) % 100 AS BIGINT) AS ending,
+               CAST(count(*) AS BIGINT) AS n_e
+        FROM {table} GROUP BY 1
+    ),
+    pe_tot AS (
+        SELECT CAST(sum(n_e) AS BIGINT) AS n,
+               CAST(sum(n_e * n_e) AS BIGINT) AS so2
+        FROM pe_counts
+    )
+    SELECT ending, n_e AS n,
+           CAST(n_e AS DOUBLE) / n AS share,
+           CAST(100 * so2 - n * n AS DOUBLE) / n AS chi2_uniform
+    FROM pe_counts CROSS JOIN pe_tot
+    ORDER BY n_e DESC, ending
+    LIMIT {top_k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Top-20% revenue share (value-threshold semantics, bucketed quantile)
+# --------------------------------------------------------------------------
+
+
+def top_share(df: DataFrame, cents_col: str, pct: int = 80) -> DataFrame:
+    """The classic 80/20 KPI: what revenue share do the top customers
+    (spend above the ``pct``-th percentile) carry — the ONE number
+    the Lorenz/Gini/ABC machinery ultimately feeds executives.
+    VALUE-threshold semantics (all units tied at the threshold count
+    as top, so no rank tiebreaker exists to drift). Output ONE row:
+    (n_units, threshold_cents, n_top, top_frac, spend_share).
+
+    The percentile is a percentile_disc read off the per-unit spend
+    histogram via the two-stage bucket-offset machinery (money
+    histograms are row-sized); shares are exact divisions.
+
+    Scale shape (100 TB): one unit aggregate, one histogram pass,
+    bucketed prefix machinery, one map-combined fence count."""
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    hist = (
+        df.groupBy(F.col(cents_col).alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.col(cents_col)).cast("long").alias("mass"),
+        )
+        .localCheckpoint()  # value histogram; bounds + bucketing re-read
+    )
+    cb = _bounded_cum_before(hist, F.col("c"))
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("mass").cast("long").alias("s"),
+    )
+    thr = (
+        cb.crossJoin(F.broadcast(tot))
+        .filter(
+            100 * (F.col("cum_before") + F.col("c")) >= F.lit(pct) * F.col("n")
+        )
+        .agg(F.min("v").cast("long").alias("thr"))
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.max("n").alias("n_units"),
+            F.max("thr").alias("threshold_cents"),
+            F.sum(F.when(F.col("v") >= F.col("thr"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_top"),
+            (
+                F.sum(
+                    F.when(F.col("v") >= F.col("thr"), F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.max("n")
+            ).alias("top_frac"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("v") >= F.col("thr"), F.col("mass")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.max("s")
+            ).alias("spend_share"),
+        )
+    )
+
+
+def top_share_oracle_sql(
+    items_sql: str, pct: int = 80
+) -> str:
+    """DuckDB mirror of `top_share`. ``items_sql`` yields one row per
+    unit with BIGINT ``cents``; plain histogram window (value-
+    identical to the bucketed Spark form)."""
+    return f"""
+    WITH tps_items AS ({items_sql}),
+    tps_hist AS (
+        SELECT cents AS v, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(cents) AS BIGINT) AS mass
+        FROM tps_items GROUP BY 1
+    ),
+    tps_tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(mass) AS BIGINT) AS s
+        FROM tps_hist
+    ),
+    tps_cum AS (
+        SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum, n
+        FROM tps_hist CROSS JOIN tps_tot
+    ),
+    tps_thr AS (
+        SELECT CAST(min(v) AS BIGINT) AS thr FROM tps_cum
+        WHERE 100 * cum >= {pct} * n
+    )
+    SELECT n AS n_units, thr AS threshold_cents,
+           (SELECT CAST(sum(c) AS BIGINT) FROM tps_hist WHERE v >= thr)
+               AS n_top,
+           (SELECT CAST(sum(c) AS DOUBLE) FROM tps_hist WHERE v >= thr) / n
+               AS top_frac,
+           (SELECT CAST(sum(mass) AS DOUBLE) FROM tps_hist WHERE v >= thr) / s
+               AS spend_share
+    FROM tps_tot CROSS JOIN tps_thr
+    """
+
+
+# --------------------------------------------------------------------------
+# Day-of-week x hour activity heatmap (all-exact)
+# --------------------------------------------------------------------------
+
+
+def activity_heatmap(df: DataFrame, ts_col: str) -> DataFrame:
+    """Day-of-week x hour activity profile: event counts and shares
+    over the fixed 7x24 grid — the capacity-planning / anomaly-
+    context readout behind every ops dashboard (when does load
+    actually arrive). Output one row per non-empty cell:
+    (dow, hour, n, share) — shares are exact divisions, zero
+    rounding.
+
+    Scale shape (100 TB): ONE map-combined aggregate onto a bounded
+    168-cell grid."""
+    cells = df.groupBy(
+        F.dayofweek(F.col(ts_col)).cast("long").alias("dow"),
+        F.hour(F.col(ts_col)).cast("long").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+    )
+
+
+def activity_heatmap_oracle_sql(table: str, ts_sql: str) -> str:
+    """DuckDB mirror of `activity_heatmap` (dayofweek matched to
+    Spark's 1 = Sunday convention)."""
+    return f"""
+    WITH ahm_cells AS (
+        SELECT CAST(dayofweek({ts_sql}) + 1 AS BIGINT) AS dow,
+               CAST(hour({ts_sql}) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1, 2
+    ),
+    ahm_tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM ahm_cells)
+    SELECT dow, hour, n, CAST(n AS DOUBLE) / total AS share
+    FROM ahm_cells CROSS JOIN ahm_tot
+    """

@@ -3671,3 +3671,73 @@ def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     biases them all (operators/stats.hash_uniformity)."""
     orders = load_table(spark, sf_dir, "orders")
     return stats_ops.hash_uniformity(orders, "o_orderkey")
+
+
+@query(
+    "q_benford_second",
+    oracle=stats_ops.benford_second_oracle_sql("orders", "o_totalprice"),
+)
+def q_benford_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-significant-digit Benford audit of order totals — the
+    forensic escalation of q_benford_audit: first digits survive
+    naive fabrication, second digits rarely do, and price-point
+    policies surface here first. Expected shares are Python-built
+    micro literals shared by both engines
+    (operators/stats.benford_second_digit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.benford_second_digit(orders, "o_totalprice")
+
+
+@query(
+    "q_price_endings",
+    oracle=stats_ops.price_endings_oracle_sql(
+        "orders", "CAST(floor(o_totalprice * 100) AS BIGINT)"
+    ),
+)
+def q_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending audit: the top-10 cents-mod-100 endings of order
+    totals plus the ALL-EXACT uniform chi-square — real pricing
+    policy concentrates on .99/.00/.50; uniform endings flag
+    generated values (operators/stats.price_endings)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.price_endings(
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        ),
+        "cents",
+    )
+
+
+@query(
+    "q_top_share",
+    oracle=stats_ops.top_share_oracle_sql(
+        """SELECT o_custkey, CAST(sum(floor(o_totalprice * 100)) AS BIGINT)
+               AS cents
+           FROM orders GROUP BY 1""",
+        pct=80,
+    ),
+)
+def q_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 KPI: revenue share of customers above the 80th spend
+    percentile — the one number the Lorenz/Gini/ABC machinery feeds
+    executives. Value-threshold semantics (threshold ties count as
+    top, no rank drift); the percentile rides the bucket-offset
+    machinery (operators/stats.top_share)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+    )
+    return stats_ops.top_share(spend, "cents", pct=80)
+
+
+@query(
+    "q_activity_heatmap",
+    oracle=stats_ops.activity_heatmap_oracle_sql("events", "ts"),
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour event-activity heatmap: counts and exact
+    shares over the fixed 168-cell grid — when load actually
+    arrives, the capacity-planning readout behind every ops
+    dashboard (operators/stats.activity_heatmap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats_ops.activity_heatmap(ev, "ts")

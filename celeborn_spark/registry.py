@@ -101,7 +101,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # multimodal_ahash/ahash_near_dup/variance_ratio/rbo_overlap,
 # hurst/logistic_growth/growth_accounting/heaps_law,
 # jonckheere/dunn/partial_correlation/iqr_outliers,
-# paired_t/sign_test/wilcoxon/hash_uniformity) — all
+# paired_t/sign_test/wilcoxon/hash_uniformity,
+# benford_second/price_endings/top_share/activity_heatmap) — all
 # validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for

@@ -1091,3 +1091,33 @@ def test_r11u_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11v_ops():
+    """Part-25 batch under engine-config flips: the literal expected
+    table, the exact uniform identity, the bucketed threshold read,
+    and the fixed heatmap grid."""
+    from celeborn_spark.queries.stats import (
+        q_activity_heatmap,
+        q_benford_second,
+        q_price_endings,
+        q_top_share,
+    )
+
+    return [q_benford_second, q_price_endings, q_top_share, q_activity_heatmap]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11v_ops(), ids=lambda f: f.__name__)
+def test_r11v_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -880,3 +880,49 @@ def test_hash_uniformity_is_uniform(spark, sf_dir):
     # (generous x3 bound) and KS-D decays with n
     assert row.chi2 < 3 * 255
     assert row.ks_d < 0.1
+
+
+# --- r11 batch 25: Benford-2 / price endings / top share / heatmap ---
+
+
+def test_benford_second_shares_sum(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_benford_second
+
+    rows = q_benford_second(spark, sf_dir).collect()
+    assert sorted(r.digit for r in rows) == list(range(10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.expected_share for r in rows) - 1.0) < 1e-5
+    # second-digit Benford is nearly flat: every expected share ~0.1
+    for r in rows:
+        assert 0.08 < r.expected_share < 0.13
+
+
+def test_price_endings_ranked(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_price_endings
+
+    rows = q_price_endings(spark, sf_dir).collect()
+    assert len(rows) == 10
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 <= r.ending <= 99 for r in rows)
+    assert len({r.chi2_uniform for r in rows}) == 1
+
+
+def test_top_share_dominates_fraction(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_top_share
+
+    row = q_top_share(spark, sf_dir).collect()[0]
+    assert 0 < row.n_top <= row.n_units
+    # the top group's revenue share must exceed its population share
+    assert row.spend_share > row.top_frac
+    assert row.top_frac <= 0.25  # ~20% plus threshold ties
+
+
+def test_activity_heatmap_covers_grid(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_activity_heatmap
+
+    rows = q_activity_heatmap(spark, sf_dir).collect()
+    assert len(rows) <= 168
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
