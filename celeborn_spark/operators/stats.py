@@ -10406,3 +10406,338 @@ def activity_heatmap_oracle_sql(table: str, ts_sql: str) -> str:
     SELECT dow, hour, n, CAST(n AS DOUBLE) / total AS share
     FROM ahm_cells CROSS JOIN ahm_tot
     """
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information value (risk-model feature screen)
+# --------------------------------------------------------------------------
+
+
+def woe_iv(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    denom_cents: int,
+    n_bins: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Weight of evidence + information value of a binned feature
+    against a binary target — THE credit-risk feature screen (IV
+    < 0.02 useless, > 0.3 strong) beside q_psi_drift's stability and
+    q_calibration_bins' reliability on the same binning machinery.
+    Output one row per two-sided bin:
+    (bin, n_pos, n_neg, woe, iv) — iv repeated on every row.
+
+        WoE_b = ln(g_b * B / (b_b * G))  (exact-integer ratio through
+    ln, rounded ``dp``); the IV contribution (g_b/G - b_b/B) * WoE_b
+    quantizes to micro-units per bin (bounded surface) so the
+    cross-bin sum is an exact BIGINT. One-sided bins (g or b = 0)
+    drop identically in both engines (the standard practice).
+
+    Scale shape (100 TB): one map-combined bin aggregate over row
+    mass; everything after runs on <= n_bins rows."""
+    s = F.floor(F.col(score_col) * 100).cast("long")
+    binned = df.select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.lit(n_bins) * s / F.lit(denom_cents)).cast("long"),
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    per = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("y").cast("long").alias("g"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("b"),
+        )
+        .localCheckpoint()  # <= n_bins rows; totals + rows read it
+    )
+    tot = per.agg(
+        F.sum("g").cast("long").alias("gt"), F.sum("b").cast("long").alias("bt")
+    )
+    rows = (
+        per.filter((F.col("g") > 0) & (F.col("b") > 0))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "woe",
+            F.round(
+                F.expr(
+                    "ln(CAST(g AS DOUBLE) * bt / (CAST(b AS DOUBLE) * gt))"
+                ),
+                dp,
+            ),
+        )
+        .withColumn(
+            "iv6",
+            F.expr(
+                "CAST(floor((CAST(g AS DOUBLE) / gt"
+                " - CAST(b AS DOUBLE) / bt) * woe * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ),
+        )
+        .localCheckpoint()  # bin rows feed the IV total AND output
+    )
+    iv = rows.agg(
+        (F.sum("iv6").cast("long") / F.lit(1_000_000.0)).alias("iv")
+    )
+    return rows.crossJoin(F.broadcast(iv)).select(
+        "bin",
+        F.col("g").alias("n_pos"),
+        F.col("b").alias("n_neg"),
+        "woe",
+        "iv",
+    )
+
+
+def woe_iv_oracle_sql(
+    table: str,
+    score_sql: str,
+    label_sql: str,
+    denom_cents: int,
+    n_bins: int = 10,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `woe_iv`: identical bins, rounded WoE, and
+    micro-quantized IV mass."""
+    return f"""
+    WITH wiv_binned AS (
+        SELECT least({n_bins - 1},
+                     CAST(floor({n_bins} * floor(({score_sql}) * 100)
+                                / {denom_cents}) AS BIGINT)) AS bin,
+               CAST({label_sql} AS BIGINT) AS y
+        FROM {table}
+    ),
+    wiv_per AS (
+        SELECT bin, CAST(sum(y) AS BIGINT) AS g,
+               CAST(sum(1 - y) AS BIGINT) AS b
+        FROM wiv_binned GROUP BY 1
+    ),
+    wiv_tot AS (
+        SELECT CAST(sum(g) AS BIGINT) AS gt, CAST(sum(b) AS BIGINT) AS bt
+        FROM wiv_per
+    ),
+    wiv_rows AS (
+        SELECT bin, g, b,
+               round(ln(CAST(g AS DOUBLE) * bt
+                        / (CAST(b AS DOUBLE) * gt)), {dp}) AS woe,
+               gt, bt
+        FROM wiv_per CROSS JOIN wiv_tot
+        WHERE g > 0 AND b > 0
+    ),
+    wiv_iv AS (
+        SELECT CAST(sum(CAST(floor((CAST(g AS DOUBLE) / gt
+                                    - CAST(b AS DOUBLE) / bt)
+                                   * woe * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS iv
+        FROM wiv_rows
+    )
+    SELECT bin, g AS n_pos, b AS n_neg, woe, iv
+    FROM wiv_rows CROSS JOIN wiv_iv
+    """
+
+
+# --------------------------------------------------------------------------
+# Oaxaca-Blinder two-fold gap decomposition (exact per-group moments)
+# --------------------------------------------------------------------------
+
+
+def oaxaca_blinder(
+    df: DataFrame, group_col: str, x_col: str, y_col: str, group_a,
+    dp: int = 6,
+) -> DataFrame:
+    """Oaxaca-Blinder two-fold decomposition of the group-A-vs-rest
+    outcome gap: how much of the gap is ENDOWMENT (group A simply has
+    more of x) vs COEFFICIENT (the same x converts to y differently)?
+    The explains-the-gap economics reading beside q_stratified_att's
+    blocked estimate:
+        gap = ybar_A - ybar_R
+        explained = (xbar_A - xbar_R) * b_R       (reference slopes)
+        unexplained = gap - explained.
+    Output ONE row: (n_a, n_r, gap, explained, unexplained).
+
+    Per-group OLS slopes assemble from exact BIGINT moments and round
+    ``dp`` BEFORE the decomposition; means are exact divisions;
+    explained/unexplained round ``dp``.
+
+    Scale shape (100 TB): ONE conditional-moment aggregate."""
+    gcol = F.col(group_col)
+    x, y = F.col(x_col), F.col(y_col)
+    is_a = (gcol == group_a).cast("long")
+
+    def gm(tag, cond):
+        return [
+            F.sum(cond).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(cond == 1, x)).cast("long").alias(f"sx_{tag}"),
+            F.sum(F.when(cond == 1, y)).cast("long").alias(f"sy_{tag}"),
+            F.sum(F.when(cond == 1, x * x)).cast("long").alias(f"qx_{tag}"),
+            F.sum(F.when(cond == 1, x * y)).cast("long").alias(f"p_{tag}"),
+        ]
+
+    mom = df.agg(*gm("a", is_a), *gm("r", 1 - is_a))
+    slope_r = (
+        "round((CAST(n_r AS DOUBLE) * p_r - CAST(sx_r AS DOUBLE) * sy_r)"
+        " / (CAST(n_r AS DOUBLE) * qx_r - CAST(sx_r AS DOUBLE) * sx_r),"
+        f" {dp})"
+    )
+    return mom.select(
+        "n_a",
+        "n_r",
+        F.expr(
+            "CAST(sy_a AS DOUBLE) / n_a - CAST(sy_r AS DOUBLE) / n_r"
+        ).alias("gap"),
+        F.round(
+            F.expr(
+                "(CAST(sx_a AS DOUBLE) / n_a - CAST(sx_r AS DOUBLE) / n_r)"
+                f" * {slope_r}"
+            ),
+            dp,
+        ).alias("explained"),
+        F.round(
+            F.expr(
+                "(CAST(sy_a AS DOUBLE) / n_a - CAST(sy_r AS DOUBLE) / n_r)"
+                " - (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_r AS DOUBLE) / n_r)"
+                f" * {slope_r}"
+            ),
+            dp,
+        ).alias("unexplained"),
+    )
+
+
+def oaxaca_oracle_sql(
+    subjects_sql: str, group_sql: str, x_sql: str, y_sql: str, ga: str,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `oaxaca_blinder`."""
+    def gm(tag, cond):
+        return (
+            f"CAST(sum({cond}) AS BIGINT) AS n_{tag}, "
+            f"CAST(sum(CASE WHEN {cond} = 1 THEN {x_sql} END) AS BIGINT)"
+            f" AS sx_{tag}, "
+            f"CAST(sum(CASE WHEN {cond} = 1 THEN {y_sql} END) AS BIGINT)"
+            f" AS sy_{tag}, "
+            f"CAST(sum(CASE WHEN {cond} = 1 THEN ({x_sql}) * ({x_sql}) END)"
+            f" AS BIGINT) AS qx_{tag}, "
+            f"CAST(sum(CASE WHEN {cond} = 1 THEN ({x_sql}) * ({y_sql}) END)"
+            f" AS BIGINT) AS p_{tag}"
+        )
+
+    cond_a = f"(CASE WHEN {group_sql} = {ga} THEN 1 ELSE 0 END)"
+    cond_r = f"(CASE WHEN {group_sql} = {ga} THEN 0 ELSE 1 END)"
+    slope_r = (
+        "round((CAST(n_r AS DOUBLE) * p_r - CAST(sx_r AS DOUBLE) * sy_r)"
+        " / (CAST(n_r AS DOUBLE) * qx_r - CAST(sx_r AS DOUBLE) * sx_r),"
+        f" {dp})"
+    )
+    return f"""
+    WITH oxb_subj AS ({subjects_sql}),
+    oxb_mom AS (
+        SELECT {gm("a", cond_a)}, {gm("r", cond_r)}
+        FROM oxb_subj
+    )
+    SELECT n_a, n_r,
+           CAST(sy_a AS DOUBLE) / n_a - CAST(sy_r AS DOUBLE) / n_r AS gap,
+           round((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_r AS DOUBLE) / n_r)
+                 * {slope_r}, {dp}) AS explained,
+           round((CAST(sy_a AS DOUBLE) / n_a - CAST(sy_r AS DOUBLE) / n_r)
+                 - (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_r AS DOUBLE) / n_r)
+                 * {slope_r}, {dp}) AS unexplained
+    FROM oxb_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Per-user MTBF (entity-partitioned gaps, minute-grain histogram)
+# --------------------------------------------------------------------------
+
+
+def user_mtbf(df: DataFrame, unit_col: str, ts_col: str, key_col: str) -> DataFrame:
+    """Mean/median time between a unit's consecutive failure events —
+    the reliability desk's MTBF readout (how often does a given user
+    hit errors, and is the typical gap far from the mean = heavy
+    tail). Output ONE row:
+    (n_gaps, mtbf_minutes, median_gap_minutes).
+
+    Gaps come from per-unit lag windows (the natural entity
+    partition, (ts, key) total order) quantized to MINUTES — the
+    median is a percentile_disc read off the minute-grain gap
+    histogram, which is calendar-bounded (span-minutes), never
+    row-sized; the mean is one exact division of the exact minute
+    sum.
+
+    Scale shape (100 TB): one entity-partitioned window over the
+    failure subset; histogram reads after."""
+    from pyspark.sql import Window as W
+
+    wu = W.partitionBy(unit_col).orderBy(F.col(ts_col), F.col(key_col))
+    gaps = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            F.floor(
+                (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.lag(F.col(ts_col)).over(wu))
+                )
+                / F.lit(60_000_000.0)
+            )
+            .cast("long")
+            .alias("gap_min"),
+        )
+        .filter(F.col("gap_min").isNotNull())
+        .groupBy("gap_min")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # minute-grain gap histogram (span-bounded)
+    )
+    tot = gaps.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("gap_min") * F.col("c")).cast("long").alias("s"),
+    )
+    # cumulative over the span-bounded minute histogram
+    wg = W.orderBy("gap_min").rowsBetween(W.unboundedPreceding, 0)
+    cum = gaps.select(
+        "gap_min", F.sum("c").over(wg).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    med = cum.filter(2 * F.col("cum") >= F.col("n")).agg(
+        F.min("gap_min").cast("long").alias("med")
+    )
+    return tot.crossJoin(F.broadcast(med)).select(
+        F.col("n").alias("n_gaps"),
+        (F.col("s").cast("double") / F.col("n")).alias("mtbf_minutes"),
+        F.col("med").alias("median_gap_minutes"),
+    )
+
+
+def user_mtbf_oracle_sql(
+    table_sql: str, unit_sql: str, ts_sql: str, key_sql: str
+) -> str:
+    """DuckDB mirror of `user_mtbf`: identical per-unit lag, minute
+    quantization, and histogram reads."""
+    return f"""
+    WITH mtb_lag AS (
+        SELECT CAST(floor((epoch_us({ts_sql})
+                   - epoch_us(lag({ts_sql}) OVER (PARTITION BY {unit_sql}
+                       ORDER BY {ts_sql}, {key_sql})))
+                   / 60000000.0) AS BIGINT) AS gap_min
+        FROM {table_sql}
+    ),
+    mtb_hist AS (
+        SELECT gap_min, CAST(count(*) AS BIGINT) AS c
+        FROM mtb_lag WHERE gap_min IS NOT NULL GROUP BY 1
+    ),
+    mtb_tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(gap_min * c) AS BIGINT) AS s
+        FROM mtb_hist
+    ),
+    mtb_cum AS (
+        SELECT gap_min, sum(c) OVER (ORDER BY gap_min
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n
+        FROM mtb_hist CROSS JOIN mtb_tot
+    ),
+    mtb_med AS (
+        SELECT CAST(min(gap_min) AS BIGINT) AS med FROM mtb_cum
+        WHERE 2 * cum >= n
+    )
+    SELECT n AS n_gaps, CAST(s AS DOUBLE) / n AS mtbf_minutes,
+           med AS median_gap_minutes
+    FROM mtb_tot CROSS JOIN mtb_med
+    """

@@ -3741,3 +3741,101 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard (operators/stats.activity_heatmap)."""
     ev = load_table(spark, sf_dir, "events")
     return stats_ops.activity_heatmap(ev, "ts")
+
+
+@query(
+    "q_woe_iv",
+    oracle=stats_ops.woe_iv_oracle_sql(
+        "(SELECT * FROM events WHERE event_type IN ('purchase', 'view'))",
+        "value",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END",
+        denom_cents=50000,
+        n_bins=10,
+    ),
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information value of the event-value
+    feature against is-purchase — THE credit-risk feature screen (IV
+    < 0.02 useless, > 0.3 strong), sharing the fixed binning
+    machinery of q_psi_drift and q_calibration_bins. Exact-integer
+    WoE ratios through ln, micro-quantized IV mass
+    (operators/stats.woe_iv)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(["purchase", "view"])
+    )
+    return stats_ops.woe_iv(
+        ev.select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("label"),
+        ),
+        "value",
+        "label",
+        denom_cents=50000,
+        n_bins=10,
+    )
+
+
+@query(
+    "q_oaxaca",
+    oracle=stats_ops.oaxaca_oracle_sql(
+        """SELECT c.c_mktsegment AS seg,
+                  COALESCE(o.cnt, 0) AS x,
+                  COALESCE(o.kd, 0) AS y
+           FROM customer c
+           LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+                             CAST(floor(sum(floor(o_totalprice * 100))
+                                        / 100000.0) AS BIGINT) AS kd
+                      FROM orders GROUP BY 1) o
+             ON o.o_custkey = c.c_custkey""",
+        "seg",
+        "x",
+        "y",
+        "'AUTOMOBILE'",
+    ),
+)
+def q_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the AUTOMOBILE-vs-rest spend
+    gap: endowment (they simply order more) vs coefficient (the same
+    order count converts to spend differently) — the
+    explains-the-gap economics reading beside q_stratified_att's
+    blocked estimate. Exact conditional moments; reference slope
+    rounds 6dp before the split (operators/stats.oaxaca_blinder)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.floor(
+            F.sum(F.floor(F.col("o_totalprice") * 100)) / F.lit(100000.0)
+        )
+        .cast("long")
+        .alias("kd"),
+    )
+    subj = c.join(per, c["c_custkey"] == per["o_custkey"], "left").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.coalesce("cnt", F.lit(0)).alias("x"),
+        F.coalesce("kd", F.lit(0)).alias("y"),
+    )
+    return stats_ops.oaxaca_blinder(subj, "seg", "x", "y", "AUTOMOBILE")
+
+
+@query(
+    "q_user_mtbf",
+    oracle=stats_ops.user_mtbf_oracle_sql(
+        "(SELECT * FROM events WHERE event_type = 'error')",
+        "user_id",
+        "ts",
+        "event_id",
+    ),
+)
+def q_user_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean/median time between error events — the
+    reliability desk's MTBF readout (median far below the mean =
+    heavy-tailed failure bursts). Entity-partitioned gaps with the
+    event_id tiebreaker, quantized to minutes so the median reads
+    off a span-bounded histogram (operators/stats.user_mtbf)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    return stats_ops.user_mtbf(ev, "user_id", "ts", "event_id")

@@ -1121,3 +1121,32 @@ def test_r11v_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11w_ops():
+    """Part-26 batch under engine-config flips: the WoE binning, the
+    conditional-moment decomposition, and the minute-grain gap
+    histogram."""
+    from celeborn_spark.queries.stats import (
+        q_oaxaca,
+        q_user_mtbf,
+        q_woe_iv,
+    )
+
+    return [q_woe_iv, q_oaxaca, q_user_mtbf]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11w_ops(), ids=lambda f: f.__name__)
+def test_r11w_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -926,3 +926,37 @@ def test_activity_heatmap_covers_grid(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
     for r in rows:
         assert 1 <= r.dow <= 7 and 0 <= r.hour <= 23
+
+
+# --- r11 batch 26: WoE-IV / Oaxaca / MTBF ---
+
+
+def test_woe_iv_nonneg_and_directional(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_woe_iv
+
+    rows = q_woe_iv(spark, sf_dir).collect()
+    assert rows
+    ivs = {r.iv for r in rows}
+    assert len(ivs) == 1
+    # IV is a sum of (share-gap * sign-matched WoE) terms: >= 0 up to
+    # micro quantization
+    assert ivs.pop() >= -1e-5
+    for r in rows:
+        assert r.n_pos > 0 and r.n_neg > 0
+
+
+def test_oaxaca_decomposition_adds_up(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_oaxaca
+
+    row = q_oaxaca(spark, sf_dir).collect()[0]
+    assert row.n_a > 0 and row.n_r > 0
+    assert abs(row.gap - (row.explained + row.unexplained)) < 1e-5
+
+
+def test_user_mtbf_heavy_tail(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_user_mtbf
+
+    row = q_user_mtbf(spark, sf_dir).collect()[0]
+    assert row.n_gaps > 0
+    assert row.mtbf_minutes > 0
+    assert 0 <= row.median_gap_minutes
