@@ -10741,3 +10741,302 @@ def user_mtbf_oracle_sql(
            med AS median_gap_minutes
     FROM mtb_tot CROSS JOIN mtb_med
     """
+
+
+# --------------------------------------------------------------------------
+# Tukey biweight robust mean (2 rounds, micro-quantized weights)
+# --------------------------------------------------------------------------
+
+
+def tukey_biweight(df: DataFrame, units_col: str, dp: int = 6) -> DataFrame:
+    """Tukey biweight robust location (2 reweighting rounds): the
+    smoothly-downweighted robust mean completing the location desk —
+    trimmed/winsorized CUT at a quantile, MAD flags, Grubbs tests
+    one value; the biweight lets every row vote with weight
+    (1-u^2)^2 that fades to zero at 4.685 sigma. Output ONE row:
+    (n, mean_raw, biweight_mean).
+
+    Round 0 moments are exact BIGINTs (mean/sd round ``dp``); each
+    round's per-row weight quantizes to micro-units (floor(w*1e6 +
+    0.5) of a deterministic double expression), so the weighted sums
+    sum(w6*y), sum(w6) are exact BIGINTs and each round's center is
+    one exact division re-rounded ``dp`` — both engines iterate on
+    identical operands. ``units_col`` must keep w6*y sums inside
+    int64 (dollar grain for money — documented bound).
+
+    Scale shape (100 TB): three map-combined aggregates (moments +
+    2 rounds); no window, no join."""
+    y = F.col(units_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("q"),
+    )
+    m0sd = mom.select(
+        "n",
+        "s",
+        F.round(F.expr("CAST(s AS DOUBLE) / n"), dp).alias("m"),
+        F.round(
+            F.expr(
+                "sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))"
+            ),
+            dp,
+        ).alias("sd"),
+    )
+
+    def one_round(center_col: str):
+        u = (y - F.col(center_col)) / (F.lit(4.685) * F.col("sd"))
+        w6 = F.when(
+            F.abs(u) < 1,
+            F.floor((1 - u * u) * (1 - u * u) * 1_000_000 + F.lit(0.5)),
+        ).otherwise(F.lit(0)).cast("long")
+        return F.round(
+            F.sum(w6 * y).cast("double") / F.sum(w6), dp
+        )
+
+    b = df.crossJoin(F.broadcast(m0sd))
+    r1 = b.groupBy("n", "s", "m", "sd").agg(one_round("m").alias("m1"))
+    b2 = df.crossJoin(F.broadcast(r1))
+    out = b2.groupBy("n", "s", "m", "sd", "m1").agg(
+        one_round("m1").alias("biweight_mean")
+    )
+    return out.select(
+        "n",
+        F.expr("CAST(s AS DOUBLE) / n").alias("mean_raw"),
+        "biweight_mean",
+    )
+
+
+def tukey_biweight_oracle_sql(
+    table_sql: str, units_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `tukey_biweight`: identical rounded seeds,
+    micro-quantized weights, and round chaining."""
+    def rnd(center):
+        u = f"(({units_sql}) - {center}) / (4.685 * sd)"
+        w6 = (
+            f"CASE WHEN abs({u}) < 1 THEN CAST(floor((1 - ({u}) * ({u}))"
+            f" * (1 - ({u}) * ({u})) * 1000000 + 0.5) AS BIGINT)"
+            f" ELSE 0 END"
+        )
+        return (
+            f"round(CAST(sum({w6} * ({units_sql})) AS DOUBLE)"
+            f" / sum({w6}), {dp})"
+        )
+
+    return f"""
+    WITH tbw_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({units_sql}) AS BIGINT) AS s,
+               CAST(sum(({units_sql}) * ({units_sql})) AS BIGINT) AS q
+        FROM {table_sql}
+    ),
+    tbw_seed AS (
+        SELECT n, s,
+               round(CAST(s AS DOUBLE) / n, {dp}) AS m,
+               round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), {dp})
+                   AS sd
+        FROM tbw_mom
+    ),
+    tbw_r1 AS (
+        SELECT n, s, m, sd, {rnd("m")} AS m1
+        FROM {table_sql} CROSS JOIN tbw_seed
+        GROUP BY n, s, m, sd
+    ),
+    tbw_r2 AS (
+        SELECT n, s, m1, {rnd("m1")} AS biweight_mean
+        FROM {table_sql} CROSS JOIN tbw_r1
+        GROUP BY n, s, m1, sd
+    )
+    SELECT n, CAST(s AS DOUBLE) / n AS mean_raw, biweight_mean
+    FROM tbw_r2
+    """
+
+
+# --------------------------------------------------------------------------
+# XmR (individuals) control chart summary
+# --------------------------------------------------------------------------
+
+
+def control_chart_xmr(
+    df: DataFrame, day_col: str, cents_col, dp: int = 6
+) -> DataFrame:
+    """Shewhart individuals (XmR) control-chart summary of the daily
+    series: center line, average moving range, 2.66*MR control
+    limits, and the out-of-control day counts — the SPC readout that
+    separates common-cause noise from special-cause days (the
+    monitoring sibling of the changepoint family: CUSUM/Pettitt ask
+    WHERE it shifted; the chart asks WHICH days escape the noise
+    band). Output ONE row:
+    (n_days, mean_units, mr_bar, ucl, lcl, n_above, n_below).
+
+    Daily values are exact k$-grain BIGINTs on the OBSERVED-day
+    sequence; moving ranges are exact integer |lag diffs|; the limits
+    are fixed double trees rounded ``dp`` and the escape counts are
+    exact comparisons of integers against those rounded limits.
+
+    Scale shape (100 TB): one map-combined day aggregate; the lag
+    and counts run on the calendar-bounded day grid."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.sum(cents_col).cast("long").alias("cents"))
+        .select(
+            "day",
+            F.floor(F.col("cents") / F.lit(100000.0)).cast("long").alias("y"),
+        )
+        .localCheckpoint()  # observed-day grid (calendar-bounded)
+    )
+    wd = W.orderBy("day")  # one row per observed calendar day
+    mr = daily.select(
+        "y", F.abs(F.col("y") - F.lag("y").over(wd)).alias("mr")
+    )
+    mom = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum("mr").cast("long").alias("smr"),
+        F.sum(F.col("mr").isNotNull().cast("long")).cast("long").alias("nmr"),
+    )
+    lim = mom.select(
+        "n",
+        "s",
+        F.expr("CAST(s AS DOUBLE) / n").alias("mean_units"),
+        F.expr("CAST(smr AS DOUBLE) / nmr").alias("mr_bar"),
+        F.round(
+            F.expr("CAST(s AS DOUBLE) / n + 2.66 * (CAST(smr AS DOUBLE) / nmr)"),
+            dp,
+        ).alias("ucl"),
+        F.round(
+            F.expr("CAST(s AS DOUBLE) / n - 2.66 * (CAST(smr AS DOUBLE) / nmr)"),
+            dp,
+        ).alias("lcl"),
+    )
+    counts = daily.crossJoin(F.broadcast(lim)).agg(
+        F.max("n").alias("n_days"),
+        F.max("mean_units").alias("mean_units"),
+        F.max("mr_bar").alias("mr_bar"),
+        F.max("ucl").alias("ucl"),
+        F.max("lcl").alias("lcl"),
+        F.sum((F.col("y") > F.col("ucl")).cast("long"))
+        .cast("long")
+        .alias("n_above"),
+        F.sum((F.col("y") < F.col("lcl")).cast("long"))
+        .cast("long")
+        .alias("n_below"),
+    )
+    return counts
+
+
+def control_chart_oracle_sql(
+    table: str, day_sql: str, cents_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `control_chart_xmr`."""
+    return f"""
+    WITH xmr_daily AS (
+        SELECT {day_sql} AS day,
+               CAST(floor(CAST(sum({cents_sql})
+                    AS BIGINT) / 100000.0) AS BIGINT) AS y
+        FROM {table} GROUP BY 1
+    ),
+    xmr_mr AS (
+        SELECT y, abs(y - lag(y) OVER (ORDER BY day)) AS mr
+        FROM xmr_daily
+    ),
+    xmr_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(mr) AS BIGINT) AS smr,
+               CAST(sum(CASE WHEN mr IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nmr
+        FROM xmr_mr
+    ),
+    xmr_lim AS (
+        SELECT n, CAST(s AS DOUBLE) / n AS mean_units,
+               CAST(smr AS DOUBLE) / nmr AS mr_bar,
+               round(CAST(s AS DOUBLE) / n
+                     + 2.66 * (CAST(smr AS DOUBLE) / nmr), {dp}) AS ucl,
+               round(CAST(s AS DOUBLE) / n
+                     - 2.66 * (CAST(smr AS DOUBLE) / nmr), {dp}) AS lcl
+        FROM xmr_mom
+    )
+    SELECT n AS n_days, mean_units, mr_bar, ucl, lcl,
+           (SELECT CAST(sum(CASE WHEN y > ucl THEN 1 ELSE 0 END) AS BIGINT)
+            FROM xmr_daily) AS n_above,
+           (SELECT CAST(sum(CASE WHEN y < lcl THEN 1 ELSE 0 END) AS BIGINT)
+            FROM xmr_daily) AS n_below
+    FROM xmr_lim
+    """
+
+
+# --------------------------------------------------------------------------
+# Chi-square standardized cell residuals (bounded contingency grid)
+# --------------------------------------------------------------------------
+
+
+def chi_residuals(df: DataFrame, row_col: str, col_col: str, dp: int = 6) -> DataFrame:
+    """Standardized residuals (o - e)/sqrt(e) of a two-way
+    contingency table — WHICH cells drive the dependence
+    q_chi_square only declares (|r| > 2 marks the driving cells, the
+    drill-down every association test needs). Output one row per
+    observed cell: (r, c, n, expected, std_residual).
+
+    Cells and marginals are exact BIGINTs; e = R_r * C_c / N is one
+    exact division; the residual passes through one sqrt and rounds
+    ``dp``.
+
+    Scale shape (100 TB): one two-key aggregate over row mass; the
+    marginal joins run on the bounded category grids."""
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint()
+    rows = cells.groupBy("r").agg(F.sum("n").cast("long").alias("rn"))
+    cols = cells.groupBy("c").agg(F.sum("n").cast("long").alias("cn"))
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "c",
+            "n",
+            F.round(
+                F.expr("CAST(rn AS DOUBLE) * cn / total"), dp
+            ).alias("expected"),
+            F.round(
+                F.expr(
+                    "(n - CAST(rn AS DOUBLE) * cn / total)"
+                    " / sqrt(CAST(rn AS DOUBLE) * cn / total)"
+                ),
+                dp,
+            ).alias("std_residual"),
+        )
+    )
+
+
+def chi_residuals_oracle_sql(
+    table: str, row_sql: str, col_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `chi_residuals`."""
+    return f"""
+    WITH chr_cells AS (
+        SELECT {row_sql} AS r, {col_sql} AS c,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY 1, 2
+    ),
+    chr_rows AS (SELECT r, CAST(sum(n) AS BIGINT) AS rn FROM chr_cells
+                 GROUP BY 1),
+    chr_cols AS (SELECT c, CAST(sum(n) AS BIGINT) AS cn FROM chr_cells
+                 GROUP BY 1),
+    chr_tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM chr_cells)
+    SELECT x.r, x.c, x.n,
+           round(CAST(rn AS DOUBLE) * cn / total, {dp}) AS expected,
+           round((x.n - CAST(rn AS DOUBLE) * cn / total)
+                 / sqrt(CAST(rn AS DOUBLE) * cn / total), {dp})
+               AS std_residual
+    FROM chr_cells x
+    JOIN chr_rows USING (r)
+    JOIN chr_cols USING (c)
+    CROSS JOIN chr_tot
+    """

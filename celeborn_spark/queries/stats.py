@@ -3839,3 +3839,70 @@ def q_user_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "error"
     )
     return stats_ops.user_mtbf(ev, "user_id", "ts", "event_id")
+
+
+@query(
+    "q_tukey_biweight",
+    oracle=stats_ops.tukey_biweight_oracle_sql(
+        "orders", "floor(o_totalprice)"
+    ),
+)
+def q_tukey_biweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey biweight robust mean of order totals (dollar grain, 2
+    reweighting rounds): every order votes with weight (1-u^2)^2
+    fading to zero at 4.685 sigma — the smooth member of the robust-
+    location desk beside trimmed/winsorized cuts and MAD flags.
+    Micro-quantized weights keep each round's sums exact BIGINT; the
+    center re-rounds 6dp per round so both engines iterate on
+    identical operands (operators/stats.tukey_biweight)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.tukey_biweight(
+        orders.select(F.floor("o_totalprice").cast("long").alias("dollars")),
+        "dollars",
+    )
+
+
+@query(
+    "q_control_chart",
+    oracle=stats_ops.control_chart_oracle_sql(
+        "orders", "CAST(o_orderdate AS DATE)", "floor(o_totalprice * 100)"
+    ),
+)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals) control chart of daily revenue: center
+    line, average moving range, 2.66*MR limits, and the
+    out-of-control day counts — the SPC monitoring readout beside
+    the changepoint family (CUSUM/Pettitt locate a shift; the chart
+    names WHICH days escape common-cause noise). Exact k$-grain
+    values and integer moving ranges
+    (operators/stats.control_chart_xmr)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.control_chart_xmr(
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        ),
+        "day",
+        F.col("cents"),
+    )
+
+
+@query(
+    "q_chi_residuals",
+    oracle=stats_ops.chi_residuals_oracle_sql(
+        "customer", "CAST(c_nationkey AS BIGINT)", "c_mktsegment"
+    ),
+)
+def q_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized residuals of the nation x market-segment
+    contingency table: WHICH cells drive the dependence q_chi_square
+    only declares (|r| > 2 marks the drivers). Exact cells and
+    marginals; one sqrt, 6dp (operators/stats.chi_residuals)."""
+    c = load_table(spark, sf_dir, "customer")
+    return stats_ops.chi_residuals(
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nat"), "c_mktsegment"
+        ),
+        "nat",
+        "c_mktsegment",
+    )

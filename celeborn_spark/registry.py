@@ -103,7 +103,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # jonckheere/dunn/partial_correlation/iqr_outliers,
 # paired_t/sign_test/wilcoxon/hash_uniformity,
 # benford_second/price_endings/top_share/activity_heatmap,
-# woe_iv/oaxaca/user_mtbf) — all
+# woe_iv/oaxaca/user_mtbf,
+# tukey_biweight/control_chart/chi_residuals) — all
 # validated cell-by-cell
 # exact at sf0.01 AND sf0.1 under a vanilla session before
 # registration was committed. They fit ONE r12 window with room for

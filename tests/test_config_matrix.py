@@ -1150,3 +1150,31 @@ def test_r11w_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r11x_ops():
+    """Part-27 batch under engine-config flips: the quantized
+    biweight rounds, the XmR limits, and the residual grid."""
+    from celeborn_spark.queries.stats import (
+        q_chi_residuals,
+        q_control_chart,
+        q_tukey_biweight,
+    )
+
+    return [q_tukey_biweight, q_control_chart, q_chi_residuals]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r11x_ops(), ids=lambda f: f.__name__)
+def test_r11x_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -960,3 +960,40 @@ def test_user_mtbf_heavy_tail(spark, sf_dir):
     assert row.n_gaps > 0
     assert row.mtbf_minutes > 0
     assert 0 <= row.median_gap_minutes
+
+
+# --- r11 batch 27: biweight / control chart / chi residuals ---
+
+
+def test_tukey_biweight_near_mean(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_tukey_biweight
+
+    row = q_tukey_biweight(spark, sf_dir).collect()[0]
+    assert row.n > 0
+    # on a bounded, roughly symmetric distribution the biweight
+    # center stays within a sd-scale band of the raw mean
+    assert abs(row.biweight_mean - row.mean_raw) < 0.5 * row.mean_raw
+
+
+def test_control_chart_band(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_control_chart
+
+    row = q_control_chart(spark, sf_dir).collect()[0]
+    assert row.lcl < row.mean_units < row.ucl
+    assert row.mr_bar > 0
+    # escapes are the exception, not the rule
+    assert row.n_above + row.n_below < 0.2 * row.n_days
+
+
+def test_chi_residuals_mass_balance(spark, sf_dir):
+    from celeborn_spark.queries.stats import q_chi_residuals
+
+    rows = q_chi_residuals(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        assert r.expected > 0
+        # the residual is exactly (o - e)/sqrt(e) of the emitted e
+        recomputed = (r.n - r.expected) / math.sqrt(r.expected)
+        assert abs(recomputed - r.std_residual) < 1e-3
