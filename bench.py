@@ -113,15 +113,17 @@ HEAVY_EXTRAS = (
     "q_item_neighbors",
     "q_mmr_select",
     # r11-continuation additions whose DuckDB baseline exceeds the
-    # ~100 ms rule at sf0.1 (measured 0.10-0.17 s best-of-2)
+    # ~100 ms rule at sf0.1 (measured 0.10-0.17 s best-of-2). The
+    # 1.9 KB line budget holds only four of the eight qualifiers; the
+    # four kept are the distinct machinery classes (bounded-round
+    # graph, signature-banded Hamming LSH, ordered-pair U grid,
+    # micro-rank concordance) — order_gaps/fleiss_kappa/fisher_z/
+    # heaps_law share machinery with benched classes and stay
+    # registered + gate-checked.
     "q_katz_centrality",
     "q_ahash_near_dup",
     "q_jonckheere",
     "q_kendall_w",
-    "q_order_gaps",
-    "q_fleiss_kappa",
-    "q_fisher_z_corr",
-    "q_heaps_law",
 )
 
 
