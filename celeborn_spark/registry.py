@@ -78,37 +78,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     (driver-green since r04) plus the sampled_recall_ok bound column.
 # (q_approx_stats left this list in r11 — see above.)
 #
-# R12 PLAN: once this window's rows land, the only never-driver-
-# checked oracle-backed queries are the operators ADDED in r11
-# after the freeze lifted (cliffs_delta, rank_eval, fisher_exact,
-# readability, embedding_drift, dp_counts, interval_join, hill_tail,
-# shapley_attribution, gumbel_maxima, cochran_q, bayes_ab, itemsets3,
-# geometric_median, variant_json, collation_group, udtf_tokens, plus
-# the Spark-4 SQL-frontend batch: recursive_cte, listagg, sql_pipe,
-# sql_udf, plus the later r11 parts: bleu/rouge/odds_ratio/bartlett,
-# bradley_terry/friedman/ljung_box/eigenvector_centrality,
-# mantel_haenszel/tost/negbin/page_hinkley, davies_bouldin/
-# permutation_test/hosmer_lemeshow/embedding_whiten,
-# classifier_report/gopher_rules, mixture_em/capture_recapture/
-# price_index/dp_quantile, and isotonic_calibration/periodogram/
-# durbin_watson/rmst, atkinson/cronbach/fleiss/chow,
-# mood_median/grubbs/horvitz_thompson/pacf,
-# kuiper/cramer_von_mises/katz/stratified_att,
-# anderson_darling/cohens_h/seasonal_decompose/vif,
+# R12 PLAN: once this window's rows land, the never-driver-checked
+# oracle-backed queries are exactly the operators ADDED in r11 after
+# the freeze lifted — ~107 of them (parts 1-12: cliffs_delta,
+# rank_eval, fisher_exact, readability, embedding_drift, dp_counts,
+# interval_join, hill_tail, shapley_attribution, gumbel_maxima,
+# cochran_q, bayes_ab, itemsets3, geometric_median, variant_json,
+# collation_group, udtf_tokens, recursive_cte, listagg, sql_pipe,
+# sql_udf, bleu/rouge/odds_ratio/bartlett, bradley_terry/friedman/
+# ljung_box/eigenvector_centrality, mantel_haenszel/tost/negbin/
+# page_hinkley, davies_bouldin/permutation_test/hosmer_lemeshow/
+# embedding_whiten, classifier_report/gopher_rules, mixture_em/
+# capture_recapture/price_index/dp_quantile; parts 13-27:
+# isotonic/periodogram/durbin_watson/rmst, atkinson/cronbach/fleiss/
+# chow, mood_median/grubbs/horvitz_thompson/pacf, kuiper/cvm/katz/
+# stratified_att, anderson_darling/cohens_h/seasonal_decompose/vif,
 # mann_kendall/poisson_2rate/diversity_profile/weighted_kappa,
-# abc/cooks_distance/price_elasticity/order_gaps,
-# kendall_w/stuart_maxwell/indirect_standardization/fisher_z,
-# multimodal_ahash/ahash_near_dup/variance_ratio/rbo_overlap,
-# hurst/logistic_growth/growth_accounting/heaps_law,
-# jonckheere/dunn/partial_correlation/iqr_outliers,
-# paired_t/sign_test/wilcoxon/hash_uniformity,
+# abc/cooks_distance/price_elasticity/order_gaps, kendall_w/
+# stuart_maxwell/indirect_standardization/fisher_z, multimodal_ahash/
+# ahash_near_dup/variance_ratio/rbo_overlap, hurst/logistic_growth/
+# growth_accounting/heaps_law, jonckheere/dunn/partial_correlation/
+# iqr_outliers, paired_t/sign_test/wilcoxon/hash_uniformity,
 # benford_second/price_endings/top_share/activity_heatmap,
-# woe_iv/oaxaca/user_mtbf,
-# tukey_biweight/control_chart/chi_residuals) — all
-# validated cell-by-cell
-# exact at sf0.01 AND sf0.1 under a vanilla session before
-# registration was committed. They fit ONE r12 window with room for
-# reps.
+# woe_iv/oaxaca/user_mtbf, tukey_biweight/control_chart/
+# chi_residuals) — all validated cell-by-cell exact at sf0.01 AND
+# sf0.1 under a vanilla session before registration was committed,
+# and all covered by the r11-close full-registry exactness sweeps.
+# They need TWO 50-slot windows: r12 takes the parts-1..12 batch
+# (the older additions, ~50) plus reps; r13 drains parts 13-27.
+# Prioritize any query whose source changes in the meantime into the
+# next window.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
