@@ -36,7 +36,10 @@ per-round so plan regressions diff as bytes, not just wall-clock).
 The JSON line also stamps a contention sentinel (pre-run 1-min loadavg
 + count of other live JVMs): driver-host contention produced recurring
 ±20% phantom regressions, and the sentinel lets readers discount
-contaminated runs.
+contaminated runs. `best_of: 2` is stamped explicitly (VERDICT r11
+item 3) so a reader knows one loaded pass cannot solely set a timing —
+though sustained contention across both reps (r11's load1=4.44 line)
+still contaminates; the sentinel is the tell.
 """
 
 from __future__ import annotations
@@ -233,6 +236,7 @@ def main() -> None:
             "sf": _sf_from_dir(sf_dir),
             "load1": load1,
             "jvms": jvms,
+            "best_of": 2,
         },
         separators=(",", ":"),
     )
@@ -249,6 +253,7 @@ def main() -> None:
                     "sf": _sf_from_dir(sf_dir),
                     "load1": load1,
                     "jvms": jvms,
+                    "best_of": 2,
                     "wall_sec": timings,
                     "bytes": bytes_ledger,
                 },

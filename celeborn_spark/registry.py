@@ -78,19 +78,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     (driver-green since r04) plus the sampled_recall_ok bound column.
 # (q_approx_stats left this list in r11 — see above.)
 #
-# R12 PLAN: once this window's rows land, the never-driver-checked
-# oracle-backed queries are exactly the operators ADDED in r11 after
-# the freeze lifted — ~107 of them (parts 1-12: cliffs_delta,
-# rank_eval, fisher_exact, readability, embedding_drift, dp_counts,
-# interval_join, hill_tail, shapley_attribution, gumbel_maxima,
-# cochran_q, bayes_ab, itemsets3, geometric_median, variant_json,
-# collation_group, udtf_tokens, recursive_cte, listagg, sql_pipe,
-# sql_udf, bleu/rouge/odds_ratio/bartlett, bradley_terry/friedman/
-# ljung_box/eigenvector_centrality, mantel_haenszel/tost/negbin/
-# page_hinkley, davies_bouldin/permutation_test/hosmer_lemeshow/
-# embedding_whiten, classifier_report/gopher_rules, mixture_em/
-# capture_recapture/price_index/dp_quantile; parts 13-27:
-# isotonic/periodogram/durbin_watson/rmst, atkinson/cronbach/fleiss/
+# R12 WINDOW (this rotation; VERDICT r11 item 1): the never-driver-
+# checked oracle-backed backlog is exactly the 101 operators ADDED in
+# r11 after the freeze lifted. This window spends ALL 50 slots on that
+# backlog — no reps, because the two-window drain math requires it
+# (101 - 50 here leaves 51 for r13's window; any rep slot pushes an
+# r11 operator past r13). Composition: the full parts-1..12 batch (43,
+# the older additions) + the first 7 of parts 13-14 (isotonic,
+# periodogram, durbin_watson, rmst, atkinson, cronbach, fleiss).
+# All 50 were validated cell-by-cell exact at sf0.01 AND sf0.1 under
+# a vanilla session before registration was committed, re-swept at
+# r11 close, and re-validated for THIS rotation (see COVERAGE.md r12).
+#
+# R13 PLAN: window := the remaining 51 never-witnessed (parts 14-27:
 # chow, mood_median/grubbs/horvitz_thompson/pacf, kuiper/cvm/katz/
 # stratified_att, anderson_darling/cohens_h/seasonal_decompose/vif,
 # mann_kendall/poisson_2rate/diversity_profile/weighted_kappa,
@@ -100,73 +100,67 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # growth_accounting/heaps_law, jonckheere/dunn/partial_correlation/
 # iqr_outliers, paired_t/sign_test/wilcoxon/hash_uniformity,
 # benford_second/price_endings/top_share/activity_heatmap,
-# woe_iv/oaxaca/user_mtbf, tukey_biweight/control_chart/
-# chi_residuals) — all validated cell-by-cell exact at sf0.01 AND
-# sf0.1 under a vanilla session before registration was committed,
-# and all covered by the r11-close full-registry exactness sweeps.
-# They need TWO 50-slot windows: r12 takes the parts-1..12 batch
-# (the older additions, ~50) plus reps; r13 drains parts 13-27.
-# Prioritize any query whose source changes in the meantime into the
-# next window.
+# woe_iv/oaxaca/user_mtbf, tukey_biweight/control_chart/chi_residuals,
+# and the SQL-features four: rank_eval-adjacent classifier_report is
+# in r12; remaining: kuiper/cvm/anderson_darling already listed) —
+# 51 into 50 slots: the ONE overflow rides to r14 (pick the least
+# recently source-touched). Prioritize any query whose source changes
+# in the meantime into the next window.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # --- reps (3): contract changed / newly oracle-backed / flake watch ---
-    "q_approx_stats",
-    "q_sprt_ab",
-    "q_interval_merge",
-    # --- text/corpus closers (11) ---
-    "q_bigram_topk",
-    "q_type_token_richness",
-    "q_char_entropy",
-    "q_rake_keywords",
-    "q_good_turing",
-    "q_burrows_delta",
-    "q_bigram_entropy",
-    "q_negative_sampling",
-    "q_token_burstiness",
-    "q_component_size_histogram",
-    "q_map_funcs",
-    # --- behavioral / temporal (11) ---
-    "q_retention_matrix",
-    "q_time_to_convert",
-    "q_markov_transitions",
-    "q_attribution_ushaped",
-    "q_session_paths",
-    "q_forecast_backtest",
-    "q_markov_entropy",
-    "q_cross_correlation",
-    "q_interevent_exponential",
-    "q_attribution_timedecay",
-    "q_daily_percentile_ladder",
-    # --- stats closers (11) ---
-    "q_jarque_bera",
-    "q_spearman",
-    "q_kendall_tau",
-    "q_pca_2d",
-    "q_fano_burstiness",
-    "q_trimmed_mean",
-    "q_weighted_median",
-    "q_bootstrap_ci",
-    "q_seasonal_strength",
-    "q_cochran_armitage",
-    "q_theil_index",
-    # --- engagement / recsys (9) ---
-    "q_user_growth",
-    "q_revenue_wow_growth",
-    "q_market_hhi",
-    "q_ndcg_eval",
-    "q_rolling_wau",
-    "q_stickiness",
-    "q_feature_screen",
-    "q_decayed_popularity",
-    "q_gini_coefficient",
-    # --- embedding / stream / sampling reps (5) ---
-    "q_arrow_norms",
-    "q_quantized_recall",
-    "q_multimodal_energy",
-    "q_stream_topk_items",
-    "q_mixture_plan",
+    # --- r11 parts 1-12 batch (43) ---
+    "q_cliffs_delta",
+    "q_rank_eval",
+    "q_fisher_exact",
+    "q_readability",
+    "q_embedding_drift",
+    "q_dp_counts",
+    "q_interval_join",
+    "q_hill_tail",
+    "q_shapley_attribution",
+    "q_gumbel_maxima",
+    "q_cochran_q",
+    "q_bayes_ab",
+    "q_itemsets3",
+    "q_geometric_median",
+    "q_variant_json",
+    "q_collation_group",
+    "q_udtf_tokens",
+    "q_recursive_cte",
+    "q_listagg",
+    "q_sql_pipe",
+    "q_sql_udf",
+    "q_bleu_corpus",
+    "q_rouge_overlap",
+    "q_odds_ratio",
+    "q_bartlett_test",
+    "q_bradley_terry",
+    "q_friedman_test",
+    "q_ljung_box",
+    "q_eigenvector_centrality",
+    "q_mantel_haenszel",
+    "q_tost_equivalence",
+    "q_negbin_fit",
+    "q_page_hinkley",
+    "q_davies_bouldin",
+    "q_permutation_test",
+    "q_hosmer_lemeshow",
+    "q_embedding_whiten",
+    "q_classifier_report",
+    "q_gopher_rules",
+    "q_mixture_em",
+    "q_capture_recapture",
+    "q_price_index",
+    "q_dp_quantile",
+    # --- parts 13-14 head (7) ---
+    "q_isotonic_calibration",
+    "q_periodogram",
+    "q_durbin_watson",
+    "q_rmst",
+    "q_atkinson_index",
+    "q_cronbach_alpha",
+    "q_fleiss_kappa",
 )
 
 

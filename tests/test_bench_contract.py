@@ -49,6 +49,7 @@ def test_bench_line_fits_driver_tail_budget():
             "sf": 0.1,
             "load1": 99.99,
             "jvms": 99,
+            "best_of": 2,
         },
         separators=(",", ":"),
     )

@@ -1178,3 +1178,56 @@ def test_r11x_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _r12a_ops():
+    """Matrix stragglers (VERDICT r11 item 4): the r11 operators that
+    had no config-matrix row anywhere — the Gopher-style readability
+    score, the DP count release (deterministic md5 noise), the Hill
+    tail estimator's order-statistic cut, the within-subject Cochran
+    Q grid, the Beta-posterior closed form, the 3-itemset lattice
+    join, the Weiszfeld iteration, the VARIANT path extraction, the
+    collation-aware grouping, the UDTF lateral fan-out, and the
+    rows-only zlib ratio profile (invariance applies regardless of
+    oracle-ability)."""
+    from celeborn_spark.queries.advanced import q_dp_counts
+    from celeborn_spark.queries.analytics import q_itemsets3
+    from celeborn_spark.queries.pandas_surface import q_udtf_tokens
+    from celeborn_spark.queries.scalar import q_collation_group, q_variant_json
+    from celeborn_spark.queries.similarity import q_geometric_median
+    from celeborn_spark.queries.stats import q_bayes_ab, q_cochran_q
+    from celeborn_spark.queries.text import (
+        q_compression_quality,
+        q_hill_tail,
+        q_readability,
+    )
+
+    return [
+        q_readability,
+        q_dp_counts,
+        q_hill_tail,
+        q_cochran_q,
+        q_bayes_ab,
+        q_itemsets3,
+        q_geometric_median,
+        q_variant_json,
+        q_collation_group,
+        q_udtf_tokens,
+        q_compression_quality,
+    ]
+
+
+@pytest.mark.parametrize(
+    "conf", R5_CONF_VARIANTS, ids=[str(c) for c in R5_CONF_VARIANTS]
+)
+@pytest.mark.parametrize("qfn", _r12a_ops(), ids=lambda f: f.__name__)
+def test_r12a_ops_invariant_under_conf(spark, sf_dir, conf, qfn):
+    baseline = _rows(qfn(spark, sf_dir))
+    saved = {k: spark.conf.get(k) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        assert _rows(qfn(spark, sf_dir)) == baseline
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
