@@ -117,6 +117,10 @@ HEAVIES = (
     "q_embedding_near_dup_verified",
     "q_interval_merge",
     "q_stream_stream_left_join",
+    # r12: the r11 verdict's one super-2.5x sf1 mover ("watch at r12")
+    # — pair mass grows with basket co-membership; rung-tracked until
+    # two consecutive rounds hold its growth factor stable.
+    "q_item_neighbors",
 )
 
 
@@ -201,11 +205,81 @@ def run_rung(spark) -> None:
             )
 
 
+def run_headline(spark) -> None:
+    """Round-close one-liner ledger (VERDICT r11 item 6): the FULL
+    bench headline set at sf0.1 vs sf1 — total wall ratio, per-query
+    max growth, and the exchange-count-flat check (a plan whose
+    exchange count grows with data has a scale-dependent shape bug).
+    Prints one JSON line for COVERAGE.md."""
+    import json
+
+    import bench
+
+    qs = registry.queries()
+    names = bench.headline_names()
+    totals = {"0.1": 0.0, "1": 0.0}
+    worst = ("", 0.0)
+    exch_moves = []
+    failed = []
+    for name in names:
+        walls = {}
+        exch = {}
+        for label, sf_dir in (("0.1", SF01), ("1", SF1)):
+            try:
+                best = None
+                df = None
+                for _rep in range(2):
+                    t0 = time.perf_counter()
+                    df = qs[name](spark, sf_dir)
+                    df.count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                walls[label] = best
+                exch[label] = count_exchanges(df)
+            except Exception as exc:  # noqa: BLE001
+                failed.append(f"{name}@{label}: {exc}")
+                walls[label] = None
+        if walls["0.1"] and walls["1"]:
+            totals["0.1"] += walls["0.1"]
+            totals["1"] += walls["1"]
+            g = walls["1"] / walls["0.1"]
+            if g > worst[1]:
+                worst = (name, g)
+            if exch.get("1") != exch.get("0.1"):
+                exch_moves.append(
+                    f"{name}:{exch.get('0.1')}->{exch.get('1')}"
+                )
+        print(
+            f"{name:36s} {walls['0.1'] or -1:7.2f} {walls['1'] or -1:7.2f}",
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "headline_n": len(names),
+                "failed": failed,
+                "wall_sf01": round(totals["0.1"], 2),
+                "wall_sf1": round(totals["1"], 2),
+                "wall_ratio": round(totals["1"] / max(totals["0.1"], 1e-9), 2),
+                "worst_query": worst[0],
+                "worst_growth": round(worst[1], 2),
+                "exchange_count_moves": exch_moves,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="sf1_rung")
     spark.sparkContext.setLogLevel("ERROR")
     if "--materialize" in sys.argv:
         materialize(spark)
+    elif "--headline" in sys.argv:
+        if not os.path.isdir(SF1):
+            sys.exit(f"{SF1} missing — run with --materialize first")
+        run_headline(spark)
     else:
         if not os.path.isdir(SF1):
             sys.exit(f"{SF1} missing — run with --materialize first")
