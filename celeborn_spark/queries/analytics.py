@@ -1246,9 +1246,14 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the BASKET key (per-basket item sets are small and bounded by
     # order size — the cooccurrence_lift discipline, never
     # corpus-quadratic); the final cut is a deterministic top-20 with
-    # full-key tiebreaks.
+    # full-key tiebreaks. Oracle form matters: the item-order
+    # predicates live in WHERE, not in the JOIN conditions — with them
+    # in ON, DuckDB planned an inequality join (IEJoin-style) instead
+    # of hash-on-basket + filter, which ran 100x+ slower at the sf1
+    # rung (20+ min vs 11 s; found by the r12 sf1 window sweep).
+    # Identical semantics for INNER joins.
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
         SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
         FROM lineitem
     ),
@@ -1256,8 +1261,9 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.item AS i1, b.item AS i2, c.item AS i3,
                CAST(count(*) AS BIGINT) AS support
         FROM baskets a
-        JOIN baskets b ON b.basket = a.basket AND b.item > a.item
-        JOIN baskets c ON c.basket = a.basket AND c.item > b.item
+        JOIN baskets b ON b.basket = a.basket
+        JOIN baskets c ON c.basket = a.basket
+        WHERE b.item > a.item AND c.item > b.item
         GROUP BY 1, 2, 3
     )
     SELECT i1, i2, i3, support FROM triples

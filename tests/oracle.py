@@ -6,6 +6,7 @@ engine is the reference's own strategy (SparkTestBase.scala:111-150).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -16,9 +17,12 @@ from celeborn_spark.catalog import TABLES, table_path
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{table_path(sf_dir, name)}'"
-        )
+        path = table_path(sf_dir, name)
+        if os.path.isdir(path):
+            # Spark-written table (directory of part files), e.g. the
+            # materialized .sf1 rung — DuckDB needs the part glob.
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 
