@@ -186,7 +186,15 @@ def main() -> None:
     # 8 shuffle partitions for the single-node bench SF: AQE would
     # coalesce most of the 32 away anyway, and fewer tasks cut fixed
     # scheduling overhead. A real cluster run sets ~2-3x total cores.
-    spark = get_spark(app_name="celeborn_spark_bench", shuffle_partitions=8)
+    # UI on: measure_action then reads stage bytes via the REST status
+    # API (one http call) instead of per-stage py4j wrappers, whose
+    # deferred finalizers degraded late-headline timings in metrics
+    # mode (see plans/metrics.py).
+    spark = get_spark(
+        app_name="celeborn_spark_bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "true"} if metrics_mode else None,
+    )
     qs = registry.queries()
 
     # warm the JVM + parquet footers with the flagship query once
@@ -197,31 +205,37 @@ def main() -> None:
     for name in headline_names():
         best = None
         try:
+            # Timing reps are ALWAYS metric-free: folding measure_action
+            # into the second rep (the r11 design) contaminated the
+            # minute-scale session — the driver-side status-store scans
+            # and their py4j traffic degraded LATE headline queries in
+            # both reps (a 2 s query read 7-8 s by position ~70; the
+            # non-metrics run of the identical set read 111 s vs 149 s).
+            # Metrics now cost one extra, untimed execution per query.
             for rep in range(2):
                 t0 = time.perf_counter()
-                if metrics_mode and rep == 1:
-                    from celeborn_spark.plans.metrics import measure_action
-
-                    # the query BUILD runs inside the metric window:
-                    # iterative operators execute eager localCheckpoint
-                    # stages at build time, which a build-then-measure
-                    # form would miss from the byte totals.
-                    m = measure_action(
-                        None, action=lambda _df, n=name: qs[n](spark, sf_dir).count()
-                    )
-                    bytes_ledger[name] = {
-                        "shuffle_write_mb": round(m.shuffle_write_bytes / 1e6, 3),
-                        "shuffle_read_mb": round(m.shuffle_read_bytes / 1e6, 3),
-                        "spill_mb": round(
-                            (m.memory_spill_bytes + m.disk_spill_bytes) / 1e6, 3
-                        ),
-                        "n_stages": m.n_stages,
-                    }
-                else:
-                    qs[name](spark, sf_dir).count()
+                qs[name](spark, sf_dir).count()
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 2)
+            if metrics_mode:
+                from celeborn_spark.plans.metrics import measure_action
+
+                # the query BUILD runs inside the metric window:
+                # iterative operators execute eager localCheckpoint
+                # stages at build time, which a build-then-measure
+                # form would miss from the byte totals.
+                m = measure_action(
+                    None, action=lambda _df, n=name: qs[n](spark, sf_dir).count()
+                )
+                bytes_ledger[name] = {
+                    "shuffle_write_mb": round(m.shuffle_write_bytes / 1e6, 3),
+                    "shuffle_read_mb": round(m.shuffle_read_bytes / 1e6, 3),
+                    "spill_mb": round(
+                        (m.memory_spill_bytes + m.disk_spill_bytes) / 1e6, 3
+                    ),
+                    "n_stages": m.n_stages,
+                }
         except Exception as exc:  # keep the bench line intact on one bad query
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)

@@ -55,38 +55,84 @@ def measure_action(df: DataFrame | None, action=None) -> ActionMetrics:
     # Stage info via the JVM status store: AppStatusStore.stageList(
     #   statuses: JList, details: Boolean, withSummaries: Boolean,
     #   unsortedQuantiles: Array[Double], taskStatus: JList)
+    ui = sc.uiWebUrl
+    if ui:
+        # REST status API: ONE http call returns every retained stage
+        # with its byte counters — no per-stage py4j wrappers. The
+        # py4j scan below creates ~2 objects per retained stage per
+        # call; across a 72-query bench their deferred finalizers
+        # arrive as synchronous gateway storms that degrade LATE
+        # queries (a 2 s query read 7-8 s by position ~70). Benchmark
+        # sessions should enable the UI to get this path.
+        import json as _json
+        from urllib.request import urlopen
+
+        url = f"{ui}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+
+        def _rest_stages():
+            with urlopen(url) as resp:
+                return _json.load(resp)
+
+        before = {s["stageId"] for s in _rest_stages()}
+        n_rows = action(df) if action is not None else df.count()
+        n_rows = n_rows if isinstance(n_rows, int) else -1
+        after = [s for s in _rest_stages() if s["stageId"] not in before]
+        return ActionMetrics(
+            shuffle_read_bytes=sum(s["shuffleReadBytes"] for s in after),
+            shuffle_write_bytes=sum(s["shuffleWriteBytes"] for s in after),
+            memory_spill_bytes=sum(s["memoryBytesSpilled"] for s in after),
+            disk_spill_bytes=sum(s["diskBytesSpilled"] for s in after),
+            n_stages=len(after),
+            n_rows=n_rows,
+        )
+
     jstore = sc._jsc.sc().statusStore()
     jvm = sc._jvm
     gw = sc._gateway
 
-    def _list_stages():
+    def _scan_stages(new_since=None):
+        """One pass over the retained stage list, extracting primitives
+        and DETACHING every py4j wrapper immediately. The lazy
+        alternative (keep the JavaObject list, let Python GC clean up)
+        leaked ~2k wrappers per call; over a 72-query metrics bench the
+        deferred detach commands arrived as multi-second synchronous
+        socket storms whenever Python GC fired, inflating whichever
+        query happened to be running (observed: a 2 s query timed at
+        19.6 s). Eager detach keeps the gateway object table flat."""
         empty = jvm.java.util.ArrayList()
         no_q = gw.new_array(jvm.double, 0)
-        return _scala_seq(jstore.stageList(empty, False, False, no_q, empty))
+        seq = jstore.stageList(empty, False, False, no_q, empty)
+        ids = set()
+        rows = []
+        it = seq.iterator()
+        while it.hasNext():
+            s = it.next()
+            sid = s.stageId()
+            ids.add(sid)
+            if new_since is not None and sid not in new_since:
+                rows.append(
+                    (
+                        s.shuffleReadBytes(),
+                        s.shuffleWriteBytes(),
+                        s.memoryBytesSpilled(),
+                        s.diskBytesSpilled(),
+                    )
+                )
+            gw.detach(s)
+        gw.detach(seq)
+        gw.detach(it)
+        return ids, rows
 
-    before = {s.stageId() for s in _list_stages()}
+    before, _ = _scan_stages()
     n_rows = action(df) if action is not None else df.count()
     n_rows = n_rows if isinstance(n_rows, int) else -1
-    after = [s for s in _list_stages() if s.stageId() not in before]
+    _, after = _scan_stages(new_since=before)
 
-    read = sum(s.shuffleReadBytes() for s in after)
-    write = sum(s.shuffleWriteBytes() for s in after)
-    mem_spill = sum(s.memoryBytesSpilled() for s in after)
-    disk_spill = sum(s.diskBytesSpilled() for s in after)
     return ActionMetrics(
-        shuffle_read_bytes=read,
-        shuffle_write_bytes=write,
-        memory_spill_bytes=mem_spill,
-        disk_spill_bytes=disk_spill,
+        shuffle_read_bytes=sum(r[0] for r in after),
+        shuffle_write_bytes=sum(r[1] for r in after),
+        memory_spill_bytes=sum(r[2] for r in after),
+        disk_spill_bytes=sum(r[3] for r in after),
         n_stages=len(after),
         n_rows=n_rows,
     )
-
-
-def _scala_seq(seq):
-    """Iterate a Scala Seq returned over py4j."""
-    out = []
-    it = seq.iterator()
-    while it.hasNext():
-        out.append(it.next())
-    return out
