@@ -202,6 +202,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     bytes_ledger: dict[str, dict[str, float]] = {}
+    # NOTE on inter-query System.gc(): tried (r12) and reverted — it
+    # fixes the rare late-session extreme (a 2 s query reading 4-8 s
+    # once the deferred major GC lands inside its rep) but costs MORE
+    # in aggregate: the collection's concurrent phases and the
+    # ContextCleaner churn it triggers bleed into the next timed rep
+    # (+16.5 s net across the 72-query set, e.g. mmr_select +3.5 s).
+    # The sf1 rung keeps it (scripts/sf1_rung.py run_headline) because
+    # there the positional artifact distorts growth RATIOS 3x, which
+    # is the quantity that ledger exists to measure.
     for name in headline_names():
         best = None
         try:

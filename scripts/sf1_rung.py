@@ -221,7 +221,10 @@ def run_headline(spark) -> None:
     worst = ("", 0.0)
     exch_moves = []
     failed = []
+    jvm_gc = spark._jvm.System.gc
     for name in names:
+        # untimed inter-query GC — same isolation rationale as bench.py
+        jvm_gc()
         walls = {}
         exch = {}
         for label, sf_dir in (("0.1", SF01), ("1", SF1)):
