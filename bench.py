@@ -227,7 +227,15 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 2)
-            if metrics_mode:
+        except Exception as exc:  # keep the bench line intact on one bad query
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
+        if metrics_mode:
+            # Own try scope (r12 ADVICE item 2): a metrics failure
+            # (e.g. a REST endpoint hiccup) must log and move on, not
+            # overwrite the valid timing recorded above with -1.0.
+            try:
                 from celeborn_spark.plans.metrics import measure_action
 
                 # the query BUILD runs inside the metric window:
@@ -245,9 +253,8 @@ def main() -> None:
                     ),
                     "n_stages": m.n_stages,
                 }
-        except Exception as exc:  # keep the bench line intact on one bad query
-            timings[name] = -1.0
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            except Exception as exc:
+                print(f"bench: {name} metrics FAILED: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     line = json.dumps(

@@ -67,16 +67,25 @@ def measure_action(df: DataFrame | None, action=None) -> ActionMetrics:
         import json as _json
         from urllib.request import urlopen
 
-        url = f"{ui}/api/v1/applications/{sc.applicationId}/stages?status=complete"
+        base = f"{ui}/api/v1/applications/{sc.applicationId}/stages"
 
-        def _rest_stages():
-            with urlopen(url) as resp:
+        def _rest_stages(status: str | None):
+            # timeout: a wedged UI endpoint must fail the metrics read,
+            # not hang the bench (r12 ADVICE item 3).
+            q = f"?status={status}" if status else ""
+            with urlopen(base + q, timeout=30) as resp:
                 return _json.load(resp)
 
-        before = {s["stageId"] for s in _rest_stages()}
+        # `before` snapshots ALL statuses (r12 ADVICE item 3): a stage
+        # from a prior query still marked active/pending here — the
+        # AppStatusListener completes stages asynchronously — would be
+        # absent from a complete-only `before` set and its bytes would
+        # be attributed to the measured action. The `after` read keeps
+        # status=complete so only finished counters are summed.
+        before = {s["stageId"] for s in _rest_stages(None)}
         n_rows = action(df) if action is not None else df.count()
         n_rows = n_rows if isinstance(n_rows, int) else -1
-        after = [s for s in _rest_stages() if s["stageId"] not in before]
+        after = [s for s in _rest_stages("complete") if s["stageId"] not in before]
         return ActionMetrics(
             shuffle_read_bytes=sum(s["shuffleReadBytes"] for s in after),
             shuffle_write_bytes=sum(s["shuffleWriteBytes"] for s in after),

@@ -78,89 +78,84 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #     (driver-green since r04) plus the sampled_recall_ok bound column.
 # (q_approx_stats left this list in r11 — see above.)
 #
-# R12 WINDOW (this rotation; VERDICT r11 item 1): the never-driver-
-# checked oracle-backed backlog is exactly the 101 operators ADDED in
-# r11 after the freeze lifted. This window spends ALL 50 slots on that
-# backlog — no reps, because the two-window drain math requires it
-# (101 - 50 here leaves 51 for r13's window; any rep slot pushes an
-# r11 operator past r13). Composition: the full parts-1..12 batch (43,
-# the older additions) + the first 7 of parts 13-14 (isotonic,
-# periodogram, durbin_watson, rmst, atkinson, cronbach, fleiss).
-# All 50 were validated cell-by-cell exact at sf0.01 AND sf0.1 under
-# a vanilla session before registration was committed, re-swept at
-# r11 close, and re-validated for THIS rotation (see COVERAGE.md r12).
+# R12 WINDOW (previous rotation; VERDICT r11 item 1): spent all 50
+# slots on the first half of the 101-query r11 backlog (parts 1-12 +
+# the head of parts 13-14). Result: CORRECTNESS_r12.json 50/50 green.
 #
-# R13 PLAN: window := the remaining 51 never-witnessed (parts 14-27:
-# chow, mood_median/grubbs/horvitz_thompson/pacf, kuiper/cvm/katz/
-# stratified_att, anderson_darling/cohens_h/seasonal_decompose/vif,
-# mann_kendall/poisson_2rate/diversity_profile/weighted_kappa,
-# abc/cooks_distance/price_elasticity/order_gaps, kendall_w/
-# stuart_maxwell/indirect_standardization/fisher_z, multimodal_ahash/
-# ahash_near_dup/variance_ratio/rbo_overlap, hurst/logistic_growth/
-# growth_accounting/heaps_law, jonckheere/dunn/partial_correlation/
-# iqr_outliers, paired_t/sign_test/wilcoxon/hash_uniformity,
-# benford_second/price_endings/top_share/activity_heatmap,
-# woe_iv/oaxaca/user_mtbf, tukey_biweight/control_chart/chi_residuals,
-# and the SQL-features four: rank_eval-adjacent classifier_report is
-# in r12; remaining: kuiper/cvm/anderson_darling already listed) —
-# 51 into 50 slots: the ONE overflow rides to r14 (pick the least
-# recently source-touched). Prioritize any query whose source changes
-# in the meantime into the next window.
+# R13 WINDOW (this rotation — closes the drain): the remaining 51
+# never-driver-witnessed queries, 50 of them here. The ONE overflow
+# is q_chow_test, deferred to r14 by the committed rule (least
+# recently source-touched; four candidates tie on last-touch commit
+# and q_chow_test is first of the tied cohort in registry line
+# order — stats.py:2825). All 50 below were pre-validated at r12
+# close cell-by-cell exact at sf0.01, sf0.1 AND sf1 under vanilla
+# local[4] sessions (COVERAGE.md r12 close gates), and re-swept for
+# this rotation (COVERAGE.md r13).
+#
+# R14 PLAN: window := q_chow_test + any operators added in r13 +
+# reps. After r13 the never-witnessed backlog fits well inside one
+# window, so new additions are bounded by window slack per VERDICT
+# r11 item 2. Prioritize any query whose source changes into the
+# next window.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
-    # --- r11 parts 1-12 batch (43) ---
-    "q_cliffs_delta",
-    "q_rank_eval",
-    "q_fisher_exact",
-    "q_readability",
-    "q_embedding_drift",
-    "q_dp_counts",
-    "q_interval_join",
-    "q_hill_tail",
-    "q_shapley_attribution",
-    "q_gumbel_maxima",
-    "q_cochran_q",
-    "q_bayes_ab",
-    "q_itemsets3",
-    "q_geometric_median",
-    "q_variant_json",
-    "q_collation_group",
-    "q_udtf_tokens",
-    "q_recursive_cte",
-    "q_listagg",
-    "q_sql_pipe",
-    "q_sql_udf",
-    "q_bleu_corpus",
-    "q_rouge_overlap",
-    "q_odds_ratio",
-    "q_bartlett_test",
-    "q_bradley_terry",
-    "q_friedman_test",
-    "q_ljung_box",
-    "q_eigenvector_centrality",
-    "q_mantel_haenszel",
-    "q_tost_equivalence",
-    "q_negbin_fit",
-    "q_page_hinkley",
-    "q_davies_bouldin",
-    "q_permutation_test",
-    "q_hosmer_lemeshow",
-    "q_embedding_whiten",
-    "q_classifier_report",
-    "q_gopher_rules",
-    "q_mixture_em",
-    "q_capture_recapture",
-    "q_price_index",
-    "q_dp_quantile",
-    # --- parts 13-14 head (7) ---
-    "q_isotonic_calibration",
-    "q_periodogram",
-    "q_durbin_watson",
-    "q_rmst",
-    "q_atkinson_index",
-    "q_cronbach_alpha",
-    "q_fleiss_kappa",
+    # --- parts 14-17: EDF / robust / causal desks ---
+    "q_mood_median",
+    "q_grubbs_test",
+    "q_horvitz_thompson",
+    "q_pacf",
+    "q_kuiper_test",
+    "q_cramer_von_mises",
+    "q_katz_centrality",
+    "q_stratified_att",
+    "q_anderson_darling",
+    "q_cohens_h",
+    "q_seasonal_decompose",
+    "q_vif",
+    "q_mann_kendall",
+    "q_poisson_2rate",
+    "q_diversity_profile",
+    "q_weighted_kappa",
+    # --- parts 18-20: econ / ops desks ---
+    "q_abc_analysis",
+    "q_cooks_distance",
+    "q_price_elasticity",
+    "q_order_gaps",
+    "q_kendall_w",
+    "q_stuart_maxwell",
+    "q_indirect_standardization",
+    "q_fisher_z_corr",
+    # --- parts 21-22: multimodal near-dup + rank overlap ---
+    "q_multimodal_ahash",
+    "q_ahash_near_dup",
+    "q_variance_ratio",
+    "q_rbo_overlap",
+    # --- parts 23-24: growth / long-memory desks ---
+    "q_hurst_rs",
+    "q_logistic_growth",
+    "q_growth_accounting",
+    "q_heaps_law",
+    "q_jonckheere",
+    "q_dunn_test",
+    "q_partial_correlation",
+    "q_iqr_outliers",
+    # --- parts 25-26: paired tests + audit desks ---
+    "q_paired_t",
+    "q_sign_test",
+    "q_wilcoxon",
+    "q_hash_uniformity",
+    "q_benford_second",
+    "q_price_endings",
+    "q_top_share",
+    "q_activity_heatmap",
+    # --- part 27: decomposition / reliability / SPC desks ---
+    "q_woe_iv",
+    "q_oaxaca",
+    "q_user_mtbf",
+    "q_tukey_biweight",
+    "q_control_chart",
+    "q_chi_residuals",
 )
 
 

@@ -223,11 +223,16 @@ def run_headline(spark) -> None:
     failed = []
     jvm_gc = spark._jvm.System.gc
     for name in names:
-        # untimed inter-query GC — same isolation rationale as bench.py
-        jvm_gc()
         walls = {}
         exch = {}
         for label, sf_dir in (("0.1", SF01), ("1", SF1)):
+            # untimed GC before EACH (label, sf_dir) rep pair, not once
+            # per query (r12 ADVICE item 4): with a single per-query GC
+            # the sf1 pair runs after the sf0.1 pair's allocations, and
+            # late-positional GC landing inside the sf1 reps inflates
+            # exactly the numerator of the growth ratio this ledger
+            # measures.
+            jvm_gc()
             try:
                 best = None
                 df = None
