@@ -11040,3 +11040,810 @@ def chi_residuals_oracle_sql(
     JOIN chr_cols USING (c)
     CROSS JOIN chr_tot
     """
+
+
+# --------------------------------------------------------------------------
+# Serial-independence / homogeneity series desk (r13): von Neumann ratio,
+# SNHT, Buishand range, permutation entropy — all over a BOUNDED daily
+# series (the histogram-bounded discipline: day count caps every window).
+# --------------------------------------------------------------------------
+
+
+def _sq(c: Column) -> Column:
+    """x*x, never pow(x, 2): JVM Math.pow and C libm disagree in the
+    last ulp where the plain product is IEEE-exact (r9 lesson)."""
+    return c * c
+
+
+def von_neumann_ratio(df: DataFrame, day_col: str, v_col: str, dp: int = 6) -> DataFrame:
+    """von Neumann ratio of the daily series: eta = sum of squared
+    successive differences / sum of squared deviations — the classic
+    serial-independence screen (eta ~ 2 under independence, < 2 under
+    positive autocorrelation) completing the randomness desk beside
+    the runs test (signs) and Durbin-Watson (regression residuals;
+    this is DW's raw-series ancestor). Output ONE row:
+    (n_days, vn_ratio, vn_vs_null).
+
+    ``v_col`` must be an exact BIGINT (k$ grain for daily revenue:
+    sum-of-squares stays inside int64 to ~1e6 days x 1e6 k$/day —
+    documented bound). Numerator and denominator are exact integer
+    sums; the ratio is one double division rounded ``dp``.
+
+    Scale shape (100 TB): the lag window orders the BOUNDED daily
+    grain (unique day = total order), then ONE map-combined
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    lagged = df.select(
+        v.alias("v"),
+        F.lag(v).over(W.orderBy(F.col(day_col))).alias("pv"),
+    )
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("q"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull(),
+                (F.col("v") - F.col("pv")) * (F.col("v") - F.col("pv")),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("d2"),
+    )
+    return mom.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.col("d2") / (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")),
+            dp,
+        ).alias("vn_ratio"),
+        F.round(
+            F.col("d2") / (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")) / 2.0,
+            dp,
+        ).alias("vn_vs_null"),
+    )
+
+
+def von_neumann_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `von_neumann_ratio`. ``series_sql`` yields
+    (day, v BIGINT) one row per day."""
+    return f"""
+    WITH vnr_series AS ({series_sql}),
+    vnr_lag AS (
+        SELECT v, lag(v) OVER (ORDER BY day) AS pv FROM vnr_series
+    ),
+    vnr_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS q,
+               CAST(sum(CASE WHEN pv IS NOT NULL
+                             THEN (v - pv) * (v - pv) ELSE 0 END)
+                    AS BIGINT) AS d2
+        FROM vnr_lag
+    )
+    SELECT n AS n_days,
+           round(d2 / (q - CAST(s AS DOUBLE) * s / n), {dp}) AS vn_ratio,
+           round(d2 / (q - CAST(s AS DOUBLE) * s / n) / 2.0, {dp})
+               AS vn_vs_null
+    FROM vnr_mom
+    """
+
+
+def snht_test(df: DataFrame, day_col: str, v_col: str, dp: int = 6) -> DataFrame:
+    """Standard Normal Homogeneity Test (Alexandersson): T(t) =
+    t*zbar1^2 + (n-t)*zbar2^2 maximized over split points — the
+    level-shift locator tuned for breaks near the SERIES EDGES where
+    Pettitt's rank statistic loses power (the two are the
+    complementary pair of the homogeneity desk). Output ONE row:
+    (n_days, break_day, snht_t).
+
+    Mean/sd round ``dp`` once; each T(t) is exact prefix-sum algebra
+    on BIGINTs divided by the rounded sd, re-rounded ``dp``; argmax
+    ranks on the ROUNDED statistic with the day tiebreaker (the rank-
+    on-rounded rule).
+
+    Scale shape (100 TB): prefix sums over the BOUNDED daily grain
+    (unique day = total order), one orderBy().limit(1) cut."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    ).select(
+        "n",
+        "s",
+        F.round(F.col("s").cast("double") / F.col("n"), dp).alias("m"),
+        F.round(
+            F.sqrt(
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            dp,
+        ).alias("sd"),
+    )
+    pre = df.select(
+        F.col(day_col).alias("day"),
+        F.sum(v).over(
+            W.orderBy(F.col(day_col)).rowsBetween(W.unboundedPreceding, 0)
+        ).cast("long").alias("pf"),
+        F.row_number().over(W.orderBy(F.col(day_col))).cast("long").alias("t"),
+    )
+    scored = (
+        pre.crossJoin(F.broadcast(mom))
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "day",
+            "n",
+            # x*x, never pow(x, 2): JVM Math.pow and C libm differ in
+            # the last ulp (the r9 cross-engine lesson).
+            F.round(
+                F.col("t") * _sq((F.col("pf") / F.col("t") - F.col("m")) / F.col("sd"))
+                + (F.col("n") - F.col("t"))
+                * _sq(
+                    ((F.col("s") - F.col("pf")) / (F.col("n") - F.col("t")) - F.col("m"))
+                    / F.col("sd")
+                ),
+                dp,
+            ).alias("snht_t"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("snht_t").desc(), "day")
+        .limit(1)
+        .select(F.col("n").alias("n_days"), F.col("day").alias("break_day"), "snht_t")
+    )
+
+
+def snht_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `snht_test` over ``series_sql`` (day, v)."""
+    return f"""
+    WITH snh_series AS ({series_sql}),
+    snh_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               round(CAST(sum(v) AS DOUBLE) / count(*), {dp}) AS m,
+               round(sqrt((sum(v * v) - CAST(sum(v) AS DOUBLE) * sum(v)
+                           / count(*)) / (count(*) - 1)), {dp}) AS sd
+        FROM snh_series
+    ),
+    snh_pre AS (
+        SELECT day,
+               CAST(sum(v) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pf,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM snh_series
+    ),
+    snh_scored AS (
+        SELECT day, n,
+               round(t * ((pf / t - m) / sd) * ((pf / t - m) / sd)
+                     + (n - t) * (((s - pf) / (n - t) - m) / sd)
+                       * (((s - pf) / (n - t) - m) / sd), {dp}) AS snht_t
+        FROM snh_pre CROSS JOIN snh_mom
+        WHERE t < n
+    )
+    SELECT n AS n_days, day AS break_day, snht_t
+    FROM snh_scored
+    ORDER BY snht_t DESC, day
+    LIMIT 1
+    """
+
+
+def buishand_range(df: DataFrame, day_col: str, v_col: str, dp: int = 6) -> DataFrame:
+    """Buishand rescaled-range homogeneity statistic: partial sums of
+    deviations S_t = prefix_t - t*mean, R = (max S - min S)/sd_pop,
+    emitted as R/sqrt(n) — the cumulative-deviation member of the
+    homogeneity desk (SNHT normalizes a split in z-units; Buishand
+    reads the whole excursion envelope). Output ONE row:
+    (n_days, r_stat, r_over_sqrt_n).
+
+    Each S_t is exact-integer prefix algebra with ONE division
+    (t*s/n); max/min over those deterministic doubles are order-free;
+    sd_pop is one sqrt of exact-integer algebra. Rounds ``dp`` at
+    emit only.
+
+    Scale shape (100 TB): one prefix window over the BOUNDED daily
+    grain + one map-combined reduce."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    pre = df.select(
+        F.sum(v).over(
+            W.orderBy(F.col(day_col)).rowsBetween(W.unboundedPreceding, 0)
+        ).cast("long").alias("pf"),
+        F.row_number().over(W.orderBy(F.col(day_col))).cast("long").alias("t"),
+    )
+    sk = pre.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "s",
+        "q",
+        (F.col("pf") - F.col("t") * F.col("s").cast("double") / F.col("n")).alias("sk"),
+    )
+    return sk.groupBy("n", "s", "q").agg(
+        F.max("sk").alias("mx"), F.min("sk").alias("mn")
+    ).select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("mx") - F.col("mn"))
+            / F.sqrt(
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / F.col("n")
+            ),
+            dp,
+        ).alias("r_stat"),
+        F.round(
+            (F.col("mx") - F.col("mn"))
+            / F.sqrt(
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / F.col("n")
+            )
+            / F.sqrt(F.col("n").cast("double")),
+            dp,
+        ).alias("r_over_sqrt_n"),
+    )
+
+
+def buishand_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `buishand_range` over ``series_sql`` (day, v)."""
+    return f"""
+    WITH bui_series AS ({series_sql}),
+    bui_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS q
+        FROM bui_series
+    ),
+    bui_pre AS (
+        SELECT CAST(sum(v) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS pf,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM bui_series
+    ),
+    bui_sk AS (
+        SELECT n, s, q, pf - t * CAST(s AS DOUBLE) / n AS sk
+        FROM bui_pre CROSS JOIN bui_mom
+    ),
+    bui_env AS (
+        SELECT n, s, q, max(sk) AS mx, min(sk) AS mn
+        FROM bui_sk GROUP BY n, s, q
+    )
+    SELECT n AS n_days,
+           round((mx - mn) / sqrt((q - CAST(s AS DOUBLE) * s / n) / n), {dp})
+               AS r_stat,
+           round((mx - mn) / sqrt((q - CAST(s AS DOUBLE) * s / n) / n)
+                 / sqrt(CAST(n AS DOUBLE)), {dp}) AS r_over_sqrt_n
+    FROM bui_env
+    """
+
+
+def permutation_entropy(df: DataFrame, day_col: str, v_col: str, dp: int = 6) -> DataFrame:
+    """Permutation entropy (Bandt-Pompe, order 3): Shannon entropy of
+    the ordinal-pattern distribution of consecutive triples — the
+    model-free complexity gauge of the series desk (spectral ops read
+    periodicity, ACF reads linear memory; ordinal patterns catch
+    nonlinear determinism and are immune to monotone rescaling).
+    Ties get their own pattern classes (cmp in {lt,eq,gt} per pair =
+    27 bounded classes). Output ONE row:
+    (n_triples, n_patterns, perm_entropy, norm_entropy).
+
+    Pattern codes are exact integer comparisons; p*ln(p) sums over
+    <= 27 classes round ``dp`` (the vocabulary-bounded log-sum rule).
+
+    Scale shape (100 TB): two lag windows over the BOUNDED daily
+    grain, one 27-class aggregate."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(day_col))
+    v = F.col(v_col)
+    trip = df.select(
+        v.alias("c"),
+        F.lag(v, 1).over(w).alias("b"),
+        F.lag(v, 2).over(w).alias("a"),
+    ).filter(F.col("a").isNotNull())
+
+    def cmp(x, y):
+        return F.when(x < y, F.lit(0)).when(x == y, F.lit(1)).otherwise(F.lit(2))
+
+    coded = trip.select(
+        (
+            cmp(F.col("a"), F.col("b"))
+            + cmp(F.col("b"), F.col("c")) * 3
+            + cmp(F.col("a"), F.col("c")) * 9
+        ).cast("long").alias("pattern")
+    )
+    hist = coded.groupBy("pattern").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n_triples"),
+            F.count(F.lit(1)).cast("long").alias("n_patterns"),
+            F.round(
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("n"))
+                ),
+                dp,
+            ).alias("perm_entropy"),
+            F.round(
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("n"))
+                    * F.log(F.col("c").cast("double") / F.col("n"))
+                )
+                / F.log(F.lit(6.0)),
+                dp,
+            ).alias("norm_entropy"),
+        )
+    )
+
+
+def permutation_entropy_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `permutation_entropy` over ``series_sql``."""
+    code = (
+        "(CASE WHEN a < b THEN 0 WHEN a = b THEN 1 ELSE 2 END"
+        " + 3 * (CASE WHEN b < c THEN 0 WHEN b = c THEN 1 ELSE 2 END)"
+        " + 9 * (CASE WHEN a < c THEN 0 WHEN a = c THEN 1 ELSE 2 END))"
+    )
+    return f"""
+    WITH pme_series AS ({series_sql}),
+    pme_trip AS (
+        SELECT v AS c,
+               lag(v, 1) OVER (ORDER BY day) AS b,
+               lag(v, 2) OVER (ORDER BY day) AS a
+        FROM pme_series
+    ),
+    pme_coded AS (
+        SELECT CAST({code} AS BIGINT) AS pattern
+        FROM pme_trip WHERE a IS NOT NULL
+    ),
+    pme_hist AS (
+        SELECT pattern, CAST(count(*) AS BIGINT) AS c
+        FROM pme_coded GROUP BY 1
+    ),
+    pme_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM pme_hist)
+    SELECT max(n) AS n_triples,
+           CAST(count(*) AS BIGINT) AS n_patterns,
+           round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)),
+                 {dp}) AS perm_entropy,
+           round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                 / ln(6.0), {dp}) AS norm_entropy
+    FROM pme_hist CROSS JOIN pme_tot
+    """
+
+
+# --------------------------------------------------------------------------
+# Robust location (Huber) + errors-in-variables regression (Deming)
+# --------------------------------------------------------------------------
+
+
+def huber_m_location(df: DataFrame, units_col: str, dp: int = 6) -> DataFrame:
+    """Huber M-estimator of location (k = 1.345, 2 IRLS rounds): the
+    bounded-influence robust mean between the hard trim (q_trimmed_mean)
+    and the smooth redescender (q_tukey_biweight) — inliers vote with
+    weight 1, outliers with weight k*sd/|x - m| that decays but never
+    vanishes. Output ONE row: (n, mean_raw, huber_mean).
+
+    Same exactness scheme as `tukey_biweight`: integer round-0
+    moments (mean/sd rounded ``dp``), per-row weights quantized to
+    micro-units so each round's weighted sums are exact BIGINTs, and
+    each center re-rounds ``dp`` before feeding the next round.
+    ``units_col`` must keep w6*y inside int64 (dollar grain).
+
+    Scale shape (100 TB): three map-combined aggregates, no window,
+    no join."""
+    y = F.col(units_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("q"),
+    )
+    m0sd = mom.select(
+        "n",
+        "s",
+        F.round(F.expr("CAST(s AS DOUBLE) / n"), dp).alias("m"),
+        F.round(
+            F.expr("sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1))"), dp
+        ).alias("sd"),
+    )
+
+    def one_round(center_col: str):
+        au = F.abs(y - F.col(center_col)) / (F.lit(1.345) * F.col("sd"))
+        w6 = F.when(au <= 1, F.lit(1_000_000)).otherwise(
+            F.floor(F.lit(1_000_000.0) / au + F.lit(0.5))
+        ).cast("long")
+        return F.round(F.sum(w6 * y).cast("double") / F.sum(w6), dp)
+
+    b = df.crossJoin(F.broadcast(m0sd))
+    r1 = b.groupBy("n", "s", "m", "sd").agg(one_round("m").alias("m1"))
+    b2 = df.crossJoin(F.broadcast(r1))
+    out = b2.groupBy("n", "s", "m", "sd", "m1").agg(
+        one_round("m1").alias("huber_mean")
+    )
+    return out.select(
+        "n", F.expr("CAST(s AS DOUBLE) / n").alias("mean_raw"), "huber_mean"
+    )
+
+
+def huber_m_oracle_sql(table_sql: str, units_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `huber_m_location`."""
+
+    def rnd(center):
+        au = f"abs(({units_sql}) - {center}) / (1.345 * sd)"
+        w6 = (
+            f"CASE WHEN {au} <= 1 THEN CAST(1000000 AS BIGINT)"
+            f" ELSE CAST(floor(1000000.0 / ({au}) + 0.5) AS BIGINT) END"
+        )
+        return (
+            f"round(CAST(sum({w6} * ({units_sql})) AS DOUBLE)"
+            f" / sum({w6}), {dp})"
+        )
+
+    return f"""
+    WITH hub_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({units_sql}) AS BIGINT) AS s,
+               CAST(sum(({units_sql}) * ({units_sql})) AS BIGINT) AS q
+        FROM {table_sql}
+    ),
+    hub_seed AS (
+        SELECT n, s,
+               round(CAST(s AS DOUBLE) / n, {dp}) AS m,
+               round(sqrt((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), {dp})
+                   AS sd
+        FROM hub_mom
+    ),
+    hub_r1 AS (
+        SELECT n, s, m, sd, {rnd("m")} AS m1
+        FROM {table_sql} CROSS JOIN hub_seed
+        GROUP BY n, s, m, sd
+    ),
+    hub_r2 AS (
+        SELECT n, s, m1, {rnd("m1")} AS huber_mean
+        FROM {table_sql} CROSS JOIN hub_r1
+        GROUP BY n, s, m1, sd
+    )
+    SELECT n, CAST(s AS DOUBLE) / n AS mean_raw, huber_mean
+    FROM hub_r2
+    """
+
+
+def deming_regression(
+    df: DataFrame, x_col: str, y_col: str, dp: int = 6
+) -> DataFrame:
+    """Deming (errors-in-variables, lambda = 1) regression of y on x:
+    the symmetric fit for when BOTH variables are measured with
+    noise — OLS (q_grouped_ols_trend) attributes all error to y and
+    biases the slope toward zero; Deming minimizes perpendicular
+    distance. Closed form from second moments:
+    slope = ((Syy - Sxx) + sqrt((Syy - Sxx)^2 + 4*Sxy^2)) / (2*Sxy).
+    Output ONE row: (n, slope, intercept, pearson_r).
+
+    ``x_col``/``y_col`` must be exact BIGINTs at grains whose cross
+    and square sums fit int64 (documented per query). Centered
+    moments are exact-integer algebra with single divisions; one
+    sqrt; all emitted values round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined aggregate."""
+    x, y = F.col(x_col), F.col(y_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    c = mom.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("cxx"),
+        (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("cyy"),
+        (F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("cxy"),
+    )
+    slope = (
+        F.col("cyy")
+        - F.col("cxx")
+        + F.sqrt(
+            _sq(F.col("cyy") - F.col("cxx")) + 4 * _sq(F.col("cxy"))
+        )
+    ) / (2 * F.col("cxy"))
+    return c.select(
+        "n",
+        F.round(slope, dp).alias("slope"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * F.col("sx").cast("double") / F.col("n"),
+            dp,
+        ).alias("intercept"),
+        F.round(
+            F.col("cxy") / F.sqrt(F.col("cxx") * F.col("cyy")), dp
+        ).alias("pearson_r"),
+    )
+
+
+def deming_oracle_sql(
+    table_sql: str, x_sql: str, y_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `deming_regression`."""
+    return f"""
+    WITH dem_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({x_sql}) AS BIGINT) AS sx,
+               CAST(sum({y_sql}) AS BIGINT) AS sy,
+               CAST(sum(({x_sql}) * ({x_sql})) AS BIGINT) AS sxx,
+               CAST(sum(({y_sql}) * ({y_sql})) AS BIGINT) AS syy,
+               CAST(sum(({x_sql}) * ({y_sql})) AS BIGINT) AS sxy
+        FROM {table_sql}
+    ),
+    dem_c AS (
+        SELECT n, sx, sy,
+               sxx - CAST(sx AS DOUBLE) * sx / n AS cxx,
+               syy - CAST(sy AS DOUBLE) * sy / n AS cyy,
+               sxy - CAST(sx AS DOUBLE) * sy / n AS cxy
+        FROM dem_mom
+    ),
+    dem_s AS (
+        SELECT n, sx, sy, cxx, cyy, cxy,
+               (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                 + 4 * cxy * cxy)) / (2 * cxy) AS sl
+        FROM dem_c
+    )
+    SELECT n,
+           round(sl, {dp}) AS slope,
+           round(CAST(sy AS DOUBLE) / n - sl * CAST(sx AS DOUBLE) / n, {dp})
+               AS intercept,
+           round(cxy / sqrt(cxx * cyy), {dp}) AS pearson_r
+    FROM dem_s
+    """
+
+
+# --------------------------------------------------------------------------
+# Rank-based dispersion / within-block tests: Ansari-Bradley, Quade
+# --------------------------------------------------------------------------
+
+
+def ansari_bradley(
+    df: DataFrame, flag_col: str, v_col: str, dp: int = 6
+) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test: scores a_i =
+    min(rank_i, N+1-rank_i) pile mass at the distribution edges, so
+    the group-1 score sum drops when group 1 is MORE spread — the
+    rank-based dispersion sibling of Brown-Forsythe (which compares
+    centered means) and Mood's median test (which compares centers).
+    Output ONE row: (n1, n2, ab_stat2, e_stat2, z).
+
+    All-integer via the doubled-midrank trick: on the VALUE histogram
+    (dedupe-before-window — only distinct values enter the rank
+    window), 2*midrank = lo + hi is exact BIGINT even under ties, so
+    score2 = min(r2, 2*(N+1) - r2) and every sum stays integer. The
+    normal approximation uses the exact finite-population variance of
+    a without-replacement draw from the observed score multiset
+    (tie-correct by construction):
+    Var = n1*n2*(Q2 - T2^2/N) / (N*(N-1)) on the score2 scale.
+    sum(c*score2^2) <= N^3 — keep units <= ~2e6 rows (documented).
+
+    Scale shape (100 TB): one value-histogram aggregate, one window
+    over DISTINCT values, one map-combined reduce."""
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.groupBy(F.col(v_col).alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.col(flag_col).cast("long")).cast("long").alias("c1"),
+        )
+    )
+    cum = hist.select(
+        "v",
+        "c",
+        "c1",
+        (
+            F.sum("c").over(
+                W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("c")
+        ).cast("long").alias("before"),
+    )
+    tot = cum.agg(F.sum("c").cast("long").alias("nn"))
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "c1",
+        "nn",
+        F.least(
+            2 * F.col("before") + F.col("c") + 1,
+            2 * (F.col("nn") + 1) - (2 * F.col("before") + F.col("c") + 1),
+        ).cast("long").alias("s2"),
+    )
+    agg = scored.agg(
+        F.max("nn").alias("nn"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c") * F.col("s2")).cast("long").alias("t2"),
+        F.sum(F.col("c") * F.col("s2") * F.col("s2")).cast("long").alias("q2"),
+        F.sum(F.col("c1") * F.col("s2")).cast("long").alias("a2"),
+    )
+    return agg.select(
+        F.col("n1"),
+        (F.col("nn") - F.col("n1")).alias("n2"),
+        F.col("a2").alias("ab_stat2"),
+        F.round(
+            F.col("n1") * F.col("t2").cast("double") / F.col("nn"), dp
+        ).alias("e_stat2"),
+        F.round(
+            (F.col("a2") - F.col("n1") * F.col("t2").cast("double") / F.col("nn"))
+            / F.sqrt(
+                F.col("n1").cast("double")
+                * (F.col("nn") - F.col("n1"))
+                * (F.col("q2") - F.col("t2").cast("double") * F.col("t2") / F.col("nn"))
+                / (F.col("nn").cast("double") * (F.col("nn") - 1))
+            ),
+            dp,
+        ).alias("z"),
+    )
+
+
+def ansari_bradley_oracle_sql(
+    units_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `ansari_bradley`. ``units_sql`` yields one
+    row per unit with BIGINT ``v`` and 0/1 ``flag``."""
+    return f"""
+    WITH anb_units AS ({units_sql}),
+    anb_hist AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(flag) AS BIGINT) AS c1
+        FROM anb_units GROUP BY 1
+    ),
+    anb_cum AS (
+        SELECT v, c, c1,
+               CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS before
+        FROM anb_hist
+    ),
+    anb_tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM anb_hist),
+    anb_scored AS (
+        SELECT c, c1, nn,
+               least(2 * before + c + 1,
+                     2 * (nn + 1) - (2 * before + c + 1)) AS s2
+        FROM anb_cum CROSS JOIN anb_tot
+    ),
+    anb_agg AS (
+        SELECT max(nn) AS nn,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c * s2) AS BIGINT) AS t2,
+               CAST(sum(c * s2 * s2) AS BIGINT) AS q2,
+               CAST(sum(c1 * s2) AS BIGINT) AS a2
+        FROM anb_scored
+    )
+    SELECT n1, nn - n1 AS n2, a2 AS ab_stat2,
+           round(n1 * CAST(t2 AS DOUBLE) / nn, {dp}) AS e_stat2,
+           round((a2 - n1 * CAST(t2 AS DOUBLE) / nn)
+                 / sqrt(CAST(n1 AS DOUBLE) * (nn - n1)
+                        * (q2 - CAST(t2 AS DOUBLE) * t2 / nn)
+                        / (CAST(nn AS DOUBLE) * (nn - 1))), {dp}) AS z
+    FROM anb_agg
+    """
+
+
+def quade_test(
+    df: DataFrame, block_col: str, treat_col: str, v_col: str, dp: int = 6
+) -> DataFrame:
+    """Quade within-block test: Friedman's block-ranked comparison,
+    but blocks VOTE with weight = rank of their value RANGE, so
+    high-signal blocks dominate — the power upgrade when block
+    effects differ in magnitude (q_friedman_test treats all blocks
+    equally). Output ONE row: (n_blocks, k_treatments, quade_f,
+    df_num, df_den).
+
+    All-integer doubled-midrank algebra at BOTH levels: within-block
+    cell ranks r2 = 2*cnt_lt + cnt_eq + 1 from the bounded k x k
+    pair join; block-range ranks Q2 the same way over blocks. The
+    scaled scores S4 = Q2*(r2 - (k+1)) are exact BIGINTs; the F
+    statistic's x16 scale cancels exactly in (b-1)*B/(A-B).
+
+    Scale shape (100 TB): cells are a (block x treatment)-bounded
+    aggregate; both rank joins are bounded self-joins on that grain."""
+    cells = df.groupBy(
+        F.col(block_col).alias("blk"), F.col(treat_col).alias("trt")
+    ).agg(F.sum(F.col(v_col)).cast("long").alias("val"))
+    cells = cells.localCheckpoint()  # re-read by both rank joins
+    # bounded driver actions: distinct treatment / block counts are
+    # grid-sized scalars (k x b cells), needed as Python ints for the
+    # F-statistic's literal degrees of freedom.
+    k_treat = cells.select("trt").distinct().count()
+    # within-block doubled midranks from the bounded k x k pair join
+    pairs = cells.alias("a").join(cells.alias("b"), F.col("a.blk") == F.col("b.blk"))
+    r2 = pairs.groupBy(
+        F.col("a.blk").alias("blk"), F.col("a.trt").alias("trt"),
+        F.col("a.val").alias("val"),
+    ).agg(
+        (
+            2 * F.sum((F.col("b.val") < F.col("a.val")).cast("long"))
+            + F.sum((F.col("b.val") == F.col("a.val")).cast("long"))
+            + 1
+        ).cast("long").alias("r2")
+    )
+    rng = cells.groupBy("blk").agg(
+        (F.max("val") - F.min("val")).cast("long").alias("rng")
+    )
+    rpairs = rng.alias("a").crossJoin(rng.alias("b"))
+    q2 = rpairs.groupBy(F.col("a.blk").alias("blk"), F.col("a.rng").alias("rng")).agg(
+        (
+            2 * F.sum((F.col("b.rng") < F.col("a.rng")).cast("long"))
+            + F.sum((F.col("b.rng") == F.col("a.rng")).cast("long"))
+            + 1
+        ).cast("long").alias("q2")
+    )
+    s4 = r2.join(q2, "blk").select(
+        "blk",
+        "trt",
+        (F.col("q2") * (F.col("r2") - F.lit(k_treat + 1))).cast("long").alias("s4"),
+    )
+    b_cnt = s4.select("blk").distinct().count()  # bounded (see above)
+    per_t = s4.groupBy("trt").agg(F.sum("s4").cast("long").alias("st"))
+    a4 = s4.agg(F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a4"))
+    b4 = per_t.agg(
+        (F.sum(F.col("st").cast("double") * F.col("st")) / F.lit(float(b_cnt))).alias("b4")
+    )
+    return a4.crossJoin(b4).select(
+        F.lit(b_cnt).cast("long").alias("n_blocks"),
+        F.lit(k_treat).cast("long").alias("k_treatments"),
+        F.round(
+            F.lit(float(b_cnt - 1)) * F.col("b4") / (F.col("a4") - F.col("b4")), dp
+        ).alias("quade_f"),
+        F.lit(k_treat - 1).cast("long").alias("df_num"),
+        F.lit((b_cnt - 1) * (k_treat - 1)).cast("long").alias("df_den"),
+    )
+
+
+def quade_oracle_sql(cells_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `quade_test`. ``cells_sql`` yields one row
+    per (blk, trt) with BIGINT ``val``."""
+    return f"""
+    WITH qde_cells AS ({cells_sql}),
+    qde_k AS (SELECT CAST(count(DISTINCT trt) AS BIGINT) AS k FROM qde_cells),
+    qde_b AS (SELECT CAST(count(DISTINCT blk) AS BIGINT) AS b FROM qde_cells),
+    qde_r2 AS (
+        SELECT a.blk, a.trt,
+               CAST(2 * sum(CASE WHEN b.val < a.val THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN b.val = a.val THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS r2
+        FROM qde_cells a JOIN qde_cells b ON a.blk = b.blk
+        GROUP BY a.blk, a.trt, a.val
+    ),
+    qde_rng AS (
+        SELECT blk, CAST(max(val) - min(val) AS BIGINT) AS rng
+        FROM qde_cells GROUP BY 1
+    ),
+    qde_q2 AS (
+        SELECT a.blk,
+               CAST(2 * sum(CASE WHEN b.rng < a.rng THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN b.rng = a.rng THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS q2
+        FROM qde_rng a CROSS JOIN qde_rng b
+        GROUP BY a.blk, a.rng
+    ),
+    qde_s4 AS (
+        SELECT r.blk, r.trt,
+               CAST(q.q2 * (r.r2 - (k + 1)) AS BIGINT) AS s4
+        FROM qde_r2 r JOIN qde_q2 q ON r.blk = q.blk CROSS JOIN qde_k
+    ),
+    qde_a AS (SELECT CAST(sum(s4 * s4) AS BIGINT) AS a4 FROM qde_s4),
+    qde_bb AS (
+        SELECT sum(CAST(st AS DOUBLE) * st) / max(b) AS b4
+        FROM (SELECT trt, CAST(sum(s4) AS BIGINT) AS st
+              FROM qde_s4 GROUP BY 1) CROSS JOIN qde_b
+    )
+    SELECT b AS n_blocks, k AS k_treatments,
+           round((b - 1) * b4 / (a4 - b4), {dp}) AS quade_f,
+           k - 1 AS df_num, (b - 1) * (k - 1) AS df_den
+    FROM qde_a CROSS JOIN qde_bb CROSS JOIN qde_k CROSS JOIN qde_b
+    """

@@ -3906,3 +3906,176 @@ def q_chi_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nat",
         "c_mktsegment",
     )
+
+
+# --- r13 series desk: shared daily-revenue series (k$ grain) -------------
+
+_DAILY_KUSD_SQL = """SELECT CAST(o_orderdate AS DATE) AS day,
+       CAST(CAST(sum(floor(o_totalprice * 100)) AS BIGINT) // 100000
+            AS BIGINT) AS v
+FROM orders GROUP BY 1"""
+
+
+def _daily_kusd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue at k$ grain: exact cents sum per day, then one
+    integer division — BIGINT on both engines. k$ keeps every
+    second-moment sum these desks take inside int64 to ~1e6 days x
+    1e6 k$/day (the r9 micro-grain overflow lesson)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+        )
+        .select("day", F.expr("CAST(cents DIV 100000 AS BIGINT)").alias("v"))
+    )
+
+
+@query(
+    "q_von_neumann",
+    oracle=stats_ops.von_neumann_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """von Neumann ratio of daily revenue: is tomorrow's revenue
+    independent of today's (eta ~ 2) or momentum-driven (eta < 2)?
+    The raw-series ancestor of q_durbin_watson and the numeric
+    sibling of q_runs_test — exact integer sums, one division
+    (operators/stats.von_neumann_ratio)."""
+    return stats_ops.von_neumann_ratio(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+@query(
+    "q_snht",
+    oracle=stats_ops.snht_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_snht(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard Normal Homogeneity Test over daily revenue: locate
+    the most likely level shift, with the edge sensitivity Pettitt's
+    rank statistic lacks (q_pettitt_changepoint pairs with this).
+    Rounded z-units per split, argmax on the rounded statistic with
+    day tiebreak (operators/stats.snht_test)."""
+    return stats_ops.snht_test(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+@query(
+    "q_buishand_range",
+    oracle=stats_ops.buishand_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_buishand_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buishand rescaled-range statistic over daily revenue: the
+    cumulative-deviation excursion envelope, the third member of the
+    homogeneity desk (SNHT z-scores a split, Pettitt ranks it, this
+    reads the whole partial-sum range)
+    (operators/stats.buishand_range)."""
+    return stats_ops.buishand_range(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+@query(
+    "q_permutation_entropy",
+    oracle=stats_ops.permutation_entropy_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (order-3 ordinal patterns) of daily
+    revenue: the model-free complexity gauge — monotone-rescale-
+    invariant where q_periodogram and q_pacf read linear structure.
+    27 exact tie-aware pattern classes, vocabulary-bounded p*ln(p)
+    (operators/stats.permutation_entropy)."""
+    return stats_ops.permutation_entropy(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+@query(
+    "q_huber_m",
+    oracle=stats_ops.huber_m_oracle_sql("orders", "floor(o_totalprice)"),
+)
+def q_huber_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the typical order total (k = 1.345, 2
+    IRLS rounds): the bounded-influence middle ground of the robust-
+    location desk — q_trimmed_mean hard-cuts the tails,
+    q_tukey_biweight redescends to zero, Huber keeps outlier votes
+    alive at 1/|u| weight. Dollar grain, micro-quantized weights,
+    exact BIGINT sums per round (operators/stats.huber_m_location)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.huber_m_location(
+        orders.select(F.floor("o_totalprice").cast("long").alias("dollars")),
+        "dollars",
+    )
+
+
+@query(
+    "q_deming_regression",
+    oracle=stats_ops.deming_oracle_sql(
+        "lineitem",
+        "CAST(l_quantity AS BIGINT)",
+        "CAST(floor(l_extendedprice / 1000) AS BIGINT)",
+    ),
+)
+def q_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-variables) fit of line price (k$) on
+    quantity: both sides of a procurement record carry measurement
+    noise, so the symmetric perpendicular-distance slope is the
+    honest one — OLS (q_grouped_ols_trend) would bias it toward
+    zero. Quantity <= 50 and k$ <= ~110 keep every moment sum inside
+    int64 past sf100 (operators/stats.deming_regression)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.deming_regression(
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("y"),
+        ),
+        "x",
+        "y",
+    )
+
+
+@query(
+    "q_ansari_bradley",
+    oracle=stats_ops.ansari_bradley_oracle_sql(
+        """SELECT CAST(floor(c_acctbal) AS BIGINT) AS v,
+                  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+                      AS flag
+           FROM customer
+           WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')"""
+    ),
+)
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test: are AUTOMOBILE account balances
+    more DISPERSED than HOUSEHOLD ones? The rank-based member of the
+    variance-comparison desk (Bartlett/Brown-Forsythe compare
+    centered moments; edge-weighted ranks need no normality).
+    Doubled-midrank integer algebra on the dollar-value histogram
+    (operators/stats.ansari_bradley)."""
+    c = load_table(spark, sf_dir, "customer")
+    return stats_ops.ansari_bradley(
+        c.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")).select(
+            F.floor("c_acctbal").cast("long").alias("v"),
+            (F.col("c_mktsegment") == "AUTOMOBILE").cast("long").alias("flag"),
+        ),
+        "flag",
+        "v",
+    )
+
+
+_QUADE_CELLS_SQL = """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+            AS BIGINT) AS blk,
+       o_orderpriority AS trt,
+       CAST(sum(floor(o_totalprice * 100)) AS BIGINT) AS val
+FROM orders GROUP BY 1, 2"""
+
+
+@query("q_quade_test", oracle=stats_ops.quade_oracle_sql(_QUADE_CELLS_SQL))
+def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quade test of order-priority revenue across month blocks:
+    Friedman's within-block ranking, but months with a WIDER
+    priority spread vote with proportionally larger weight — the
+    right default when block effects differ in magnitude. Exact
+    doubled-midrank integers at both rank levels; the x16 scale
+    cancels in the F ratio (operators/stats.quade_test)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+        F.floor(F.col("o_totalprice") * 100).alias("cents"),
+    )
+    return stats_ops.quade_test(cells, "blk", "trt", "cents")
