@@ -11847,3 +11847,834 @@ def quade_oracle_sql(cells_sql: str, dp: int = 6) -> str:
            k - 1 AS df_num, (b - 1) * (k - 1) AS df_den
     FROM qde_a CROSS JOIN qde_bb CROSS JOIN qde_k CROSS JOIN qde_b
     """
+
+
+# --------------------------------------------------------------------------
+# Distribution-fitting desk (r13): gamma / lognormal / beta moment fits,
+# Weibull EDF regression — parametric summaries for capacity planning and
+# synthetic-data calibration, all from exact integer moments or
+# vocabulary-bounded log sums.
+# --------------------------------------------------------------------------
+
+
+def gamma_moments_fit(
+    df: DataFrame, group_col: str, v_col: str, dp: int = 6
+) -> DataFrame:
+    """Per-group gamma method-of-moments fit: shape = mean^2/var,
+    rate = mean/var — the workhorse positive-skew model for spend
+    and latency columns (q_negbin_fit is its count-data sibling;
+    q_gumbel_maxima models the MAXIMA where this models the body).
+    Output one row per group: (grp, n, mean_v, shape_hat, rate_hat).
+
+    Integer moments (``v_col`` BIGINT; grain must keep sum(v^2)
+    inside int64 — dollars for money), single divisions, round
+    ``dp`` on fitted params.
+
+    Scale shape (100 TB): ONE map-combined group aggregate."""
+    v = F.col(v_col)
+    mom = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return mom.select(
+        "grp",
+        "n",
+        F.round(mean, dp).alias("mean_v"),
+        F.round(mean * mean / var, dp).alias("shape_hat"),
+        F.round(mean / var, dp).alias("rate_hat"),
+    ).orderBy("grp")
+
+
+def gamma_fit_oracle_sql(
+    table: str, group_sql: str, v_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `gamma_moments_fit`."""
+    return f"""
+    WITH gmf_mom AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({v_sql}) AS BIGINT) AS s,
+               CAST(sum(({v_sql}) * ({v_sql})) AS BIGINT) AS q
+        FROM {table} GROUP BY 1
+    )
+    SELECT grp, n,
+           round(CAST(s AS DOUBLE) / n, {dp}) AS mean_v,
+           round((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                 / ((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), {dp})
+               AS shape_hat,
+           round((CAST(s AS DOUBLE) / n)
+                 / ((q - CAST(s AS DOUBLE) * s / n) / (n - 1)), {dp})
+               AS rate_hat
+    FROM gmf_mom
+    ORDER BY grp
+    """
+
+
+def lognormal_fit(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
+    """Lognormal fit of a SMALL-VOCABULARY positive integer column:
+    mu/sigma of ln(v) via the value histogram — the multiplicative-
+    process model (order quantities, file sizes in pages) beside the
+    gamma fit's additive one. Output ONE row:
+    (n, n_distinct, mu_log, sigma_log).
+
+    The log sum runs over DISTINCT values only (vocabulary-bounded
+    log-sum rule: ~50 ln() terms, accumulation noise ~1e-8 << the
+    ``dp`` rounding), weighted by exact BIGINT counts.
+
+    Scale shape (100 TB): one histogram aggregate, one bounded
+    reduce."""
+    hist = df.groupBy(F.col(v_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("v").cast("double"))).alias("sl"),
+        F.sum(
+            F.col("c") * _sq(F.log(F.col("v").cast("double")))
+        ).alias("ql"),
+    ).select(
+        "n",
+        "n_distinct",
+        F.round(F.col("sl") / F.col("n"), dp).alias("mu_log"),
+        F.round(
+            F.sqrt(
+                (F.col("ql") - F.col("sl") * F.col("sl") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            dp,
+        ).alias("sigma_log"),
+    )
+
+
+def lognormal_fit_oracle_sql(table: str, v_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `lognormal_fit`."""
+    return f"""
+    WITH lnf_hist AS (
+        SELECT {v_sql} AS v, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+    ),
+    lnf_mom AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               sum(c * ln(CAST(v AS DOUBLE))) AS sl,
+               sum(c * ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE))) AS ql
+        FROM lnf_hist
+    )
+    SELECT n, n_distinct,
+           round(sl / n, {dp}) AS mu_log,
+           round(sqrt((ql - sl * sl / n) / (n - 1)), {dp}) AS sigma_log
+    FROM lnf_mom
+    """
+
+
+def beta_moments_fit(
+    df: DataFrame, pct_col: str, scale: int = 100, dp: int = 6
+) -> DataFrame:
+    """Beta method-of-moments fit of a bounded-fraction column stored
+    at an integer grain (``pct_col`` = fraction * ``scale``):
+    alpha = m*(m(1-m)/var - 1), beta = (1-m)*(same) — the canonical
+    model for rates/discounts/shares that OLS-style normal summaries
+    misstate near the [0,1] walls. Output ONE row:
+    (n, mean_frac, alpha_hat, beta_hat).
+
+    Integer moments on the grain column; the fraction's mean and
+    variance are exact rescalings (/scale, /scale^2); round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined aggregate."""
+    v = F.col(pct_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    m = F.col("s").cast("double") / F.col("n") / F.lit(float(scale))
+    var = (
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+        / F.lit(float(scale * scale))
+    )
+    nu = m * (1 - m) / var - 1
+    return mom.select(
+        "n",
+        F.round(m, dp).alias("mean_frac"),
+        F.round(m * nu, dp).alias("alpha_hat"),
+        F.round((1 - m) * nu, dp).alias("beta_hat"),
+    )
+
+
+def beta_fit_oracle_sql(
+    table: str, pct_sql: str, scale: int = 100, dp: int = 6
+) -> str:
+    """DuckDB mirror of `beta_moments_fit`."""
+    m = f"(CAST(s AS DOUBLE) / n / {scale})"
+    var = f"((q - CAST(s AS DOUBLE) * s / n) / (n - 1) / {scale * scale})"
+    nu = f"({m} * (1 - {m}) / {var} - 1)"
+    return f"""
+    WITH btf_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({pct_sql}) AS BIGINT) AS s,
+               CAST(sum(({pct_sql}) * ({pct_sql})) AS BIGINT) AS q
+        FROM {table}
+    )
+    SELECT n,
+           round({m}, {dp}) AS mean_frac,
+           round({m} * {nu}, {dp}) AS alpha_hat,
+           round((1 - {m}) * {nu}, {dp}) AS beta_hat
+    FROM btf_mom
+    """
+
+
+def weibull_edf_fit(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
+    """Weibull fit via the linearized EDF (the classic probability-
+    plot regression): ln(-ln(1 - F(v))) is linear in ln(v) with slope
+    = shape — the reliability/duration model beside the gamma/
+    lognormal body fits (its hazard is monotone by shape). Output
+    ONE row: (n, n_points, shape_hat, ln_scale_hat) where
+    ln_scale_hat = -intercept/shape (exp() is deliberately NOT taken:
+    cross-engine exp drift — consumers exponentiate client-side).
+
+    EDF points live on the DISTINCT-value histogram (midpoint-free
+    right-continuous F = cum/n, top point F = 1 excluded); OLS over
+    the <= vocabulary-sized points in double, rounded ``dp``.
+
+    Scale shape (100 TB): one histogram aggregate, one bounded
+    window over distinct values, one bounded reduce."""
+    from pyspark.sql import Window as W
+
+    hist = df.groupBy(F.col(v_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cum = hist.select(
+        "v",
+        F.sum("c").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        ).cast("long").alias("cum"),
+    )
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    pts = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") < F.col("n"))
+        .select(
+            "n",
+            F.log(F.col("v").cast("double")).alias("x"),
+            F.log(
+                -F.log(
+                    (F.col("n") - F.col("cum")).cast("double") / F.col("n")
+                )
+            ).alias("y"),
+        )
+    )
+    ols = pts.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("m")
+    return ols.select(
+        F.col("n"),
+        F.col("m").alias("n_points"),
+        F.round(slope, dp).alias("shape_hat"),
+        F.round(-intercept / slope, dp).alias("ln_scale_hat"),
+    )
+
+
+def weibull_fit_oracle_sql(table: str, v_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `weibull_edf_fit`."""
+    return f"""
+    WITH wbf_hist AS (
+        SELECT {v_sql} AS v, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+    ),
+    wbf_cum AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM wbf_hist
+    ),
+    wbf_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM wbf_hist),
+    wbf_pts AS (
+        SELECT n, ln(CAST(v AS DOUBLE)) AS x,
+               ln(-ln(CAST(n - cum AS DOUBLE) / n)) AS y
+        FROM wbf_cum CROSS JOIN wbf_tot
+        WHERE cum < n
+    ),
+    wbf_ols AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS m,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM wbf_pts GROUP BY n
+    )
+    SELECT n, m AS n_points,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), {dp})
+               AS shape_hat,
+           round(-((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m)
+                 / ((m * sxy - sx * sy) / (m * sxx - sx * sx)), {dp})
+               AS ln_scale_hat
+    FROM wbf_ols
+    """
+
+
+# --------------------------------------------------------------------------
+# Inequality / growth / survey-design econ desk (r13)
+# --------------------------------------------------------------------------
+
+
+def palma_hoover(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
+    """Palma ratio + Hoover index of a per-unit spend distribution:
+    Palma = mass share of the top decile / mass share of the bottom
+    four deciles (the tail-vs-base readout Gini compresses away);
+    Hoover = the fraction of total mass that would have to move to
+    equalize everyone (the 'Robin Hood' index). Output ONE row:
+    (n_units, thr_top, thr_bot, palma, hoover).
+
+    VALUE-threshold decile semantics like `top_share` (all units
+    tied at a threshold land on one side — no rank tiebreak to
+    drift), percentile_disc thresholds off the per-unit value
+    histogram via the two-stage bucket-offset machinery. Hoover's
+    numerator is sum(c * |n*v - s|) — exact BIGINT inner terms
+    (|n*v - s| <= n*max(v): dollars grain to ~1e7 units x 1e7
+    dollars, documented). Both emit as single exact divisions
+    rounded ``dp``.
+
+    Scale shape (100 TB): one unit aggregate, one histogram pass,
+    bucketed prefix machinery, two broadcast threshold scalars, one
+    map-combined fence reduce."""
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    hist = (
+        df.groupBy(F.col(v_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # value histogram; bounds + bucketing re-read
+    )
+    cb = _bounded_cum_before(hist, F.col("c"))
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("s"),
+    )
+    cum = cb.crossJoin(F.broadcast(tot))
+    thr_top = cum.filter(
+        100 * (F.col("cum_before") + F.col("c")) >= 90 * F.col("n")
+    ).agg(F.min("v").cast("long").alias("thr_top"))
+    thr_bot = cum.filter(
+        100 * (F.col("cum_before") + F.col("c")) >= 40 * F.col("n")
+    ).agg(F.min("v").cast("long").alias("thr_bot"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(thr_top))
+        .crossJoin(F.broadcast(thr_bot))
+        .agg(
+            F.max("n").alias("n_units"),
+            F.max("thr_top").alias("thr_top"),
+            F.max("thr_bot").alias("thr_bot"),
+            F.round(
+                F.sum(
+                    F.when(F.col("v") >= F.col("thr_top"), F.col("c") * F.col("v"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("v") <= F.col("thr_bot"), F.col("c") * F.col("v"))
+                    .otherwise(0)
+                ),
+                dp,
+            ).alias("palma"),
+            F.round(
+                F.sum(
+                    F.col("c") * F.abs(F.col("n") * F.col("v") - F.col("s"))
+                ).cast("double")
+                / (2.0 * F.max("n") * F.max("s")),
+                dp,
+            ).alias("hoover"),
+        )
+    )
+
+
+def palma_hoover_oracle_sql(units_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `palma_hoover`. ``units_sql`` yields one row
+    per unit with BIGINT ``v``."""
+    return f"""
+    WITH plh_units AS ({units_sql}),
+    plh_hist AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c
+        FROM plh_units GROUP BY 1
+    ),
+    plh_tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * v) AS BIGINT) AS s
+        FROM plh_hist
+    ),
+    plh_cum AS (
+        SELECT v, c, n,
+               CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM plh_hist CROSS JOIN plh_tot
+    ),
+    plh_top AS (
+        SELECT CAST(min(v) AS BIGINT) AS thr_top FROM plh_cum
+        WHERE 100 * cum >= 90 * n
+    ),
+    plh_bot AS (
+        SELECT CAST(min(v) AS BIGINT) AS thr_bot FROM plh_cum
+        WHERE 100 * cum >= 40 * n
+    )
+    SELECT n AS n_units, thr_top, thr_bot,
+           round((SELECT CAST(sum(c * v) AS DOUBLE) FROM plh_hist
+                  WHERE v >= thr_top)
+                 / (SELECT CAST(sum(c * v) AS DOUBLE) FROM plh_hist
+                    WHERE v <= thr_bot), {dp}) AS palma,
+           round((SELECT CAST(sum(c * abs(n * v - s)) AS DOUBLE)
+                  FROM plh_hist) / (2.0 * n * s), {dp}) AS hoover
+    FROM plh_tot CROSS JOIN plh_top CROSS JOIN plh_bot
+    """
+
+
+def log_cagr(
+    df: DataFrame, group_col: str, year_col: str, v_col: str, dp: int = 6
+) -> DataFrame:
+    """Per-group log-CAGR: ln(last-year value / first-year value) /
+    (year span) — the compound growth readout of the growth desk
+    (q_growth_accounting decomposes WHO grew; this compresses each
+    segment's trajectory to one rate). Emitted in log units
+    (exp() is deliberately NOT taken: cross-engine exp drift —
+    consumers exponentiate client-side). Output one row per group:
+    (grp, y_first, y_last, v_first, v_last, ln_cagr).
+
+    One ln() of an exact integer ratio per group, rounded ``dp``.
+
+    Scale shape (100 TB): one (group x year)-bounded aggregate, two
+    broadcast-joined endpoint lookups."""
+    yearly = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(year_col).alias("y")
+    ).agg(F.sum(F.col(v_col)).cast("long").alias("v"))
+    yearly = yearly.localCheckpoint()  # endpoints + both lookups re-read
+    ends = yearly.groupBy("grp").agg(
+        F.min("y").cast("long").alias("y_first"),
+        F.max("y").cast("long").alias("y_last"),
+    )
+    first = yearly.select(
+        F.col("grp"), F.col("y").alias("y_first"), F.col("v").alias("v_first")
+    )
+    last = yearly.select(
+        F.col("grp"), F.col("y").alias("y_last"), F.col("v").alias("v_last")
+    )
+    return (
+        ends.join(first, ["grp", "y_first"])
+        .join(last, ["grp", "y_last"])
+        .select(
+            "grp",
+            "y_first",
+            "y_last",
+            "v_first",
+            "v_last",
+            F.round(
+                F.log(F.col("v_last").cast("double") / F.col("v_first"))
+                / (F.col("y_last") - F.col("y_first")),
+                dp,
+            ).alias("ln_cagr"),
+        )
+        .orderBy("grp")
+    )
+
+
+def log_cagr_oracle_sql(
+    table: str, group_sql: str, year_sql: str, v_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `log_cagr`."""
+    return f"""
+    WITH lcg_yearly AS (
+        SELECT {group_sql} AS grp, CAST({year_sql} AS BIGINT) AS y,
+               CAST(sum({v_sql}) AS BIGINT) AS v
+        FROM {table} GROUP BY 1, 2
+    ),
+    lcg_ends AS (
+        SELECT grp, CAST(min(y) AS BIGINT) AS y_first,
+               CAST(max(y) AS BIGINT) AS y_last
+        FROM lcg_yearly GROUP BY 1
+    )
+    SELECT e.grp, e.y_first, e.y_last,
+           f.v AS v_first, l.v AS v_last,
+           round(ln(CAST(l.v AS DOUBLE) / f.v) / (e.y_last - e.y_first),
+                 {dp}) AS ln_cagr
+    FROM lcg_ends e
+    JOIN lcg_yearly f ON f.grp = e.grp AND f.y = e.y_first
+    JOIN lcg_yearly l ON l.grp = e.grp AND l.y = e.y_last
+    ORDER BY e.grp
+    """
+
+
+def neyman_allocation(
+    df: DataFrame, stratum_col: str, v_col: str, sample_n: int = 1000, dp: int = 6
+) -> DataFrame:
+    """Neyman optimal allocation of a fixed survey budget across
+    strata: n_h proportional to N_h * sd_h — minimum-variance
+    stratified sampling, the DESIGN-side complement of the repo's
+    samplers (q_per_group_sample balances counts; Neyman says what
+    the counts SHOULD be). Output one row per stratum:
+    (stratum, n_h, sd_h, share, alloc).
+
+    Per-stratum sd from exact integer moments (one sqrt); the
+    normalizing sum spans the BOUNDED stratum vocabulary; share and
+    alloc = sample_n * share round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined group aggregate + a
+    broadcast 1-row normalizer."""
+    v = F.col(v_col)
+    mom = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    )
+    sd = F.sqrt(
+        (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )
+    w = mom.select("stratum", "n_h", (F.col("n_h") * sd).alias("w"), sd.alias("sd"))
+    tot = w.agg(F.sum("w").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_h",
+            F.round("sd", dp).alias("sd_h"),
+            F.round(F.col("w") / F.col("tw"), dp).alias("share"),
+            F.round(F.lit(float(sample_n)) * F.col("w") / F.col("tw"), dp).alias(
+                "alloc"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+def neyman_oracle_sql(
+    table: str, stratum_sql: str, v_sql: str, sample_n: int = 1000, dp: int = 6
+) -> str:
+    """DuckDB mirror of `neyman_allocation`."""
+    return f"""
+    WITH nye_mom AS (
+        SELECT {stratum_sql} AS stratum,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum({v_sql}) AS BIGINT) AS s,
+               CAST(sum(({v_sql}) * ({v_sql})) AS BIGINT) AS q
+        FROM {table} GROUP BY 1
+    ),
+    nye_w AS (
+        SELECT stratum, n_h,
+               sqrt((q - CAST(s AS DOUBLE) * s / n_h) / (n_h - 1)) AS sd,
+               n_h * sqrt((q - CAST(s AS DOUBLE) * s / n_h) / (n_h - 1)) AS w
+        FROM nye_mom
+    ),
+    nye_tot AS (SELECT sum(w) AS tw FROM nye_w)
+    SELECT stratum, n_h,
+           round(sd, {dp}) AS sd_h,
+           round(w / tw, {dp}) AS share,
+           round({sample_n}.0 * w / tw, {dp}) AS alloc
+    FROM nye_w CROSS JOIN nye_tot
+    ORDER BY stratum
+    """
+
+
+# --------------------------------------------------------------------------
+# Agreement / method-comparison desk (r13): ICC(2,1), Bland-Altman,
+# Krippendorff's alpha — completing the rater-reliability family around
+# Cohen/Fleiss/quadratic-weighted kappa.
+# --------------------------------------------------------------------------
+
+
+def icc_two_way(
+    df: DataFrame, rating_cols: tuple[str, ...], dp: int = 6
+) -> DataFrame:
+    """ICC(2,1): two-way random-effects single-rater intraclass
+    correlation — the NUMERIC-rating reliability coefficient the
+    kappa family (nominal/ordinal) can't express, with rater bias
+    split out as its own variance component (MSC). ``rating_cols``
+    hold each rater's small-integer rating per subject. Output ONE
+    row: (n_subjects, n_raters, msr, msc, mse, icc21).
+
+    All sums are in-row integer algebra (per-subject sum/sum-of-
+    squares computed inside the row, no rater fan-out) feeding ONE
+    aggregate; the ANOVA decomposition is exact divisions of exact
+    BIGINTs, rounded ``dp``.
+
+    Scale shape (100 TB): ONE map-combined aggregate; no join, no
+    window, no explode."""
+    k = len(rating_cols)
+    si = None
+    qi = None
+    for c in rating_cols:
+        v = F.col(c).cast("long")
+        si = v if si is None else si + v
+        qi = v * v if qi is None else qi + v * v
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(si).cast("long").alias("t"),
+        F.sum(si * si).cast("long").alias("ss2"),
+        F.sum(qi).cast("long").alias("q"),
+    ]
+    for j, c in enumerate(rating_cols):
+        aggs.append(F.sum(F.col(c).cast("long")).cast("long").alias(f"r{j}"))
+    mom = df.agg(*aggs)
+    rr = " + ".join(f"CAST(r{j} AS DOUBLE) * r{j}" for j in range(k))
+    kk = float(k)
+    expr = mom.select(
+        "n",
+        F.expr(f"q - CAST(t AS DOUBLE) * t / (n * {kk})").alias("sstot"),
+        F.expr(f"CAST(ss2 AS DOUBLE) / {kk} - CAST(t AS DOUBLE) * t / (n * {kk})").alias("ssr"),
+        F.expr(f"({rr}) / n - CAST(t AS DOUBLE) * t / (n * {kk})").alias("ssc"),
+    )
+    msr = F.col("ssr") / (F.col("n") - 1)
+    msc = F.col("ssc") / F.lit(kk - 1)
+    mse = (F.col("sstot") - F.col("ssr") - F.col("ssc")) / (
+        (F.col("n") - 1) * F.lit(kk - 1)
+    )
+    return expr.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(k).cast("long").alias("n_raters"),
+        F.round(msr, dp).alias("msr"),
+        F.round(msc, dp).alias("msc"),
+        F.round(mse, dp).alias("mse"),
+        F.round(
+            (msr - mse)
+            / (msr + F.lit(kk - 1) * mse + F.lit(kk) * (msc - mse) / F.col("n")),
+            dp,
+        ).alias("icc21"),
+    )
+
+
+def icc_oracle_sql(
+    subjects_sql: str, rating_cols: tuple[str, ...], dp: int = 6
+) -> str:
+    """DuckDB mirror of `icc_two_way`. ``subjects_sql`` yields one
+    row per subject with the rating columns."""
+    k = len(rating_cols)
+    si = " + ".join(rating_cols)
+    qi = " + ".join(f"({c}) * ({c})" for c in rating_cols)
+    rsums = ", ".join(
+        f"CAST(sum({c}) AS BIGINT) AS r{j}" for j, c in enumerate(rating_cols)
+    )
+    rr = " + ".join(f"CAST(r{j} AS DOUBLE) * r{j}" for j in range(k))
+    return f"""
+    WITH icc_subj AS ({subjects_sql}),
+    icc_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({si}) AS BIGINT) AS t,
+               CAST(sum(({si}) * ({si})) AS BIGINT) AS ss2,
+               CAST(sum({qi}) AS BIGINT) AS q,
+               {rsums}
+        FROM icc_subj
+    ),
+    icc_ss AS (
+        SELECT n,
+               q - CAST(t AS DOUBLE) * t / (n * {k}.0) AS sstot,
+               CAST(ss2 AS DOUBLE) / {k}.0
+                   - CAST(t AS DOUBLE) * t / (n * {k}.0) AS ssr,
+               ({rr}) / n - CAST(t AS DOUBLE) * t / (n * {k}.0) AS ssc
+        FROM icc_mom
+    ),
+    icc_ms AS (
+        SELECT n,
+               ssr / (n - 1) AS msr,
+               ssc / {k - 1}.0 AS msc,
+               (sstot - ssr - ssc) / ((n - 1) * {k - 1}.0) AS mse
+        FROM icc_ss
+    )
+    SELECT n AS n_subjects, CAST({k} AS BIGINT) AS n_raters,
+           round(msr, {dp}) AS msr, round(msc, {dp}) AS msc,
+           round(mse, {dp}) AS mse,
+           round((msr - mse) / (msr + {k - 1}.0 * mse
+                                + {k}.0 * (msc - mse) / n), {dp}) AS icc21
+    FROM icc_ms
+    """
+
+
+def bland_altman(df: DataFrame, x_col: str, y_col: str, dp: int = 6) -> DataFrame:
+    """Bland-Altman limits of agreement between two measurements of
+    the same quantity: mean difference (bias), sd of differences,
+    mean +/- 1.96 sd limits, and how many pairs escape them — the
+    method-comparison readout correlation can't give (two methods
+    can correlate 0.99 and still disagree by a constant).
+    Output ONE row: (n, mean_diff, sd_diff, loa_lo, loa_hi,
+    n_outside, pct_outside).
+
+    ``x_col``/``y_col`` exact BIGINTs (dollar grain; sum(d^2) inside
+    int64 documented per query). Limits round ``dp`` BEFORE the
+    fence count so both engines compare identical operands against
+    integer differences.
+
+    Scale shape (100 TB): one moment aggregate + one broadcast
+    fence reduce."""
+    d = (F.col(x_col) - F.col(y_col)).cast("long")
+    base = df.select(d.alias("d"))
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("q"),
+    ).select(
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), dp).alias("mean_diff"),
+        F.round(
+            F.sqrt(
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            dp,
+        ).alias("sd_diff"),
+    ).select(
+        "n",
+        "mean_diff",
+        "sd_diff",
+        F.round(F.col("mean_diff") - 1.96 * F.col("sd_diff"), dp).alias("loa_lo"),
+        F.round(F.col("mean_diff") + 1.96 * F.col("sd_diff"), dp).alias("loa_hi"),
+    )
+    return (
+        base.crossJoin(F.broadcast(mom))
+        .groupBy("n", "mean_diff", "sd_diff", "loa_lo", "loa_hi")
+        .agg(
+            F.sum(
+                ((F.col("d") < F.col("loa_lo")) | (F.col("d") > F.col("loa_hi")))
+                .cast("long")
+            ).cast("long").alias("n_outside")
+        )
+        .select(
+            "n",
+            "mean_diff",
+            "sd_diff",
+            "loa_lo",
+            "loa_hi",
+            "n_outside",
+            F.round(F.col("n_outside").cast("double") / F.col("n"), dp).alias(
+                "pct_outside"
+            ),
+        )
+    )
+
+
+def bland_altman_oracle_sql(pairs_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `bland_altman`. ``pairs_sql`` yields one row
+    per pair with BIGINT ``x`` and ``y``."""
+    return f"""
+    WITH bla_pairs AS ({pairs_sql}),
+    bla_d AS (SELECT CAST(x - y AS BIGINT) AS d FROM bla_pairs),
+    bla_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(d) AS DOUBLE) / count(*), {dp}) AS mean_diff,
+               round(sqrt((sum(d * d) - CAST(sum(d) AS DOUBLE) * sum(d)
+                           / count(*)) / (count(*) - 1)), {dp}) AS sd_diff
+        FROM bla_d
+    ),
+    bla_loa AS (
+        SELECT n, mean_diff, sd_diff,
+               round(mean_diff - 1.96 * sd_diff, {dp}) AS loa_lo,
+               round(mean_diff + 1.96 * sd_diff, {dp}) AS loa_hi
+        FROM bla_mom
+    )
+    SELECT n, mean_diff, sd_diff, loa_lo, loa_hi,
+           (SELECT CAST(sum(CASE WHEN d < loa_lo OR d > loa_hi
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM bla_d) AS n_outside,
+           round((SELECT CAST(sum(CASE WHEN d < loa_lo OR d > loa_hi
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                  FROM bla_d) / n, {dp}) AS pct_outside
+    FROM bla_loa
+    """
+
+
+def krippendorff_alpha(
+    df: DataFrame, cat_cols: tuple[str, ...], n_categories: int, dp: int = 6
+) -> DataFrame:
+    """Krippendorff's alpha (nominal, complete data): 1 - Do/De with
+    the expected disagreement taken over the POOLED value
+    distribution WITHOUT replacement — the reliability coefficient
+    that stays comparable across rater counts and (in general)
+    missing data, where Fleiss' kappa fixes its chance baseline per
+    subject. Output ONE row: (n_subjects, n_raters, d_observed,
+    d_expected, alpha).
+
+    In-row vote flags like `fleiss_kappa` (no rater fan-out):
+    Do = sum_i (r^2 - sum_c n_ic^2) / (n r (r-1)),
+    De = sum_c C_c (nr - C_c) / (nr (nr-1)) — exact divisions of
+    exact BIGINTs, rounded ``dp``. C_c^2 needs (n*r)^2 inside int64
+    (fine to ~3e9 rated subjects x 3 raters).
+
+    Scale shape (100 TB): ONE map-combined aggregate."""
+    r = len(cat_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    sum_sq = None
+    for j in range(n_categories):
+        nj = None
+        for c in cat_cols:
+            flag = (F.col(c) == j).cast("long")
+            nj = flag if nj is None else nj + flag
+        term = nj * nj
+        sum_sq = term if sum_sq is None else sum_sq + term
+        aggs.append(F.sum(nj).cast("long").alias(f"c{j}"))
+    aggs.append(F.sum(sum_sq).cast("long").alias("sq"))
+    mom = df.agg(*aggs)
+    de_num = " + ".join(
+        f"CAST(c{j} AS DOUBLE) * (n * {r} - c{j})" for j in range(n_categories)
+    )
+    return mom.select(
+        F.col("n").alias("n_subjects"),
+        F.lit(r).cast("long").alias("n_raters"),
+        F.round(
+            F.expr(f"(n * {r} * {r} - sq) / (CAST(n AS DOUBLE) * {r} * {r - 1})"),
+            dp,
+        ).alias("d_observed"),
+        F.round(
+            F.expr(f"({de_num}) / (CAST(n AS DOUBLE) * {r} * (n * {r} - 1))"),
+            dp,
+        ).alias("d_expected"),
+        F.round(
+            1
+            - F.expr(f"(n * {r} * {r} - sq) / (CAST(n AS DOUBLE) * {r} * {r - 1})")
+            / F.expr(f"({de_num}) / (CAST(n AS DOUBLE) * {r} * (n * {r} - 1))"),
+            dp,
+        ).alias("alpha"),
+    )
+
+
+def krippendorff_oracle_sql(
+    subjects_sql: str, cat_cols: tuple[str, ...], n_categories: int, dp: int = 6
+) -> str:
+    """DuckDB mirror of `krippendorff_alpha` over ``subjects_sql``
+    (one row per subject with the rater category columns)."""
+    r = len(cat_cols)
+    njs = []
+    for j in range(n_categories):
+        flags = " + ".join(
+            f"(CASE WHEN {c} = {j} THEN 1 ELSE 0 END)" for c in cat_cols
+        )
+        njs.append(f"({flags})")
+    sq = " + ".join(f"{nj} * {nj}" for nj in njs)
+    csums = ", ".join(
+        f"CAST(sum({nj}) AS BIGINT) AS c{j}" for j, nj in enumerate(njs)
+    )
+    de_num = " + ".join(
+        f"CAST(c{j} AS DOUBLE) * (n * {r} - c{j})" for j in range(n_categories)
+    )
+    do_ = f"(n * {r} * {r} - sq) / (CAST(n AS DOUBLE) * {r} * {r - 1})"
+    de_ = f"({de_num}) / (CAST(n AS DOUBLE) * {r} * (n * {r} - 1))"
+    return f"""
+    WITH kra_subj AS ({subjects_sql}),
+    kra_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({sq}) AS BIGINT) AS sq,
+               {csums}
+        FROM kra_subj
+    )
+    SELECT n AS n_subjects, CAST({r} AS BIGINT) AS n_raters,
+           round({do_}, {dp}) AS d_observed,
+           round({de_}, {dp}) AS d_expected,
+           round(1 - ({do_}) / ({de_}), {dp}) AS alpha
+    FROM kra_mom
+    """

@@ -4079,3 +4079,256 @@ def q_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).alias("cents"),
     )
     return stats_ops.quade_test(cells, "blk", "trt", "cents")
+
+
+@query(
+    "q_gamma_fit",
+    oracle=stats_ops.gamma_fit_oracle_sql(
+        "orders", "o_orderpriority", "CAST(floor(o_totalprice) AS BIGINT)"
+    ),
+)
+def q_gamma_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma method-of-moments fit of order totals per priority:
+    the positive-skew body model of the distribution-fitting desk
+    (q_negbin_fit covers counts, q_gumbel_maxima the extremes).
+    Dollar grain keeps sum(v^2) inside int64 past sf100
+    (operators/stats.gamma_moments_fit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.gamma_moments_fit(
+        orders.select(
+            "o_orderpriority",
+            F.floor("o_totalprice").cast("long").alias("dollars"),
+        ),
+        "o_orderpriority",
+        "dollars",
+    )
+
+
+@query(
+    "q_lognormal_fit",
+    oracle=stats_ops.lognormal_fit_oracle_sql(
+        "lineitem", "CAST(l_quantity AS BIGINT)"
+    ),
+)
+def q_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of line quantities: mu/sigma of the log — the
+    multiplicative-process model, fitted entirely on the ~50-value
+    quantity histogram (vocabulary-bounded log sums)
+    (operators/stats.lognormal_fit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.lognormal_fit(
+        li.select(F.col("l_quantity").cast("long").alias("qty")), "qty"
+    )
+
+
+@query(
+    "q_beta_fit",
+    oracle=stats_ops.beta_fit_oracle_sql(
+        "lineitem", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    ),
+)
+def q_beta_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta method-of-moments fit of the discount fraction: the
+    bounded-[0,1] member of the fitting desk — normal summaries
+    misstate mass near the walls where discounts live. Integer
+    percent grain in, exact rescaled moments out
+    (operators/stats.beta_moments_fit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.beta_moments_fit(
+        li.select(
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("pct")
+        ),
+        "pct",
+    )
+
+
+@query(
+    "q_weibull_fit",
+    oracle=stats_ops.weibull_fit_oracle_sql(
+        "lineitem", "CAST(l_quantity AS BIGINT)"
+    ),
+)
+def q_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull probability-plot fit of line quantities: shape from
+    the linearized EDF over the bounded quantity vocabulary — the
+    duration/reliability member of the fitting desk (monotone-hazard
+    families the gamma/lognormal fits can't express). ln_scale is
+    emitted un-exponentiated (cross-engine exp drift)
+    (operators/stats.weibull_edf_fit)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.weibull_edf_fit(
+        li.select(F.col("l_quantity").cast("long").alias("qty")), "qty"
+    )
+
+
+@query(
+    "q_palma_hoover",
+    oracle=stats_ops.palma_hoover_oracle_sql(
+        """SELECT CAST(sum(floor(o_totalprice)) AS BIGINT) AS v
+           FROM orders GROUP BY o_custkey"""
+    ),
+)
+def q_palma_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma ratio + Hoover index of per-customer spend: the
+    tail-vs-base and mass-transfer inequality readouts beside
+    q_gini_coefficient / q_atkinson_index / q_theil_index —
+    value-threshold deciles off the spend histogram, exact-integer
+    Hoover numerator (operators/stats.palma_hoover)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice")).cast("long").alias("v")
+    )
+    return stats_ops.palma_hoover(spend, "v")
+
+
+@query(
+    "q_log_cagr",
+    oracle=stats_ops.log_cagr_oracle_sql(
+        "orders",
+        "o_orderpriority",
+        "year(o_orderdate)",
+        "floor(o_totalprice * 100)",
+    ),
+)
+def q_log_cagr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue log-CAGR between the first and last
+    active year: one compound growth rate per segment, in log units
+    (the growth desk's single-number compression of
+    q_revenue_wow_growth's weekly series)
+    (operators/stats.log_cagr)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return stats_ops.log_cagr(
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        ),
+        "o_orderpriority",
+        "y",
+        "cents",
+    )
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=stats_ops.neyman_oracle_sql(
+        "customer", "c_mktsegment", "CAST(floor(c_acctbal) AS BIGINT)"
+    ),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-unit audit sample across
+    market segments by balance dispersion: the survey-DESIGN
+    complement of the sampling desk — variance-heavy strata earn
+    proportionally more of the budget
+    (operators/stats.neyman_allocation)."""
+    c = load_table(spark, sf_dir, "customer")
+    return stats_ops.neyman_allocation(
+        c.select(
+            "c_mktsegment", F.floor("c_acctbal").cast("long").alias("dollars")
+        ),
+        "c_mktsegment",
+        "dollars",
+    )
+
+
+_RATERS_SQL = """SELECT o.o_orderkey,
+       CASE WHEN o.o_totalprice < 150000 THEN 0
+            WHEN o.o_totalprice < 300000 THEN 1 ELSE 2 END AS c0,
+       CASE WHEN q.qty < 60 THEN 0
+            WHEN q.qty < 120 THEN 1 ELSE 2 END AS c1,
+       CASE WHEN q.ln <= 2 THEN 0
+            WHEN q.ln <= 4 THEN 1 ELSE 2 END AS c2
+FROM orders o
+JOIN (SELECT l_orderkey,
+             CAST(sum(l_quantity) AS BIGINT) AS qty,
+             CAST(count(*) AS BIGINT) AS ln
+      FROM lineitem GROUP BY 1) q
+  ON q.l_orderkey = o.o_orderkey"""
+
+
+def _rater_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three rule-based order-size labelers shared by the
+    agreement desk (fleiss/ICC/Krippendorff): price bands, total-
+    quantity bands, line-count bands, each rating 0/1/2."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").cast("long").alias("qty"),
+        F.count(F.lit(1)).cast("long").alias("ln"),
+    )
+    return orders.join(per_order, "o_orderkey").select(
+        F.when(F.col("o_totalprice") < 150000, 0)
+        .when(F.col("o_totalprice") < 300000, 1)
+        .otherwise(2)
+        .alias("c0"),
+        F.when(F.col("qty") < 60, 0)
+        .when(F.col("qty") < 120, 1)
+        .otherwise(2)
+        .alias("c1"),
+        F.when(F.col("ln") <= 2, 0)
+        .when(F.col("ln") <= 4, 1)
+        .otherwise(2)
+        .alias("c2"),
+    )
+
+
+@query(
+    "q_icc_agreement",
+    oracle=stats_ops.icc_oracle_sql(_RATERS_SQL, ("c0", "c1", "c2")),
+)
+def q_icc_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(2,1) of the three order-size labelers treated as NUMERIC
+    ratings: the variance-component reliability readout beside
+    q_fleiss_kappa's nominal one — rater bias (MSC) surfaces as its
+    own row instead of vanishing into disagreement. In-row integer
+    sums, exact ANOVA algebra (operators/stats.icc_two_way)."""
+    return stats_ops.icc_two_way(
+        _rater_subjects(spark, sf_dir), ("c0", "c1", "c2")
+    )
+
+
+@query(
+    "q_krippendorff_alpha",
+    oracle=stats_ops.krippendorff_oracle_sql(
+        _RATERS_SQL, ("c0", "c1", "c2"), n_categories=3
+    ),
+)
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha of the three order-size labelers:
+    pooled-distribution chance correction (without replacement) —
+    the reliability coefficient comparable across rater counts,
+    completing the kappa family. In-row vote flags, exact integer
+    moments (operators/stats.krippendorff_alpha)."""
+    return stats_ops.krippendorff_alpha(
+        _rater_subjects(spark, sf_dir), ("c0", "c1", "c2"), n_categories=3
+    )
+
+
+@query(
+    "q_bland_altman",
+    oracle=stats_ops.bland_altman_oracle_sql(
+        """SELECT CAST(floor(o.o_totalprice) AS BIGINT) AS x,
+                  g.y AS y
+           FROM orders o
+           JOIN (SELECT l_orderkey,
+                        CAST(sum(floor(l_extendedprice)) AS BIGINT) AS y
+                 FROM lineitem GROUP BY 1) g
+             ON g.l_orderkey = o.o_orderkey"""
+    ),
+)
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement between two order-value measurements:
+    the billed total (tax/discount in) vs the summed gross line
+    prices — bias, limits of agreement, and the escape count; the
+    method-comparison readout q_correlation_matrix can't provide.
+    Dollar-grain integer differences (sum(d^2) inside int64 past
+    sf10, documented) (operators/stats.bland_altman)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.floor("l_extendedprice")).cast("long").alias("y")
+    )
+    pairs = orders.join(gross, "o_orderkey").select(
+        F.floor("o_totalprice").cast("long").alias("x"), "y"
+    )
+    return stats_ops.bland_altman(pairs, "x", "y")
