@@ -2724,3 +2724,110 @@ def rbo_oracle_sql(
     FROM rbo_per CROSS JOIN rbo_tot
     GROUP BY n_common
     """
+
+
+def topk_overlap_curve(
+    list_a: DataFrame, list_b: DataFrame, ks: tuple[int, ...] = (10, 25, 50, 100)
+) -> DataFrame:
+    """Overlap@k curve between two rankings: |top-k(A) and top-k(B)|
+    at each depth — the UNWEIGHTED agreement profile beside
+    `rbo_overlap`'s geometrically-weighted single number (RBO says
+    how much they agree; the curve says at WHICH depth agreement
+    decays). Inputs are (key, rank) lists ranked 1..max(ks).
+    Output one row per k: (k, n_common, overlap_frac).
+
+    Exact integer counts; overlap_frac is one exact division.
+
+    Scale shape (100 TB): both lists are already heap-selected
+    (TakeOrderedAndProject) bounded relations; the join and the
+    per-k conditional counts are list-sized."""
+    joined = list_a.alias("a").join(
+        list_b.alias("b"), F.col("a.key") == F.col("b.key")
+    ).select(
+        F.greatest(F.col("a.rank"), F.col("b.rank")).alias("dmin")
+    )
+    # list-sized (<= max(ks) rows) and referenced once per depth —
+    # materialize so the per-k union branches don't re-run the
+    # upstream heap-selects.
+    joined = joined.localCheckpoint()
+    rows = None
+    for k in ks:
+        row = joined.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.sum((F.col("dmin") <= k).cast("long")).cast("long").alias("n_common"),
+            F.round(
+                F.sum((F.col("dmin") <= k).cast("long")).cast("double") / k, 6
+            ).alias("overlap_frac"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+def topk_overlap_oracle_sql(
+    list_a_sql: str, list_b_sql: str, ks: tuple[int, ...] = (10, 25, 50, 100)
+) -> str:
+    """DuckDB mirror of `topk_overlap_curve` over (key, rank) list
+    SQL fragments."""
+    kvals = ", ".join(f"({k})" for k in ks)
+    return f"""
+    WITH tko_a AS ({list_a_sql}),
+    tko_b AS ({list_b_sql}),
+    tko_m AS (
+        SELECT greatest(a.rank, b.rank) AS dmin
+        FROM tko_a a JOIN tko_b b ON a.key = b.key
+    ),
+    tko_k(k) AS (VALUES {kvals})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(coalesce(sum(CASE WHEN dmin <= k THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_common,
+           round(CAST(coalesce(sum(CASE WHEN dmin <= k THEN 1 ELSE 0 END), 0)
+                      AS DOUBLE) / k, 6) AS overlap_frac
+    FROM tko_k LEFT JOIN tko_m ON true
+    GROUP BY k
+    ORDER BY k
+    """
+
+
+def spearman_footrule(ranks: DataFrame) -> DataFrame:
+    """Spearman footrule distance between two COMPLETE rankings of
+    the same item set: sum |r1 - r2|, plus the normalized form
+    against the maximum floor(n^2/2) — the L1 companion of
+    q_spearman's L2 correlation (footrule is what total-displacement
+    questions actually ask: how far did items MOVE between the two
+    orderings). ``ranks`` holds one row per item: (key, r1, r2),
+    ranks 1..n with deterministic tiebreaks upstream.
+    Output ONE row: (n_items, footrule, norm_footrule).
+
+    Exact integer displacement sum; one exact division.
+
+    Scale shape (100 TB): ONE map-combined aggregate over the
+    (bounded) ranked item set."""
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.abs(F.col("r1") - F.col("r2"))).cast("long").alias("footrule"),
+    ).select(
+        "n_items",
+        "footrule",
+        F.round(
+            F.col("footrule").cast("double")
+            / F.floor(F.col("n_items") * F.col("n_items") / 2),
+            6,
+        ).alias("norm_footrule"),
+    )
+
+
+def footrule_oracle_sql(ranks_sql: str) -> str:
+    """DuckDB mirror of `spearman_footrule` over ``ranks_sql``
+    yielding (key, r1, r2)."""
+    return f"""
+    WITH ftr_ranks AS ({ranks_sql}),
+    ftr_agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(abs(r1 - r2)) AS BIGINT) AS footrule
+        FROM ftr_ranks
+    )
+    SELECT n_items, footrule,
+           round(CAST(footrule AS DOUBLE)
+                 / floor(n_items * n_items / 2.0), 6) AS norm_footrule
+    FROM ftr_agg
+    """

@@ -1852,3 +1852,84 @@ def katz_oracle_sql(
         + f"""
     SELECT node, x AS score FROM {px}"""
     )
+
+
+def edge_embeddedness(edges: DataFrame, k: int = 25) -> DataFrame:
+    """Top-k EXISTING edges by embeddedness: common neighbors of the
+    endpoints over their union neighborhood (endpoints excluded) —
+    Granovetter's tie-strength proxy. The link-prediction desk
+    (`neighbor_jaccard`, `adamic_adar`) scores NON-edges; this scores
+    the edges you already have: an edge with zero embeddedness is a
+    local bridge whose removal disconnects its neighborhoods.
+    Output (u, v, n_common, embeddedness) ranked (emb desc, u, v).
+
+    ``edges`` must be canonical undirected (u < v, distinct). Same
+    wedge-join shape as `neighbor_jaccard` but with an INNER join
+    against the edge list (cost = sum of squared degrees — cap hub
+    neighborhoods upstream at 100 TB); the score cn/(da+db-2-cn) is
+    one division of exact BIGINTs, so ranking on the raw value with
+    the pair tiebreak is deterministic (emitted value rounds 6dp for
+    the driver hash)."""
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    wedges = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .select(F.col("x.node").alias("u"), F.col("y.node").alias("v"))
+    )
+    on_edges = wedges.join(
+        edges.select("u", "v"), ["u", "v"], "left_semi"
+    )
+    cn = on_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    scored = (
+        cn.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .withColumn(
+            "emb_raw",
+            F.col("n_common")
+            / (F.col("du") + F.col("dv") - 2 - F.col("n_common")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("emb_raw").desc(), "u", "v")
+        .limit(k)
+        .select("u", "v", "n_common", F.round("emb_raw", 6).alias("embeddedness"))
+    )
+
+
+def edge_embeddedness_oracle_sql(edges_cte: str, k: int = 25) -> str:
+    """DuckDB mirror of `edge_embeddedness` over ``edges_cte`` (must
+    define a CTE `el(u, v)` of canonical undirected edges)."""
+    return f"""
+    WITH {edges_cte},
+    adj AS (
+        SELECT u AS node, v AS nbr FROM el
+        UNION ALL SELECT v AS node, u AS nbr FROM el
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    wedges AS (
+        SELECT x.node AS u, y.node AS v
+        FROM adj x JOIN adj y ON x.nbr = y.nbr
+        WHERE x.node < y.node
+    ),
+    cn AS (
+        SELECT w.u, w.v, CAST(count(*) AS BIGINT) AS n_common
+        FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM el e WHERE e.u = w.u AND e.v = w.v)
+        GROUP BY w.u, w.v
+    )
+    SELECT c.u, c.v, c.n_common,
+           round(c.n_common * 1.0 / (du.d + dv.d - 2 - c.n_common), 6)
+               AS embeddedness
+    FROM cn c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    ORDER BY c.n_common * 1.0 / (du.d + dv.d - 2 - c.n_common) DESC,
+             c.u, c.v
+    LIMIT {k}
+    """

@@ -533,3 +533,95 @@ def ahash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
     WHERE bit_count(xor(l.hash_hi, r.hash_hi))
           + bit_count(xor(l.hash_lo, r.hash_lo)) <= {max_hamming}
     """
+
+
+DHASH_SCHEMA = "doc_id long, n_bytes int, hash_hi long, hash_lo long"
+
+
+def fake_dhash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Difference-hash perceptual signature stand-in over Arrow
+    batches (mapInPandas): the leading 72 payload bytes act as the
+    8x9 luma grid a real dHash would get from resize+grayscale (PIL
+    absent — the grid REPLACES the decode step, the same honest-stub
+    discipline as `fake_ahash`), bit_(i,j) = grid[i][j] >
+    grid[i][j+1] — GRADIENT structure where aHash reads brightness-
+    vs-mean, so the two signatures fail independently and their
+    intersection is the standard cheap near-dup ensemble. Emitted as
+    two 32-bit halves like `fake_ahash` so downstream XOR/bit_count
+    algebra never touches the int64 sign bit. Payloads under 72
+    bytes are skipped.
+
+    Cites the reference's columnar encode surface the same way as
+    fake_ahash (SURVEY.md §2A A9/A10).
+
+    Scale shape: _spread repartitions before the kernel; one slim
+    row per asset; a real dHash (PIL resize) slots into the same
+    iterator with the same schema."""
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, his, los = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(raw) < 72:
+                    continue
+                grid = raw[:72].astype(np.int64).reshape(8, 9)
+                bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64).reshape(64)
+                hi = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                lo = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                ids.append(doc_id)
+                sizes.append(len(raw))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "hash_hi": pd.Series(his, dtype="int64"),
+                    "hash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return _spread(df.select(id_col, payload_col), id_col).mapInPandas(
+        hash_batches, schema=DHASH_SCHEMA
+    )
+
+
+DHASH_ORACLE_CORE = """
+    dh_docs AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    dh_vals AS (
+        SELECT doc_id, n, p,
+               CAST(ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+                    AS BIGINT) AS b
+        FROM dh_docs, (SELECT unnest(range(0, 72)) AS p)
+        WHERE n >= 72
+    ),
+    dh_bits AS (
+        SELECT l.doc_id, l.n, (l.p // 9) * 8 + (l.p % 9) AS j,
+               CASE WHEN l.b > r.b THEN 1 ELSE 0 END AS bit
+        FROM dh_vals l
+        JOIN dh_vals r ON r.doc_id = l.doc_id AND r.p = l.p + 1
+        WHERE l.p % 9 < 8
+    ),
+    dh_hash AS (
+        SELECT doc_id, CAST(max(n) AS INTEGER) AS n_bytes,
+               CAST(sum(CASE WHEN j < 32 THEN bit * (1::BIGINT << j)
+                             ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN j >= 32 THEN bit * (1::BIGINT << (j - 32))
+                             ELSE 0 END) AS BIGINT) AS hash_lo
+        FROM dh_bits GROUP BY doc_id
+    )"""
+
+
+def dhash_oracle_sql() -> str:
+    """DuckDB mirror of `fake_dhash` over the documents payloads."""
+    return f"""
+    WITH {DHASH_ORACLE_CORE}
+    SELECT doc_id, n_bytes, hash_hi, hash_lo FROM dh_hash
+    """

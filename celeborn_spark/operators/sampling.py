@@ -332,3 +332,66 @@ def dense_ids_oracle_sql(table: str, key_sql: str, n_buckets: int = 64) -> str:
                AS row_id
     FROM kb
     """
+
+
+def systematic_sample(
+    df: DataFrame, key_col: str, n_buckets: int = 200, salt: int = 0
+) -> DataFrame:
+    """Fixed-SIZE systematic sample: partition the md5 hash space
+    into ``n_buckets`` equal-width value ranges and take the
+    hash-minimal key from each — the positional-stride analogue of
+    classic systematic sampling over the deterministic hash order.
+    Output one row per non-empty bucket: (bucket, key).
+
+    Fixed SIZE by construction (<= n_buckets rows regardless of N —
+    the r10 fixed-rate lesson: a %-rate sample grows with the corpus
+    and turns downstream self-joins quadratic). Value-range
+    bucketing, NOT ntile: no global sort, no row-sized window — the
+    bucket id is pure per-row hash arithmetic.
+
+    Scale shape (100 TB): one map stage + ONE n_buckets-group
+    aggregate (map-side combined min per bucket)."""
+    bucketed = df.select(
+        F.col(key_col).alias("key"),
+        hash_bucket(key_col, salt).alias("h"),
+        # integer DIV, not double-divide-then-cast: Spark's double->
+        # long cast truncates while DuckDB's rounds — DIV // sidesteps
+        # the disagreement entirely.
+        (
+            (F.conv(hash_bucket(key_col, salt), 16, 10).cast("long") * n_buckets)
+            .cast("long")
+        ).alias("scaled"),
+    ).select(
+        "key",
+        "h",
+        F.expr(f"CAST(scaled DIV {_SPACE} AS BIGINT)").alias("bucket"),
+    )
+    picks = bucketed.groupBy("bucket").agg(F.min("h").alias("h"))
+    return (
+        picks.join(bucketed, ["bucket", "h"])
+        .groupBy("bucket")  # md5 collisions: deterministic min-key tiebreak
+        .agg(F.min("key").alias("key"))
+        .orderBy("bucket")
+    )
+
+
+def systematic_sample_oracle_sql(
+    units_sql: str, n_buckets: int = 200, salt: int = 0
+) -> str:
+    """DuckDB mirror of `systematic_sample`. ``units_sql`` yields one
+    row per unit with a ``key`` column."""
+    h = f"substr(md5(concat_ws(':', CAST(key AS VARCHAR), '{salt}')), 1, 8)"
+    return f"""
+    WITH sys_units AS ({units_sql}),
+    sys_b AS (
+        SELECT key, {h} AS h,
+               CAST(CAST(concat('0x', {h}) AS UBIGINT) * {n_buckets}
+                    // {_SPACE} AS BIGINT) AS bucket
+        FROM sys_units
+    ),
+    sys_min AS (SELECT bucket, min(h) AS h FROM sys_b GROUP BY 1)
+    SELECT b.bucket, min(b.key) AS key
+    FROM sys_b b JOIN sys_min m ON m.bucket = b.bucket AND m.h = b.h
+    GROUP BY b.bucket
+    ORDER BY b.bucket
+    """

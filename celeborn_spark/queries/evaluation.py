@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from celeborn_spark.catalog import load_table
+from celeborn_spark.operators import evaluation as E
 from celeborn_spark.operators.evaluation import (
     rbo_overlap,
     rbo_oracle_sql,
@@ -646,3 +647,118 @@ def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = top20(F.sum(F.col("l_quantity")).cast("long"), "qty")
     return rbo_overlap(a, b, k=20, p=0.9)
+
+
+def _part_topk_lists(spark: SparkSession, sf_dir: str, k: int):
+    """Two part rankings to depth k: by revenue cents vs by total
+    quantity, both heap-selected on exact integers with partkey
+    tiebreaks (the q_rbo_overlap construction, deeper cut)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def topk(agg_col, alias):
+        per = li.groupBy("l_partkey").agg(agg_col.alias(alias))
+        cut = per.orderBy(F.col(alias).desc(), "l_partkey").limit(k)
+        # rank over the post-limit k-row relation (bounded)
+        wr = W.orderBy(F.col(alias).desc(), "l_partkey")
+        return cut.select(
+            F.col("l_partkey").alias("key"),
+            F.row_number().over(wr).alias("rank"),
+        )
+
+    rev = topk(
+        F.sum(F.floor(F.col("l_extendedprice") * 100)).cast("long"), "rev"
+    )
+    qty = topk(F.sum(F.col("l_quantity").cast("long")).cast("long"), "qv")
+    return rev, qty
+
+
+_TKO_LIST_A = """SELECT l_partkey AS key,
+       row_number() OVER (ORDER BY rev DESC, l_partkey) AS rank
+FROM (SELECT l_partkey,
+             CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1)
+ORDER BY rev DESC, l_partkey LIMIT 100"""
+
+_TKO_LIST_B = """SELECT l_partkey AS key,
+       row_number() OVER (ORDER BY qv DESC, l_partkey) AS rank
+FROM (SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qv
+      FROM lineitem GROUP BY 1)
+ORDER BY qv DESC, l_partkey LIMIT 100"""
+
+
+@query(
+    "q_topk_overlap",
+    oracle=E.topk_overlap_oracle_sql(_TKO_LIST_A, _TKO_LIST_B),
+)
+def q_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@k curve (k = 10/25/50/100) between the revenue-top
+    and quantity-top part rankings: at which depth do the two
+    rankers stop agreeing — the unweighted decay profile beside
+    q_rbo_overlap's single geometric grade
+    (operators/evaluation.topk_overlap_curve)."""
+    rev, qty = _part_topk_lists(spark, sf_dir, 100)
+    return E.topk_overlap_curve(rev, qty)
+
+
+@query(
+    "q_spearman_footrule",
+    oracle=E.footrule_oracle_sql(
+        """SELECT r1.nat AS key, r1.r AS r1, r2.r AS r2
+           FROM (SELECT c_nationkey AS nat,
+                        row_number() OVER (ORDER BY rev DESC, c_nationkey)
+                            AS r
+                 FROM (SELECT c.c_nationkey,
+                              CAST(sum(floor(o.o_totalprice * 100)) AS BIGINT)
+                                  AS rev
+                       FROM customer c JOIN orders o
+                         ON o.o_custkey = c.c_custkey
+                       GROUP BY 1)) r1
+           JOIN (SELECT c_nationkey AS nat,
+                        row_number() OVER (ORDER BY nc DESC, c_nationkey)
+                            AS r
+                 FROM (SELECT c_nationkey,
+                              CAST(count(*) AS BIGINT) AS nc
+                       FROM customer GROUP BY 1)) r2
+             ON r2.nat = r1.nat"""
+    ),
+)
+def q_spearman_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman footrule between two complete nation rankings —
+    by order revenue vs by customer count: total rank displacement,
+    the L1 companion of q_spearman's L2 correlation. Ranks over the
+    25-nation grain (bounded window) with nationkey tiebreaks
+    (operators/evaluation.spearman_footrule)."""
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("rev"))
+        # rank over the 25-nation grain (bounded window input)
+        .select(
+            "nat",
+            F.row_number()
+            .over(W.orderBy(F.col("rev").desc(), "nat"))
+            .cast("long")
+            .alias("r1"),
+        )
+    )
+    cnt = (
+        c.groupBy(F.col("c_nationkey").alias("nat"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+        # rank over the 25-nation grain (bounded window input)
+        .select(
+            "nat",
+            F.row_number()
+            .over(W.orderBy(F.col("nc").desc(), "nat"))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    return E.spearman_footrule(
+        rev.join(cnt, "nat").select(F.col("nat").alias("key"), "r1", "r2")
+    )

@@ -799,3 +799,29 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.katz_centrality(
         copurchase_edges(li, min_qty=45), alpha=0.1, iters=3
     )
+
+
+@query(
+    "q_edge_embeddedness",
+    oracle=graph_ops.edge_embeddedness_oracle_sql(
+        """el AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    )""",
+        k=25,
+    ),
+)
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 supplier co-purchase edges by embeddedness (shared
+    neighbors over union neighborhood): which existing ties are
+    deeply embedded vs local bridges — the tie-strength complement
+    of q_neighbor_jaccard's non-edge link prediction, same wedge
+    machinery with an inner (semi) join against the edge list
+    (operators/graph.edge_embeddedness)."""
+    from celeborn_spark.operators.graph import copurchase_edges, edge_embeddedness
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return edge_embeddedness(copurchase_edges(lineitem, min_qty=45), k=25)

@@ -226,3 +226,15 @@ def q_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_a/n_b (operators/multimodal.ahash_near_dup)."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.ahash_near_dup(M.fake_ahash(d), max_hamming=6)
+
+
+@query("q_dhash_signatures", oracle=M.dhash_oracle_sql())
+def q_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-hash (gradient) perceptual signatures over the
+    binary payloads: the second member of the cheap near-dup hash
+    ensemble — q_multimodal_ahash reads brightness-vs-mean, dHash
+    reads horizontal gradients, and assets flagged by BOTH are the
+    high-precision near-dup set. Same Arrow mapInPandas shape and
+    32-bit-half encoding (operators/multimodal.fake_dhash)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.fake_dhash(d.select("doc_id", "payload"))

@@ -251,3 +251,22 @@ def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = S_ops.assign_dense_ids(li, "l_partkey", n_buckets=64)
     return out.select(F.col("l_partkey").alias("key"), "row_id")
+
+
+@query(
+    "q_systematic_sample",
+    oracle=S_ops.systematic_sample_oracle_sql(
+        "SELECT doc_id AS key FROM documents", n_buckets=50
+    ),
+)
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size systematic document sample: 50 equal-width md5
+    value-range buckets, hash-minimal doc per bucket — positional-
+    stride coverage of the corpus with NO global sort and no
+    row-sized window (the bucket id is per-row hash arithmetic),
+    bounded at 50 rows at any corpus size (the r10 fixed-rate
+    lesson) (operators/sampling.systematic_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return S_ops.systematic_sample(
+        docs.select(F.col("doc_id")), "doc_id", n_buckets=50
+    )

@@ -64,6 +64,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "pettitt_oracle_sql: `daily` is the caller's per-day aggregate "
         "(queries/evaluation.py q_pettitt_changepoint GROUP BY 1) — day "
         "is unique by the operator's input contract (docstring).",
+    ("operators/stats.py", "day"):
+        "r13 series-desk oracles (von_neumann/snht/buishand/"
+        "permutation_entropy): series_sql is the caller's per-day "
+        "aggregate (queries/stats.py _DAILY_KUSD_SQL GROUP BY 1) — day "
+        "is unique by the operators' input contract (docstrings).",
     ("operators/stats.py", "{ob}"):
         "ewma/cusum/lag1_autocorr oracles: order_cols is a caller "
         "parameter; every call site passes ('ts', 'event_id') — "
