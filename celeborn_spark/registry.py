@@ -92,11 +92,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # local[4] sessions (COVERAGE.md r12 close gates), and re-swept for
 # this rotation (COVERAGE.md r13).
 #
-# R14 PLAN: window := q_chow_test + any operators added in r13 +
-# reps. After r13 the never-witnessed backlog fits well inside one
-# window, so new additions are bounded by window slack per VERDICT
-# r11 item 2. Prioritize any query whose source changes into the
-# next window.
+# R14 PLAN: window := q_chow_test (the r13 overflow) + the 23
+# operators added in r13 (series desk: von_neumann/snht/buishand/
+# permutation_entropy; robust/rank: huber_m/deming/ansari_bradley/
+# quade; fits: gamma/lognormal/beta/weibull; econ: palma_hoover/
+# log_cagr/neyman; agreement: icc/krippendorff/bland_altman; eval:
+# topk_overlap/spearman_footrule; dhash/edge_embeddedness/
+# systematic_sample) = 24 slots, + up to 26 reps. That keeps the
+# never-witnessed backlog inside ONE window (VERDICT r11 item 2).
+# Prioritize any query whose source changes into the next window.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
 CORRECTNESS_WINDOW: tuple[str, ...] = (
