@@ -1933,3 +1933,67 @@ def edge_embeddedness_oracle_sql(edges_cte: str, k: int = 25) -> str:
              c.u, c.v
     LIMIT {k}
     """
+
+
+def degree_centralization(edges: DataFrame, dp: int = 6) -> DataFrame:
+    """Freeman degree centralization of an undirected graph: how
+    star-like is the topology — sum(dmax - d_i) over the maximum
+    possible (n-1)(n-2) attained by the star. 0 = perfectly regular
+    (every node equal), 1 = one hub carries everything. The single-
+    number summary of the degree histogram that q_powerlaw_alpha fits
+    a tail to and q_key_skew_profile reads as shuffle-risk: high
+    centralization = hub keys = skew-split territory. Output ONE
+    row: (n_nodes, n_edges, dmax, centralization).
+
+    ``edges`` must be canonical undirected (u < v, distinct). Degree
+    sums are exact BIGINTs; centralization is one double division
+    rounded ``dp``.
+
+    Scale shape (100 TB): one degree aggregate (node-bounded) + one
+    scalar reduce; nothing quadratic anywhere."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("d").cast("long") / 2).cast("long").alias("n_edges"),
+        F.max("d").cast("long").alias("dmax"),
+        F.sum("d").cast("long").alias("dsum"),
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "dmax",
+        F.round(
+            (F.col("n_nodes") * F.col("dmax") - F.col("dsum")).cast("double")
+            / ((F.col("n_nodes") - 1) * (F.col("n_nodes") - 2)),
+            dp,
+        ).alias("centralization"),
+    )
+
+
+def degree_centralization_oracle_sql(edges_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `degree_centralization` over ``edges_sql``
+    yielding canonical undirected (u, v) rows."""
+    return f"""
+    WITH dgc_el AS ({edges_sql}),
+    dgc_deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM dgc_el
+              UNION ALL SELECT v FROM dgc_el)
+        GROUP BY node
+    ),
+    dgc_s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+               CAST(max(d) AS BIGINT) AS dmax,
+               CAST(sum(d) AS BIGINT) AS dsum
+        FROM dgc_deg
+    )
+    SELECT n_nodes, n_edges, dmax,
+           round(CAST(n_nodes * dmax - dsum AS DOUBLE)
+                 / ((n_nodes - 1) * (n_nodes - 2)), {dp}) AS centralization
+    FROM dgc_s
+    """

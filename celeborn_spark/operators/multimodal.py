@@ -369,11 +369,17 @@ def ahash_near_dup(
     hashes: DataFrame, max_hamming: int = 6
 ) -> DataFrame:
     """Hamming near-duplicate SIGNATURE pairs over 64-bit perceptual
-    hashes via 4x16-bit band buckets — the binary-code LSH: any pair
-    within Hamming distance 6 agrees exactly on at least one of the
-    four bands (pigeonhole), so candidates come from four band-keyed
-    equi-joins, NEVER an all-pairs scan; the exact bit_count(XOR)
-    filter removes false candidates. The image-near-dup companion of
+    hashes via 4x16-bit band buckets — the binary-code LSH:
+    candidates come from four band-keyed equi-joins, NEVER an
+    all-pairs scan; the exact bit_count(XOR) filter removes false
+    candidates. Recall contract: a pair within Hamming distance d
+    shares a band with CERTAINTY only for d <= 3 (d differing bits
+    can cover at most d of the 4 bands); for 4 <= d <= max_hamming
+    the band join is a high-recall candidate generator, not an
+    exhaustive one (differing bits must spread across all four bands
+    to escape), and precision is always exact. The DuckDB oracle
+    runs the SAME banded algebra, so the emitted set is
+    bit-checkable either way. The image-near-dup companion of
     the MinHash text pipeline. Output one row per DISTINCT-signature
     pair: (rep_a, rep_b, n_a, n_b, hamming) with rep = the group's
     min doc id and n = its multiplicity; rep_a < rep_b.
@@ -624,4 +630,46 @@ def dhash_oracle_sql() -> str:
     return f"""
     WITH {DHASH_ORACLE_CORE}
     SELECT doc_id, n_bytes, hash_hi, hash_lo FROM dh_hash
+    """
+
+
+def dhash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
+    """DuckDB mirror of `ahash_near_dup` applied to the dHash
+    signature space (`fake_dhash`): same signature-catalog 4x16-bit
+    band join + exact xor/bit_count filter, over the gradient-bit
+    hashes instead of the brightness-bit ones. CTEs are dn_-prefixed
+    (CTE names collide across reused fragment chains — CLAUDE.md)."""
+    return f"""
+    WITH {DHASH_ORACLE_CORE},
+    dn_sig AS (
+        SELECT hash_hi, hash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS rep
+        FROM dh_hash GROUP BY 1, 2
+    ),
+    dn_bands AS (
+        SELECT rep, n_docs, hash_hi, hash_lo,
+               CAST(hash_hi % 65536 AS BIGINT) AS b0,
+               CAST(hash_hi // 65536 AS BIGINT) AS b1,
+               CAST(hash_lo % 65536 AS BIGINT) AS b2,
+               CAST(hash_lo // 65536 AS BIGINT) AS b3
+        FROM dn_sig
+    ),
+    dn_lanes AS (
+        SELECT 0 AS lane, b0 AS bv, rep, n_docs, hash_hi, hash_lo
+        FROM dn_bands
+        UNION ALL
+        SELECT 1, b1, rep, n_docs, hash_hi, hash_lo FROM dn_bands
+        UNION ALL
+        SELECT 2, b2, rep, n_docs, hash_hi, hash_lo FROM dn_bands
+        UNION ALL
+        SELECT 3, b3, rep, n_docs, hash_hi, hash_lo FROM dn_bands
+    )
+    SELECT DISTINCT l.rep AS rep_a, r.rep AS rep_b,
+           l.n_docs AS n_a, r.n_docs AS n_b,
+           CAST(bit_count(xor(l.hash_hi, r.hash_hi))
+                + bit_count(xor(l.hash_lo, r.hash_lo)) AS BIGINT) AS hamming
+    FROM dn_lanes l JOIN dn_lanes r
+      ON l.lane = r.lane AND l.bv = r.bv AND l.rep < r.rep
+    WHERE bit_count(xor(l.hash_hi, r.hash_hi))
+          + bit_count(xor(l.hash_lo, r.hash_lo)) <= {max_hamming}
     """

@@ -12678,3 +12678,539 @@ def krippendorff_oracle_sql(
            round(1 - ({do_}) / ({de_}), {dp}) AS alpha
     FROM kra_mom
     """
+
+
+# --------------------------------------------------------------------------
+# Normality / heteroscedastic ANOVA / robust-quantile-moment desk (r13b)
+# --------------------------------------------------------------------------
+
+# D'Agostino-Pearson pipeline as TEXTUAL formula templates over the
+# exact integer power sums (n, s1..s4): both engines parse the SAME
+# expression strings, so every intermediate is a single deterministic
+# scalar derivation (no accumulation anywhere) — the only cross-engine
+# wobble sources are ln/pow's last ulp, absorbed by the 6dp rounding
+# (and the cube-root operand is pre-rounded 12dp on both sides).
+# NO decimal literals anywhere: Spark parses `24.0` as DECIMAL and
+# decimal arithmetic truncates at scale 6 where DuckDB stays DOUBLE
+# (the TPC-H q17 lint class, here in multiply position — n is cast to
+# DOUBLE once and every literal stays integer, so both engines run
+# the whole chain in IEEE doubles).
+_DAG_N = "(CAST(n AS DOUBLE))"
+_DAG_M = f"(CAST(s1 AS DOUBLE) / {_DAG_N})"
+_DAG_M2 = f"(CAST(s2 AS DOUBLE) / {_DAG_N} - {_DAG_M} * {_DAG_M})"
+_DAG_M3 = (
+    f"(CAST(s3 AS DOUBLE) / {_DAG_N}"
+    f" - 3 * {_DAG_M} * (CAST(s2 AS DOUBLE) / {_DAG_N})"
+    f" + 2 * {_DAG_M} * {_DAG_M} * {_DAG_M})"
+)
+_DAG_M4 = (
+    f"(CAST(s4 AS DOUBLE) / {_DAG_N}"
+    f" - 4 * {_DAG_M} * (CAST(s3 AS DOUBLE) / {_DAG_N})"
+    f" + 6 * {_DAG_M} * {_DAG_M} * (CAST(s2 AS DOUBLE) / {_DAG_N})"
+    f" - 3 * {_DAG_M} * {_DAG_M} * {_DAG_M} * {_DAG_M})"
+)
+_DAG_G1 = f"({_DAG_M3} / ({_DAG_M2} * sqrt({_DAG_M2})))"
+_DAG_G2 = f"({_DAG_M4} / ({_DAG_M2} * {_DAG_M2}) - 3)"
+# Z1: D'Agostino 1970 skewness transform
+_DAG_Y = (
+    f"({_DAG_G1} * sqrt(({_DAG_N} + 1) * ({_DAG_N} + 3)"
+    f" / (6 * ({_DAG_N} - 2))))"
+)
+_DAG_B2 = (
+    f"(3 * ({_DAG_N} * {_DAG_N} + 27 * {_DAG_N} - 70)"
+    f" * ({_DAG_N} + 1) * ({_DAG_N} + 3)"
+    f" / (({_DAG_N} - 2) * ({_DAG_N} + 5) * ({_DAG_N} + 7) * ({_DAG_N} + 9)))"
+)
+_DAG_W2 = f"(-1 + sqrt(2 * ({_DAG_B2} - 1)))"
+_DAG_DELTA = f"(1 / sqrt(ln(sqrt({_DAG_W2}))))"
+_DAG_ALPHA = f"(sqrt(2 / ({_DAG_W2} - 1)))"
+_DAG_Z1 = (
+    f"({_DAG_DELTA} * ln({_DAG_Y} / {_DAG_ALPHA}"
+    f" + sqrt(({_DAG_Y} / {_DAG_ALPHA}) * ({_DAG_Y} / {_DAG_ALPHA}) + 1)))"
+)
+# Z2: Anscombe-Glynn 1983 kurtosis transform
+_DAG_EB = f"(3 * ({_DAG_N} - 1) / ({_DAG_N} + 1))"
+_DAG_VB = (
+    f"(24 * {_DAG_N} * ({_DAG_N} - 2) * ({_DAG_N} - 3)"
+    f" / (({_DAG_N} + 1) * ({_DAG_N} + 1) * ({_DAG_N} + 3) * ({_DAG_N} + 5)))"
+)
+_DAG_X = f"(({_DAG_G2} + 3 - {_DAG_EB}) / sqrt({_DAG_VB}))"
+_DAG_BB = (
+    f"(6 * ({_DAG_N} * {_DAG_N} - 5 * {_DAG_N} + 2)"
+    f" / (({_DAG_N} + 7) * ({_DAG_N} + 9))"
+    f" * sqrt(6 * ({_DAG_N} + 3) * ({_DAG_N} + 5)"
+    f" / ({_DAG_N} * ({_DAG_N} - 2) * ({_DAG_N} - 3))))"
+)
+_DAG_A = (
+    f"(6 + 8 / {_DAG_BB} * (2 / {_DAG_BB}"
+    f" + sqrt(1 + 4 / ({_DAG_BB} * {_DAG_BB}))))"
+)
+_DAG_CBRT_OPERAND = (
+    f"round((1 - 2 / {_DAG_A})"
+    f" / (1 + {_DAG_X} * sqrt(2 / ({_DAG_A} - 4))), 12)"
+)
+_DAG_CBRT = (
+    f"(CASE WHEN {_DAG_CBRT_OPERAND} >= 0"
+    f" THEN power({_DAG_CBRT_OPERAND}, CAST(1 AS DOUBLE) / 3)"
+    f" ELSE -power(-{_DAG_CBRT_OPERAND}, CAST(1 AS DOUBLE) / 3) END)"
+)
+_DAG_Z2 = f"(((1 - 2 / (9 * {_DAG_A})) - {_DAG_CBRT}) / sqrt(2 / (9 * {_DAG_A})))"
+
+
+def dagostino_k2(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality battery: the
+    sample-size-corrected z-transforms of skewness (D'Agostino 1970)
+    and kurtosis (Anscombe-Glynn 1983) and their sum of squares —
+    the moment-based normality desk beside Jarque-Bera (asymptotic,
+    uncorrected) and the EDF family (KS/AD/CvM compare shapes; this
+    names WHICH moment breaks). Output ONE row:
+    (n, skew_g1, kurt_g2, z_skew, z_kurt, k2).
+
+    One aggregate of exact BIGINT power sums s1..s4 (``v_col`` at a
+    grain keeping sum(v^4) inside int64 — k$ for money to ~sf10,
+    documented per query); every derived value is a single scalar
+    expression PARSED FROM THE SAME TEXT by both engines; the cube
+    root's operand pre-rounds 12dp (power() is the one non-correctly-
+    rounded libm call in the chain). Outputs round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined aggregate."""
+    v = F.col(v_col)
+    mom = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+        F.sum(v * v * v).cast("long").alias("s3"),
+        F.sum(v * v * v * v).cast("long").alias("s4"),
+    )
+    return mom.select(
+        "n",
+        F.round(F.expr(_DAG_G1), dp).alias("skew_g1"),
+        F.round(F.expr(_DAG_G2), dp).alias("kurt_g2"),
+        F.round(F.expr(_DAG_Z1), dp).alias("z_skew"),
+        F.round(F.expr(_DAG_Z2), dp).alias("z_kurt"),
+        F.round(
+            F.expr(f"{_DAG_Z1} * {_DAG_Z1} + {_DAG_Z2} * {_DAG_Z2}"), dp
+        ).alias("k2"),
+    )
+
+
+def dagostino_oracle_sql(table: str, v_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `dagostino_k2` — the SAME formula text."""
+    return f"""
+    WITH dag_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum({v_sql}) AS BIGINT) AS s1,
+               CAST(sum(({v_sql}) * ({v_sql})) AS BIGINT) AS s2,
+               CAST(sum(({v_sql}) * ({v_sql}) * ({v_sql})) AS BIGINT) AS s3,
+               CAST(sum(({v_sql}) * ({v_sql}) * ({v_sql}) * ({v_sql}))
+                    AS BIGINT) AS s4
+        FROM {table}
+    )
+    SELECT n,
+           round({_DAG_G1}, {dp}) AS skew_g1,
+           round({_DAG_G2}, {dp}) AS kurt_g2,
+           round({_DAG_Z1}, {dp}) AS z_skew,
+           round({_DAG_Z2}, {dp}) AS z_kurt,
+           round({_DAG_Z1} * {_DAG_Z1} + {_DAG_Z2} * {_DAG_Z2}, {dp}) AS k2
+    FROM dag_mom
+    """
+
+
+def levene_mean_centered(
+    df: DataFrame,
+    group_col: str,
+    v_col: str,
+    quant: int = 1000,
+    mean_dp: int = 3,
+    dp: int = 6,
+) -> DataFrame:
+    """Levene's variance-homogeneity test, MEAN-centered (the
+    original 1960 form): one-way ANOVA on absolute deviations from
+    each group's mean — the power-optimal member under near-normal
+    tails, beside q_brown_forsythe's median-centered robust form and
+    q_bartlett_test's normal-theory one. Output ONE row:
+    (n, k_groups, levene_w, df_num, df_den).
+
+    Group means round ``mean_dp`` once (broadcast back); per-row
+    absolute deviations quantize at ``quant`` (exact BIGINT sums —
+    the established weight-quantization scheme). quant defaults to
+    MILLI, not micro: sum(z^2) must stay inside int64, and micro-
+    grain squares of even |dev|<=50 overflow at ~60k rows (the r9
+    micro-grain lesson); milli holds |dev|<=1e3 to ~1e9 rows.
+    mean_dp == log10(quant) keeps |v - m| * quant integral up to one
+    double ulp, so floor(x + 0.5) is the exact half-up quantizer on
+    both engines. The ANOVA F is exact integer algebra over the
+    bounded group vocabulary.
+
+    Scale shape (100 TB): two map-combined aggregates with a 1-row-
+    per-group broadcast between them."""
+    v = F.col(v_col)
+    g = F.col(group_col)
+    means = df.groupBy(g.alias("grp")).agg(
+        F.round(F.sum(v).cast("double") / F.count(F.lit(1)), mean_dp).alias("m")
+    )
+    z = df.select(g.alias("grp"), v.alias("v")).join(
+        F.broadcast(means), "grp"
+    ).select(
+        "grp",
+        F.floor(F.abs(F.col("v") - F.col("m")) * quant + F.lit(0.5))
+        .cast("long")
+        .alias("z6"),
+    )
+    gmom = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("z6").cast("long").alias("sz"),
+        F.sum(F.col("z6") * F.col("z6")).cast("long").alias("qz"),
+    )
+    return gmom.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sz").cast("long").alias("st"),
+        F.sum(F.col("sz").cast("double") * F.col("sz") / F.col("ng")).alias("bb"),
+        F.sum(
+            F.col("qz") - F.col("sz").cast("double") * F.col("sz") / F.col("ng")
+        ).alias("ww"),
+    ).select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(
+            (F.col("n") - F.col("k"))
+            / (F.col("k") - 1)
+            * (F.col("bb") - F.col("st").cast("double") * F.col("st") / F.col("n"))
+            / F.col("ww"),
+            dp,
+        ).alias("levene_w"),
+        (F.col("k") - 1).alias("df_num"),
+        (F.col("n") - F.col("k")).alias("df_den"),
+    )
+
+
+def levene_oracle_sql(
+    table: str,
+    group_sql: str,
+    v_sql: str,
+    quant: int = 1000,
+    mean_dp: int = 3,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `levene_mean_centered`."""
+    return f"""
+    WITH lvn_means AS (
+        SELECT {group_sql} AS grp,
+               round(CAST(sum({v_sql}) AS DOUBLE) / count(*), {mean_dp}) AS m
+        FROM {table} GROUP BY 1
+    ),
+    lvn_z AS (
+        SELECT t.grp, CAST(floor(abs(t.v - m.m) * {quant} + 0.5)
+                           AS BIGINT) AS z6
+        FROM (SELECT {group_sql} AS grp, {v_sql} AS v FROM {table}) t
+        JOIN lvn_means m ON m.grp = t.grp
+    ),
+    lvn_g AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(z6) AS BIGINT) AS sz,
+               CAST(sum(z6 * z6) AS BIGINT) AS qz
+        FROM lvn_z GROUP BY 1
+    ),
+    lvn_t AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(sz) AS BIGINT) AS st,
+               sum(CAST(sz AS DOUBLE) * sz / ng) AS bb,
+               sum(qz - CAST(sz AS DOUBLE) * sz / ng) AS ww
+        FROM lvn_g
+    )
+    SELECT n, k AS k_groups,
+           round((n - k) * 1.0 / (k - 1)
+                 * (bb - CAST(st AS DOUBLE) * st / n) / ww, {dp})
+               AS levene_w,
+           k - 1 AS df_num, n - k AS df_den
+    FROM lvn_t
+    """
+
+
+def welch_anova(
+    df: DataFrame, group_col: str, v_col: str, dp: int = 6
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA: the k-group
+    generalization of q_ab_test_welch — compares means WITHOUT the
+    equal-variance assumption classic ANOVA (q_anova) makes, which
+    is exactly the assumption q_bartlett_test/q_brown_forsythe
+    usually reject on spend data. Output ONE row:
+    (n, k_groups, welch_f, df_num, df_den).
+
+    Per-group moments are exact BIGINTs; weights w = n/var and the
+    <= vocabulary-sized weighted sums are deterministic doubles;
+    outputs round ``dp``.
+
+    Scale shape (100 TB): ONE map-combined group aggregate + one
+    bounded reduce."""
+    v = F.col(v_col)
+    gmom = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(v).cast("long").alias("s"),
+        F.sum(v * v).cast("long").alias("q"),
+    ).select(
+        "grp",
+        "ng",
+        (F.col("s").cast("double") / F.col("ng")).alias("m"),
+        (
+            (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("ng"))
+            / (F.col("ng") - 1)
+        ).alias("var"),
+    ).select("grp", "ng", "m", (F.col("ng") / F.col("var")).alias("w"))
+    tot = gmom.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("m")).alias("swm"),
+    )
+    j = gmom.crossJoin(F.broadcast(tot))
+    agg = j.groupBy("n", "k", "sw", "swm").agg(
+        F.sum(
+            F.col("w") * _sq(F.col("m") - F.col("swm") / F.col("sw"))
+        ).alias("aa"),
+        F.sum(
+            _sq(1 - F.col("w") / F.col("sw")) / (F.col("ng") - 1)
+        ).alias("hh"),
+    )
+    return agg.select(
+        "n",
+        F.col("k").alias("k_groups"),
+        F.round(
+            (F.col("aa") / (F.col("k") - 1))
+            / (
+                1
+                + 2.0 * (F.col("k") - 2) / (F.col("k") * F.col("k") - 1) * F.col("hh")
+            ),
+            dp,
+        ).alias("welch_f"),
+        (F.col("k") - 1).alias("df_num"),
+        F.round(
+            (F.col("k") * F.col("k") - 1) / (3.0 * F.col("hh")), dp
+        ).alias("df_den"),
+    )
+
+
+def welch_anova_oracle_sql(
+    table: str, group_sql: str, v_sql: str, dp: int = 6
+) -> str:
+    """DuckDB mirror of `welch_anova`."""
+    return f"""
+    WITH wan_g AS (
+        SELECT {group_sql} AS grp,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum({v_sql}) AS BIGINT) AS s,
+               CAST(sum(({v_sql}) * ({v_sql})) AS BIGINT) AS q
+        FROM {table} GROUP BY 1
+    ),
+    wan_w AS (
+        SELECT grp, ng, CAST(s AS DOUBLE) / ng AS m,
+               ng / ((q - CAST(s AS DOUBLE) * s / ng) / (ng - 1)) AS w
+        FROM wan_g
+    ),
+    wan_t AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               sum(w) AS sw, sum(w * m) AS swm
+        FROM wan_w
+    ),
+    wan_a AS (
+        SELECT n, k, sw, swm,
+               sum(w * (m - swm / sw) * (m - swm / sw)) AS aa,
+               sum((1 - w / sw) * (1 - w / sw) / (ng - 1)) AS hh
+        FROM wan_w CROSS JOIN wan_t
+        GROUP BY n, k, sw, swm
+    )
+    SELECT n, k AS k_groups,
+           round((aa / (k - 1))
+                 / (1 + 2.0 * (k - 2) / (k * k - 1) * hh), {dp}) AS welch_f,
+           k - 1 AS df_num,
+           round((k * k - 1) / (3.0 * hh), {dp}) AS df_den
+    FROM wan_a
+    """
+
+
+def robust_quantile_moments(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
+    """Quantile-based robust shape moments: Bowley skewness
+    (q3+q1-2*median over IQR), Moors kurtosis (octile spread over
+    IQR), and the quartile coefficient of dispersion — the outlier-
+    immune counterparts of the moment skew/kurt the D'Agostino desk
+    tests (a single billion-dollar order moves g1/g2 arbitrarily;
+    it cannot move an octile). Output ONE row: (n, q1, median, q3,
+    bowley_skew, moors_kurt, qcd).
+
+    percentile_disc VALUE-threshold semantics off the per-unit value
+    histogram (the two-stage bucket-offset machinery — money
+    histograms are row-sized); all seven per-mille thresholds come
+    from ONE conditional aggregate over the cumulative histogram;
+    the three shape ratios are exact-integer divisions rounded
+    ``dp``.
+
+    Scale shape (100 TB): one histogram pass, bucketed prefix
+    machinery, one bounded threshold reduce."""
+    from celeborn_spark.operators.evaluation import _bounded_cum_before
+
+    hist = (
+        df.groupBy(F.col(v_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # value histogram; bounds + bucketing re-read
+    )
+    cb = _bounded_cum_before(hist, F.col("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    cum = cb.crossJoin(F.broadcast(tot)).select(
+        "v", "n", (F.col("cum_before") + F.col("c")).cast("long").alias("cum")
+    )
+
+    def thr(pm: int):
+        return F.min(
+            F.when(1000 * F.col("cum") >= pm * F.col("n"), F.col("v"))
+        ).cast("long").alias(f"t{pm}")
+
+    t = cum.groupBy("n").agg(
+        thr(125), thr(250), thr(375), thr(500), thr(625), thr(750), thr(875)
+    )
+    return t.select(
+        "n",
+        F.col("t250").alias("q1"),
+        F.col("t500").alias("median"),
+        F.col("t750").alias("q3"),
+        F.round(
+            (F.col("t750") + F.col("t250") - 2 * F.col("t500")).cast("double")
+            / (F.col("t750") - F.col("t250")),
+            dp,
+        ).alias("bowley_skew"),
+        F.round(
+            (
+                (F.col("t875") - F.col("t625"))
+                + (F.col("t375") - F.col("t125"))
+            ).cast("double")
+            / (F.col("t750") - F.col("t250")),
+            dp,
+        ).alias("moors_kurt"),
+        F.round(
+            (F.col("t750") - F.col("t250")).cast("double")
+            / (F.col("t750") + F.col("t250")),
+            dp,
+        ).alias("qcd"),
+    )
+
+
+def robust_moments_oracle_sql(units_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `robust_quantile_moments` over ``units_sql``
+    yielding one BIGINT ``v`` per unit."""
+    thrs = ", ".join(
+        f"CAST(min(CASE WHEN 1000 * cum >= {pm} * n THEN v END) AS BIGINT)"
+        f" AS t{pm}"
+        for pm in (125, 250, 375, 500, 625, 750, 875)
+    )
+    return f"""
+    WITH rqm_units AS ({units_sql}),
+    rqm_hist AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS c FROM rqm_units GROUP BY 1
+    ),
+    rqm_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM rqm_hist),
+    rqm_cum AS (
+        SELECT v, n, CAST(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM rqm_hist CROSS JOIN rqm_tot
+    ),
+    rqm_t AS (SELECT n, {thrs} FROM rqm_cum GROUP BY n)
+    SELECT n, t250 AS q1, t500 AS median, t750 AS q3,
+           round(CAST(t750 + t250 - 2 * t500 AS DOUBLE) / (t750 - t250),
+                 {dp}) AS bowley_skew,
+           round(CAST((t875 - t625) + (t375 - t125) AS DOUBLE)
+                 / (t750 - t250), {dp}) AS moors_kurt,
+           round(CAST(t750 - t250 AS DOUBLE) / (t750 + t250), {dp}) AS qcd
+    FROM rqm_t
+    """
+
+
+def dickey_fuller(df: DataFrame, day_col: str, v_col: str, dp: int = 6) -> DataFrame:
+    """Dickey-Fuller unit-root regression on the daily series:
+    Delta v_t = alpha + beta * v_(t-1); the t-statistic on beta is
+    the stationarity screen (beta ~ 0 = random walk; beta << 0 =
+    mean reversion) — the desk that says whether trend fits
+    (q_grouped_ols_trend, q_mann_kendall) or differencing
+    (q_von_neumann's ratio) is the right model. Output ONE row:
+    (n_days, beta_hat, se_beta, df_stat).
+
+    All five regression sums are exact BIGINTs off the lag pairs
+    (k$ grain keeps sum(x^2) inside int64, documented); the OLS
+    closed form and the residual variance are single scalar
+    derivations rounded ``dp``.
+
+    Scale shape (100 TB): one lag window over the BOUNDED daily
+    grain + ONE map-combined aggregate."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    pairs = df.select(
+        v.alias("cur"),
+        F.lag(v).over(W.orderBy(F.col(day_col))).alias("x"),
+    ).filter(F.col("x").isNotNull()).select(
+        "x", (F.col("cur") - F.col("x")).cast("long").alias("y")
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    beta = (F.col("m") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.col("m") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("m")
+    sse = F.col("syy") - alpha * F.col("sy") - beta * F.col("sxy")
+    se = F.sqrt(
+        (sse / (F.col("m") - 2))
+        / (
+            F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("m")
+        )
+    )
+    return mom.select(
+        (F.col("m") + 1).alias("n_days"),
+        F.round(beta, dp).alias("beta_hat"),
+        F.round(se, dp).alias("se_beta"),
+        F.round(beta / se, dp).alias("df_stat"),
+    )
+
+
+def dickey_fuller_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `dickey_fuller` over ``series_sql`` (day, v)."""
+    beta = (
+        "((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)"
+        " / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))"
+    )
+    alpha = f"((sy - {beta} * sx) / m)"
+    sse = f"(syy - {alpha} * sy - {beta} * sxy)"
+    se = (
+        f"sqrt(({sse} / (m - 2))"
+        f" / (sxx - CAST(sx AS DOUBLE) * sx / m))"
+    )
+    return f"""
+    WITH dfr_series AS ({series_sql}),
+    dfr_pairs AS (
+        SELECT lag(v) OVER (ORDER BY day) AS x,
+               CAST(v - lag(v) OVER (ORDER BY day) AS BIGINT) AS y
+        FROM dfr_series
+    ),
+    dfr_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM dfr_pairs WHERE x IS NOT NULL
+    )
+    SELECT m + 1 AS n_days,
+           round({beta}, {dp}) AS beta_hat,
+           round({se}, {dp}) AS se_beta,
+           round({beta} / {se}, {dp}) AS df_stat
+    FROM dfr_mom
+    """

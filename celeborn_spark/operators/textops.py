@@ -2364,3 +2364,158 @@ def heaps_oracle_sql(n_slices: int = 8, dp: int = 6) -> str:
                     * sx / np) / 1000000.0, {dp}) AS ln_k
     FROM hpl_mom
     """
+
+
+# --------------------------------------------------------------------------
+# Yule's K lexical-repetitiveness characteristic (r13b)
+# --------------------------------------------------------------------------
+
+
+def yule_k(docs: DataFrame, text_col: str, dp: int = 6) -> DataFrame:
+    """Yule's characteristic K over the corpus unigram counts:
+    K = 10^4 * (S2 - S1) / S1^2 with S1 = total token mass and
+    S2 = sum of squared type frequencies — the sample-size-invariant
+    repetitiveness constant (expected K is flat as the corpus grows,
+    unlike q_type_token_richness's TTR which decays), so drift in K
+    between snapshots means the MIX changed, not just the size. High
+    K flags templated/spammy corpora the same way q_text_repetition
+    does per-document, but at corpus grain. Output ONE row:
+    (n_tokens, n_types, yule_k).
+
+    S1/S2 are exact BIGINTs off the vocabulary-sized count relation;
+    K is one double expression (S1^2 stays inside 2^53 for any corpus
+    whose token mass fits ~9e15 — beyond that S1^2 saturates double
+    precision before BIGINT overflows); rounds ``dp``.
+
+    Scale shape (100 TB): explode -> ONE map-combined (token) count
+    -> one scalar reduce. Nothing row-sized past the first exchange."""
+    wc = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return wc.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.expr(
+                "10000 * (CAST(s2 AS DOUBLE) - n_tokens)"
+                " / (CAST(n_tokens AS DOUBLE) * n_tokens)"
+            ),
+            dp,
+        ).alias("yule_k"),
+    )
+
+
+def yule_k_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `yule_k` over the documents table."""
+    return f"""
+    WITH ylk_toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    ylk_tc AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ylk_toks GROUP BY 1
+    ),
+    ylk_mom AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM ylk_tc
+    )
+    SELECT n_tokens, n_types,
+           round(10000 * (CAST(s2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), {dp}) AS yule_k
+    FROM ylk_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Cross-source vocabulary Jaccard (r13b)
+# --------------------------------------------------------------------------
+
+
+def source_vocab_jaccard(
+    docs: DataFrame, facet_col: str, text_col: str, dp: int = 6
+) -> DataFrame:
+    """Pairwise Jaccard similarity of token VOCABULARIES between
+    corpus facets (sources): |V_a intersect V_b| / |V_a union V_b| —
+    the lexical-overlap matrix that says which sources are
+    interchangeable mixture components and which carry unique
+    vocabulary (q_hellinger_langmix compares frequency SHAPES; this
+    compares type SETS, so a tiny source with novel jargon scores
+    low here even when its frequency profile looks generic). Output
+    one row per unordered facet pair (src_a < src_b):
+    (src_a, src_b, n_a, n_b, n_inter, jaccard).
+
+    All counts are exact BIGINTs; jaccard is one division, ``dp``.
+
+    Scale shape (100 TB): ONE distinct (facet, token) exchange
+    (vocabulary x facets bounded, never corpus-sized); the pair join
+    is token-keyed over the deduped vocabulary with facet^2 fanout
+    bounded by the facet vocabulary itself."""
+    sv = (
+        docs.select(
+            F.col(facet_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint()  # vocab catalog: sizes + self-join both read it
+    )
+    sizes = sv.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = sv.select(F.col("src").alias("src_a"), "tok")
+    b = sv.select(F.col("src").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    na = sizes.select(F.col("src").alias("src_a"), F.col("nv").alias("n_a"))
+    nb = sizes.select(F.col("src").alias("src_b"), F.col("nv").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                dp,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_vocab_jaccard_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `source_vocab_jaccard` over documents.source."""
+    return f"""
+    WITH svj_sv AS (
+        SELECT DISTINCT source AS src,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    svj_sz AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS nv FROM svj_sv GROUP BY 1
+    ),
+    svj_inter AS (
+        SELECT a.src AS src_a, b.src AS src_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM svj_sv a JOIN svj_sv b
+          ON a.tok = b.tok AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, sa.nv AS n_a, sb.nv AS n_b, i.n_inter,
+           round(CAST(i.n_inter AS DOUBLE)
+                 / (sa.nv + sb.nv - i.n_inter), {dp}) AS jaccard
+    FROM svj_inter i
+    JOIN svj_sz sa ON sa.src = i.src_a
+    JOIN svj_sz sb ON sb.src = i.src_b
+    """

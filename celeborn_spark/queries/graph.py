@@ -825,3 +825,26 @@ def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return edge_embeddedness(copurchase_edges(lineitem, min_qty=45), k=25)
+
+
+@query(
+    "q_degree_centralization",
+    oracle=graph_ops.degree_centralization_oracle_sql(
+        """SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+           FROM lineitem a
+           JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                          AND a.l_suppkey < b.l_suppkey
+           WHERE a.l_quantity >= 45 AND b.l_quantity >= 45"""
+    ),
+)
+def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the supplier co-purchase
+    graph: one number for how hub-dominated the topology is — the
+    scalar summary over the same degree relation q_powerlaw_alpha
+    fits and q_degree_assortativity correlates, and the structural
+    shuffle-skew prior (centralized graph = hub keys = salt/AQE
+    territory). Exact integer degree sums, one division
+    (operators/graph.degree_centralization)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph_ops.copurchase_edges(li, min_qty=45)
+    return graph_ops.degree_centralization(edges)

@@ -238,3 +238,26 @@ def q_dhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit-half encoding (operators/multimodal.fake_dhash)."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.fake_dhash(d.select("doc_id", "payload"))
+
+
+@query("q_dhash_near_dup", oracle=M.dhash_near_dup_oracle_sql(max_hamming=16))
+def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Hamming near-duplicate pairs over the dHash (gradient)
+    space: the second, independently-failing leg of the cheap image
+    near-dup ensemble — q_ahash_near_dup flags brightness-profile
+    twins, this flags gradient-structure twins, and assets in BOTH
+    candidate sets are the high-precision near-dups a real pipeline
+    quarantines. Same signature-catalog discipline (dedupe BEFORE
+    banding, the r11 sf1-rung lesson) and the same 4x16-bit band
+    join, reusing operators/multimodal.ahash_near_dup verbatim over
+    the dHash signature space. Cutoff 16, not 6: gradient bits are
+    noisier than brightness bits on these payloads (the closest
+    band-colliding dHash pair sits at 16 at sf0.01 and 9 at bench
+    scale, where aHash has exact twins), so the gradient leg is a
+    wider CANDIDATE tier — precision comes from intersecting with
+    q_ahash_near_dup, which is the ensemble's whole point; recall is
+    band-limited as documented on the operator (the exact-recall
+    radius of a 4-band split is 3) — identical algebra on both
+    engines, so the contract is still bit-checkable."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return M.ahash_near_dup(M.fake_dhash(d.select("doc_id", "payload")), max_hamming=16)

@@ -4332,3 +4332,93 @@ def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("x"), "y"
     )
     return stats_ops.bland_altman(pairs, "x", "y")
+
+
+@query(
+    "q_dagostino_k2",
+    oracle=stats_ops.dagostino_oracle_sql("lineitem", "l_quantity"),
+)
+def q_dagostino_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K^2 omnibus normality battery over order
+    quantities: the finite-sample-corrected z-transforms of skewness
+    and kurtosis and their sum of squares — the desk that says WHICH
+    moment breaks normality where q_jarque_bera only says whether
+    (and q_ks_test only that shapes differ). Quantity grain keeps
+    sum(v^4) inside int64 to ~sf1000; every derived scalar parses
+    from the same expression text on both engines
+    (operators/stats.dagostino_k2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.dagostino_k2(li, "l_quantity")
+
+
+@query(
+    "q_levene_mean",
+    oracle=stats_ops.levene_oracle_sql("lineitem", "l_returnflag", "l_quantity"),
+)
+def q_levene_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's variance-homogeneity test (mean-centered, the 1960
+    original) across return-flag groups of order quantity: the
+    power-optimal member of the spread-equality desk — beside
+    q_brown_forsythe (median-centered, robust) and q_bartlett_test
+    (normal-theory). Group means round 3dp once; milli-quantized
+    deviations keep sum(z^2) inside int64 to ~1e9 rows
+    (operators/stats.levene_mean_centered)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.levene_mean_centered(li, "l_returnflag", "l_quantity")
+
+
+@query(
+    "q_welch_anova",
+    oracle=stats_ops.welch_anova_oracle_sql(
+        "orders", "o_orderpriority", "CAST(floor(o_totalprice) AS BIGINT)"
+    ),
+)
+def q_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across the five order
+    priorities on dollar-grain order totals: does priority move mean
+    spend WITHOUT assuming equal variances — the k-group
+    generalization of q_ab_test_welch, and the test to reach for
+    when q_bartlett_test/q_levene_mean reject what q_anova assumes.
+    Dollar grain keeps per-group sum(v^2) inside int64 past sf10
+    (documented bound) (operators/stats.welch_anova)."""
+    orders = load_table(spark, sf_dir, "orders")
+    priced = orders.select(
+        "o_orderpriority", F.floor("o_totalprice").cast("long").alias("usd")
+    )
+    return stats_ops.welch_anova(priced, "o_orderpriority", "usd")
+
+
+@query(
+    "q_robust_moments",
+    oracle=stats_ops.robust_moments_oracle_sql(
+        "SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders"
+    ),
+)
+def q_robust_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based robust shape moments of order totals: Bowley
+    skewness, Moors kurtosis, and the quartile coefficient of
+    dispersion — the outlier-immune counterparts of the moment
+    skew/kurt q_dagostino_k2 tests (one billion-dollar order moves
+    g1/g2 arbitrarily; it cannot move an octile). Money values are
+    distinct-per-row, so the octile thresholds ride the two-stage
+    bucket-offset prefix sum, never an unpartitioned window
+    (operators/stats.robust_quantile_moments)."""
+    orders = load_table(spark, sf_dir, "orders")
+    units = orders.select(F.floor("o_totalprice").cast("long").alias("v"))
+    return stats_ops.robust_quantile_moments(units, "v")
+
+
+@query(
+    "q_dickey_fuller",
+    oracle=stats_ops.dickey_fuller_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root regression on daily k$ revenue:
+    Delta v_t = alpha + beta * v_(t-1), t-stat on beta — the
+    stationarity screen that says whether trend fits
+    (q_grouped_ols_trend, q_mann_kendall) or differencing
+    (q_von_neumann's ratio) is the right model for the series desk.
+    Exact BIGINT regression sums off the bounded daily grain; k$
+    keeps sum(x^2) inside int64 to ~sf100
+    (operators/stats.dickey_fuller)."""
+    return stats_ops.dickey_fuller(_daily_kusd(spark, sf_dir), "day", "v")

@@ -1599,3 +1599,34 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textops.heaps_law)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.heaps_law(docs, "doc_id", "text", n_slices=8)
+
+
+@query("q_yule_k", oracle=T.yule_k_oracle_sql())
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K of the corpus unigram distribution:
+    the sample-size-invariant lexical-repetitiveness constant — TTR
+    (q_type_token_richness) decays as the corpus grows, K stays flat
+    unless the MIX changes, so K drift between snapshots is a real
+    mix-shift alarm. One vocabulary-bounded count exchange, exact
+    BIGINT moments, one division (operators/textops.yule_k).
+
+    Tokenization contract (the sparse_cosine_pairs discipline): Spark
+    splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.yule_k(d, "text")
+
+
+@query("q_source_vocab_jaccard", oracle=T.source_vocab_jaccard_oracle_sql())
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources: which
+    mixture components share a lexicon and which carry unique jargon
+    — the type-SET counterpart of q_hellinger_langmix's frequency-
+    shape distance, and the overlap matrix a curriculum planner
+    (q_mixture_plan) reads before merging sources. Distinct
+    (source, token) exchange, token-keyed pair join over the deduped
+    vocabulary, exact counts, one division
+    (operators/textops.source_vocab_jaccard).
+
+    Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.source_vocab_jaccard(d, "source", "text")
