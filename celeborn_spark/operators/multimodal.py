@@ -673,3 +673,105 @@ def dhash_near_dup_oracle_sql(max_hamming: int = 6) -> str:
     WHERE bit_count(xor(l.hash_hi, r.hash_hi))
           + bit_count(xor(l.hash_lo, r.hash_lo)) <= {max_hamming}
     """
+
+
+def near_dup_crosscheck(
+    ahash_pairs: DataFrame, dhash: DataFrame, confirm_hamming: int = 16
+) -> DataFrame:
+    """Cross-space confirmation of the aHash near-dup tier: for each
+    banded aHash candidate pair, the dHash (gradient) Hamming
+    distance between the two representatives, and a confirmed flag at
+    ``confirm_hamming`` — the precision stage of the cheap perceptual
+    ensemble (brightness-profile twins that are NOT gradient twins
+    are usually global-luma artifacts, not near-dups; pairs flagged
+    by BOTH spaces are the quarantine set). Output one row per aHash
+    candidate pair whose BOTH reps carry a dHash (payloads >= 72
+    bytes — inner-join semantics, mirrored in the oracle):
+    (rep_a, rep_b, hamming_ahash, hamming_dhash, confirmed).
+
+    Scale shape (100 TB): the pair side is the banded candidate set
+    (catalog-bounded, never corpus-quadratic); the two signature
+    joins are doc-id-keyed equi-joins against the slim hash relation."""
+    da = dhash.select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("hash_hi").alias("da_hi"),
+        F.col("hash_lo").alias("da_lo"),
+    )
+    db = dhash.select(
+        F.col("doc_id").alias("rep_b"),
+        F.col("hash_hi").alias("db_hi"),
+        F.col("hash_lo").alias("db_lo"),
+    )
+    hd = (
+        F.bit_count(F.col("da_hi").bitwiseXOR(F.col("db_hi")))
+        + F.bit_count(F.col("da_lo").bitwiseXOR(F.col("db_lo")))
+    ).cast("long")
+    return (
+        ahash_pairs.select("rep_a", "rep_b", F.col("hamming").alias("hamming_ahash"))
+        .join(da, "rep_a")
+        .join(db, "rep_b")
+        .select(
+            "rep_a",
+            "rep_b",
+            "hamming_ahash",
+            hd.alias("hamming_dhash"),
+            F.when(hd <= confirm_hamming, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("confirmed"),
+        )
+    )
+
+
+def near_dup_crosscheck_oracle_sql(
+    max_hamming_a: int = 6, confirm_hamming: int = 16
+) -> str:
+    """DuckDB mirror of `near_dup_crosscheck` over the aHash banded
+    pair tier and the dHash signature relation (ncx_-prefixed CTEs;
+    the ah_/dh_ cores compose in one WITH, prefixes disjoint)."""
+    return f"""
+    WITH {AHASH_ORACLE_CORE},
+    {DHASH_ORACLE_CORE},
+    ncx_sig AS (
+        SELECT hash_hi, hash_lo, CAST(min(doc_id) AS BIGINT) AS rep
+        FROM ah_hash GROUP BY 1, 2
+    ),
+    ncx_bands AS (
+        SELECT rep, hash_hi, hash_lo,
+               CAST(hash_hi % 65536 AS BIGINT) AS b0,
+               CAST(hash_hi // 65536 AS BIGINT) AS b1,
+               CAST(hash_lo % 65536 AS BIGINT) AS b2,
+               CAST(hash_lo // 65536 AS BIGINT) AS b3
+        FROM ncx_sig
+    ),
+    ncx_lanes AS (
+        SELECT 0 AS lane, b0 AS bv, rep, hash_hi, hash_lo FROM ncx_bands
+        UNION ALL
+        SELECT 1, b1, rep, hash_hi, hash_lo FROM ncx_bands
+        UNION ALL
+        SELECT 2, b2, rep, hash_hi, hash_lo FROM ncx_bands
+        UNION ALL
+        SELECT 3, b3, rep, hash_hi, hash_lo FROM ncx_bands
+    ),
+    ncx_pairs AS (
+        SELECT DISTINCT l.rep AS rep_a, r.rep AS rep_b,
+               CAST(bit_count(xor(l.hash_hi, r.hash_hi))
+                    + bit_count(xor(l.hash_lo, r.hash_lo)) AS BIGINT)
+                   AS hamming_ahash
+        FROM ncx_lanes l JOIN ncx_lanes r
+          ON l.lane = r.lane AND l.bv = r.bv AND l.rep < r.rep
+        WHERE bit_count(xor(l.hash_hi, r.hash_hi))
+              + bit_count(xor(l.hash_lo, r.hash_lo)) <= {max_hamming_a}
+    )
+    SELECT p.rep_a, p.rep_b, p.hamming_ahash,
+           CAST(bit_count(xor(da.hash_hi, db.hash_hi))
+                + bit_count(xor(da.hash_lo, db.hash_lo)) AS BIGINT)
+               AS hamming_dhash,
+           CAST(CASE WHEN bit_count(xor(da.hash_hi, db.hash_hi))
+                          + bit_count(xor(da.hash_lo, db.hash_lo))
+                          <= {confirm_hamming}
+                     THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+    FROM ncx_pairs p
+    JOIN dh_hash da ON da.doc_id = p.rep_a
+    JOIN dh_hash db ON db.doc_id = p.rep_b
+    """

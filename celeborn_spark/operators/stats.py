@@ -12552,7 +12552,11 @@ def bland_altman(df: DataFrame, x_col: str, y_col: str, dp: int = 6) -> DataFram
             "loa_lo",
             "loa_hi",
             "n_outside",
-            F.round(F.col("n_outside").cast("double") / F.col("n"), dp).alias(
+            # raw BIGINT/BIGINT ratio: IEEE division of identical
+            # integers is bit-identical on both engines — rounding it
+            # would only ADD a cross-engine half-way hazard (the
+            # round-of-integer-ratio lint class)
+            (F.col("n_outside").cast("double") / F.col("n")).alias(
                 "pct_outside"
             ),
         )
@@ -12582,9 +12586,9 @@ def bland_altman_oracle_sql(pairs_sql: str, dp: int = 6) -> str:
            (SELECT CAST(sum(CASE WHEN d < loa_lo OR d > loa_hi
                                  THEN 1 ELSE 0 END) AS BIGINT)
             FROM bla_d) AS n_outside,
-           round((SELECT CAST(sum(CASE WHEN d < loa_lo OR d > loa_hi
-                                       THEN 1 ELSE 0 END) AS DOUBLE)
-                  FROM bla_d) / n, {dp}) AS pct_outside
+           (SELECT CAST(sum(CASE WHEN d < loa_lo OR d > loa_hi
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+            FROM bla_d) / n AS pct_outside
     FROM bla_loa
     """
 
@@ -13213,4 +13217,412 @@ def dickey_fuller_oracle_sql(series_sql: str, dp: int = 6) -> str:
            round({se}, {dp}) AS se_beta,
            round({beta} / {se}, {dp}) AS df_stat
     FROM dfr_mom
+    """
+
+
+# --------------------------------------------------------------------------
+# Stationarity / heteroscedasticity / cointegration / EDF-vs-fitted desk
+# (r13c) — the econometric screens beside dickey_fuller's unit root
+# --------------------------------------------------------------------------
+
+
+def kpss_level(df: DataFrame, day_col: str, v_col: str, dp: int = 6) -> DataFrame:
+    """KPSS level-stationarity statistic (lag-0 long-run variance):
+    eta = sum_t S_t^2 / (n^2 * sigma^2) with S_t the partial sums of
+    demeaned values — the COMPLEMENT of `dickey_fuller` (DF's null is
+    a unit root, KPSS's null is stationarity; the two screens
+    together classify a series as stationary / unit-root /
+    inconclusive). Output ONE row: (n_days, kpss_eta).
+
+    Exact-integer core: with P_t the BIGINT prefix sum and s1 the
+    BIGINT total, the scaled partial sum N_t = n*P_t - t*s1 and the
+    scaled deviation d_t = n*v_t - s1 are exact BIGINTs (n*P_n stays
+    inside int64 to ~1e3 days x 1e12 total — k$ grain holds to
+    ~sf1000); eta = sum(N^2) / (n * sum(d^2)), the two second moments
+    accumulated in double (terms up to ~2^78 round identically per
+    term on both engines; accumulation-order drift is ~1e-13 relative
+    and vanishes under the ``dp`` rounding). Rounds ``dp``.
+
+    Scale shape (100 TB): the windows run over the BOUNDED day grain
+    (day is the series PK); one bounded window pass + one scalar
+    reduce."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    tot = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+    )
+    wcum = W.orderBy(day_col).rowsBetween(W.unboundedPreceding, 0)
+    ser = (
+        df.select(F.col(day_col).alias("day"), v.alias("v"))
+        .withColumn("p", F.sum("v").over(wcum).cast("long"))
+        .withColumn("t", F.row_number().over(W.orderBy("day")).cast("long"))
+    )
+    terms = ser.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.col("n") * F.col("p") - F.col("t") * F.col("s1"))
+        .cast("long")
+        .alias("nt"),
+        (F.col("n") * F.col("v") - F.col("s1")).cast("long").alias("dt"),
+    )
+    return terms.groupBy("n").agg(
+        F.sum(F.col("nt").cast("double") * F.col("nt")).alias("ssq"),
+        F.sum(F.col("dt").cast("double") * F.col("dt")).alias("q"),
+    ).select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("ssq") / (F.col("n") * F.col("q")), dp).alias("kpss_eta"),
+    )
+
+
+def kpss_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `kpss_level` over ``series_sql`` (day, v)."""
+    return f"""
+    WITH kps_series AS ({series_sql}),
+    kps_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s1
+        FROM kps_series
+    ),
+    kps_ser AS (
+        SELECT day, v,
+               CAST(sum(v) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS p,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM kps_series
+    ),
+    kps_terms AS (
+        SELECT n, CAST(n * p - t * s1 AS BIGINT) AS nt,
+               CAST(n * v - s1 AS BIGINT) AS dt
+        FROM kps_ser CROSS JOIN kps_tot
+    )
+    SELECT n AS n_days,
+           round(sum(CAST(nt AS DOUBLE) * nt)
+                 / (n * sum(CAST(dt AS DOUBLE) * dt)), {dp}) AS kpss_eta
+    FROM kps_terms GROUP BY n
+    """
+
+
+def breusch_pagan(
+    df: DataFrame, day_col: str, v_col: str, dp: int = 6
+) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity screen on the daily trend
+    residuals: OLS v ~ t, then regress the (unit-quantized) squared
+    residuals back on t — LM = n * R^2 of that auxiliary regression.
+    Rising LM says the series' VARIANCE trends even when its level
+    regression looks fine, which is what decides between plain OLS
+    prediction bands (q_grouped_ols_trend) and variance-stabilizing
+    transforms. Output ONE row: (n_days, bp_lm, r2_aux).
+
+    The trend fit (a, b) is a deterministic double closed form off
+    exact BIGINT sums; residuals quantize to UNIT grain (exact
+    half-up on both engines; k$ input keeps z = u^2 <= ~1e10 and
+    every auxiliary sum except sum(z^2) inside int64 to ~sf100 —
+    sum(z^2) accumulates in double under the same per-term-identical
+    argument as `kpss_level`). Rounds ``dp``.
+
+    Scale shape (100 TB): one bounded window pass (day grain) + two
+    scalar reduces with a 1-row broadcast between them."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    ser = df.select(F.col(day_col).alias("day"), v.alias("v")).withColumn(
+        "t", F.row_number().over(W.orderBy("day")).cast("long")
+    )
+    ser = ser.localCheckpoint()  # mom + residual lanes both read it
+    mom = ser.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("v")).cast("long").alias("stv"),
+    ).select(
+        "n",
+        "st",
+        "sv",
+        (
+            (F.col("n") * F.col("stv").cast("double") - F.col("st").cast("double") * F.col("sv"))
+            / (F.col("n") * F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st"))
+        ).alias("b"),
+    ).select(
+        "n",
+        "b",
+        ((F.col("sv") - F.col("b") * F.col("st")) / F.col("n")).alias("a"),
+    )
+    z = ser.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "t",
+        F.floor(
+            _sq(F.col("v") - F.col("a") - F.col("b") * F.col("t")) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    aux = z.groupBy("n").agg(
+        F.sum("t").cast("long").alias("st"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("z")).cast("long").alias("stz"),
+        F.sum(F.col("z").cast("double") * F.col("z")).alias("szz"),
+    )
+    r2 = (
+        _sq(
+            F.col("n") * F.col("stz").cast("double")
+            - F.col("st").cast("double") * F.col("sz")
+        )
+        / (
+            (F.col("n") * F.col("stt").cast("double") - F.col("st").cast("double") * F.col("st"))
+            * (F.col("n") * F.col("szz") - F.col("sz").cast("double") * F.col("sz"))
+        )
+    )
+    return aux.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("n") * r2, dp).alias("bp_lm"),
+        F.round(r2, dp).alias("r2_aux"),
+    )
+
+
+def breusch_pagan_oracle_sql(series_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `breusch_pagan` over ``series_sql`` (day, v).
+    NOTE the quantizer squares FIRST then floors (z = floor(r^2 +
+    0.5)), matching the Spark form exactly."""
+    return f"""
+    WITH bpg_series AS ({series_sql}),
+    bpg_ser AS (
+        SELECT v, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        FROM bpg_series
+    ),
+    bpg_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * v) AS BIGINT) AS stv
+        FROM bpg_ser
+    ),
+    bpg_fit AS (
+        SELECT n,
+               (n * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * sv)
+                   / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b,
+               st, sv
+        FROM bpg_mom
+    ),
+    bpg_ab AS (
+        SELECT n, b, (sv - b * st) / n AS a FROM bpg_fit
+    ),
+    bpg_z AS (
+        SELECT n, t,
+               CAST(floor((v - a - b * t) * (v - a - b * t) + 0.5)
+                    AS BIGINT) AS z
+        FROM bpg_ser CROSS JOIN bpg_ab
+    ),
+    bpg_aux AS (
+        SELECT n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(t * z) AS BIGINT) AS stz,
+               sum(CAST(z AS DOUBLE) * z) AS szz
+        FROM bpg_z GROUP BY n
+    )
+    SELECT n AS n_days,
+           round(n * (n * CAST(stz AS DOUBLE) - CAST(st AS DOUBLE) * sz)
+                     * (n * CAST(stz AS DOUBLE) - CAST(st AS DOUBLE) * sz)
+                 / ((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * szz - CAST(sz AS DOUBLE) * sz)), {dp}) AS bp_lm,
+           round((n * CAST(stz AS DOUBLE) - CAST(st AS DOUBLE) * sz)
+                     * (n * CAST(stz AS DOUBLE) - CAST(st AS DOUBLE) * sz)
+                 / ((n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st)
+                    * (n * szz - CAST(sz AS DOUBLE) * sz)), {dp}) AS r2_aux
+    FROM bpg_aux
+    """
+
+
+def engle_granger_residuals(
+    xy: DataFrame, day_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Engle-Granger step 1: OLS y ~ x over the aligned day pairs,
+    then the UNIT-quantized residual series (day, v) — feed the
+    result to `dickey_fuller` for step 2 (a strongly negative DF
+    stat on the residuals = the two series are cointegrated: they
+    share a common stochastic trend even though each alone has a
+    unit root). Quantizing residuals to the input's own grain keeps
+    step 2's regression sums exact BIGINTs.
+
+    Scale shape (100 TB): one scalar OLS reduce + a 1-row broadcast
+    back over the bounded day grain."""
+    x, y = F.col(x_col), F.col(y_col)
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("b"),
+    ).select(
+        "b", ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")).alias("a")
+    )
+    return xy.crossJoin(F.broadcast(mom)).select(
+        F.col(day_col).alias("day"),
+        F.floor(F.col(y_col) - F.col("a") - F.col("b") * F.col(x_col) + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+
+
+def engle_granger_series_sql(x_sql: str, y_sql: str) -> str:
+    """DuckDB fragment producing the Engle-Granger residual series
+    (day, v) from two (day, v) series SQLs — composes into
+    `dickey_fuller_oracle_sql` as its series argument (CTE names are
+    egr_-prefixed; nested WITH inside a CTE body is legal SQL)."""
+    return f"""
+    WITH egr_x AS ({x_sql}),
+    egr_y AS ({y_sql}),
+    egr_xy AS (
+        SELECT egr_x.day AS day, egr_x.v AS x, egr_y.v AS y
+        FROM egr_x JOIN egr_y ON egr_y.day = egr_x.day
+    ),
+    egr_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM egr_xy
+    ),
+    egr_fit AS (
+        SELECT n, sx, sy,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b
+        FROM egr_mom
+    ),
+    egr_ab AS (SELECT b, (sy - b * sx) / n AS a FROM egr_fit)
+    SELECT day, CAST(floor(y - a - b * x + 0.5) AS BIGINT) AS v
+    FROM egr_xy CROSS JOIN egr_ab
+    """
+
+
+# Abramowitz-Stegun 7.1.26 erf approximation as a TEXTUAL template
+# (|eps| <= 1.5e-7): both engines parse the same polynomial, so the
+# fitted-normal CDF is a deterministic scalar derivation — NOT a
+# claim of exact Phi; the oracle runs the identical approximation.
+# All coefficients are spelled in e-notation (DOUBLE literals in both
+# engines — plain decimals would be Spark DECIMALs, the q17 class).
+def _erf_template(x: str) -> str:
+    t = f"(1 / (1 + 3275911e-7 * abs({x})))"
+    poly = (
+        f"({t} * (254829592e-9 + {t} * (-284496736e-9 + {t} *"
+        f" (1421413741e-9 + {t} * (-1453152027e-9 + {t} * 1061405429e-9)))))"
+    )
+    mag = f"(1 - {poly} * exp(-abs({x}) * abs({x})))"
+    return f"(CASE WHEN {x} >= 0 THEN {mag} ELSE -{mag} END)"
+
+
+_LIL_Z = "((CAST(v AS DOUBLE) - mu) / sigma)"
+_LIL_PHI = f"(5e-1 * (1 + {_erf_template(f'({_LIL_Z} / sqrt(2))')}))"
+
+
+def lilliefors(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
+    """Lilliefors test statistic: the Kolmogorov-Smirnov distance
+    between the empirical CDF and a normal FITTED to the same sample
+    (mean + sample sd) — the composite-normality EDF screen beside
+    q_ks_test (two-sample) and the moment battery (q_dagostino_k2
+    says which moment breaks; this says how far the whole CDF sits
+    from the best normal). D = max over distinct values of
+    max(|F_n(v) - Phi(z_v)|, |F_n(v-) - Phi(z_v)|). Output ONE row:
+    (n, mu, sigma, d_stat).
+
+    The value histogram is vocabulary-bounded (integer grain); mu,
+    sigma are deterministic doubles off exact BIGINT s1/s2; Phi uses
+    the Abramowitz-Stegun 7.1.26 erf polynomial as a SHARED textual
+    template (|eps| <= 1.5e-7 vs true Phi, identical on both engines
+    — documented approximation, not hidden). Rounds ``dp``.
+
+    Scale shape (100 TB): one histogram aggregate + a bounded window
+    over the value vocabulary + one max reduce."""
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.groupBy(F.col(v_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # bounded vocabulary; cum + moments read it
+    )
+    mom = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v") * F.col("c")).cast("long").alias("s2"),
+    ).select(
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wcum).cast("long"))
+    terms = cum.crossJoin(F.broadcast(mom)).select(
+        "n",
+        "mu",
+        "sigma",
+        F.greatest(
+            F.abs(F.col("cum").cast("double") / F.col("n") - F.expr(_LIL_PHI)),
+            F.abs(
+                (F.col("cum") - F.col("c")).cast("double") / F.col("n")
+                - F.expr(_LIL_PHI)
+            ),
+        ).alias("d"),
+    )
+    return terms.groupBy("n", "mu", "sigma").agg(
+        F.round(F.max("d"), dp).alias("d_stat")
+    ).select(
+        "n",
+        F.round("mu", dp).alias("mu"),
+        F.round("sigma", dp).alias("sigma"),
+        "d_stat",
+    )
+
+
+def lilliefors_oracle_sql(table: str, v_sql: str, dp: int = 6) -> str:
+    """DuckDB mirror of `lilliefors`."""
+    return f"""
+    WITH lil_hist AS (
+        SELECT {v_sql} AS v, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+    ),
+    lil_mom AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(v * c) AS BIGINT) AS s1,
+               CAST(sum(v * v * c) AS BIGINT) AS s2
+        FROM lil_hist
+    ),
+    lil_ms AS (
+        SELECT n, CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sigma
+        FROM lil_mom
+    ),
+    lil_cum AS (
+        SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+        FROM lil_hist
+    ),
+    lil_terms AS (
+        SELECT n, mu, sigma,
+               greatest(
+                   abs(CAST(cum AS DOUBLE) / n - {_LIL_PHI}),
+                   abs(CAST(cum - c AS DOUBLE) / n - {_LIL_PHI})
+               ) AS d
+        FROM lil_cum CROSS JOIN lil_ms
+    )
+    SELECT n, round(mu, {dp}) AS mu, round(sigma, {dp}) AS sigma,
+           round(max(d), {dp}) AS d_stat
+    FROM lil_terms GROUP BY n, mu, sigma
     """

@@ -2519,3 +2519,122 @@ def source_vocab_jaccard_oracle_sql(dp: int = 6) -> str:
     JOIN svj_sz sa ON sa.src = i.src_a
     JOIN svj_sz sb ON sb.src = i.src_b
     """
+
+
+# --------------------------------------------------------------------------
+# Character-trigram conditional entropy per facet (r13c)
+# --------------------------------------------------------------------------
+
+
+def char_trigram_entropy(
+    docs: DataFrame, facet_col: str, text_col: str, dp: int = 6
+) -> DataFrame:
+    """Character-trigram conditional entropy per facet (language):
+    H(c3 | c1 c2) = H(trigram) - H(bigram-context), both measured
+    over the SAME position set (positions 1..len-2, docs >= 3 chars)
+    so the chain rule holds exactly — the char-level counterpart of
+    q_bigram_entropy's word model and the per-LANGUAGE refinement of
+    q_char_entropy's unigram screen: low conditional entropy =
+    templated/repetitive orthography, implausibly high = wrong
+    charset or corrupted text for that language. Output one row per
+    facet: (lang, n_tri, n_tri_types, h_tri, h_bi, h_cond).
+
+    Counts are exact BIGINTs over the trigram-vocabulary-bounded
+    relation (context counts GROUP the same relation by its 2-char
+    prefix — no second extraction pass, so the two entropies are
+    chain-rule consistent by construction); each entropy is a
+    p*ln(p) sum over the bounded vocabulary, rounded ``dp`` (the
+    q_bigram_entropy discipline).
+
+    Scale shape (100 TB): one position fan-out -> ONE map-combined
+    (facet, trigram) count; everything downstream is vocabulary-
+    bounded."""
+    tri = (
+        docs.filter(F.length(F.col(text_col)) >= 3)
+        .select(
+            F.col(facet_col).alias("lang"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - 2),"
+                    f" i -> substring({text_col}, i, 3))"
+                )
+            ).alias("g"),
+        )
+    )
+    tc = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()  # totals + trigram terms + context counts
+    )
+    tot = tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_tri_types"),
+    )
+    p3 = F.col("c").cast("double") / F.col("n")
+    h3 = (
+        tc.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg((-F.sum(p3 * F.log(p3))).alias("h_tri_raw"))
+    )
+    ctx = tc.groupBy("lang", F.substring("g", 1, 2).alias("b")).agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    p2 = F.col("c").cast("double") / F.col("n")
+    h2 = (
+        ctx.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg((-F.sum(p2 * F.log(p2))).alias("h_bi_raw"))
+    )
+    return (
+        tot.join(h3, "lang")
+        .join(h2, "lang")
+        .select(
+            "lang",
+            F.col("n").alias("n_tri"),
+            "n_tri_types",
+            F.round("h_tri_raw", dp).alias("h_tri"),
+            F.round("h_bi_raw", dp).alias("h_bi"),
+            F.round(F.col("h_tri_raw") - F.col("h_bi_raw"), dp).alias("h_cond"),
+        )
+    )
+
+
+def char_trigram_entropy_oracle_sql(dp: int = 6) -> str:
+    """DuckDB mirror of `char_trigram_entropy` over documents.lang."""
+    return f"""
+    WITH cte_pos AS (
+        SELECT lang, text, unnest(range(0, len(text) - 2)) AS p
+        FROM documents WHERE len(text) >= 3
+    ),
+    cte_tc AS (
+        SELECT lang, substr(text, CAST(p + 1 AS INTEGER), 3) AS g,
+               CAST(count(*) AS BIGINT) AS c
+        FROM cte_pos GROUP BY 1, 2
+    ),
+    cte_tot AS (
+        SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_tri_types
+        FROM cte_tc GROUP BY 1
+    ),
+    cte_h3 AS (
+        SELECT t.lang,
+               -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                   AS h_tri_raw
+        FROM cte_tc t JOIN cte_tot USING (lang) GROUP BY 1
+    ),
+    cte_ctx AS (
+        SELECT lang, substr(g, 1, 2) AS b, CAST(sum(c) AS BIGINT) AS c
+        FROM cte_tc GROUP BY 1, 2
+    ),
+    cte_h2 AS (
+        SELECT x.lang,
+               -sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                   AS h_bi_raw
+        FROM cte_ctx x JOIN cte_tot USING (lang) GROUP BY 1
+    )
+    SELECT lang, n AS n_tri, n_tri_types,
+           round(h_tri_raw, {dp}) AS h_tri,
+           round(h_bi_raw, {dp}) AS h_bi,
+           round(h_tri_raw - h_bi_raw, {dp}) AS h_cond
+    FROM cte_tot JOIN cte_h3 USING (lang) JOIN cte_h2 USING (lang)
+    """

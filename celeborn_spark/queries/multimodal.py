@@ -261,3 +261,23 @@ def q_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the contract is still bit-checkable."""
     d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return M.ahash_near_dup(M.fake_dhash(d.select("doc_id", "payload")), max_hamming=16)
+
+
+@query(
+    "q_near_dup_crosscheck",
+    oracle=M.near_dup_crosscheck_oracle_sql(max_hamming_a=6, confirm_hamming=16),
+)
+def q_near_dup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-space confirmation of the aHash near-dup tier by dHash:
+    each banded aHash candidate pair gets the gradient-space Hamming
+    distance between its representatives and a confirmed flag — the
+    precision stage of the cheap perceptual ensemble (q_ahash_near_dup
+    proposes, the independent gradient signature disposes; pairs
+    flagged by BOTH spaces are the quarantine set a real image
+    pipeline acts on). Candidate mass stays catalog-bounded; the
+    confirmation is two doc-id-keyed joins
+    (operators/multimodal.near_dup_crosscheck)."""
+    d = M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    pairs = M.ahash_near_dup(M.fake_ahash(d), max_hamming=6)
+    dh = M.fake_dhash(d.select("doc_id", "payload"))
+    return M.near_dup_crosscheck(pairs, dh, confirm_hamming=16)

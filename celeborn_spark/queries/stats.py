@@ -4422,3 +4422,103 @@ def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps sum(x^2) inside int64 to ~sf100
     (operators/stats.dickey_fuller)."""
     return stats_ops.dickey_fuller(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+@query(
+    "q_kpss",
+    oracle=stats_ops.kpss_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic of daily k$ revenue: the
+    null-reversed complement of q_dickey_fuller (DF's null is a unit
+    root, KPSS's null is stationarity) — together they classify the
+    series as stationary / unit-root / inconclusive, the standard
+    pre-model screen of the series desk. Exact BIGINT scaled partial
+    sums off the bounded daily grain
+    (operators/stats.kpss_level)."""
+    return stats_ops.kpss_level(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+@query(
+    "q_breusch_pagan",
+    oracle=stats_ops.breusch_pagan_oracle_sql(_DAILY_KUSD_SQL),
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity screen on the daily-revenue
+    trend residuals: does the VARIANCE trend with time even where the
+    level fit looks fine — the check that decides between plain OLS
+    bands (q_grouped_ols_trend) and a variance-stabilizing transform.
+    Unit-quantized squared residuals, exact auxiliary sums
+    (operators/stats.breusch_pagan)."""
+    return stats_ops.breusch_pagan(_daily_kusd(spark, sf_dir), "day", "v")
+
+
+_SEG_KUSD_SQL = """SELECT CAST(o_orderdate AS DATE) AS day,
+       CAST(CAST(sum(floor(o_totalprice * 100)) AS BIGINT) // 100000
+            AS BIGINT) AS v
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{seg}' GROUP BY 1"""
+
+
+def _seg_kusd(spark: SparkSession, sf_dir: str, seg: str) -> DataFrame:
+    """Daily k$ revenue of one market segment (the _daily_kusd grain
+    restricted through the customer dimension)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(
+                cust.filter(F.col("c_mktsegment") == seg).select("c_custkey")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
+        )
+        .select("day", F.expr("CAST(cents DIV 100000 AS BIGINT)").alias("v"))
+    )
+
+
+@query(
+    "q_engle_granger",
+    oracle=stats_ops.dickey_fuller_oracle_sql(
+        stats_ops.engle_granger_series_sql(
+            _SEG_KUSD_SQL.format(seg="BUILDING"),
+            _SEG_KUSD_SQL.format(seg="MACHINERY"),
+        )
+    ),
+)
+def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration screen between the BUILDING and
+    MACHINERY segments' daily k$ revenue: OLS y ~ x on the aligned
+    days, then the Dickey-Fuller regression on the unit-quantized
+    residuals — a strongly negative df_stat says the two segments
+    share one stochastic trend (co-move) even if each alone walks.
+    The pair-level generalization of q_dickey_fuller, reusing its
+    exact-BIGINT step-2 machinery verbatim
+    (operators/stats.engle_granger_residuals)."""
+    bx = _seg_kusd(spark, sf_dir, "BUILDING").select(
+        "day", F.col("v").alias("x")
+    )
+    my = _seg_kusd(spark, sf_dir, "MACHINERY").select(
+        "day", F.col("v").alias("y")
+    )
+    res = stats_ops.engle_granger_residuals(bx.join(my, "day"), "day", "x", "y")
+    return stats_ops.dickey_fuller(res, "day", "v")
+
+
+@query(
+    "q_lilliefors",
+    oracle=stats_ops.lilliefors_oracle_sql("lineitem", "l_quantity"),
+)
+def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors composite-normality statistic over order quantities:
+    KS distance between the empirical CDF and the normal FITTED to
+    the same sample — the EDF leg of the normality desk beside
+    q_dagostino_k2's moment battery (that names WHICH moment breaks;
+    this measures how far the whole CDF sits from the best normal).
+    Bounded value histogram, shared Abramowitz-Stegun erf template
+    (operators/stats.lilliefors)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats_ops.lilliefors(li, "l_quantity")

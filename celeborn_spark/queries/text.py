@@ -1630,3 +1630,18 @@ def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization contract: Spark splits \\s+, the oracle splits ' '."""
     d = load_table(spark, sf_dir, "documents")
     return T.source_vocab_jaccard(d, "source", "text")
+
+
+@query("q_char_trigram_entropy", oracle=T.char_trigram_entropy_oracle_sql())
+def q_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram conditional entropy per language: how
+    predictable is the next character given its 2-char context — the
+    orthography-level language model beside q_bigram_entropy's word
+    model and q_char_entropy's per-doc unigram screen; a language
+    whose h_cond drifts between snapshots changed orthography
+    (encoding bug, OCR regression, wrong-lang contamination) even if
+    token stats look stable. Chain-rule-consistent by construction
+    (contexts GROUP the same trigram relation)
+    (operators/textops.char_trigram_entropy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.char_trigram_entropy(d, "lang", "text")
