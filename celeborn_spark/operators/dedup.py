@@ -1054,3 +1054,241 @@ def containment_oracle_sql(
     FROM directed d JOIN sizes s ON s.{id_col} = d.contained
     WHERE d.n_common * {threshold_den} >= {threshold_num} * s.n_sh
     """
+
+
+def minhash_accuracy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    panel_k: int = 2000,
+    dp: int = 6,
+) -> DataFrame:
+    """MinHash estimator accuracy QA over a fixed-size panel of the
+    LSH candidate tier: lane-agreement estimate k/num_hashes against
+    the EXACT shingle Jaccard, reduced to one calibration row — the
+    sketch-error audit for the near-dup desk (the KMV desk has
+    q_sketch_accuracy; this is the same discipline for the pairwise-
+    similarity sketch: it answers 'is 16 lanes enough at MY corpus's
+    similarity profile', which decides signature width before a
+    100 TB signing pass). md5 hash mode so both engines produce
+    identical lanes. Output ONE row:
+    (n_pairs, mean_est, mean_exact, mae, bias, max_abs_err).
+
+    PANEL, not census (the r10 fixed-SIZE sampling lesson + the r13
+    sf1 broadcast-OOM it caused as a census): calibration does not
+    need exact Jaccard on every candidate — the panel is the
+    md5-minimal ``panel_k`` pairs (deterministic, order-free,
+    constant-bounded on the driver via TakeOrdered), so every
+    downstream exact-verification join is O(panel) at ANY corpus
+    size. est = k/num_hashes is an exact binary fraction; exact
+    Jaccard is a raw BIGINT/BIGINT IEEE quotient; aggregate means
+    round ``dp``.
+
+    Scale shape (100 TB): one signature aggregate (map-combined lane
+    minima) consumes the shingle stream ONCE (no corpus-sized
+    localCheckpoint — on a memory-tight driver the resident blocks
+    starve every later broadcast build; recomputing the filtered
+    stream is cheaper than pinning it), band-bucket candidate join
+    (never all-pairs), fixed-size panel cut, wide in-row lane
+    comparison (no lane fan-out join), and exact verification over a
+    SEMI-JOIN-reduced shingle slice (<= 2*panel_k docs) only."""
+    sh = shingle_table(df, id_col, text_col, n)
+
+    def md5_lane(lane: int):
+        digest = F.md5(F.concat_ws(":", F.lit(str(lane // 4)), F.col("shingle")))
+        return F.substring(digest, 1 + 8 * (lane % 4), 8)
+
+    rows = num_hashes // bands
+    sig = (
+        sh.select(F.col(id_col).alias("doc"), "shingle")
+        .groupBy("doc")
+        .agg(*[F.min(md5_lane(s)).alias(f"m{s}") for s in range(num_hashes)])
+        .localCheckpoint()  # bands + both pair sides read it
+    )
+    banded = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{b * rows + r}") for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    cand = (
+        banded.select(F.col("doc").alias("id_a"), "band_idx", "band_key")
+        .join(
+            banded.select(F.col("doc").alias("id_b"), "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn(
+            "_r",
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+                )
+            ),
+        )
+        .orderBy("_r")
+        .limit(panel_k)
+        .drop("_r")
+        .localCheckpoint()  # est join + exact join both read it
+    )
+    siga = sig.select(
+        F.col("doc").alias("id_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(num_hashes)]
+    )
+    sigb = sig.select(
+        F.col("doc").alias("id_b"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(num_hashes)]
+    )
+    k = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("long") for s in range(num_hashes)
+    )
+    est = cand.join(siga, "id_a").join(sigb, "id_b").select(
+        "id_a", "id_b", (k / F.lit(num_hashes)).alias("est")
+    )
+    # exact verification reads only the panel docs' shingles: the
+    # semi-join keeps the slice <= 2*panel_k docs at ANY corpus size,
+    # and the bounded slice is what gets pinned (not the corpus)
+    panel_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionAll(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_panel = sh.join(F.broadcast(panel_ids), id_col, "leftsemi").localCheckpoint()
+    sizes = sh_panel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    common = (
+        cand.join(sh_panel.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh_panel.select(
+                F.col(id_col).alias("id_b2"), F.col("shingle").alias("sh_b")
+            ),
+            (F.col("id_b") == F.col("id_b2"))
+            & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    exact = (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("exact"),
+        )
+    )
+    pairs = est.join(exact, ["id_a", "id_b"])
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("est"), dp).alias("mean_est"),
+        F.round(F.avg("exact"), dp).alias("mean_exact"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), dp).alias("mae"),
+        F.round(F.avg(F.col("est") - F.col("exact")), dp).alias("bias"),
+        F.round(F.max(F.abs(F.col("est") - F.col("exact"))), dp).alias(
+            "max_abs_err"
+        ),
+    )
+
+
+def minhash_accuracy_oracle_sql(
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    panel_k: int = 2000,
+    dp: int = 6,
+) -> str:
+    """DuckDB mirror of `minhash_accuracy` (md5 lanes; mha_-prefixed
+    CTEs; est computed from the lane relation, same values as the
+    wide in-row comparison)."""
+    rows = num_hashes // bands
+    return f"""
+    WITH mha_toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    mha_sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - {n - 2}),
+                      i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle
+        FROM mha_toks WHERE len(t) >= {n}
+    ),
+    mha_lanes AS (
+        SELECT doc_id, l,
+               min(substr(md5(CAST(l // 4 AS VARCHAR) || ':' || shingle),
+                          1 + 8 * (l % 4), 8)) AS mh
+        FROM mha_sh CROSS JOIN (SELECT unnest(range({num_hashes})) AS l)
+        GROUP BY doc_id, l
+    ),
+    mha_bands AS (
+        SELECT doc_id, l // {rows} AS band_idx,
+               string_agg(mh, '|' ORDER BY l) AS band_key
+        FROM mha_lanes GROUP BY doc_id, l // {rows}
+    ),
+    mha_all AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mha_bands a JOIN mha_bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    mha_cand AS (
+        SELECT id_a, id_b FROM mha_all
+        ORDER BY md5(CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR))
+        LIMIT {panel_k}
+    ),
+    mha_est AS (
+        SELECT c.id_a, c.id_b,
+               CAST(sum(CASE WHEN la.mh = lb.mh THEN 1 ELSE 0 END)
+                    AS DOUBLE) / {num_hashes} AS est
+        FROM mha_cand c
+        JOIN mha_lanes la ON la.doc_id = c.id_a
+        JOIN mha_lanes lb ON lb.doc_id = c.id_b AND lb.l = la.l
+        GROUP BY 1, 2
+    ),
+    mha_sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+        FROM mha_sh GROUP BY doc_id
+    ),
+    mha_common AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM mha_cand c
+        JOIN mha_sh a ON a.doc_id = c.id_a
+        JOIN mha_sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    mha_pairs AS (
+        SELECT e.id_a, e.id_b, e.est,
+               CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                   AS exact
+        FROM mha_est e
+        JOIN mha_common c ON c.id_a = e.id_a AND c.id_b = e.id_b
+        JOIN mha_sizes sa ON sa.doc_id = e.id_a
+        JOIN mha_sizes sb ON sb.doc_id = e.id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(est), {dp}) AS mean_est,
+           round(avg(exact), {dp}) AS mean_exact,
+           round(avg(abs(est - exact)), {dp}) AS mae,
+           round(avg(est - exact), {dp}) AS bias,
+           round(max(abs(est - exact)), {dp}) AS max_abs_err
+    FROM mha_pairs
+    """

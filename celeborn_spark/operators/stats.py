@@ -13626,3 +13626,71 @@ def lilliefors_oracle_sql(table: str, v_sql: str, dp: int = 6) -> str:
            round(max(d), {dp}) AS d_stat
     FROM lil_terms GROUP BY n, mu, sigma
     """
+
+
+def theil_u2(df: DataFrame, day_col: str, v_col: str, season: int = 7, dp: int = 6) -> DataFrame:
+    """Theil's U2 forecast-quality ratio of the seasonal-naive
+    forecast (lag ``season``) against the naive random walk (lag 1),
+    both evaluated on the SAME day subset (t > season):
+    U2 = sqrt(SSE_seasonal / SSE_naive). U2 < 1 = the weekly cycle
+    genuinely forecasts (q_seasonality_index's pattern carries
+    information); U2 >= 1 = yesterday already beats it — the one-
+    number adjudication q_forecast_backtest's error table implies
+    but doesn't state. Output ONE row:
+    (n_eval, sse_naive1, sse_seasonal, theil_u2).
+
+    Both SSEs are exact BIGINT sums of squared k$-grain integer
+    differences over the bounded day grain; U2 is one sqrt of their
+    IEEE quotient, rounded ``dp``.
+
+    Scale shape (100 TB): one bounded window pass (two lags in one
+    WindowSpec sort) + one scalar reduce."""
+    from pyspark.sql import Window as W
+
+    v = F.col(v_col)
+    w = W.orderBy(day_col)
+    lagged = df.select(
+        v.alias("y"),
+        F.lag(v, 1).over(w).alias("l1"),
+        F.lag(v, season).over(w).alias("ls"),
+    ).filter(F.col("ls").isNotNull())
+    d1 = (F.col("l1") - F.col("y")).cast("long")
+    ds = (F.col("ls") - F.col("y")).cast("long")
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(d1 * d1).cast("long").alias("sse_naive1"),
+        F.sum(ds * ds).cast("long").alias("sse_seasonal"),
+    ).select(
+        "n_eval",
+        "sse_naive1",
+        "sse_seasonal",
+        F.round(
+            F.sqrt(
+                F.col("sse_seasonal").cast("double") / F.col("sse_naive1")
+            ),
+            dp,
+        ).alias("theil_u2"),
+    )
+
+
+def theil_u2_oracle_sql(series_sql: str, season: int = 7, dp: int = 6) -> str:
+    """DuckDB mirror of `theil_u2` over ``series_sql`` (day, v)."""
+    return f"""
+    WITH tu2_series AS ({series_sql}),
+    tu2_lag AS (
+        SELECT v AS y,
+               lag(v, 1) OVER (ORDER BY day) AS l1,
+               lag(v, {season}) OVER (ORDER BY day) AS ls
+        FROM tu2_series
+    ),
+    tu2_mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum((l1 - y) * (l1 - y)) AS BIGINT) AS sse_naive1,
+               CAST(sum((ls - y) * (ls - y)) AS BIGINT) AS sse_seasonal
+        FROM tu2_lag WHERE ls IS NOT NULL
+    )
+    SELECT n_eval, sse_naive1, sse_seasonal,
+           round(sqrt(CAST(sse_seasonal AS DOUBLE) / sse_naive1), {dp})
+               AS theil_u2
+    FROM tu2_mom
+    """

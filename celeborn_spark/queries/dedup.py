@@ -590,3 +590,20 @@ def q_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_components") > 0)
     )
     return hist.unionByName(singles)
+
+
+@query(
+    "q_minhash_accuracy",
+    oracle=D.minhash_accuracy_oracle_sql(n=3, num_hashes=16, bands=4),
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate tier:
+    lane-agreement estimate vs exact shingle Jaccard, one QA row
+    (n_pairs, mean_est, mean_exact, mae, bias, max_abs_err) — the
+    sketch-error audit that answers 'is 16 lanes enough at THIS
+    corpus's similarity profile' before a 100 TB signing pass; the
+    pairwise-similarity counterpart of q_sketch_accuracy's KMV
+    audit. md5 hash mode, so the driver verifies the estimator's
+    ERROR itself bit-for-bit (operators/dedup.minhash_accuracy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_accuracy(d, "doc_id", "text", n=3, num_hashes=16, bands=4)

@@ -4522,3 +4522,17 @@ def q_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.lilliefors)."""
     li = load_table(spark, sf_dir, "lineitem")
     return stats_ops.lilliefors(li, "l_quantity")
+
+
+@query(
+    "q_theil_u2",
+    oracle=stats_ops.theil_u2_oracle_sql(_DAILY_KUSD_SQL, season=7),
+)
+def q_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 of the weekly seasonal-naive forecast vs the naive
+    random walk on daily k$ revenue: does the weekly cycle genuinely
+    forecast (U2 < 1) or does yesterday already beat it — the
+    one-number adjudication of q_seasonality_index's pattern and
+    q_forecast_backtest's error table. Exact BIGINT SSEs over the
+    bounded day grain, one sqrt (operators/stats.theil_u2)."""
+    return stats_ops.theil_u2(_daily_kusd(spark, sf_dir), "day", "v", season=7)
