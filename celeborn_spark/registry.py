@@ -92,14 +92,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # local[4] sessions (COVERAGE.md r12 close gates), and re-swept for
 # this rotation (COVERAGE.md r13).
 #
-# R14 PLAN: window := q_chow_test (the r13 overflow) + the 23
+# R14 PLAN: window := q_chow_test (the r13 overflow) + the 40
 # operators added in r13 (series desk: von_neumann/snht/buishand/
 # permutation_entropy; robust/rank: huber_m/deming/ansari_bradley/
 # quade; fits: gamma/lognormal/beta/weibull; econ: palma_hoover/
 # log_cagr/neyman; agreement: icc/krippendorff/bland_altman; eval:
 # topk_overlap/spearman_footrule; dhash/edge_embeddedness/
-# systematic_sample) = 24 slots, + up to 26 reps. That keeps the
-# never-witnessed backlog inside ONE window (VERDICT r11 item 2).
+# systematic_sample; normality/heteroscedastic desk: dagostino_k2/
+# levene_mean/welch_anova/robust_moments/lilliefors; econometrics:
+# dickey_fuller/kpss/breusch_pagan/engle_granger/theil_u2; corpus:
+# yule_k/source_vocab_jaccard/char_trigram_entropy; graph:
+# degree_centralization; multimodal: dhash_near_dup/
+# near_dup_crosscheck; sketch-QA: minhash_accuracy) = 41 slots,
+# + up to 9 reps. That keeps the never-witnessed backlog inside ONE
+# window (VERDICT r11 item 2).
 # Prioritize any query whose source changes into the next window.
 # Queries rotated OUT remain oracle-checked every pytest run
 # (tests/test_queries_vs_oracle.py parametrizes the whole registry).
