@@ -286,26 +286,60 @@ def fake_frame_energy(
     import numpy as np
 
     def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized fan-out (guide §4.2): stack every FULL frame of the
+        # batch into one (total_frames, frame_bytes) matrix and compute
+        # all sum-of-squares at once. np.sqrt is correctly-rounded IEEE
+        # like math.sqrt; the final decimal rounding stays Python's
+        # round() per element (np.round's scale-and-rint differs in the
+        # last ulp on some values — exactness contract).
         for pdf in batches:
-            ids, fids, sizes, rms = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n_frames = len(raw) // frame_bytes
-                for f in range(n_frames):
-                    frame = raw[f * frame_bytes : (f + 1) * frame_bytes]
-                    sq = int(
-                        np.sum(frame.astype(np.int64) * frame.astype(np.int64))
-                    )
-                    ids.append(doc_id)
-                    fids.append(f)
-                    sizes.append(frame_bytes)
-                    rms.append(round(math.sqrt(sq / frame_bytes), dp))
+            pays = pdf[payload_col].to_numpy()
+            n_frames = np.fromiter(
+                (len(p) // frame_bytes for p in pays),
+                dtype=np.int64,
+                count=len(pays),
+            )
+            total = int(n_frames.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "frame_id": pd.Series([], dtype="int32"),
+                        "n_bytes": pd.Series([], dtype="int32"),
+                        "rms": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            frames = (
+                np.frombuffer(
+                    b"".join(
+                        bytes(p[: f * frame_bytes])
+                        for p, f in zip(pays, n_frames)
+                        if f
+                    ),
+                    dtype=np.uint8,
+                )
+                .reshape(total, frame_bytes)
+                .astype(np.int64)
+            )
+            sq = (frames * frames).sum(axis=1)
+            first = np.cumsum(n_frames) - n_frames
+            fids = np.arange(total, dtype=np.int64) - np.repeat(first, n_frames)
+            raw_rms = np.sqrt(sq / frame_bytes)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "doc_id": pd.Series(
+                        np.repeat(pdf[id_col].to_numpy(), n_frames),
+                        dtype="int64",
+                    ),
                     "frame_id": pd.Series(fids, dtype="int32"),
-                    "n_bytes": pd.Series(sizes, dtype="int32"),
-                    "rms": pd.Series(rms, dtype="float64"),
+                    "n_bytes": pd.Series(
+                        np.full(total, frame_bytes, dtype=np.int64),
+                        dtype="int32",
+                    ),
+                    "rms": pd.Series(
+                        [round(float(x), dp) for x in raw_rms], dtype="float64"
+                    ),
                 }
             )
 
@@ -336,27 +370,51 @@ def fake_ahash(
     import numpy as np
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One vectorized pass per batch (guide §4.2): the per-row
+        # Python loop this replaces spent its time in interpreter
+        # overhead (one np.frombuffer + 4 tiny array ops per row);
+        # stacking the leading 64 bytes of every payload into one
+        # (n, 64) matrix computes the identical integer bit algebra
+        # in a handful of whole-batch NumPy ops.
+        w32 = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
-            ids, sizes, his, los = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if len(raw) < 64:
-                    continue
-                grid = raw[:64].astype(np.int64)
-                s = int(grid.sum())
-                bits = (64 * grid > s).astype(np.int64)
-                hi = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
-                lo = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
-                ids.append(doc_id)
-                sizes.append(len(raw))
-                his.append(hi)
-                los.append(lo)
+            pays = pdf[payload_col].to_numpy()
+            lens = np.fromiter(
+                (len(p) for p in pays), dtype=np.int64, count=len(pays)
+            )
+            keep = lens >= 64
+            n_keep = int(keep.sum())
+            if n_keep == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_bytes": pd.Series([], dtype="int32"),
+                        "hash_hi": pd.Series([], dtype="int64"),
+                        "hash_lo": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            grid = (
+                np.frombuffer(
+                    b"".join(bytes(p[:64]) for p in pays[keep]), dtype=np.uint8
+                )
+                .reshape(n_keep, 64)
+                .astype(np.int64)
+            )
+            s = grid.sum(axis=1, keepdims=True)
+            bits = 64 * grid > s
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_bytes": pd.Series(sizes, dtype="int32"),
-                    "hash_hi": pd.Series(his, dtype="int64"),
-                    "hash_lo": pd.Series(los, dtype="int64"),
+                    "doc_id": pd.Series(
+                        pdf[id_col].to_numpy()[keep], dtype="int64"
+                    ),
+                    "n_bytes": pd.Series(lens[keep], dtype="int32"),
+                    "hash_hi": pd.Series(
+                        (bits[:, :32] * w32).sum(axis=1), dtype="int64"
+                    ),
+                    "hash_lo": pd.Series(
+                        (bits[:, 32:] * w32).sum(axis=1), dtype="int64"
+                    ),
                 }
             )
 
@@ -568,26 +626,46 @@ def fake_dhash(
     import numpy as np
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized like fake_ahash (guide §4.2): one (n, 8, 9) tensor
+        # per batch, identical integer gradient-bit algebra.
+        w32 = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
-            ids, sizes, his, los = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if len(raw) < 72:
-                    continue
-                grid = raw[:72].astype(np.int64).reshape(8, 9)
-                bits = (grid[:, :8] > grid[:, 1:]).astype(np.int64).reshape(64)
-                hi = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
-                lo = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
-                ids.append(doc_id)
-                sizes.append(len(raw))
-                his.append(hi)
-                los.append(lo)
+            pays = pdf[payload_col].to_numpy()
+            lens = np.fromiter(
+                (len(p) for p in pays), dtype=np.int64, count=len(pays)
+            )
+            keep = lens >= 72
+            n_keep = int(keep.sum())
+            if n_keep == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_bytes": pd.Series([], dtype="int32"),
+                        "hash_hi": pd.Series([], dtype="int64"),
+                        "hash_lo": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            grid = (
+                np.frombuffer(
+                    b"".join(bytes(p[:72]) for p in pays[keep]), dtype=np.uint8
+                )
+                .reshape(n_keep, 8, 9)
+                .astype(np.int64)
+            )
+            bits = (grid[:, :, :8] > grid[:, :, 1:]).reshape(n_keep, 64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_bytes": pd.Series(sizes, dtype="int32"),
-                    "hash_hi": pd.Series(his, dtype="int64"),
-                    "hash_lo": pd.Series(los, dtype="int64"),
+                    "doc_id": pd.Series(
+                        pdf[id_col].to_numpy()[keep], dtype="int64"
+                    ),
+                    "n_bytes": pd.Series(lens[keep], dtype="int32"),
+                    "hash_hi": pd.Series(
+                        (bits[:, :32] * w32).sum(axis=1), dtype="int64"
+                    ),
+                    "hash_lo": pd.Series(
+                        (bits[:, 32:] * w32).sum(axis=1), dtype="int64"
+                    ),
                 }
             )
 

@@ -711,13 +711,17 @@ def mmr_select(
     never a global window) picks the same vector as the unrolled-CTE
     oracle.
 
-    Scale shape: candidates localCheckpoint ONCE (scored against the
-    broadcast 1-row query); each of the k rounds joins candidates to
-    the BROADCAST <=k-row selected set (anti-join + max-div aggregate),
-    then cuts 1 row. k driver rounds of cheap jobs — the
-    operators/kmeans.py bounded-iteration discipline. At 100 TB you
-    run MMR over the top-N prefilter (brute_force_topk / ann_ivf), not
-    the corpus; N-sized candidates stream once per round."""
+    Scale shape: candidates are scored once against the broadcast
+    1-row query; the rounds maintain an INCREMENTAL max-diversity
+    column (dv = running max of rounded cosines vs the selected set —
+    max is associative, so folding in only the newest pick is exact),
+    so each round is a broadcast-1-row map over the candidate relation
+    plus a 1-row TakeOrderedAndProject cut: no per-round groupBy, no
+    exchange, and the vectors never ride a shuffle as grouping keys.
+    k driver rounds of cheap narrow jobs — the operators/kmeans.py
+    bounded-iteration discipline. At 100 TB you run MMR over the top-N
+    prefilter (brute_force_topk / ann_ivf), not the corpus; N-sized
+    candidates stream once per round."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = query_df.select(as_double_array(vec_col).alias("q")).withColumn(
@@ -732,44 +736,71 @@ def mmr_select(
             F.round(dot(F.col("v"), F.col("q")) / (F.col("vn") * F.col("qn")), 6),
         )
         .select(id_col, "v", "vn", "rel")
-        .localCheckpoint()  # read by every round (scores + anti-join)
     )
-    selected = (
+    pick = (
         cands.orderBy(F.col("rel").desc(), F.col(id_col))
         .limit(1)
         .withColumn("mmr_rank", F.lit(1))
         .localCheckpoint()
     )
+    picks = [pick]
+    # Incremental max-diversity state (r13 optimization, guide §1.2/§2.3):
+    # max over S of round(cos(c, s), 6) is associative, so instead of
+    # re-aggregating candidates x selected per round (a groupBy exchange
+    # whose rows carry the full vectors as grouping keys), carry one dv
+    # column and fold the NEW pick in with greatest() — every round is
+    # then a broadcast-1-row map over the candidate relation + a 1-row
+    # TakeOrderedAndProject, with NO exchange at all. Bit-identical:
+    # same rounded cosines, same (score DESC, id ASC) cuts.
+    state = None
     for t in range(2, k + 1):
-        s = selected.select(
-            F.col(id_col).alias("_sid"),
-            F.col("v").alias("sv"),
-            F.col("vn").alias("svn"),
+        p = picks[-1].select(
+            F.col(id_col).alias("_pid"),
+            F.col("v").alias("pv"),
+            F.col("vn").alias("pvn"),
         )
-        div = (
-            cands.join(selected.select(id_col), id_col, "left_anti")
-            .crossJoin(F.broadcast(s))
-            .withColumn(
-                "dv",
-                F.round(
-                    dot(F.col("v"), F.col("sv")) / (F.col("vn") * F.col("svn")), 6
-                ),
+        base = cands if state is None else state
+        state = (
+            base.join(p.select("_pid"), base[id_col] == F.col("_pid"), "left_anti")
+            .crossJoin(F.broadcast(p))
+            .select(
+                id_col,
+                "v",
+                "vn",
+                "rel",
+                (
+                    F.greatest(
+                        F.col("dv"),
+                        F.round(
+                            dot(F.col("v"), F.col("pv"))
+                            / (F.col("vn") * F.col("pvn")),
+                            6,
+                        ),
+                    )
+                    if state is not None
+                    else F.round(
+                        dot(F.col("v"), F.col("pv"))
+                        / (F.col("vn") * F.col("pvn")),
+                        6,
+                    )
+                ).alias("dv"),
             )
-            .groupBy(id_col, "v", "vn", "rel")
-            .agg(F.max("dv").alias("dv"))
+            .localCheckpoint()  # read by this round's cut AND next round
         )
         pick = (
-            div.withColumn(
+            state.withColumn(
                 "score", F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("dv")
             )
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(1)
             .select(id_col, "v", "vn", "rel", F.lit(t).alias("mmr_rank"))
+            .localCheckpoint()  # read by the output union AND next round's state
         )
-        # selected is read three times next round (anti-join, broadcast,
-        # union) — materialize the <=k-row relation per round
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected.select(id_col, "rel", "mmr_rank")
+        picks.append(pick)
+    out = picks[0].select(id_col, "rel", "mmr_rank")
+    for p in picks[1:]:
+        out = out.unionByName(p.select(id_col, "rel", "mmr_rank"))
+    return out
 
 
 def mmr_oracle_sql(k: int = 8, lam: float = 0.5, query_id: int = 0) -> str:

@@ -4208,6 +4208,10 @@ def bradley_terry(
     # rename BOTH join keys on the right side: li and nxt share lineage,
     # and same-name column equality on a self-join resolves through
     # Spark's ambiguity special-case (warns "trivially true predicate")
+    # NOTE (r13): a lead()-window match build was tried and REVERTED —
+    # the testdata carries duplicate (orderkey, linenumber) rows, whose
+    # cross-product matches the join semantics require and a
+    # next-row window cannot reproduce (1867 vs 3150 matches at sf0.01).
     nxt = li.select(
         F.col("l_orderkey").alias("ok_b"),
         (F.col("l_linenumber") - 1).alias("ln_prev"),
@@ -4285,7 +4289,15 @@ def bradley_terry(
             F.round(
                 F.col("s_raw") * F.col("k") / F.col("s_tot"), 6
             ).alias("s"),
-        )
+        # Each round references s TWICE (s + so) and raw twice (s_raw +
+        # the normalizer subquery) — the r7 HITS plan-doubling shape.
+        # Left lazy, the MM tail's physical plan measured 136 Exchange
+        # nodes at rounds=2 (128 KB plan string) even though every
+        # relation is <= C(n_teams,2) rows; an eager checkpoint of the
+        # <= n_teams-row normalized strengths per round truncates the
+        # doubling (r13 optimization, guide §3.3 "materialise an
+        # intermediate to truncate enormous plans").
+        ).localCheckpoint()
     return (
         s.join(wins, "t")
         .join(matches, "t")

@@ -1135,41 +1135,76 @@ def coverage_select(
         .distinct()
         .localCheckpoint()  # re-joined every round
     )
-    pick = (
+    # Incremental gain maintenance (r13 optimization, guide §1.2/§2.3):
+    # the greedy gain is gain_t(doc) = |sh(doc) \ covered_t|, and the
+    # newly-covered shingle sets of successive picks are DISJOINT, so
+    # gain_t(doc) = total(doc) - sum_r |sh(doc) ∩ new_cov_r| exactly
+    # (all BIGINT). Each round therefore updates a doc-sized gains
+    # relation by joining sh against the BROADCAST bounded new-cover
+    # set of the latest pick — the corpus-wide anti-join + groupBy the
+    # old form re-ran twice per round (once inside the selected
+    # checkpoint, once inside the covered checkpoint) is gone; only
+    # rows whose shingle was newly covered ride the per-round agg.
+    # Zero-gain docs are filtered from candidacy, matching the old
+    # form where fully-covered docs vanished from the gain aggregate.
+    gains = (
         sh.groupBy("_id")
         .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-        .orderBy(F.col("gain").desc(), "_id")
+        .localCheckpoint()  # read by every round's update + pick
+    )
+    pick = (
+        gains.orderBy(F.col("gain").desc(), "_id")
         .limit(1)
         .withColumn("sel_rank", F.lit(1))
+        .localCheckpoint()  # read by new-cover build AND the output union
     )
-    selected = pick.localCheckpoint()
-    covered = (
-        sh.join(pick.select("_id"), "_id").select("_g").localCheckpoint()
+    picks = [pick]
+    new_cov = (
+        sh.join(F.broadcast(pick.select("_id")), "_id")
+        .select("_g")
+        .localCheckpoint()  # bounded: the pick's shingles
     )
+    covered = new_cov
     for t in range(2, k + 1):
-        uncovered = sh.join(
-            selected.select("_id"), "_id", "left_anti"
-        ).join(covered, "_g", "left_anti")
+        delta = (
+            sh.join(F.broadcast(new_cov), "_g")
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        )
+        gains = (
+            gains.join(
+                F.broadcast(picks[-1].select("_id")), "_id", "left_anti"
+            )
+            .join(delta, "_id", "left")
+            .select(
+                "_id",
+                (
+                    F.col("gain") - F.coalesce(F.col("_d"), F.lit(0))
+                ).cast("long").alias("gain"),
+            )
+            .localCheckpoint()  # read by this pick AND next round
+        )
         pick = (
-            uncovered.groupBy("_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            gains.filter(F.col("gain") > 0)
             .orderBy(F.col("gain").desc(), "_id")
             .limit(1)
             .withColumn("sel_rank", F.lit(t))
+            .localCheckpoint()  # read by new-cover build AND the output union
         )
-        # selected feeds next round's anti-join AND the final output;
-        # covered feeds the anti-join and its own union — materialize
-        # both at the doubling points
-        selected = selected.unionByName(pick).localCheckpoint()
-        covered = (
-            covered.unionByName(
-                sh.join(
-                    pick.select("_id"), "_id"
-                ).select("_g")
+        picks.append(pick)
+        if t < k:
+            new_cov = (
+                sh.join(F.broadcast(pick.select("_id")), "_id")
+                .select("_g")
+                .join(covered, "_g", "left_anti")
+                .localCheckpoint()  # bounded: newly covered shingles
             )
-            .distinct()
-            .localCheckpoint()
-        )
+            # lazy union of checkpointed disjoint pieces — one consumer
+            # (next round's anti-join), shallow plan, no extra job
+            covered = covered.unionByName(new_cov)
+    selected = picks[0]
+    for p in picks[1:]:
+        selected = selected.unionByName(p)
     w = W.orderBy("sel_rank").rowsBetween(W.unboundedPreceding, 0)
     return selected.select(
         "sel_rank",
@@ -1871,16 +1906,49 @@ def _overlap_counts(docs: DataFrame) -> DataFrame:
         tokens(F.col("text")).alias("toks"),
         bigrams(F.col("text")).alias("bgs"),
     )
-    uni = (
-        base.select("doc_id", "lang", F.explode("toks").alias("g"))
-        .groupBy("doc_id", "lang", "g")
+    # ONE tokenize pass + ONE count shuffle for unigrams AND bigrams
+    # (r13 optimization, guide §2.3/§2.4): the former separate uni/bg
+    # aggregates could not share work — column pruning specializes each
+    # consumer's scan+explode subtree, so ReuseExchange never fires and
+    # the tokenize ran once per consumer. The merged (kind, gram) count
+    # relation is aggregated once, checkpointed (its SIX downstream
+    # consumers — totals, clips and reference slices for both kinds —
+    # would otherwise each re-run the corpus pass; the kind filter
+    # pushes below the aggregate and re-specializes the subtrees), and
+    # every count that follows reads the bounded materialized relation.
+    counts_all = (
+        base.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        "toks",
+                        lambda t: F.struct(
+                            F.lit(1).alias("kind"), t.alias("g")
+                        ),
+                    ),
+                    F.transform(
+                        "bgs",
+                        lambda b: F.struct(
+                            F.lit(2).alias("kind"), b.alias("g")
+                        ),
+                    ),
+                )
+            ).alias("kg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("kg.kind").alias("kind"),
+            F.col("kg.g").alias("g"),
+        )
+        .groupBy("doc_id", "lang", "kind", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
-    bg = (
-        base.select("doc_id", "lang", F.explode("bgs").alias("g"))
-        .groupBy("doc_id", "lang", "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    uni = counts_all.filter(F.col("kind") == 1).drop("kind")
+    bg = counts_all.filter(F.col("kind") == 2).drop("kind")
     refs = docs.groupBy("lang").agg(F.min("doc_id").alias("ref_id"))
 
     def ref_counts(counts: DataFrame) -> DataFrame:

@@ -1279,31 +1279,38 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(|basket|,3) rows, bounded by order size), then one exact-integer
     count and a heap-selected top-20."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select(
-            F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-        )
-        .distinct()
-        .localCheckpoint()  # three self-join sides read it
+    # Array-combination form (r13 optimization, guide §1.2/§2.4): one
+    # groupBy(basket) collect_set replaces the former
+    # distinct+localCheckpoint+two broadcast self-joins — per-basket
+    # item sets are bounded by order size, so the sorted array's
+    # C(|basket|,3) in-row combinations expand inside whole-stage
+    # codegen with NO join at all, and the only exchanges left are the
+    # basket aggregate and the (map-side combined) triple count.
+    # Identical triples: same distinct per-basket item sets, ordered
+    # i1 < i2 < i3, same exact-integer supports.
+    arrs = (
+        li.groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .select("items")
+        .filter(F.size("items") >= 3)
     )
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    c = baskets.alias("c")
     triples = (
-        a.join(
-            b,
-            (F.col("b.basket") == F.col("a.basket"))
-            & (F.col("b.item") > F.col("a.item")),
-        )
-        .join(
-            c,
-            (F.col("c.basket") == F.col("a.basket"))
-            & (F.col("c.item") > F.col("b.item")),
+        arrs.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(items, (x, i) ->
+                      flatten(transform(slice(items, i + 2, size(items)), (y, j) ->
+                        transform(slice(items, i + j + 3, size(items)), z ->
+                          struct(x AS i1, y AS i2, z AS i3))))))
+                    """
+                )
+            ).alias("t")
         )
         .groupBy(
-            F.col("a.item").alias("i1"),
-            F.col("b.item").alias("i2"),
-            F.col("c.item").alias("i3"),
+            F.col("t.i1").alias("i1"),
+            F.col("t.i2").alias("i2"),
+            F.col("t.i3").alias("i3"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )

@@ -1897,8 +1897,13 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a_flag") * F.col("b_flag")).cast("long").alias("a_obs"),
     ).localCheckpoint()  # 1-row scalar table feeding support + output
     # bounded 201-row log-factorial grid; the running window's input
-    # is the fixed integer grid, never data
-    lf = (
+    # is the fixed integer grid, never data. Collapsed to ONE ordered
+    # array relation (r13 optimization): the nine lookups below used
+    # to be nine separate broadcast equi-joins against this grid —
+    # nine broadcast builds and nine join stages for 201 rows; one
+    # crossJoin of the 1-row array + element_at lookups computes the
+    # IDENTICAL doubles (same window-summed values, only re-shaped).
+    lf_arr = (
         spark.range(0, 201)
         .select(F.col("id").alias("i"))
         .select(
@@ -1911,7 +1916,12 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
             .alias("lfv"),
         )
-        .localCheckpoint()  # 9 broadcast lookups reference it
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "lfv"))
+            ).alias("_ilf")
+        )
+        .select(F.expr("transform(_ilf, x -> x.lfv)").alias("_lf"))
     )
     support = cells.select(
         "n",
@@ -1925,7 +1935,7 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
-    s = support
+    s = support.crossJoin(F.broadcast(lf_arr))
     lookups = {
         "lf_r1": F.col("r1"),
         "lf_r2": F.col("n") - F.col("r1"),
@@ -1938,10 +1948,10 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lf_r2k": F.col("n") - F.col("r1") - F.col("c1") + F.col("k"),
     }
     for alias, expr in lookups.items():
-        s = s.join(
-            F.broadcast(lf.select(F.col("i").alias("_i"), F.col("lfv").alias(alias))),
-            expr == F.col("_i"),
-        ).drop("_i")
+        s = s.withColumn(
+            alias, F.element_at(F.col("_lf"), (expr + 1).cast("int"))
+        )
+    s = s.drop("_lf")
     lp = s.select(
         "n",
         "r1",
