@@ -190,10 +190,34 @@ def main() -> None:
     # API (one http call) instead of per-stage py4j wrappers, whose
     # deferred finalizers degraded late-headline timings in metrics
     # mode (see plans/metrics.py).
+    #
+    # Fixed pre-touched heap (r13, guide §5.1 "size memory deliberately"):
+    # this host backs guest RAM lazily, and CONCURRENT first-touch page
+    # faults serialize host-side at ~300us apiece (measured: 413 s of
+    # SYSTEM time, 1.2M minor faults, inside ONE q_bootstrap_ci rep
+    # while 32 tasks allocated into freshly-grown heap; the same rep
+    # costs 0.6 s sys once pages are warm). A default lazily-committed
+    # heap therefore charges a multi-second fault storm to whichever
+    # allocation-heavy query first grows the heap past its high-water
+    # mark — the recurring late-session "flier" (q_bootstrap_ci 11 s
+    # vs 2.4 s isolated, q_dedup_jaccard_pairs 14 s) that r12 chased
+    # as contention. -Xms=-Xmx + AlwaysPreTouch faults every heap page
+    # ONCE at session startup (untimed; ~50 s on this host) and G1
+    # never uncommits below Xms, so no timed rep ever pays the storm.
+    # Standard production practice for latency-stable JVMs; heap size
+    # stays env-parameterised (SPARK_GRAFT_DRIVER_MEM), nothing is
+    # precomputed or cached — every query still computes from parquet.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    driver_jopts = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", f"-Xms{driver_mem} -XX:+AlwaysPreTouch"
+    )
+    extra = {"spark.driver.extraJavaOptions": driver_jopts} if driver_jopts else {}
+    if metrics_mode:
+        extra["spark.ui.enabled"] = "true"
     spark = get_spark(
         app_name="celeborn_spark_bench",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "true"} if metrics_mode else None,
+        extra_conf=extra,
     )
     qs = registry.queries()
 

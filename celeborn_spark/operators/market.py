@@ -120,28 +120,52 @@ def item_neighbors(
     IEEE ops, so sim is bit-identical cross-engine and ranking on
     (sim DESC, neighbor ASC) is deterministic without any rounding.
 
-    Scale shape: pair generation self-joins on the BASKET key (bounded
-    per-basket item sets, the cooccurrence_lift discipline — never
-    corpus-quadratic); the per-item top-k window is
+    Scale shape: pair generation groups by the BASKET key and expands
+    the sorted per-basket item array's C(n,2) ordered pairs IN-ROW
+    (bounded by basket size — order baskets are single-digit — never
+    corpus-quadratic; the r13 q_itemsets3 array-combination form): the
+    former basket-keyed self-join's second exchange of the basket
+    relation is gone, and the only exchanges left are the basket
+    aggregate and the map-side-combined pair count. Identical pairs:
+    same distinct per-basket item sets, ordered item_a < item_b, same
+    exact-integer supports. The per-item top-k window is
     WindowGroupLimit-pruned at rank k. Pairs materialize once and feed
     both direction unions (localCheckpoint, CLAUDE.md rule)."""
     from pyspark.sql import Window as W
 
-    baskets = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct().localCheckpoint()  # feeds the pair self-join AND item_n
+    arrs = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .select("items")
+        .localCheckpoint()  # feeds the pair expansion AND item_n
+    )
     # item-count-sized; materialized because BOTH direction joins read
-    # it — without this the plan recomputed the whole scan+distinct+agg
-    # chain once per side (verified in the executed plan: two FileScans)
-    item_n = baskets.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("n_item")
-    ).localCheckpoint()
+    # it — without this the plan recomputed the whole scan+agg chain
+    # once per side (verified in the executed plan: two FileScans)
+    item_n = (
+        arrs.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
+        .localCheckpoint()
+    )
     pairs = (
-        baskets.alias("a")
-        .join(baskets.alias("b"), "basket")
-        .filter(F.col("a.item") < F.col("b.item"))
+        arrs.filter(F.size("items") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(items, (x, i) ->
+                      transform(slice(items, i + 2, size(items)), y ->
+                        struct(x AS item_a, y AS item_b))))
+                    """
+                )
+            ).alias("p")
+        )
         .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+            F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
         .localCheckpoint()

@@ -46,7 +46,16 @@ def _sentinel() -> None:
 def _spark():
     from celeborn_spark.session import get_spark
 
-    return get_spark(app_name="opt_probe", shuffle_partitions=8)
+    # mirror bench.py's fixed pre-touched heap so probe timings stay
+    # comparable to committed BENCH lines (see bench.py for rationale)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    return get_spark(
+        app_name="opt_probe",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch"
+        },
+    )
 
 
 def cmd_time(names: list[str]) -> None:
