@@ -6502,8 +6502,17 @@ def mood_median_test(
     aggregate over row mass; the window runs over DISTINCT values."""
     from pyspark.sql import Window as W
 
-    hist = df.groupBy(F.col(value_col).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # hist is value-bounded (distinct measurement values) and is read
+    # by BOTH the total and the median fence; grp (k rows) is read by
+    # BOTH gtot and the term build. Left lazy, each reference re-runs
+    # the full input scan+aggregate inside one job (measured r13: the
+    # one-row plan carried 34 exchanges and 4 input scans); the two
+    # checkpoints cut it to exactly two input passes (histogram +
+    # per-group cells).
+    hist = (
+        df.groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
@@ -6523,6 +6532,7 @@ def mood_median_test(
             .alias("a_g"),
             F.max("med").alias("med_g"),
         )
+        .localCheckpoint()
     )
     gtot = grp.agg(
         F.sum("n_g").cast("long").alias("n"),
@@ -10304,34 +10314,29 @@ def top_share(df: DataFrame, cents_col: str, pct: int = 80) -> DataFrame:
         F.sum("c").cast("long").alias("n"),
         F.sum("mass").cast("long").alias("s"),
     )
-    thr = (
-        cb.crossJoin(F.broadcast(tot))
-        .filter(
-            100 * (F.col("cum_before") + F.col("c")) >= F.lit(pct) * F.col("n")
-        )
-        .agg(F.min("v").cast("long").alias("thr"))
-    )
+    # cum_before is monotone in v, so the percentile-fence predicate
+    # 100*(cum_before+c) >= pct*n holds exactly for {v >= thr} — the
+    # threshold row set IS the top set. One aggregate over cb computes
+    # the fence AND the top-mass sums together (identical integers and
+    # the same two divisions as the former thr-subquery form, which
+    # re-derived hist/tot per reference: 30 exchanges -> one pass).
+    is_top = 100 * (F.col("cum_before") + F.col("c")) >= F.lit(pct) * F.col("n")
     return (
-        hist.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(thr))
+        cb.crossJoin(F.broadcast(tot))
         .agg(
             F.max("n").alias("n_units"),
-            F.max("thr").alias("threshold_cents"),
-            F.sum(F.when(F.col("v") >= F.col("thr"), F.col("c")).otherwise(0))
+            F.min(F.when(is_top, F.col("v")))
+            .cast("long")
+            .alias("threshold_cents"),
+            F.sum(F.when(is_top, F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_top"),
             (
-                F.sum(
-                    F.when(F.col("v") >= F.col("thr"), F.col("c")).otherwise(0)
-                ).cast("double")
+                F.sum(F.when(is_top, F.col("c")).otherwise(0)).cast("double")
                 / F.max("n")
             ).alias("top_frac"),
             (
-                F.sum(
-                    F.when(
-                        F.col("v") >= F.col("thr"), F.col("mass")
-                    ).otherwise(0)
-                ).cast("double")
+                F.sum(F.when(is_top, F.col("mass")).otherwise(0)).cast("double")
                 / F.max("s")
             ).alias("spend_share"),
         )
