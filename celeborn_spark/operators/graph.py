@@ -48,6 +48,7 @@ def pagerank(
     partition_edges: bool = False,
     handle_dangling: bool = False,
     weight_col: str | None = None,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """(node, pr) after `iters` rounds of scaled PageRank
     (sum of pr over nodes == node count). By default no dangling
@@ -59,11 +60,16 @@ def pagerank(
     (pr' = (1-d) + d*(in_contribs + dangling_mass/N)), conserving
     total mass at N exactly (up to 6-dp rounding).
 
-    Join strategy is DECLARED, not forced: the rank/deg relations are
-    node-sized, so AQE broadcasts them and each round costs exactly one
-    exchange (the groupBy(dst) combine of edge contributions, with
-    map-side partials absorbing power-law in-degree hubs). For graphs
-    whose node set outgrows broadcast, pass ``partition_edges=True`` to
+    The rank/deg relations are node-sized and BROADCAST into the edge
+    joins (hinted — the edge relation derives from a checkpointed RDD
+    whose stats report unknown size, so the static planner otherwise
+    sort-merges: measured r13, the 3-round lazy body carried 12
+    SortMergeJoins re-exchanging the edge mass every round; AQE's
+    runtime conversion still pays each round's shuffle WRITE). Each
+    round then costs exactly one exchange (the groupBy(dst) combine of
+    edge contributions, with map-side partials absorbing power-law
+    in-degree hubs). For graphs whose node set outgrows broadcast, pass
+    ``partition_edges=True`` (which disables the hint) to
     hash-partition+persist the edge relation by src once, so every
     round's (then sort-merge) rank join reuses that layout and only the
     node-sized rank relation crosses the wire. The per-term pr/outdeg
@@ -86,13 +92,20 @@ def pagerank(
         raw = raw.repartition(
             edges.sparkSession.sparkContext.defaultParallelism, "src"
         ).persist()
+        broadcast_ranks = False  # partitioned layout IS the join plan
     if handle_dangling:
-        return _pagerank_dangling(raw, iters, damping, unpersist_edges=partition_edges)
+        return _pagerank_dangling(
+            raw,
+            iters,
+            damping,
+            unpersist_edges=partition_edges,
+            broadcast_ranks=broadcast_ranks,
+        )
     deg = raw.groupBy("src").agg(F.sum("ew").alias("outdeg"))
-    e = raw.join(deg, "src")
+    e = raw.join(F.broadcast(deg) if broadcast_ranks else deg, "src")
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
     for i in range(iters):
-        ranks = _pagerank_round(ranks, e, damping)
+        ranks = _pagerank_round(ranks, e, damping, broadcast_ranks)
         # Lineage control, not per-round materialization: each round
         # feeds exactly one consumer, so the lazy DAG evaluates once at
         # the end and shuffle boundaries already persist intermediate
@@ -109,14 +122,20 @@ def pagerank(
     return ranks
 
 
-def _pagerank_round(ranks: DataFrame, e: DataFrame, damping: float) -> DataFrame:
+def _pagerank_round(
+    ranks: DataFrame, e: DataFrame, damping: float, broadcast_ranks: bool = False
+) -> DataFrame:
     """One PageRank round (the loop body, exposed so skew tests can pin
     its physical plan): contribute pr/outdeg along each edge, combine
     per dst. The dst key is power-law on real link graphs (hub nodes) —
     the groupBy(dst) partial aggregation combines hub contributions
     map-side BEFORE the exchange, so a 30%-hot dst costs one partial
     row per map task, not a hot reduce partition
-    (tests/test_skew_stress.py pins partial-then-final)."""
+    (tests/test_skew_stress.py pins partial-then-final). With
+    ``broadcast_ranks`` the node-sized rank relation broadcasts and the
+    edge mass never rides the join exchange (see `pagerank`)."""
+    if broadcast_ranks:
+        ranks = F.broadcast(ranks)
     contribs = ranks.join(e, ranks["node"] == e["src"]).select(
         "dst", (F.col("pr") * F.col("ew") / F.col("outdeg")).alias("w")
     )
@@ -128,7 +147,11 @@ def _pagerank_round(ranks: DataFrame, e: DataFrame, damping: float) -> DataFrame
 
 
 def _pagerank_dangling(
-    raw: DataFrame, iters: int, damping: float, unpersist_edges: bool = False
+    raw: DataFrame,
+    iters: int,
+    damping: float,
+    unpersist_edges: bool = False,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Dangling-aware rounds: node universe = src ∪ dst; each round adds
     the summed dangler rank, split uniformly, into every node's affine
@@ -163,17 +186,20 @@ def _pagerank_dangling(
         dangling = r.where(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling_mass")
         )
+        live = r.where(F.col("outdeg").isNotNull())
+        if broadcast_ranks:
+            live = F.broadcast(live)  # node-sized; keep the edge mass put
         contribs = (
-            r.where(F.col("outdeg").isNotNull())
-            .join(raw, r["node"] == raw["src"])
+            live.join(raw, r["node"] == raw["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("pr") * F.col("ew") / F.col("outdeg")).alias("cs"))
         )
         # one broadcast of the combined 1-row scalar relation per round
         # (dangling x n_nodes is 1x1), not two nested-loop broadcasts
         scalars = dangling.crossJoin(n_nodes)
+        rhs = F.broadcast(contribs) if broadcast_ranks else contribs
         ranks = (
-            base.join(contribs, base["node"] == contribs["dst"], "left")
+            base.join(rhs, base["node"] == rhs["dst"], "left")
             .crossJoin(F.broadcast(scalars))
             .select(
                 "node",
@@ -514,11 +540,15 @@ def bfs_hops(
     settled = [frontier.withColumn("hop", F.lit(0))]
     dist = settled[0]
     for h in range(1, max_hops + 1):
+        # frontier/dist are node-sized checkpointed RDDs (unknown
+        # stats) — broadcast hints keep the edge mass out of the
+        # per-hop join exchange (the pagerank/hits discipline)
+        fb = F.broadcast(frontier)
         nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
+            fb.join(e, fb["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(F.broadcast(dist), "node", "left_anti")
             .localCheckpoint()  # read by next round's anti-join AND the result union
         )
         settled.append(nxt.withColumn("hop", F.lit(h)))
@@ -546,7 +576,9 @@ def bfs_oracle_sql(seed_pred: str, max_hops: int = 3) -> str:
     """
 
 
-def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+def kcore(
+    edges: DataFrame, k: int, rounds: int = 4, broadcast_keep: bool = True
+) -> DataFrame:
     """(node, core_deg) — nodes surviving ``rounds`` rounds of k-core
     peeling (repeatedly delete nodes of degree < k), with their degree
     in the surviving subgraph. The density-filter primitive: k-core
@@ -563,7 +595,13 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
     edge relation. The edge relation is localCheckpoint'ed per round
     because it feeds BOTH the degree agg and the semi-joins (and
     rounds are few and the relation only shrinks — materializing the
-    survivor set is the cheap direction)."""
+    survivor set is the cheap direction). The node-sized survivor set
+    BROADCASTS into both semi-joins (hinted — the checkpointed edge
+    RDD reports unknown stats, so the static planner otherwise
+    sort-merges, re-exchanging the edge mass twice per round; measured
+    r13: 4 SortMergeJoins per round body). Pass
+    ``broadcast_keep=False`` when the survivor set outgrows
+    broadcast."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     e = edges.select("u", "v").localCheckpoint()
@@ -575,6 +613,8 @@ def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("node")
+        if broadcast_keep:
+            keep = F.broadcast(keep)
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
@@ -713,7 +753,10 @@ def adamic_adar_oracle_sql(k: int = 30, dp: int = 6, min_qty: int = 45) -> str:
 
 
 def hits(
-    edges: DataFrame, iters: int = 3, partition_edges: bool = False
+    edges: DataFrame,
+    iters: int = 3,
+    partition_edges: bool = False,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """(node, hub, auth) after ``iters`` rounds of HITS (Kleinberg's
     hubs-and-authorities) over a DIRECTED edge relation — the
@@ -786,43 +829,62 @@ def hits(
     # subquery inside every consumer). Normalized-relation checkpoints
     # win because each half-round's job then contains exactly ONE edge
     # join reading the previous checkpoint.
+    # The hub/auth/araw/hraw relations are node-sized but derive from
+    # checkpointed RDDs (unknown stats), so the static planner
+    # sort-merges every per-round join, re-exchanging the EDGE mass
+    # twice per round (measured r13: 6 SortMergeJoins per half-round
+    # body). Broadcast hints keep the edge relation un-shuffled; with
+    # partition_edges=True the hints default off — the persisted edge
+    # layout is the join plan (beyond-broadcast node sets).
+    # ``broadcast_state`` overrides that default either way (the
+    # metrics test models the beyond-broadcast regime with it).
+    if broadcast_state is None:
+        broadcast_state = not partition_edges
+    bcast = F.broadcast if broadcast_state else (lambda df: df)
+    # The iteration carries only NONZERO-SUPPORT state (r13): a node
+    # absent from araw would hold auth exactly 0.0, and 0.0-valued
+    # state rows are exact-neutral addends in the next raw sum
+    # (x + 0.0 == x for every finite double), while a node that IS the
+    # src/dst of an edge necessarily appears in the corresponding raw
+    # aggregate — so the per-half-round nodes left-join that re-padded
+    # the full universe changed no double anywhere and is done ONCE at
+    # the end instead (zero fill). The checkpoint moves to the raw
+    # aggregate (still the doubling point: the normalizer AND the
+    # normalized projection read it); the normalized relations are now
+    # cheap projections over checkpointed rows.
     for i in range(iters):
+        hubb = bcast(hub)
         araw = (
-            hub.join(e_src, hub["node"] == e_src["src"])
+            hubb.join(e_src, hubb["node"] == e_src["src"])
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
+            .localCheckpoint()  # read by the normalizer AND the projection
         )
         asum = araw.agg(F.sum("ar").alias("anorm"))
-        auth = (
-            nodes.join(araw, nodes["node"] == araw["dst"], "left")
-            .crossJoin(F.broadcast(asum))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("ar"), F.lit(0.0)) / F.col("anorm"), 6
-                ).alias("a"),
-            )
-            .localCheckpoint()  # read by hraw's join AND the final join
+        auth = araw.crossJoin(F.broadcast(asum)).select(
+            F.col("dst").alias("node"),
+            F.round(F.col("ar") / F.col("anorm"), 6).alias("a"),
         )
+        authb = bcast(auth)
         hraw = (
-            auth.join(e_dst, auth["node"] == e_dst["dst"])
+            authb.join(e_dst, authb["node"] == e_dst["dst"])
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
+            .localCheckpoint()  # read by the normalizer AND the projection
         )
         hsum = hraw.agg(F.sum("hr").alias("hnorm"))
-        hub = (
-            nodes.join(hraw, nodes["node"] == hraw["src"], "left")
-            .crossJoin(F.broadcast(hsum))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("hr"), F.lit(0.0)) / F.col("hnorm"), 6
-                ).alias("h"),
-            )
-            .localCheckpoint()  # read by next round's araw AND the final join
+        hub = hraw.crossJoin(F.broadcast(hsum)).select(
+            F.col("src").alias("node"),
+            F.round(F.col("hr") / F.col("hnorm"), 6).alias("h"),
         )
-    out = hub.join(auth, "node").select(
-        "node", F.col("h").alias("hub"), F.col("a").alias("auth")
+    out = (
+        nodes.join(bcast(hub), "node", "left")
+        .join(bcast(auth), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("auth"),
+        )
     )
     if partition_edges:
         # hub/auth are checkpointed, so the final join no longer
@@ -886,7 +948,10 @@ def hits_oracle_sql(
 
 
 def shortest_paths(
-    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    broadcast_dist: bool = True,
 ) -> DataFrame:
     """(node, dist) — minimum WEIGHTED path cost from any seed within
     ``rounds`` edge relaxations (bounded Bellman-Ford; unreached nodes
@@ -898,13 +963,17 @@ def shortest_paths(
     integer min/plus arithmetic makes every round engine-exact, no
     rounding anywhere. ``seeds`` has one ``node`` column.
 
-    Per round: one equality-keyed exchange (settled frontier joins
-    edges on src) + a groupBy(dst).min with map-side partials (hub
-    in-degrees combine locally) + a full-outer merge against the
-    settled relation. The dist relation is node-sized and is
+    Per round: the settled frontier BROADCASTS into the edge join
+    (hinted — dist derives from a checkpointed RDD with unknown stats,
+    so the static planner otherwise sort-merges and re-exchanges the
+    EDGE mass every round; measured r13) + a groupBy(dst).min with
+    map-side partials (hub in-degrees combine locally) + a full-outer
+    merge against the settled relation (node-sized SMJ — full outer
+    cannot broadcast). The dist relation is node-sized and is
     localCheckpoint'ed each round because the merge reads it twice
     (CLAUDE.md multi-reference rule); the edge relation is never
-    mutated — partitioned once at scale."""
+    mutated — partitioned once at scale. When the settled set outgrows
+    broadcast, pass ``broadcast_dist=False`` for the shuffle join."""
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     e = edges.select(
@@ -917,22 +986,24 @@ def shortest_paths(
         .localCheckpoint()
     )
     for _ in range(rounds):
+        frontier = F.broadcast(dist) if broadcast_dist else dist
         relax = (
-            dist.join(e, dist["node"] == e["src"])
+            frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst"), (F.col("dist") + F.col("w")).alias("cand"))
-            .groupBy("dst")
-            .agg(F.min("cand").alias("best"))
         )
+        # The settled/candidate merge is a pure keyed MIN over exact
+        # longs, so instead of a full-outer join (two sort-merge
+        # exchanges per round, r13 before-plan) the relaxed candidates
+        # simply union with the settled rows and one partial-combined
+        # groupBy.min folds both — identical integers (min(old, best
+        # cand) with absent sides skipped is exactly the old
+        # null-aware when-chain), one node-keyed exchange per round.
         dist = (
-            dist.join(relax, dist["node"] == relax["dst"], "full_outer")
-            .select(
-                F.coalesce(F.col("node"), F.col("dst")).alias("node"),
-                F.when(F.col("dist").isNull(), F.col("best"))
-                .when(F.col("best").isNull(), F.col("dist"))
-                .when(F.col("best") < F.col("dist"), F.col("best"))
-                .otherwise(F.col("dist"))
-                .alias("dist"),
-            )
+            dist.select("node", "dist")
+            .unionAll(relax.select(F.col("dst").alias("node"),
+                                   F.col("cand").alias("dist")))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
             .localCheckpoint()  # read twice next round (relax + merge)
         )
     return dist
@@ -1302,18 +1373,22 @@ def personalized_pagerank(
         )
         .localCheckpoint()
     )
+    # deg/ranks/contribs are node-sized but derive from checkpointed
+    # RDDs (unknown stats) — broadcast hints keep the edge mass out of
+    # every per-round join exchange (the pagerank/hits discipline)
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = raw.join(deg, "src")
+    e = raw.join(F.broadcast(deg), "src")
     ranks = nodes.select("node", F.col("seed").alias("ppr"))
     for i in range(iters):
+        rb = F.broadcast(ranks)
         contribs = (
-            ranks.join(e, ranks["node"] == e["src"])
+            rb.join(e, rb["node"] == e["src"])
             .select("dst", (F.col("ppr") / F.col("outdeg")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("inw"))
             .select(F.col("dst").alias("node"), "inw")
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contribs), "node", "left").select(
             "node",
             F.round(
                 (1 - damping) * F.col("seed")
@@ -1712,22 +1787,24 @@ def eigenvector_centrality(edges: DataFrame, iters: int = 3) -> DataFrame:
     nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(iters):
+        # x / raw are node-sized but derive from checkpointed RDDs
+        # (unknown stats) — broadcast hints keep the edge mass out of
+        # the per-round join exchanges (the pagerank/hits discipline).
+        # EVERY node appears as `b` in the both-ways view, so the old
+        # per-round nodes left-join re-padded nothing (its coalesce
+        # branch was dead) and is gone (r13); the checkpoint moves to
+        # raw, the doubling point (normalizer + projection read it).
+        xb = F.broadcast(x)
         raw = (
-            und.join(x, und["a"] == x["node"])
+            und.join(xb, und["a"] == xb["node"])
             .groupBy("b")
             .agg(F.sum("x").alias("r"))
+            .localCheckpoint()
         )
         tot = raw.agg(F.sum("r").alias("tot"))
-        x = (
-            nodes.join(raw, nodes["node"] == raw["b"], "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("r"), F.lit(0.0)) / F.col("tot"), 6
-                ).alias("x"),
-            )
-            .localCheckpoint()  # raw is referenced twice per round
+        x = raw.crossJoin(F.broadcast(tot)).select(
+            F.col("b").alias("node"),
+            F.round(F.col("r") / F.col("tot"), 6).alias("x"),
         )
     return x.select("node", F.col("x").alias("score"))
 
@@ -1807,20 +1884,22 @@ def katz_centrality(
     nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(iters):
-        raw = (
-            und.join(x, und["a"] == x["node"])
+        # x is node-sized but derives from checkpointed RDDs (unknown
+        # stats) — the broadcast hint keeps the edge mass out of the
+        # per-round join exchange (the pagerank/hits discipline).
+        # EVERY node appears as `b` in the both-ways view, so the old
+        # per-round nodes left-join re-padded nothing (its coalesce
+        # branch was dead) and is gone (r13).
+        xb = F.broadcast(x)
+        x = (
+            und.join(xb, und["a"] == xb["node"])
             .groupBy("b")
             .agg(F.sum("x").alias("r"))
-        )
-        x = (
-            nodes.join(raw, nodes["node"] == raw["b"], "left")
             .select(
-                "node",
-                F.round(
-                    F.lit(alpha) * F.coalesce(F.col("r"), F.lit(0.0))
-                    + F.lit(1.0),
-                    6,
-                ).alias("x"),
+                F.col("b").alias("node"),
+                F.round(F.lit(alpha) * F.col("r") + F.lit(1.0), 6).alias(
+                    "x"
+                ),
             )
             .localCheckpoint()  # keep per-round lineage flat
         )

@@ -85,10 +85,15 @@ def test_hits_partition_edges_cuts_edge_shuffle(spark, tmp_path):
     edges = spark.read.parquet(edges_dir)
 
     def run(partition):
+        # broadcast_state=False models the node set OUTGROWING
+        # broadcast (r13: the default path now HINTS the node-sized
+        # state broadcast, which would override the disabled threshold
+        # below and defeat the regime this test byte-measures)
         return measure_action(
             edges,
             action=lambda _: hits(
-                edges, iters=3, partition_edges=partition
+                edges, iters=3, partition_edges=partition,
+                broadcast_state=False,
             ).count(),
         )
 
