@@ -16,6 +16,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-exchange a NARROW input across all cores before a CPU-heavy
+    vector-kernel map stage (higher-order-function cosines cost ~20 µs
+    per 64-dim pair — a single-split 2k-row parquet scan serializes the
+    whole corpus onto one core; measured r13: the near-dup recall guard
+    spent 2.8 s on one task). Conditional: when the scan is already at
+    least as wide as the core count (the 100 TB regime) this is a
+    no-op, preserving the zero-shuffle map-only plans the signature
+    operators advertise."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -93,8 +109,9 @@ def brute_force_topk(
     (the window partitions by query_id, exchanging only the slim
     (query, id, score) projection).
     """
-    v = vectors.select(
-        F.col(id_col), as_double_array(vec_col).alias("v"),
+    v = _spread(
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")),
+        id_col,
     ).withColumn("v_norm", l2_norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col), as_double_array(query_vec_col).alias("q"),
@@ -146,7 +163,12 @@ def embedding_bit_signature(
     if dims is None:
         row = vectors.select(F.size(as_double_array(vec_col)).alias("d")).first()
         dims = int(row["d"]) if row and row["d"] is not None else 0
-    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    # bits x dims HOF multiplies per row — spread a narrow scan first
+    # (no-op on already-wide inputs, keeping the map-only plan claim)
+    v = _spread(
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")),
+        id_col,
+    )
 
     # ONE parsed SQL string instead of py4j-composed Columns: bits*dims
     # nested Column constructors cost thousands of py4j round-trips
@@ -240,7 +262,10 @@ def ivf_assign(
     plus the slim top-n window exchange. Data vectors use n_probe=1
     (disjoint cells); query vectors use n_probe>1 for multi-probe
     search."""
-    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    v = _spread(
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")),
+        id_col,
+    )
     c = centroids.select(
         F.col(centroid_id_col), as_double_array(centroid_vec_col).alias("c")
     )

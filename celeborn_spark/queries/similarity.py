@@ -151,7 +151,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint()
 
-    v = emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+    # the 64-vector brute-force guard streams N x 64 HOF cosines — a
+    # single-split scan would run them all on one core (r13: 2.8 s)
+    v = S._spread(
+        emb.select("vec_id", S.as_double_array("embedding").alias("v")),
+        "vec_id",
+    )
     sample = (
         v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")
