@@ -17,18 +17,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _label_propagation_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _label_propagation_round(
+    edges: DataFrame, labels: DataFrame, broadcast_labels: bool = False
+) -> DataFrame:
     """One hash-min propagation round (the loop body, exposed so skew
     tests can pin its physical plan): each vertex takes the min label
     among itself and its neighbors. The edges.dst join key is power-law
     on real near-dup graphs (a giant component's hub vertex) — the
     groupBy(src) partial-agg absorbs hot keys map-side and AQE's skew
-    split handles the join (tests/test_skew_stress.py)."""
+    split handles the join (tests/test_skew_stress.py).
+
+    ``broadcast_labels`` hints the vertex-sized labels/neighbor-min
+    relations broadcast (they derive from checkpointed RDDs with
+    unknown stats, so the static planner otherwise sort-merges and
+    re-exchanges the EDGE mass every round — the r13 iterative-graph
+    fix). Default False: the direct-call skew tests pin the
+    shuffle-join shape, and `connected_components` opts in."""
+    lb = F.broadcast(labels) if broadcast_labels else labels
     neighbor_min = (
-        edges.join(labels, edges.dst == labels.vertex)
+        edges.join(lb, edges.dst == lb.vertex)
         .groupBy("src")
         .agg(F.min("label").alias("nbr_label"))
     )
+    if broadcast_labels:
+        neighbor_min = F.broadcast(neighbor_min)
     return (
         labels.join(neighbor_min, labels.vertex == neighbor_min.src, "left")
         .select(
@@ -48,9 +60,16 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 10,
+    broadcast_labels: bool = True,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in `pairs`;
-    component = min vertex id in its connected component."""
+    component = min vertex id in its connected component.
+
+    The label relation is vertex-sized — near-dup vertices are the
+    docs that appear in a pair, far fewer than the corpus — and
+    broadcasts into each round's edge join by default; pass
+    ``broadcast_labels=False`` when the vertex set outgrows broadcast
+    (the shuffle join + AQE skew split regime the tests pin)."""
     # Materialize the edge list once: it is re-joined every round, and
     # without a checkpoint each iteration would re-run the (possibly
     # expensive — LSH!) pair-producing pipeline from scratch.
@@ -68,7 +87,9 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        new_labels = _label_propagation_round(edges, labels).localCheckpoint()
+        new_labels = _label_propagation_round(
+            edges, labels, broadcast_labels
+        ).localCheckpoint()
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -81,4 +102,8 @@ def dedup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> Da
     (keep-one-per-group = filter vertex == component downstream)."""
     cc = connected_components(pairs, id_a, id_b)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
-    return cc.join(sizes, "component").select("vertex", "component", "group_size")
+    # component-sized aggregate of a checkpointed RDD (unknown stats) —
+    # hint it broadcast instead of sort-merging the vertex relation
+    return cc.join(F.broadcast(sizes), "component").select(
+        "vertex", "component", "group_size"
+    )

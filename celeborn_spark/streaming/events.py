@@ -205,7 +205,11 @@ def run_stream_until(
 
 
 def run_stream_to_table(
-    stream_df: DataFrame, name: str, output_mode: str, state_partitions: int = 4
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int = 4,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drive a finite stream to completion into an in-memory sink and
     return the result table (test/oracle harness only).
@@ -215,10 +219,23 @@ def run_stream_to_table(
     micro-batch — for these bounded test streams that fixed cost
     dominates, so the partition count is sized to the stream volume
     (state stores are config-partitioned, not data-partitioned; a
-    production deployment sets 2-3x cores for real volumes)."""
+    production deployment sets 2-3x cores for real volumes).
+
+    ``no_data_batches=False`` skips the trailing empty micro-batch the
+    engine otherwise runs after the watermark advances. ONLY safe for
+    transformations that emit eagerly (inner stream-stream joins,
+    stateless maps): for them the no-data batch only EVICTS state,
+    which a bounded run discards at stop() anyway — the sink table is
+    identical (measured r13: the eviction batch cost 1.7 s of the
+    stream-stream join's 5.5 s wall). Watermark-gated emissions
+    (append-mode aggregations/session windows, outer joins) NEED that
+    batch — leave it on for them."""
     spark = stream_df.sparkSession
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nd = spark.conf.get(nd_key, "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(nd_key, "true" if no_data_batches else "false")
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -233,4 +250,5 @@ def run_stream_to_table(
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(nd_key, old_nd)
     return spark.table(name)
