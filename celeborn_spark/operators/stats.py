@@ -8092,21 +8092,18 @@ def order_gap_percentiles(
     cum = gaps.select(
         "gap", F.sum("c").over(wg).alias("cum")
     ).crossJoin(F.broadcast(tot))
-    p50 = cum.filter(F.col("cum") >= F.ceil(F.col("n") / 2)).agg(
-        F.min("gap").alias("p50")
-    )
-    p90 = cum.filter(
-        10 * F.col("cum") >= 9 * F.col("n")
-    ).agg(F.min("gap").alias("p90"))
-    return (
-        tot.crossJoin(F.broadcast(p50))
-        .crossJoin(F.broadcast(p90))
-        .select(
-            F.col("n").alias("n_gaps"),
-            F.col("p50").cast("long").alias("p50_days"),
-            F.col("p90").cast("long").alias("p90_days"),
-            (F.col("s").cast("double") / F.col("n")).alias("mean_days"),
-        )
+    # both percentile fences fold into ONE aggregate over cum (the
+    # monotone-fence collapse, r13): identical min-over-predicate
+    # integers, no per-fence re-derivation of the cumulative subtree
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        F.min(F.when(F.col("cum") >= F.ceil(F.col("n") / 2), F.col("gap")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("gap")))
+        .cast("long")
+        .alias("p90_days"),
+        (F.max("s").cast("double") / F.max("n")).alias("mean_days"),
     )
 
 
@@ -9707,22 +9704,26 @@ def iqr_outliers(df: DataFrame, cents_col: str) -> DataFrame:
     cum = cb.crossJoin(F.broadcast(tot)).select(
         "v", "n", (F.col("cum_before") + F.col("c")).alias("cum")
     )
-    q1 = cum.filter(4 * F.col("cum") >= F.col("n")).agg(
-        F.min("v").cast("long").alias("q1")
+    # Both percentile_disc reads fold into ONE aggregate over cum
+    # (min of v where the fence predicate holds — identical integers
+    # to the former filter+min subqueries, which each re-derived the
+    # whole bucket-offset machinery: 54 -> ~14 exchanges, r13; the
+    # q_top_share monotone-fence collapse).
+    q13 = cum.agg(
+        F.max("n").alias("n"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v")))
+        .cast("long")
+        .alias("q3"),
     )
-    q3 = cum.filter(4 * F.col("cum") >= 3 * F.col("n")).agg(
-        F.min("v").cast("long").alias("q3")
-    )
-    fences = (
-        tot.crossJoin(F.broadcast(q1))
-        .crossJoin(F.broadcast(q3))
-        .select(
-            "n",
-            "q1",
-            "q3",
-            (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
-            (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
-        )
+    fences = q13.select(
+        "n",
+        "q1",
+        "q3",
+        (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
+        (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
     )
     counts = (
         df.crossJoin(F.broadcast(fences))
@@ -10713,13 +10714,14 @@ def user_mtbf(df: DataFrame, unit_col: str, ts_col: str, key_col: str) -> DataFr
     cum = gaps.select(
         "gap_min", F.sum("c").over(wg).alias("cum")
     ).crossJoin(F.broadcast(tot))
-    med = cum.filter(2 * F.col("cum") >= F.col("n")).agg(
-        F.min("gap_min").cast("long").alias("med")
-    )
-    return tot.crossJoin(F.broadcast(med)).select(
-        F.col("n").alias("n_gaps"),
-        (F.col("s").cast("double") / F.col("n")).alias("mtbf_minutes"),
-        F.col("med").alias("median_gap_minutes"),
+    # median fence folds into the final aggregate over cum (the
+    # monotone-fence collapse, r13) — no second pass, same integers
+    return cum.agg(
+        F.max("n").alias("n_gaps"),
+        (F.max("s").cast("double") / F.max("n")).alias("mtbf_minutes"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("gap_min")))
+        .cast("long")
+        .alias("median_gap_minutes"),
     )
 
 
@@ -12180,39 +12182,41 @@ def palma_hoover(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
         F.sum(F.col("c") * F.col("v")).cast("long").alias("s"),
     )
     cum = cb.crossJoin(F.broadcast(tot))
-    thr_top = cum.filter(
-        100 * (F.col("cum_before") + F.col("c")) >= 90 * F.col("n")
-    ).agg(F.min("v").cast("long").alias("thr_top"))
-    thr_bot = cum.filter(
-        100 * (F.col("cum_before") + F.col("c")) >= 40 * F.col("n")
-    ).agg(F.min("v").cast("long").alias("thr_bot"))
-    return (
-        hist.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(thr_top))
-        .crossJoin(F.broadcast(thr_bot))
-        .agg(
-            F.max("n").alias("n_units"),
-            F.max("thr_top").alias("thr_top"),
-            F.max("thr_bot").alias("thr_bot"),
-            F.round(
-                F.sum(
-                    F.when(F.col("v") >= F.col("thr_top"), F.col("c") * F.col("v"))
-                    .otherwise(0)
-                ).cast("double")
-                / F.sum(
-                    F.when(F.col("v") <= F.col("thr_bot"), F.col("c") * F.col("v"))
-                    .otherwise(0)
-                ),
-                dp,
-            ).alias("palma"),
-            F.round(
-                F.sum(
-                    F.col("c") * F.abs(F.col("n") * F.col("v") - F.col("s"))
-                ).cast("double")
-                / (2.0 * F.max("n") * F.max("s")),
-                dp,
-            ).alias("hoover"),
+    # cum_before is monotone in v, so both percentile fences and both
+    # fenced sums fold into ONE aggregate over cum (the q_top_share
+    # collapse; each former thr subquery re-derived the whole bucket
+    # machinery): v >= thr_top <=> 100*(cum_before+c) >= 90*n and
+    # v <= thr_bot <=> 100*cum_before < 40*n — identical row sets,
+    # identical BIGINT addends (long sums are order-exact).
+    is_top = 100 * (F.col("cum_before") + F.col("c")) >= 90 * F.col("n")
+    is_bot = 100 * F.col("cum_before") < 40 * F.col("n")
+    return cum.agg(
+        F.max("n").alias("n_units"),
+        F.min(F.when(is_top, F.col("v"))).cast("long").alias("thr_top"),
+        F.min(
+            F.when(
+                100 * (F.col("cum_before") + F.col("c")) >= 40 * F.col("n"),
+                F.col("v"),
+            )
         )
+        .cast("long")
+        .alias("thr_bot"),
+        F.round(
+            F.sum(
+                F.when(is_top, F.col("c") * F.col("v")).otherwise(0)
+            ).cast("double")
+            / F.sum(
+                F.when(is_bot, F.col("c") * F.col("v")).otherwise(0)
+            ),
+            dp,
+        ).alias("palma"),
+        F.round(
+            F.sum(
+                F.col("c") * F.abs(F.col("n") * F.col("v") - F.col("s"))
+            ).cast("double")
+            / (2.0 * F.max("n") * F.max("s")),
+            dp,
+        ).alias("hoover"),
     )
 
 
