@@ -330,9 +330,13 @@ def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits \\s+ while the oracle splits on ' ' — identical on the
     single-space-normalized testdata word streams; a tab/double-space
     corpus must be normalized first."""
+    from celeborn_spark.operators.dedup import _spread
     from celeborn_spark.operators.textops import coverage_select
 
-    d = load_table(spark, sf_dir, "documents")
+    # single-split parquet + CPU-heavy tokenize/explode: spread across
+    # cores first (the dedup shingle_table discipline; r13 — the sh
+    # build was half the query's wall on one core)
+    d = _spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", F.split(F.col("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= 3)
