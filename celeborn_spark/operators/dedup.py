@@ -119,11 +119,18 @@ def edit_distance_pairs(
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-exchange a (possibly single-partition) input across all
-    cores before a CPU-heavy map stage. Small files arrive as one
-    split; at 100 TB inputs are already wide and this is a no-op cost
-    relative to the work it parallelizes."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    """Hash-exchange a NARROW input across all cores before a
+    CPU-heavy map stage. Small files arrive as one split and would
+    serialize the whole stage onto one core; at 100 TB inputs are
+    already wide and the repartition is SKIPPED outright (r13 — the
+    old unconditional form paid a full shuffle of the text mass at
+    scale for nothing; the partition-count probe is a plan-only
+    driver check, no job)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key)
 
 
 def shingles_from_tokens(toks: Column, n: int) -> Column:

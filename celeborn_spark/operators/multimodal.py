@@ -28,11 +28,16 @@ DECODE_SCHEMA = (
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-exchange a (possibly single-split) input across all cores
-    before a CPU-heavy Arrow kernel — small parquet arrives as one
-    split, which would serialize the whole mapInPandas stage onto one
-    task (same rule as operators/dedup.py _spread)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    """Hash-exchange a NARROW input across all cores before a
+    CPU-heavy Arrow kernel — small parquet arrives as one split,
+    which would serialize the whole mapInPandas stage onto one task
+    (same rule as operators/dedup.py _spread; like it, SKIPPED when
+    the scan is already at least core-count wide — r13)."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

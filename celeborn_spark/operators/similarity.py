@@ -353,9 +353,9 @@ def embedding_bit_signature_md5(
     (row, dim, bit): at 20k x 64-dim x 12 bits that is 768 md5 calls
     instead of 15M (2.2s -> sub-second for the verified near-dup
     pipeline)."""
-    spread = vectors.repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism, id_col
-    )  # small parquet arrives as one split; the explode is CPU-heavy
+    # small parquet arrives as one split; the explode is CPU-heavy
+    # (conditional — no-op on already-wide scans, r13)
+    spread = _spread(vectors, id_col)
     dims = spread.select(
         F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "x")
     )

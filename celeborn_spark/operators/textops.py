@@ -2196,7 +2196,9 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     Every predicate compares exact BIGINTs — zero float anywhere.
     Scale shape: one explode -> (doc, token) count aggregate -> one
     per-doc reduce; both map-side combined, output one row per doc."""
-    toks = docs.select(
+    from celeborn_spark.operators.dedup import _spread
+
+    toks = _spread(docs.select("doc_id", "lang", "text"), "doc_id").select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
     lvl1 = toks.groupBy("doc_id", "lang", "tok").agg(
@@ -2300,11 +2302,13 @@ def heaps_law(
 
     Scale shape (100 TB): one tokenize+explode pass, one token-keyed
     aggregate (the vocabulary relation), slice counts map-combined."""
+    from celeborn_spark.operators.dedup import _spread
+
     bounds = df.agg(
         F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
     )
     tok = (
-        df.select(F.col(id_col).alias("d"), F.col(text_col).alias("txt"))
+        _spread(df.select(F.col(id_col).alias("d"), F.col(text_col).alias("txt")), "d")
         .select("d", F.explode(tokens(F.col("txt"))).alias("w"))
         .filter(F.col("w") != "")
     )
@@ -2457,8 +2461,11 @@ def yule_k(docs: DataFrame, text_col: str, dp: int = 6) -> DataFrame:
 
     Scale shape (100 TB): explode -> ONE map-combined (token) count
     -> one scalar reduce. Nothing row-sized past the first exchange."""
+    from celeborn_spark.operators.dedup import _spread
+
     wc = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        _spread(docs.select(F.col(text_col)), text_col)
+        .select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
