@@ -133,9 +133,18 @@ def item_neighbors(
     both direction unions (localCheckpoint, CLAUDE.md rule)."""
     from pyspark.sql import Window as W
 
+    from celeborn_spark.operators.dedup import _spread
+
+    # the collect_set PARTIAL agg runs on the scan's partitioning — a
+    # single-split input serializes the set-build onto one core;
+    # spread first (conditional no-op on wide scans; r13, the
+    # q_itemsets3 measurement)
     arrs = (
-        df.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        _spread(
+            df.select(
+                F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+            ),
+            "basket",
         )
         .groupBy("basket")
         .agg(F.array_sort(F.collect_set("item")).alias("items"))

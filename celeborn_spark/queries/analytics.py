@@ -1288,8 +1288,15 @@ def q_itemsets3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # basket aggregate and the (map-side combined) triple count.
     # Identical triples: same distinct per-basket item sets, ordered
     # i1 < i2 < i3, same exact-integer supports.
+    # the collect_set PARTIAL agg runs on the scan's partitioning — a
+    # single-split lineitem serializes the whole set-build onto one
+    # core; spread first (conditional no-op on wide scans). Measured
+    # r13 interleaved A/B: 2.6-3.6 s -> 1.0-1.2 s.
+    from celeborn_spark.operators.dedup import _spread
+
     arrs = (
-        li.groupBy(F.col("l_orderkey").alias("basket"))
+        _spread(li.select("l_orderkey", "l_partkey"), "l_orderkey")
+        .groupBy(F.col("l_orderkey").alias("basket"))
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
         .select("items")
         .filter(F.size("items") >= 3)
