@@ -158,16 +158,48 @@ def word_shingles(text: Column | str, n: int) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
-def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int, with_size: bool = False
+) -> DataFrame:
     """(id, shingle) pairs, unique per doc — the posting-list layout.
     Tokenization is materialized in its own projection so the shingle
     transform references the token attribute (split runs once per row,
     not once per element_at). array_distinct runs BEFORE the explode,
     so rows are already unique and no distinct-exchange is spent here
-    (a full shuffle of the widest intermediate in the pipeline)."""
+    (a full shuffle of the widest intermediate in the pipeline).
+
+    with_size=True additionally emits ``n_shingles`` = the per-doc
+    distinct-shingle count, computed IN-ROW off the pre-explode array
+    (size of the distinct array == the row count the old per-doc
+    ``sizes`` aggregate produced) — zero extra exchange, and consumers
+    no longer need a doc-keyed count plus join-back (r13). The array
+    projection stays its own select so size() and explode() reference
+    one materialized attribute instead of duplicating the transform.
+
+    The explode MUST be explode_outer + isNotNull above the Generate:
+    for a plain ``explode(attr)`` InferFiltersFromGenerate injects
+    ``size(attr)>0 AND isnotnull(attr)`` and predicate pushdown then
+    substitutes the whole shingle transform TWICE into a Filter BELOW
+    the spread exchange — the entire tokenize pass re-runs on the
+    single-split scan, one core (measured 13.4 s vs 0.5 s at sf0.1).
+    The rule skips outer generates; shingles are concat_ws output so
+    the only null shingle rows are the empty-array docs the plain
+    explode dropped anyway — identical rows out."""
     toked = _spread(df, id_col).select(id_col, tokens(text_col).alias("_toks"))
-    return toked.select(
-        id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
+    if not with_size:
+        return toked.select(
+            id_col, F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
+        )
+    arr = toked.select(
+        id_col, shingles_from_tokens(F.col("_toks"), n).alias("_arr")
+    )
+    return (
+        arr.select(
+            id_col,
+            F.size("_arr").cast("long").alias("n_shingles"),
+            F.explode_outer("_arr").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -229,23 +261,53 @@ def jaccard_pairs(
     shingles are then missed by construction; sizes still count every
     shingle, so reported jaccard values are exact for surviving pairs
     minus the hot overlap (a strict lower bound).
+
+    r13: per-doc sizes ride the shingle rows IN-ROW (shingle_table
+    with_size) — the doc-keyed ``sizes`` aggregate and both post-agg
+    size joins are gone — and a size-band prefilter drops candidate
+    rows BEFORE the pair shuffle: n_common <= least(n_a, n_b), and for
+    fixed (n_a, n_b) the rounded jaccard is nondecreasing in n_common
+    (real quotient increasing; IEEE division and round(,6) are
+    monotone), so any pair whose BEST-CASE jaccard — least/(n_a+n_b-
+    least), the same expression shape the final filter evaluates —
+    rounds below threshold could never survive. Identical output pairs
+    and values; strictly fewer rows ride the (id_a, id_b) exchange.
     """
-    # the posting list feeds sizes AND both join sides — materialize it
-    # once (localCheckpoint = executor-local materialization, the same
-    # reuse pattern as components.py) instead of re-exploding 3x
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # the posting list feeds both join sides — materialize it once
+    # (localCheckpoint = executor-local materialization, the same
+    # reuse pattern as components.py) instead of re-exploding 2x
+    sh = shingle_table(df, id_col, text_col, n, with_size=True).localCheckpoint()
     joinable = sh if max_shingle_freq is None else drop_hot_shingles(sh, max_shingle_freq)
 
-    a = joinable.select(F.col(id_col).alias("id_a"), "shingle")
-    b = joinable.select(F.col(id_col).alias("id_b"), "shingle")
+    a = joinable.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    b = joinable.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    least = F.least(F.col("n_a"), F.col("n_b"))
+    best_case = F.round(
+        least / (F.col("n_a") + F.col("n_b") - least), 6
+    )
     common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(best_case >= threshold)
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return _pairs_with_jaccard(common, sizes, id_col, threshold)
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

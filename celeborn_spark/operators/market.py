@@ -129,8 +129,10 @@ def item_neighbors(
     aggregate and the map-side-combined pair count. Identical pairs:
     same distinct per-basket item sets, ordered item_a < item_b, same
     exact-integer supports. The per-item top-k window is
-    WindowGroupLimit-pruned at rank k. Pairs materialize once and feed
-    both direction unions (localCheckpoint, CLAUDE.md rule)."""
+    WindowGroupLimit-pruned at rank k. Both directions of each pair
+    are emitted by ONE in-row explode of a 2-struct array (r13) — the
+    pair aggregate has a single consumer, so the former union of two
+    reads (and the eager checkpoint job it required) is gone."""
     from pyspark.sql import Window as W
 
     from celeborn_spark.operators.dedup import _spread
@@ -177,15 +179,22 @@ def item_neighbors(
             F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-        .localCheckpoint()
     )
-    both_dirs = pairs.union(
-        pairs.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "n_both",
-        )
-    )
+    # single consumer — explode both directions in-row instead of
+    # unioning two reads of an eagerly-checkpointed pair relation
+    # (one fewer job, no pair materialization)
+    both_dirs = pairs.select(
+        F.explode(
+            F.array(
+                F.struct("item_a", "item_b", "n_both"),
+                F.struct(
+                    F.col("item_b").alias("item_a"),
+                    F.col("item_a").alias("item_b"),
+                    F.col("n_both"),
+                ),
+            )
+        ).alias("q")
+    ).select("q.*")
     scored = (
         both_dirs.join(
             item_n.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_i")),

@@ -302,3 +302,29 @@ def test_winnow_vs_oracle(spark, sf_dir):
         registry.oracles()["q_winnow_fingerprints"],
         "q_winnow_fingerprints",
     )
+
+
+def test_jaccard_size_band_prefilter_boundary(spark):
+    """The size-band prefilter (best-case jaccard = least/(na+nb-least),
+    rounded like the final filter) must keep pairs whose TRUE jaccard
+    lands exactly on the threshold and drop only pairs whose best case
+    rounds below it. Planted geometry, threshold 0.8:
+      - a/b: 4-shingle doc vs its 5-shingle superset — jaccard 4/5 = 0.8
+        exactly on the boundary, and n_common == least so the prefilter
+        bound is TIGHT here (any stricter cut would lose it);
+      - a/c: identical text — jaccard 1.0;
+      - a/d: sizes 4 vs 13 — best case 4/13 < 0.8, killed by the
+        prefilter before the pair aggregate (and truly dissimilar).
+    """
+    rows = [
+        (1, "w0 w1 w2 w3 w4 w5"),                         # 4 trigram shingles
+        (2, "w0 w1 w2 w3 w4 w5 w6"),                      # 5: superset of doc 1
+        (3, "w0 w1 w2 w3 w4 w5"),                         # exact copy of doc 1
+        (4, "w0 w1 w2 x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 xa xb"),  # 13, shares 1
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(d, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert got == {(1, 2): 0.8, (1, 3): 1.0, (2, 3): 0.8}
