@@ -303,13 +303,19 @@ def bm25_topk(
     order cannot flip the hash."""
     from celeborn_spark.operators.dedup import _spread
 
-    t = _spread(df, id_col).select(F.col(id_col), tokens(text_col).alias("toks"))
+    spread = _spread(df, id_col)
+    t = spread.select(F.col(id_col), tokens(text_col).alias("toks"))
     dl = t.select(id_col, F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).select("n_docs", (F.col("sum_dl") * 1.0 / F.col("n_docs")).alias("avgdl"))
+    # explode the token EXPRESSION, not the materialized attribute:
+    # explode(attr) triggers InferFiltersFromGenerate and pushdown
+    # substitutes split(text) twice into a Filter below the spread
+    # exchange — the tokenize pass re-runs on the narrow scan (the r13
+    # shingle_table lesson); the rule skips non-attribute generators.
     tf = (
-        t.select(F.col(id_col), F.explode("toks").alias("tok"))
+        spread.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .filter(F.col("tok").isin(*terms))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
