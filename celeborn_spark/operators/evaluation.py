@@ -2683,18 +2683,20 @@ def rbo_overlap(
         .groupBy("d", "w9")
         .agg(F.count(F.col("key")).cast("long").alias("ov"))
     )
-    tot = m.agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    return (
-        per_depth.select(
-            (F.col("ov") * F.col("w9")).alias("c9")
-        )
-        .agg(F.sum("c9").cast("long").alias("s9"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.lit(k).cast("long").alias("k"),
-            "n_common",
-            (F.col("s9") / F.lit(1_000_000_000.0)).alias("rbo"),
-        )
+    # n_common folds into the SAME aggregate: ranks are 1..k so every
+    # matched key has dmin <= k, i.e. ov at depth k IS count(m) — a
+    # second reference to m (whose lineage is BOTH upstream rankers)
+    # re-ran the full ranking pipelines twice (measured r13: 20
+    # Exchanges for this 1-row output; the multi-reference recompute
+    # rule). count() over the left join yields 0 on an empty m, same
+    # as the old count(*) aggregate.
+    return per_depth.agg(
+        F.sum(F.col("ov") * F.col("w9")).cast("long").alias("s9"),
+        F.max(F.when(F.col("d") == k, F.col("ov"))).cast("long").alias("n_common"),
+    ).select(
+        F.lit(k).cast("long").alias("k"),
+        "n_common",
+        (F.col("s9") / F.lit(1_000_000_000.0)).alias("rbo"),
     )
 
 

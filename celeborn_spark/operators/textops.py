@@ -2318,33 +2318,43 @@ def heaps_law(
         .select("d", F.explode(tokens(F.col("txt"))).alias("w"))
         .filter(F.col("w") != "")
     )
-    firsts = tok.groupBy("w").agg(
-        F.min("d").alias("fd"), F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    per_tok = firsts.crossJoin(F.broadcast(bounds))
-    per_doc = tok.crossJoin(F.broadcast(bounds))
 
     def thr(i: int):
         return F.col("lo") + (F.col("hi") - F.col("lo")) * i / n_slices
 
-    # ONE pass per relation: all slice counts as conditional sums
-    vs = per_tok.agg(
-        *[
-            F.sum((F.col("fd") <= thr(i)).cast("long"))
-            .cast("long")
-            .alias(f"v{i}")
-            for i in range(1, n_slices + 1)
-        ]
-    )
-    ns = per_doc.agg(
+    # ONE tokenize pass for BOTH count families: the old ns aggregate
+    # was a second reference to the lazy tok relation, so the whole
+    # tokenize+explode re-ran for it (multi-reference recompute rule).
+    # Per-slice OCCURRENCE counts ride the token-type aggregate as
+    # conditional partial sums (o_i) and re-sum in the final agg —
+    # integer sums of the identical per-row conditions, so n_i is
+    # bit-for-bit the old flat count; v_i uses the same fd as before.
+    tokb = tok.crossJoin(F.broadcast(bounds))
+    firsts = tokb.groupBy("w").agg(
+        F.min("d").alias("fd"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
         *[
             F.sum((F.col("d") <= thr(i)).cast("long"))
             .cast("long")
-            .alias(f"n{i}")
+            .alias(f"o{i}")
             for i in range(1, n_slices + 1)
-        ]
+        ],
     )
-    wide = vs.crossJoin(ns)
+    wide = firsts.agg(
+        *(
+            [
+                F.sum((F.col("fd") <= thr(i)).cast("long"))
+                .cast("long")
+                .alias(f"v{i}")
+                for i in range(1, n_slices + 1)
+            ]
+            + [
+                F.sum(F.col(f"o{i}")).cast("long").alias(f"n{i}")
+                for i in range(1, n_slices + 1)
+            ]
+        )
+    )
     # micro-quantized log pairs as FIXED columns; the 8-term moment
     # sums below are fixed expression trees (no aggregation order)
     for i in range(1, n_slices + 1):
