@@ -737,16 +737,25 @@ def mmr_select(
     oracle.
 
     Scale shape: candidates are scored once against the broadcast
-    1-row query; the rounds maintain an INCREMENTAL max-diversity
-    column (dv = running max of rounded cosines vs the selected set —
-    max is associative, so folding in only the newest pick is exact),
-    so each round is a broadcast-1-row map over the candidate relation
-    plus a 1-row TakeOrderedAndProject cut: no per-round groupBy, no
-    exchange, and the vectors never ride a shuffle as grouping keys.
-    k driver rounds of cheap narrow jobs — the operators/kmeans.py
-    bounded-iteration discipline. At 100 TB you run MMR over the top-N
-    prefilter (brute_force_topk / ann_ivf), not the corpus; N-sized
-    candidates stream once per round."""
+    1-row query; the k greedy rounds then chain IN ONE LAZY PLAN as
+    window passes over the bounded candidate relation (at 100 TB you
+    run MMR over the top-N prefilter — brute_force_topk / ann_ivf —
+    not the corpus, so a single-partition window over candidates is
+    the bounded-tail discipline, not a scale risk). Each round
+    computes the argmax pick as min_by(candidate, (-score, id))
+    OVER () — the exact (score DESC, id ASC) cut — tags it with its
+    rank IN-ROW, and folds it into the incremental max-diversity
+    column dv with greatest() (max over the selected set is
+    associative, r13). Because the pick is a window VALUE rather than
+    a separate 1-row relation, every round references the previous
+    state exactly once: no plan doubling, no per-round eager
+    localCheckpoint — the whole selection is ONE job (the r8/r13
+    15-job checkpoint chain measured 1.7-1.9 s against 0.9-1.1 s for
+    this form at sf0.1, identical rows). Consecutive rounds reuse one
+    SinglePartition exchange. Round bodies are built as SQL strings
+    (F.expr/selectExpr): the per-round lambda-HOF Column trees cost
+    py4j round-trips per node (the r6 lesson) — parsing is ms and the
+    operator tree is identical."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = query_df.select(as_double_array(vec_col).alias("q")).withColumn(
@@ -762,70 +771,50 @@ def mmr_select(
         )
         .select(id_col, "v", "vn", "rel")
     )
-    pick = (
-        cands.orderBy(F.col("rel").desc(), F.col(id_col))
-        .limit(1)
-        .withColumn("mmr_rank", F.lit(1))
-        .localCheckpoint()
+    # the SQL twin of dot() above — same aggregate/zip_with tree
+    dot_sql = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    i, lam_s, om_s = f"`{id_col}`", repr(float(lam)), repr(float(1 - lam))
+    val = f"named_struct('i', {i}, 'bv', v, 'bvn', vn)"
+    # round 1: pick by (rel DESC, id ASC); rows with a null min_by key
+    # (picked rows in later rounds) are skipped by the aggregate, so
+    # the CASE key restricts the argmax to the unpicked set.
+    st = cands.selectExpr(
+        i,
+        "v",
+        "vn",
+        "rel",
+        f"min_by({val}, named_struct('s', -rel, 't', {i})) OVER () AS _b",
+    ).selectExpr(
+        i,
+        "v",
+        "vn",
+        "rel",
+        f"CASE WHEN {i} = _b.i THEN 1 END AS mmr_rank",
+        f"CASE WHEN {i} != _b.i THEN"
+        f" round({dot_sql.format(a='v', b='_b.bv')} / (vn * _b.bvn), 6) END AS dv",
     )
-    picks = [pick]
-    # Incremental max-diversity state (r13 optimization, guide §1.2/§2.3):
-    # max over S of round(cos(c, s), 6) is associative, so instead of
-    # re-aggregating candidates x selected per round (a groupBy exchange
-    # whose rows carry the full vectors as grouping keys), carry one dv
-    # column and fold the NEW pick in with greatest() — every round is
-    # then a broadcast-1-row map over the candidate relation + a 1-row
-    # TakeOrderedAndProject, with NO exchange at all. Bit-identical:
-    # same rounded cosines, same (score DESC, id ASC) cuts.
-    state = None
     for t in range(2, k + 1):
-        p = picks[-1].select(
-            F.col(id_col).alias("_pid"),
-            F.col("v").alias("pv"),
-            F.col("vn").alias("pvn"),
+        score = f"({lam_s} * rel - {om_s} * dv)"
+        st = st.selectExpr(
+            i,
+            "v",
+            "vn",
+            "rel",
+            "mmr_rank",
+            "dv",
+            f"min_by({val}, CASE WHEN mmr_rank IS NULL THEN"
+            f" named_struct('s', -{score}, 't', {i}) END) OVER () AS _b",
+        ).selectExpr(
+            i,
+            "v",
+            "vn",
+            "rel",
+            f"coalesce(mmr_rank, CASE WHEN {i} = _b.i THEN {t} END) AS mmr_rank",
+            f"CASE WHEN mmr_rank IS NOT NULL OR {i} = _b.i THEN dv"
+            f" ELSE greatest(dv, round({dot_sql.format(a='v', b='_b.bv')}"
+            f" / (vn * _b.bvn), 6)) END AS dv",
         )
-        base = cands if state is None else state
-        state = (
-            base.join(p.select("_pid"), base[id_col] == F.col("_pid"), "left_anti")
-            .crossJoin(F.broadcast(p))
-            .select(
-                id_col,
-                "v",
-                "vn",
-                "rel",
-                (
-                    F.greatest(
-                        F.col("dv"),
-                        F.round(
-                            dot(F.col("v"), F.col("pv"))
-                            / (F.col("vn") * F.col("pvn")),
-                            6,
-                        ),
-                    )
-                    if state is not None
-                    else F.round(
-                        dot(F.col("v"), F.col("pv"))
-                        / (F.col("vn") * F.col("pvn")),
-                        6,
-                    )
-                ).alias("dv"),
-            )
-            .localCheckpoint()  # read by this round's cut AND next round
-        )
-        pick = (
-            state.withColumn(
-                "score", F.lit(lam) * F.col("rel") - F.lit(1 - lam) * F.col("dv")
-            )
-            .orderBy(F.col("score").desc(), F.col(id_col))
-            .limit(1)
-            .select(id_col, "v", "vn", "rel", F.lit(t).alias("mmr_rank"))
-            .localCheckpoint()  # read by the output union AND next round's state
-        )
-        picks.append(pick)
-    out = picks[0].select(id_col, "rel", "mmr_rank")
-    for p in picks[1:]:
-        out = out.unionByName(p.select(id_col, "rel", "mmr_rank"))
-    return out
+    return st.filter(F.col("mmr_rank").isNotNull()).select(id_col, "rel", "mmr_rank")
 
 
 def mmr_oracle_sql(k: int = 8, lam: float = 0.5, query_id: int = 0) -> str:

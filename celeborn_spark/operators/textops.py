@@ -1117,106 +1117,75 @@ def coverage_select(
     union size (= prefix sum of gains, since each gain counts only
     uncovered shingles).
 
-    Per round: one anti-join of the checkpointed shingle relation
-    against the covered set (shingle-keyed), one doc-keyed count, and a
-    1-row TakeOrderedAndProject cut (gain DESC, doc ASC — exact
-    integers, no rounding) — the mmr_select bounded-greedy discipline.
-    Covered and selected are re-read by the next round's three
-    references, so both localCheckpoint per round (the r7
-    lineage-doubling lesson). The covered set is bounded by the
-    selected docs' shingle union (k docs' worth), never corpus-sized;
-    at 100 TB run the greedy over a candidate pool (e.g. per-source
-    top-N by quality), which is how the submodular-curation literature
-    scales it anyway.
+    The k greedy rounds chain IN ONE LAZY PLAN (r13): per-doc distinct
+    shingle SETS ride the state as arrays (one doc-keyed collect_set
+    exchange — which also dedupes, replacing the old corpus-wide
+    distinct), and each round computes the argmax pick as
+    min_by(candidate, (-gain, doc)) OVER () — the exact (gain DESC,
+    doc ASC) cut on exact integers — tags it with its rank IN-ROW, and
+    shrinks every unpicked doc's array with array_except(arr, pick_arr)
+    so gain stays |sh(doc) \\ covered| exactly (the pick's CURRENT
+    array IS its disjoint new-cover set). Because the pick is a window
+    VALUE rather than a separate 1-row relation, each round references
+    the previous state exactly once: no plan doubling, no per-round
+    eager localCheckpoint — the whole selection is ONE job (the
+    previous 3-checkpoints-per-round form ran ~17 driver-sequential
+    jobs; measured 2.1-2.3 s vs ~1 s for this form at sf0.1, identical
+    rows). The single-partition window is the bounded-greedy
+    discipline: at 100 TB run the greedy over a candidate pool (e.g.
+    per-source top-N by quality), which is how the submodular-curation
+    literature scales it anyway.
 
     Docs whose shingles are all covered (gain 0) are never picked on
-    either engine: the gain aggregate runs over UNCOVERED rows only, so
-    such docs simply vanish from the candidate relation."""
+    either engine: the min_by key is null for them (and for already-
+    picked rows), and the aggregate skips null keys."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    sh = (
-        shingles.select(
-            F.col(id_col).alias("_id"), F.col(sh_col).alias("_g")
+    st = (
+        shingles.select(F.col(id_col).alias("_id"), F.col(sh_col).alias("_g"))
+        .groupBy("_id")
+        .agg(F.collect_set("_g").alias("_arr"))
+        .selectExpr(
+            "_id",
+            "_arr",
+            "CAST(size(_arr) AS BIGINT) AS gain",
+            "CAST(NULL AS INT) AS sel_rank",
+            "CAST(NULL AS BIGINT) AS sel_gain",
         )
-        .distinct()
-        .localCheckpoint()  # re-joined every round
     )
-    # Incremental gain maintenance (r13 optimization, guide §1.2/§2.3):
-    # the greedy gain is gain_t(doc) = |sh(doc) \ covered_t|, and the
-    # newly-covered shingle sets of successive picks are DISJOINT, so
-    # gain_t(doc) = total(doc) - sum_r |sh(doc) ∩ new_cov_r| exactly
-    # (all BIGINT). Each round therefore updates a doc-sized gains
-    # relation by joining sh against the BROADCAST bounded new-cover
-    # set of the latest pick — the corpus-wide anti-join + groupBy the
-    # old form re-ran twice per round (once inside the selected
-    # checkpoint, once inside the covered checkpoint) is gone; only
-    # rows whose shingle was newly covered ride the per-round agg.
-    # Zero-gain docs are filtered from candidacy, matching the old
-    # form where fully-covered docs vanished from the gain aggregate.
-    gains = (
-        sh.groupBy("_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-        .localCheckpoint()  # read by every round's update + pick
-    )
-    pick = (
-        gains.orderBy(F.col("gain").desc(), "_id")
-        .limit(1)
-        .withColumn("sel_rank", F.lit(1))
-        .localCheckpoint()  # read by new-cover build AND the output union
-    )
-    picks = [pick]
-    new_cov = (
-        sh.join(F.broadcast(pick.select("_id")), "_id")
-        .select("_g")
-        .localCheckpoint()  # bounded: the pick's shingles
-    )
-    covered = new_cov
-    for t in range(2, k + 1):
-        delta = (
-            sh.join(F.broadcast(new_cov), "_g")
-            .groupBy("_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    for t in range(1, k + 1):
+        st = st.selectExpr(
+            "_id",
+            "_arr",
+            "gain",
+            "sel_rank",
+            "sel_gain",
+            "min_by(named_struct('i', _id, 'a', _arr),"
+            " CASE WHEN sel_rank IS NULL AND gain > 0"
+            " THEN named_struct('s', -gain, 't', _id) END) OVER () AS _b",
+        ).selectExpr(
+            "_id",
+            "CASE WHEN sel_rank IS NOT NULL OR _id = _b.i THEN _arr"
+            " ELSE array_except(_arr, _b.a) END AS _arr",
+            "CASE WHEN sel_rank IS NOT NULL OR _id = _b.i THEN gain"
+            " ELSE CAST(size(array_except(_arr, _b.a)) AS BIGINT) END AS gain",
+            f"coalesce(sel_rank, CASE WHEN _id = _b.i THEN {t} END) AS sel_rank",
+            "coalesce(sel_gain, CASE WHEN _id = _b.i THEN gain END) AS sel_gain",
         )
-        gains = (
-            gains.join(
-                F.broadcast(picks[-1].select("_id")), "_id", "left_anti"
-            )
-            .join(delta, "_id", "left")
-            .select(
-                "_id",
-                (
-                    F.col("gain") - F.coalesce(F.col("_d"), F.lit(0))
-                ).cast("long").alias("gain"),
-            )
-            .localCheckpoint()  # read by this pick AND next round
-        )
-        pick = (
-            gains.filter(F.col("gain") > 0)
-            .orderBy(F.col("gain").desc(), "_id")
-            .limit(1)
-            .withColumn("sel_rank", F.lit(t))
-            .localCheckpoint()  # read by new-cover build AND the output union
-        )
-        picks.append(pick)
-        if t < k:
-            new_cov = (
-                sh.join(F.broadcast(pick.select("_id")), "_id")
-                .select("_g")
-                .join(covered, "_g", "left_anti")
-                .localCheckpoint()  # bounded: newly covered shingles
-            )
-            # lazy union of checkpointed disjoint pieces — one consumer
-            # (next round's anti-join), shallow plan, no extra job
-            covered = covered.unionByName(new_cov)
-    selected = picks[0]
-    for p in picks[1:]:
-        selected = selected.unionByName(p)
     w = W.orderBy("sel_rank").rowsBetween(W.unboundedPreceding, 0)
-    return selected.select(
-        "sel_rank",
-        F.col("_id").alias(id_col),
-        "gain",
-        F.sum("gain").over(w).cast("long").alias("covered_total"),
+    return (
+        st.filter(F.col("sel_rank").isNotNull())
+        .select(
+            "sel_rank",
+            F.col("_id").alias(id_col),
+            F.col("sel_gain").alias("gain"),
+        )
+        .select(
+            "sel_rank",
+            id_col,
+            "gain",
+            F.sum("gain").over(w).cast("long").alias("covered_total"),
+        )
     )
 
 
