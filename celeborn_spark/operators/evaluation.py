@@ -2672,7 +2672,9 @@ def rbo_overlap(
     Scale shape (100 TB): both lists are top-k heap-selected before
     this operator (k rows each); everything here is k x k bounded."""
     spark = list_a.sparkSession
-    w = spark.createDataFrame(_rbo_weights(k, p), schema="d long, w9 long")
+    from celeborn_spark.operators import values_table
+
+    w = values_table(spark, _rbo_weights(k, p), "d long, w9 long")
     m = list_a.select(F.col("key"), F.col("rank").alias("ra")).join(
         list_b.select(F.col("key"), F.col("rank").alias("rb")), "key"
     )

@@ -5707,8 +5707,10 @@ def periodogram(
     bounded daily histogram (map-combined count); the |periods| x 365
     trig join and the per-period aggregate run on the day grid."""
     spark = df.sparkSession
-    trig = spark.createDataFrame(
-        _trig_table(periods), schema="p long, k long, c6 long, s6 long"
+    from celeborn_spark.operators import values_table
+
+    trig = values_table(
+        spark, _trig_table(periods), "p long, k long, c6 long, s6 long"
     )
     daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("m")
@@ -6506,19 +6508,20 @@ def mood_median_test(
     # by BOTH the total and the median fence; grp (k rows) is read by
     # BOTH gtot and the term build. Left lazy, each reference re-runs
     # the full input scan+aggregate inside one job (measured r13: the
-    # one-row plan carried 34 exchanges and 4 input scans); the two
-    # checkpoints cut it to exactly two input passes (histogram +
-    # per-group cells).
-    hist = (
+    # one-row plan carried 34 exchanges and 4 input scans). Instead of
+    # eager localCheckpoints (r13 first cut: 2 checkpoints = 2 extra
+    # driver-sequential jobs + their AQE sub-jobs, 14 jobs total for a
+    # 1-row KPI), the scalar totals ride the BOUNDED relations as
+    # unpartitioned window columns — every folded sum is an exact
+    # BIGINT (order-free), every relation is referenced exactly once,
+    # and the whole KPI is ONE job with exactly two input passes.
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    med = (
         df.groupBy(F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
-    )
-    tot = hist.agg(F.sum("c").cast("long").alias("n"))
-    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
-    med = (
-        hist.withColumn("cum", F.sum("c").over(wv))
-        .crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("c").over(wv))
+        .withColumn("n", F.sum("c").over(wall).cast("long"))
         .filter(F.col("cum") >= F.ceil(F.col("n") / 2))
         .agg(F.min("v").alias("med"))
     )
@@ -6532,14 +6535,13 @@ def mood_median_test(
             .alias("a_g"),
             F.max("med").alias("med_g"),
         )
-        .localCheckpoint()
     )
-    gtot = grp.agg(
-        F.sum("n_g").cast("long").alias("n"),
-        F.sum("a_g").cast("long").alias("a"),
-        F.count(F.lit(1)).cast("long").alias("k"),
-    )
-    terms = grp.crossJoin(F.broadcast(gtot)).select(
+    terms = grp.select(
+        "*",
+        F.sum("n_g").over(wall).cast("long").alias("n"),
+        F.sum("a_g").over(wall).cast("long").alias("a"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
+    ).select(
         "med_g",
         "n",
         "a",
@@ -6989,17 +6991,26 @@ def stratified_att(
         F.sum(F.when(t == 0, F.col(cents_col)).otherwise(0))
         .cast("long")
         .alias("sc"),
-    ).localCheckpoint()  # stratum catalog; feeds totals AND terms
-    tot = per.agg(
-        F.sum("nt").cast("long").alias("ntt"),
-        F.sum("nc").cast("long").alias("nct"),
-        F.sum("st").cast("long").alias("stt"),
-        F.sum("sc").cast("long").alias("sct"),
-        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    # The grand totals ride the BOUNDED stratum catalog as full-frame
+    # window columns (r13): every folded sum is an exact BIGINT, so the
+    # values are identical to the old tot aggregate, and the catalog is
+    # referenced exactly once — no eager localCheckpoint (an extra
+    # driver job), no crossJoin; the whole KPI is ONE job. Windows run
+    # BEFORE the both-arms filter, exactly like the old tot aggregate.
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
+    per = per.select(
+        "*",
+        F.sum("nt").over(wall).cast("long").alias("ntt"),
+        F.sum("nc").over(wall).cast("long").alias("nct"),
+        F.sum("st").over(wall).cast("long").alias("stt"),
+        F.sum("sc").over(wall).cast("long").alias("sct"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_strata"),
     )
     terms = (
         per.filter((F.col("nt") > 0) & (F.col("nc") > 0))
-        .crossJoin(F.broadcast(tot))
         .select(
             "ntt",
             "nct",
@@ -8176,30 +8187,37 @@ def kendall_w(
     c0, c1, c2 = (F.col(c) for c in cat_cols)
     cells = df.groupBy(
         c0.alias("a"), c1.alias("b"), c2.alias("c")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt")).localCheckpoint()
-    tot = cells.agg(F.sum("cnt").cast("long").alias("n"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # Every rater's tied average rank is computed IN-ROW over the
+    # bounded cell relation (r13): t_x = category total via a
+    # cat-partitioned window, cum_before via a RANGE frame (categories
+    # are numeric ordinals), n via the full-frame window — all exact
+    # BIGINT sums, identical to the old per-rater histogram joins.
+    # cells is then referenced exactly ONCE, so the eager
+    # localCheckpoint (an extra driver job; the old form ran 17 jobs
+    # for this 1-row KPI: 1 ckpt + 3 rank-map aggregates + tot + the
+    # broadcast joins) and all four of those subtrees collapse into a
+    # single-job window chain over the 27-cell surface.
+    wall = W.partitionBy()
 
-    def rank_map(col: str):
-        # per-rater category histogram: <= n_categories rows (bounded)
-        h = cells.groupBy(F.col(col).alias("cat")).agg(
-            F.sum("cnt").cast("long").alias("t")
+    def avg2(col: str):
+        wcat = W.partitionBy(col)
+        wbelow = W.orderBy(F.col(col).cast("long")).rangeBetween(
+            W.unboundedPreceding, -1
         )
-        wv = W.orderBy("cat").rowsBetween(W.unboundedPreceding, -1)
-        return h.select(
-            "cat",
-            (
-                2 * F.coalesce(F.sum("t").over(wv), F.lit(0))
-                + F.col("t")
-                + 1
-            ).alias("avg2"),
+        return (
+            2 * F.coalesce(F.sum("cnt").over(wbelow), F.lit(0))
+            + F.sum("cnt").over(wcat)
+            + 1
         )
 
-    j = cells.crossJoin(F.broadcast(tot))
-    for col, nm in (("a", "ra"), ("b", "rb"), ("c", "rc")):
-        rm = rank_map(col).withColumnRenamed("cat", col).withColumnRenamed(
-            "avg2", nm
-        )
-        j = j.join(F.broadcast(rm), col)
+    j = cells.select(
+        "cnt",
+        F.sum("cnt").over(wall).cast("long").alias("n"),
+        avg2("a").alias("ra"),
+        avg2("b").alias("rb"),
+        avg2("c").alias("rc"),
+    )
     u = lambda nm: F.floor(
         F.col(nm).cast("double") / (2 * F.col("n")) * 1_000_000 + F.lit(0.5)
     ).cast("long")
@@ -8471,17 +8489,22 @@ def indirect_standardization(
     ).agg(
         F.count(F.lit(1)).cast("long").alias("expo"),
         F.sum(event_col).cast("long").alias("ev"),
-    ).localCheckpoint()  # (group x stratum) catalog; feeds rates AND groups
-    rates = cells.groupBy("s").agg(
-        (
-            F.sum("ev").cast("double") / F.sum("expo")
-        ).alias("rate")
     )
-    joined = cells.join(F.broadcast(rates), "s").select(
+    # The global stratum rates ride the cell catalog as s-partitioned
+    # window sums (r13): the same exact BIGINT sums and the same one
+    # double division per stratum, so e6 is bit-identical — and the
+    # catalog is referenced exactly once, removing the eager
+    # localCheckpoint (an extra driver job) and the rates broadcast
+    # join. The window is stratum-keyed (distributed), not global.
+    from pyspark.sql import Window as W
+
+    ws = W.partitionBy("s")
+    rate = F.sum("ev").over(ws).cast("double") / F.sum("expo").over(ws)
+    joined = cells.select(
         "g",
         "expo",
         "ev",
-        F.floor(F.col("expo") * F.col("rate") * 1_000_000 + F.lit(0.5))
+        F.floor(F.col("expo") * rate * 1_000_000 + F.lit(0.5))
         .cast("long")
         .alias("e6"),
     )
@@ -8834,9 +8857,12 @@ def hurst_rs(
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    lns = spark.createDataFrame(
+    from celeborn_spark.operators import values_table
+
+    lns = values_table(
+        spark,
         [(s, int(math.floor(math.log(s) * 1_000_000 + 0.5))) for s in sizes],
-        schema="s long, lns6 long",
+        "s long, lns6 long",
     )
     daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("m")
@@ -10151,9 +10177,9 @@ def benford_second_digit(df: DataFrame, value_col: str, dp: int = 6) -> DataFram
 
     Scale shape (100 TB): one map-combined 10-group aggregate."""
     spark = df.sparkSession
-    probs = spark.createDataFrame(
-        _benford2_probs(), schema="digit int, p6 long"
-    )
+    from celeborn_spark.operators import values_table
+
+    probs = values_table(spark, _benford2_probs(), "digit int, p6 long")
     cents = F.floor(F.col(value_col) * 100).cast("long")
     digit = F.substring(cents.cast("string"), 2, 1).cast("int")
     base = df.filter(cents >= 10).select(digit.alias("digit"))

@@ -1741,9 +1741,12 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("long").alias("val"))
         .localCheckpoint()  # 16-row value table, referenced twice below
     )
-    channels = spark.createDataFrame(
+    from celeborn_spark.operators import values_table
+
+    channels = values_table(
+        spark,
         [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
-        ["channel", "bit"],
+        "channel string, bit long",
     )
     # weight by |S| (popcount of s restricted to the other 3 channels)
     popcnt = sum(
