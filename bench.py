@@ -223,6 +223,23 @@ def main() -> None:
 
     # warm the JVM + parquet footers with the flagship query once
     qs["q1_pricing_summary"](spark, sf_dir).count()
+    # Pre-warm the Python worker pool (untimed; the heap-pretouch
+    # sibling): the FIRST pandas/Arrow query in a fresh session forks
+    # defaultParallelism Python workers which each import pandas
+    # (~0.3-0.5 s apiece — measured r13: 120 s of executor run time
+    # inside the first q_multimodal_ahash rep vs 7 s steady-state on
+    # the reused pool). One trivial identity mapInPandas over an
+    # all-cores range forks and warms every worker once; worker reuse
+    # keeps the pool alive for the timed reps. Nothing data-dependent
+    # is computed or cached.
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, par, 1, par)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     bytes_ledger: dict[str, dict[str, float]] = {}

@@ -7832,6 +7832,14 @@ def cooks_distance_top(
 
     Scale shape (100 TB): one map-combined day aggregate; formulas
     and the heap-select run on the day grid."""
+    from pyspark.sql import Window as W
+
+    # The origin day and the six OLS moments ride the calendar-bounded
+    # day grid as full-frame window columns (exact BIGINT sums, r13):
+    # daily and dd are each referenced exactly once — no eager
+    # localCheckpoint job, no d0/mom crossJoins; the whole query is
+    # ONE job. Same longs, same double trees, same rounded ranking.
+    wall = W.partitionBy()
     daily = (
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.sum(cents_col).cast("long").alias("cents"))
@@ -7839,24 +7847,24 @@ def cooks_distance_top(
             "day",
             F.floor(F.col("cents") / F.lit(100000.0)).cast("long").alias("y"),
         )
-        .localCheckpoint()  # day grid; feeds moments AND the per-day pass
     )
-    d0 = daily.agg(F.min("day").alias("d0"))
-    dd = daily.crossJoin(F.broadcast(d0)).select(
+    dd = daily.select(
         "day",
         "y",
-        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t"),
-    )
-    mom = dd.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
-        F.sum("t").cast("long").alias("st"),
-        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
-        F.sum(F.col("t") * F.col("y")).cast("long").alias("sty"),
+        F.datediff(F.col("day"), F.min("day").over(wall))
+        .cast("long")
+        .alias("t"),
     )
     full = (
-        dd.crossJoin(F.broadcast(mom))
+        dd.select(
+            "*",
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+            F.sum("y").over(wall).cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("y")).over(wall).cast("long").alias("syy"),
+            F.sum("t").over(wall).cast("long").alias("st"),
+            F.sum(F.col("t") * F.col("t")).over(wall).cast("long").alias("stt"),
+            F.sum(F.col("t") * F.col("y")).over(wall).cast("long").alias("sty"),
+        )
         .withColumn(
             "b",
             F.expr(
@@ -8092,17 +8100,19 @@ def order_gap_percentiles(
         .filter(F.col("gap").isNotNull())
         .groupBy("gap")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # gap histogram (calendar-bounded values)
     )
-    tot = gaps.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(F.col("gap") * F.col("c")).cast("long").alias("s"),
-    )
-    # cumulative over the calendar-bounded gap histogram
+    # the totals ride the calendar-bounded gap histogram as full-frame
+    # window columns (exact BIGINT sums, r13): the histogram is
+    # referenced exactly once — no eager localCheckpoint job, no
+    # crossJoin; the whole KPI is ONE job
     wg = W.orderBy("gap").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
     cum = gaps.select(
-        "gap", F.sum("c").over(wg).alias("cum")
-    ).crossJoin(F.broadcast(tot))
+        "gap",
+        F.sum("c").over(wg).alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+        F.sum(F.col("gap") * F.col("c")).over(wall).cast("long").alias("s"),
+    )
     # both percentile fences fold into ONE aggregate over cum (the
     # monotone-fence collapse, r13): identical min-over-predicate
     # integers, no per-fence re-derivation of the cumulative subtree
@@ -9087,12 +9097,19 @@ def logistic_growth(df: DataFrame, day_col: str, unit_col: str, dp: int = 6) -> 
     curve = daily.select(
         "t", F.sum("a").over(wt).cast("long").alias("nn")
     )
-    cap = curve.agg(
-        F.ceil(F.max("nn") * F.lit(1.05)).cast("long").alias("m"),
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-    )
+    # cap/n_days ride the bounded day curve as full-frame window
+    # columns (identical expression trees on identical longs, r13):
+    # curve is referenced exactly once — no cap aggregate + crossJoin
+    wall = W.partitionBy()
     z = (
-        curve.crossJoin(F.broadcast(cap))
+        curve.select(
+            "t",
+            "nn",
+            F.ceil(F.max("nn").over(wall) * F.lit(1.05))
+            .cast("long")
+            .alias("m"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n_days"),
+        )
         .filter((F.col("nn") > 0) & (F.col("nn") < F.col("m")))
         .select(
             "m",
@@ -10070,13 +10087,17 @@ def hash_uniformity(
     counts = df.select(b.alias("b")).groupBy("b").agg(
         F.count(F.lit(1)).cast("long").alias("o")
     )
-    counts = counts.localCheckpoint()  # fixed n_buckets-row grid
-    tot = counts.agg(F.sum("o").cast("long").alias("n"))
-    # fixed n_buckets-row grid (bounded)
+    # the total rides the fixed n_buckets-row grid as a full-frame
+    # window column (exact BIGINT sum, r13): counts is referenced
+    # exactly once — no eager localCheckpoint job, no crossJoin
     wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
     cum = counts.select(
-        "b", "o", F.sum("o").over(wb).cast("long").alias("cum")
-    ).crossJoin(F.broadcast(tot))
+        "b",
+        "o",
+        F.sum("o").over(wb).cast("long").alias("cum"),
+        F.sum("o").over(wall).cast("long").alias("n"),
+    )
     mom = cum.groupBy("n").agg(
         F.sum(F.col("o") * F.col("o")).cast("long").alias("so2"),
         F.max(
@@ -10262,14 +10283,23 @@ def price_endings(df: DataFrame, cents_col, top_k: int = 10) -> DataFrame:
         df.select(e.alias("ending"))
         .groupBy("ending")
         .agg(F.count(F.lit(1)).cast("long").alias("n_e"))
-        .localCheckpoint()  # fixed 100-row grid, referenced twice
     )
-    tot = counts.agg(
-        F.sum("n_e").cast("long").alias("n"),
-        F.sum(F.col("n_e") * F.col("n_e")).cast("long").alias("so2"),
-    )
+    # totals ride the fixed 100-row grid as full-frame window columns
+    # (exact BIGINT sums, r13): counts is referenced exactly once — no
+    # eager localCheckpoint job, no crossJoin; the query is ONE job
+    from pyspark.sql import Window as W
+
+    wall = W.partitionBy()
     return (
-        counts.crossJoin(F.broadcast(tot))
+        counts.select(
+            "ending",
+            "n_e",
+            F.sum("n_e").over(wall).cast("long").alias("n"),
+            F.sum(F.col("n_e") * F.col("n_e"))
+            .over(wall)
+            .cast("long")
+            .alias("so2"),
+        )
         .select(
             "ending",
             F.col("n_e").alias("n"),
@@ -10488,20 +10518,28 @@ def woe_iv(
         ).alias("bin"),
         F.col(label_col).cast("long").alias("y"),
     )
-    per = (
-        binned.groupBy("bin")
-        .agg(
-            F.sum("y").cast("long").alias("g"),
-            F.sum(F.lit(1) - F.col("y")).cast("long").alias("b"),
-        )
-        .localCheckpoint()  # <= n_bins rows; totals + rows read it
-    )
-    tot = per.agg(
-        F.sum("g").cast("long").alias("gt"), F.sum("b").cast("long").alias("bt")
+    from pyspark.sql import Window as W
+
+    # Both scalar passes (grand totals, then the IV mass) ride the
+    # <= n_bins-row relation as full-frame window columns (exact
+    # BIGINT sums, r13): the bin relation is referenced exactly once
+    # per step — the two eager localCheckpoints (extra driver jobs)
+    # and both broadcast crossJoins are gone; the query is ONE job.
+    # Totals windows run BEFORE the one-sided-bin filter, exactly like
+    # the old tot aggregate; the IV window runs AFTER it, exactly like
+    # the old iv aggregate over the filtered rows.
+    wall = W.partitionBy()
+    per = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("g"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("b"),
     )
     rows = (
-        per.filter((F.col("g") > 0) & (F.col("b") > 0))
-        .crossJoin(F.broadcast(tot))
+        per.select(
+            "*",
+            F.sum("g").over(wall).cast("long").alias("gt"),
+            F.sum("b").over(wall).cast("long").alias("bt"),
+        )
+        .filter((F.col("g") > 0) & (F.col("b") > 0))
         .withColumn(
             "woe",
             F.round(
@@ -10519,17 +10557,13 @@ def woe_iv(
                 " AS BIGINT)"
             ),
         )
-        .localCheckpoint()  # bin rows feed the IV total AND output
     )
-    iv = rows.agg(
-        (F.sum("iv6").cast("long") / F.lit(1_000_000.0)).alias("iv")
-    )
-    return rows.crossJoin(F.broadcast(iv)).select(
+    return rows.select(
         "bin",
         F.col("g").alias("n_pos"),
         F.col("b").alias("n_neg"),
         "woe",
-        "iv",
+        (F.sum("iv6").over(wall).cast("long") / F.lit(1_000_000.0)).alias("iv"),
     )
 
 
@@ -10729,17 +10763,19 @@ def user_mtbf(df: DataFrame, unit_col: str, ts_col: str, key_col: str) -> DataFr
         .filter(F.col("gap_min").isNotNull())
         .groupBy("gap_min")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # minute-grain gap histogram (span-bounded)
     )
-    tot = gaps.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(F.col("gap_min") * F.col("c")).cast("long").alias("s"),
-    )
-    # cumulative over the span-bounded minute histogram
+    # the totals ride the span-bounded minute histogram as full-frame
+    # window columns (exact BIGINT sums, r13): the histogram is
+    # referenced exactly once — no eager localCheckpoint job, no
+    # crossJoin; the whole KPI is ONE job
     wg = W.orderBy("gap_min").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
     cum = gaps.select(
-        "gap_min", F.sum("c").over(wg).alias("cum")
-    ).crossJoin(F.broadcast(tot))
+        "gap_min",
+        F.sum("c").over(wg).alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+        F.sum(F.col("gap_min") * F.col("c")).over(wall).cast("long").alias("s"),
+    )
     # median fence folds into the final aggregate over cum (the
     # monotone-fence collapse, r13) — no second pass, same integers
     return cum.agg(
@@ -10931,21 +10967,31 @@ def control_chart_xmr(
             "day",
             F.floor(F.col("cents") / F.lit(100000.0)).cast("long").alias("y"),
         )
-        .localCheckpoint()  # observed-day grid (calendar-bounded)
     )
+    # The moments and control limits ride the calendar-bounded mr
+    # relation as full-frame window columns (exact BIGINT sums +
+    # identical double trees, r13): daily and mr are each referenced
+    # exactly once — no eager localCheckpoint job, no crossJoins; the
+    # whole KPI is ONE job. The final aggregate runs over the SAME
+    # rows (mr is a 1:1 projection of daily), so every count is
+    # bit-identical to the old daily-side aggregate.
     wd = W.orderBy("day")  # one row per observed calendar day
+    wall = W.partitionBy()
     mr = daily.select(
         "y", F.abs(F.col("y") - F.lag("y").over(wd)).alias("mr")
     )
-    mom = mr.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s"),
-        F.sum("mr").cast("long").alias("smr"),
-        F.sum(F.col("mr").isNotNull().cast("long")).cast("long").alias("nmr"),
-    )
-    lim = mom.select(
+    lim = mr.select(
+        "y",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("y").over(wall).cast("long").alias("s"),
+        F.sum("mr").over(wall).cast("long").alias("smr"),
+        F.sum(F.col("mr").isNotNull().cast("long"))
+        .over(wall)
+        .cast("long")
+        .alias("nmr"),
+    ).select(
+        "y",
         "n",
-        "s",
         F.expr("CAST(s AS DOUBLE) / n").alias("mean_units"),
         F.expr("CAST(smr AS DOUBLE) / nmr").alias("mr_bar"),
         F.round(
@@ -10957,7 +11003,7 @@ def control_chart_xmr(
             dp,
         ).alias("lcl"),
     )
-    counts = daily.crossJoin(F.broadcast(lim)).agg(
+    counts = lim.agg(
         F.max("n").alias("n_days"),
         F.max("mean_units").alias("mean_units"),
         F.max("mr_bar").alias("mr_bar"),
@@ -11032,16 +11078,23 @@ def chi_residuals(df: DataFrame, row_col: str, col_col: str, dp: int = 6) -> Dat
 
     Scale shape (100 TB): one two-key aggregate over row mass; the
     marginal joins run on the bounded category grids."""
+    from pyspark.sql import Window as W
+
     cells = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint()
-    rows = cells.groupBy("r").agg(F.sum("n").cast("long").alias("rn"))
-    cols = cells.groupBy("c").agg(F.sum("n").cast("long").alias("cn"))
-    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Marginals and the grand total ride the bounded contingency grid
+    # as window columns (r-/c-partitioned + full-frame; exact BIGINT
+    # sums, r13): cells is referenced exactly once — no eager
+    # localCheckpoint job, no marginal aggregates, no broadcast joins;
+    # the whole query is ONE job.
     return (
-        cells.join(F.broadcast(rows), "r")
-        .join(F.broadcast(cols), "c")
-        .crossJoin(F.broadcast(tot))
+        cells.select(
+            "*",
+            F.sum("n").over(W.partitionBy("r")).cast("long").alias("rn"),
+            F.sum("n").over(W.partitionBy("c")).cast("long").alias("cn"),
+            F.sum("n").over(W.partitionBy()).cast("long").alias("total"),
+        )
         .select(
             "r",
             "c",

@@ -64,8 +64,16 @@ def cmd_time(names: list[str]) -> None:
 
     spark = _spark()
     qs = registry.queries()
-    # warm like bench.py does
+    # warm like bench.py does (incl. the python-worker pool pre-warm)
     qs["q1_pricing_summary"](spark, SF_DIR).count()
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, par, 1, par)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     for name in names:
         best_c = None
         for _ in range(2):
