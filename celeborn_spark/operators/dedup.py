@@ -880,6 +880,70 @@ def set_similarity_join(
         strategy = "prefix" if pref_cnt <= len_cnt else "length"
 
     cand = prefix_candidates() if strategy == "prefix" else length_candidates()
+    # Verification kernel, picked by a measured stat (A28 again): the
+    # length-band regime means a TINY vocabulary, and when every
+    # distinct token fits one bit of a long (V <= 64) the exact
+    # intersection is bit_count(maskA & maskB) — ~100 ns/pair vs ~10 µs
+    # for array_intersect over the candidate flood that regime produces
+    # (measured r13: 38 s of the operator's 45 s CPU was the intersect).
+    # Same exact integers -> the identical raw-ratio filter and 6dp
+    # output. V counts over the CHECKPOINTED ordered relation (no
+    # re-tokenize); the prefix regime never pays any of this.
+    vocab_small = False
+    if strategy == "length":
+        v_count = (
+            ordered.select(F.explode("st").alias("s"))
+            .select("s.tok")
+            .distinct()
+            .count()
+        )
+        vocab_small = v_count <= 64
+    if vocab_small:
+        from pyspark.sql.window import Window as W
+
+        idxs = (
+            ordered.select(F.explode("st").alias("s"))
+            .select(F.col("s.tok").alias("tok"))
+            .distinct()
+            .withColumn(
+                "idx", F.row_number().over(W.orderBy("tok")) - 1
+            )  # V-row window, only ever evaluated when V <= 64
+        )
+        masks = (
+            ordered.select("_id", "n", F.explode("st").alias("s"))
+            .join(F.broadcast(idxs), F.col("s.tok") == F.col("tok"))
+            .groupBy("_id", "n")
+            .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
+        )
+        verified = (
+            cand.join(
+                masks.select(
+                    F.col("_id").alias("ia"),
+                    F.col("n").alias("na_"),
+                    F.col("mask").alias("ma"),
+                ),
+                "ia",
+            )
+            .join(
+                masks.select(
+                    F.col("_id").alias("ib"),
+                    F.col("n").alias("nb_"),
+                    F.col("mask").alias("mb"),
+                ),
+                "ib",
+            )
+            .withColumn("inter", F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))))
+            .withColumn(
+                "raw_jac",
+                F.col("inter") / (F.col("na_") + F.col("nb_") - F.col("inter")),
+            )
+            .filter(F.col("raw_jac") >= threshold)
+        )
+        return verified.select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.round("raw_jac", 6).alias("jac"),
+        )
     sets = ordered.select(
         "_id", F.transform("st", lambda s: s["tok"]).alias("toks")
     )

@@ -1555,7 +1555,8 @@ def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
     edges; the support join then prunes the edge relation. The edge
     relation is localCheckpoint'ed per round (it feeds the degree agg,
     both wedge sides, the closing join, and the prune — five
-    references), and the triangle relation too (three union lanes)."""
+    references); the triangle relation has a single consumer (the
+    3-edge in-row explode) so it stays lazy."""
     if k < 3:
         raise ValueError(f"k must be >= 3, got {k}")
     e = edges.select("u", "v").localCheckpoint()
@@ -1566,11 +1567,15 @@ def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # deg is node-sized but derives from a checkpointed RDD with
+        # unknown stats — broadcast it explicitly or the static planner
+        # sort-merges and re-exchanges the edge mass per round (the r13
+        # batch-4 iterative-graph rule)
         ed = e.join(
-            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
+            F.broadcast(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du")),
             "u",
         ).join(
-            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            F.broadcast(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv")),
             "v",
         )
         fwd = (F.col("du") < F.col("dv")) | (
@@ -1593,18 +1598,29 @@ def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
         tri = w.join(
             e.select(F.col("u").alias("x"), F.col("v").alias("y")),
             ["x", "y"],
-        ).localCheckpoint()
+        )
+        # each triangle credits its three canonical edges IN-ROW (one
+        # explode of an array expression) — the former three union
+        # lanes read tri thrice and forced an eager checkpoint per
+        # round; a single consumer needs neither (identical edge
+        # multiset, so identical support counts)
         sup = (
             tri.select(
-                F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v")
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("a", "x").alias("u"),
+                            F.greatest("a", "x").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("a", "y").alias("u"),
+                            F.greatest("a", "y").alias("v"),
+                        ),
+                        F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+                    )
+                ).alias("t")
             )
-            .unionAll(
-                tri.select(
-                    F.least("a", "y").alias("u"),
-                    F.greatest("a", "y").alias("v"),
-                )
-            )
-            .unionAll(tri.select(F.col("x").alias("u"), F.col("y").alias("v")))
+            .select("t.u", "t.v")
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("support"))
         )

@@ -28,6 +28,15 @@ def cooccurrence_lift(
     confidence(a→b) and lift. Pairs are canonical (item_a < item_b);
     rank order (n_both desc, item_a, item_b) is all-integer, so the
     top-k cut is engine-deterministic."""
+    # An in-row C(n,2) rewrite (the item_neighbors form) was tried and
+    # REVERTED here (r13): nested-transform HOF pair expansion cost
+    # ~16 s CPU where this ReuseExchange self-join costs 2.6 s — the
+    # sort-merge join IS the cheaper pair kernel for long-typed
+    # baskets feeding a plain pair count (item_neighbors keeps the
+    # in-row form because it also folds sizes and both directions
+    # in-row). A pre-distinct _spread was also tried and reverted:
+    # distinct needs (basket, item) distribution, so the extra
+    # exchange buys nothing.
     baskets = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()

@@ -553,14 +553,21 @@ def knn_join(
     # data side is a subset of the query side's top-n_probe) — half the
     # centroid crossJoin/window cost of two ivf_assign calls; the slim
     # (id, cell, rn) relation is checkpointed because it feeds both
-    # sides of the cell join
-    vv = vectors.select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    # sides of the cell join. Norms are computed ONCE per side before
+    # the pair expansion (same expression on the same array → identical
+    # doubles; recomputing them per pair tripled the kernel cost).
+    vv = _spread(
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("_v")), id_col
+    ).withColumn("_vn", l2_norm(F.col("_v")))
     cc = centroids.select(
         F.col("centroid_id"), as_double_array("centroid_vec").alias("_c")
-    )
+    ).withColumn("_cn", l2_norm(F.col("_c")))
     ranked = (
         vv.crossJoin(F.broadcast(cc))
-        .withColumn("sim", F.round(cosine(F.col("_v"), F.col("_c")), 6))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("_v"), F.col("_c")) / (F.col("_vn") * F.col("_cn")), 6),
+        )
         .withColumn(
             "rn",
             F.row_number().over(
@@ -594,8 +601,30 @@ def knn_join(
         )
         .withColumn("q_norm", l2_norm(F.col("q")))
     )
+    # Cell-count-adaptive salt (A28 pattern): with fewer cells than
+    # ~2x the core count, the cell-keyed join cannot fill the cluster
+    # and one hot partition serializes the O(cell^2) scoring — split
+    # each cell's DATA side into n_salt slices and replicate the query
+    # side across them (each (q, v) pair still joins exactly once:
+    # v carries one salt, q carries all). At corpus scale n_cells >>
+    # cores, so n_salt == 1 and the plain cell join stands unchanged.
+    sc = vectors.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    n_cells = cc.count()
+    n_salt = max(1, (2 * par) // max(int(n_cells), 1))
+    if n_salt > 1:
+        v = v.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)))
+        q = q.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>")),
+        )
+        v = v.repartition(par, "centroid_id", "_salt")
+        q = q.repartition(par, "centroid_id", "_salt")
+        join_keys = ["centroid_id", "_salt"]
+    else:
+        join_keys = ["centroid_id"]
     scored = (
-        v.join(q, "centroid_id")
+        v.join(q, join_keys)
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine",

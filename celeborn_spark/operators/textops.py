@@ -743,7 +743,12 @@ def cms_heavy_hitters(
     the token stream; the exact top-k (the expensive vocabulary-sized
     side at 100 TB) is here only to label the readout and rides the
     existing heavy-hitter TakeOrderedAndProject path."""
-    toks = df.select(F.explode(tokens(text_col)).alias("tok")).filter(
+    from celeborn_spark.operators.dedup import _spread
+
+    # 4 md5 calls per token ride the scan's partitioning — spread a
+    # single-split input across cores first (conditional no-op on wide
+    # scans; the r13 batch-9 discipline)
+    toks = _spread(df, text_col).select(F.explode(tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
     rows_ = F.array(*[F.lit(j) for j in range(depth)])
@@ -2609,8 +2614,13 @@ def char_trigram_entropy(
     Scale shape (100 TB): one position fan-out -> ONE map-combined
     (facet, trigram) count; everything downstream is vocabulary-
     bounded."""
+    from celeborn_spark.operators.dedup import _spread
+
+    # the per-position substring fan-out rides the scan's partitioning —
+    # spread a single-split input across cores first (conditional no-op
+    # on wide scans; the r13 batch-9 discipline)
     tri = (
-        docs.filter(F.length(F.col(text_col)) >= 3)
+        _spread(docs.filter(F.length(F.col(text_col)) >= 3), text_col)
         .select(
             F.col(facet_col).alias("lang"),
             F.explode(

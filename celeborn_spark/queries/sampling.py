@@ -229,7 +229,12 @@ def q_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/(n+1) of keys, pinned by pytest). Zero-shuffle codegen'd md5
     argmax per row; md5 makes the oracle bit-exact
     (operators/sampling.rendezvous_assign)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from celeborn_spark.operators.dedup import _spread
+
+    # 8 md5 digests per row are the stage cost — spread the
+    # single-split scan across cores before the map (conditional
+    # no-op on wide scans; the operator itself stays zero-shuffle)
+    li = _spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
     routed = S_ops.rendezvous_assign(li, "l_orderkey", 8)
     return routed.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
