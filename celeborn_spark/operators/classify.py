@@ -39,6 +39,14 @@ def naive_bayes_confusion(
     (actual, predicted, n_docs) — the self-consistency readout of the
     classifier (and an honest one: near-uniform synthetic token
     distributions SHOULD confuse it toward the prior class)."""
+    # doc_len is size(split(text)) — a pure 1:1 map, identical to
+    # counting the exploded tokens per doc, so one whole explode+agg
+    # pass of the token stream is gone (r13 reference-count audit).
+    # Tried and REVERTED here: a single-tokenize checkpointed-TF form
+    # (the eager materialization job cost more than the saved tokenize
+    # passes) and a _spread before the explode (split+count is too
+    # cheap to pay a shuffle of the text mass — unlike the md5/
+    # substring kernels where spread wins).
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(label_col).alias("actual"),
@@ -47,8 +55,10 @@ def naive_bayes_confusion(
     dt = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    doc_len = toks.groupBy("doc_id", "actual").agg(
-        F.count(F.lit(1)).cast("long").alias("doc_len")
+    doc_len = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("actual"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("doc_len"),
     )
     lt = toks.groupBy(F.col("actual").alias("cls"), "token").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -269,37 +279,49 @@ def classification_report(conf: DataFrame, dp: int = 6) -> DataFrame:
     All cells are exact BIGINTs; P/R/F1 are per-row chains of one or
     two divisions (CASE-guarded zeros); accuracy is one exact
     division; macro-F1 averages <= k deterministic doubles (bounded
-    class catalog) and rounds ``dp``. The confusion input is
-    checkpointed once — it feeds the per-class TP/FP/FN views and the
-    totals."""
-    c = conf.localCheckpoint()  # bounded k x k relation, referenced 4x
-    classes = (
-        c.select(F.col("actual").alias("cls"))
-        .unionAll(c.select(F.col("predicted").alias("cls")))
-        .distinct()
-    )
-    tp = c.filter(F.col("actual") == F.col("predicted")).select(
-        F.col("actual").alias("cls"), F.col("n_docs").alias("tp")
-    )
-    fp = (
-        c.filter(F.col("actual") != F.col("predicted"))
-        .groupBy(F.col("predicted").alias("cls"))
-        .agg(F.sum("n_docs").cast("long").alias("fp"))
-    )
-    fn = (
-        c.filter(F.col("actual") != F.col("predicted"))
-        .groupBy(F.col("actual").alias("cls"))
-        .agg(F.sum("n_docs").cast("long").alias("fn"))
-    )
+    class catalog) and rounds ``dp``. The confusion input has a single
+    consumer (the in-row per-class contribution explode), so only the
+    bounded per-class rows relation is checkpointed."""
+    # Each confusion cell (a, p, n) contributes IN-ROW to class a
+    # (tp when a==p, fn when a!=p) and class p (fp when a!=p) — one
+    # explode + ONE BIGINT-exact aggregate replaces the former
+    # classes-distinct + three filtered aggregates + three left joins,
+    # and leaves conf with a single consumer (its eager checkpoint is
+    # gone; r13). The aggregate's class set is exactly
+    # distinct(actual ∪ predicted), with the same coalesced-0 cells.
     per = (
-        classes.join(tp, "cls", "left")
-        .join(fp, "cls", "left")
-        .join(fn, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-            F.coalesce("fp", F.lit(0)).alias("fp"),
-            F.coalesce("fn", F.lit(0)).alias("fn"),
+        conf.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("actual").alias("cls"),
+                        F.when(F.col("actual") == F.col("predicted"), F.col("n_docs"))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("tp"),
+                        F.lit(0).cast("long").alias("fp"),
+                        F.when(F.col("actual") != F.col("predicted"), F.col("n_docs"))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("fn"),
+                    ),
+                    F.struct(
+                        F.col("predicted").alias("cls"),
+                        F.lit(0).cast("long").alias("tp"),
+                        F.when(F.col("actual") != F.col("predicted"), F.col("n_docs"))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        .alias("fp"),
+                        F.lit(0).cast("long").alias("fn"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.cls").alias("cls"))
+        .agg(
+            F.sum("e.tp").cast("long").alias("tp"),
+            F.sum("e.fp").cast("long").alias("fp"),
+            F.sum("e.fn").cast("long").alias("fn"),
         )
     )
     p = F.when(
@@ -316,28 +338,21 @@ def classification_report(conf: DataFrame, dp: int = 6) -> DataFrame:
     ).otherwise(F.lit(0.0))
     rows = per.select(
         "cls",
+        F.col("tp").alias("_tp"),
         (F.col("tp") + F.col("fn")).cast("long").alias("support"),
         p.alias("precision"),
         r.alias("recall"),
         f1.alias("f1"),
     ).localCheckpoint()  # bounded class catalog; feeds totals + output
-    tot = (
-        rows.agg(F.round(F.avg("f1"), dp).alias("macro_f1"))
-        .crossJoin(
-            c.agg(
-                (
-                    F.sum(
-                        F.when(
-                            F.col("actual") == F.col("predicted"),
-                            F.col("n_docs"),
-                        ).otherwise(F.lit(0))
-                    ).cast("double")
-                    / F.sum("n_docs")
-                ).alias("accuracy")
-            )
-        )
+    # accuracy folds onto the same bounded rows relation: sum of the
+    # per-class tp is the diagonal total and sum of support is the doc
+    # total — identical BIGINTs to the former second pass over conf,
+    # so ONE aggregate serves macro-F1 and accuracy together
+    tot = rows.agg(
+        F.round(F.avg("f1"), dp).alias("macro_f1"),
+        (F.sum("_tp").cast("double") / F.sum("support")).alias("accuracy"),
     )
-    return rows.crossJoin(F.broadcast(tot))
+    return rows.drop("_tp").crossJoin(F.broadcast(tot))
 
 
 def classification_report_oracle_sql(confusion_sql: str, dp: int = 6) -> str:

@@ -328,3 +328,44 @@ def test_jaccard_size_band_prefilter_boundary(spark):
         for r in D.jaccard_pairs(d, "doc_id", "text", 3, 0.8).collect()
     }
     assert got == {(1, 2): 0.8, (1, 3): 1.0, (2, 3): 0.8}
+
+
+def test_set_similarity_bitmask_gate_falls_back_beyond_64_tokens(spark):
+    """The length strategy's exact-bitmask verification kernel (r13)
+    only applies when the measured vocabulary fits one long (V <= 64);
+    past that it must fall back to the array-intersect kernel and both
+    kernels must agree pair-for-pair. 70 distinct tokens force the
+    fallback; a planted near-identical pair (69/70 overlap = 0.9857)
+    survives threshold 0.9 and a disjoint doc does not."""
+    wide_a = " ".join(f"t{i}" for i in range(69))
+    wide_b = wide_a + " t69"          # jaccard 69/70
+    rows = [(1, wide_a), (2, wide_b), (3, "z0 z1 z2")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.set_similarity_join(
+            d, "doc_id", "text", 0.9, strategy="length"
+        ).collect()
+    }
+    assert got == {(1, 2): round(69 / 70, 6)}
+
+
+def test_set_similarity_bitmask_kernel_tight_boundary(spark):
+    """With V <= 64 the bitmask kernel verifies: a pair EXACTLY on the
+    rational threshold (9/10 = 0.9) must survive (the raw-ratio filter
+    contract) and 8/10 must not — the same integers the array kernel
+    produces, now via bit_count(maskA & maskB)."""
+    base = " ".join(f"t{i}" for i in range(9))
+    rows = [
+        (1, base + " t9"),   # {t0..t8, t9}
+        (2, base + " ta"),   # vs 1: 9 common / 11 union = 0.818... -> out
+        (3, base),           # vs 1 and vs 2: 9 common / 10 union = 0.9 -> in
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.set_similarity_join(
+            d, "doc_id", "text", 0.9, strategy="length"
+        ).collect()
+    }
+    assert got == {(1, 3): 0.9, (2, 3): 0.9}
