@@ -1883,7 +1883,6 @@ def mix_drift_series(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .localCheckpoint()  # feeds both sides of the adjacent-day join
     )
-    days = cells.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
     # dense category union per adjacent-day pair: full outer on cat
     cur = cells.select(
         F.col("day"), F.col("cat"), F.col("c").alias("c_cur")
@@ -1893,6 +1892,12 @@ def mix_drift_series(
         F.col("cat"),
         F.col("c").alias("c_prev"),
     )
+    # day totals fold IN-ROW as day-partitioned window BIGINT sums over
+    # the bounded (days x categories) grid (zeros from the outer join
+    # add nothing), replacing a day-keyed aggregate + two grid joins;
+    # n_a > 0 and n_b > 0 reproduce exactly the old inner joins' "day
+    # has data" / "day has a predecessor with data" row set.
+    wday = W.partitionBy("day")
     paired = (
         cur.join(prv, ["day", "cat"], "full")
         .select(
@@ -1901,14 +1906,9 @@ def mix_drift_series(
             F.coalesce("c_cur", F.lit(0)).cast("long").alias("a"),
             F.coalesce("c_prev", F.lit(0)).cast("long").alias("b"),
         )
-        .join(days.select("day", F.col("n").alias("n_a")), "day")
-        .join(
-            days.select(
-                F.date_add(F.col("day"), 1).alias("day"),
-                F.col("n").alias("n_b"),
-            ),
-            "day",
-        )
+        .withColumn("n_a", F.sum("a").over(wday))
+        .withColumn("n_b", F.sum("b").over(wday))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
     # p = a/n_a, q = b/n_b, m = (p+q)/2; term = p*ln(p/m) + q*ln(q/m)
     term = (

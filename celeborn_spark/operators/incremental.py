@@ -165,6 +165,38 @@ def merge_quantile_states(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
     )
 
 
+def quantile_state_sides(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    side_col,
+    lo_cents: int,
+    width_cents: int,
+    n_bins: int,
+) -> DataFrame:
+    """Per-(key, side) mergeable quantile states in ONE scan: the same
+    fixed-grid histogram as `quantile_state`, with ``side_col`` (e.g. a
+    base-vs-delta flag) as an extra group key — the stacked form of two
+    separate state builds, without scanning the table twice. Merge by
+    summing out the side (`merge_quantile_state_sides`)."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    c = F.greatest(cents - F.lit(lo_cents), F.lit(0))
+    bin_ = F.least(
+        ((c - (c % F.lit(width_cents))) / F.lit(width_cents)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    return df.groupBy(F.col(key), bin_.alias("bin"), side_col.alias("_side")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def merge_quantile_state_sides(sides: DataFrame, key: str) -> DataFrame:
+    """Add the stacked per-side histogram states: one (key, bin)-keyed
+    sum over the side axis — identical integers to unioning separate
+    states, since every input row lands in exactly one side."""
+    return sides.groupBy(key, "bin").agg(F.sum("n").cast("long").alias("n"))
+
+
 def quantile_from_state(
     state: DataFrame,
     key: str,
@@ -199,6 +231,57 @@ def quantile_from_state(
         F.col(key),
         F.col("n_rows"),
         ((F.lit(lo_cents) + F.col("_bin") * F.lit(width_cents)) / 100.0).alias(out_col),
+    )
+
+
+def quantiles_from_state(
+    state: DataFrame,
+    key: str,
+    quantiles: list[tuple[str, int, int]],
+    lo_cents: int,
+    width_cents: int,
+) -> DataFrame:
+    """ALL requested per-key quantiles from a histogram state in ONE
+    bounded window pass — the multi-quantile form of
+    `quantile_from_state`, with the per-key total folded in-row as a
+    key-partitioned window BIGINT sum (bounded by n_bins per key)
+    instead of a totals aggregate + join per quantile, and the hit bins
+    folded into one aggregate instead of one filtered aggregate + final
+    join per quantile. Same integer rank rule, same min-bin hit, same
+    lower-edge expression — identical values, 2 joins + 1 aggregate +
+    1 eager-checkpoint consumer fewer per extra quantile."""
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy(key)
+    cum = F.sum("n").over(
+        wk.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    )
+    rows = state.select(
+        key,
+        "bin",
+        cum.alias("cum"),
+        F.sum("n").over(wk).cast("long").alias("n_rows"),
+    )
+    hits = []
+    for out_col, q_num, q_den in quantiles:
+        t = F.col("n_rows") * F.lit(q_num) + F.lit(q_den - 1)
+        rank = ((t - (t % F.lit(q_den))) / F.lit(q_den)).cast("long")
+        hits.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(
+                f"_bin_{out_col}"
+            )
+        )
+    g = rows.groupBy(key, "n_rows").agg(*hits)
+    return g.select(
+        F.col(key),
+        F.col("n_rows"),
+        *[
+            (
+                (F.lit(lo_cents) + F.col(f"_bin_{out_col}") * F.lit(width_cents))
+                / 100.0
+            ).alias(out_col)
+            for out_col, _, _ in quantiles
+        ],
     )
 
 

@@ -27,9 +27,9 @@ from celeborn_spark.operators.incremental import (
     incremental_agg_oracle_sql,
     incremental_quantile_oracle_sql,
     merge_agg_states,
-    merge_quantile_states,
-    quantile_from_state,
-    quantile_state,
+    merge_quantile_state_sides,
+    quantile_state_sides,
+    quantiles_from_state,
 )
 from celeborn_spark.operators.classify import (
     decision_stump,
@@ -256,16 +256,21 @@ def q_incremental_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeability (operators/incremental.quantile_state)."""
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit(_CUTOFF).cast("timestamp")
-    base = li.filter(F.col("l_shipdate") < cutoff)
-    delta = li.filter((F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull())
-    st = merge_quantile_states(
-        quantile_state(base, "l_suppkey", "l_extendedprice", _Q_LO, _Q_W, _Q_BINS),
-        quantile_state(delta, "l_suppkey", "l_extendedprice", _Q_LO, _Q_W, _Q_BINS),
+    # base-vs-delta states build in ONE scan (stacked on a side flag —
+    # every row lands in exactly one side, so summing the side out is
+    # the same state addition the two-scan form proved), and both
+    # percentiles extract in ONE bounded window pass, so the state has
+    # a single consumer and needs no eager checkpoint.
+    is_delta = (F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull()
+    st = merge_quantile_state_sides(
+        quantile_state_sides(
+            li, "l_suppkey", "l_extendedprice", is_delta, _Q_LO, _Q_W, _Q_BINS
+        ),
         "l_suppkey",
-    ).localCheckpoint()  # the state feeds both quantile extractions
-    p50 = quantile_from_state(st, "l_suppkey", 1, 2, _Q_LO, _Q_W, "p50")
-    p95 = quantile_from_state(st, "l_suppkey", 19, 20, _Q_LO, _Q_W, "p95")
-    return p50.join(p95.select("l_suppkey", "p95"), "l_suppkey")
+    )
+    return quantiles_from_state(
+        st, "l_suppkey", [("p50", 1, 2), ("p95", 19, 20)], _Q_LO, _Q_W
+    )
 
 
 @query(

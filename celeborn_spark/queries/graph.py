@@ -91,7 +91,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import copurchase_edges, triangle_counts
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return triangle_counts(copurchase_edges(lineitem, min_qty=45))
+    # copurchase_edges is an exchange-bearing self-join + distinct; the
+    # consumers below reference it several times in one lazy plan, so
+    # materialize once (the r7 pagerank-pair-build regime, not q_hits')
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    return triangle_counts(edges)
 
 
 @query(
@@ -147,7 +151,8 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import adamic_adar, copurchase_edges
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return adamic_adar(copurchase_edges(lineitem, min_qty=45), k=30)
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    return adamic_adar(edges, k=30)
 
 
 @query("q_hits", oracle=graph_ops.hits_oracle_sql(iters=_ITERS))
@@ -394,7 +399,8 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import copurchase_edges, neighbor_jaccard
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return neighbor_jaccard(copurchase_edges(lineitem, min_qty=45), k=25)
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    return neighbor_jaccard(edges, k=25)
 
 
 @query(
@@ -422,7 +428,8 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return harmonic_centrality_2hop(copurchase_edges(lineitem, min_qty=45))
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    return harmonic_centrality_2hop(edges)
 
 
 @query(
@@ -729,7 +736,7 @@ def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), min_qty=45
-    )
+    ).localCheckpoint()  # referenced by both degree union lanes
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -824,7 +831,8 @@ def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import copurchase_edges, edge_embeddedness
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    return edge_embeddedness(copurchase_edges(lineitem, min_qty=45), k=25)
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    return edge_embeddedness(edges, k=25)
 
 
 @query(
