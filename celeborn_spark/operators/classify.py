@@ -183,21 +183,23 @@ def decision_stump(
         F.sum("y").alias("p"),
         F.sum(F.lit(1) - F.col("y")).alias("q"),
     )
+    # Totals and the argmax both fold IN-ROW as windows over the
+    # bounded distinct-value relation (exact BIGINT sums; the pick is
+    # the window max of the same (score, -x) struct the old aggregate
+    # ranked, so the filtered row is the identical smallest-threshold
+    # argmax) — the totals crossJoin and the best-row join-back each
+    # re-ran the whole upstream aggregate (r13 reference-count rule:
+    # 4 scans of the row mass per stump, now 1).
     run = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = per_v.select(
+    full = W.orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    scored = per_v.select(
         "x",
         F.sum("p").over(run).alias("tp"),
         F.sum("q").over(run).alias("fp"),
-    )
-    tot = per_v.groupBy().agg(
-        F.sum("p").alias("tot_p"), F.sum("q").alias("tot_q")
-    )
-    scored = cum.crossJoin(F.broadcast(tot)).select(
-        "x",
-        "tp",
-        "fp",
-        (F.col("tot_p") - F.col("tp")).alias("fn"),
-        (F.col("tot_q") - F.col("fp")).alias("tn"),
+        (F.sum("p").over(full) - F.sum("p").over(run)).alias("fn"),
+        (F.sum("q").over(full) - F.sum("q").over(run)).alias("tn"),
     )
     scored = scored.withColumn(
         "split_score",
@@ -206,10 +208,10 @@ def decision_stump(
     pick = F.struct(
         F.col("split_score").alias("s"), (-F.col("x")).alias("negx")
     )
-    best = scored.groupBy().agg(F.max(pick).alias("b"))
     return (
-        best.select(F.col("b")["negx"].alias("negx"))
-        .join(scored, F.col("negx") == -F.col("x"))
+        scored.withColumn("_pick", pick)
+        .withColumn("_best", F.max("_pick").over(full))
+        .filter(F.col("_pick") == F.col("_best"))
         .select(
             F.col("x").alias("threshold"),
             "tp",

@@ -910,7 +910,15 @@ def kl_divergence(
     Scale shape: one (group, token) count exchange, one vocab-sized
     grid join, one group-keyed sum. The token mass is touched once."""
     occ = df.select(F.col(group_col).alias("g"), F.col(token_col).alias("w"))
-    counts = occ.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    # counts feeds vocab + totals + ref + the grid join in one lazy
+    # plan (4 references re-ran the token-mass count exchange each —
+    # r13 reference-count rule); it is vocab x groups BOUNDED, so
+    # materialize once
+    counts = (
+        occ.groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     vocab = counts.select("w").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
@@ -1613,7 +1621,15 @@ def js_divergence(
     Scale shape: identical to kl_divergence — one (group, token) count
     exchange, one vocab x group grid, one group-keyed sum."""
     occ = df.select(F.col(group_col).alias("g"), F.col(token_col).alias("w"))
-    counts = occ.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    # counts feeds vocab + totals + ref + the grid join in one lazy
+    # plan (4 references re-ran the token-mass count exchange each —
+    # r13 reference-count rule); it is vocab x groups BOUNDED, so
+    # materialize once
+    counts = (
+        occ.groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     vocab = counts.select("w").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
@@ -13551,27 +13567,40 @@ def engle_granger_residuals(
 
     Scale shape (100 TB): one scalar OLS reduce + a 1-row broadcast
     back over the bounded day grain."""
+    from pyspark.sql import Window as W
+
     x, y = F.col(x_col), F.col(y_col)
-    mom = xy.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x).cast("long").alias("sx"),
-        F.sum(y).cast("long").alias("sy"),
-        F.sum(x * x).cast("long").alias("sxx"),
-        F.sum(x * y).cast("long").alias("sxy"),
-    ).select(
-        "n",
-        "sx",
-        "sy",
-        (
-            (F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy"))
-            / (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
-        ).alias("b"),
-    ).select(
-        "b", ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")).alias("a")
+    # the OLS moments fold IN-ROW as full-frame window sums over the
+    # bounded day grain — all exact BIGINTs, so b and a are the same
+    # doubles the old scalar aggregate + 1-row broadcast produced, and
+    # xy stops being referenced twice (the r13 reference-count rule:
+    # the moment pass re-ran the whole upstream series build)
+    full = W.orderBy(F.col(day_col)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    return xy.crossJoin(F.broadcast(mom)).select(
+    m = xy.select(
         F.col(day_col).alias("day"),
-        F.floor(F.col(y_col) - F.col("a") - F.col("b") * F.col(x_col) + F.lit(0.5))
+        x.alias("_x"),
+        y.alias("_y"),
+        F.count(F.lit(1)).over(full).cast("long").alias("n"),
+        F.sum(x).over(full).cast("long").alias("sx"),
+        F.sum(y).over(full).cast("long").alias("sy"),
+        F.sum(x * x).over(full).cast("long").alias("sxx"),
+        F.sum(x * y).over(full).cast("long").alias("sxy"),
+    )
+    b = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    m = m.withColumn("b", b).withColumn(
+        "a", (F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")
+    )
+    return m.select(
+        "day",
+        F.floor(F.col("_y") - F.col("a") - F.col("b") * F.col("_x") + F.lit(0.5))
         .cast("long")
         .alias("v"),
     )

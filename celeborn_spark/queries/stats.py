@@ -4470,26 +4470,6 @@ FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE c.c_mktsegment = '{seg}' GROUP BY 1"""
 
 
-def _seg_kusd(spark: SparkSession, sf_dir: str, seg: str) -> DataFrame:
-    """Daily k$ revenue of one market segment (the _daily_kusd grain
-    restricted through the customer dimension)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(
-            F.broadcast(
-                cust.filter(F.col("c_mktsegment") == seg).select("c_custkey")
-            ),
-            orders.o_custkey == F.col("c_custkey"),
-        )
-        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
-        .agg(
-            F.sum(F.floor(F.col("o_totalprice") * 100)).cast("long").alias("cents")
-        )
-        .select("day", F.expr("CAST(cents DIV 100000 AS BIGINT)").alias("v"))
-    )
-
-
 @query(
     "q_engle_granger",
     oracle=stats_ops.dickey_fuller_oracle_sql(
@@ -4508,13 +4488,38 @@ def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair-level generalization of q_dickey_fuller, reusing its
     exact-BIGINT step-2 machinery verbatim
     (operators/stats.engle_granger_residuals)."""
-    bx = _seg_kusd(spark, sf_dir, "BUILDING").select(
-        "day", F.col("v").alias("x")
+    # both segment series build in ONE orders pass (conditional sums
+    # pivot the segment; sum() skips the other segment's NULLs, so a
+    # NULL total means "no rows that day" and the non-null filter
+    # reproduces exactly the old bx⋈my inner join's day set — same
+    # BIGINT cents, same DIV-100000 grain)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100)
+    xy = (
+        orders.join(
+            F.broadcast(seg), orders.o_custkey == F.col("c_custkey")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", cents))
+            .cast("long")
+            .alias("cb"),
+            F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", cents))
+            .cast("long")
+            .alias("cm"),
+        )
+        .filter(F.col("cb").isNotNull() & F.col("cm").isNotNull())
+        .select(
+            "day",
+            F.expr("CAST(cb DIV 100000 AS BIGINT)").alias("x"),
+            F.expr("CAST(cm DIV 100000 AS BIGINT)").alias("y"),
+        )
     )
-    my = _seg_kusd(spark, sf_dir, "MACHINERY").select(
-        "day", F.col("v").alias("y")
-    )
-    res = stats_ops.engle_granger_residuals(bx.join(my, "day"), "day", "x", "y")
+    res = stats_ops.engle_granger_residuals(xy, "day", "x", "y")
     return stats_ops.dickey_fuller(res, "day", "v")
 
 
