@@ -807,17 +807,21 @@ def set_similarity_join(
     if strategy not in ("auto", "prefix", "length"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    def prefix_candidates() -> DataFrame:
+    def prefix_candidates(dedup: bool = True) -> DataFrame:
+        # a pair is generated once per SHARED prefix token; callers
+        # that verify with the ~ns-scale mask kernel skip this distinct
+        # (the candidate-mass exchange was the sf1 spill) and dedup the
+        # tiny survivor set after verification instead
         pref = ordered.select(
             "_id", F.explode(F.slice("st", F.lit(1), F.col("p"))).alias("s")
         ).select("_id", F.col("s.tok").alias("ptok"))
-        return (
+        cand = (
             pref.alias("a")
             .join(pref.alias("b"), "ptok")
             .filter(F.col("a._id") < F.col("b._id"))
             .select(F.col("a._id").alias("ia"), F.col("b._id").alias("ib"))
-            .distinct()
         )
+        return cand.distinct() if dedup else cand
 
     def length_candidates() -> DataFrame:
         # each doc emits its compatible LARGER-OR-EQUAL set sizes
@@ -849,6 +853,7 @@ def set_similarity_join(
             )
         )
 
+    degenerate = False
     if strategy == "auto":
         # Bounded collect: two 1-row scalar stats over the
         # checkpointed relation pick the plan (A28 fallback)
@@ -878,26 +883,46 @@ def set_similarity_join(
                 cb = hist.get(nb, 0)
                 len_cnt += ca * (ca - 1) // 2 if nb == na else ca * cb
         strategy = "prefix" if pref_cnt <= len_cnt else "length"
+        # Degenerate-vocabulary detector, free off the stats already
+        # collected: when BOTH candidate estimates dwarf the corpus
+        # (every token hot, e.g. replica-scale synthetic data), even
+        # the winning strategy floods — worth paying one vocab count
+        # to see whether the mask kernel applies (sf1 rung finding:
+        # 48 s / 19.6 GB candidate-distinct spill in this regime).
+        degenerate = min(pref_cnt, len_cnt) > 20 * sum(hist.values())
 
-    cand = prefix_candidates() if strategy == "prefix" else length_candidates()
-    # Verification kernel, picked by a measured stat (A28 again): the
-    # length-band regime means a TINY vocabulary, and when every
-    # distinct token fits one bit of a long (V <= 64) the exact
-    # intersection is bit_count(maskA & maskB) — ~100 ns/pair vs ~10 µs
-    # for array_intersect over the candidate flood that regime produces
-    # (measured r13: 38 s of the operator's 45 s CPU was the intersect).
-    # Same exact integers -> the identical raw-ratio filter and 6dp
-    # output. V counts over the CHECKPOINTED ordered relation (no
-    # re-tokenize); the prefix regime never pays any of this.
+    # Verification kernel, picked by a measured stat (A28 again): a
+    # candidate FLOOD regime (length-band pick, or an auto pick whose
+    # candidate estimates dwarf the corpus) means a tiny-to-small
+    # vocabulary, and when every distinct token fits one bit of a
+    # <=8-long mask (V <= 512) the exact intersection is a sum of
+    # bit_count(maskA & maskB) words — ~100 ns-1 µs/pair vs ~10 µs for
+    # array_intersect over that flood (measured r13: 38 s of the
+    # operator's 45 s CPU was the intersect; the sf1 310-token regime
+    # fell back to it). Same exact integers -> the identical raw-ratio
+    # filter and 6dp output. V counts over the CHECKPOINTED ordered
+    # relation (no re-tokenize); the long-tail prefix regime never
+    # pays any of this.
     vocab_small = False
-    if strategy == "length":
+    words = 0
+    if strategy == "length" or degenerate:
         v_count = (
             ordered.select(F.explode("st").alias("s"))
             .select("s.tok")
             .distinct()
             .count()
         )
-        vocab_small = v_count <= 64
+        words = (v_count + 63) // 64
+        vocab_small = v_count <= 512
+    # mask verification is idempotent per pair, so the prefix path can
+    # skip its candidate distinct (the heaviest exchange of the flood
+    # regime) and dedup the tiny survivor set after the filter
+    dedup_late = vocab_small and strategy == "prefix"
+    cand = (
+        prefix_candidates(dedup=not dedup_late)
+        if strategy == "prefix"
+        else length_candidates()
+    )
     if vocab_small:
         from pyspark.sql.window import Window as W
 
@@ -907,20 +932,32 @@ def set_similarity_join(
             .distinct()
             .withColumn(
                 "idx", F.row_number().over(W.orderBy("tok")) - 1
-            )  # V-row window, only ever evaluated when V <= 64
+            )  # V-row window, only ever evaluated when V <= 512
         )
         masks = (
             ordered.select("_id", "n", F.explode("st").alias("s"))
             .join(F.broadcast(idxs), F.col("s.tok") == F.col("tok"))
             .groupBy("_id", "n")
-            .agg(F.expr("bit_or(shiftleft(1L, idx))").alias("mask"))
+            .agg(
+                *[
+                    F.expr(
+                        f"bit_or(CASE WHEN idx DIV 64 = {w}"
+                        f" THEN shiftleft(1L, CAST(idx % 64 AS INT))"
+                        f" ELSE 0L END)"
+                    ).alias(f"mask{w}")
+                    for w in range(words)
+                ]
+            )
+        )
+        inter_sql = " + ".join(
+            f"bit_count(ma{w} & mb{w})" for w in range(words)
         )
         verified = (
             cand.join(
                 masks.select(
                     F.col("_id").alias("ia"),
                     F.col("n").alias("na_"),
-                    F.col("mask").alias("ma"),
+                    *[F.col(f"mask{w}").alias(f"ma{w}") for w in range(words)],
                 ),
                 "ia",
             )
@@ -928,22 +965,25 @@ def set_similarity_join(
                 masks.select(
                     F.col("_id").alias("ib"),
                     F.col("n").alias("nb_"),
-                    F.col("mask").alias("mb"),
+                    *[F.col(f"mask{w}").alias(f"mb{w}") for w in range(words)],
                 ),
                 "ib",
             )
-            .withColumn("inter", F.bit_count(F.col("ma").bitwiseAND(F.col("mb"))))
+            .withColumn("inter", F.expr(inter_sql))
             .withColumn(
                 "raw_jac",
                 F.col("inter") / (F.col("na_") + F.col("nb_") - F.col("inter")),
             )
             .filter(F.col("raw_jac") >= threshold)
         )
-        return verified.select(
+        out = verified.select(
             F.col("ia").alias("id_a"),
             F.col("ib").alias("id_b"),
             F.round("raw_jac", 6).alias("jac"),
         )
+        # every repeat of a candidate pair verifies to the identical
+        # row, so the survivor distinct is exact
+        return out.distinct() if dedup_late else out
     sets = ordered.select(
         "_id", F.transform("st", lambda s: s["tok"]).alias("toks")
     )

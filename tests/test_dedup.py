@@ -330,13 +330,13 @@ def test_jaccard_size_band_prefilter_boundary(spark):
     assert got == {(1, 2): 0.8, (1, 3): 1.0, (2, 3): 0.8}
 
 
-def test_set_similarity_bitmask_gate_falls_back_beyond_64_tokens(spark):
-    """The length strategy's exact-bitmask verification kernel (r13)
-    only applies when the measured vocabulary fits one long (V <= 64);
-    past that it must fall back to the array-intersect kernel and both
-    kernels must agree pair-for-pair. 70 distinct tokens force the
-    fallback; a planted near-identical pair (69/70 overlap = 0.9857)
-    survives threshold 0.9 and a disjoint doc does not."""
+def test_set_similarity_multiword_mask_beyond_64_tokens(spark):
+    """Past one long's worth of vocabulary (V > 64) the mask kernel
+    widens to ceil(V/64) longs (r13 second pass; it fell back to
+    array-intersect before) — 70 distinct tokens exercise the 2-word
+    masks and must produce the identical pairs: a planted
+    near-identical pair (69/70 overlap = 0.9857) survives threshold
+    0.9 and a disjoint doc does not."""
     wide_a = " ".join(f"t{i}" for i in range(69))
     wide_b = wide_a + " t69"          # jaccard 69/70
     rows = [(1, wide_a), (2, wide_b), (3, "z0 z1 z2")]
@@ -348,6 +348,61 @@ def test_set_similarity_bitmask_gate_falls_back_beyond_64_tokens(spark):
         ).collect()
     }
     assert got == {(1, 2): round(69 / 70, 6)}
+
+
+def test_set_similarity_mask_gate_falls_back_beyond_512_tokens(spark):
+    """The widened mask kernel is bounded at 8 longs (V <= 512); past
+    that the array-intersect kernel verifies, and both must agree:
+    a 519/520-overlap pair survives threshold 0.9, the disjoint tail
+    vocabulary (pushing V to 525) does not pair."""
+    wide_a = " ".join(f"t{i:03d}" for i in range(519))
+    wide_b = wide_a + " t519"         # jaccard 519/520
+    rows = [(1, wide_a), (2, wide_b), (3, "z0 z1 z2 z3 z4")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.set_similarity_join(
+            d, "doc_id", "text", 0.9, strategy="length"
+        ).collect()
+    }
+    assert got == {(1, 2): round(519 / 520, 6)}
+
+
+def test_set_similarity_prefix_mask_late_dedup_agrees(spark):
+    """The degenerate-vocabulary auto regime (both candidate estimates
+    >> corpus) with a prefix pick skips the candidate distinct and
+    dedups survivors AFTER the mask verify (r13: the candidate
+    distinct was the sf1 19.6 GB spill). A 300-doc hot-vocab corpus
+    whose lengths spread across overlapping bands makes auto pick
+    prefix under the degenerate gate; its output must equal the
+    exactly-once length-band path pair for pair."""
+    import random
+
+    rng = random.Random(7)
+    hot = [f"w{i:02d}" for i in range(30)]
+    rare = [f"r{i:02d}" for i in range(30)]
+    rows = []
+    for i in range(300):
+        n = 20 + i % 7          # lengths 23..29: bands overlap heavily
+        # 3 semi-rare tokens per doc become its frequency-ordered
+        # prefix (df ~ 30 each), keeping the prefix estimate BELOW the
+        # length estimate while both stay >> 20x the 300 docs
+        toks = rng.sample(hot, n) + rng.sample(rare, 3)
+        rows.append((i, " ".join(toks)))
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    auto = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.set_similarity_join(
+            d, "doc_id", "text", 0.9, strategy="auto"
+        ).collect()
+    }
+    length = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.set_similarity_join(
+            d, "doc_id", "text", 0.9, strategy="length"
+        ).collect()
+    }
+    assert auto == length
 
 
 def test_set_similarity_bitmask_kernel_tight_boundary(spark):
