@@ -5583,17 +5583,24 @@ def price_index(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("qty"),
     )
-    yrs = li.agg(
-        F.min("yr").alias("y0"), F.max("yr").alias("y1")
-    )
-    per = (
-        li.crossJoin(F.broadcast(yrs))
-        .filter((F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1")))
-        .groupBy("part", "yr", "y0", "y1")
+    # aggregate to the bounded (part, year) grid FIRST and materialize
+    # once: the lazy year-bounds broadcast + base/curr slices referenced
+    # the row-mass join 4x (r13 reference-count rule — 8 scans); the
+    # per-group BIGINT sums are identical whether the first/last-year
+    # filter runs before or after the aggregate
+    per_all = (
+        li.groupBy("part", "yr")
         .agg(
             F.sum("cents").cast("long").alias("c"),
             F.sum("qty").cast("long").alias("q"),
         )
+        .localCheckpoint()
+    )
+    yrs = per_all.agg(
+        F.min("yr").alias("y0"), F.max("yr").alias("y1")
+    )
+    per = per_all.crossJoin(F.broadcast(yrs)).filter(
+        (F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1"))
     )
     base = per.filter(F.col("yr") == F.col("y0")).select(
         "part", "y0", "y1",

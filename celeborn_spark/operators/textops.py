@@ -420,16 +420,22 @@ def pmi_bigrams(
     from celeborn_spark.operators.dedup import _spread
 
     spread = _spread(df, text_col)
+    # both count tables are vocab-sized and multi-referenced (uni: the
+    # scalar total + two join sides; bg: the total + the scored scan) —
+    # materialize each once so the corpus tokenize passes stop re-running
+    # per reference (r13 reference-count rule: 5 passes -> 2)
     uni = (
         spread.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     tot_uni = uni.agg(F.sum("c").alias("tot_uni"))
     bg = (
         spread.select(F.explode(bigrams(text_col)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
     )
     tot_bg = bg.agg(F.sum("c12").alias("tot_bg"))
     w1 = F.split(F.col("bg"), " ").getItem(0)

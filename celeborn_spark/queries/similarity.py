@@ -952,9 +952,13 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(S.as_double_array("embedding")).alias("pos", "x"),
     )
+    # the centroid grid (labels x dims, bounded) feeds the distance
+    # join AND both sides of the pairwise M_ij join — materialize once
+    # (r13 reference-count rule: 3 lazy references re-ran the centroid
+    # pass over the row mass each)
     c = dims.groupBy(F.col("label").alias("clabel"), F.col("pos").alias("cpos")).agg(
         F.round(F.avg("x"), 6).alias("v")
-    )
+    ).localCheckpoint()
     d = (
         dims.join(
             F.broadcast(c),
@@ -970,10 +974,12 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dist")
         )
     )
+    # the scatter table (label-sized) feeds s_i, s_j and the final
+    # join — 3 references re-ran the WHOLE member-distance pass each
     s = d.groupBy("label").agg(
         F.round(F.avg("dist"), 6).alias("scatter"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).localCheckpoint()
     c1 = c.select(
         F.col("clabel").alias("i"), F.col("cpos").alias("p1"), F.col("v").alias("v1")
     )

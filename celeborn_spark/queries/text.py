@@ -846,7 +846,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_tbl = _spread(d, "doc_id").select(
         "doc_id", F.explode(T.bigrams("text")).alias("bg")
     )
-    c2 = bg_tbl.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # the bigram count table is vocab-sized and feeds the context
+    # rollup, the successor-vocab scalar AND the scored join-back —
+    # materialize once (3 lazy references re-ran the corpus bigram
+    # count each; r13 reference-count rule)
+    c2 = (
+        bg_tbl.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
     with_w = c2.withColumn("w1", F.substring_index("bg", " ", 1)).withColumn(
         "w2", F.substring_index("bg", " ", -1)
     )
