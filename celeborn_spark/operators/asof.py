@@ -105,21 +105,31 @@ def bucketed_range_self_join(
     ts_col: str,
     window_sec: int,
     id_col: str,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Pairs (a, b) with same key, a.ts < b.ts <= a.ts + window.
 
-    Output: key, id_a, id_b, delta_us. The left side explodes into its
-    bucket and the next one (bucket width = window), so each qualifying
-    pair matches exactly once on the (key, bucket) equi-join.
+    Output: key, id_a, id_b, delta_us (+ <col>_a/<col>_b per
+    ``payload_cols`` entry). The left side explodes into its bucket
+    and the next one (bucket width = window), so each qualifying pair
+    matches exactly once on the (key, bucket) equi-join. Carrying
+    payload columns through the join is exactly equivalent to joining
+    them back on the unique id afterwards — without re-scanning the
+    row mass once per side (r13 reference-count rule).
     """
+    payload = list(payload_cols or [])
     window_us = window_sec * 1_000_000
     with_us = df.select(
-        F.col(key), F.col(id_col), F.unix_micros(F.col(ts_col)).alias("_us")
+        F.col(key),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        *[F.col(c) for c in payload],
     )
     a = with_us.select(
         F.col(key),
         F.col(id_col).alias("id_a"),
         F.col("_us").alias("us_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
         F.explode(
             F.array(
                 F.floor(F.col("_us") / window_us),
@@ -131,6 +141,7 @@ def bucketed_range_self_join(
         F.col(key).alias("_key_b"),
         F.col(id_col).alias("id_b"),
         F.col("_us").alias("us_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
         F.floor(F.col("_us") / window_us).alias("_bucket"),
     )
     return (
@@ -144,6 +155,8 @@ def bucketed_range_self_join(
             "id_a",
             "id_b",
             (F.col("us_b") - F.col("us_a")).alias("delta_us"),
+            *[F.col(f"{c}_a") for c in payload],
+            *[F.col(f"{c}_b") for c in payload],
         )
     )
 

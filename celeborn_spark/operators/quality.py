@@ -84,20 +84,22 @@ def mad_outliers(
     absolute deviation). Unlike mean/stddev gates, one corrupt batch
     cannot drag the threshold toward itself — the robust data-quality
     screen for metric columns. Exact medians (percentile 0.5, IEEE
-    interpolation identical in both engines); two group-keyed
-    aggregates + a broadcast join back."""
-    med = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("median")
-    )
-    dev = (
+    interpolation identical in both engines); both percentiles ride
+    GROUP-PARTITIONED window aggregates over one row-mass pass (same
+    per-group value multiset as the old agg + broadcast-join-back
+    chain, so the same IEEE results — and the lazy chain re-scanned
+    the table once per derived stage: 4 scans, now 1). The per-group
+    window buffer costs what the holistic percentile aggregate already
+    buffered per group."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp")
+    flagged = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("x"))
-        .join(F.broadcast(med), "grp")
+        .withColumn("median", F.percentile(F.col("x"), F.lit(0.5)).over(w))
         .withColumn("absdev", F.abs(F.col("x") - F.col("median")))
+        .withColumn("mad", F.percentile(F.col("absdev"), F.lit(0.5)).over(w))
     )
-    mad = dev.groupBy("grp", "median").agg(
-        F.percentile(F.col("absdev"), F.lit(0.5)).alias("mad"),
-    )
-    flagged = dev.select("grp", "x").join(F.broadcast(mad), "grp")
     return (
         flagged.groupBy("grp", "median", "mad")
         .agg(

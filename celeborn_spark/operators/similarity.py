@@ -935,7 +935,13 @@ def cluster_medoid(
     rn = F.row_number().over(
         W.partitionBy("label").orderBy(F.md5(F.col("id").cast("string")), "id")
     )
-    capped = pts.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
+    # the capped sample (clusters x cap, bounded) feeds both pair join
+    # sides + the per-label count + the singleton fallback — 4 lazy
+    # references re-ran the scan + label window each; materialize once
+    capped = (
+        pts.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
+        .localCheckpoint()
+    )
     dot = F.aggregate(
         F.zip_with(F.col("i.vec"), F.col("j.vec"), lambda x, y: x * y),
         F.lit(0.0),

@@ -1002,10 +1002,15 @@ def chi_square_independence(
     Scale shape: ONE map-combined count aggregate over the data; the
     marginals and the chi2 sum run over the CELL relation (|rows| x
     |cols| sized), never the row mass."""
+    # the contingency table is referenced four times (both marginals +
+    # the scalar totals + the term join) — checkpoint the corpus-wide
+    # count aggregate once (the localCheckpoint-inputs rule; lazy
+    # evaluation re-scanned the row mass per reference)
     cells = (
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint()
     )
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
@@ -1532,10 +1537,15 @@ def cramers_v(
 
     Scale shape: identical to the chi-square — one map-combined count
     aggregate; everything downstream is cell-relation sized."""
+    # the contingency table is referenced four times (both marginals +
+    # the scalar totals + the term join) — checkpoint the corpus-wide
+    # count aggregate once (the localCheckpoint-inputs rule; lazy
+    # evaluation re-scanned the row mass per reference)
     cells = (
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint()
     )
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
@@ -1784,10 +1794,15 @@ def g_test(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
 
     Scale shape: identical to the chi-square — one map-combined count
     aggregate; everything downstream is cell-relation sized."""
+    # the contingency table is referenced four times (both marginals +
+    # the scalar totals + the term join) — checkpoint the corpus-wide
+    # count aggregate once (the localCheckpoint-inputs rule; lazy
+    # evaluation re-scanned the row mass per reference)
     cells = (
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint()
     )
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))

@@ -610,10 +610,18 @@ def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    t = s.groupBy("nation").agg(F.sum("cents").cast("long").alias("tot"))
+    from pyspark.sql import Window
+
+    # the nation total folds IN-ROW as a key-partitioned window BIGINT
+    # sum over the bounded (nation, supplier) grid — the totals
+    # aggregate + join-back re-ran the lineitem⋈supplier pass (r13
+    # reference-count rule); identical integers, identical shares
     share = F.col("cents").cast("double") / F.col("tot")
     return (
-        s.join(t, "nation")
+        s.withColumn(
+            "tot",
+            F.sum("cents").over(Window.partitionBy("nation")).cast("long"),
+        )
         .groupBy("nation")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_suppliers"),

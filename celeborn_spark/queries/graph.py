@@ -854,5 +854,6 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
     territory). Exact integer degree sums, one division
     (operators/graph.degree_centralization)."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_ops.copurchase_edges(li, min_qty=45)
+    # both degree union lanes reference the self-join build — once
+    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint()
     return graph_ops.degree_centralization(edges)

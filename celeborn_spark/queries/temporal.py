@@ -494,25 +494,14 @@ def q_temporal_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in the stream. The oracle IS the theta join, proving the
     bucketed rewrite exact (operators/asof.bucketed_range_self_join)."""
     ev = load_table(spark, sf_dir, "events")
-    pairs = bucketed_range_self_join(ev, "user_id", "ts", 300, "event_id")
-    types = ev.select("event_id", "event_type")
-    typed = (
-        pairs.join(
-            types.select(
-                F.col("event_id").alias("id_a"), F.col("event_type").alias("ta")
-            ),
-            "id_a",
-        )
-        .join(
-            types.select(
-                F.col("event_id").alias("id_b"), F.col("event_type").alias("tb")
-            ),
-            "id_b",
-        )
+    # event_type rides THROUGH the pair join (exact equivalent of the
+    # old join-back on the unique event_id, minus two row-mass joins)
+    pairs = bucketed_range_self_join(
+        ev, "user_id", "ts", 300, "event_id", payload_cols=["event_type"]
     )
-    return typed.groupBy(
-        F.least("ta", "tb").alias("type_a"),
-        F.greatest("ta", "tb").alias("type_b"),
+    return pairs.groupBy(
+        F.least("event_type_a", "event_type_b").alias("type_a"),
+        F.greatest("event_type_a", "event_type_b").alias("type_b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
 
