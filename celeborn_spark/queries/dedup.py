@@ -568,19 +568,25 @@ def q_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-propagation pipeline, then reduces to a histogram; singleton
     docs (never in a pair) report as size-1 components. Component
     relations are vocabulary-of-sizes bounded after one aggregate."""
-    from celeborn_spark.operators.components import dedup_groups
+    from celeborn_spark.operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
-    groups = dedup_groups(pairs)
-    hist = (
-        groups.select("component", "group_size")
-        .distinct()
-        .groupBy("group_size")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+    # the histogram only needs the per-component sizes, which ARE the
+    # distinct (component, group_size) rows dedup_groups' vertex-mass
+    # join used to produce — derive both readouts straight from the
+    # checkpointed cc labels (the old form re-ran the broadcast join
+    # once per reference and paid a distinct exchange for rows the
+    # sizes aggregate already had)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    hist = sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
     )
     n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("nd"))
-    n_cc = groups.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    n_cc = cc.agg(F.count(F.lit(1)).cast("long").alias("nv"))
     singles = (
         n_docs.crossJoin(F.broadcast(n_cc))
         .select(
