@@ -913,7 +913,9 @@ def set_similarity_join(
             .count()
         )
         words = (v_count + 63) // 64
-        vocab_small = v_count <= 512
+        # 0 < bound: an empty vocabulary would build a zero-column
+        # mask aggregate; the array kernel handles the empty corpus
+        vocab_small = 0 < v_count <= 512
     # mask verification is idempotent per pair, so the prefix path can
     # skip its candidate distinct (the heaviest exchange of the flood
     # regime) and dedup the tiny survivor set after the filter
