@@ -171,11 +171,11 @@ def materialize(spark) -> None:
         print(f"materialized {dest}", flush=True)
 
 
-def run_rung(spark) -> None:
+def run_rung(spark, names=HEAVIES) -> None:
     qs = registry.queries()
     print(f"{'query':34s} {'sf':5s} {'wall':>7s} {'exch':>5s} "
           f"{'shuf_w MB':>10s} {'spill MB':>9s} {'rows':>9s}", flush=True)
-    for name in HEAVIES:
+    for name in names:
         for label, sf_dir in (("0.1", SF01), ("1", SF1)):
             walls = []
             metrics = None
@@ -291,7 +291,10 @@ def main() -> None:
     else:
         if not os.path.isdir(SF1):
             sys.exit(f"{SF1} missing — run with --materialize first")
-        run_rung(spark)
+        # positional args select an explicit query set (e.g. the
+        # operators a session touched); default stays the HEAVIES set.
+        names = [a for a in sys.argv[1:] if not a.startswith("-")]
+        run_rung(spark, tuple(names) if names else HEAVIES)
     spark.stop()
 
 
