@@ -2290,19 +2290,24 @@ def kuiper_test(
             .alias("cb"),
         )
     )
-    # window input: the DISTINCT-value histogram (value-space bounded)
+    # window input: the DISTINCT-value histogram (value-space bounded).
+    # Group totals fold IN-ROW as full-frame window sums on the same
+    # sorted frame (exact BIGINT — order-insensitive): the former
+    # separate `tot` aggregate re-ran the scan+histogram subtree a
+    # second time and re-attached via crossJoin (r14; the r13
+    # reference-count / scalar-fold rule).
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wfull = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     cum = hist.select(
         F.sum("ca").over(wv).alias("cuma"),
         F.sum("cb").over(wv).alias("cumb"),
-    )
-    tot = hist.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
+        F.sum("ca").over(wfull).cast("long").alias("n_a"),
+        F.sum("cb").over(wfull).cast("long").alias("n_b"),
     )
     d = (
-        cum.crossJoin(F.broadcast(tot))
-        .select(
+        cum.select(
             "n_a",
             "n_b",
             (F.col("n_b") * F.col("cuma") - F.col("n_a") * F.col("cumb"))
@@ -2415,16 +2420,22 @@ def cramer_von_mises(
             .alias("cb"),
         )
     )
-    # window input: the DISTINCT-value histogram (value-space bounded)
+    # window input: the DISTINCT-value histogram (value-space bounded).
+    # Group totals fold IN-ROW as full-frame window sums on the same
+    # sorted frame (exact BIGINT — order-insensitive): the former
+    # separate `tot` aggregate re-ran the scan+histogram subtree a
+    # second time and re-attached via crossJoin (r14; the r13
+    # reference-count / scalar-fold rule).
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wfull = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     cum = hist.select(
         (F.col("ca") + F.col("cb")).alias("c"),
         F.sum("ca").over(wv).alias("cuma"),
         F.sum("cb").over(wv).alias("cumb"),
-    )
-    tot = hist.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
+        F.sum("ca").over(wfull).cast("long").alias("n_a"),
+        F.sum("cb").over(wfull).cast("long").alias("n_b"),
     )
     t9 = F.expr(
         "CAST(floor(c * (CAST(n_b * cuma - n_a * cumb AS DOUBLE)"
@@ -2433,8 +2444,7 @@ def cramer_von_mises(
         " * 1000000000 + 0.5) AS BIGINT)"
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .select("n_a", "n_b", t9.alias("t9"))
+        cum.select("n_a", "n_b", t9.alias("t9"))
         .groupBy("n_a", "n_b")
         .agg(F.sum("t9").cast("long").alias("s9"))
         .select(
@@ -2543,16 +2553,22 @@ def anderson_darling(
             .alias("cb"),
         )
     )
-    # window input: the DISTINCT-value histogram (value-space bounded)
+    # window input: the DISTINCT-value histogram (value-space bounded).
+    # The group totals fold IN-ROW as full-frame window sums over the
+    # same sorted frame (exact BIGINT sums — order-insensitive): the
+    # former separate `tot` aggregate re-ran the whole scan+histogram
+    # subtree a second time (hist was referenced twice) and re-attached
+    # via a crossJoin (r14; the r13 reference-count / scalar-fold rule).
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wfull = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     cum = hist.select(
         (F.col("ca") + F.col("cb")).alias("c"),
         F.sum("ca").over(wv).alias("cuma"),
         (F.sum("ca").over(wv) + F.sum("cb").over(wv)).alias("h"),
-    )
-    tot = hist.agg(
-        F.sum("ca").cast("long").alias("n_a"),
-        F.sum("cb").cast("long").alias("n_b"),
+        F.sum("ca").over(wfull).cast("long").alias("n_a"),
+        F.sum("cb").over(wfull).cast("long").alias("n_b"),
     )
     t9 = F.expr(
         "CAST(floor(c"
@@ -2562,8 +2578,7 @@ def anderson_darling(
         " * 1000000 / (CAST(n_a AS DOUBLE) + n_b) + 0.5) AS BIGINT)"
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .filter(F.col("h") < F.col("n_a") + F.col("n_b"))
+        cum.filter(F.col("h") < F.col("n_a") + F.col("n_b"))
         .select("n_a", "n_b", t9.alias("t9"))
         .groupBy("n_a", "n_b")
         .agg(F.sum("t9").cast("long").alias("s9"))

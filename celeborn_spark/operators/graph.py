@@ -1890,14 +1890,21 @@ def katz_centrality(
     bit-identical rounds (the eigenvector/hits discipline).
 
     Scale shape: both-ways view checkpointed ONCE (exchange-bearing
-    build); each round costs exactly one exchange; each x is eagerly
-    checkpointed (the r7 lazy-lineage-doubling lesson)."""
+    build, referenced every round + the node derivation); the rounds
+    then chain LAZILY in one job — unlike eigenvector/hits, Katz has
+    NO normalizer, so each round's x is referenced exactly once (the
+    next round's join) and the r7 lineage-doubling regime never
+    applies: plan depth grows linearly with ``iters`` and the former
+    per-round eager localCheckpoint re-paid a driver-blocking job per
+    round for nothing (r14; the r13 "chain bounded iterations LAZILY"
+    rule)."""
     und = (
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .localCheckpoint()
     )
-    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    # nodes is referenced once (x0) — it stays lazy inside the chain.
+    nodes = und.select(F.col("a").alias("node")).distinct()
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(iters):
         # x is node-sized but derives from checkpointed RDDs (unknown
@@ -1917,7 +1924,6 @@ def katz_centrality(
                     "x"
                 ),
             )
-            .localCheckpoint()  # keep per-round lineage flat
         )
     return x.select("node", F.col("x").alias("score"))
 

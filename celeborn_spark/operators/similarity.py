@@ -161,34 +161,68 @@ def embedding_bit_signature(
     ``dims`` (vector length) is peeked from the first row when not
     given — one tiny driver action at plan time."""
     if dims is None:
-        row = vectors.select(F.size(as_double_array(vec_col)).alias("d")).first()
-        dims = int(row["d"]) if row and row["d"] is not None else 0
+        dims = _peek_dims(vectors, vec_col)
     # bits x dims HOF multiplies per row — spread a narrow scan first
     # (no-op on already-wide inputs, keeping the map-only plan claim)
     v = _spread(
         vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")),
         id_col,
     )
+    signature = _signature_expr(_xx_weight_sql, dims, bits)
+    return v.select(F.col(id_col), F.expr(signature).alias("signature"))
 
-    # ONE parsed SQL string instead of py4j-composed Columns: bits*dims
-    # nested Column constructors cost thousands of py4j round-trips
-    # (~6 s of DRIVER time at 12x64 — measured), while parsing a single
-    # expression string is milliseconds. Same operator tree either way.
-    def w(p: int, b: int) -> str:
-        return f"(pmod(xxhash64({p}, {b}), 2001) - 1000) / 1000.0"
+
+def _peek_dims(vectors: DataFrame, vec_col: str) -> int:
+    """Vector length from the first row — one tiny driver action at
+    plan time (limit-1 pushdown; no full scan)."""
+    row = vectors.select(F.size(as_double_array(vec_col)).alias("d")).first()
+    return int(row["d"]) if row and row["d"] is not None else 0
+
+
+def _xx_weight_sql(p: int, b: int) -> str:
+    """Hyperplane weight as a constant-foldable SQL fragment:
+    (xxhash64(pos, b) mod 2001 - 1000)/1000 — literals in, so Catalyst
+    folds each weight to a double at plan time."""
+    return f"(pmod(xxhash64({p}, {b}), 2001) - 1000) / 1000.0"
+
+
+def _md5_weight_sql(p: int, b: int) -> str:
+    """Portable md5 hyperplane weight, computed AT PLAN TIME in Python
+    and emitted as a double literal: md5 of the constant '<pos>:<b>'
+    is a fixed standard digest, so int(hex4, 16) % 2001 here equals
+    Spark's conv(substring(md5(..), 1, 4), 16, 10) % 2001 and DuckDB's
+    digit-CASE mirror integer for integer — the emitted literal is the
+    exact same double the old per-row Spark md5()/conv() pipeline
+    produced (repr() is shortest-roundtrip; Spark parses double
+    literals correctly rounded)."""
+    import hashlib
+
+    val = int(hashlib.md5(f"{p}:{b}".encode()).hexdigest()[:4], 16)
+    return repr((val % 2001 - 1000) / 1000.0) + "D"
+
+
+def _signature_expr(weight_sql, dims: int, bits: int) -> str:
+    """One parsed SQL string for the full bit signature over an
+    array<double> column named ``v`` instead of py4j-composed Columns:
+    bits*dims nested Column constructors cost thousands of py4j
+    round-trips (~6 s of DRIVER time at 12x64 — measured), while
+    parsing a single expression string is milliseconds. Same operator
+    tree either way. The in-row aggregate accumulates left-to-right in
+    pos order — the exact order the old posexplode+groupBy partial agg
+    summed (all dims of one id sit consecutively in one partition), so
+    every dot-product double is bit-identical."""
 
     def dot_b(b: int) -> str:
-        warr = ", ".join(w(p, b) for p in range(dims))
+        warr = ", ".join(weight_sql(p, b) for p in range(dims))
         return (
             f"aggregate(zip_with(v, array({warr}), (x, wt) -> x * wt), "
             "0.0D, (acc, x) -> acc + x)"
         )
 
-    signature = " + ".join(
+    return " + ".join(
         f"CAST(CASE WHEN {dot_b(b)} > 0 THEN {2**b} ELSE 0 END AS BIGINT)"
         for b in range(bits)
-    )
-    return v.select(F.col(id_col), F.expr(signature or "CAST(0 AS BIGINT)").alias("signature"))
+    ) or "CAST(0 AS BIGINT)"
 
 
 def embedding_near_dup_pairs(
@@ -201,34 +235,58 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: bucket by bit signature
     (one exchange), verify candidates with exact cosine. O(N^2) only
     within a bucket — 2^bits buckets spread a uniform corpus."""
-    sig = embedding_bit_signature(vectors, id_col, vec_col, bits)
-    return _verify_bucket_pairs(vectors, sig, id_col, vec_col, threshold)
+    sig_sql = _signature_expr(_xx_weight_sql, _peek_dims(vectors, vec_col), bits)
+    return _verify_bucket_pairs(vectors, sig_sql, id_col, vec_col, threshold)
 
 
 def _verify_bucket_pairs(
     vectors: DataFrame,
-    sig: DataFrame,
+    sig_sql: str,
     id_col: str,
     vec_col: str,
     threshold: float,
 ) -> DataFrame:
     """Same-signature candidate pairs verified by exact cosine.
-    The slim (id, signature) relation feeds BOTH sides of the self-join,
-    so it is localCheckpoint'ed once — without it each side re-evaluates
-    the whole signature subtree (the multi-reference recompute rule)."""
-    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")).join(
-        sig.localCheckpoint(), id_col
+
+    The signature is an IN-ROW expression over the row's own vector
+    (r14), so each self-join side derives (id, v, norm, signature)
+    straight from its own scan: the former vectors-to-signature join,
+    the signature relation's eager localCheckpoint job, and the
+    posexplode/groupBy exchange behind it are all gone — the only
+    exchange left is the signature-keyed self-join itself. Per-side L2
+    norms are precomputed BEFORE the pair expansion (the r13 knn_join
+    lesson): norm(va)*norm(vb) multiplies the same two doubles
+    cosine() would derive per pair, so every emitted double is
+    identical while the per-pair kernel drops to one dot product."""
+    v = vectors.select(
+        F.col(id_col), as_double_array(vec_col).alias("v")
+    ).select(
+        F.col(id_col),
+        "v",
+        l2_norm(F.col("v")).alias("v_norm"),
+        F.expr(sig_sql).alias("signature"),
     )
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "signature"
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("v_norm").alias("na"),
+        "signature",
     )
     b = v.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "signature"
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("v_norm").alias("nb"),
+        "signature",
     )
     return (
         a.join(b, "signature")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -244,8 +302,8 @@ def embedding_near_dup_pairs_md5(
     """embedding_near_dup_pairs with the portable md5 hyperplanes —
     same bucket-then-verify plan, oracle-checkable end to end (the
     xxhash64 form stays the fast production default)."""
-    sig = embedding_bit_signature_md5(vectors, id_col, vec_col, bits)
-    return _verify_bucket_pairs(vectors, sig, id_col, vec_col, threshold)
+    sig_sql = _signature_expr(_md5_weight_sql, _peek_dims(vectors, vec_col), bits)
+    return _verify_bucket_pairs(vectors, sig_sql, id_col, vec_col, threshold)
 
 
 def ivf_assign(
@@ -344,43 +402,23 @@ def embedding_bit_signature_md5(
     derived from the first 4 hex chars of md5('<pos>:<b>') — integer
     arithmetic identical in any engine (the same md5 trick as
     dedup.simhash_md5), so the signature is oracle-checkable
-    bit-for-bit. Same single-exchange plan as embedding_bit_signature;
-    xxhash64 stays the fast production default.
+    bit-for-bit. xxhash64 stays the fast production default.
 
-    The weight depends only on (pos, b) — dims x bits distinct values —
-    so digests are computed ONCE on a distinct-pos relation (hundreds
-    of rows) and broadcast-joined back, instead of per
-    (row, dim, bit): at 20k x 64-dim x 12 bits that is 768 md5 calls
-    instead of 15M (2.2s -> sub-second for the verified near-dup
-    pipeline)."""
-    # small parquet arrives as one split; the explode is CPU-heavy
-    # (conditional — no-op on already-wide scans, r13)
-    spread = _spread(vectors, id_col)
-    dims = spread.select(
-        F.col(id_col), F.posexplode(as_double_array(vec_col)).alias("pos", "x")
-    )
-
-    def w(b: int) -> Column:
-        digest = F.md5(F.concat_ws(":", F.col("pos").cast("string"), F.lit(str(b))))
-        val = F.conv(F.substring(digest, 1, 4), 16, 10).cast("long")
-        return (val % 2001 - 1000) / F.lit(1000.0)
-
-    weights = dims.select("pos").distinct().select(
-        "pos", *[w(b).alias(f"w{b}") for b in range(bits)]
-    )
-    sums = (
-        dims.join(F.broadcast(weights), "pos")
-        .groupBy(id_col)
-        .agg(*[F.sum(F.col("x") * F.col(f"w{b}")).alias(f"s{b}") for b in range(bits)])
-    )
-    signature = sum(
-        [
-            F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(bits)
-        ],
-        F.lit(0).cast("long"),
-    )
-    return sums.select(F.col(id_col), signature.alias("signature"))
+    The weight depends only on (pos, b) — dims x bits CONSTANTS — so
+    the digests are computed at PLAN TIME in Python (hashlib.md5 of
+    the same '<pos>:<b>' text yields the identical standard digest)
+    and inlined as double literals, making the plan MAP-ONLY exactly
+    like the xxhash64 form: zero exchanges, no weight relation, no
+    broadcast. The former posexplode+groupBy form exchanged rows*dims
+    rows and summed x*w in pos order per id inside one partition; the
+    in-row aggregate accumulates left-to-right in the same pos order,
+    so every dot-product double (and therefore every signature bit)
+    is unchanged. At 100 TB this is the difference between a map pass
+    over the vector mass and shuffling the widest relation in the
+    pipeline."""
+    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    sig_sql = _signature_expr(_md5_weight_sql, _peek_dims(vectors, vec_col), bits)
+    return v.select(F.col(id_col), F.expr(sig_sql).alias("signature"))
 
 
 def embedding_signature_oracle_sql(

@@ -6851,17 +6851,24 @@ def pacf_3(df: DataFrame, day_col: str, dp: int = 6) -> DataFrame:
     lag windows run on the calendar-bounded day grid."""
     from pyspark.sql import Window as W
 
-    daily0 = df.groupBy(F.col(day_col).alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("m")
+    # daily0 is the double-referenced relation (span AND the calendar
+    # left join) — checkpoint HERE, right after the only heavy
+    # scan+aggregate, so neither reference re-runs the input scan; the
+    # filled series and the one combined lag-window pass then chain
+    # lazily off the day-bounded checkpoint in the final job (r14; the
+    # old checkpoint sat one step later, paying TWO input scans inside
+    # its own materialization).
+    daily0 = (
+        df.groupBy(F.col(day_col).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .localCheckpoint()
     )
     span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     cal = span.select(
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
     )
-    daily = (
-        cal.join(daily0, "day", "left")
-        .select("day", F.coalesce("m", F.lit(0)).cast("long").alias("y"))
-        .localCheckpoint()  # calendar-bounded; feeds moments + 3 lag windows
+    daily = cal.join(daily0, "day", "left").select(
+        "day", F.coalesce("m", F.lit(0)).cast("long").alias("y")
     )
     wd = W.orderBy("day")  # one row per calendar day (filled grid)
     lagged = daily.select(
@@ -9428,9 +9435,15 @@ def jonckheere_terpstra(
     wg = W.partitionBy("g").orderBy("v").rowsBetween(
         W.unboundedPreceding, -1
     )
+    # The grid is referenced twice (pair i/j sides) but derives ONLY
+    # from the 150-row checkpointed hist — recomputing the crossJoin +
+    # window per side is microseconds, while the former eager
+    # localCheckpoint was a driver-blocking job (r14; the r13
+    # checkpoint-vs-recompute rule: checkpoint pays only when the
+    # recompute is expensive).
     cumg = grid.select(
         "g", "v", "c", F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cb")
-    ).localCheckpoint()  # bounded (groups x values) grid, used twice
+    )
     pairs = (
         cumg.alias("i")
         .join(cumg.alias("j"), F.col("i.v") == F.col("j.v"))
@@ -9557,6 +9570,10 @@ def dunn_test(df: DataFrame, group_col: str, value_col: str, dp: int = 6) -> Dat
         .cast("long")
         .alias("tie_sum"),
     )
+    # gr is self-joined for pairs but derives ONLY from the bounded
+    # checkpointed hist — each side's recompute is a few-hundred-row
+    # join + agg, cheaper than the former eager localCheckpoint's
+    # driver-blocking job (r14).
     gr = (
         hist.join(pooled.select("v", "avg2"), "v")
         .groupBy("g")
@@ -9564,7 +9581,6 @@ def dunn_test(df: DataFrame, group_col: str, value_col: str, dp: int = 6) -> Dat
             F.sum("c").cast("long").alias("ng"),
             F.sum(F.col("c") * F.col("avg2")).cast("long").alias("r2"),
         )
-        .localCheckpoint()  # group catalog, self-joined for pairs
     )
     pairs = (
         gr.alias("a")
@@ -9806,16 +9822,28 @@ def iqr_outliers(df: DataFrame, cents_col: str) -> DataFrame:
         (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
         (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
     )
+    # Fence counts come off the CHECKPOINTED histogram (sum of c per
+    # violating value — the same integers), not a second full scan of
+    # the row mass (r14; the r13 reference-count rule: the old form
+    # re-read the base relation just to count fence violations).
     counts = (
-        df.crossJoin(F.broadcast(fences))
+        hist.crossJoin(F.broadcast(fences))
         .agg(
             F.max("n").alias("n"),
             F.max("q1").alias("q1_units"),
             F.max("q3").alias("q3_units"),
-            F.sum((2 * F.col(cents_col) < F.col("lo2")).cast("long"))
+            F.sum(
+                F.when(2 * F.col("v") < F.col("lo2"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("n_low"),
-            F.sum((2 * F.col(cents_col) > F.col("hi2")).cast("long"))
+            F.sum(
+                F.when(2 * F.col("v") > F.col("hi2"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("n_high"),
         )

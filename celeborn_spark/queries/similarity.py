@@ -151,22 +151,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint()
 
-    # the 64-vector brute-force guard streams N x 64 HOF cosines — a
-    # single-split scan would run them all on one core (r13: 2.8 s)
+    # the 64-vector brute-force guard streams N x 64 HOF dot products —
+    # a single-split scan would run them all on one core (r13: 2.8 s).
+    # Per-SIDE norms are precomputed BEFORE the pair expansion (the r13
+    # knn_join lesson): norm(v)*norm(vs) multiplies the same two
+    # doubles cosine() would derive per pair, so the filter sees
+    # identical values while the per-pair kernel drops from three
+    # array passes to one (r14).
     v = S._spread(
         emb.select("vec_id", S.as_double_array("embedding").alias("v")),
         "vec_id",
-    )
+    ).withColumn("vn", S.l2_norm(F.col("v")))
+    # the 64-row sample heap-selects straight off the raw scan
+    # (TakeOrderedAndProject) — the old form re-derived the SPREAD
+    # relation, paying the repartition exchange a second time; norms
+    # are computed on the 64 survivors only (r14)
     sample = (
-        v.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")
         .limit(64)
-        .select(F.col("vec_id").alias("id_s"), F.col("v").alias("vs"))
+        .select(
+            F.col("vec_id").alias("id_s"),
+            F.col("v").alias("vs"),
+            S.l2_norm(F.col("v")).alias("ns"),
+        )
     )
     exact = (
         v.crossJoin(F.broadcast(sample))
         .filter(F.col("vec_id") != F.col("id_s"))
-        .withColumn("cosine_x", S.cosine(F.col("v"), F.col("vs")))
+        .withColumn(
+            "cosine_x",
+            S.dot(F.col("v"), F.col("vs")) / (F.col("vn") * F.col("ns")),
+        )
         .filter(F.col("cosine_x") >= 0.5)
         .select(
             F.least("vec_id", "id_s").alias("id_a"),

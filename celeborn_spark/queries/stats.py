@@ -3519,9 +3519,17 @@ def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.sum("l_quantity").cast("long").alias("qty")
     )
-    subj = orders.join(per, "o_orderkey").select(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("pri"), "qty"
+    # Broadcast the slim (orderkey, priority) projection: the per-order
+    # aggregate then streams straight from its own exchange into the
+    # BHJ — the former SortMergeJoin re-exchanged BOTH order-count-sized
+    # sides just to attach one small column (r14, guide §3.1).
+    pri = F.broadcast(
+        orders.select(
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("pri"),
+        )
     )
+    subj = per.join(pri, "o_orderkey").select("pri", "qty")
     return stats_ops.jonckheere_terpstra(subj, "pri", "qty")
 
 

@@ -294,6 +294,26 @@ def main() -> None:
         # positional args select an explicit query set (e.g. the
         # operators a session touched); default stays the HEAVIES set.
         names = [a for a in sys.argv[1:] if not a.startswith("-")]
+        # Fail fast on typos BEFORE the Spark session does any work: an
+        # unknown name otherwise dies as a KeyError deep inside run_rung
+        # after earlier queries already ran (r13 ADVICE).
+        if names:
+            known = registry.queries()
+            unknown = [n for n in names if n not in known]
+            if unknown:
+                import difflib
+
+                hints = {
+                    n: difflib.get_close_matches(n, known, n=1)
+                    for n in unknown
+                }
+                sys.exit(
+                    "sf1_rung: unknown query names: "
+                    + ", ".join(
+                        f"{n}" + (f" (did you mean {h[0]}?)" if (h := hints[n]) else "")
+                        for n in unknown
+                    )
+                )
         run_rung(spark, tuple(names) if names else HEAVIES)
     spark.stop()
 
