@@ -40,6 +40,45 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_cast(a: Column, b: Column) -> Column:
+    """`dot()` over RAW (possibly float) array columns: each element is
+    cast to double INSIDE the lambda — float->double widening is
+    exact, so the fold produces bit-identical doubles to
+    `dot(as_double_array(a), as_double_array(b))` while the raw float
+    arrays ride through any exchange at half the bytes (guide §2.3).
+
+    Two r14 measurement notes pinned here:
+    - do NOT unroll these into `a[0]*b[0] + ...` SQL strings: the
+      ~3k-node trees made DRIVER planning/codegen the bottleneck
+      (4.2 s wall vs 0.38 s of executor time for the whole verified
+      near-dup query) and the per-pair runtime was EQUAL to the HOF
+      fold once inputs were materialized;
+    - never INDEX into `cast(col AS array<double>)` repeatedly in one
+      stage — the whole-array cast re-evaluates per access (a
+      2000-row build stage measured 3.5 s of CPU). HOFs evaluate
+      their input array once per row, so they are immune."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm_cast(a: Column) -> Column:
+    """`l2_norm()` over a RAW (possibly float) array column — the
+    dot_cast twin: per-element cast inside the lambda, identical
+    doubles, no whole-array cast."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -162,10 +201,12 @@ def embedding_bit_signature(
     given — one tiny driver action at plan time."""
     if dims is None:
         dims = _peek_dims(vectors, vec_col)
-    # bits x dims HOF multiplies per row — spread a narrow scan first
-    # (no-op on already-wide inputs, keeping the map-only plan claim)
+    # bits x dims multiplies per row — spread a narrow scan first
+    # (no-op on already-wide inputs, keeping the map-only plan claim).
+    # The RAW array column rides through (per-element scalar casts in
+    # the expression — see dot_expr).
     v = _spread(
-        vectors.select(F.col(id_col), as_double_array(vec_col).alias("v")),
+        vectors.select(F.col(id_col), F.col(vec_col).alias("v")),
         id_col,
     )
     signature = _signature_expr(_xx_weight_sql, dims, bits)
@@ -206,16 +247,23 @@ def _signature_expr(weight_sql, dims: int, bits: int) -> str:
     array<double> column named ``v`` instead of py4j-composed Columns:
     bits*dims nested Column constructors cost thousands of py4j
     round-trips (~6 s of DRIVER time at 12x64 — measured), while
-    parsing a single expression string is milliseconds. Same operator
-    tree either way. The in-row aggregate accumulates left-to-right in
-    pos order — the exact order the old posexplode+groupBy partial agg
-    summed (all dims of one id sit consecutively in one partition), so
-    every dot-product double is bit-identical."""
+    parsing a single expression string is milliseconds. Each bit's dot
+    product is an aggregate/zip_with fold over a FLAT array literal of
+    weights (each weight fragment constant-folds at plan time) — NOT
+    an unrolled `v[0]*w + v[1]*w + ...` sum: the r14 unroll experiment
+    made DRIVER planning/codegen the bottleneck (~3k-node trees, 4.2 s
+    wall vs 0.38 s executor time) with zero runtime gain. The lambda
+    casts each element to double (exact float widening), so raw float
+    vectors ride through unchanged. The fold accumulates left-to-right
+    in pos order from 0.0 — the exact order the old posexplode+groupBy
+    partial agg summed (all dims of one id sit consecutively in one
+    partition), so every dot-product double is bit-identical."""
 
     def dot_b(b: int) -> str:
         warr = ", ".join(weight_sql(p, b) for p in range(dims))
         return (
-            f"aggregate(zip_with(v, array({warr}), (x, wt) -> x * wt), "
+            f"aggregate(zip_with(v, array({warr}), "
+            "(x, wt) -> CAST(x AS DOUBLE) * wt), "
             "0.0D, (acc, x) -> acc + x)"
         )
 
@@ -258,12 +306,14 @@ def _verify_bucket_pairs(
     lesson): norm(va)*norm(vb) multiplies the same two doubles
     cosine() would derive per pair, so every emitted double is
     identical while the per-pair kernel drops to one dot product."""
-    v = vectors.select(
-        F.col(id_col), as_double_array(vec_col).alias("v")
-    ).select(
+    # RAW array column rides through the exchange (float vectors stay
+    # float — half the shuffle bytes); the kernels cast per ELEMENT
+    # inside their lambdas (see dot_cast), so the doubles are
+    # unchanged.
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("v")).select(
         F.col(id_col),
         "v",
-        l2_norm(F.col("v")).alias("v_norm"),
+        l2_norm_cast(F.col("v")).alias("v_norm"),
         F.expr(sig_sql).alias("signature"),
     )
     a = v.select(
@@ -284,7 +334,9 @@ def _verify_bucket_pairs(
         .withColumn(
             "cosine",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                dot_cast(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
             ),
         )
         .filter(F.col("cosine") >= threshold)
@@ -416,7 +468,7 @@ def embedding_bit_signature_md5(
     is unchanged. At 100 TB this is the difference between a map pass
     over the vector mass and shuffling the widest relation in the
     pipeline."""
-    v = vectors.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
     sig_sql = _signature_expr(_md5_weight_sql, _peek_dims(vectors, vec_col), bits)
     return v.select(F.col(id_col), F.expr(sig_sql).alias("signature"))
 

@@ -9435,15 +9435,14 @@ def jonckheere_terpstra(
     wg = W.partitionBy("g").orderBy("v").rowsBetween(
         W.unboundedPreceding, -1
     )
-    # The grid is referenced twice (pair i/j sides) but derives ONLY
-    # from the 150-row checkpointed hist — recomputing the crossJoin +
-    # window per side is microseconds, while the former eager
-    # localCheckpoint was a driver-blocking job (r14; the r13
-    # checkpoint-vs-recompute rule: checkpoint pays only when the
-    # recompute is expensive).
+    # The grid is referenced twice (pair i/j sides); a lazy form was
+    # A/B-measured r14 (in-session, warm reps) at +0.3 s — the double
+    # grid recompute's extra sorts/exchanges cost more than this one
+    # blocking job. The eager-ckpt-vs-recompute tradeoff flips both
+    # ways (CLAUDE.md r13); here the checkpoint wins.
     cumg = grid.select(
         "g", "v", "c", F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cb")
-    )
+    ).localCheckpoint()  # bounded (groups x values) grid, used twice
     pairs = (
         cumg.alias("i")
         .join(cumg.alias("j"), F.col("i.v") == F.col("j.v"))

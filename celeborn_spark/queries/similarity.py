@@ -151,30 +151,31 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint()
 
-    # the 64-vector brute-force guard streams N x 64 HOF dot products —
-    # a single-split scan would run them all on one core (r13: 2.8 s).
-    # Per-SIDE norms are precomputed BEFORE the pair expansion (the r13
-    # knn_join lesson): norm(v)*norm(vs) multiplies the same two
+    # the 64-vector brute-force guard streams N x 64 dot products — a
+    # single-split scan would run them all on one core (r13: 2.8 s).
+    # Per-SIDE norms are precomputed BEFORE the pair expansion (the
+    # r13 knn_join lesson): norm(v)*norm(vs) multiplies the same two
     # doubles cosine() would derive per pair, so the filter sees
     # identical values while the per-pair kernel drops from three
-    # array passes to one (r14).
+    # array passes to one (r14). Raw float arrays ride through the
+    # spread exchange (half the bytes); kernels cast per element.
     v = S._spread(
-        emb.select("vec_id", S.as_double_array("embedding").alias("v")),
+        emb.select("vec_id", F.col("embedding").alias("v")),
         "vec_id",
-    ).withColumn("vn", S.l2_norm(F.col("v")))
+    ).withColumn("vn", S.l2_norm_cast(F.col("v")))
     # the 64-row sample heap-selects straight off the raw scan
     # (TakeOrderedAndProject) — the old form re-derived the SPREAD
     # relation, paying the repartition exchange a second time; norms
     # are computed on the 64 survivors only (r14)
     sample = (
-        emb.select("vec_id", S.as_double_array("embedding").alias("v"))
+        emb.select("vec_id", F.col("embedding").alias("v"))
         .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")
         .limit(64)
         .select(
             F.col("vec_id").alias("id_s"),
             F.col("v").alias("vs"),
-            S.l2_norm(F.col("v")).alias("ns"),
+            S.l2_norm_cast(F.col("v")).alias("ns"),
         )
     )
     exact = (
@@ -182,7 +183,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("id_s"))
         .withColumn(
             "cosine_x",
-            S.dot(F.col("v"), F.col("vs")) / (F.col("vn") * F.col("ns")),
+            S.dot_cast(F.col("v"), F.col("vs")) / (F.col("vn") * F.col("ns")),
         )
         .filter(F.col("cosine_x") >= 0.5)
         .select(
@@ -190,16 +191,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("vec_id", "id_s").alias("id_b"),
         )
         .distinct()
-        .localCheckpoint()  # read twice: the n_exact agg + the semi-join
     )
-    found = exact.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-    recall = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
-        found.agg(F.count(F.lit(1)).alias("n_found"))
-    ).select(
-        (
-            (F.col("n_exact") == 0)
-            | (F.col("n_found") >= 0.6 * F.col("n_exact"))
-        ).alias("sampled_recall_ok")
+    # ONE left join + ONE aggregate reads `exact` exactly once (both
+    # sides emit unique pairs, so a left-join match count equals the
+    # former semi-join count) — the old semi-join + two counts
+    # referenced `exact` twice and needed an eager localCheckpoint
+    # (a driver-blocking job) to avoid recomputing the brute-force
+    # pass (r14).
+    recall = (
+        exact.join(
+            pairs.select("id_a", "id_b", F.lit(1).alias("_hit")),
+            ["id_a", "id_b"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_found") >= 0.6 * F.col("n_exact"))
+            ).alias("sampled_recall_ok")
+        )
     )
     return pairs.crossJoin(F.broadcast(recall))
 
