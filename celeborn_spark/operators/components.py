@@ -77,19 +77,19 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
         new_labels = _label_propagation_round(
             edges, labels, broadcast_labels
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

@@ -113,11 +113,13 @@ def pagerank(
         # full job per iteration. Checkpoint every 5th round only, to
         # bound plan depth/analysis cost on long runs.
         if (i + 1) % 5 == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint()
-    # materialize BEFORE dropping the edge cache — the plan is lazy,
-    # and unpersisting first would force a full edge rebuild per round
-    ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     if partition_edges:
+        # materialize BEFORE dropping the edge cache — the plan is
+        # lazy, and unpersisting first would force a full edge rebuild
+        # per round (EAGER here by design; the default path returns the
+        # lazy chain and lets the caller's single action run it, r14)
+        ranks = ranks.localCheckpoint()
         raw.unpersist()
     return ranks
 
@@ -175,7 +177,7 @@ def _pagerank_dangling(
     base = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", "outdeg")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_nodes = base.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = base.select("node", F.lit(1.0).alias("pr"))
@@ -214,6 +216,8 @@ def _pagerank_dangling(
                 ).alias("pr"),
             )
         )
+    # EAGER: the per-round caches (and optionally the edge layout) are
+    # unpersisted right below, so the chain must be materialized first.
     ranks = ranks.localCheckpoint()
     for r in cached:
         r.unpersist()
@@ -240,7 +244,7 @@ def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         # both union branches (and pagerank's degree branch) reference
         # pairs — materialize the join+distinct ONCE instead of letting
         # each subtree recompute it (observed 4x in the physical plan)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return pairs.union(pairs.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
@@ -262,7 +266,7 @@ def directed_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -389,7 +393,7 @@ def weighted_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("double").alias("ew"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "ew")
@@ -445,7 +449,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     o = e.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    ).localCheckpoint()  # o feeds both sides of the wedge join
+    ).localCheckpoint(eager=False)  # o feeds both sides of the wedge join
     w = (
         o.alias("o1")
         .join(o.alias("o2"), "s")
@@ -536,7 +540,7 @@ def bfs_hops(
     e = edges.select(F.col("src"), F.col("dst"))
     frontier = seeds.select(
         F.col("node").cast("long").alias("node")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint(eager=False)
     settled = [frontier.withColumn("hop", F.lit(0))]
     dist = settled[0]
     for h in range(1, max_hops + 1):
@@ -549,7 +553,7 @@ def bfs_hops(
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(F.broadcast(dist), "node", "left_anti")
-            .localCheckpoint()  # read by next round's anti-join AND the result union
+            .localCheckpoint(eager=False)  # read by next round's anti-join AND the result union
         )
         settled.append(nxt.withColumn("hop", F.lit(h)))
         dist = dist.unionAll(settled[-1])
@@ -604,7 +608,7 @@ def kcore(
     broadcast."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e = edges.select("u", "v").localCheckpoint()
+    e = edges.select("u", "v").localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
@@ -619,7 +623,7 @@ def kcore(
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         e.select(F.col("u").alias("node"))
@@ -804,14 +808,14 @@ def hits(
     e_src = e_dst = e
     if partition_edges:
         par = edges.sparkSession.sparkContext.defaultParallelism
-        e = e.localCheckpoint()  # one materialization feeds both copies
+        e = e.localCheckpoint(eager=False)  # one materialization feeds both copies
         e_src = e.repartition(par, "src").persist()
         e_dst = e.repartition(par, "dst").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()  # read by every round's left joins + the final select
+        .localCheckpoint(eager=False)  # read by every round's left joins + the final select
     )
     hub = nodes.select("node", F.lit(1.0).alias("h"))
     auth = None
@@ -858,7 +862,7 @@ def hits(
             hubb.join(e_src, hubb["node"] == e_src["src"])
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
-            .localCheckpoint()  # read by the normalizer AND the projection
+            .localCheckpoint(eager=False)  # read by the normalizer AND the projection
         )
         asum = araw.agg(F.sum("ar").alias("anorm"))
         auth = araw.crossJoin(F.broadcast(asum)).select(
@@ -870,7 +874,7 @@ def hits(
             authb.join(e_dst, authb["node"] == e_dst["dst"])
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
-            .localCheckpoint()  # read by the normalizer AND the projection
+            .localCheckpoint(eager=False)  # read by the normalizer AND the projection
         )
         hsum = hraw.agg(F.sum("hr").alias("hnorm"))
         hub = hraw.crossJoin(F.broadcast(hsum)).select(
@@ -887,8 +891,11 @@ def hits(
         )
     )
     if partition_edges:
-        # hub/auth are checkpointed, so the final join no longer
-        # references the edge caches — safe to drop them here.
+        # materialize the state chain BEFORE dropping the edge caches —
+        # the round checkpoints are LAZY (eager=False, r14), so an
+        # unpersist here would otherwise force the final action to
+        # rebuild the partitioned layouts from scratch.
+        out = out.localCheckpoint()
         e_src.unpersist()
         e_dst.unpersist()
     return out
@@ -983,7 +990,7 @@ def shortest_paths(
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         frontier = F.broadcast(dist) if broadcast_dist else dist
@@ -1004,7 +1011,7 @@ def shortest_paths(
                                    F.col("cand").alias("dist")))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()  # read twice next round (relax + merge)
+            .localCheckpoint(eager=False)  # read twice next round (relax + merge)
         )
     return dist
 
@@ -1074,7 +1081,7 @@ def cost_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .agg(F.min("l_quantity").cast("long").alias("w"))
-        .localCheckpoint()  # both union branches reference the join+agg
+        .localCheckpoint(eager=False)  # both union branches reference the join+agg
     )
     return pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
@@ -1113,7 +1120,7 @@ def label_propagation(
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()  # feeds every round's join
+        .localCheckpoint(eager=False)  # feeds every round's join
     )
     for _ in range(rounds):
         lhs = F.broadcast(labels) if broadcast_labels else labels
@@ -1362,7 +1369,7 @@ def personalized_pagerank(
     # is worth materializing.
     raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     nodes = (
         raw.select(F.col("src").alias("node"))
         .union(raw.select(F.col("dst").alias("node")))
@@ -1371,7 +1378,7 @@ def personalized_pagerank(
             "seed",
             F.when(F.col("node") % seed_mod == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # deg/ranks/contribs are node-sized but derive from checkpointed
     # RDDs (unknown stats) — broadcast hints keep the edge mass out of
@@ -1397,7 +1404,7 @@ def personalized_pagerank(
             ).alias("ppr"),
         )
         if (i + 1) % 5 == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -1559,7 +1566,7 @@ def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
     3-edge in-row explode) so it stays lazy."""
     if k < 3:
         raise ValueError(f"k must be >= 3, got {k}")
-    e = edges.select("u", "v").localCheckpoint()
+    e = edges.select("u", "v").localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
@@ -1584,7 +1591,7 @@ def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
         o = ed.select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         w = (
             o.alias("o1")
             .join(o.alias("o2"), "s")
@@ -1627,7 +1634,7 @@ def ktruss(edges: DataFrame, k: int, rounds: int = 2) -> DataFrame:
         e = (
             e.join(sup.filter(F.col("support") >= k - 2), ["u", "v"], "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return e
 
@@ -1706,7 +1713,7 @@ def attribute_assortativity(
         edges.join(a, "u")
         .join(b, "v")
         .select("attr_u", "attr_v")
-        .localCheckpoint()  # feeds the same-count, stub, and total aggs
+        .localCheckpoint(eager=False)  # feeds the same-count, stub, and total aggs
     )
     tot = lab.agg(
         (2 * F.count(F.lit(1))).cast("long").alias("t"),
@@ -1798,9 +1805,9 @@ def eigenvector_centrality(edges: DataFrame, iters: int = 3) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
         # exchange-bearing build (self-join + distinct upstream),
         # referenced every round — materialize once
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
     x = nodes.select("node", F.lit(1.0).alias("x"))
     for _ in range(iters):
         # x / raw are node-sized but derive from checkpointed RDDs
@@ -1815,7 +1822,7 @@ def eigenvector_centrality(edges: DataFrame, iters: int = 3) -> DataFrame:
             und.join(xb, und["a"] == xb["node"])
             .groupBy("b")
             .agg(F.sum("x").alias("r"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         tot = raw.agg(F.sum("r").alias("tot"))
         x = raw.crossJoin(F.broadcast(tot)).select(
@@ -1901,7 +1908,7 @@ def katz_centrality(
     und = (
         edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
         .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # nodes is referenced once (x0) — it stays lazy inside the chain.
     nodes = und.select(F.col("a").alias("node")).distinct()

@@ -428,14 +428,14 @@ def pmi_bigrams(
         spread.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot_uni = uni.agg(F.sum("c").alias("tot_uni"))
     bg = (
         spread.select(F.explode(bigrams(text_col)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot_bg = bg.agg(F.sum("c12").alias("tot_bg"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
@@ -528,7 +528,7 @@ def bpe_train(
             F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
             "freq",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges = []
     for r in range(n_merges):
@@ -556,7 +556,7 @@ def bpe_train(
                 F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
                 "pair_count",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         merges.append(best)
         words = (
@@ -569,7 +569,7 @@ def bpe_train(
                 ).alias("s"),
                 "freq",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     out = merges[0]
     for m in merges[1:]:
@@ -642,7 +642,7 @@ def bpe_apply_curve(
             F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
             "freq",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def total(words_df: DataFrame, r: int) -> DataFrame:
@@ -672,7 +672,7 @@ def bpe_apply_curve(
             .orderBy(F.col("c").desc(), F.col("pair"))
             .limit(1)
             .select("pair", F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         words = (
             words.crossJoin(F.broadcast(best))
@@ -684,7 +684,7 @@ def bpe_apply_curve(
                 ).alias("s"),
                 "freq",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         curve.append(total(words, r + 1))
     out = curve[0]
@@ -1031,7 +1031,7 @@ def sparse_cosine_pairs(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("w"),
         )
-        .localCheckpoint()  # feeds norms + both sides of the pair join
+        .localCheckpoint(eager=False)  # feeds norms + both sides of the pair join
     )
     norms = w.groupBy("id").agg(
         F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
@@ -1383,7 +1383,7 @@ def good_turing(
     # the token mass aggregates once
     coc = tok_counts.groupBy("r").agg(
         F.count(F.lit(1)).cast("long").alias("n_r")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     p0 = coc.agg(
         F.sum(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
         .cast("long")
@@ -1471,7 +1471,7 @@ def burrows_delta(
     )
     counts = tok.groupBy("src", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint()  # feeds totals, top-m, and the grid
+    ).localCheckpoint(eager=False)  # feeds totals, top-m, and the grid
     totals = counts.groupBy("src").agg(F.sum("c").cast("long").alias("tot"))
     # heap-select the m (TakeOrderedAndProject) — the corpus vocabulary
     # grows with the corpus, so no full-vocab single-partition window.
@@ -1492,7 +1492,7 @@ def burrows_delta(
             F.coalesce("c", F.lit(0)).cast("long").alias("c"),
         )
         .withColumn("f", F.expr("CAST(c AS DOUBLE) / tot"))
-        .localCheckpoint()  # feeds the across-source stats AND the z join
+        .localCheckpoint(eager=False)  # feeds the across-source stats AND the z join
     )
     wtok = (
         WW.partitionBy("tok")
@@ -1645,7 +1645,7 @@ def bigram_conditional_entropy(
         )
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_uv"))
-        .localCheckpoint()  # feeds the marginal AND the walk
+        .localCheckpoint(eager=False)  # feeds the marginal AND the walk
     )
     marg = bi.groupBy("u").agg(F.sum("c_uv").cast("long").alias("c_u"))
     w = WW.orderBy("u", "v").rowsBetween(WW.unboundedPreceding, 0)
@@ -1729,7 +1729,7 @@ def negative_sampling_table(
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # feeds the weight walk AND the Z total
+        .localCheckpoint(eager=False)  # feeds the weight walk AND the Z total
     )
     pw = f"{power_num}.0 / {power_den}"
     weighted = counts.withColumn(
@@ -1931,7 +1931,7 @@ def _overlap_counts(docs: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "kind", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     uni = counts_all.filter(F.col("kind") == 1).drop("kind")
     bg = counts_all.filter(F.col("kind") == 2).drop("kind")
@@ -2534,7 +2534,7 @@ def source_vocab_jaccard(
             F.explode(tokens(F.col(text_col))).alias("tok"),
         )
         .distinct()
-        .localCheckpoint()  # vocab catalog: sizes + self-join both read it
+        .localCheckpoint(eager=False)  # vocab catalog: sizes + self-join both read it
     )
     sizes = sv.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("nv"))
     a = sv.select(F.col("src").alias("src_a"), "tok")
@@ -2640,7 +2640,7 @@ def char_trigram_entropy(
     tc = (
         tri.groupBy("lang", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint()  # totals + trigram terms + context counts
+        .localCheckpoint(eager=False)  # totals + trigram terms + context counts
     )
     tot = tc.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n"),

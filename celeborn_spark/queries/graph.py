@@ -94,7 +94,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copurchase_edges is an exchange-bearing self-join + distinct; the
     # consumers below reference it several times in one lazy plan, so
     # materialize once (the r7 pagerank-pair-build regime, not q_hits')
-    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint(eager=False)
     return triangle_counts(edges)
 
 
@@ -151,7 +151,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import adamic_adar, copurchase_edges
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint(eager=False)
     return adamic_adar(edges, k=30)
 
 
@@ -266,7 +266,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no triangles report 0 (left join), keeping the denominator
     honest."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint()
+    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint(eager=False)
     tri = graph_ops.triangle_counts(edges)
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -337,13 +337,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The structural prior behind skew decisions: disassortative graphs
     concentrate shuffle load on hub keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint()
+    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint()  # joined twice per direction
+        .localCheckpoint(eager=False)  # joined twice per direction
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -399,7 +399,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import copurchase_edges, neighbor_jaccard
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint(eager=False)
     return neighbor_jaccard(edges, k=25)
 
 
@@ -428,7 +428,7 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint(eager=False)
     return harmonic_centrality_2hop(edges)
 
 
@@ -531,11 +531,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     el = copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), min_qty=45
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e_sym = el.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         el.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    labels = label_propagation(e_sym, rounds=3).localCheckpoint()
+    labels = label_propagation(e_sym, rounds=3).localCheckpoint(eager=False)
     return modularity(el, labels)
 
 
@@ -597,13 +597,13 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     el = copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), min_qty=45
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     deg = (
         el.select(F.col("u").alias("node"))
         .unionAll(el.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     hist = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -736,7 +736,7 @@ def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(
         load_table(spark, sf_dir, "lineitem"), min_qty=45
-    ).localCheckpoint()  # referenced by both degree union lanes
+    ).localCheckpoint(eager=False)  # referenced by both degree union lanes
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -831,7 +831,7 @@ def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from celeborn_spark.operators.graph import copurchase_edges, edge_embeddedness
 
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint()
+    edges = copurchase_edges(lineitem, min_qty=45).localCheckpoint(eager=False)
     return edge_embeddedness(edges, k=25)
 
 
@@ -855,5 +855,5 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.degree_centralization)."""
     li = load_table(spark, sf_dir, "lineitem")
     # both degree union lanes reference the self-join build — once
-    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint()
+    edges = graph_ops.copurchase_edges(li, min_qty=45).localCheckpoint(eager=False)
     return graph_ops.degree_centralization(edges)

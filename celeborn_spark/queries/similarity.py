@@ -149,7 +149,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed RATE — vec_id % 29, ~3.4% — making the probe O(N^2/29) with a
     linearly growing broadcast side; VERDICT r9 item 2.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint()
+    pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint(eager=False)
 
     # the 64-vector brute-force guard streams N x 64 dot products — a
     # single-split scan would run them all on one core (r13: 2.8 s).
@@ -497,7 +497,7 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "pos")
         .agg(F.round(F.avg("x"), 6).alias("v"))
-        .localCheckpoint()  # both sides of the pair join
+        .localCheckpoint(eager=False)  # both sides of the pair join
     )
     p = (
         c.alias("a")
@@ -724,7 +724,7 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["val"],
             ).alias("embedding")
         )
-        .localCheckpoint()  # feeds both sides of the approx search
+        .localCheckpoint(eager=False)  # feeds both sides of the approx search
     )
     def _topk(df):
         qs = df.filter(F.col("vec_id") < 5).select(
@@ -815,7 +815,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", half, F.posexplode(S.as_double_array("embedding")).alias("pos", "x"))
         .groupBy("label", "half", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a = dims.filter(F.col("half") == 0).select(
         "label", "pos", F.col("m").alias("ma")
@@ -898,9 +898,9 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
-    ).localCheckpoint()  # read by every distance/median pass
+    ).localCheckpoint(eager=False)  # read by every distance/median pass
     m = (
-        e.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m")).localCheckpoint()
+        e.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m")).localCheckpoint(eager=False)
     )
     for _ in range(2):
         d = (
@@ -918,7 +918,7 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("m")
             )
-            .localCheckpoint()  # next round (or output) re-reads it
+            .localCheckpoint(eager=False)  # next round (or output) re-reads it
         )
     return m.select("pos", F.col("m").alias("med"))
 
@@ -989,7 +989,7 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass over the row mass each)
     c = dims.groupBy(F.col("label").alias("clabel"), F.col("pos").alias("cpos")).agg(
         F.round(F.avg("x"), 6).alias("v")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     d = (
         dims.join(
             F.broadcast(c),
@@ -1010,7 +1010,7 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy("label").agg(
         F.round(F.avg("dist"), 6).alias("scatter"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     c1 = c.select(
         F.col("clabel").alias("i"), F.col("cpos").alias("p1"), F.col("v").alias("v1")
     )

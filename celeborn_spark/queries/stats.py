@@ -1215,7 +1215,7 @@ def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv.withColumn("c", F.lit(1)), "user_id", "left"
     ).select(
         "user_id", "t0", F.coalesce("c", F.lit(0)).alias("converted")
-    ).localCheckpoint()  # referenced by bounds + the bucketed walk
+    ).localCheckpoint(eager=False)  # referenced by bounds + the bucketed walk
     n_buckets = 1024
     tb = obs.agg(F.min("t0").alias("_lo"), F.max("t0").alias("_hi"))
     span = F.col("_hi") - F.col("_lo")
@@ -1374,7 +1374,7 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the 2-column projection so events scan once
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("us")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     mid = ev.agg(
         F.expr("(min(us) + max(us)) div 2").alias("mid_us")
     )
@@ -1895,7 +1895,7 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a_flag").cast("long").alias("r1"),
         F.sum("b_flag").cast("long").alias("c1"),
         F.sum(F.col("a_flag") * F.col("b_flag")).cast("long").alias("a_obs"),
-    ).localCheckpoint()  # 1-row scalar table feeding support + output
+    ).localCheckpoint(eager=False)  # 1-row scalar table feeding support + output
     # bounded 201-row log-factorial grid; the running window's input
     # is the fixed integer grid, never data. Collapsed to ONE ordered
     # array relation (r13 optimization): the nine lookups below used
@@ -1969,7 +1969,7 @@ def q_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("lf_c1k")
             - F.col("lf_r2k")
         ).alias("ln_pmf"),
-    ).localCheckpoint()  # referenced twice: obs row + the p-value sum
+    ).localCheckpoint(eager=False)  # referenced twice: obs row + the p-value sum
     obs = lp.filter(F.col("k") == F.col("a_obs")).select(
         F.col("ln_pmf").alias("ln_obs")
     )
@@ -2246,7 +2246,7 @@ def q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("na") - F.col("sa") + 1).alias("b1"),
         (F.col("sb") + 1).alias("a2"),
         (F.col("nb") - F.col("sb") + 1).alias("b2"),
-    ).localCheckpoint()  # 1-row scalar table feeding the support join
+    ).localCheckpoint(eager=False)  # 1-row scalar table feeding the support join
     # bounded 421-row log-factorial grid (fixed integers, never data)
     lf = (
         spark.range(0, 421)
@@ -2261,7 +2261,7 @@ def q_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(W.orderBy("i").rowsBetween(W.unboundedPreceding, 0))
             .alias("lfv"),
         )
-        .localCheckpoint()  # 9 broadcast lookups reference it
+        .localCheckpoint(eager=False)  # 9 broadcast lookups reference it
     )
     grid = spark.range(0, 421).select(F.col("id").alias("ti"))
     support = post.join(F.broadcast(grid), F.col("ti") < F.col("a1"))

@@ -826,7 +826,7 @@ def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
     sizes = cohort.groupBy("cw").agg(
@@ -1243,7 +1243,7 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     t = c.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
     g = c.agg(F.sum("n").cast("long").alias("grand"))
@@ -1332,7 +1332,7 @@ def q_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("y"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # calendar-bounded: daily has one row per DAY
     wd = W.orderBy("day")
@@ -1728,7 +1728,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("long").alias("val"))
-        .localCheckpoint()  # 16-row value table, referenced twice below
+        .localCheckpoint(eager=False)  # 16-row value table, referenced twice below
     )
     from celeborn_spark.operators import values_table
 

@@ -853,7 +853,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (
         bg_tbl.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     with_w = c2.withColumn("w1", F.substring_index("bg", " ", 1)).withColumn(
         "w2", F.substring_index("bg", " ", -1)
@@ -1536,7 +1536,7 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
         .alias("rk"),
-    ).localCheckpoint()  # referenced twice: ref row + the k-term sum
+    ).localCheckpoint(eager=False)  # referenced twice: ref row + the k-term sum
     ref = ranked.filter(F.col("rk") == 101).select(
         F.col("n_chars").alias("x_ref")
     )
