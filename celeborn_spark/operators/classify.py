@@ -345,7 +345,7 @@ def classification_report(conf: DataFrame, dp: int = 6) -> DataFrame:
         p.alias("precision"),
         r.alias("recall"),
         f1.alias("f1"),
-    ).localCheckpoint(eager=False)  # bounded class catalog; feeds totals + output
+    ).persist()  # bounded class catalog; feeds totals + output
     # accuracy folds onto the same bounded rows relation: sum of the
     # per-class tp is the diagonal total and sum of support is the doc
     # total — identical BIGINTs to the former second pass over conf,

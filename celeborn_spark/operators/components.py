@@ -3,12 +3,14 @@
 #2: iterative, bound iterations, checkpoint between, no collect).
 
 Each iteration: every vertex takes the min label among itself and its
-neighbors — one join + one groupBy (two exchanges) per round; labels
-converge in O(diameter) rounds, and near-dup graphs are unions of
-small cliques, so a handful of rounds suffices. localCheckpoint()
-truncates lineage each round (the driver-side plan would otherwise grow
-exponentially); convergence is detected with a count of changed labels
-(one scalar action per round, never a data collect).
+neighbors (the own-label floor rides self-loop edges, so one join +
+one groupBy per round and the label state is referenced once — rounds
+chain lazily); labels converge in O(diameter) rounds, and near-dup
+graphs are unions of small cliques, so a handful of rounds suffices.
+localCheckpoint() truncates lineage once per convergence-check batch;
+convergence is detected with an exact decimal label-sum action per
+batch (labels only decrease under min-propagation), never a data
+collect.
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 10,
     broadcast_labels: bool = True,
+    check_every: int = 2,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in `pairs`;
     component = min vertex id in its connected component.
@@ -69,7 +72,23 @@ def connected_components(
     docs that appear in a pair, far fewer than the corpus — and
     broadcasts into each round's edge join by default; pass
     ``broadcast_labels=False`` when the vertex set outgrows broadcast
-    (the shuffle join + AQE skew split regime the tests pin)."""
+    (the shuffle join + AQE skew split regime the tests pin).
+
+    r14 round shape: the own-label floor folds INTO the neighbor-min
+    join via SELF-LOOP edges (v, v) — min(label over nbrs ∪ self) is
+    bit-identical to the old least(own, nbr-min) merge on exact
+    integers, and the label state is then referenced exactly ONCE per
+    round, so rounds chain LAZILY (no per-round localCheckpoint — each
+    one paid a full driver planning + AQE stage-materialization pass).
+    Convergence is checked every ``check_every`` rounds with the exact
+    BIGINT label sum (labels only ever DECREASE under min-propagation,
+    so an unchanged sum <=> no label changed — order-insensitive,
+    engine-exact): one 1-row action per batch instead of a
+    changed-count job per round. Up to ``check_every - 1`` rounds after
+    convergence run idle (a vertex-keyed exchange each) — the knob
+    trades that against per-round driver barriers; total rounds stay
+    capped at ``max_iter`` either way, so results are identical to the
+    per-round-check form on every input."""
     # Materialize the edge list once: it is re-joined every round, and
     # without a checkpoint each iteration would re-run the (possibly
     # expensive — LSH!) pair-producing pipeline from scratch.
@@ -85,15 +104,63 @@ def connected_components(
         .withColumn("label", F.col("vertex"))
         .localCheckpoint(eager=False)
     )
+    # Self-loops complete the round's min over {self} ∪ neighbors; the
+    # vertex relation is the deduped endpoint set, so this adds
+    # vertex-mass (not edge-mass) rows to each round's join.
+    e2 = edges.unionAll(
+        labels.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst"))
+    )
 
-    for _ in range(max_iter):
-        new_labels = _label_propagation_round(
-            edges, labels, broadcast_labels
-        ).localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
+    # decimal(38,0) keeps the label sum EXACT at any vertex count (a
+    # raw BIGINT sum could overflow on 64-bit hash ids at corpus
+    # scale); non-numeric label types get the exact batch-boundary
+    # inequality count instead.
+    numeric_labels = dict(labels.dtypes)["label"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    done = 0
+    prev_sum = None
+    prev_labels = labels
+    while done < max_iter:
+        batch = min(check_every, max_iter - done)
+        for _ in range(batch):
+            # fresh label column names per round: the label lineage
+            # CONTAINS e2 (self-join shape), so dataframe-indexed
+            # references would be ambiguous — name-based resolution
+            # over the join output is not.
+            lb = labels.select(
+                F.col("vertex").alias("lvertex"), F.col("label").alias("llabel")
+            )
+            if broadcast_labels:
+                lb = F.broadcast(lb)
+            labels = (
+                e2.join(lb, F.col("dst") == F.col("lvertex"))
+                .groupBy("src")
+                .agg(F.min("llabel").alias("label"))
+                .select(F.col("src").alias("vertex"), "label")
+            )
+        done += batch
+        # read twice: the convergence action below + the continuing chain
+        labels = labels.localCheckpoint(eager=False)
+        if numeric_labels:
+            s = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0][0]
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            old = prev_labels.select(
+                F.col("vertex").alias("v0"), F.col("label").alias("l0")
+            )
+            changed = (
+                labels.join(old, labels["vertex"] == old["v0"])
+                .filter(F.col("label") != F.col("l0"))
+                .count()
+            )
+            prev_labels = labels
+            if changed == 0:
+                break
     return labels.select("vertex", F.col("label").alias("component"))
 
 

@@ -178,7 +178,7 @@ def mixture_waterfill(
     counts = (
         df.groupBy(F.col(group_col).alias("grp"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .localCheckpoint(eager=False)  # feeds k/total AND the walk
+        .persist()  # feeds k/total AND the walk
     )
     tot = counts.agg(F.count(F.lit(1)).cast("long").alias("k"))
     wr = W.orderBy("grp")
@@ -193,7 +193,7 @@ def mixture_waterfill(
             + (F.col("rn") <= F.lit(budget) % F.col("k")).cast("long"),
         )
         .withColumn("alloc1", F.least(F.col("n_docs"), F.col("quota")))
-        .localCheckpoint(eager=False)  # feeds the leftover total AND the refill walk
+        .persist()  # feeds the leftover total AND the refill walk
     )
     left = phase1.agg(
         (b - F.sum("alloc1")).cast("long").alias("leftover")

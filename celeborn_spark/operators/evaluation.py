@@ -372,7 +372,7 @@ def pr_curve(
             F.count(F.lit(1)).cast("long").alias("cnt"),
             F.sum(F.col(label_col)).cast("long").alias("pos"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     tot = hist.agg(
         F.sum("cnt").cast("long").alias("tot_rows"),
@@ -419,7 +419,7 @@ def pr_curve(
                 * (F.col("cum_pos") / F.col("cum_rows"))
             ).alias("term"),
         )
-    ).localCheckpoint(eager=False)
+    ).persist()
     area = curve.agg(F.round(F.sum("term"), 6).alias("auprc"))
     return curve.crossJoin(F.broadcast(area)).select(
         "bucket", "cum_rows", "cum_pos", "precision", "recall", "auprc"
@@ -734,7 +734,7 @@ def hellinger_distance(
             F.sum(c).cast("long").alias("ca"),
             F.sum(1 - c).cast("long").alias("cb"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     tot = per_cat.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -1006,7 +1006,7 @@ def pettitt_changepoint(
     daily = (
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     hist = daily.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wr = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
@@ -1129,19 +1129,19 @@ def hodges_lehmann_shift(
         base.filter(F.col("grp") == a)
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("ca"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     hb = (
         base.filter(F.col("grp") == b)
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     diffs = (
         ha.crossJoin(hb.select(F.col("v").alias("vb"), "cb"))
         .groupBy((F.col("v") - F.col("vb")).alias("d"))
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("wt"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     tot = diffs.agg(F.sum("wt").cast("long").alias("w_tot"))
     wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -1241,7 +1241,7 @@ def brier_decomposition(
             F.sum("label").cast("long").alias("pos"),
             F.sum("s").cast("long").alias("cents"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     tot = per_bin.agg(
         F.sum("n_b").cast("long").alias("n_tot"),
@@ -1766,7 +1766,7 @@ def conformal_interval(
     daily = (
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
-        .localCheckpoint(eager=False)  # feeds both sides of the 7-day lag join
+        .persist()  # feeds both sides of the 7-day lag join
     )
     lagged = daily.alias("cur").join(
         daily.alias("prev"),
@@ -1774,7 +1774,7 @@ def conformal_interval(
     )
     resid = lagged.select(
         F.abs(F.col("cur.m") - F.col("prev.m")).alias("r")
-    ).localCheckpoint(eager=False)  # feeds the histogram AND the coverage count
+    ).persist()  # feeds the histogram AND the coverage count
     hist = resid.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wc = W.orderBy("r").rowsBetween(W.unboundedPreceding, 0)
     tot = resid.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -1881,7 +1881,7 @@ def mix_drift_series(
             F.col(day_col).alias("day"), F.col(cat_col).alias("cat")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds both sides of the adjacent-day join
+        .persist()  # feeds both sides of the adjacent-day join
     )
     # dense category union per adjacent-day pair: full outer on cat
     cur = cells.select(
@@ -2036,7 +2036,7 @@ def hosmer_lemeshow(
             F.sum("s").cast("long").alias("exp_cents"),
         )
         # <= n_bins rows, referenced by the total AND the output
-        .localCheckpoint(eager=False)
+        .persist()
     )
     dd = (
         F.lit(denom_cents) * F.col("obs_pos") - F.col("exp_cents")
@@ -2165,7 +2165,7 @@ def isotonic_calibration(
             F.sum("n").over(w).alias("cn"),
             F.sum("pos").over(w).alias("cp"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     lane_i = pre.select(
         F.col("bin").alias("i"), F.col("n").alias("n_i"), F.col("pos").alias("pos_i")
@@ -2768,7 +2768,7 @@ def topk_overlap_curve(
     # list-sized (<= max(ks) rows) and referenced once per depth —
     # materialize so the per-k union branches don't re-run the
     # upstream heap-selects.
-    joined = joined.localCheckpoint(eager=False)
+    joined = joined.persist()
     rows = None
     for k in ks:
         row = joined.agg(

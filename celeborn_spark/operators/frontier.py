@@ -71,7 +71,7 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     # running the whole stage-1 prune once per reference. The RAW
     # input is deliberately NOT materialized — re-scanning pruned
     # parquet twice beats writing the full table once at 100 TB.
-    local = _prune(base, grp, "_x", "_y").localCheckpoint(eager=False)
+    local = _prune(base, grp, "_x", "_y").persist()
     out = _prune(local, F.lit(0), "_x", "_y")
     return out.drop("_x", "_y")
 

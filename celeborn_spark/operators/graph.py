@@ -971,16 +971,19 @@ def shortest_paths(
     rounding anywhere. ``seeds`` has one ``node`` column.
 
     Per round: the settled frontier BROADCASTS into the edge join
-    (hinted — dist derives from a checkpointed RDD with unknown stats,
+    (hinted — dist derives from cached rows with unknown stats,
     so the static planner otherwise sort-merges and re-exchanges the
     EDGE mass every round; measured r13) + a groupBy(dst).min with
-    map-side partials (hub in-degrees combine locally) + a full-outer
-    merge against the settled relation (node-sized SMJ — full outer
-    cannot broadcast). The dist relation is node-sized and is
-    localCheckpoint'ed each round because the merge reads it twice
-    (CLAUDE.md multi-reference rule); the edge relation is never
-    mutated — partitioned once at scale. When the settled set outgrows
-    broadcast, pass ``broadcast_dist=False`` for the shuffle join."""
+    map-side partials (hub in-degrees combine locally) + a union
+    merge against the settled relation folded into the same
+    groupBy.min. The dist relation is node-sized and persist()ed each
+    round because the merge reads it twice (CLAUDE.md multi-reference
+    rule; the cache bounds recompute while deferring ALL planning to
+    the single final action — a localCheckpoint per round paid a
+    blocking driver planning + AQE stage-materialization pass each,
+    r14); the edge relation is never mutated — partitioned once at
+    scale. When the settled set outgrows broadcast, pass
+    ``broadcast_dist=False`` for the shuffle join."""
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     e = edges.select(
@@ -990,7 +993,7 @@ def shortest_paths(
         seeds.select(F.col("node").cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     for _ in range(rounds):
         frontier = F.broadcast(dist) if broadcast_dist else dist
@@ -1005,13 +1008,21 @@ def shortest_paths(
         # groupBy.min folds both — identical integers (min(old, best
         # cand) with absent sides skipped is exactly the old
         # null-aware when-chain), one node-keyed exchange per round.
+        # persist(), not localCheckpoint: each round is read twice
+        # (relax + merge) so the cache bounds recompute, while the
+        # lazy 2x/round lineage stays small at bounded rounds (2^3
+        # copies of a node-sized subtree) — a per-round checkpoint
+        # paid a blocking driver planning + AQE stage-materialization
+        # pass per round (r14; a self-loop-fold variant that chained
+        # rounds lazily with ONE checkpoint re-paid the saved time in
+        # its extra node-universe distinct exchange — A/B'd, reverted).
         dist = (
             dist.select("node", "dist")
             .unionAll(relax.select(F.col("dst").alias("node"),
                                    F.col("cand").alias("dist")))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)  # read twice next round (relax + merge)
+            .persist()
         )
     return dist
 

@@ -467,7 +467,7 @@ def ahash_near_dup(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.min("doc_id").cast("long").alias("rep"),
         )
-        .localCheckpoint(eager=False)  # signature catalog, referenced by 4 lanes
+        .persist()  # signature catalog, referenced by 4 lanes
     )
     h = sig.select(
         "rep",

@@ -668,7 +668,7 @@ def knn_join(
         )
         .filter(F.col("rn") <= n_probe)
         .select(id_col, "centroid_id", "rn")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     assign_v = ranked.filter(F.col("rn") == 1).select(id_col, "centroid_id")
     assign_q = ranked.select(id_col, "centroid_id")
@@ -1030,7 +1030,7 @@ def cluster_medoid(
     # references re-ran the scan + label window each; materialize once
     capped = (
         pts.withColumn("rn", rn).filter(F.col("rn") <= cap).drop("rn")
-        .localCheckpoint(eager=False)
+        .persist()
     )
     dot = F.aggregate(
         F.zip_with(F.col("i.vec"), F.col("j.vec"), lambda x, y: x * y),

@@ -917,7 +917,7 @@ def kl_divergence(
     counts = (
         occ.groupBy("g", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     vocab = counts.select("w").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
@@ -1010,7 +1010,7 @@ def chi_square_independence(
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
@@ -1545,7 +1545,7 @@ def cramers_v(
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
@@ -1638,7 +1638,7 @@ def js_divergence(
     counts = (
         occ.groupBy("g", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     vocab = counts.select("w").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
@@ -1802,7 +1802,7 @@ def g_test(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
         .groupBy("r", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     rows = cells.groupBy("r").agg(F.sum("o").alias("rt"))
     colsm = cells.groupBy("c").agg(F.sum("o").alias("ct"))
@@ -2698,7 +2698,7 @@ def runs_test(df: DataFrame, day_col: str, metric_col: str, dp: int = 6) -> Data
     daily = (
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
-        .localCheckpoint(eager=False)  # feeds the median histogram AND the walk
+        .persist()  # feeds the median histogram AND the walk
     )
     hist = daily.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
     wcum = W.orderBy("m").rowsBetween(W.unboundedPreceding, 0)
@@ -2827,7 +2827,7 @@ def brown_forsythe(
     hist = df.groupBy(
         F.col(group_col).alias("g"),
         F.col(value_col).cast("long").alias("v"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
     wcum = W.partitionBy("g").orderBy("v").rowsBetween(
         W.unboundedPreceding, 0
     )
@@ -2984,7 +2984,7 @@ def interevent_exponential(
         ))
         .filter(F.col("prev").isNotNull())
         .select(F.expr("(us - prev) div 1000000").alias("gap"))
-        .localCheckpoint(eager=False)  # feeds the moment aggregate AND the histogram
+        .persist()  # feeds the moment aggregate AND the histogram
     )
     mom = gaps.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3088,7 +3088,7 @@ def seasonal_strength(
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
         .select("day", "m", F.dayofweek("day").cast("long").alias("dow"))
-        .localCheckpoint(eager=False)  # feeds the DOW groups AND the global moments
+        .persist()  # feeds the DOW groups AND the global moments
     )
     per_dow = daily.groupBy("dow").agg(
         F.sum("m").cast("long").alias("s_g"),
@@ -3291,7 +3291,7 @@ def t_closeness(
         df.select(*quasi_cols, sensitive_band.cast("long").alias("band"))
         .groupBy(*quasi_cols, "band")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds the global hist AND the grid
+        .persist()  # feeds the global hist AND the grid
     )
     gband = cells.groupBy("band").agg(
         F.sum("c").cast("long").alias("gc")
@@ -3504,7 +3504,7 @@ def theil_index(
     units = (
         df.groupBy(F.col(unit_col).alias("unit"))
         .agg(F.sum(F.col(metric_col)).cast("long").alias("m"))
-        .localCheckpoint(eager=False)  # feeds the totals AND the walk
+        .persist()  # feeds the totals AND the walk
     )
     tot = units.agg(
         F.sum("m").cast("long").alias("s_tot"),
@@ -3592,7 +3592,7 @@ def ks_bh_screen(
         )
         .groupBy("g", "band")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds the global hist AND the grid
+        .persist()  # feeds the global hist AND the grid
     )
     gband = cells.groupBy("band").agg(F.sum("c").cast("long").alias("gc"))
     groups = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
@@ -3784,7 +3784,7 @@ def kruskal_wallis(
             F.col(value_col).cast("long").alias("v"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds the value histogram AND group sums
+        .persist()  # feeds the value histogram AND group sums
     )
     vhist = hist.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
@@ -3927,7 +3927,7 @@ def granger_leadlag(
             F.sum(x_col).cast("long").alias("x"),
             F.sum(y_col).cast("long").alias("y"),
         )
-        .localCheckpoint(eager=False)  # feeds both sides of the lag join
+        .persist()  # feeds both sides of the lag join
     )
     lagged = (
         daily.alias("cur")
@@ -4070,7 +4070,7 @@ def pairwise_welch(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(value_col).cast("long").alias("s"),
         F.sum(value_col * value_col).cast("long").alias("ss"),
-    ).localCheckpoint(eager=False)  # feeds both sides of the pair join AND n_pairs
+    ).persist()  # feeds both sides of the pair join AND n_pairs
     pairs = (
         g.alias("a")
         .crossJoin(g.alias("b"))
@@ -4170,7 +4170,7 @@ def eb_shrunk_rates(
     g = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col(success_col).cast("long")).cast("long").alias("pos"),
-    ).localCheckpoint(eager=False)  # feeds the global scalar AND the output rows
+    ).persist()  # feeds the global scalar AND the output rows
     tot = g.agg(
         F.sum("n").cast("long").alias("n_tot"),
         F.sum("pos").cast("long").alias("p_tot"),
@@ -4281,7 +4281,7 @@ def bradley_terry(
         # bounded (<= C(n_teams,2) rows) and referenced by the directed
         # view, the wins view, and every MM round — checkpoint the
         # INPUT of the iteration once (CLAUDE.md iterative-op rule)
-        .localCheckpoint(eager=False)
+        .persist()
     )
     directed = pairs.select(
         F.col("i").alias("t"), F.col("j").alias("o"), "n"
@@ -4635,7 +4635,7 @@ def friedman_test(
         .join(counts, ["blk", "trt"], "left")
         .select("blk", "trt", F.coalesce("v", F.lit(0)).alias("v"))
         # referenced by both sides of the rank self-join
-        .localCheckpoint(eager=False)
+        .persist()
     )
     o = full.select(
         F.col("blk").alias("blk_o"),
@@ -5313,7 +5313,7 @@ def gaussian_mixture_em_1d(
     map-combined weighted-moment aggregate per round over the cents
     projection; parameters ride 1-row broadcast relations. Output one
     row: (w1, mu1_cents, s1_cents, mu2_cents, s2_cents, n)."""
-    x = df.select(cents_col.cast("long").alias("x")).localCheckpoint(eager=False)
+    x = df.select(cents_col.cast("long").alias("x")).persist()
     m0 = x.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
@@ -5609,7 +5609,7 @@ def price_index(
             F.sum("cents").cast("long").alias("c"),
             F.sum("qty").cast("long").alias("q"),
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     yrs = per_all.agg(
         F.min("yr").alias("y0"), F.max("yr").alias("y1")
@@ -5872,7 +5872,7 @@ def durbin_watson(
             .alias("y"),
             "day",
         )
-        .localCheckpoint(eager=False)  # feeds the moment pass AND the lag window
+        .persist()  # feeds the moment pass AND the lag window
     )
     mom = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -6861,7 +6861,7 @@ def pacf_3(df: DataFrame, day_col: str, dp: int = 6) -> DataFrame:
     daily0 = (
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("m"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     span = daily0.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     cal = span.select(
@@ -7461,7 +7461,7 @@ def mann_kendall(df: DataFrame, day_col: str, dp: int = 6) -> DataFrame:
     daily = (
         df.groupBy(F.col(day_col).alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
-        .localCheckpoint(eager=False)  # day grid; feeds pair join, ties, moments
+        .persist()  # day grid; feeds pair join, ties, moments
     )
     a = daily.select(F.col("day").alias("d1"), F.col("y").alias("y1"))
     b = daily.select(F.col("day").alias("d2"), F.col("y").alias("y2"))
@@ -7797,7 +7797,7 @@ def abc_analysis(
             F.count(F.lit(1)).cast("long").alias("n_items"),
             F.sum("cents").cast("long").alias("vtot"),
         )
-        .localCheckpoint(eager=False)  # value histogram; bounds + bucketing re-read it
+        .persist()  # value histogram; bounds + bucketing re-read it
     )
     cb = _bounded_cum_before(hist, F.col("vtot"), descending=True)
     tot = hist.agg(F.sum("vtot").cast("long").alias("tot"))
@@ -8793,7 +8793,7 @@ def variance_ratio(
             .cast("long")
             .alias("y"),
         )
-        .localCheckpoint(eager=False)  # calendar-filled grid; feeds every lag
+        .persist()  # calendar-filled grid; feeds every lag
     )
     wd = W.orderBy("day")  # one row per calendar day
     lags = [1] + [k for k in ks if k != 1]
@@ -8928,7 +8928,7 @@ def hurst_rs(
         F.col("m").alias("y"),
     )
     # observed-day grid indexed by t; missing days simply shorten runs
-    grid = cal.localCheckpoint(eager=False)
+    grid = cal.persist()
     nt = grid.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
     blocks = (
         grid.crossJoin(F.broadcast(lns))
@@ -9136,7 +9136,7 @@ def logistic_growth(df: DataFrame, day_col: str, unit_col: str, dp: int = 6) -> 
             F.datediff(F.col("fday"), F.col("d0")).cast("long").alias("t")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("a"))
-        .localCheckpoint(eager=False)  # first-touch day grid (calendar-bounded)
+        .persist()  # first-touch day grid (calendar-bounded)
     )
     wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
     curve = daily.select(
@@ -9302,7 +9302,7 @@ def growth_accounting(
             .alias("mi"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # (unit, month) activity; feeds both windows
+        .persist()  # (unit, month) activity; feeds both windows
     )
     wu = W.partitionBy("u").orderBy("mi")
     maxm = um.agg(F.max("mi").alias("max_mi"))
@@ -9424,7 +9424,7 @@ def jonckheere_terpstra(
         F.col(ord_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     # bounded grid relation referenced 4x (vals/grps/grid/sizes)
-    hist = hist.localCheckpoint(eager=False)
+    hist = hist.persist()
     vals = hist.select("v").distinct()
     grps = hist.select("g").distinct()
     grid = (
@@ -9442,7 +9442,7 @@ def jonckheere_terpstra(
     # ways (CLAUDE.md r13); here the checkpoint wins.
     cumg = grid.select(
         "g", "v", "c", F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("cb")
-    ).localCheckpoint(eager=False)  # bounded (groups x values) grid, used twice
+    ).persist()  # bounded (groups x values) grid, used twice
     pairs = (
         cumg.alias("i")
         .join(cumg.alias("j"), F.col("i.v") == F.col("j.v"))
@@ -9552,7 +9552,7 @@ def dunn_test(df: DataFrame, group_col: str, value_col: str, dp: int = 6) -> Dat
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
     # bounded histogram referenced by the pooled ranks AND group sums
-    hist = hist.localCheckpoint(eager=False)
+    hist = hist.persist()
     pooled = hist.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
     # pooled DISTINCT-value histogram (bounded)
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
@@ -9793,7 +9793,7 @@ def iqr_outliers(df: DataFrame, cents_col: str) -> DataFrame:
     hist = (
         df.groupBy(F.col(cents_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # value histogram; bounds + bucketing re-read
+        .persist()  # value histogram; bounds + bucketing re-read
     )
     cb = _bounded_cum_before(hist, F.col("c"))
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
@@ -10059,7 +10059,7 @@ def wilcoxon_signed_rank(
             F.count(F.lit(1)).cast("long").alias("c"),
             F.sum((F.col("d") > 0).cast("long")).cast("long").alias("cpos"),
         )
-        .localCheckpoint(eager=False)  # |d| histogram; bounds + bucketing re-read
+        .persist()  # |d| histogram; bounds + bucketing re-read
     )
     cb = _bounded_cum_before(hist, F.col("c"))
     ranked = cb.select(
@@ -10429,7 +10429,7 @@ def top_share(df: DataFrame, cents_col: str, pct: int = 80) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("c"),
             F.sum(F.col(cents_col)).cast("long").alias("mass"),
         )
-        .localCheckpoint(eager=False)  # value histogram; bounds + bucketing re-read
+        .persist()  # value histogram; bounds + bucketing re-read
     )
     cb = _bounded_cum_before(hist, F.col("c"))
     tot = hist.agg(
@@ -11917,7 +11917,7 @@ def quade_test(
     cells = df.groupBy(
         F.col(block_col).alias("blk"), F.col(treat_col).alias("trt")
     ).agg(F.sum(F.col(v_col)).cast("long").alias("val"))
-    cells = cells.localCheckpoint(eager=False)  # re-read by both rank joins
+    cells = cells.persist()  # re-read by both rank joins
     # bounded driver actions: distinct treatment / block counts are
     # grid-sized scalars (k x b cells), needed as Python ints for the
     # F-statistic's literal degrees of freedom.
@@ -12318,7 +12318,7 @@ def palma_hoover(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
     hist = (
         df.groupBy(F.col(v_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # value histogram; bounds + bucketing re-read
+        .persist()  # value histogram; bounds + bucketing re-read
     )
     cb = _bounded_cum_before(hist, F.col("c"))
     tot = hist.agg(
@@ -12422,7 +12422,7 @@ def log_cagr(
     yearly = df.groupBy(
         F.col(group_col).alias("grp"), F.col(year_col).alias("y")
     ).agg(F.sum(F.col(v_col)).cast("long").alias("v"))
-    yearly = yearly.localCheckpoint(eager=False)  # endpoints + both lookups re-read
+    yearly = yearly.persist()  # endpoints + both lookups re-read
     ends = yearly.groupBy("grp").agg(
         F.min("y").cast("long").alias("y_first"),
         F.max("y").cast("long").alias("y_last"),
@@ -13223,7 +13223,7 @@ def robust_quantile_moments(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame
     hist = (
         df.groupBy(F.col(v_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # value histogram; bounds + bucketing re-read
+        .persist()  # value histogram; bounds + bucketing re-read
     )
     cb = _bounded_cum_before(hist, F.col("c"))
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
@@ -13494,7 +13494,7 @@ def breusch_pagan(
     ser = df.select(F.col(day_col).alias("day"), v.alias("v")).withColumn(
         "t", F.row_number().over(W.orderBy("day")).cast("long")
     )
-    ser = ser.localCheckpoint(eager=False)  # mom + residual lanes both read it
+    ser = ser.persist()  # mom + residual lanes both read it
     mom = ser.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("t").cast("long").alias("st"),
@@ -13730,7 +13730,7 @@ def lilliefors(df: DataFrame, v_col: str, dp: int = 6) -> DataFrame:
     hist = (
         df.groupBy(F.col(v_col).alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # bounded vocabulary; cum + moments read it
+        .persist()  # bounded vocabulary; cum + moments read it
     )
     mom = hist.agg(
         F.sum("c").cast("long").alias("n"),

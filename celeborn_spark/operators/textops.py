@@ -428,14 +428,14 @@ def pmi_bigrams(
         spread.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     tot_uni = uni.agg(F.sum("c").alias("tot_uni"))
     bg = (
         spread.select(F.explode(bigrams(text_col)).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     tot_bg = bg.agg(F.sum("c12").alias("tot_bg"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
@@ -528,7 +528,7 @@ def bpe_train(
             F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
             "freq",
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
     merges = []
     for r in range(n_merges):
@@ -642,7 +642,7 @@ def bpe_apply_curve(
             F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")).alias("s"),
             "freq",
         )
-        .localCheckpoint(eager=False)
+        .persist()
     )
 
     def total(words_df: DataFrame, r: int) -> DataFrame:
@@ -1031,7 +1031,7 @@ def sparse_cosine_pairs(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("w"),
         )
-        .localCheckpoint(eager=False)  # feeds norms + both sides of the pair join
+        .persist()  # feeds norms + both sides of the pair join
     )
     norms = w.groupBy("id").agg(
         F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
@@ -1645,7 +1645,7 @@ def bigram_conditional_entropy(
         )
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_uv"))
-        .localCheckpoint(eager=False)  # feeds the marginal AND the walk
+        .persist()  # feeds the marginal AND the walk
     )
     marg = bi.groupBy("u").agg(F.sum("c_uv").cast("long").alias("c_u"))
     w = WW.orderBy("u", "v").rowsBetween(WW.unboundedPreceding, 0)
@@ -1729,7 +1729,7 @@ def negative_sampling_table(
         docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds the weight walk AND the Z total
+        .persist()  # feeds the weight walk AND the Z total
     )
     pw = f"{power_num}.0 / {power_den}"
     weighted = counts.withColumn(
@@ -1931,7 +1931,7 @@ def _overlap_counts(docs: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "kind", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     uni = counts_all.filter(F.col("kind") == 1).drop("kind")
     bg = counts_all.filter(F.col("kind") == 2).drop("kind")
@@ -2534,7 +2534,7 @@ def source_vocab_jaccard(
             F.explode(tokens(F.col(text_col))).alias("tok"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # vocab catalog: sizes + self-join both read it
+        .persist()  # vocab catalog: sizes + self-join both read it
     )
     sizes = sv.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("nv"))
     a = sv.select(F.col("src").alias("src_a"), "tok")
@@ -2640,7 +2640,7 @@ def char_trigram_entropy(
     tc = (
         tri.groupBy("lang", "g")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # totals + trigram terms + context counts
+        .persist()  # totals + trigram terms + context counts
     )
     tot = tc.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n"),

@@ -149,7 +149,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed RATE — vec_id % 29, ~3.4% — making the probe O(N^2/29) with a
     linearly growing broadcast side; VERDICT r9 item 2.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).localCheckpoint(eager=False)
+    pairs = S.embedding_near_dup_pairs(emb, bits=12, threshold=0.5).persist()
 
     # the 64-vector brute-force guard streams N x 64 dot products — a
     # single-split scan would run them all on one core (r13: 2.8 s).
@@ -497,7 +497,7 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "pos")
         .agg(F.round(F.avg("x"), 6).alias("v"))
-        .localCheckpoint(eager=False)  # both sides of the pair join
+        .persist()  # both sides of the pair join
     )
     p = (
         c.alias("a")
@@ -724,7 +724,7 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["val"],
             ).alias("embedding")
         )
-        .localCheckpoint(eager=False)  # feeds both sides of the approx search
+        .persist()  # feeds both sides of the approx search
     )
     def _topk(df):
         qs = df.filter(F.col("vec_id") < 5).select(
@@ -815,7 +815,7 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", half, F.posexplode(S.as_double_array("embedding")).alias("pos", "x"))
         .groupBy("label", "half", "pos")
         .agg(F.round(F.avg("x"), 6).alias("m"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     a = dims.filter(F.col("half") == 0).select(
         "label", "pos", F.col("m").alias("ma")
@@ -898,9 +898,9 @@ def q_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", F.posexplode(S.as_double_array("embedding")).alias("pos", "x")
-    ).localCheckpoint(eager=False)  # read by every distance/median pass
+    ).persist()  # read by every distance/median pass
     m = (
-        e.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m")).localCheckpoint(eager=False)
+        e.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("m")).persist()
     )
     for _ in range(2):
         d = (
@@ -989,7 +989,7 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass over the row mass each)
     c = dims.groupBy(F.col("label").alias("clabel"), F.col("pos").alias("cpos")).agg(
         F.round(F.avg("x"), 6).alias("v")
-    ).localCheckpoint(eager=False)
+    ).persist()
     d = (
         dims.join(
             F.broadcast(c),
@@ -1010,7 +1010,7 @@ def q_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy("label").agg(
         F.round(F.avg("dist"), 6).alias("scatter"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     c1 = c.select(
         F.col("clabel").alias("i"), F.col("cpos").alias("p1"), F.col("v").alias("v1")
     )

@@ -826,7 +826,7 @@ def q_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
     cohort = uw.groupBy("user_id").agg(F.min("w").alias("cw"))
     sizes = cohort.groupBy("cw").agg(
@@ -1728,7 +1728,7 @@ def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).cast("long").alias("val"))
-        .localCheckpoint(eager=False)  # 16-row value table, referenced twice below
+        .persist()  # 16-row value table, referenced twice below
     )
     from celeborn_spark.operators import values_table
 

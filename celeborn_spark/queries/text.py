@@ -853,7 +853,7 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = (
         bg_tbl.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     with_w = c2.withColumn("w1", F.substring_index("bg", " ", 1)).withColumn(
         "w2", F.substring_index("bg", " ", -1)
