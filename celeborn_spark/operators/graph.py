@@ -250,12 +250,24 @@ def bipartite_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
                                     F.col("src").alias("dst")))
 
 
-def directed_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+def directed_order_edges(
+    orders: DataFrame, lineitem: DataFrame, materialize: str = "checkpoint"
+) -> DataFrame:
     """DIRECTED customer->supplier edge list (no reverse union): every
     supplier node is a dangler (no out-edges) — the planted-dangler
     graph for `pagerank(handle_dangling=True)`. Same disjoint-id
-    encoding as `bipartite_order_edges`."""
-    return (
+    encoding as `bipartite_order_edges`.
+
+    ``materialize="persist"`` swaps the lineage-cutting checkpoint for
+    a lazy cache: right for consumers whose own round boundaries
+    already bound the plan (HITS checkpoints each half-round, so the
+    edge subtree never multiplies, and the cached relation's known
+    stats replace a blocking build-time toRdd planning pass — measured
+    r14: q_hits 2.7-4.3 -> 2.5-2.7 s). Keep the checkpoint for
+    consumers that chain rounds lazily over the edges (pagerank: the
+    persist form re-plans the join+distinct subtree once per round
+    reference and measured SLOWER and erratic, 1.8-2.0 -> 2.2-4.5 s)."""
+    pairs = (
         orders.select("o_orderkey", "o_custkey")
         .join(
             lineitem.select("l_orderkey", "l_suppkey"),
@@ -266,8 +278,10 @@ def directed_order_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if materialize == "persist":
+        return pairs.persist()
+    return pairs.localCheckpoint(eager=False)
 
 
 EDGES_ORACLE = """

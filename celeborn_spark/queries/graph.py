@@ -169,7 +169,13 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (byte-measured in tests/test_metrics.py) — pre-partitioning would
     # ADD two edge shuffles. Set True only when the node set outgrows
     # broadcast and the per-round joins degrade to shuffle joins.
-    return graph_ops.hits(directed_order_edges(orders, lineitem), iters=_ITERS)
+    # materialize="persist": HITS' half-round checkpoints already bound
+    # the plan, so the cached edge build beats the checkpointed one
+    # (no blocking toRdd planning pass; see directed_order_edges).
+    return graph_ops.hits(
+        directed_order_edges(orders, lineitem, materialize="persist"),
+        iters=_ITERS,
+    )
 
 
 @query(
